@@ -1,0 +1,100 @@
+"""Extract-side operators: the reference's query-builder surface as
+composable DataFrame transforms.
+
+Reference parity map (SURVEY.md §2.2/2.3/2.5, all in
+``tap-redshift/src/sync.py`` unless noted):
+
+- P4 incremental predicate  ``WHERE rk > %(bookmark)s``      (sync.py:143,147)
+- J3 semi-join reduction    ``AND pk = ANY(uuid_allowlist)`` (sync.py:144,150)
+- P6/P7 UUID-shape filters  len==36 / validators.uuid        (sync.py:42,51-53)
+- O1 ORDER BY rk ASC                                         (sync.py:145,151)
+- O2 LIMIT n (default 1e6)                                   (sync.py:146,155)
+- A1 COUNT(*) volume                                         (sync.py:153-159)
+- A3 running-max bookmark                                    (sync.py:188-194)
+
+Scale notes: the incremental filter and projection reach the parquet/JDBC
+scan via Catalyst pushdown; the allowlist semi-join broadcasts when small
+(the canonical replacement for ``= ANY(<list>)``, which dies at millions of
+IDs) and falls back to a shuffle semi-join past the broadcast threshold.
+ORDER BY + LIMIT compiles to TakeOrderedAndProject (distributed top-k), not
+a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+DEFAULT_QUERY_LIMIT = 1_000_000  # tap-redshift/src/parsed_args.py:95
+
+
+def incremental_filter(df: DataFrame, replication_key: str, bookmark) -> DataFrame:
+    """P4: strictly-greater-than bookmark scan (sync.py:143,147).
+
+    Pushed into the source scan by Catalyst (check PushedFilters)."""
+    if bookmark is None:
+        return df
+    return df.filter(F.col(replication_key) > F.lit(bookmark))
+
+
+def semi_join_allowlist(
+    df: DataFrame, key: str, allowlist: DataFrame, allowlist_key: str = "id"
+) -> DataFrame:
+    """J3: restrict the scan to keys present in a remote-fetched allowlist
+    (sync.py:144,150 pushed ``= ANY``). Broadcast left-semi join — the
+    allowlist is small relative to the fact table; if it grows past the
+    broadcast threshold AQE/planner falls back to shuffle semi-join."""
+    return df.join(
+        F.broadcast(allowlist.select(F.col(allowlist_key).alias(allowlist_key))),
+        on=df[key] == F.col(allowlist_key),
+        how="left_semi",
+    )
+
+
+def anti_join_allowlist(
+    df: DataFrame, key: str, allowlist: DataFrame, allowlist_key: str = "id"
+) -> DataFrame:
+    """Complement of J3 — rows NOT matched remotely (the reference's
+    'dropped, never inserted' sink contract, README.md:121-122, and the
+    failed-record complement of J4)."""
+    return df.join(
+        F.broadcast(allowlist.select(F.col(allowlist_key).alias(allowlist_key))),
+        on=df[key] == F.col(allowlist_key),
+        how="left_anti",
+    )
+
+
+def uuid_shape_filter(col: Column) -> Column:
+    """P6: the remote Pendo aggregation filter ``len(id) == 36``
+    (sync.py:42)."""
+    return F.length(col) == 36
+
+
+def uuid_valid_filter(col: Column) -> Column:
+    """P7: full UUID validation (sync.py:51-53 validators.uuid)."""
+    return col.rlike(UUID_RE)
+
+
+def ordered_limit(
+    df: DataFrame, order_key: str, n: int = DEFAULT_QUERY_LIMIT, ascending: bool = True
+) -> DataFrame:
+    """O1+O2: ORDER BY rk LIMIT n (sync.py:145-146). Spark executes this as
+    TakeOrderedAndProject — per-partition top-k then a single merge, no
+    global sort shuffle."""
+    key = F.asc(order_key) if ascending else F.desc(order_key)
+    return df.orderBy(key).limit(n)
+
+
+def volume_count(df: DataFrame) -> DataFrame:
+    """A1: the pre-sync COUNT(*) used for the VOLUME message / batch
+    planning (sync.py:153-159)."""
+    return df.agg(F.count(F.lit(1)).alias("record_count"))
+
+
+def max_bookmark(df: DataFrame, replication_key: str):
+    """A3: the new bookmark after a sync. The reference relies on ORDER BY
+    + last-row-wins (sync.py:188-194); a max-aggregate needs no ordering
+    and is a partial-aggregated (map-side combined) single-row reduce."""
+    row = df.agg(F.max(replication_key).alias("bookmark")).first()
+    return row["bookmark"] if row else None

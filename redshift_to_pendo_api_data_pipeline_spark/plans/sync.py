@@ -1,0 +1,118 @@
+"""The flagship pipeline: ``sync_table`` as ONE lazy DataFrame plan.
+
+The reference's sync path (tap-redshift/src/sync.py:83-206 +
+target-pendo/src/__init__.py:421-622) is two processes and a pipe:
+
+    SELECT cols FROM t WHERE rk > bookmark AND pk = ANY(uuids)
+    ORDER BY rk LIMIT n
+    | per-row JSON | validate | flatten | remap | reshape | batch | POST
+
+Here the whole thing is a single declarative plan; Catalyst pushes the
+filter + projection into the scan, the allowlist becomes a broadcast
+left-semi join, record shaping is column expressions inside one codegen
+stage, and the only materialization is at the sink. The Singer message
+stream between tap and target disappears entirely (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redshift_to_pendo_api_data_pipeline_spark.catalog import resolve_projection
+from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import remap_fields, reshape_payload
+from redshift_to_pendo_api_data_pipeline_spark.operators.extract import (
+    DEFAULT_QUERY_LIMIT,
+    incremental_filter,
+    max_bookmark,
+    semi_join_allowlist,
+)
+from redshift_to_pendo_api_data_pipeline_spark.plans.state import State, now_version
+from redshift_to_pendo_api_data_pipeline_spark.schema import StreamSpec
+
+
+@dataclass
+class SyncResult:
+    stream: str
+    record_count: int
+    bookmark: object | None
+    version: int
+
+
+def sync_plan(
+    df: DataFrame,
+    stream: StreamSpec,
+    bookmark=None,
+    allowlist: DataFrame | None = None,
+    pk_alias: str = "id",
+    limit: int | None = DEFAULT_QUERY_LIMIT,
+) -> DataFrame:
+    """Build the extract+shape plan for one stream (no execution).
+
+    Mirrors the reference's query builder (sync.py:143-155) + the target's
+    record shaping (__init__.py:530-557), as one plan. ORDER BY is dropped:
+    it existed only so the bookmark could be 'last row wins'
+    (sync.py:145,188-194); we compute the bookmark as max() instead, so no
+    global sort is paid.
+    """
+    out = resolve_projection(df, stream)
+    if stream.replication_method == "INCREMENTAL":
+        out = incremental_filter(out, stream.replication_key, bookmark)
+    if allowlist is not None:
+        out = semi_join_allowlist(out, stream.primary_key, allowlist)
+    if limit is not None:
+        out = out.limit(limit)
+    out = remap_fields(out, stream.field_mappings)
+    pk_out = stream.field_mappings.get(stream.primary_key, stream.primary_key)
+    return reshape_payload(out, pk_out, pk_alias)
+
+
+def run_sync(
+    spark: SparkSession,
+    df: DataFrame,
+    stream: StreamSpec,
+    state: State,
+    sink,
+    allowlist: DataFrame | None = None,
+    limit: int | None = DEFAULT_QUERY_LIMIT,
+) -> SyncResult:
+    """Execute one stream sync with correct state-commit ordering:
+
+    1. read bookmark from state (INCREMENTAL only)
+    2. build plan, stamp a version (FULL_TABLE mints a new one =
+       ACTIVATE_VERSION swap; INCREMENTAL reuses, sync.py:114-121,199-204)
+    3. sink the data (idempotent writer, task retries safe)
+    4. only then advance the bookmark to max(rk) over the sunk rows and
+       clear ``currently_syncing`` — the target-echoes-state contract
+       (README.md:191-192).
+    """
+    bookmark = None
+    if stream.replication_method == "INCREMENTAL":
+        bookmark = state.get_bookmark(stream.name, "replication_key_value")
+    version = state.get_bookmark(stream.name, "version")
+    if version is None or stream.replication_method == "FULL_TABLE":
+        version = now_version()
+
+    state.currently_syncing = stream.name
+    shaped = sync_plan(df, stream, bookmark=bookmark, allowlist=allowlist, limit=limit)
+    # Cache: the same filtered set feeds the sink, the count and the new
+    # bookmark — without this the source would be scanned three times.
+    shaped = shaped.cache()
+    try:
+        n = sink(shaped)
+
+        rk_out = None
+        if stream.replication_method == "INCREMENTAL":
+            assert stream.replication_key is not None
+            rk_out = stream.field_mappings.get(stream.replication_key, stream.replication_key)
+            new_bm = max_bookmark(shaped.select(f"values.{rk_out}"), rk_out)
+            if new_bm is not None:
+                state.write_bookmark(stream.name, "replication_key_value", new_bm)
+            state.write_bookmark(stream.name, "replication_key", stream.replication_key)
+        state.write_bookmark(stream.name, "version", version)
+        state.currently_syncing = None
+        bm = state.get_bookmark(stream.name, "replication_key_value")
+        return SyncResult(stream=stream.name, record_count=n, bookmark=bm, version=version)
+    finally:
+        shaped.unpersist()

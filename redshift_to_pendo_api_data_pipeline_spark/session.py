@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are the ones
+that matter identically on a 1000-executor cluster: AQE on (runtime shuffle
+coalescing + skew-join splitting), sensible shuffle partition count, Arrow
+for the few pandas-UDF paths, and broadcast threshold so dimension tables
+and ID allowlists broadcast instead of shuffling the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "redshift_to_pendo_api_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # On a real cluster this should be ~2-3x total executor cores (or
+        # left to AQE's coalescing with a high initial value). Locally we
+        # match core count to avoid tiny-partition overhead.
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions, skew-join
+        # splitting, and dynamic broadcast-join conversion. Essential at
+        # 100 TB where static planning guesses wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow makes pandas_udf / mapInPandas / toPandas columnar-batch
+        # transfers instead of per-row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Allowlists / dimension tables up to 64 MB broadcast rather than
+        # shuffling the (huge) fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps in testdata are TIMESTAMP (no tz); keep session UTC so
+        # results are stable across environments and match the oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
+        # Spark has no native type for (SPARK-40819); read as long nanos and
+        # convert in the loader (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
+    """Benchmark data directory (driver contract: $SPARK_GRAFT_SF_DIR)."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
