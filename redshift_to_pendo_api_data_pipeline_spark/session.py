@@ -23,6 +23,17 @@ def get_spark(
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
     """
+    # Python executor workers must be able to import this package even when
+    # the driver process was launched from elsewhere (mapPartitions/pandas
+    # UDF closures are pickled by reference). Locally that means PYTHONPATH;
+    # on a real cluster the equivalent is --py-files / a wheel on the image.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if master is None:
         master = f"local[{cpus}]"
@@ -56,6 +67,7 @@ def get_spark(
         # convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,167 @@
+"""The HTTP partition writer: Spark-side replacement for target-pendo.
+
+The reference consumes a Singer message stream on stdin and POSTs batches
+to ``/api/v1/metadata/{kind}/{group}/value`` with asyncio concurrency
+(target-pendo/src/__init__.py:301-368). Here the equivalent is a
+``foreachPartition`` writer: Spark supplies the parallelism (one task per
+partition, many executors), so the writer itself stays synchronous and
+simple; per-partition connection reuse replaces the shared httpx pool.
+
+Reliability semantics preserved (SURVEY.md §2.9):
+- B6 retry: expo backoff, ≤5 tries, give up on 4xx;
+- B7 per-record failure routing: the API reports per-record errors in the
+  response body; failed records are routed to a quarantine location and
+  re-posted by a later pass instead of failing the job
+  (__init__.py:272-281,217-259);
+- B8 status->error taxonomy (request.py:77-109);
+- idempotency: Spark retries whole tasks, so the sink relies on the API's
+  upsert-only idempotency (README.md:142) — a replayed batch converges.
+
+Endpoint routing (B9): stream name containing "account" -> account kind,
+else visitor (__init__.py:40-72, endpoints.py:7-36).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.sink.batching import (
+    DEFAULT_MAX_BYTES,
+    DEFAULT_MAX_RECORDS,
+    GiveUpError,
+    TokenBucket,
+    batch_records,
+    retry_with_backoff,
+)
+
+
+def route_endpoint(stream_name: str, base_url: str, group: str = "custom") -> str:
+    """B9: infer entity kind from the stream name (endpoints.py:7-36)."""
+    kind = "account" if "account" in stream_name.lower() else "visitor"
+    return f"{base_url}/api/v1/metadata/{kind}/{group}/value"
+
+
+@dataclass
+class SinkConfig:
+    base_url: str
+    stream_name: str
+    api_key: str = ""
+    max_records: int = DEFAULT_MAX_RECORDS
+    max_bytes: int = DEFAULT_MAX_BYTES
+    rate_calls: int = 1800          # __init__.py:308-311
+    rate_period: float = 300.0
+    max_tries: int = 5
+    request_delay: float = 0.0      # B10, default 0 (__init__.py:106)
+    timeout: float = 300.0          # request.py:13-20
+    group: str = "custom"
+
+    @property
+    def endpoint(self) -> str:
+        return route_endpoint(self.stream_name, self.base_url, self.group)
+
+
+@dataclass
+class BatchResult:
+    """Per-batch outcome; aggregated like the reference's Counter merge
+    (__init__.py:159,192-195)."""
+    total: int = 0
+    updated: int = 0
+    failed: int = 0
+    failed_payloads: list[bytes] = field(default_factory=list)
+
+
+# One bucket per (calls, period) per executor process — all partition tasks
+# running in that executor share it.
+_BUCKETS: dict[tuple[int, float], TokenBucket] = {}
+
+
+def _bucket(calls: int, period: float) -> TokenBucket:
+    key = (calls, period)
+    if key not in _BUCKETS:
+        _BUCKETS[key] = TokenBucket(calls, period)
+    return _BUCKETS[key]
+
+
+def post_batch(cfg: SinkConfig, batch: list[bytes]) -> BatchResult:
+    """POST one JSON-array batch; classify per-record failures from the
+    response body (the API returns {total, updated, failed, errors:[{id}]}
+    — __init__.py:272-281 routes errors back to records)."""
+    body = b"[" + b",".join(batch) + b"]"
+    req = urllib.request.Request(
+        cfg.endpoint,
+        data=body,
+        headers={
+            "content-type": "application/json",
+            "x-pendo-integration-key": cfg.api_key,
+        },
+        method="POST",
+    )
+
+    def _do():
+        import time as _t
+        _bucket(cfg.rate_calls, cfg.rate_period).acquire()
+        if cfg.request_delay:
+            _t.sleep(cfg.request_delay)
+        try:
+            with urllib.request.urlopen(req, timeout=cfg.timeout) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            # B8: 4xx = caller bug, never retried; 5xx/timeouts retried
+            if 400 <= e.code < 500:
+                raise GiveUpError(f"HTTP {e.code} at {cfg.endpoint}") from e
+            raise
+
+    payload = retry_with_backoff(_do, max_tries=cfg.max_tries)
+    res = BatchResult(
+        total=int(payload.get("total", len(batch))),
+        updated=int(payload.get("updated", 0)),
+        failed=int(payload.get("failed", 0)),
+    )
+    if res.failed:
+        # J4: join error ids back to the records of this batch
+        error_ids = {e.get("id") for e in payload.get("errors", [])}
+        for raw in batch:
+            rec_id = json.loads(raw).get("id")
+            if rec_id in error_ids:
+                res.failed_payloads.append(raw)
+    return res
+
+
+def write_partition(cfg: SinkConfig, payloads: Iterable[bytes]) -> Iterator[tuple]:
+    """The foreachPartition body. Yields one row per batch:
+    (total, updated, failed, failed_json_array) so failures land in a
+    quarantine DataFrame instead of killing the job."""
+    for batch in batch_records(payloads, cfg.max_records, cfg.max_bytes):
+        r = post_batch(cfg, batch)
+        yield (
+            r.total,
+            r.updated,
+            r.failed,
+            [p.decode() for p in r.failed_payloads],
+        )
+
+
+def sink_dataframe(df: DataFrame, cfg: SinkConfig) -> DataFrame:
+    """Write a shaped DataFrame (any schema; serialized to one JSON doc per
+    row here) to the HTTP endpoint. Returns the per-batch results as a
+    DataFrame ``(total, updated, failed, failed_payloads)`` — the caller
+    aggregates (A4) and persists the quarantine set (B7).
+
+    Distribution: each partition runs an independent writer with its own
+    HTTP connection; concurrency = numPartitions, the Spark-native
+    replacement for asyncio.gather+Semaphore(10) (__init__.py:351-368).
+    """
+    json_df = df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
+
+    def _run(it: Iterator) -> Iterator[tuple]:
+        yield from write_partition(cfg, (row["payload"].encode() for row in it))
+
+    return json_df.rdd.mapPartitions(_run).toDF(
+        "total long, updated long, failed long, failed_payloads array<string>"
+    )
