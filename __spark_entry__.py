@@ -159,6 +159,219 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- analytics ops
+
+def q_grouped_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-stream stats (target-pendo __init__.py:197-214 as one
+    groupBy; map-side combined, single shuffle)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import grouped_stats
+    return grouped_stats(load_table(spark, sf_dir, "events"), "event_type", "value", "ts")
+
+
+def q_pairwise_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: inter-event time deltas per user — lag() window replaces the
+    reference's zip-with-shifted-self."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import pairwise_deltas
+    return pairwise_deltas(load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned dedup: newest row per key via row_number window —
+    ACTIVATE_VERSION 'latest version wins' expressed relationally."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import latest_per_key
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import rollup_counts
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup_counts(li, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import cube_counts
+    orders = load_table(spark, sf_dir, "orders")
+    return cube_counts(orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import distinct_count
+    return distinct_count(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ scale path for distinct counts — rows-only check (sketch is
+    engine-specific)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        approx_distinct_count,
+    )
+    return approx_distinct_count(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_setops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-set algebra (SURVEY.md §2.6 — absent in the reference, part of
+    the widened surface): purchasers ∩ signups, minus error-only users,
+    ∪ tagged singleton."""
+    ev = load_table(spark, sf_dir, "events")
+    def users(et: str) -> DataFrame:
+        return ev.where(F.col("event_type") == et).select("user_id").distinct()
+    both = users("purchase").intersect(users("signup"))
+    clean = both.exceptAll(users("error")).withColumn("segment", F.lit("clean"))
+    flagged = both.intersect(users("error")).withColumn("segment", F.lit("flagged"))
+    return clean.unionByName(flagged)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline multi-join (TPC-H Q3 shape): dimension filter broadcast
+    into a 3-way join, grouped decimal revenue, distributed top-k."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("odate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_failed_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: join error ids back to their records (inner), the relational
+    form of target-pendo __init__.py:272-281's nested-loop lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("error_id")
+    )
+    return (
+        ev.join(F.broadcast(errors), ev.event_id == F.col("error_id"), "inner")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ------------------------------------------- dedup / similarity / text ops
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content digest (hash-groupBy)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import exact_dedup
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified. Probabilistic
+    candidate generation (engine-specific hashes) -> rows-only check."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (vectorized pandas UDF signature) ->
+    rows-only check."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import simhash_dedup_pairs
+    return simhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact word-set Jaccard: pairs within the same `source`
+    block with similarity >= 0.5 — the deterministic (oracle-checkable)
+    flavor of near-dup detection; blocking bounds the pair count."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+    # words are hashed to int64 before the pairwise set ops: Jaccard over
+    # hashed sets equals Jaccard over the sets (collisions ~2^-64), and
+    # long-array intersects are ~5x cheaper than string-array intersects
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.split(normalize_text(F.col("text")), " ").alias("ws"),
+        )
+        .select(
+            "doc_id", "source",
+            F.array_distinct(F.transform("ws", lambda x: F.xxhash64(x))).alias("w"),
+        )
+    )
+    a = docs.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("w").alias("w_a"))
+    b = docs.select(F.col("source"), F.col("doc_id").alias("id_b"), F.col("w").alias("w_b"))
+    jac = F.size(F.array_intersect("w_a", "w_b")) / F.size(F.array_union("w_a", "w_b"))
+    return (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact form)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.8)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .first()
+    )
+    return list(row["e"])
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return brute_force_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=20)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN (scale path) -> rows-only check
+    (probabilistic candidate set)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=20)
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality score, token/subword counts, fingerprint —
+    one codegen stage over one scan."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import analyze_documents
+    return analyze_documents(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
@@ -169,6 +382,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uuid_validation": q_uuid_validation,
         "payload_reshape": q_payload_reshape,
         "q1_pricing_summary": q1_pricing_summary,
+        "grouped_stream_stats": q_grouped_stream_stats,
+        "pairwise_deltas": q_pairwise_deltas,
+        "latest_event_per_user": q_latest_event_per_user,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_order_stats": q_cube_order_stats,
+        "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "setops_user_segments": q_setops_user_segments,
+        "q3_shipping_priority": q3_shipping_priority,
+        "failed_record_routing": q_failed_record_routing,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "text_analysis": q_text_analysis,
     }
 
 
@@ -224,6 +455,148 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "grouped_stream_stats": """
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   max(epoch_us(ts)) AS last_seen_us,
+                   min(epoch_us(ts)) AS first_seen_us
+            FROM events GROUP BY event_type
+        """,
+        "pairwise_deltas": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS delta_us
+            FROM events
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_value
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   sum(cast(o_totalprice as decimal(18,2))) AS sum_value
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_users": "SELECT count(DISTINCT user_id) AS n_distinct FROM events",
+        # approx_distinct_users: intentionally no oracle (HLL sketches differ
+        # across engines) -> rows-only check
+        "setops_user_segments": """
+            WITH purchase AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'),
+                 signup   AS (SELECT DISTINCT user_id FROM events WHERE event_type='signup'),
+                 err      AS (SELECT DISTINCT user_id FROM events WHERE event_type='error'),
+                 both_ AS (SELECT user_id FROM purchase INTERSECT SELECT user_id FROM signup)
+            SELECT user_id, 'clean' AS segment FROM both_
+            WHERE user_id NOT IN (SELECT user_id FROM err)
+            UNION ALL
+            SELECT user_id, 'flagged' AS segment FROM both_
+            WHERE user_id IN (SELECT user_id FROM err)
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4))) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "failed_record_routing": """
+            SELECT event_id, user_id, event_type
+            FROM events WHERE event_id % 97 = 0
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+                  FROM documents)
+            GROUP BY d
+        """,
+        # minhash_neardup / simhash_neardup / embedding_ann_lsh: rows-only
+        # (probabilistic / engine-specific hashing)
+        "word_jaccard_pairs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> hash(x))) AS w
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(cast(len(list_intersect(a.w, b.w)) as double)
+                         / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
+                         6) AS jaccard
+            FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
+                        / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
+                        6) >= 0.5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM q)), 6)
+                       AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "text_analysis": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                         AS w
+              FROM documents),
+            feats AS (
+              SELECT doc_id, text, w,
+                     len(list_intersect(list_distinct(w),
+                         ['der','die','das','und','ist','von','mit','ein','zu','auf'])) AS de,
+                     len(list_intersect(list_distinct(w),
+                         ['the','and','of','to','a','in','is','it','for','on'])) AS en,
+                     len(list_intersect(list_distinct(w),
+                         ['el','la','de','que','y','en','un','es','por','con'])) AS es,
+                     len(list_intersect(list_distinct(w),
+                         ['le','la','de','et','est','un','une','dans','pour','que'])) AS fr,
+                     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                         AS n_subwords,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM base)
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   n_subwords,
+                   CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de = greatest(de, en, es, fr) THEN 'de'
+                        WHEN en = greatest(de, en, es, fr) THEN 'en'
+                        WHEN es = greatest(de, en, es, fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(least(cast(len(w) as double) / 100.0, 1.0) * 0.4
+                         + greatest(1.0 - (cast(n_punct as double)
+                               / greatest(cast(length(text) as double), 1.0)) * 10.0, 0.0) * 0.4
+                         + least(cast(en as double) / 10.0, 1.0) * 0.2,
+                         6) AS quality,
+                   md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+            FROM feats
         """,
     }
 

@@ -1,0 +1,82 @@
+"""Aggregation / window / set-op operators.
+
+The reference's aggregation surface is tiny (SURVEY.md §2.4: COUNT(*),
+running-max bookmark, Counter merges, pairwise request-time deltas via
+``tee``/``zip`` at target-pendo/src/__init__.py:197-214). Each of those is
+re-expressed here as the idiomatic Spark primitive, and the surface is
+widened with the standard analytical operators a 100 TB pipeline needs
+(rollup/cube, distinct counts, windowed dedup) — all built-ins, all
+partial-aggregated map-side before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def grouped_stats(df: DataFrame, key: str, value: str, ts: str) -> DataFrame:
+    """A5: per-stream progress stats (count / sum / min / max), one shuffle,
+    map-side combined. Value summed as DECIMAL for exactness."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+        F.max(F.unix_micros(ts)).alias("last_seen_us"),
+        F.min(F.unix_micros(ts)).alias("first_seen_us"),
+    )
+
+
+def pairwise_deltas(df: DataFrame, partition_key: str, ts: str, tiebreak: str) -> DataFrame:
+    """A5: request-time deltas. The reference zips a list with itself
+    shifted by one (__init__.py:197-214); distributed form = lag() window.
+    One shuffle on the partition key; within-partition sort only."""
+    w = Window.partitionBy(partition_key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    return df.select(
+        F.col(partition_key),
+        F.col(tiebreak),
+        (F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)).alias(
+            "delta_us"
+        ),
+    )
+
+
+def latest_per_key(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """Keep the newest row per key — the versioned-dedup idiom
+    (ACTIVATE_VERSION 'only the latest version survives' semantics,
+    tap messages.py:152-173, expressed relationally). row_number, not
+    dropDuplicates, so 'newest' is explicit and deterministic."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rollup_counts(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Hierarchical totals (rollup): subtotals per prefix of `keys` plus a
+    grand total — one pass, no self-union."""
+    return df.rollup(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def cube_counts(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """All grouping-set combinations of `keys`."""
+    return df.cube(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """Exact distinct (expandable to approx_count_distinct for the
+    HLL-sketch scale path — see approx_distinct_count)."""
+    return df.agg(F.count_distinct(F.col(col)).alias("n_distinct"))
+
+
+def approx_distinct_count(df: DataFrame, col: str, rsd: float = 0.02) -> DataFrame:
+    """HLL++ sketch distinct — the 100 TB path: constant memory per
+    partition, no exact-distinct shuffle explosion. Not oracle-comparable
+    (engine-specific sketch), checked rows-only."""
+    return df.agg(F.approx_count_distinct(F.col(col), rsd).alias("n_distinct_approx"))

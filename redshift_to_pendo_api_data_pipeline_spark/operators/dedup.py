@@ -1,0 +1,347 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (it replicates rows 1:1); this is the widened
+surface BASELINE.json's north star asks for, designed 100 TB-first:
+
+- exact dedup: hash-groupBy on a normalized content digest — one shuffle on
+  the digest, map-side combined; never a sort.
+- MinHash + LSH near-dup: shingle -> k minhashes -> b bands -> bucket join.
+  All signature math is JVM-side array expressions (no Python in the hot
+  path); candidate generation shuffles O(b·N) small rows instead of the
+  O(N²) cross join; exact Jaccard verification only runs on bucket
+  collisions.
+- SimHash: vectorized Arrow pandas_udf (numpy bit math), banded for
+  near-neighbor bucketing.
+- n-gram Jaccard verify: exact set overlap on candidate pairs only.
+- embedding cosine near-dup: normalized dot product; brute force for
+  correctness at small sf, hyperplane-LSH bucketing as the scale path
+  (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------ exact
+
+def normalize_text(col):
+    """Canonical form for content hashing: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate removal: keep the smallest id per normalized-content
+    digest. groupBy on the 128-bit digest (not the text itself) keeps
+    shuffle rows tiny at 100 TB."""
+    return (
+        df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def _grams_from_words(w, n: int):
+    """n-gram array from a *materialized* words-array column reference.
+
+    IMPORTANT: `w` must be a plain column reference, not the split()
+    expression itself — expressions referenced inside a lambda body are
+    re-evaluated per element (no common-subexpression elimination inside
+    higher-order functions), which turns one split per row into ~3·|w|
+    regex splits per row (measured 4x slowdown)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        # try_element_at: short docs (< n words) yield one truncated gram
+        # instead of an ANSI out-of-bounds error; concat_ws drops NULLs
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc, sh: array<string>) of word n-gram shingles per document.
+
+    Word shingles (the standard choice for corpus dedup) keep the array
+    ~|words|-n+1 elements instead of one per character. Two-stage select:
+    the words array is materialized in its own projection so the gram
+    lambda references a column, not the split expression (see
+    _grams_from_words). `distinct=False` skips the O(m²) array_distinct
+    when the consumer is min-based (MinHash over a multiset equals MinHash
+    over the set). Zero shuffle either way."""
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    grams = _grams_from_words(F.col("w"), n)
+    return words_df.select(
+        "doc", (F.array_distinct(grams) if distinct else grams).alias("sh")
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh: string) — one row per shingle occurrence.
+
+    The explode sits DIRECTLY over the words projection: a Generate node
+    blocks CollapseProject, so the split() stays materialized as a column
+    (adding an intermediate array-alias projection lets the optimizer
+    collapse and re-inline split into the lambda — measured 5x slower)."""
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    return words_df.select("doc", F.explode(_grams_from_words(F.col("w"), n)).alias("sh"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 48
+) -> DataFrame:
+    """(id, sig array<long>) per document.
+
+    Scale design: explode the shingle set once, compute the k hash family
+    as seeded xxhash64 columns (JVM-native, whole-stage codegen — ANSI-safe,
+    unlike wraparound linear transforms), then a k-way min aggregate per
+    doc. The shuffle carries only (doc, k longs) with map-side partial
+    mins — never the shingle strings."""
+    exploded = exploded_shingles(df, text_col, id_col, n=n)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}") for i in range(k)]
+    agg = exploded.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 48,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows_per_band = k // bands. Two docs collide if any band of their
+    signatures matches exactly. Returns distinct (id_a, id_b) with
+    id_a < id_b. Shuffle cost: bands·N rows keyed by (band, band_hash) —
+    the 100 TB-safe alternative to an O(N²) similarity join. Skewed
+    buckets (e.g. empty docs) are bounded by bucket-size capping upstream
+    if needed; AQE skew-join handles the join stage.
+    """
+    r = k // bands
+    # cache: the banded relation feeds both sides of the self-join; without
+    # this the explode+k-min signature aggregation runs twice
+    sigs = minhash_signatures(df, text_col, id_col, n=n, k=k).cache()
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: the verify stage after LSH.
+    Join the shingle sets back in (broadcast if docs side is small;
+    shuffle-hash otherwise) and compute |∩| / |∪| with array expressions."""
+    # prune to candidate docs before materializing shingle sets: after LSH
+    # the candidate id set is tiny relative to the corpus, so this keeps
+    # the expensive array construction off the non-candidate 99%+
+    cand_ids = (
+        df_pairs.select(F.col("id_a").alias("doc"))
+        .union(df_pairs.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc"], "left_semi")
+    sh = shingle_sets(pruned, text_col, id_col, n=n, distinct=True)
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        df_pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.8, n: int = 3, k: int = 48, bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
+    pairs above threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n=n, k=k, bands=bands)
+    verified = ngram_jaccard(cands, df, text_col, id_col, n=n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash_udf(n_bits: int = 64):
+    """64-bit SimHash over word tokens as a vectorized pandas UDF — the
+    bit-vote accumulation isn't expressible as array built-ins without an
+    explode+64-way agg, so this is the honest Arrow-batched Python path
+    (SURVEY.md §2.10: pandas_udf where built-ins genuinely can't)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        # blake2b, not Python hash(): deterministic across worker processes
+        # (PYTHONHASHSEED varies), so signatures are reproducible run-to-run.
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        positions = np.arange(n_bits, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            tokens = set((t or "").lower().split())
+            if not tokens:
+                continue
+            hashes = np.array([tok_hash(tok) for tok in tokens], dtype=np.uint64)
+            # bit matrix: (tokens, bits) of 0/1 -> votes per bit
+            bits = (hashes[:, None] >> positions[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash + banding: split the 64-bit signature into
+    `bands` chunks; pigeonhole — two signatures within `max_hamming` (<
+    bands) share at least one exact chunk. Bucket-join on chunks, verify
+    with popcount of XOR."""
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    # cache: both sides of the bucket self-join read this; uncached, the
+    # pandas UDF would run twice over the corpus
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("sig")
+    ).cache()
+    banded = sh.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc", "sig", "bc.band", "bc.chunk")
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= threshold.
+
+    Exact-but-fast design: broadcast the whole (id, vector) matrix to every
+    executor (embeddings for dedup candidates are comfortably broadcast-
+    sized: 1M x 64 floats = 256 MB; beyond that, LSH-bucket first — see
+    similarity.lsh_topk), then mapInPandas computes each partition's rows
+    against the broadcast matrix with one BLAS matmul. O(N²) flops at
+    memory bandwidth instead of 2M interpreted per-pair array folds; no
+    pair-shuffle at all. Emits id_a < id_b once (j > i filter)."""
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def _block(pdfs):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in pdfs:
+            vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ all_mat.T  # (block, N)
+            my_ids = pdf[id_col].to_numpy()
+            # pre-filter slightly below threshold so values that ROUND up
+            # to the threshold survive to the rounded comparison
+            ii, jj = np.nonzero(sims >= threshold - 1e-6)
+            if len(ii) == 0:
+                continue
+            a, bidx = my_ids[ii], all_ids[jj]
+            keep = a < bidx
+            out = pd.DataFrame({
+                "id_a": a[keep],
+                "id_b": bidx[keep],
+                "cosine": np.round(sims[ii, jj][keep], 6),
+            })
+            out = out[out["cosine"] >= threshold]
+            if len(out):
+                yield out
+
+    schema = "id_a long, id_b long, cosine double"
+    return df.mapInPandas(_block, schema=schema)

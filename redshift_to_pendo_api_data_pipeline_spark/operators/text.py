@@ -1,0 +1,102 @@
+"""Text-analysis operators over the documents table.
+
+All four are pure column expressions (JVM-side, whole-stage codegen) —
+exactly mirrorable in ANSI SQL for the DuckDB oracle:
+
+- token counting: whitespace tokens + a BPE-ish subword proxy
+- language ID: stopword-overlap argmax heuristic
+- quality scoring: length / punctuation / stopword-ratio features
+- fingerprinting: digest of the normalized token stream
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# deliberately ASCII so the SQL mirror is trivial
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish proxy: count alternating alpha-runs / digit-runs /
+    punctuation marks — the pieces a byte-pair tokenizer would not merge
+    across. Pure regexp, identical in DuckDB."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of distinct stopwords of `lang` present in the text."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(col)), sw))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of stopword overlap across the candidate languages;
+    deterministic tiebreak by language code order; 'und' when nothing
+    matches."""
+    scored = [(lang, stopword_hits(col, lang)) for lang in sorted(STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scored])
+    out = F.lit("und")
+    # first language (alphabetical) achieving the max wins; build the
+    # when-chain in reverse so earlier langs take precedence
+    for lang, score in reversed(scored):
+        out = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] doc-quality heuristic: longer docs, low punctuation density,
+    healthy English-stopword ratio. Feature weights are arbitrary but
+    fixed; the point is the feature plumbing."""
+    n_tokens = token_count(col).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)
+    ).cast("double")
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - punct_ratio * 10.0, F.lit(0.0))
+    sw_ratio = stopword_hits(col, "en").cast("double") / F.lit(10.0)
+    return F.round(
+        len_score * 0.4 + punct_score * 0.4 + F.least(sw_ratio, F.lit(1.0)) * 0.2, 6
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token stream —
+    invariant to word order and repetition (the 'rolling hash' use case:
+    cheap pre-cluster key for near-dup blocking)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection: every feature above, computed in
+    a single codegen stage over one scan."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        subword_count(c).alias("n_subwords"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,134 @@
+"""Dedup suite + text analysis + similarity search."""
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import dedup as D
+from redshift_to_pendo_api_data_pipeline_spark.operators import similarity as S
+from redshift_to_pendo_api_data_pipeline_spark.operators import text as TX
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def _docs_with_dups(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick BROWN fox jumps over the lazy dog"),   # exact dup after normalize
+        (3, "The quick brown fox jumps over the lazy cat"),    # near dup
+        (4, "Completely different content about spark engines"),
+        (5, ""),                                                # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _docs_with_dups(spark)
+    out = D.exact_dedup(df, "text", "doc_id").orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 in ids and 2 not in ids  # doc 2 collapsed into 1
+    assert {r["doc_id"]: r["dup_count"] for r in out}[1] == 2
+
+
+def test_minhash_neardup_finds_planted_pair(spark):
+    df = _docs_with_dups(spark)
+    pairs = D.minhash_dedup_pairs(df, "text", "doc_id", threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got          # normalized-identical
+    assert (1, 3) in got or (2, 3) in got  # planted near-dup survives verify
+    assert all(a < b for a, b in got)
+    # jaccard bounded
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_is_jvm_only(spark):
+    """The signature/banding path must not contain a Python UDF node —
+    scale requirement: no Python in the candidate-generation hot path."""
+    df = _docs_with_dups(spark)
+    plan = D.minhash_lsh_candidates(df, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_pairs(spark):
+    df = _docs_with_dups(spark)
+    pairs = D.simhash_dedup_pairs(df, "text", "doc_id", max_hamming=12, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0  # same normalized tokens
+    # deterministic across runs (blake2b, not PYTHONHASHSEED)
+    got2 = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_dedup_pairs(df, "text", "doc_id", 12, 4).collect()}
+    assert got == got2
+
+
+def test_embedding_neardup_and_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # self-similarity sanity: every vector's top-1 against itself is 1.0
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = S.brute_force_topk(emb, "embedding", "vec_id", list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert [r["cosine"] for r in top] == sorted((r["cosine"] for r in top), reverse=True)
+
+
+def test_lsh_topk_recall_on_clusters(spark):
+    """LSH recall is only meaningful on data with neighborhood structure
+    (the sf embeddings are near-orthogonal random vectors). Plant 20
+    clusters of noise-perturbed copies; multi-table LSH must recover most
+    of the true top-10 (same-cluster vectors, cosine ~0.99)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(12):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[30][1]  # a member of cluster 2
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.lsh_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    assert approx[0] == exact[0] == 30
+    assert len(set(exact) & set(approx)) >= 8
+
+    # and on the unstructured sf data it still returns the query itself
+    # (exactness of the re-rank, not recall, is the contract there)
+
+
+def test_lsh_topk_query_recovery(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    approx = S.lsh_topk(emb, "embedding", "vec_id", list(q), k=10).collect()
+    assert approx[0]["vec_id"] == 7 and abs(approx[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_text_analysis_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on a mat in the sun"),
+            (2, "el perro y el gato en la casa con un amigo es bueno"),
+            (3, "xyzzy qwerty!!! 123"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.analyze_documents(df).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "es"
+    assert out[3]["lang_pred"] == "und"
+    assert out[1]["n_tokens"] == 12
+    assert out[3]["n_subwords"] >= 5  # xyzzy, qwerty, !, !, !, 123
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    # fingerprint is order/repeat-invariant
+    df2 = spark.createDataFrame(
+        [(1, "dog cat the"), (2, "the the cat dog")], "doc_id long, text string"
+    )
+    fps = [r["fingerprint"] for r in
+           df2.select(TX.fingerprint(F.col("text")).alias("fingerprint")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_text_analysis_single_codegen_stage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = TX.analyze_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("WholeStageCodegen") <= 2  # one scan-project stage (+exchange-free)
