@@ -372,6 +372,28 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_documents(load_table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------------------- multimodal
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> mapInPandas decode
+    (FakeCodec: deterministic byte-level stats). Oracle checks the
+    SQL-expressible outputs (byte length + content digest)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import attach_media, decode_stats
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", media_type="image/fake")
+    return decode_stats(media, "doc_id").select("doc_id", "n_bytes", "digest")
+
+
+def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: per-item frame explosion inside the Arrow
+    batch; output = frames kept per doc (64-byte windows, every 2nd)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import attach_media, sampled_frames
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", media_type="video/fake")
+    frames = sampled_frames(media, "doc_id", every_n=2)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
@@ -400,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "text_analysis": q_text_analysis,
+        "media_decode_stats": q_media_decode_stats,
+        "media_frame_counts": q_media_frame_counts,
     }
 
 
@@ -597,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
                          6) AS quality,
                    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
             FROM feats
+        """,
+        "media_decode_stats": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+        "media_frame_counts": """
+            SELECT doc_id,
+                   cast(ceil(ceil(cast(octet_length(encode(text)) as double) / 64.0)
+                             / 2.0) as bigint) AS n_frames
+            FROM documents
         """,
     }
 

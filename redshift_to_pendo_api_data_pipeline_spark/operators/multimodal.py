@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north-star surface): image/audio/video travel as
+``binary`` columns beside a metadata struct; every per-item operation is a
+``mapInPandas`` stage so payloads stream through Arrow record batches
+without ever landing on the driver. The actual codec work (JPEG decode,
+resampling, frame extraction) needs libraries this container doesn't ship
+(PIL/ffmpeg/torchvision), so the codec boundary is isolated behind
+``Codec`` implementations:
+
+- ``FakeCodec`` — deterministic, dependency-free: derives pseudo pixel
+  stats/frames from the bytes themselves. Makes the Spark-side plumbing
+  (schemas, batching, partitioning, UDF signatures) fully testable.
+- ``RealCodec`` — raises ``NotImplementedError`` with the dependency it
+  would use; plug in PIL/av on a real image (STUB, clearly marked).
+
+Batch-shape rule: one Arrow batch in, one pandas DataFrame out, columns
+exactly matching the declared schema. Spark handles partition-level
+parallelism; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+payload memory per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+class Codec:
+    """Codec boundary for binary media payloads."""
+
+    def decode_stats(self, payload: bytes) -> dict:
+        raise NotImplementedError
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError
+
+    def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
+        raise NotImplementedError
+
+
+class RealCodec(Codec):
+    """STUB — the real implementation would use PIL (images) / av (video),
+    neither of which is available in this container."""
+
+    def decode_stats(self, payload: bytes) -> dict:
+        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+
+    def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
+        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+
+
+class FakeCodec(Codec):
+    """Deterministic stand-in: treats the payload bytes as the 'pixels'.
+    Every output is a pure function of the bytes, so tests are stable and
+    the full Spark pipeline is exercised for real."""
+
+    def decode_stats(self, payload: bytes) -> dict:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return {
+            "n_bytes": int(arr.size),
+            "mean": float(arr.mean()) if arr.size else 0.0,
+            "std": float(arr.std()) if arr.size else 0.0,
+            "digest": hashlib.md5(payload).hexdigest(),
+        }
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return bytes(w * h)
+        # 'resize' = resample the byte stream to w*h samples
+        idx = np.linspace(0, arr.size - 1, w * h).astype(np.int64)
+        return arr[idx].tobytes()
+
+    def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
+        # 'frames' = fixed 64-byte windows; sample every n-th
+        frames = [payload[i : i + 64] for i in range(0, max(len(payload), 1), 64)]
+        return frames[::every_n]
+
+
+def attach_media(
+    df: DataFrame, payload_from: str, media_type: str = "image/fake"
+) -> DataFrame:
+    """Wrap an existing column's bytes as an opaque media column + typed
+    metadata struct — the schema every multimodal operator consumes:
+    (media: binary, media_meta: {type, n_bytes})."""
+    payload = F.col(payload_from).cast("binary")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("type"),
+            F.octet_length(payload).alias("n_bytes"),
+        ),
+    )
+
+
+def decode_stats(df: DataFrame, id_col: str, codec: Codec | None = None) -> DataFrame:
+    """Per-item decode/feature-extract via mapInPandas: (id, n_bytes, mean,
+    std, digest). Arrow-batched; payloads never leave the executor."""
+    codec = codec or FakeCodec()
+
+    def _run(batches):
+        for pdf in batches:
+            stats = [codec.decode_stats(p if p is not None else b"") for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [s["n_bytes"] for s in stats],
+                    "mean": [s["mean"] for s in stats],
+                    "std": [s["std"] for s in stats],
+                    "digest": [s["digest"] for s in stats],
+                }
+            )
+
+    schema = f"{id_col} long, n_bytes long, mean double, std double, digest string"
+    return df.select(id_col, "media").mapInPandas(_run, schema=schema)
+
+
+def thumbnails(
+    df: DataFrame, id_col: str, w: int = 8, h: int = 8, codec: Codec | None = None
+) -> DataFrame:
+    """Resize stage: (id, thumb binary, thumb_meta struct)."""
+    codec = codec or FakeCodec()
+
+    def _run(batches):
+        for pdf in batches:
+            thumbs = [codec.thumbnail(p if p is not None else b"", w, h) for p in pdf["media"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "thumb": thumbs})
+
+    out = df.select(id_col, "media").mapInPandas(
+        _run, schema=f"{id_col} long, thumb binary"
+    )
+    return out.withColumn(
+        "thumb_meta",
+        F.struct(F.lit(w).alias("w"), F.lit(h).alias("h"),
+                 F.octet_length("thumb").alias("n_bytes")),
+    )
+
+
+def sampled_frames(
+    df: DataFrame, id_col: str, every_n: int = 2, codec: Codec | None = None
+) -> DataFrame:
+    """Frame-sampling stage: one output row per kept frame
+    (id, frame_idx, frame binary) — the explode happens Python-side inside
+    the batch so the Arrow transfer carries only kept frames."""
+    codec = codec or FakeCodec()
+
+    def _run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, p in zip(pdf[id_col], pdf["media"]):
+                for j, fr in enumerate(codec.sample_frames(p if p is not None else b"", every_n)):
+                    ids.append(rid)
+                    idxs.append(j)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "media").mapInPandas(
+        _run, schema=f"{id_col} long, frame_idx int, frame binary"
+    )

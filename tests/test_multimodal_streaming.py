@@ -1,0 +1,129 @@
+"""Multimodal plumbing (binary + mapInPandas) and Structured Streaming."""
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import multimodal as MM
+from redshift_to_pendo_api_data_pipeline_spark.schema import StreamSpec
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+from redshift_to_pendo_api_data_pipeline_spark.streaming.incremental import (
+    read_stream,
+    run_incremental_sync,
+    shape_stream,
+    windowed_event_counts,
+)
+
+
+# ------------------------------------------------------------- multimodal
+def _media_df(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return MM.attach_media(docs, "text", media_type="image/fake")
+
+
+def test_attach_media_schema(spark, sf_dir):
+    df = _media_df(spark, sf_dir)
+    assert dict(df.dtypes)["media"] == "binary"
+    meta = df.schema["media_meta"].dataType
+    assert set(meta.fieldNames()) == {"type", "n_bytes"}
+    row = df.select("media", "media_meta").first()
+    assert row["media_meta"]["n_bytes"] == len(row["media"])
+
+
+def test_decode_stats_deterministic(spark, sf_dir):
+    df = _media_df(spark, sf_dir)
+    out1 = {r["doc_id"]: r for r in MM.decode_stats(df, "doc_id").collect()}
+    out2 = {r["doc_id"]: r for r in MM.decode_stats(df, "doc_id").collect()}
+    assert len(out1) == 50
+    for k in out1:
+        assert out1[k]["digest"] == out2[k]["digest"]
+        assert out1[k]["n_bytes"] > 0
+        assert 0 <= out1[k]["mean"] <= 255
+
+
+def test_thumbnails_shape(spark, sf_dir):
+    df = _media_df(spark, sf_dir)
+    out = MM.thumbnails(df, "doc_id", w=4, h=4).collect()
+    assert all(len(r["thumb"]) == 16 for r in out)
+    assert all(r["thumb_meta"]["n_bytes"] == 16 for r in out)
+
+
+def test_sampled_frames_explode(spark, sf_dir):
+    df = _media_df(spark, sf_dir)
+    out = MM.sampled_frames(df, "doc_id", every_n=2)
+    rows = out.collect()
+    assert len(rows) > 50  # multiple frames per doc
+    per_doc = out.groupBy("doc_id").count().collect()
+    src = {r["doc_id"]: r["media_meta"]["n_bytes"]
+           for r in df.select("doc_id", "media_meta").collect()}
+    import math
+    for r in per_doc:
+        expected = math.ceil(math.ceil(src[r["doc_id"]] / 64) / 2)
+        assert r["count"] == expected
+
+
+def test_real_codec_is_marked_stub(spark, sf_dir):
+    with pytest.raises(NotImplementedError, match="PIL|libav"):
+        MM.RealCodec().decode_stats(b"x")
+
+
+# -------------------------------------------------------------- streaming
+def test_streaming_incremental_sync(spark, sf_dir):
+    """File-source readStream -> shape -> foreachBatch writer with
+    availableNow: the one-tap-invocation analogue. New files appearing
+    between runs are picked up exactly once (checkpoint = bookmark)."""
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        ev.limit(100).write.parquet(src)
+
+        stream = StreamSpec(
+            name="events", primary_key="event_id",
+            replication_method="INCREMENTAL", replication_key="ts",
+            field_mappings={"user_id": "visitorId"},
+        )
+        schema = spark.read.parquet(src).schema
+        seen = []
+
+        def writer(batch_df, batch_id):
+            seen.append(batch_df.count())
+
+        sdf = shape_stream(read_stream(spark, src, schema), stream)
+        q = run_incremental_sync(sdf, ckpt, writer)
+        q.awaitTermination(120)
+        assert sum(seen) == 100
+
+        # append new data; second availableNow run processes ONLY the delta
+        ev.orderBy("event_id").limit(150).exceptAll(ev.orderBy("event_id").limit(100)) \
+            .write.mode("append").parquet(src)
+        seen.clear()
+        q2 = run_incremental_sync(sdf, ckpt, writer)
+        q2.awaitTermination(120)
+        assert sum(seen) == 50
+
+
+def test_streaming_windowed_counts_with_watermark(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt, out = f"{d}/src", f"{d}/ckpt", []
+        ev.limit(500).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        sdf = read_stream(spark, src, schema)
+        agg = windowed_event_counts(sdf, "ts", window="1 hour",
+                                    watermark_delay="2 hours", group_col="event_type")
+
+        def writer(batch_df, batch_id):
+            out.extend(batch_df.collect())
+
+        q = (agg.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # append-mode emits only watermark-finalized windows; totals must
+        # not exceed input and grouping keys must be real event types
+        assert sum(r["n"] for r in out) <= 500
+        types = {r["event_type"] for r in out}
+        assert types <= {"click", "view", "purchase", "signup", "error"}
