@@ -1,0 +1,153 @@
+"""Command-line entry points mirroring the reference's two binaries.
+
+Reference (README.md:196-236):
+    tap-redshift -c cfg -d                       # discovery -> catalog JSON
+    tap-redshift -c cfg --catalog c.json -s s.json | target-pendo -c cfg
+
+Here both halves are one process (the pipe is a DataFrame plan):
+    python -m redshift_to_pendo_api_data_pipeline_spark.cli discover -c cfg.json
+    python -m redshift_to_pendo_api_data_pipeline_spark.cli sync -c cfg.json -s state.json
+
+Config (JSON):
+    {"source": {"kind": "parquet", "dir": "/root/testdata/sf0.001"},
+     "streams": [{"name": "events", "primary_key": "event_id",
+                  "replication_method": "INCREMENTAL",
+                  "replication_key": "ts",
+                  "field_mappings": {"user_id": "visitorId"}}],
+     "sink": {"kind": "singer", "out_dir": "/tmp/out"}}
+    sink kinds: "singer" (message files), "http" (base_url/stream batches),
+    "noop" (count only).
+JDBC sources use {"kind": "jdbc", "host": ..., "db_schema": ...} and the
+same stream specs (requires the postgres driver jar on the cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from redshift_to_pendo_api_data_pipeline_spark.catalog import discover_parquet_catalog
+from redshift_to_pendo_api_data_pipeline_spark.plans.state import State, build_state
+from redshift_to_pendo_api_data_pipeline_spark.plans.sync import run_sync
+from redshift_to_pendo_api_data_pipeline_spark.schema import StreamSpec
+from redshift_to_pendo_api_data_pipeline_spark.session import get_spark
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import TABLES, load_table
+
+
+def _streams(cfg: dict) -> list[StreamSpec]:
+    return [StreamSpec(**s) for s in cfg.get("streams", [])]
+
+
+def cmd_discover(cfg: dict) -> int:
+    spark = get_spark(app_name="discover")
+    src = cfg["source"]
+    if src["kind"] == "parquet":
+        entries = discover_parquet_catalog(spark, src["dir"], TABLES)
+    else:
+        raise SystemExit("discovery for non-parquet sources needs a live DB")
+    print(json.dumps({"streams": [e.__dict__ for e in entries]}, indent=2))
+    return 0
+
+
+def _make_sink(cfg: dict, stream: StreamSpec, version: int, state: State):
+    sink_cfg = cfg.get("sink", {"kind": "noop"})
+    kind = sink_cfg.get("kind", "noop")
+    if kind == "noop":
+        return lambda df: df.count()
+    if kind == "singer":
+        from redshift_to_pendo_api_data_pipeline_spark.functions.singer import write_message_file
+
+        def singer_sink(df):
+            # the shaped payload is {id, values}; flatten for the wire
+            flat = df.select("id", "values.*")
+            return write_message_file(
+                flat,
+                stream.name,
+                version,
+                [stream.field_mappings.get(stream.primary_key, stream.primary_key)],
+                state.to_dict(),
+                f"{sink_cfg['out_dir']}/{stream.name}",
+            )
+
+        return singer_sink
+    if kind == "http":
+        from redshift_to_pendo_api_data_pipeline_spark.sink.http_sink import SinkConfig, sink_dataframe
+        from pyspark.sql import functions as F
+
+        def http_sink(df):
+            flat = df.select(F.col("id"), "values.*")
+            scfg = SinkConfig(
+                base_url=sink_cfg["base_url"],
+                stream_name=stream.name,
+                api_key=sink_cfg.get("api_key", ""),
+                max_records=int(sink_cfg.get("batch_records", 500)),
+                max_bytes=int(sink_cfg.get("batch_bytes", 5_000_000)),
+                request_delay=float(sink_cfg.get("request_delay", 0.0)),
+            )
+            results = sink_dataframe(flat, scfg).cache()
+            try:
+                from pyspark.sql import functions as FF
+                agg = results.agg(
+                    FF.sum("total").alias("t"), FF.sum("failed").alias("f")
+                ).first()
+                if agg["f"]:
+                    print(f"WARN {stream.name}: {agg['f']} records quarantined",
+                          file=sys.stderr)
+                return int(agg["t"] or 0)
+            finally:
+                results.unpersist()
+
+        return http_sink
+    raise SystemExit(f"unknown sink kind {kind!r}")
+
+
+def cmd_sync(cfg: dict, state_path: str | None) -> int:
+    spark = get_spark(app_name="sync")
+    src = cfg["source"]
+    streams = _streams(cfg)
+    prior = State.load(state_path) if state_path else State()
+    state = build_state(prior, streams)
+
+    for stream in streams:
+        if src["kind"] == "parquet":
+            df = load_table(spark, src["dir"], stream.name)
+        else:
+            from redshift_to_pendo_api_data_pipeline_spark.sources.jdbc import JdbcConfig, read_table
+            jc = JdbcConfig(**{k: v for k, v in src.items() if k != "kind"})
+            df = read_table(spark, jc, stream.name)
+        from redshift_to_pendo_api_data_pipeline_spark.plans.state import now_version
+        version = state.get_bookmark(stream.name, "version") or now_version()
+        sink = _make_sink(cfg, stream, version, state)
+        res = run_sync(spark, df, stream, state, sink)
+        print(
+            f"stream={res.stream} records={res.record_count} "
+            f"bookmark={res.bookmark} version={res.version}",
+            file=sys.stderr,
+        )
+
+    out = json.dumps(state.to_dict(), indent=2)
+    if state_path:
+        with open(state_path, "w") as fh:
+            fh.write(out)
+    print(out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("discover", help="emit catalog JSON (tap -d parity)")
+    d.add_argument("-c", "--config", required=True)
+    s = sub.add_parser("sync", help="sync all configured streams")
+    s.add_argument("-c", "--config", required=True)
+    s.add_argument("-s", "--state", default=None)
+    args = ap.parse_args(argv)
+    cfg = json.loads(open(args.config).read())
+    if args.cmd == "discover":
+        return cmd_discover(cfg)
+    return cmd_sync(cfg, args.state)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,149 @@
+"""JDBC source: Redshift/Postgres scans + information_schema discovery.
+
+Re-expresses tap-redshift's extract surface (SURVEY.md §2.1 S1-S5):
+
+- S1 connection open (connect.py:17-31)   -> spark.read.jdbc options
+- S2 eager SELECT (connect.py:8-14)       -> lazy jdbc relation; Catalyst
+  pushes filters/projections into the remote SQL
+- S3-S5 metadata scans (discover.py:20-54)-> the same three
+  information_schema queries through the JDBC reader
+- parallel read upgrade: partitionColumn/lowerBound/upperBound/
+  numPartitions splits one remote scan into N concurrent cursors — the
+  scale-out replacement for the reference's single streaming cursor
+  (sync.py:176-198).
+
+No live database exists in the test environment, so tests cover the query
+builders and option plumbing; the reader methods are thin `spark.read`
+calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redshift_to_pendo_api_data_pipeline_spark.schema import ColumnSpec
+
+
+@dataclass
+class JdbcConfig:
+    """Connection config, the shape of tap_config.json (parsed_args.py:18-95)."""
+
+    host: str
+    port: int = 5439
+    dbname: str = "dev"
+    user: str = ""
+    password: str = ""
+    db_schema: str = "public"
+
+    @property
+    def url(self) -> str:
+        # Redshift speaks the postgres wire protocol; either driver name works
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.dbname}"
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return {"user": self.user, "password": self.password, "driver": "org.postgresql.Driver"}
+
+
+# -- metadata queries (S3-S5) — the same relations the reference scans ----
+
+def tables_query(db_schema: str) -> str:
+    """S3: table enumeration (discover.py:20-26)."""
+    return (
+        "SELECT table_schema, table_name, table_type "
+        "FROM INFORMATION_SCHEMA.Tables "
+        f"WHERE table_schema = '{db_schema}'"
+    )
+
+
+def columns_query(db_schema: str) -> str:
+    """S4: column metadata, Tables ⋈ Columns (discover.py:28-37)."""
+    return (
+        "SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, "
+        "c.udt_name, c.is_nullable "
+        "FROM INFORMATION_SCHEMA.Tables t "
+        "JOIN INFORMATION_SCHEMA.Columns c ON c.table_name = t.table_name "
+        "AND c.table_schema = t.table_schema "
+        f"WHERE t.table_schema = '{db_schema}' "
+        "ORDER BY c.table_name, c.ordinal_position"
+    )
+
+
+def primary_keys_query(db_schema: str) -> str:
+    """S5: PK columns, table_constraints ⋈ key_column_usage
+    (discover.py:39-54)."""
+    return (
+        "SELECT kc.table_schema, kc.table_name, kc.column_name "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kc "
+        "ON kc.table_name = tc.table_name "
+        "AND kc.table_schema = tc.table_schema "
+        "AND kc.constraint_name = tc.constraint_name "
+        f"WHERE tc.constraint_type = 'PRIMARY KEY' AND kc.table_schema = '{db_schema}' "
+        "ORDER BY kc.table_name, kc.ordinal_position"
+    )
+
+
+def read_query(spark: SparkSession, cfg: JdbcConfig, query: str) -> DataFrame:
+    """S2: run arbitrary SQL remotely as a derived-table relation."""
+    return spark.read.jdbc(cfg.url, f"({query}) q", properties=cfg.properties)
+
+
+def read_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1+S2: lazy table relation. With partition options, Spark issues
+    num_partitions range-sliced SELECTs concurrently — the parallel-cursor
+    upgrade over the reference's single fetchone() loop. Predicates and
+    projections composed on the result are pushed into each slice's SQL."""
+    qualified = f"{cfg.db_schema}.{table}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", qualified)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("driver", cfg.properties["driver"])
+        # stream rows instead of buffering the whole result (psycopg2
+        # cursor parity; JDBC default fetches all)
+        .option("fetchsize", "10000")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def column_specs_from_metadata(rows) -> dict[str, list[ColumnSpec]]:
+    """Assemble discovery rows (S4 + S5 results) into per-table ColumnSpec
+    lists — the catalog-build step (discover.py:57-97) minus the
+    JSON-schema detour."""
+    pk: set[tuple[str, str]] = set()
+    cols: dict[str, list[ColumnSpec]] = {}
+    for r in rows:
+        if len(r) == 3:  # pk row: (schema, table, column)
+            pk.add((r[1], r[2]))
+    for r in rows:
+        if len(r) == 6:  # column row
+            _, table, name, _, udt, nullable = r
+            cols.setdefault(table, []).append(
+                ColumnSpec(
+                    name=name,
+                    sql_datatype=udt,
+                    nullable=str(nullable).lower() == "yes",
+                    is_primary_key=(table, name) in pk,
+                )
+            )
+    return cols

@@ -1,0 +1,189 @@
+"""JDBC query builders, REST allowlist source, Singer interop, CLI."""
+
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from redshift_to_pendo_api_data_pipeline_spark.functions import singer as SG
+from redshift_to_pendo_api_data_pipeline_spark.schema import ColumnSpec
+from redshift_to_pendo_api_data_pipeline_spark.sources import jdbc as J
+from redshift_to_pendo_api_data_pipeline_spark.sources import rest as R
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------------- jdbc
+def test_jdbc_metadata_queries_shape():
+    tq = J.tables_query("public")
+    assert "INFORMATION_SCHEMA.Tables" in tq and "table_schema = 'public'" in tq
+    cq = J.columns_query("public")
+    assert "ordinal_position" in cq and "JOIN INFORMATION_SCHEMA.Columns" in cq
+    pq = J.primary_keys_query("public")
+    assert "PRIMARY KEY" in pq and "key_column_usage" in pq
+
+
+def test_jdbc_url_and_props():
+    cfg = J.JdbcConfig(host="h", user="u", password="p")
+    assert cfg.url == "jdbc:postgresql://h:5439/dev"
+    assert cfg.properties["driver"] == "org.postgresql.Driver"
+
+
+def test_column_specs_from_metadata():
+    rows = [
+        ("public", "t", "id"),                                  # pk row
+        ("public", "t", "id", 1, "int8", "no"),                 # column rows
+        ("public", "t", "name", 2, "varchar", "yes"),
+        ("public", "t", "geo", 3, "geometry", "yes"),
+    ]
+    specs = J.column_specs_from_metadata(rows)
+    by_name = {c.name: c for c in specs["t"]}
+    assert by_name["id"].is_primary_key and not by_name["id"].nullable
+    assert by_name["name"].inclusion == "available"
+    assert by_name["geo"].inclusion == "unsupported"
+
+
+# ------------------------------------------------------------------- rest
+class _AggAPI(BaseHTTPRequestHandler):
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["content-length"])))
+        pipeline = body["request"]["pipeline"]
+        assert "source" in pipeline[0] and "filter" in pipeline[1]
+        out = json.dumps({
+            "results": [
+                {"accountId": "123e4567-e89b-12d3-a456-426614174000"},
+                {"accountId": "223e4567-e89b-12d3-a456-426614174000"},
+                {"accountId": "not-a-uuid-but-present"},
+            ]
+        }).encode()
+        self.send_response(200)
+        self.send_header("content-length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_rest_allowlist_fetch_and_validate(spark):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _AggAPI)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ids = R.fetch_allowlist_ids(
+            f"http://127.0.0.1:{srv.server_port}", "account", "accountId"
+        )
+        assert len(ids) == 3
+        df = R.allowlist_df(spark, ids)  # P7 validation drops the junk id
+        assert df.count() == 2
+    finally:
+        srv.shutdown()
+
+
+# ----------------------------------------------------------------- singer
+def test_singer_roundtrip(spark, sf_dir):
+    """write_message_file -> read_messages -> records_for_stream must
+    reproduce the original rows (the pipe, reconstructed)."""
+    ev = load_table(spark, sf_dir, "events").limit(50).select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        n = SG.write_message_file(
+            ev, "events", 123, ["event_id"], {"bookmarks": {}}, f"{d}/msgs"
+        )
+        assert n == 50
+        msgs = SG.read_messages(spark, f"{d}/msgs")
+        by_type = SG.dispatch(msgs)
+        assert by_type["SCHEMA"].count() == 1
+        assert by_type["ACTIVATE_VERSION"].count() == 1
+        assert by_type["VOLUME"].first()["volume"] == 50
+        assert by_type["STATE"].count() == 2  # opening + closing
+        assert by_type["RECORD"].count() == 50
+
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ])
+        valid, quarantine = SG.records_for_stream(msgs, "events", schema, 123)
+        assert quarantine.count() == 0
+        got = {r["event_id"] for r in valid.collect()}
+        want = {r["event_id"] for r in ev.collect()}
+        assert got == want
+
+
+def test_singer_validation_quarantine(spark):
+    """P10: version mismatch and missing required keys route to
+    quarantine instead of raising."""
+    lines = [
+        json.dumps({"type": "RECORD", "stream": "s", "version": 2,
+                    "record": {"id": 1, "x": "a"}}),
+        json.dumps({"type": "RECORD", "stream": "s", "version": 1,   # stale version
+                    "record": {"id": 2, "x": "b"}}),
+        json.dumps({"type": "RECORD", "stream": "s", "version": 2,
+                    "record": {"x": "missing-id"}}),                 # invariant broken
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/m.jsonl", "w") as fh:
+            fh.write("\n".join(lines))
+        msgs = SG.read_messages(spark, f"{d}/m.jsonl")
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("x", T.StringType(), True),
+        ])
+        valid, quarantine = SG.records_for_stream(msgs, "s", schema, 2)
+        assert valid.count() == 1 and valid.first()["id"] == 1
+        assert quarantine.count() == 2
+
+
+def test_singer_schema_message_types():
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.TimestampType(), True),
+        T.StructField("c", T.DecimalType(12, 2), True),
+    ])
+    msg = json.loads(SG.schema_message("s", schema, ["a"]))
+    props = msg["schema"]["properties"]
+    assert props["a"]["type"] == "integer" and props["a"]["maximum"] == 2**63 - 1
+    assert props["b"]["type"] == ["null", "string"]
+    assert props["b"]["format"] == "date-time"
+    assert props["c"]["type"] == ["null", "number"]
+    assert msg["key_properties"] == ["a"]
+
+
+# -------------------------------------------------------------------- cli
+def test_cli_sync_singer_end_to_end(tmp_path):
+    """The reference's pipe as one command: parquet source -> incremental
+    stream -> singer message file + state echo."""
+    import subprocess, sys, os
+
+    cfg = {
+        "source": {"kind": "parquet", "dir": "/root/testdata/sf0.001"},
+        "streams": [{
+            "name": "events", "primary_key": "event_id",
+            "replication_method": "INCREMENTAL", "replication_key": "ts",
+            "field_mappings": {"user_id": "visitorId"},
+        }],
+        "sink": {"kind": "singer", "out_dir": str(tmp_path / "out")},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    state_path = tmp_path / "state.json"
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli", "sync",
+         "-c", str(cfg_path), "-s", str(state_path)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    state = json.loads(state_path.read_text())
+    bm = state["bookmarks"]["events"]
+    assert bm["replication_key"] == "ts" and "replication_key_value" in bm
+    assert "records=" in proc.stderr
+    out_files = list((tmp_path / "out" / "events").glob("*.txt"))
+    assert out_files, "singer message file written"
+    first = out_files[0].read_text().splitlines()
+    assert json.loads(first[0])["type"] == "STATE"
+    assert json.loads(first[1])["type"] == "SCHEMA"
