@@ -267,6 +267,62 @@ def q_failed_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (one shuffle;
+    switch to approx_percentile for the sketch-based scale path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregation (batch form of the streaming
+    windowed counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per priority group by price — ties share rank, making the
+    qualifying row set deterministic."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed sum per user over event time (decimal, exact)."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+    )
+
+
 # ------------------------------------------- dedup / similarity / text ops
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,12 +368,23 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.transform("ws", lambda x: F.xxhash64(x))).alias("w"),
         )
     )
-    a = docs.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("w").alias("w_a"))
-    b = docs.select(F.col("source"), F.col("doc_id").alias("id_b"), F.col("w").alias("w_b"))
+    docs = docs.withColumn("n", F.size("w"))
+    a = docs.select("source", F.col("doc_id").alias("id_a"),
+                    F.col("w").alias("w_a"), F.col("n").alias("n_a"))
+    b = docs.select("source", F.col("doc_id").alias("id_b"),
+                    F.col("w").alias("w_b"), F.col("n").alias("n_b"))
     jac = F.size(F.array_intersect("w_a", "w_b")) / F.size(F.array_union("w_a", "w_b"))
     return (
-        a.join(b, "source")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            # lossless size-band prune inside the join condition: J >= 0.5
+            # implies min(|A|,|B|) >= 0.5*max(|A|,|B|), so mismatched-size
+            # pairs are dropped before any array work happens
+            (a["source"] == b["source"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * 2 >= F.col("n_b"))
+            & (F.col("n_b") * 2 >= F.col("n_a")),
+        )
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
@@ -414,6 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_user_segments": q_setops_user_segments,
         "q3_shipping_priority": q3_shipping_priority,
         "failed_record_routing": q_failed_record_routing,
+        "percentile_order_value": q_percentile_order_value,
+        "hourly_event_buckets": q_hourly_event_buckets,
+        "rank_orders": q_rank_orders,
+        "running_user_spend": q_running_user_spend,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -545,6 +616,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM events WHERE event_id % 97 = 0
         """,
+        "percentile_order_value": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "hourly_event_buckets": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+                   count(*) AS n,
+                   sum(cast(value as decimal(18,2))) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rank_orders": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+            FROM (SELECT *, rank() OVER (
+                      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "running_user_spend": """
+            SELECT user_id, event_id,
+                   sum(cast(value as decimal(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_value
+            FROM events
+        """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (SELECT doc_id,
@@ -566,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
                          / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
                          6) AS jaccard
             FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+                 AND len(a.w) * 2 >= len(b.w) AND len(b.w) * 2 >= len(a.w)
             WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
                         / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
                         6) >= 0.5

@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _dot(x, y):
@@ -102,20 +105,41 @@ def lsh_topk(
     (θ small) are recovered with high probability; for uniformly random
     data no ANN scheme prunes without recall loss.
     """
-    cond = None
-    sel = [F.col(id_col), F.col(vec_col)]
+    # one (dim, n_tables*n_planes) plane matrix; per-row signatures for all
+    # tables come from a single BLAS matmul inside an Arrow-batched pandas
+    # UDF (32 interpreted per-row array folds -> one vectorized product)
+    all_planes = []
+    probe_sets: list[list[int]] = []
     for t in range(n_tables):
         planes = make_hyperplanes(len(query), n_planes, seed + 1000 * t)
+        all_planes.extend(planes)
         qsig = 0
         for i, h in enumerate(planes):
             if sum(a * b for a, b in zip(query, h)) > 0:
                 qsig |= 1 << i
-        probes = [qsig] + (
-            [qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else []
+        probe_sets.append(
+            [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
         )
-        bcol = f"__b{t}"
-        sel.append(hyperplane_signature(F.col(vec_col), planes).alias(bcol))
-        c = F.col(bcol).isin(probes)
+    plane_mat = np.array(all_planes, dtype=np.float64).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        bits = (m @ plane_mat) > 0  # (rows, T*P)
+        sigs = [
+            bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+            for t in range(n_tables)
+        ]
+        stacked = np.stack(sigs, axis=1)  # (rows, T)
+        return pd.Series(list(stacked))
+
+    sigged = df.select(F.col(id_col), F.col(vec_col), signatures(F.col(vec_col)).alias("__sigs"))
+    cond = None
+    for t, probes in enumerate(probe_sets):
+        c = F.element_at("__sigs", t + 1).isin(probes)
         cond = c if cond is None else (cond | c)
-    cands = df.select(*sel).where(cond).select(id_col, vec_col)
+    cands = sigged.where(cond).select(id_col, vec_col)
     return brute_force_topk(cands, vec_col, id_col, query, k)

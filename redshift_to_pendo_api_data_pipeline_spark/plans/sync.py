@@ -38,6 +38,7 @@ class SyncResult:
     record_count: int
     bookmark: object | None
     version: int
+    metrics: dict | None = None  # A2 observed counters (tagged per stream)
 
 
 def sync_plan(
@@ -96,6 +97,13 @@ def run_sync(
 
     state.currently_syncing = stream.name
     shaped = sync_plan(df, stream, bookmark=bookmark, allowlist=allowlist, limit=limit)
+    # A2: record-counter metric riding the existing action (the reference
+    # increments a per-row counter tagged db/table, sync.py:178-183; here
+    # Observation collects it with zero extra passes).
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation(f"sync:{stream.name}")
+    shaped = shaped.observe(obs, F.count(F.lit(1)).alias("record_count"))
     # Cache: the same filtered set feeds the sink, the count and the new
     # bookmark — without this the source would be scanned three times.
     shaped = shaped.cache()
@@ -113,6 +121,13 @@ def run_sync(
         state.write_bookmark(stream.name, "version", version)
         state.currently_syncing = None
         bm = state.get_bookmark(stream.name, "replication_key_value")
-        return SyncResult(stream=stream.name, record_count=n, bookmark=bm, version=version)
+        try:
+            metrics = dict(obs.get)
+        except Exception:  # noqa: BLE001 — sink may not have run an action
+            metrics = None
+        return SyncResult(
+            stream=stream.name, record_count=n, bookmark=bm, version=version,
+            metrics=metrics,
+        )
     finally:
         shaped.unpersist()

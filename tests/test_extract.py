@@ -116,6 +116,8 @@ def test_sync_plan_end_to_end(spark, sf_dir):
     ).first()[0].isoformat()
     assert state.currently_syncing is None
     assert isinstance(res.version, int)
+    # A2: observed counter matches sunk rows, tagged by stream
+    assert res.metrics == {"record_count": res.record_count}
 
     # shape: (id, values struct) with remapped names
     shaped = sync_plan(ev, stream, bookmark=datetime(2024, 1, 15), allowlist=allow)

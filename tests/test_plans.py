@@ -1,0 +1,94 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100x scale-up, asserted on .explain output so regressions fail loudly.
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+- small-side joins broadcast (BroadcastHashJoin) instead of shuffling
+- ORDER BY+LIMIT compiles to distributed top-k, not a global sort
+- aggregations partial-aggregate map-side before the shuffle
+- JVM-only paths contain no Python eval nodes
+- narrow pipelines introduce no Exchange at all
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(q, spark):
+    return entry.queries()[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pushdown_reaches_scan(spark):
+    p = plan_of("q1_pricing_summary", spark)
+    assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p
+    p2 = plan_of("ordered_limit_topk", spark)
+    assert "ReadSchema" in p2
+
+
+def test_projection_prunes_scan(spark):
+    p = plan_of("full_table_projection", spark)
+    # only the 3 resolved columns reach the reader
+    assert "c_custkey" in p and "c_name" in p and "c_acctbal" in p
+    assert "c_mktsegment" not in p and "c_nationkey" not in p
+
+
+def test_semijoin_broadcasts(spark):
+    p = plan_of("sync_incremental_semijoin", spark)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_error_routing_broadcasts(spark):
+    p = plan_of("failed_record_routing", spark)
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_not_global_sort(spark):
+    p = plan_of("ordered_limit_topk", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_aggs_partial_before_shuffle(spark):
+    for q in ("q1_pricing_summary", "grouped_stream_stats", "volume_count"):
+        p = plan_of(q, spark)
+        assert "partial" in p, q  # map-side combine present
+
+
+def test_single_shuffle_for_grouped_agg(spark):
+    p = plan_of("grouped_stream_stats", spark)
+    assert p.count("Exchange") <= 2  # one hash exchange (+AQE read)
+
+
+def test_jvm_only_paths_have_no_python(spark):
+    for q in (
+        "sync_incremental_semijoin",
+        "q1_pricing_summary",
+        "text_analysis",
+        "exact_dedup_docs",
+        "word_jaccard_pairs",
+        "embedding_topk",
+    ):
+        p = plan_of(q, spark)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+
+
+def test_narrow_pipeline_no_shuffle(spark):
+    for q in ("text_analysis", "payload_reshape", "uuid_validation"):
+        p = plan_of(q, spark)
+        assert "Exchange" not in p, q
+
+
+def test_q3_join_order_broadcasts_filtered_dim(spark):
+    # the BUILDING-filtered customer side is small -> must broadcast into
+    # the orders join rather than shuffling the fact side
+    p = plan_of("q3_shipping_priority", spark)
+    assert "BroadcastHashJoin" in p
