@@ -267,6 +267,24 @@ def q_failed_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial agg on (key, salt) spreads
+    hot keys over 16 reducers, then merges. Oracle = the plain groupBy —
+    salting must be invisible in the result."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.skew import salted_aggregate
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "sum_value": ("sum", F.sum(F.col("value").cast("decimal(18,2)"))),
+            "last_seen_us": ("max", F.max(F.unix_micros("ts"))),
+        },
+        salt_buckets=16,
+    )
+
+
 def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group (one shuffle;
     switch to approx_percentile for the sketch-based scale path)."""
@@ -481,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_user_segments": q_setops_user_segments,
         "q3_shipping_priority": q3_shipping_priority,
         "failed_record_routing": q_failed_record_routing,
+        "salted_grouped_stats": q_salted_grouped_stats,
         "percentile_order_value": q_percentile_order_value,
         "hourly_event_buckets": q_hourly_event_buckets,
         "rank_orders": q_rank_orders,
@@ -615,6 +634,12 @@ def oracle_sql() -> dict[str, str]:
         "failed_record_routing": """
             SELECT event_id, user_id, event_type
             FROM events WHERE event_id % 97 = 0
+        """,
+        "salted_grouped_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   max(epoch_us(ts)) AS last_seen_us
+            FROM events GROUP BY event_type
         """,
         "percentile_order_value": """
             SELECT o_orderstatus,

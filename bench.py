@@ -23,6 +23,85 @@ import __spark_entry__ as entrymod
 from redshift_to_pendo_api_data_pipeline_spark.session import get_spark, sf_dir
 
 
+def _extract_throughput(spark, data_dir: str) -> dict:
+    """BASELINE parity metric: the reference taps ~12k records/s through a
+    single cursor (331,207 rows / 27.54 s, BASELINE.md). Here: the full
+    sync shape — scan, incremental filter, broadcast semi-join, remap,
+    reshape, RECORD-envelope JSON serialization — executed end-to-end, rows
+    per wall-second."""
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, data_dir, "events")
+    allow = ev.select("user_id").where(F.col("user_id") % 3 == 0).distinct() \
+        .select(F.col("user_id").alias("id"))
+    shaped = (
+        ev.join(F.broadcast(allow), ev.user_id == F.col("id"), "left_semi")
+        .select(
+            F.col("event_id").alias("eventId"),
+            F.col("user_id").alias("visitorId"),
+            F.col("event_type").alias("eventType"),
+            F.col("value"),
+            F.col("ts"),
+        )
+    )
+    payload = shaped.select(F.to_json(F.struct(*shaped.columns)).alias("p"))
+    n = shaped.count()
+    t0 = time.perf_counter()
+    payload.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return {"records": n, "seconds": round(dt, 4),
+            "records_per_sec": round(n / dt, 1)}
+
+
+def _sink_throughput(spark, data_dir: str) -> dict:
+    """BASELINE parity metric: the reference posts ~2,500 records/s per
+    async connection (README.md:5). Here: the real partition writer
+    (batching, token bucket, retries) against a loopback HTTP server."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.sink.http_sink import SinkConfig, sink_dataframe
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+    class API(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["content-length"]))
+            n = body.count(b'"id"')
+            out = json.dumps({"total": n, "updated": n, "failed": 0}).encode()
+            self.send_response(200)
+            self.send_header("content-length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), API)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ev = load_table(spark, data_dir, "events").select(
+            F.col("event_id").alias("id"),
+            F.col("user_id").alias("visitorId"),
+            F.col("event_type").alias("eventType"),
+            F.col("value"),
+        )
+        n = ev.count()
+        cfg = SinkConfig(
+            base_url=f"http://127.0.0.1:{srv.server_port}",
+            stream_name="visitors",
+        )
+        t0 = time.perf_counter()
+        total = sink_dataframe(ev, cfg).agg({"total": "sum"}).first()[0]
+        dt = time.perf_counter() - t0
+        assert total == n, (total, n)
+        return {"records": n, "seconds": round(dt, 4),
+                "records_per_sec": round(n / dt, 1)}
+    finally:
+        srv.shutdown()
+
+
 def main() -> None:
     data_dir = sf_dir()
     m = re.search(r"sf([\d.]+)", data_dir)
@@ -45,12 +124,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_total0, 4)
 
+    throughput = {
+        "extract": _extract_throughput(spark, data_dir),
+        "sink_http": _sink_throughput(spark, data_dir),
+    }
+
     print(json.dumps({
         "metric": "total_query_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # BASELINE.md parity: reference ~12,000 extract rec/s (single
+        # cursor) and ~2,500 sink rec/s (per async connection)
+        "throughput": throughput,
     }))
 
 
