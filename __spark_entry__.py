@@ -341,6 +341,46 @@ def q_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flatten_nested_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 on real nested data: parse events.props JSON into a struct, then
+    recursively flatten with the __ separator."""
+    from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import flatten
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("props"),
+    )
+    return flatten(nested)  # -> event_id, props__k
+
+
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at-or-
+    before the event timestamp. Spark lacks ASOF JOIN; composed as
+    union + last_value window (one shuffle, no row explosion — see
+    operators/temporal.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import asof_join
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "o_orderkey", "o_totalprice",
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user with per-session
+    rollups (lag + cumulative-sum composition, one shuffle)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import session_stats
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", "event_id", gap="30 minutes")
+
+
 # ------------------------------------------- dedup / similarity / text ops
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_buckets": q_hourly_event_buckets,
         "rank_orders": q_rank_orders,
         "running_user_spend": q_running_user_spend,
+        "flatten_nested_props": q_flatten_nested_props,
+        "asof_join_latest_order": q_asof_join_latest_order,
+        "session_stats": q_session_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -634,6 +677,44 @@ def oracle_sql() -> dict[str, str]:
         "failed_record_routing": """
             SELECT event_id, user_id, event_type
             FROM events WHERE event_id % 97 = 0
+        """,
+        "flatten_nested_props": """
+            SELECT event_id, json_extract(props, '$.k')::INT AS props__k
+            FROM events
+        """,
+        "asof_join_latest_order": """
+            -- explicit ranked form rather than native ASOF JOIN: ties on
+            -- o_orderdate must resolve deterministically (max o_orderkey)
+            WITH ranked AS (
+              SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                     o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice
+            FROM ranked WHERE rn = 1
+        """,
+        "session_stats": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            sessions AS (
+              SELECT user_id, event_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                   sum(cast(value as decimal(18,2))) AS sum_value
+            FROM sessions GROUP BY user_id, session_id
         """,
         "salted_grouped_stats": """
             SELECT event_type, count(*) AS n,

@@ -28,7 +28,7 @@ import json
 import sys
 
 from redshift_to_pendo_api_data_pipeline_spark.catalog import discover_parquet_catalog
-from redshift_to_pendo_api_data_pipeline_spark.plans.state import State, build_state
+from redshift_to_pendo_api_data_pipeline_spark.plans.state import State, build_state, streams_to_sync
 from redshift_to_pendo_api_data_pipeline_spark.plans.sync import run_sync
 from redshift_to_pendo_api_data_pipeline_spark.schema import StreamSpec
 from redshift_to_pendo_api_data_pipeline_spark.session import get_spark
@@ -109,7 +109,9 @@ def cmd_sync(cfg: dict, state_path: str | None) -> int:
     prior = State.load(state_path) if state_path else State()
     state = build_state(prior, streams)
 
-    for stream in streams:
+    # resume: if a prior run died mid-stream, skip the already-finished
+    # streams (currently_syncing dropwhile, resolve.py:72-75 parity)
+    for stream in streams_to_sync(streams, prior):
         if src["kind"] == "parquet":
             df = load_table(spark, src["dir"], stream.name)
         else:

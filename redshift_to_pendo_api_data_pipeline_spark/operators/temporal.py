@@ -1,0 +1,123 @@
+"""Temporal operators Spark lacks as single primitives: as-of join and
+sessionization — both expressed as compositions of built-in ops (SURVEY
+§2's guidance: composition first, Pandas UDF only if semantics demand).
+
+As-of join (point-in-time lookup): for every left row, the single right
+row with the greatest right_ts <= left_ts per key. Spark has no ASOF JOIN
+(DuckDB does — used as the oracle); the composition is union + window
+last_value, which shuffles each side ONCE on the key — strictly better at
+scale than the range-join (left ⋈ right on ts-range then max-per-group)
+which explodes intermediate rows on hot keys.
+
+Sessionization: assign session ids by gap threshold — lag + cumulative sum
+of gap-breaks, two window passes over one shuffle-partitioning. The
+streaming twin is applyInPandasWithState/session_window; the batch form
+here matches it row-for-row on closed sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row at-or-before its timestamp.
+
+    Implementation: tag both sides, union on (key, ts), and carry the most
+    recent right values forward with last_value(ignoreNulls) over a
+    (key, ts, side)-ordered window; keep left rows. One shuffle on `key`;
+    no row explosion regardless of key skew.
+
+    `right_tiebreak` (a right_vals column) makes ties on right_ts
+    deterministic: the row with the GREATEST tiebreak wins. Without it,
+    equal-timestamp right rows resolve arbitrarily (found the hard way at
+    sf0.1 where order dates collide)."""
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__l"),
+    )
+    # right rows sort before left rows at identical ts (side 0 < 1) so an
+    # exactly-equal timestamp matches (at-or-before semantics); among
+    # right rows tied on ts, ascending tiebreak => last_value carries the
+    # greatest one
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__c_{v}")
+            for v in right_vals
+        ],
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        "__l.*", *[F.col(f"__c_{v}").alias(v) for v in right_vals]
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign a session index per key: a new session starts when the gap
+    to the previous event exceeds `gap`. Returns the input plus
+    ``session_id`` (0-based per key). Two window functions over ONE
+    partitioning — Catalyst reuses the exchange."""
+    amount, unit = gap.split()
+    per_unit = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    gap_micros = int(amount) * per_unit
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    with_break = df.withColumn(
+        "__new_session",
+        (
+            F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+            > gap_micros
+        ).cast("int"),
+    ).withColumn("__new_session", F.coalesce(F.col("__new_session"), F.lit(0)))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return with_break.withColumn(
+        "session_id", F.sum("__new_session").over(wsum)
+    ).drop("__new_session")
+
+
+def session_stats(
+    df: DataFrame, key: str, ts: str, tiebreak: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, value sum."""
+    s = sessionize(df, key, ts, tiebreak, gap)
+    return s.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min(ts)).alias("start_us"),
+        F.unix_micros(F.max(ts)).alias("end_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )

@@ -1,0 +1,71 @@
+"""As-of join + sessionization semantics on hand-built fixtures."""
+
+from datetime import datetime
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_at_or_before_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(12)), (1, _ts(9)), (2, _ts(10))],
+        "k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100, "a"),   # exactly-equal ts must match
+         (1, _ts(11), 200, "b"),
+         (3, _ts(1), 900, "z")],   # other key, never matched
+        "k long, rts timestamp, rid long, tag string",
+    )
+    out = {(r["k"], r["lts"]): (r["rid"], r["tag"]) for r in asof_join(
+        left, right, "k", "lts", "rts", ["rid", "tag"], right_tiebreak="rid"
+    ).collect()}
+    assert out[(1, _ts(10))] == (100, "a")     # at-or-before includes equal
+    assert out[(1, _ts(12))] == (200, "b")     # latest wins
+    assert out[(1, _ts(9))] == (None, None)    # nothing before -> left join nulls
+    assert out[(2, _ts(10))] == (None, None)   # key with no right rows
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, _ts(12))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5, "low"), (1, _ts(10), 9, "high")],
+        "k long, rts timestamp, rid long, tag string",
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["rid", "tag"],
+                    right_tiebreak="rid").first()
+    assert row["rid"] == 9 and row["tag"] == "high"  # greatest tiebreak wins
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, _ts(10, 0), 0), (1, _ts(10, 10), 1), (1, _ts(10, 50), 2),  # 40min gap
+        (1, _ts(11, 0), 3),
+        (2, _ts(10, 0), 4),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, eid long")
+    out = {r["eid"]: r["session_id"] for r in
+           sessionize(df, "user", "ts", "eid", gap="30 minutes").collect()}
+    assert out[0] == 0 and out[1] == 0          # same session
+    assert out[2] == 1 and out[3] == 1          # split by 40-min gap
+    assert out[4] == 0                           # other user restarts at 0
+
+
+def test_session_stats_rollup(spark):
+    rows = [
+        (1, _ts(10, 0), 0, 5.0), (1, _ts(10, 10), 1, 7.0),
+        (1, _ts(11, 0), 2, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, event_id long, value double")
+    stats = {r["session_id"]: r for r in
+             session_stats(df, "user", "ts", "event_id", gap="30 minutes").collect()}
+    assert stats[0]["n_events"] == 2 and float(stats[0]["sum_value"]) == 12.0
+    assert stats[1]["n_events"] == 1
+    assert stats[0]["end_us"] - stats[0]["start_us"] == 10 * 60 * 1_000_000
