@@ -490,6 +490,13 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=20)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (explode -> two partial-combined
+    aggregations -> broadcast df join -> per-doc top-k)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import tf_idf_top_terms
+    return tf_idf_top_terms(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, quality score, token/subword counts, fingerprint —
     one codegen stage over one scan."""
@@ -555,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "text_analysis": q_text_analysis,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
         "media_frame_counts": q_media_frame_counts,
     }
@@ -827,6 +835,27 @@ def oracle_sql() -> dict[str, str]:
                          6) AS quality,
                    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
             FROM feats
+        """,
+        "tfidf_top_terms": """
+            WITH tokens AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                         AS term
+              FROM documents),
+            tf AS (SELECT doc, term, count(*) AS tf FROM tokens GROUP BY doc, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc, tf.term,
+                     round(tf.tf * ln((SELECT n_docs FROM n) / dfreq.df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term)),
+            ranked AS (
+              SELECT doc, term, tfidf,
+                     row_number() OVER (PARTITION BY doc
+                                        ORDER BY tfidf DESC, term ASC) AS rn
+              FROM scored)
+            SELECT doc AS doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
         """,
         "media_decode_stats": """
             SELECT doc_id,

@@ -88,6 +88,44 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
 
 
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Classic two-aggregation shape: explode tokens once -> (doc, term, tf)
+    via one groupBy -> document frequency via a second groupBy on term ->
+    broadcast the (small) term-df relation back -> rank per doc. Both
+    aggregations partial-combine map-side; the df relation is vocabulary-
+    sized, hence broadcast. idf = ln(N / df) (no smoothing, mirrored
+    exactly in the DuckDB oracle); ties broken alphabetically.
+    """
+    from pyspark.sql import Window
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+
+    n_docs = df.count()
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = tokens.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(F.col("doc").alias(id_col), "term", "tfidf", "rn")
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection: every feature above, computed in
     a single codegen stage over one scan."""

@@ -1,0 +1,79 @@
+"""Data-lake sink: versioned parquet tables with ACTIVATE_VERSION swap
+semantics.
+
+The reference's ACTIVATE_VERSION message tells the target "delete
+everything not of this version" (tap messages.py:152-173; target
+__init__.py:445-466) — a full-refresh swap. On a lake that is exactly an
+atomic overwrite keyed by version:
+
+- FULL_TABLE sync  -> write under version=V, then activate V (readers see
+  old data until the swap, then only V) — `write_versioned` + `activate`.
+- INCREMENTAL sync -> append under the *current* version.
+
+Reads go through `read_active`, which prunes to the active version via a
+partition filter (partition pruning makes the swap free for readers).
+A retention sweep (`vacuum`) drops deactivated versions.
+
+At 100 TB you'd use an ACID table format (Delta/Iceberg) for the same
+contract; this keeps the engine dependency-free while preserving the
+semantics + pruning behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_ACTIVE_FILE = "_ACTIVE_VERSION"
+
+
+def write_versioned(df: DataFrame, path: str, version: int, mode: str = "overwrite") -> None:
+    """Write one version partition. Data lands under version=V without
+    touching other versions (dynamic single-partition write)."""
+    df.withColumn("version", F.lit(version)).write.mode(mode) \
+        .partitionBy("version").parquet(path)
+
+
+def append_to_version(df: DataFrame, path: str, version: int) -> None:
+    """INCREMENTAL flavor: append rows into the current version."""
+    df.withColumn("version", F.lit(version)).write.mode("append") \
+        .partitionBy("version").parquet(path)
+
+
+def activate(path: str, version: int) -> None:
+    """The ACTIVATE_VERSION swap: atomic pointer flip (rename)."""
+    p = Path(path) / _ACTIVE_FILE
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"version": version}))
+    tmp.replace(p)  # atomic on POSIX
+
+
+def active_version(path: str) -> int | None:
+    p = Path(path) / _ACTIVE_FILE
+    if not p.exists():
+        return None
+    return int(json.loads(p.read_text())["version"])
+
+
+def read_active(spark: SparkSession, path: str) -> DataFrame:
+    """Read only the active version — the version predicate prunes to one
+    partition directory (verify: PartitionFilters in .explain)."""
+    v = active_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no active version at {path}")
+    return spark.read.parquet(path).where(F.col("version") == v).drop("version")
+
+
+def vacuum(path: str) -> list[int]:
+    """Drop every deactivated version directory; returns dropped ids."""
+    keep = active_version(path)
+    dropped = []
+    for d in Path(path).glob("version=*"):
+        v = int(d.name.split("=")[1])
+        if v != keep:
+            shutil.rmtree(d)
+            dropped.append(v)
+    return dropped

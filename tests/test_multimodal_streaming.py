@@ -104,6 +104,53 @@ def test_streaming_incremental_sync(spark, sf_dir):
         assert sum(seen) == 50
 
 
+def test_streaming_dedup_with_watermark(spark, sf_dir):
+    """Streaming exactly-once-per-key: dropDuplicates over a watermarked
+    stream removes redelivered events (the idempotency guard the HTTP
+    sink otherwise relies on the API for)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt, seen = f"{d}/src", f"{d}/ckpt", []
+        # write the same 200 events twice -> 400 input rows, 200 distinct
+        ev.write.parquet(src)
+        ev.write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        sdf = read_stream(spark, src, schema).withWatermark("ts", "1 hour") \
+            .dropDuplicates(["event_id"])
+
+        def writer(batch_df, batch_id):
+            seen.extend(r["event_id"] for r in batch_df.collect())
+
+        q = (sdf.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert len(seen) == 200 and len(set(seen)) == 200
+
+
+def test_sql_api_parity(spark, sf_dir):
+    """The spark.sql() surface: registered views answer the same query as
+    the DataFrame plan (both run through one Catalyst)."""
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql("""
+        SELECT event_type, count(*) AS n,
+               sum(cast(value as decimal(18,2))) AS sum_value
+        FROM events GROUP BY event_type
+    """).collect()
+    df_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))
+
+
 def test_streaming_windowed_counts_with_watermark(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with tempfile.TemporaryDirectory() as d:
