@@ -31,11 +31,22 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make table reads work on ANY caller-provided session (the external
+    driver builds its own): the nanos-parquet read path and the UTC
+    session timezone are both runtime-settable SQL confs; without them
+    events.parquet fails outright and NTZ->timestamp casts shift by the
+    host timezone (breaking cross-engine value comparison)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table. Equivalent of the reference's per-stream
     SELECT (``tap-redshift/src/sync.py:107,143-155``) minus the hand-built
     WHERE/LIMIT strings — callers compose those as DataFrame ops and
     Catalyst pushes them down."""
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
