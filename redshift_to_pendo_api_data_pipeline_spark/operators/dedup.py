@@ -246,6 +246,46 @@ def simhash_udf(n_bits: int = 64):
     return _simhash
 
 
+def simhash_signatures_jvm(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 64
+) -> DataFrame:
+    """(doc, sig long) — hybrid SimHash: token hashing stays JVM-side
+    (xxhash64 per distinct word, codegen), the n_bits bit-vote reduction
+    runs as ONE vectorized numpy kernel over each doc's hash list.
+
+    Why hybrid: a pure-JVM formulation needs n_bits aggregate
+    expressions whose whole-stage-codegen compile costs ~8 s per session
+    (fine amortized over a 100 TB job, hostile to one-shot runs); pure
+    pandas pays per-token Python hashing. Hashing in the JVM and voting
+    in numpy avoids both. Deterministic (xxhash64, no PYTHONHASHSEED)."""
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    tokens = words_df.select(
+        "doc", F.explode(F.array_distinct("w")).alias("tok")
+    ).select("doc", F.xxhash64("tok").alias("h"))
+    hashes = tokens.groupBy("doc").agg(F.collect_list("h").alias("hs"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _vote(hash_lists: pd.Series) -> pd.Series:
+        positions = np.arange(n_bits, dtype=np.uint64)
+        out = np.zeros(len(hash_lists), dtype=np.int64)
+        weights = (np.uint64(1) << positions).astype(np.int64)
+        for i, hs in enumerate(hash_lists):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = (arr[:, None] >> positions[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = weights[votes > 0].sum()
+        return pd.Series(out)
+
+    return hashes.select("doc", _vote(F.col("hs")).alias("sig"))
+
+
 def simhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
     bands: int = 4,
@@ -257,10 +297,8 @@ def simhash_dedup_pairs(
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     # cache: both sides of the bucket self-join read this; uncached, the
-    # pandas UDF would run twice over the corpus
-    sh = df.select(
-        F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("sig")
-    ).cache()
+    # signature aggregation would run twice over the corpus
+    sh = simhash_signatures_jvm(df, text_col, id_col).cache()
     banded = sh.select(
         "doc",
         "sig",
