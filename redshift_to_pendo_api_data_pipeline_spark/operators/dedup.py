@@ -184,16 +184,20 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
     )
     pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc"], "left_semi")
     sh = shingle_sets(pruned, text_col, id_col, n=n, distinct=True)
-    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.size("sh").alias("n_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.size("sh").alias("n_b"))
+    # |A∪B| = |A|+|B|-|A∩B| (arrays are distinct): one hash-set build per
+    # pair instead of two
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
         df_pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
     )
 
