@@ -493,6 +493,20 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=20)
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (deterministic hash-seeded k-means,
+    n_probe nearest lists, exact re-rank) -> rows-only check (approximate
+    candidate set)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
+        k=20, n_list=16, n_probe=4,
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (explode -> two partial-combined
     aggregations -> broadcast df join -> per-doc top-k)."""
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_analysis": q_text_analysis,
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,

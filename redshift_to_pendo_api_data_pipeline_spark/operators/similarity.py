@@ -143,3 +143,113 @@ def lsh_topk(
         cond = c if cond is None else (cond | c)
     cands = sigged.where(cond).select(id_col, vec_col)
     return brute_force_topk(cands, vec_col, id_col, query, k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_list: int = 16,
+    n_iter: int = 3,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means centroids, trained distributed.
+
+    Deterministic by construction (no RNG): seeds are the vectors of the
+    `n_list` rows with the smallest xxhash64(id) — a uniform hash-sample
+    that any re-run reproduces. Each Lloyd iteration is one pass:
+    mapInPandas computes per-partition (cluster -> sum, count) partial
+    aggregates with a single BLAS argmax per batch, and only the
+    n_list x dim partials travel to the driver (the combiner/treeAggregate
+    pattern — at 100 TB the shuffle carries n_list rows per partition, not
+    N vectors)."""
+    seed_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_list)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    spark = df.sparkSession
+
+    for _ in range(n_iter):
+        b_cent = spark.sparkContext.broadcast(centroids)
+
+        def _partials(pdfs, _vc=vec_col):
+            cent = b_cent.value
+            sums = np.zeros_like(cent)
+            counts = np.zeros(len(cent), dtype=np.int64)
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                m = np.array([list(v) for v in pdf[_vc]], dtype=np.float64)
+                assign = np.argmin(
+                    ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), axis=1
+                )
+                np.add.at(sums, assign, m)
+                np.add.at(counts, assign, 1)
+            yield pd.DataFrame({
+                "cluster": np.arange(len(cent)),
+                "vsum": list(sums),
+                "cnt": counts,
+            })
+
+        parts = df.select(vec_col).mapInPandas(
+            _partials, schema="cluster int, vsum array<double>, cnt long"
+        ).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["vsum"])
+            counts[r["cluster"]] += r["cnt"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        b_cent.destroy()
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Adds a `__cluster` int column: nearest-centroid id per row (one
+    BLAS distance matrix per Arrow batch; centroids ride the closure —
+    n_list x dim doubles, broadcast-sized by definition)."""
+    cent = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn("__cluster", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization: train/load
+    k-means centroids, keep only rows whose cluster is among the query's
+    `n_probe` nearest centroids, exact cosine re-rank inside those lists.
+
+    Scale path: at 100 TB the assignment is computed once and the table is
+    written partitioned by `__cluster` (partitionBy on the lake sink), so
+    each query prunes to n_probe/n_list of the data at the SCAN — partition
+    pruning, no shuffle, no full pass. Here train+assign+probe run in one
+    job at small sf; the probe filter is a literal IN list so Catalyst
+    folds it into the scan of the assigned relation."""
+    centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
+    q = np.array(query, dtype=np.float64)
+    order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probes = [int(c) for c in order[:n_probe]]
+    assigned = ivf_assign(df, vec_col, centroids)
+    cands = assigned.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
+    return brute_force_topk(cands, vec_col, id_col, query, k)

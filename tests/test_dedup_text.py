@@ -102,6 +102,42 @@ def test_lsh_topk_query_recovery(spark, sf_dir):
     assert approx[0]["vec_id"] == 7 and abs(approx[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_ivf_topk_recall_on_clusters(spark):
+    """Same planted-cluster corpus as the LSH test: IVF with n_list=20
+    must put same-cluster members in the probed lists and recover the
+    true top-10 near-exactly."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(12):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[30][1]
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.ivf_topk(emb, "embedding", "vec_id", q, k=10,
+                         n_list=20, n_probe=3).collect()]
+    assert approx[0] == exact[0] == 30
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_ivf_deterministic_and_recovers_query(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    a = S.ivf_topk(emb, "embedding", "vec_id", list(q), k=10).collect()
+    b = S.ivf_topk(emb, "embedding", "vec_id", list(q), k=10).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]  # no RNG anywhere
+    assert a[0]["vec_id"] == 7 and abs(a[0]["cosine"] - 1.0) < 1e-6
+
+
 def test_text_analysis_features(spark):
     df = spark.createDataFrame(
         [
