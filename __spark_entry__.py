@@ -507,6 +507,59 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash-sample of documents (md5-prefix membership:
+    reproducible across runs/engines/partitionings, unlike df.sample)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import hash_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.10, salt="s1").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_train_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free hash-based train/eval split -> per-split row and char
+    totals."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        train_eval_split,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_eval_split(docs, "doc_id", eval_rate=0.05)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing: per-source keep rates (curated sources
+    upweighted, long tail at 10%) -> post-mix composition."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import weighted_mix
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, "doc_id", "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.10,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+def q_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered selection under a character budget: English first,
+    then Spanish, then the rest; running total capped at 100k chars."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        token_budget_head,
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality",
+        F.when(F.col("lang") == "en", 2).when(F.col("lang") == "es", 1).otherwise(0),
+    )
+    picked = token_budget_head(docs, "doc_id", "n_chars", "quality", budget=100_000)
+    return picked.select("doc_id", "lang", "n_chars", "cum_tokens")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (explode -> two partial-combined
     aggregations -> broadcast df join -> per-doc top-k)."""
@@ -579,6 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "sampled_docs": q_sampled_docs,
+        "train_eval_split_counts": q_train_eval_split_counts,
+        "source_mix_sample": q_source_mix_sample,
+        "token_budget_head": q_token_budget_head,
         "text_analysis": q_text_analysis,
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
@@ -783,8 +840,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY d
         """,
-        # minhash_neardup / simhash_neardup / embedding_ann_lsh: rows-only
-        # (probabilistic / engine-specific hashing)
+        # minhash_neardup / simhash_neardup / embedding_ann_lsh /
+        # embedding_ann_ivf: rows-only (probabilistic / engine-specific
+        # hashing)
+        # sampling family: md5 emits identical lowercase hex in both
+        # engines, so hash-membership sampling is value-checkable verbatim
+        "sampled_docs": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE substr(md5('s1' || cast(doc_id AS varchar)), 1, 4) < '1999'
+        """,
+        "train_eval_split_counts": """
+            SELECT CASE WHEN substr(md5('split' || cast(doc_id AS varchar)), 1, 4)
+                             < '0ccc'
+                        THEN 'eval' ELSE 'train' END AS split,
+                   count(*) AS n_docs, sum(n_chars) AS n_chars
+            FROM documents GROUP BY 1
+        """,
+        "source_mix_sample": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+            FROM documents
+            WHERE substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) <
+                  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '4000' ELSE '1999' END
+            GROUP BY source
+        """,
+        "token_budget_head": """
+            SELECT doc_id, lang, n_chars, cum_tokens FROM (
+              SELECT doc_id, lang, n_chars,
+                     sum(n_chars) OVER (
+                         ORDER BY (CASE WHEN lang = 'en' THEN 2
+                                        WHEN lang = 'es' THEN 1 ELSE 0 END) DESC,
+                                  doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM documents)
+            WHERE cum_tokens <= 100000
+        """,
         "word_jaccard_pairs": """
             WITH w AS (
               SELECT doc_id, source,

@@ -1,0 +1,110 @@
+"""Deterministic sampling and data-mixing operators for training-data
+curation.
+
+Not in the reference (it replicates 1:1); part of the widened LLM-pipeline
+surface (BASELINE.json north star). Everything here is HASH-based, never
+RNG-based: a sample defined as `md5(salt || id) < threshold` is
+
+- reproducible across runs, engines and cluster sizes (no seed plumbing,
+  no partition-order sensitivity — Spark's df.sample() changes membership
+  when partitioning changes);
+- consistent under re-partitioning and incremental arrival: a row's
+  membership depends only on its key, so late data lands in the same
+  split;
+- cheap at 100 TB: one md5 + string compare per row, pushed into the
+  scan's filter (no shuffle, no state).
+
+The hex-prefix comparison is deliberately string-lexicographic: Spark and
+DuckDB both emit lowercase-hex md5, so the same predicate runs verbatim in
+the correctness oracle (tools/check_oracle.py) — sampling stays
+value-hash-checkable cross-engine, which RNG sampling never is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 4 hex chars = 16 bits of the digest: granularity 1/65536 ≈ 0.0015%,
+# plenty for mixing ratios while keeping the threshold a short literal.
+_PREFIX_LEN = 4
+_SPACE = 1 << (4 * _PREFIX_LEN)
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a sampling rate in [0,1] to the hex-prefix threshold string.
+    P(md5_prefix < threshold) == floor(rate*65536)/65536."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"  # 'g' > 'f': lexicographically above every hex prefix
+    return format(int(rate * _SPACE), f"0{_PREFIX_LEN}x")
+
+
+def hash_bucket(key_col: Column, salt: str = "") -> Column:
+    """Lowercase-hex md5 prefix of (salt || key) — the uniform [0, ffff]
+    bucket a row deterministically falls into."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))),
+                       1, _PREFIX_LEN)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> DataFrame:
+    """Keep ~rate of rows, membership decided by md5(salt || key).
+
+    Different salts give independent samples; the same salt gives nested
+    samples (rate 0.05 ⊂ rate 0.10) — the standard trick for growing a
+    training subset without resampling what's already processed."""
+    th = rate_to_hex_threshold(rate)
+    return df.where(hash_bucket(F.col(key_col), salt) < F.lit(th))
+
+
+def train_eval_split(
+    df: DataFrame, key_col: str, eval_rate: float = 0.01, salt: str = "split"
+) -> DataFrame:
+    """Adds a `split` column ('train'/'eval') — same hash, two sides, so
+    the split is leak-free by construction and stable as data grows."""
+    th = rate_to_hex_threshold(eval_rate)
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key_col), salt) < F.lit(th), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def weighted_mix(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive:
+    `rates` maps stratum value -> keep probability (e.g. upweight curated
+    sources, downweight crawl). One CASE expression resolves the
+    threshold, one hash decides membership; filter evaluates at the scan,
+    so a 100 TB mix job is a single pass with no shuffle."""
+    th = F.lit(rate_to_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        th = F.when(F.col(stratum_col) == value,
+                    F.lit(rate_to_hex_threshold(rate))).otherwise(th)
+    return df.where(hash_bucket(F.col(key_col), salt) < th)
+
+
+def token_budget_head(
+    df: DataFrame, key_col: str, tokens_col: str, order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Highest-quality prefix under a token budget: order by `order_col`
+    descending (quality score), keep rows while the running token total
+    stays within `budget`. Adds `cum_tokens`.
+
+    The running sum is a single global window — at 100 TB you'd bound it
+    per-stratum first (partitionBy) or pre-aggregate per quality decile;
+    here it is the exact semantic the curation step needs, expressed as
+    one window so the oracle can replicate it verbatim."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc(order_col), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -1,0 +1,72 @@
+"""Deterministic sampling / data-mixing operators."""
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import sampling as SA
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def test_rate_to_hex_threshold_bounds():
+    assert SA.rate_to_hex_threshold(0.0) == "0000"
+    assert SA.rate_to_hex_threshold(0.10) == "1999"
+    assert SA.rate_to_hex_threshold(0.5) == "8000"
+    assert SA.rate_to_hex_threshold(1.0) == "g"  # above every hex prefix
+
+
+def test_hash_sample_rate_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = SA.hash_sample(docs, "doc_id", 0.2, salt="a")
+    k = s1.count()
+    assert abs(k / n - 0.2) < 0.1  # binomial tolerance at sf0.001
+    assert k == SA.hash_sample(docs, "doc_id", 0.2, salt="a").count()
+    # membership is key-determined: repartitioning must not change the set
+    ids = {r["doc_id"] for r in s1.collect()}
+    ids_rp = {
+        r["doc_id"]
+        for r in SA.hash_sample(docs.repartition(7), "doc_id", 0.2, salt="a").collect()
+    }
+    assert ids == ids_rp
+
+
+def test_hash_sample_nesting_and_salt_independence(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r["doc_id"] for r in SA.hash_sample(docs, "doc_id", 0.05, salt="a").collect()}
+    big = {r["doc_id"] for r in SA.hash_sample(docs, "doc_id", 0.20, salt="a").collect()}
+    assert small <= big  # same salt => nested samples
+    other = {r["doc_id"] for r in SA.hash_sample(docs, "doc_id", 0.20, salt="b").collect()}
+    assert other != big  # different salt => different membership
+
+
+def test_train_eval_split_partitions_everything(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.train_eval_split(docs, "doc_id", eval_rate=0.1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "eval"} and counts["eval"] > 0
+
+
+def test_weighted_mix_rates_apply_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = SA.weighted_mix(
+        docs, "doc_id", "source", rates={"src0": 1.0}, default_rate=0.0
+    )
+    # rate-1.0 stratum kept whole, rate-0 default drops the rest entirely
+    assert mixed.where(F.col("source") == "src0").count() == \
+        docs.where(F.col("source") == "src0").count()
+    assert mixed.where(F.col("source") != "src0").count() == 0
+
+
+def test_token_budget_head_respects_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", (F.col("lang") == "en").cast("int")
+    )
+    out = SA.token_budget_head(docs, "doc_id", "n_chars", "quality", budget=5000)
+    rows = out.orderBy("cum_tokens").collect()
+    assert rows and rows[-1]["cum_tokens"] <= 5000
+    # greedy-prefix property: adding the next doc would exceed the budget,
+    # and the prefix is quality-first
+    assert all(r["cum_tokens"] <= 5000 for r in rows)
+    langs = [r["lang"] for r in rows]
+    assert langs == sorted(langs, key=lambda v: v != "en")  # en block first
