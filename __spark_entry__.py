@@ -507,6 +507,39 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: length -> language -> exact dedup ->
+    decontamination, with per-stage survivor counts (the attrition report
+    every corpus build emits)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators import curation as C
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src19")
+    eval_set = docs.where(F.col("source") == "src19")
+    return C.quality_funnel(
+        corpus,
+        [
+            ("min_length", C.min_length_stage("n_chars", 150)),
+            ("lang", C.lang_allowlist_stage("lang", ["en", "es"])),
+            ("exact_dedup", C.exact_dedup_stage("text", "doc_id")),
+            ("decontaminated", C.decontamination_stage(eval_set, "text", "doc_id", 3)),
+        ],
+    )
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: corpus docs (source != src19) sharing any
+    3-gram with the stand-in benchmark set (source = src19); broadcast
+    gram join, no corpus shuffle. n=3 here so the synthetic corpus
+    actually overlaps (production uses 8-13)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src19")
+    eval_set = docs.where(F.col("source") == "src19")
+    return benchmark_contamination(corpus, eval_set, "text", "doc_id", n=3)
+
+
 def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash-sample of documents (md5-prefix membership:
     reproducible across runs/engines/partitionings, unlike df.sample)."""
@@ -632,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "quality_funnel": q_quality_funnel,
+        "benchmark_contamination": q_benchmark_contamination,
         "sampled_docs": q_sampled_docs,
         "train_eval_split_counts": q_train_eval_split_counts,
         "source_mix_sample": q_source_mix_sample,
@@ -845,6 +880,49 @@ def oracle_sql() -> dict[str, str]:
         # hashing)
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
+        "quality_funnel": """
+            WITH corpus AS (SELECT * FROM documents WHERE source != 'src19'),
+            s1 AS (SELECT * FROM corpus WHERE n_chars >= 150),
+            s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es')),
+            s3 AS (SELECT * FROM s2
+                   QUALIFY doc_id = min(doc_id) OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+            evg AS (
+              SELECT DISTINCT array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+              FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                        ' ') AS w
+                    FROM documents WHERE source = 'src19'),
+                   UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+            s3g AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+              FROM (SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                        ' ') AS w
+                    FROM s3),
+                   UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+            bad AS (SELECT DISTINCT doc_id FROM s3g JOIN evg USING (sh)),
+            s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM corpus
+            UNION ALL SELECT 1, 'min_length', count(*) FROM s1
+            UNION ALL SELECT 2, 'lang', count(*) FROM s2
+            UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+            UNION ALL SELECT 4, 'decontaminated', count(*) FROM s4
+        """,
+        "benchmark_contamination": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, source,
+                     array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+              FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i))
+            SELECT c.doc_id AS doc_id, count(DISTINCT c.sh) AS n_hits
+            FROM (SELECT doc_id, sh FROM g WHERE source != 'src19') c
+            JOIN (SELECT DISTINCT sh FROM g WHERE source = 'src19') e USING (sh)
+            GROUP BY c.doc_id
+        """,
         "sampled_docs": """
             SELECT doc_id, source, lang FROM documents
             WHERE substr(md5('s1' || cast(doc_id AS varchar)), 1, 4) < '1999'

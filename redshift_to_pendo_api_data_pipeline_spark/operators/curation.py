@@ -1,0 +1,94 @@
+"""Corpus-curation funnel: staged filters with per-stage survivor counts.
+
+The standard shape of a training-data pipeline is a funnel — length
+filter, language filter, dedup, decontamination — and the artifact every
+run must produce is the per-stage attrition report (how many documents
+each stage removed). This operator composes arbitrary stage functions and
+reports the funnel in one DataFrame.
+
+Scale note: each stage count is an independent aggregation over the
+progressively-filtered plan; Catalyst collapses the shared filter prefix
+into each branch's scan, so a funnel of S stages is S parallel scans with
+pushed-down predicate chains — embarrassingly parallel, no shuffle except
+what a stage itself needs (e.g. the dedup window). At 100 TB, cache the
+deepest stage if the survivors feed the next job.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def quality_funnel(
+    df: DataFrame,
+    stages: Sequence[tuple[str, Callable[[DataFrame], DataFrame]]],
+) -> DataFrame:
+    """Apply `stages` (name, transform) in order; return one row per
+    stage: (stage_idx, stage, n_docs) with n_docs = survivors AFTER that
+    stage. Stage 0 row reports the input size."""
+    rows = [
+        df.agg(
+            F.lit(0).alias("stage_idx"),
+            F.lit("input").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    ]
+    cur = df
+    for i, (name, fn) in enumerate(stages, start=1):
+        cur = fn(cur)
+        rows.append(
+            cur.agg(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def min_length_stage(n_chars_col: str, min_chars: int):
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(n_chars_col) >= min_chars)
+    return fn
+
+
+def lang_allowlist_stage(lang_col: str, langs: Sequence[str]):
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(lang_col).isin(list(langs)))
+    return fn
+
+
+def exact_dedup_stage(text_col: str, id_col: str):
+    """Keep the smallest id per normalized-content digest (window form, so
+    the stage passes full rows through instead of collapsing columns)."""
+    from pyspark.sql import Window
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+
+    def fn(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5(normalize_text(F.col(text_col))))
+        return (
+            df.withColumn("__keep", F.col(id_col) == F.min(id_col).over(w))
+            .where("__keep")
+            .drop("__keep")
+        )
+    return fn
+
+
+def decontamination_stage(eval_set: DataFrame, text_col: str, id_col: str, n: int):
+    """Anti-join against benchmark-overlapping ids."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    def fn(df: DataFrame) -> DataFrame:
+        hits = benchmark_contamination(df, eval_set, text_col, id_col, n=n)
+        return df.join(
+            F.broadcast(hits.select(id_col)), id_col, "left_anti"
+        )
+    return fn

@@ -338,6 +338,35 @@ def simhash_dedup_pairs(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+# -------------------------------------------------- decontamination
+
+def benchmark_contamination(
+    corpus: DataFrame, eval_set: DataFrame, text_col: str, id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set. Returns (id, n_hits) where
+    n_hits = number of DISTINCT eval n-grams the document contains.
+
+    Scale design: the eval side (benchmarks are thousands of docs, not
+    billions) collapses to a distinct-gram relation that Spark broadcasts,
+    so the corpus side is one scan + explode with a broadcast hash join —
+    no shuffle of corpus data. n=8 is the conventional contamination
+    n-gram size; callers drop or quarantine flagged ids (anti-join with
+    this result)."""
+    corpus_grams = exploded_shingles(corpus, text_col, id_col, n=n)
+    eval_grams = (
+        exploded_shingles(eval_set, text_col, id_col, n=n)
+        .select("sh").distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "sh")
+        .groupBy("doc")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+        .select(F.col("doc").alias(id_col), "n_hits")
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 def embedding_neardup_pairs(

@@ -88,6 +88,33 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
 
 
+# PII patterns: RE2-safe (no lookaround/backrefs) so the same literals run
+# in Spark (Java regex) and the DuckDB oracle, and vectorize JVM-side.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: replaces emails / IPv4s / phone
+    numbers with <TYPE> placeholders and reports per-doc match counts.
+    One codegen stage, zero shuffle — a 100 TB redaction pass is exactly
+    one scan + rewrite. Order matters: emails first (an address can
+    contain digit runs a phone pattern would mangle)."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, redacted.alias("text_redacted"))
+
+
 def tf_idf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
 ) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's incremental loop is batch-with-bookmarks; Structured
+Streaming owns that natively (streaming/incremental.py). This module is
+the genuinely-stateful surface Spark's built-ins can't express: per-key
+session tracking whose OPEN session must survive micro-batch boundaries
+and whose CLOSED sessions stream out incrementally.
+
+Why not ``session_window``: the built-in emits a session only as an
+aggregate row and (pre-watermark-close) re-emits updates; the custom
+operator emits each closed session exactly once, in append mode, with
+arbitrary per-session payload — and is the documented pattern for
+"custom stateful operator" the engine needs (SURVEY.md §2.8 widened
+surface; batch twin: operators/temporal.session_stats).
+
+State per key is three longs (session start, last event, event count) —
+at 100 TB the state store holds |active users| x 24 bytes, bounded by
+key cardinality, not event volume; events stream through without
+accumulating.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+
+
+def _micros(series: pd.Series) -> np.ndarray:
+    return series.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Incremental gap-sessionization over a streaming DataFrame.
+
+    Emits one row per CLOSED session (a gap > gap_seconds ended it);
+    the open tail session stays in the state store until a later batch
+    closes it. Within a batch the gap scan is vectorized (one numpy diff
+    + split per user-batch, no per-event Python). Events may arrive
+    unordered within a batch (sorted here); cross-batch late events are
+    the caller's watermark policy.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        closed: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        ts = (
+            np.sort(np.concatenate([_micros(c[ts_col]) for c in chunks]))
+            if chunks else np.empty(0, dtype="int64")
+        )
+        if len(ts):
+            # stitch the open session in front so the diff sees the
+            # cross-batch gap too
+            if last is not None:
+                gaps = np.diff(np.concatenate(([last], ts)))
+            else:
+                gaps = np.diff(ts)
+                start, last, n = int(ts[0]), int(ts[0]), 1
+                ts = ts[1:]
+            breaks = np.nonzero(gaps[: len(ts)] > gap_us)[0]  # index into ts
+            prev = 0
+            for b in breaks:
+                seg = ts[prev:b]
+                if len(seg):
+                    last, n = int(seg[-1]), n + len(seg)
+                closed.append((user, start, last, n))
+                start, last, n = int(ts[b]), int(ts[b]), 1
+                prev = b + 1
+            tail = ts[prev:]
+            if len(tail):
+                last, n = int(tail[-1]), n + len(tail)
+
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -138,6 +138,53 @@ def test_ivf_deterministic_and_recovers_query(spark, sf_dir):
     assert a[0]["vec_id"] == 7 and abs(a[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org for info"),
+            (2, "server at 192.168.1.100 responded"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and "@" not in out[1]["text_redacted"]
+    assert out[1]["text_redacted"].count("<EMAIL>") == 2
+    assert out[2]["n_ipv4"] == 1 and "192.168" not in out[2]["text_redacted"]
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["text_redacted"]
+    assert out[4]["text_redacted"] == "clean text with no identifiers at all"
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+    # one codegen stage: no shuffle, no Python in the plan
+    plan = TX.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_benchmark_contamination_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris and it is large"),
+            (2, "unrelated text about spark physical plans"),
+            (3, "what is the capital of france exactly"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "Q: the capital of france is what city?")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in
+           D.benchmark_contamination(corpus, eval_set, "text", "doc_id", n=4).collect()}
+    assert 1 in out          # shares "the capital of france" 4-gram
+    assert 3 in out
+    assert 2 not in out      # clean doc untouched
+    # broadcast side is the eval grams: plan must not shuffle the corpus
+    plan = D.benchmark_contamination(
+        corpus, eval_set, "text", "doc_id", n=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_text_analysis_features(spark):
     df = spark.createDataFrame(
         [

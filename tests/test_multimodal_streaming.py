@@ -129,6 +129,63 @@ def test_streaming_dedup_with_watermark(spark, sf_dir):
         assert len(seen) == 200 and len(set(seen)) == 200
 
 
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState sessionization: open sessions cross
+    micro-batch boundaries via the state store; each closed session is
+    emitted exactly once, in the batch whose events closed it."""
+    import os
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    def t(h, m):
+        return dt(2024, 1, 1, h, m)
+
+    batch1 = [(1, t(10, 0)), (1, t(10, 10)), (2, t(10, 0)),
+              (3, t(9, 0)), (3, t(9, 5)), (3, t(11, 0))]
+    batch2 = [(1, t(13, 0)), (1, t(13, 5)), (2, t(10, 20)), (2, t(14, 0))]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(batch1, "user_id long, ts timestamp") \
+            .coalesce(1).write.parquet(src)
+        # age batch-1 files so the file source orders them first
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(batch2, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+
+        per_batch = []
+
+        def writer(batch_df, batch_id):
+            per_batch.append(sorted(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in batch_df.collect()
+            ))
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        closed = [s for b in per_batch for s in b]
+        # user 3 closed within batch 1; users 1 and 2 closed by batch-2 gaps
+        assert (3, t(9, 0), t(9, 5), 2) in closed
+        assert (1, t(10, 0), t(10, 10), 2) in closed
+        assert (2, t(10, 0), t(10, 20), 2) in closed   # cross-batch stitch
+        assert len(closed) == 3                        # open tails not emitted
+        # exactly-once: user 3's session emitted in the first batch, not re-sent
+        assert any((3, t(9, 0), t(9, 5), 2) in b for b in per_batch[:1])
+
+
 def test_sql_api_parity(spark, sf_dir):
     """The spark.sql() surface: registered views answer the same query as
     the DataFrame plan (both run through one Catalyst)."""
