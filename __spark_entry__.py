@@ -459,7 +459,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.8)
+    # 0.45, not the usual 0.9+: the synthetic embeddings are near-orthogonal
+    # random vectors (max pair cosine ~0.51), so a production threshold
+    # would make the check vacuous (0 rows matches any oracle)
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
@@ -505,6 +508,13 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
         k=20, n_list=16, n_probe=4,
     )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals (dup-word fraction, top-bigram share) —
+    the boilerplate/spam detector of the curation funnel."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import repetition_stats
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "repetition_stats": q_repetition_stats,
         "quality_funnel": q_quality_funnel,
         "benchmark_contamination": q_benchmark_contamination,
         "sampled_docs": q_sampled_docs,
@@ -880,6 +891,26 @@ def oracle_sql() -> dict[str, str]:
         # hashing)
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+              FROM w, UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)),
+            c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g),
+            top AS (SELECT doc_id,
+                           round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_frac
+                    FROM c GROUP BY doc_id),
+            dup AS (SELECT doc_id,
+                           round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+                               AS dup_word_frac
+                    FROM w)
+            SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
+            FROM dup JOIN top USING (doc_id)
+        """,
         "quality_funnel": """
             WITH corpus AS (SELECT * FROM documents WHERE source != 'src19'),
             s1 AS (SELECT * FROM corpus WHERE n_chars >= 150),
@@ -976,7 +1007,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         """,
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)

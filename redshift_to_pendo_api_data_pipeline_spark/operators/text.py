@@ -88,6 +88,48 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - dup_word_frac: 1 - |distinct words| / |words| (pure array expr)
+    - top_bigram_frac: share of the document's bigrams taken by its most
+      frequent bigram (explode -> count -> max/sum; both aggregations
+      partial-combine and key on (doc, gram) / doc, so the shuffle rows
+      are counts, not text)
+
+    High values of either flag boilerplate/spam for the curation funnel.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        _grams_from_words,
+        normalize_text,
+    )
+
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    dup = words_df.select(
+        "doc",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 6
+        ).alias("dup_word_frac"),
+    )
+    bigrams = words_df.select(
+        "doc", F.explode(_grams_from_words(F.col("w"), 2)).alias("g")
+    )
+    top = (
+        bigrams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc")
+        .agg(F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"))
+    )
+    return (
+        dup.join(top, "doc")
+        .select(F.col("doc").alias(id_col), "dup_word_frac", "top_bigram_frac")
+    )
+
+
 # PII patterns: RE2-safe (no lookaround/backrefs) so the same literals run
 # in Spark (Java regex) and the DuckDB oracle, and vectorize JVM-side.
 PII_PATTERNS = {

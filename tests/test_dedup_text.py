@@ -138,6 +138,21 @@ def test_ivf_deterministic_and_recovers_query(spark, sf_dir):
     assert a[0]["vec_id"] == 7 and abs(a[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "every word here is completely unique today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75            # 2 distinct / 8 words
+    assert out[1]["top_bigram_frac"] > 0.5            # "buy now" dominates
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] <= 1.0 / 6 + 1e-6  # all bigrams unique
+
+
 def test_redact_pii_scrubs_and_counts(spark):
     df = spark.createDataFrame(
         [
