@@ -510,6 +510,20 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase
+    (chained conditional-min aggregations, one shuffle row per user per
+    step)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_funnel(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "view", "click", "purchase"],
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signals (dup-word fraction, top-bigram share) —
     the boilerplate/spam detector of the curation funnel."""
@@ -675,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "event_funnel": q_event_funnel,
         "repetition_stats": q_repetition_stats,
         "quality_funnel": q_quality_funnel,
         "benchmark_contamination": q_benchmark_contamination,
@@ -891,6 +906,23 @@ def oracle_sql() -> dict[str, str]:
         # hashing)
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
+        "event_funnel": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 0 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s0
+            UNION ALL SELECT 1, 'view', count(*) FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,

@@ -80,3 +80,41 @@ def approx_distinct_count(df: DataFrame, col: str, rsd: float = 0.02) -> DataFra
     partition, no exact-distinct shuffle explosion. Not oracle-comparable
     (engine-specific sketch), checked rows-only."""
     return df.agg(F.approx_count_distinct(F.col(col), rsd).alias("n_distinct_approx"))
+
+
+def sequential_funnel(
+    df: DataFrame, user_col: str, type_col: str, ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i when their first
+    qualifying step-i event occurs at-or-after their step-(i-1) reach
+    time. Returns (step_idx, step, n_users).
+
+    One conditional-min aggregation per step, chained by an equi-join on
+    the user key: each stage's relation shrinks (funnels only narrow), the
+    aggregations partial-combine map-side, and the shuffle key is the
+    user id — high-cardinality, skew-free. The single-pass alternative
+    (collect each user's full sorted event list) shuffles every event;
+    this chain shuffles one row per user per step."""
+    reached = None  # (user, t_reach)
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step)
+        if reached is not None:
+            ev = ev.join(reached, user_col).where(F.col(ts_col) >= F.col("t_reach"))
+        reached = (
+            ev.groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+            .select(user_col, F.col("t").alias("t_reach"))
+        )
+        counts.append(
+            reached.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

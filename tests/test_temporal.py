@@ -69,3 +69,28 @@ def test_session_stats_rollup(spark):
     assert stats[0]["n_events"] == 2 and float(stats[0]["sum_value"]) == 12.0
     assert stats[1]["n_events"] == 1
     assert stats[0]["end_us"] - stats[0]["start_us"] == 10 * 60 * 1_000_000
+
+
+def test_sequential_funnel_enforces_order(spark):
+    """A step only counts if it happens at-or-after the user reached the
+    previous step — out-of-order events must not convert."""
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+    )
+
+    rows = [
+        # user 1: full ordered journey
+        (1, dt(2024, 1, 1, 9), "signup"), (1, dt(2024, 1, 1, 10), "view"),
+        (1, dt(2024, 1, 1, 11), "purchase"),
+        # user 2: viewed BEFORE signing up -> stops at signup
+        (2, dt(2024, 1, 1, 8), "view"), (2, dt(2024, 1, 1, 9), "signup"),
+        # user 3: never signed up -> appears nowhere
+        (3, dt(2024, 1, 1, 9), "view"), (3, dt(2024, 1, 1, 10), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["n_users"] for r in sequential_funnel(
+        ev, "user_id", "event_type", "ts", ["signup", "view", "purchase"]
+    ).collect()}
+    assert out == {"signup": 2, "view": 1, "purchase": 1}
