@@ -510,6 +510,18 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, c) — posexplode+avg,
+    JVM-only."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        label_centroids,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return label_centroids(emb, "embedding", "label")
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> view -> click -> purchase
     (chained conditional-min aggregations, one shuffle row per user per
@@ -689,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "label_centroids": q_label_centroids,
         "event_funnel": q_event_funnel,
         "repetition_stats": q_repetition_stats,
         "quality_funnel": q_quality_funnel,
@@ -906,6 +919,12 @@ def oracle_sql() -> dict[str, str]:
         # hashing)
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
+        "label_centroids": """
+            SELECT label, i - 1 AS dim,
+                   round(avg((embedding::DOUBLE[])[i]), 6) AS c
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY label, i
+        """,
         "event_funnel": """
             WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
                         WHERE event_type = 'signup' GROUP BY user_id),

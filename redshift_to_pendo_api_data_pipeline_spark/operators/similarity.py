@@ -145,6 +145,34 @@ def lsh_topk(
     return brute_force_topk(cands, vec_col, id_col, query, k)
 
 
+def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label embedding centroid as (label, dim, c) rows — pure JVM:
+    posexplode + avg, two map-side-combined aggregations, no Python.
+    The row-per-dimension shape keeps the result oracle-comparable
+    (element-wise array equality across engines is repr-fragile)."""
+    return (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+
+def vector_mean_udaf():
+    """GROUPED_AGG pandas UDAF: element-wise mean of an array column per
+    group — the UDAF flavor of the UDF surface (SURVEY.md §2.10). One
+    numpy mean per group, Arrow-batched. Equivalent to label_centroids
+    (asserted in tests); use this form when the per-group reduction isn't
+    expressible as built-in aggregates."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def vec_mean(vecs: pd.Series) -> list:
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        return [float(x) for x in m.mean(axis=0)]
+
+    return vec_mean
+
+
 # ------------------------------------------------------------------- IVF
 
 def train_ivf_centroids(

@@ -102,6 +102,21 @@ def test_lsh_topk_query_recovery(spark, sf_dir):
     assert approx[0]["vec_id"] == 7 and abs(approx[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_vector_mean_udaf_matches_jvm_centroids(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF == posexplode+avg JVM path, per label."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jvm = {(r["label"], r["dim"]): r["c"]
+           for r in S.label_centroids(emb, "embedding", "label").collect()}
+    udaf_rows = emb.groupBy("label").agg(
+        S.vector_mean_udaf()(F.col("embedding")).alias("centroid")
+    ).collect()
+    for r in udaf_rows:
+        for d, x in enumerate(r["centroid"]):
+            assert abs(jvm[(r["label"], d)] - round(x, 6)) < 2e-6
+
+
 def test_ivf_topk_recall_on_clusters(spark):
     """Same planted-cluster corpus as the LSH test: IVF with n_list=20
     must put same-cluster members in the probed lists and recover the
