@@ -510,6 +510,50 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from near-dup PAIRS: connected components (min-
+    label propagation) over the deterministic word-Jaccard pair graph;
+    cluster_id = min doc_id in the component."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        normalize_text,
+    )
+    # same blocked-Jaccard pair graph as word_jaccard_pairs, restricted to
+    # four source blocks: the CC operator's behavior is identical, the
+    # bench query stays proportionate (full-corpus pairs are the dominant
+    # cost, already measured by word_jaccard_pairs itself)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select(
+            "doc_id", "source",
+            F.split(normalize_text(F.col("text")), " ").alias("ws"),
+        )
+        .select(
+            "doc_id", "source",
+            F.array_distinct(F.transform("ws", lambda x: F.xxhash64(x))).alias("w"),
+        )
+        .withColumn("n", F.size("w"))
+    )
+    a = docs.select("source", F.col("doc_id").alias("id_a"),
+                    F.col("w").alias("w_a"), F.col("n").alias("n_a"))
+    b = docs.select("source", F.col("doc_id").alias("id_b"),
+                    F.col("w").alias("w_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    pairs = (
+        a.join(
+            b,
+            (a["source"] == b["source"]) & (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")),
+        )
+        .select("id_a", "id_b")
+        .where(F.round(jac, 6) >= 0.5)
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids as (label, dim, c) — posexplode+avg,
     JVM-only."""
@@ -701,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_clusters": q_dedup_clusters,
         "label_centroids": q_label_centroids,
         "event_funnel": q_event_funnel,
         "repetition_stats": q_repetition_stats,
@@ -919,6 +964,31 @@ def oracle_sql() -> dict[str, str]:
         # hashing)
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
+        "dedup_clusters": """
+            WITH RECURSIVE
+            w AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> hash(x))) AS w
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+                   AND len(a.w) * 2 >= len(b.w) AND len(b.w) * 2 >= len(a.w)
+              WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
+                          / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
+                          6) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            walk AS (
+              SELECT src AS start, src AS reach FROM edges
+              UNION
+              SELECT wk.start, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src)
+            SELECT start AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY start
+        """,
         "label_centroids": """
             SELECT label, i - 1 AS dim,
                    round(avg((embedding::DOUBLE[])[i]), 6) AS c

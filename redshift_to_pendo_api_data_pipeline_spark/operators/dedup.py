@@ -338,6 +338,61 @@ def simhash_dedup_pairs(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+# ------------------------------------------------ dedup clustering
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) for every node in `pairs`, where cluster_id is
+    the minimum node id of its connected component — turns near-dup PAIRS
+    into dedup GROUPS (keep cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are dense, so typically
+    2-3). Each round is one self-join + groupBy keyed on node id —
+    hash-partitioned, map-side-combined min; `localCheckpoint` truncates
+    the lineage so round N's plan doesn't replay rounds 1..N-1 (the
+    classic iterative-algorithm trap). Terminates early when a round
+    changes nothing."""
+    # materialize the directed pairs BEFORE mirroring: union(e, reverse(e))
+    # evaluates both branches, which would run the (expensive) upstream
+    # pair-generation twice
+    directed = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 # -------------------------------------------------- decontamination
 
 def benchmark_contamination(

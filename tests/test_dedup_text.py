@@ -190,6 +190,17 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_connected_components_clusters_pairs(spark):
+    """Chain 1-2-3 merges into one cluster (transitivity, needs >1
+    propagation round); 10-11 stays separate; cluster id = min member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["cluster_id"]
+           for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_benchmark_contamination_flags_overlap(spark):
     corpus = spark.createDataFrame(
         [
