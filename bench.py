@@ -113,8 +113,17 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # one warm-up pass on the flagship to absorb JVM/codegen warmup
+    # warm-up: absorb one-time JVM/codegen startup and the Python-worker
+    # fork for Arrow UDF paths, so timings measure steady-state operator
+    # cost, not process spin-up
     entrymod.queries()["volume_count"](spark, data_dir).collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(F.sum(_warm("id"))).collect()
 
     t_total0 = time.perf_counter()
     for name, fn in qs.items():
