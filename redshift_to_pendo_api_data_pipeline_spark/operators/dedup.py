@@ -182,7 +182,12 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
         .union(df_pairs.select(F.col("id_b").alias("doc")))
         .distinct()
     )
-    pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc"], "left_semi")
+    # broadcast the candidate-id prune: LSH keeps candidates a small
+    # fraction of the corpus, and the static planner can't know that
+    # (it would sort-merge both sides)
+    pruned = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == cand_ids["doc"], "left_semi"
+    )
     sh = shingle_sets(pruned, text_col, id_col, n=n, distinct=True)
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"),
                   F.size("sh").alias("n_a"))
