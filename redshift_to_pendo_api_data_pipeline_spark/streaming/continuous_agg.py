@@ -1,0 +1,94 @@
+"""Continuous aggregate (incremental aggregation maintenance).
+
+The 'hypertable rollup' pattern: a per-key aggregate table that each
+micro-batch UPDATES instead of recomputing — maintained with partial
+aggregates, published atomically through the versioned parquet sink's
+ACTIVATE_VERSION swap (sink/parquet_sink.py), so readers always see a
+complete consistent rollup and never a half-merged one.
+
+Maintainable aggregates are the decomposable ones (count, sum, min, max —
+and avg as sum/count at read time). Per micro-batch:
+
+    new_version = re-aggregate( current_rollup  UNION  partial(batch) )
+
+The shuffle is keyed on the rollup key and carries one row per key per
+side — batch volume never accumulates (state lives in the table, the
+stream just flows through). At 100 TB the union re-agg touches only
+|keys| + |batch keys| rows; with a partitioned/bucketed rollup table the
+merge co-locates without a full shuffle. Exactly-once comes from the
+streaming checkpoint (a replayed batch overwrites the same version id,
+and activation is atomic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+
+ROLLUP_COLS = ("n", "sum_value", "min_value", "max_value")
+
+
+def _partial(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value).alias("sum_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    )
+
+
+def _merge(cur: DataFrame, part: DataFrame, keys: list[str]) -> DataFrame:
+    return cur.unionByName(part).groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def run_continuous_agg(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value: str,
+    available_now: bool = True,
+):
+    """Start (and for availableNow: drain) the maintenance stream.
+    Returns the StreamingQuery. Read the rollup with
+    `parquet_sink.read_active(spark, rollup_path)`."""
+    spark = events.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+        from pathlib import Path
+
+        # version id == batch id, activation is the commit point: a
+        # checkpoint-replayed batch either finds its version already
+        # active (fully applied -> no-op) or rebuilds that version from
+        # the previous active one (partial writes clobbered below). The
+        # rollup table and the checkpoint share a lifecycle — start a new
+        # checkpoint, start a new rollup path.
+        v = int(batch_id)
+        active = PS.active_version(rollup_path)
+        if active is not None and active >= v:
+            return
+        part = _partial(batch_df, keys, value)
+        if active is None:
+            merged = part
+        else:
+            cur = PS.read_active(spark, rollup_path).select(*keys, *ROLLUP_COLS)
+            merged = _merge(cur, part, keys)
+        shutil.rmtree(Path(rollup_path) / f"version={v}", ignore_errors=True)
+        PS.write_versioned(merged, rollup_path, v, mode="append")
+        PS.activate(rollup_path, v)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
