@@ -254,6 +254,46 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join where customer and supplier must share
+    a nation inside one region, revenue per nation for one order year.
+    Region→nation and supplier are broadcast (small dims); the
+    customer⋈orders⋈lineitem spine shuffles on its join keys and AQE
+    picks the physical strategy at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1997-01-01 00:00:00"))
+    asia_nations = F.broadcast(
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        cust.join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_failed_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: join error ids back to their records (inner), the relational
     form of target-pendo __init__.py:272-281's nested-loop lookup."""
@@ -728,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "setops_user_segments": q_setops_user_segments,
         "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "failed_record_routing": q_failed_record_routing,
         "salted_grouped_stats": q_salted_grouped_stats,
         "percentile_order_value": q_percentile_order_value,
@@ -875,6 +916,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4))) AS revenue
+            FROM customer
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "failed_record_routing": """
             SELECT event_id, user_id, event_type
