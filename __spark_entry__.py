@@ -141,19 +141,24 @@ def q_payload_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline aggregation (TPC-H Q1 shape): grouped partial-aggregated
     sums over the fact table. DECIMAL sums keep the result exact and
-    order-independent across engines."""
+    order-independent across engines; surfaced as fixed-point BIGINT
+    (``_fp2`` = value*100, ``_fp4`` = value*10000) so the values serialize
+    identically on every fetch path (transforms.fixed_point)."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                .cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            TR.fixed_point(F.sum(dec("l_quantity")), 2).alias("sum_qty_fp2"),
+            TR.fixed_point(F.sum(dec("l_extendedprice")), 2).alias("sum_base_price_fp2"),
+            TR.fixed_point(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                4,
+            ).alias("sum_disc_price_fp4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -242,14 +247,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate") > cutoff)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(TR.fixed_point(F.sum(revenue), 4).alias("revenue_fp4"))
         .select(
             "o_orderkey",
             F.unix_micros("o_orderdate").alias("odate_us"),
             "o_orderpriority",
-            "revenue",
+            "revenue_fp4",
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .orderBy(F.desc("revenue_fp4"), F.asc("o_orderkey"))
         .limit(10)
     )
 
@@ -289,8 +294,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .agg(TR.fixed_point(F.sum(revenue), 4).alias("revenue_fp4"))
+        .orderBy(F.desc("revenue_fp4"), F.asc("n_name"))
     )
 
 
@@ -313,7 +318,7 @@ def q_salted_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting must be invisible in the result."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.skew import salted_aggregate
     ev = load_table(spark, sf_dir, "events")
-    return salted_aggregate(
+    merged = salted_aggregate(
         ev,
         ["event_type"],
         {
@@ -322,6 +327,11 @@ def q_salted_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen_us": ("max", F.max(F.unix_micros("ts"))),
         },
         salt_buckets=16,
+    )
+    return merged.select(
+        "event_type", "n",
+        TR.fixed_point(F.col("sum_value"), 2).alias("sum_value_fp2"),
+        "last_seen_us",
     )
 
 
@@ -347,7 +357,9 @@ def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            TR.fixed_point(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias(
+                "sum_value_fp2"
+            ),
         )
     )
 
@@ -377,7 +389,9 @@ def q_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+        TR.fixed_point(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2
+        ).alias("running_value_fp2"),
     )
 
 
@@ -700,16 +714,18 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-ordered selection under a character budget: English first,
-    then Spanish, then the rest; running total capped at 100k chars."""
+    """Quality-ordered selection under a PER-LANGUAGE character budget:
+    within each lang, longest documents first until 100k chars. The window
+    is partitioned by the stratum, so the running sum parallelizes across
+    languages instead of funnelling the corpus through one reducer (the
+    global-window variant exists for pre-shrunk candidate sets only)."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
-        token_budget_head,
+        token_budget_head_stratified,
     )
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "quality",
-        F.when(F.col("lang") == "en", 2).when(F.col("lang") == "es", 1).otherwise(0),
+    docs = load_table(spark, sf_dir, "documents")
+    picked = token_budget_head_stratified(
+        docs, "doc_id", "n_chars", "n_chars", "lang", budget_per_stratum=10_000
     )
-    picked = token_budget_head(docs, "doc_id", "n_chars", "quality", budget=100_000)
     return picked.select("doc_id", "lang", "n_chars", "cum_tokens")
 
 
@@ -844,13 +860,22 @@ def oracle_sql() -> dict[str, str]:
                        AS values_json
             FROM customer
         """,
+        # Money columns surface as fixed-point BIGINT (_fp2 = value*100,
+        # _fp4 = value*10000): a DECIMAL/HUGEINT aggregate turns into
+        # float64 on a pandas fetch from DuckDB but stays Decimal/int from
+        # Spark, so only integer-typed outputs hash identically on every
+        # fetch path. Scaling happens per row BEFORE the sum (stays inside
+        # DECIMAL range), and integer sums get an explicit BIGINT cast
+        # (DuckDB SUM(BIGINT) is HUGEINT).
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   CAST(sum(CAST(cast(l_quantity as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_qty_fp2,
+                   CAST(sum(CAST(cast(l_extendedprice as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_base_price_fp2,
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
                         * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                        as decimal(18,4))) AS sum_disc_price,
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_fp4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -859,7 +884,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_stream_stats": """
             SELECT event_type,
                    count(*) AS n,
-                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2,
                    max(epoch_us(ts)) AS last_seen_us,
                    min(epoch_us(ts)) AS first_seen_us
             FROM events GROUP BY event_type
@@ -880,12 +906,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_value
+                   CAST(sum(CAST(cast(l_extendedprice as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   sum(cast(o_totalprice as decimal(18,2))) AS sum_value
+                   CAST(sum(CAST(cast(o_totalprice as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "distinct_users": "SELECT count(DISTINCT user_id) AS n_distinct FROM events",
@@ -904,9 +932,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
                         * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                        as decimal(18,4))) AS revenue
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4
             FROM customer
             JOIN orders   ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -914,14 +942,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderkey ASC
+            ORDER BY revenue_fp4 DESC, o_orderkey ASC
             LIMIT 10
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
                         * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                        as decimal(18,4))) AS revenue
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4
             FROM customer
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
@@ -932,7 +960,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
-            ORDER BY revenue DESC, n_name ASC
+            ORDER BY revenue_fp4 DESC, n_name ASC
         """,
         "failed_record_routing": """
             SELECT event_id, user_id, event_type
@@ -971,14 +999,17 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          AS session_id
               FROM flagged)
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
                    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-                   sum(cast(value as decimal(18,2))) AS sum_value
+                   CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2
             FROM sessions GROUP BY user_id, session_id
         """,
         "salted_grouped_stats": """
             SELECT event_type, count(*) AS n,
-                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2,
                    max(epoch_us(ts)) AS last_seen_us
             FROM events GROUP BY event_type
         """,
@@ -992,7 +1023,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_buckets": """
             SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
                    count(*) AS n,
-                   sum(cast(value as decimal(18,2))) AS sum_value
+                   CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_value_fp2
             FROM events GROUP BY 1, 2
         """,
         "rank_orders": """
@@ -1004,10 +1036,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_user_spend": """
             SELECT user_id, event_id,
-                   sum(cast(value as decimal(18,2))) OVER (
+                   CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS running_value
+                   ) AS BIGINT) AS running_value_fp2
             FROM events
         """,
         "exact_dedup_docs": """
@@ -1141,11 +1173,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN substr(md5('split' || cast(doc_id AS varchar)), 1, 4)
                              < '0ccc'
                         THEN 'eval' ELSE 'train' END AS split,
-                   count(*) AS n_docs, sum(n_chars) AS n_chars
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY 1
         """,
         "source_mix_sample": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+            SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents
             WHERE substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) <
                   CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
@@ -1155,14 +1187,13 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_head": """
             SELECT doc_id, lang, n_chars, cum_tokens FROM (
               SELECT doc_id, lang, n_chars,
-                     sum(n_chars) OVER (
-                         ORDER BY (CASE WHEN lang = 'en' THEN 2
-                                        WHEN lang = 'es' THEN 1 ELSE 0 END) DESC,
-                                  doc_id ASC
+                     CAST(sum(n_chars) OVER (
+                         PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS cum_tokens
+                     ) AS BIGINT) AS cum_tokens
               FROM documents)
-            WHERE cum_tokens <= 100000
+            WHERE cum_tokens <= 10000
         """,
         "word_jaccard_pairs": """
             WITH w AS (

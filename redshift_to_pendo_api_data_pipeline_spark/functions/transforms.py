@@ -21,6 +21,18 @@ from pyspark.sql import types as T
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
+def fixed_point(col: Column, scale: int = 2) -> Column:
+    """Exact DECIMAL aggregate -> fixed-point BIGINT (value * 10^scale).
+
+    The engine sums money as DECIMAL (order-independent, exact); the
+    *surfaced* column is an integer so the value serializes identically
+    across engines and fetch paths (a DECIMAL becomes float64 in a pandas
+    fetch from DuckDB but stays ``Decimal`` from Spark, so '25.50' vs
+    '25.5' breaks value-hash comparison; integers never do). The multiply
+    happens in decimal arithmetic, so the cast is exact."""
+    return (col * F.lit(10**scale)).cast("long")
+
+
 def iso8601(col: Column) -> Column:
     """F1: timestamp/date -> ``...T...Z`` string, matching the reference's
     ``isoformat() + 'Z'`` (messages.py:349-352)."""

@@ -13,13 +13,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import fixed_point
+
 
 def grouped_stats(df: DataFrame, key: str, value: str, ts: str) -> DataFrame:
     """A5: per-stream progress stats (count / sum / min / max), one shuffle,
-    map-side combined. Value summed as DECIMAL for exactness."""
+    map-side combined. Value summed as DECIMAL for exactness, surfaced as
+    fixed-point cents (see transforms.fixed_point)."""
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+        fixed_point(F.sum(F.col(value).cast("decimal(18,2)"))).alias("sum_value_fp2"),
         F.max(F.unix_micros(ts)).alias("last_seen_us"),
         F.min(F.unix_micros(ts)).alias("first_seen_us"),
     )
@@ -57,7 +60,7 @@ def rollup_counts(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     grand total — one pass, no self-union."""
     return df.rollup(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+        fixed_point(F.sum(F.col(value).cast("decimal(18,2)"))).alias("sum_value_fp2"),
     )
 
 
@@ -65,7 +68,7 @@ def cube_counts(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """All grouping-set combinations of `keys`."""
     return df.cube(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+        fixed_point(F.sum(F.col(value).cast("decimal(18,2)"))).alias("sum_value_fp2"),
     )
 
 

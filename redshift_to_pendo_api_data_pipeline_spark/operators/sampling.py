@@ -94,10 +94,11 @@ def token_budget_head(
     descending (quality score), keep rows while the running token total
     stays within `budget`. Adds `cum_tokens`.
 
-    The running sum is a single global window — at 100 TB you'd bound it
-    per-stratum first (partitionBy) or pre-aggregate per quality decile;
-    here it is the exact semantic the curation step needs, expressed as
-    one window so the oracle can replicate it verbatim."""
+    A single GLOBAL window (no partitionBy) serializes the corpus through
+    one reducer — fine for a bounded candidate set, a scale-killer on the
+    full corpus. The production form is ``token_budget_head_stratified``
+    below; this global variant is kept for the exact single-budget
+    semantic on pre-shrunk inputs."""
     from pyspark.sql import Window
 
     w = (
@@ -107,4 +108,29 @@ def token_budget_head(
     return (
         df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .where(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_head_stratified(
+    df: DataFrame, key_col: str, tokens_col: str, order_col: str,
+    stratum_col: str, budget_per_stratum: int,
+) -> DataFrame:
+    """Per-stratum token-budget head — the 100 TB form of the curation
+    step: each stratum (language, source, ...) gets its own budget and its
+    own running-sum window, so the cumulative sum parallelizes across
+    strata instead of funnelling the corpus through one reducer.
+
+    Order within a stratum is (order_col DESC, key_col ASC) — the key
+    tiebreak makes the prefix deterministic, so the result is
+    value-hash-comparable cross-engine. Adds ``cum_tokens``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.desc(order_col), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .where(F.col("cum_tokens") <= budget_per_stratum)
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import fixed_point
+
 
 def asof_join(
     left: DataFrame,
@@ -119,5 +121,5 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.unix_micros(F.min(ts)).alias("start_us"),
         F.unix_micros(F.max(ts)).alias("end_us"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        fixed_point(F.sum(F.col("value").cast("decimal(18,2)"))).alias("sum_value_fp2"),
     )

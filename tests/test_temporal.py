@@ -66,7 +66,7 @@ def test_session_stats_rollup(spark):
     df = spark.createDataFrame(rows, "user long, ts timestamp, event_id long, value double")
     stats = {r["session_id"]: r for r in
              session_stats(df, "user", "ts", "event_id", gap="30 minutes").collect()}
-    assert stats[0]["n_events"] == 2 and float(stats[0]["sum_value"]) == 12.0
+    assert stats[0]["n_events"] == 2 and stats[0]["sum_value_fp2"] == 1200
     assert stats[1]["n_events"] == 1
     assert stats[0]["end_us"] - stats[0]["start_us"] == 10 * 60 * 1_000_000
 
