@@ -26,6 +26,7 @@ from redshift_to_pendo_api_data_pipeline_spark.operators.extract import (
     DEFAULT_QUERY_LIMIT,
     incremental_filter,
     max_bookmark,
+    ordered_limit,
     semi_join_allowlist,
 )
 from redshift_to_pendo_api_data_pipeline_spark.plans.state import State, now_version
@@ -52,18 +53,26 @@ def sync_plan(
     """Build the extract+shape plan for one stream (no execution).
 
     Mirrors the reference's query builder (sync.py:143-155) + the target's
-    record shaping (__init__.py:530-557), as one plan. ORDER BY is dropped:
-    it existed only so the bookmark could be 'last row wins'
-    (sync.py:145,188-194); we compute the bookmark as max() instead, so no
-    global sort is paid.
+    record shaping (__init__.py:530-557), as one plan.
+
+    The limit semantics follow the reference's ``ORDER BY rk ASC LIMIT n``
+    (sync.py:145-146), and for the same reason: the limited set must be an
+    rk-PREFIX so that advancing the bookmark to max(rk) over the sunk rows
+    never skips a pending row. A bare ``LIMIT n`` picks an arbitrary
+    subset — any unsunk row with rk below the new bookmark would be lost
+    forever on the next incremental run. Spark executes the ordered limit
+    as TakeOrderedAndProject (per-partition top-k + single merge), so no
+    global sort is paid. FULL_TABLE ignores the limit entirely: a
+    versioned full refresh truncated to n arbitrary rows would drop the
+    rest at ACTIVATE_VERSION time.
     """
     out = resolve_projection(df, stream)
     if stream.replication_method == "INCREMENTAL":
         out = incremental_filter(out, stream.replication_key, bookmark)
     if allowlist is not None:
         out = semi_join_allowlist(out, stream.primary_key, allowlist)
-    if limit is not None:
-        out = out.limit(limit)
+    if limit is not None and stream.replication_method == "INCREMENTAL":
+        out = ordered_limit(out, stream.replication_key, limit)
     out = remap_fields(out, stream.field_mappings)
     pk_out = stream.field_mappings.get(stream.primary_key, stream.primary_key)
     return reshape_payload(out, pk_out, pk_alias)
@@ -115,6 +124,21 @@ def run_sync(
             assert stream.replication_key is not None
             rk_out = stream.field_mappings.get(stream.replication_key, stream.replication_key)
             new_bm = max_bookmark(shaped.select(f"values.{rk_out}"), rk_out)
+            if new_bm is not None and limit is not None and n >= limit:
+                # The rk-ordered prefix was truncated at the limit, so rows
+                # TIED with the boundary rk value may have been cut off.
+                # Advancing to max(rk) would skip them forever (the next
+                # run filters strictly-greater). Only advance to the
+                # largest rk strictly below the boundary — every row at or
+                # below it is provably sunk. If the whole batch shares one
+                # rk value the bookmark cannot safely move at all (raise
+                # the limit above the largest tie group).
+                new_bm = max_bookmark(
+                    shaped.select(f"values.{rk_out}").where(
+                        F.col(rk_out) < F.lit(new_bm)
+                    ),
+                    rk_out,
+                )
             if new_bm is not None:
                 state.write_bookmark(stream.name, "replication_key_value", new_bm)
             state.write_bookmark(stream.name, "replication_key", stream.replication_key)

@@ -142,3 +142,79 @@ def test_build_state_merge():
     assert "replication_key_value" not in st.bookmarks["b"]  # rk changed -> dropped
     assert st.bookmarks["c"] == {"version": 9}
     assert "d" not in st.bookmarks
+
+
+def _mk_stream(**kw):
+    base = dict(
+        name="s", primary_key="id", replication_method="INCREMENTAL",
+        replication_key="rk",
+    )
+    base.update(kw)
+    return StreamSpec(**base)
+
+
+def test_incremental_limit_is_rk_prefix_no_data_loss(spark):
+    """A limited incremental sync must take an rk-PREFIX (ORDER BY rk
+    LIMIT n, tap-redshift/src/sync.py:145-146): with an arbitrary LIMIT
+    subset, advancing the bookmark to max(rk) silently skips pending rows
+    forever. Two limited runs must sink every row exactly once."""
+    rows = [(i, i * 10) for i in range(1, 11)]  # rk 10..100, all distinct
+    df = spark.createDataFrame(rows, "id long, rk long")
+    stream = _mk_stream()
+    state = State()
+    seen = []
+
+    def sink(shaped):
+        seen.extend(r["id"] for r in shaped.collect())
+        return shaped.count()
+
+    r1 = run_sync(spark, df, stream, state, sink, limit=6)
+    assert r1.record_count == 6
+    # prefix by rk, so ids 1..6; bookmark only advances to the largest rk
+    # strictly below the truncation boundary (boundary ties unprovable)
+    assert sorted(seen) == [1, 2, 3, 4, 5, 6]
+    assert state.get_bookmark("s", "replication_key_value") == 50
+
+    r2 = run_sync(spark, df, stream, state, sink, limit=6)
+    assert sorted(seen) == [1, 2, 3, 4, 5, 6, 6, 7, 8, 9, 10]
+    assert r2.record_count == 5  # rk > 50: ids 6..10 (6 re-sent, idempotent sink)
+    assert state.get_bookmark("s", "replication_key_value") == 100
+
+
+def test_incremental_limit_boundary_ties_not_skipped(spark):
+    """Rows TIED on rk at the truncation boundary may be cut mid-group;
+    the bookmark must not advance past them."""
+    rows = [(1, 10), (2, 20), (3, 20), (4, 20), (5, 30)]
+    df = spark.createDataFrame(rows, "id long, rk long")
+    stream = _mk_stream()
+    state = State()
+    seen = []
+
+    def sink(shaped):
+        seen.extend(r["id"] for r in shaped.collect())
+        return shaped.count()
+
+    run_sync(spark, df, stream, state, sink, limit=3)
+    # prefix of 3 rows cut inside the rk=20 tie group: bookmark stays at 10
+    assert state.get_bookmark("s", "replication_key_value") == 10
+    run_sync(spark, df, stream, state, sink, limit=10)
+    # second run picks up everything above 10 — nothing lost
+    assert sorted(set(seen)) == [1, 2, 3, 4, 5]
+    assert state.get_bookmark("s", "replication_key_value") == 30
+
+
+def test_full_table_sync_ignores_limit(spark):
+    """FULL_TABLE + ACTIVATE_VERSION replaces the whole table; truncating
+    it to an arbitrary LIMIT subset would drop the remainder at swap."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    stream = StreamSpec(name="t", primary_key="id", replication_method="FULL_TABLE")
+    state = State()
+    counts = []
+
+    def sink(shaped):
+        n = shaped.count()
+        counts.append(n)
+        return n
+
+    res = run_sync(spark, df, stream, state, sink, limit=10)
+    assert res.record_count == 50 and counts == [50]
