@@ -44,11 +44,15 @@ def semi_join_allowlist(
     """J3: restrict the scan to keys present in a remote-fetched allowlist
     (sync.py:144,150 pushed ``= ANY``). Broadcast left-semi join — the
     allowlist is small relative to the fact table; if it grows past the
-    broadcast threshold AQE/planner falls back to shuffle semi-join."""
+    broadcast threshold AQE/planner falls back to shuffle semi-join.
+
+    The allowlist key is renamed to a reserved name so both sides of the
+    join condition are bound DataFrame references: an unbound
+    F.col(allowlist_key) is ambiguous (AnalysisException) whenever df also
+    has a column of that name — and 'id' is a common one."""
+    allow = allowlist.select(F.col(allowlist_key).alias("__allow_key"))
     return df.join(
-        F.broadcast(allowlist.select(F.col(allowlist_key).alias(allowlist_key))),
-        on=df[key] == F.col(allowlist_key),
-        how="left_semi",
+        F.broadcast(allow), on=df[key] == allow["__allow_key"], how="left_semi"
     )
 
 
@@ -57,11 +61,11 @@ def anti_join_allowlist(
 ) -> DataFrame:
     """Complement of J3 — rows NOT matched remotely (the reference's
     'dropped, never inserted' sink contract, README.md:121-122, and the
-    failed-record complement of J4)."""
+    failed-record complement of J4). Binding rationale as in
+    semi_join_allowlist."""
+    allow = allowlist.select(F.col(allowlist_key).alias("__allow_key"))
     return df.join(
-        F.broadcast(allowlist.select(F.col(allowlist_key).alias(allowlist_key))),
-        on=df[key] == F.col(allowlist_key),
-        how="left_anti",
+        F.broadcast(allow), on=df[key] == allow["__allow_key"], how="left_anti"
     )
 
 

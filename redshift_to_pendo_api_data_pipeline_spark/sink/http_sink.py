@@ -54,7 +54,13 @@ class SinkConfig:
     api_key: str = ""
     max_records: int = DEFAULT_MAX_RECORDS
     max_bytes: int = DEFAULT_MAX_BYTES
-    rate_calls: int = 1800          # __init__.py:308-311
+    # rate_calls/rate_period is the GLOBAL API budget (Pendo: 1800 calls
+    # per 300 s, __init__.py:308-311). TokenBuckets are per executor
+    # process, so sink_dataframe divides this budget by the live executor
+    # count before shipping the config to tasks — N executors each get
+    # rate_calls/N. Configs used directly in post_batch/write_partition
+    # (single-process paths) spend the whole budget.
+    rate_calls: int = 1800
     rate_period: float = 300.0
     max_tries: int = 5
     request_delay: float = 0.0      # B10, default 0 (__init__.py:106)
@@ -86,6 +92,29 @@ def _bucket(calls: int, period: float) -> TokenBucket:
     if key not in _BUCKETS:
         _BUCKETS[key] = TokenBucket(calls, period)
     return _BUCKETS[key]
+
+
+def _executor_count(spark) -> int:
+    """Live executor count (excluding the driver entry when executors
+    exist). In local mode there is exactly one executor process, so the
+    full rate budget applies. spark.executor.instances wins when set — a
+    static pin is the reliable number under dynamic allocation."""
+    pinned = spark.conf.get("spark.executor.instances", None)
+    if pinned:
+        return max(int(pinned), 1)
+    status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+    # local mode: one entry (the driver IS the executor); cluster: driver
+    # + N executors
+    return max(status.size() - 1, 1)
+
+
+def per_executor_config(cfg: SinkConfig, n_exec: int) -> SinkConfig:
+    """Split the global rate budget: each of n_exec executors gets
+    rate_calls // n_exec (min 1). Every other field passes through; the
+    caller's config is never mutated."""
+    from dataclasses import replace
+
+    return replace(cfg, rate_calls=max(1, cfg.rate_calls // max(n_exec, 1)))
 
 
 def post_batch(cfg: SinkConfig, batch: list[bytes]) -> BatchResult:
@@ -156,11 +185,21 @@ def sink_dataframe(df: DataFrame, cfg: SinkConfig) -> DataFrame:
     Distribution: each partition runs an independent writer with its own
     HTTP connection; concurrency = numPartitions, the Spark-native
     replacement for asyncio.gather+Semaphore(10) (__init__.py:351-368).
+
+    The global rate budget is split across executors here (the TokenBucket
+    is per executor process — N executors each honoring the full 1800/300s
+    would hit the API at N x the limit). The executor count is sampled at
+    plan-build time; with dynamic allocation scaling OUT afterwards the
+    aggregate can exceed the budget — pin spark.executor.instances (or
+    spark.dynamicAllocation.maxExecutors) for a hard guarantee.
     """
+    per_exec_cfg = per_executor_config(cfg, _executor_count(df.sparkSession))
     json_df = df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
 
     def _run(it: Iterator) -> Iterator[tuple]:
-        yield from write_partition(cfg, (row["payload"].encode() for row in it))
+        yield from write_partition(
+            per_exec_cfg, (row["payload"].encode() for row in it)
+        )
 
     return json_df.rdd.mapPartitions(_run).toDF(
         "total long, updated long, failed long, failed_payloads array<string>"

@@ -28,6 +28,30 @@ from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
 
 ROLLUP_COLS = ("n", "sum_value", "min_value", "max_value")
 
+# Marker persisted next to _ACTIVE_VERSION: the identity (query id) of the
+# checkpoint that owns this rollup. Exactly-once replay relies on version
+# id == micro-batch id, and batch ids only mean anything within ONE
+# checkpoint lineage — a fresh checkpoint restarts at 0, so every batch
+# would satisfy 'active >= v' and be silently discarded. The marker turns
+# that silent data loss into a fail-fast error.
+_CHECKPOINT_MARKER = "_CHECKPOINT_ID"
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The uuid Structured Streaming writes to <checkpoint>/metadata on
+    first start — stable across restarts of the same checkpoint, fresh
+    when the checkpoint is recreated."""
+    import json
+    from pathlib import Path
+
+    p = Path(checkpoint_dir) / "metadata"
+    if p.exists():
+        try:
+            return json.loads(p.read_text()).get("id")
+        except (ValueError, OSError):
+            return None
+    return None
+
 
 def _partial(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     return df.groupBy(*keys).agg(
@@ -68,11 +92,44 @@ def run_continuous_agg(
         # checkpoint-replayed batch either finds its version already
         # active (fully applied -> no-op) or rebuilds that version from
         # the previous active one (partial writes clobbered below). The
-        # rollup table and the checkpoint share a lifecycle — start a new
-        # checkpoint, start a new rollup path.
+        # rollup table and the checkpoint share a lifecycle — enforced by
+        # the _CHECKPOINT_ID marker below, since a fresh checkpoint
+        # restarting batch ids at 0 against an existing rollup would make
+        # 'active >= v' swallow every new batch.
         v = int(batch_id)
         active = PS.active_version(rollup_path)
+
+        marker = Path(rollup_path) / _CHECKPOINT_MARKER
+        cid = _checkpoint_query_id(checkpoint_dir)
+        if marker.exists():
+            owner = marker.read_text().strip()
+            if cid is not None and owner != cid:
+                raise RuntimeError(
+                    f"rollup at {rollup_path} is owned by checkpoint query "
+                    f"{owner}; refusing batches from query {cid} — a fresh "
+                    "or different checkpoint restarts batch ids at 0 and "
+                    "its data would be silently discarded. Use the "
+                    "original checkpoint, or start a new rollup path."
+                )
+        elif cid is not None:
+            if active is not None:
+                raise RuntimeError(
+                    f"rollup at {rollup_path} has active version {active} "
+                    "but no checkpoint-owner marker; refusing to adopt it "
+                    "— batch ids from this checkpoint cannot be compared "
+                    "to its versions. Start a new rollup path."
+                )
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(cid)
+
         if active is not None and active >= v:
+            if active > v:
+                # same checkpoint lineage never regresses by more than the
+                # one uncommitted batch a restart replays
+                raise RuntimeError(
+                    f"batch id {v} behind active version {active} at "
+                    f"{rollup_path} — checkpoint/rollup lifecycle mismatch"
+                )
             return
         part = _partial(batch_df, keys, value)
         if active is None:

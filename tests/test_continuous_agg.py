@@ -51,3 +51,28 @@ def test_continuous_agg_matches_batch_recompute(spark, sf_dir):
         # version, regardless of how many events streamed through
         n_users = ev.limit(450).select("user_id").distinct().count()
         assert PS.read_active(spark, rollup).count() == n_users
+
+
+def test_fresh_checkpoint_against_existing_rollup_fails_fast(spark, sf_dir):
+    """Batch ids restart at 0 in a fresh checkpoint, so every batch would
+    satisfy 'active >= v' and be silently discarded — the ownership marker
+    must turn that into an error instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value").limit(100)
+    with tempfile.TemporaryDirectory() as d:
+        src, rollup = f"{d}/src", f"{d}/rollup"
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        q = run_continuous_agg(stream, rollup, f"{d}/ckpt1", ["user_id"], "value")
+        q.awaitTermination(120)
+        assert PS.read_active(spark, rollup).count() > 0
+
+        q2 = run_continuous_agg(stream, rollup, f"{d}/ckpt2", ["user_id"], "value")
+        with pytest.raises(StreamingQueryException, match="owned by checkpoint"):
+            q2.awaitTermination(120)
+        # rollup content untouched by the refused stream
+        assert _rollup_dict(spark, rollup) == _expected(ev)

@@ -218,3 +218,13 @@ def test_full_table_sync_ignores_limit(spark):
 
     res = run_sync(spark, df, stream, state, sink, limit=10)
     assert res.record_count == 50 and counts == [50]
+
+
+def test_allowlist_join_with_colliding_column_name(spark):
+    """Both sides binding: an unbound F.col('id') in the join condition is
+    ambiguous when df itself has an 'id' column (the default allowlist
+    key) — this used to raise AnalysisException at runtime."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    allow = spark.createDataFrame([(1,), (3,)], "id long")
+    assert sorted(r["id"] for r in semi_join_allowlist(df, "id", allow).collect()) == [1, 3]
+    assert [r["id"] for r in anti_join_allowlist(df, "id", allow).collect()] == [2]

@@ -207,3 +207,25 @@ def test_sink_gives_up_on_4xx(spark, sf_dir, mock_api):
     shaped = cust.select(F.col("c_custkey").alias("id")).coalesce(1)
     with pytest.raises(Exception, match="HTTP 404"):
         sink_dataframe(shaped, cfg).count()
+
+
+def test_rate_budget_split_across_executors():
+    """rate_calls is the GLOBAL API budget; sink_dataframe splits it per
+    executor via per_executor_config (a per-executor TokenBucket honoring
+    the full budget would hit the API at N x the limit on an N-executor
+    cluster)."""
+    from redshift_to_pendo_api_data_pipeline_spark.sink.http_sink import (
+        SinkConfig, per_executor_config,
+    )
+
+    cfg = SinkConfig(base_url="http://x", stream_name="visitors", rate_calls=1800)
+    assert per_executor_config(cfg, 4).rate_calls == 450
+    assert per_executor_config(cfg, 1).rate_calls == 1800
+    assert per_executor_config(cfg, 10_000).rate_calls == 1  # never zero
+    assert cfg.rate_calls == 1800  # caller's config untouched
+    assert per_executor_config(cfg, 4).rate_period == cfg.rate_period
+
+
+def test_executor_count_local_mode(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.sink.http_sink import _executor_count
+    assert _executor_count(spark) == 1  # local: full budget stays
