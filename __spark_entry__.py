@@ -443,22 +443,44 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _stage_dir(sf_dir: str) -> str:
+    """Lake staging area for signature/candidate relations, keyed by the
+    scale-factor directory so concurrent runs at different SF never
+    clobber each other. The oracle SQL reads the sf0.01 staging paths —
+    the only SF the correctness gate runs at."""
+    return f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}"
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard-verified. Probabilistic
-    candidate generation (engine-specific hashes) -> rows-only check."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import minhash_dedup_pairs
-    return minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified, with the
+    signature relation STAGED to the lake. Staging makes the whole
+    pipeline oracle-checkable: banding is slice-equality over the staged
+    signatures (band-hash equality == slice equality) and the verify is
+    deterministic set algebra, so the DuckDB twin re-derives the same
+    pairs independently from the staged parquet + the documents table."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+    )
+    return minhash_dedup_pairs_staged(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
     )
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (vectorized pandas UDF signature) ->
-    rows-only check."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import simhash_dedup_pairs
-    return simhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    """SimHash banded near-dup pairs with the (pandas-UDF-computed)
+    signatures staged to the lake; banding + hamming verify downstream is
+    pure integer algebra, so the oracle replicates it over the staged
+    parquet — only the signature computation itself is engine-specific."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+        staged_simhash_signatures,
     )
+    sh = staged_simhash_signatures(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        f"{_stage_dir(sf_dir)}/simhash_sigs.parquet",
+    )
+    return simhash_pairs_from_signatures(sh, max_hamming=3)
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,45 +586,60 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN variants against the exact brute-force top-k —
+    the oracle hook for the probabilistic ANN paths: each ANN's chosen id
+    set is staged to the lake, Spark computes recall against its own
+    exact top-k, and the DuckDB twin recomputes recall from the staged
+    ids against an INDEPENDENT exact top-k in SQL. Both the staged
+    candidate sets and the recall arithmetic are cross-checked; only the
+    (deterministic, seeded) candidate generation itself is
+    engine-specific."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    k = 20
+    stage = _stage_dir(sf_dir)
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=k).select("vec_id")
+
+    out = []
+    for algo, topk in (
+        ("lsh", lsh_topk(emb, "embedding", "vec_id", q, k=k)),
+        ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16, n_probe=4)),
+    ):
+        path = f"{stage}/ann_{algo}_topk.parquet"
+        topk.select("vec_id").write.mode("overwrite").parquet(path)
+        staged = spark.read.parquet(path)
+        out.append(
+            staged.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(algo).alias("algo"), F.lit(k).alias("k"), "n_hits")
+        )
+    return out[0].unionByName(out[1])
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from near-dup PAIRS: connected components (min-
-    label propagation) over the deterministic word-Jaccard pair graph;
-    cluster_id = min doc_id in the component."""
+    label propagation) over the PRODUCTION pair graph — MinHash-LSH
+    candidates + exact-Jaccard verify from staged signatures (the blocked
+    all-pairs Jaccard stays available as word_jaccard_pairs, the
+    verify/oracle flavor, but is quadratic per block and must not feed
+    clustering at scale). cluster_id = min doc_id in the component; the
+    oracle re-derives the same pair graph from the staged parquet and
+    walks it with a recursive CTE."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
         connected_components,
-        normalize_text,
+        minhash_dedup_pairs_staged,
     )
-    # same blocked-Jaccard pair graph as word_jaccard_pairs, restricted to
-    # four source blocks: the CC operator's behavior is identical, the
-    # bench query stays proportionate (full-corpus pairs are the dominant
-    # cost, already measured by word_jaccard_pairs itself)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("source").isin("src0", "src1", "src2", "src3"))
-        .select(
-            "doc_id", "source",
-            F.split(normalize_text(F.col("text")), " ").alias("ws"),
-        )
-        .select(
-            "doc_id", "source",
-            F.array_distinct(F.transform("ws", lambda x: F.xxhash64(x))).alias("w"),
-        )
-        .withColumn("n", F.size("w"))
-    )
-    a = docs.select("source", F.col("doc_id").alias("id_a"),
-                    F.col("w").alias("w_a"), F.col("n").alias("n_a"))
-    b = docs.select("source", F.col("doc_id").alias("id_b"),
-                    F.col("w").alias("w_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("w_a", "w_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    pairs = (
-        a.join(
-            b,
-            (a["source"] == b["source"]) & (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")),
-        )
-        .select("id_a", "id_b")
-        .where(F.round(jac, 6) >= 0.5)
+    pairs = minhash_dedup_pairs_staged(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
     )
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
@@ -802,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_recall": q_embedding_ann_recall,
         "dedup_clusters": q_dedup_clusters,
         "label_centroids": q_label_centroids,
         "event_funnel": q_event_funnel,
@@ -817,6 +855,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": q_media_decode_stats,
         "media_frame_counts": q_media_frame_counts,
     }
+
+
+# Staging area the signature/ANN queries write to at sf0.01 — the only SF
+# the correctness gate runs at (other SFs stage under their own basename,
+# so a bench run never clobbers the oracle's inputs).
+_STAGE = "/tmp/spark_graft_stage/sf0.01"
+
+# Distinct word-3-gram shingle set per document — the DuckDB twin of
+# operators/dedup.shingle_sets(n=3, distinct=True).
+_SHINGLES_CTE = """
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(w0) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w0, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                ' ') AS w0
+            FROM documents))
+"""
+
+# MinHash banding + exact-Jaccard verify over the STAGED signatures
+# (k=48, 8 bands of 6). Band membership is signature-slice equality —
+# Spark's band-bucket hash can only ADD candidates on a 2^-32 hash
+# collision, and those are filtered identically by the exact verify
+# unless the colliding pair also clears the Jaccard threshold
+# (probability ~0 at any SF).
+_MINHASH_VERIFIED_CTE = f"""
+    sigs AS (SELECT doc, sig
+             FROM read_parquet('{_STAGE}/minhash_sigs.parquet/*.parquet')),
+    cand AS (
+      SELECT a.doc AS id_a, b.doc AS id_b
+      FROM sigs a JOIN sigs b ON a.doc < b.doc
+      WHERE list_slice(a.sig,  1,  6) = list_slice(b.sig,  1,  6)
+         OR list_slice(a.sig,  7, 12) = list_slice(b.sig,  7, 12)
+         OR list_slice(a.sig, 13, 18) = list_slice(b.sig, 13, 18)
+         OR list_slice(a.sig, 19, 24) = list_slice(b.sig, 19, 24)
+         OR list_slice(a.sig, 25, 30) = list_slice(b.sig, 25, 30)
+         OR list_slice(a.sig, 31, 36) = list_slice(b.sig, 31, 36)
+         OR list_slice(a.sig, 37, 42) = list_slice(b.sig, 37, 42)
+         OR list_slice(a.sig, 43, 48) = list_slice(b.sig, 43, 48)),
+    {_SHINGLES_CTE.strip()},
+    j AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(wa.sh, wb.sh)) AS inter,
+             len(wa.sh) AS na, len(wb.sh) AS nb
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.id_a
+      JOIN w wb ON wb.doc_id = c.id_b),
+    verified AS (
+      SELECT id_a, id_b,
+             round(cast(inter as double) / cast(na + nb - inter as double), 6)
+                 AS jaccard
+      FROM j
+      WHERE round(cast(inter as double) / cast(na + nb - inter as double), 6)
+            >= 0.8)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1049,29 +1144,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY d
         """,
-        # minhash_neardup / simhash_neardup / embedding_ann_lsh /
-        # embedding_ann_ivf: rows-only (probabilistic / engine-specific
-        # hashing)
+        # embedding_ann_lsh / embedding_ann_ivf raw top-k: rows-only (the
+        # candidate sets are engine-specific); their QUALITY is oracle-
+        # checked by embedding_ann_recall below.
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
-        "dedup_clusters": """
+        "minhash_neardup": f"""
+            WITH {_MINHASH_VERIFIED_CTE.strip()}
+            SELECT id_a, id_b, jaccard FROM verified
+        """,
+        "simhash_neardup": f"""
+            WITH sigs AS (SELECT doc, sig
+                          FROM read_parquet('{_STAGE}/simhash_sigs.parquet/*.parquet')),
+            cand AS (
+              SELECT a.doc AS id_a, b.doc AS id_b,
+                     bit_count(xor(a.sig, b.sig)) AS hamming
+              FROM sigs a JOIN sigs b ON a.doc < b.doc
+              -- arithmetic-vs-logical shift is irrelevant under the
+              -- low-16-bit mask, so this equals Spark's
+              -- shiftrightunsigned chunking
+              WHERE ((a.sig >>  0) & 65535) = ((b.sig >>  0) & 65535)
+                 OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+                 OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+                 OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+            SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+        """,
+        "embedding_ann_recall": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            exact AS (
+              SELECT vec_id FROM embeddings
+              ORDER BY round(list_cosine_similarity(
+                            embedding::DOUBLE[], (SELECT v FROM q)), 6) DESC,
+                       vec_id ASC
+              LIMIT 20),
+            lsh AS (SELECT vec_id
+                    FROM read_parquet('{_STAGE}/ann_lsh_topk.parquet/*.parquet')),
+            ivf AS (SELECT vec_id
+                    FROM read_parquet('{_STAGE}/ann_ivf_topk.parquet/*.parquet'))
+            SELECT 'lsh' AS algo, 20 AS k,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM lsh JOIN exact USING (vec_id)
+            UNION ALL
+            SELECT 'ivf', 20, CAST(count(*) AS BIGINT)
+            FROM ivf JOIN exact USING (vec_id)
+        """,
+        "dedup_clusters": f"""
             WITH RECURSIVE
-            w AS (
-              SELECT doc_id, source,
-                     list_distinct(list_transform(string_split(
-                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                         x -> hash(x))) AS w
-              FROM documents
-              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-            pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
-                   AND len(a.w) * 2 >= len(b.w) AND len(b.w) * 2 >= len(a.w)
-              WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
-                          / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
-                          6) >= 0.5),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
+            {_MINHASH_VERIFIED_CTE.strip()},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
             walk AS (
               SELECT src AS start, src AS reach FROM edges
               UNION

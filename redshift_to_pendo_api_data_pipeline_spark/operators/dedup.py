@@ -120,6 +120,60 @@ def minhash_signatures(
     return agg.select("doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
+def staged_minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, path: str,
+    n: int = 3, k: int = 48,
+) -> DataFrame:
+    """Compute MinHash signatures and STAGE them to the lake as parquet,
+    returning the staged relation (a scan of `path`, not the computation).
+
+    Staging is the 100 TB pattern: signatures are reused by banding,
+    verify, clustering and incremental runs, and a lake file is durable
+    and shareable where executor cache is neither. It is also what makes
+    LSH *oracle-checkable*: banding + exact-Jaccard verify over the staged
+    file is deterministic relational algebra any engine can replicate
+    (band equality == signature-slice equality), so the DuckDB oracle can
+    re-derive the same near-dup pairs independently."""
+    minhash_signatures(df, text_col, id_col, n=n, k=k).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def candidates_from_signatures(
+    sigs: DataFrame, k: int = 48, bands: int = 8
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a precomputed (doc, sig) relation —
+    the banding stage factored out so it can run over staged signatures.
+    Returns distinct (id_a, id_b), id_a < id_b; shuffle O(bands·N)."""
+    r = k // bands
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -137,36 +191,16 @@ def minhash_lsh_candidates(
     buckets (e.g. empty docs) are bounded by bucket-size capping upstream
     if needed; AQE skew-join handles the join stage.
     """
-    r = k // bands
-    # cache: the banded relation feeds both sides of the self-join; without
-    # this the explode+k-min signature aggregation runs twice
-    sigs = minhash_signatures(df, text_col, id_col, n=n, k=k).cache()
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+    # No .cache() on the signature relation even though both sides of the
+    # self-join read it: a DataFrame cache registered here is never
+    # unpersisted (the caller materializes lazily, after this function
+    # returns), so repeated calls in a long-lived session leak executor
+    # storage until eviction. Recomputing the signature subtree twice is
+    # two independent scans — cheap, parallel, and at 100 TB the right
+    # pattern is staging signatures to the lake
+    # (staged_minhash_signatures), not executor cache.
+    sigs = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    return candidates_from_signatures(sigs, k=k, bands=bands)
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str,
@@ -214,6 +248,21 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
     pairs above threshold."""
     cands = minhash_lsh_candidates(df, text_col, id_col, n=n, k=k, bands=bands)
+    verified = ngram_jaccard(cands, df, text_col, id_col, n=n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs_staged(
+    df: DataFrame, text_col: str, id_col: str, stage_path: str,
+    threshold: float = 0.8, n: int = 3, k: int = 48, bands: int = 8,
+) -> DataFrame:
+    """minhash_dedup_pairs with the signature relation staged to the lake
+    first: signatures compute once, land as parquet at `stage_path`, and
+    both the banding join sides scan the staged copy (no recompute, no
+    executor-cache leak). The staged file doubles as the oracle hook — an
+    independent engine re-derives the same pairs from it."""
+    sigs = staged_minhash_signatures(df, text_col, id_col, stage_path, n=n, k=k)
+    cands = candidates_from_signatures(sigs, k=k, bands=bands)
     verified = ngram_jaccard(cands, df, text_col, id_col, n=n)
     return verified.where(F.col("jaccard") >= threshold)
 
@@ -295,19 +344,27 @@ def simhash_signatures_jvm(
     return hashes.select("doc", _vote(F.col("hs")).alias("sig"))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
-    bands: int = 4,
+def staged_simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, path: str
 ) -> DataFrame:
-    """Near-dup pairs by SimHash + banding: split the 64-bit signature into
-    `bands` chunks; pigeonhole — two signatures within `max_hamming` (<
-    bands) share at least one exact chunk. Bucket-join on chunks, verify
-    with popcount of XOR."""
+    """SimHash signatures staged to the lake (see
+    staged_minhash_signatures for why). The banding + hamming-verify
+    downstream is pure integer algebra (shifts, xor, popcount) any engine
+    can replicate over the staged file — which makes the pandas-UDF
+    signature computation itself the only engine-specific stage."""
+    simhash_signatures_jvm(df, text_col, id_col).write.mode("overwrite").parquet(
+        path
+    )
+    return df.sparkSession.read.parquet(path)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Banding + exact-hamming verify over a precomputed (doc, sig)
+    relation — factored out so it can run over staged signatures."""
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
-    # cache: both sides of the bucket self-join read this; uncached, the
-    # signature aggregation would run twice over the corpus
-    sh = simhash_signatures_jvm(df, text_col, id_col).cache()
     banded = sh.select(
         "doc",
         "sig",
@@ -341,6 +398,23 @@ def simhash_dedup_pairs(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash + banding: split the 64-bit signature into
+    `bands` chunks; pigeonhole — two signatures within `max_hamming` (<
+    bands) share at least one exact chunk. Bucket-join on chunks, verify
+    with popcount of XOR.
+
+    Uncached by design: a cache registered here would never be
+    unpersisted (see minhash_lsh_candidates) — the double-computed
+    signature scan is the cheaper, leak-free trade; staged_simhash_
+    signatures is the compute-once path."""
+    sh = simhash_signatures_jvm(df, text_col, id_col)
+    return simhash_pairs_from_signatures(sh, max_hamming=max_hamming, bands=bands)
 
 
 # ------------------------------------------------ dedup clustering
@@ -430,49 +504,95 @@ def benchmark_contamination(
 # ------------------------------------------------------- embedding cosine
 
 def embedding_neardup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold.
 
-    Exact-but-fast design: broadcast the whole (id, vector) matrix to every
-    executor (embeddings for dedup candidates are comfortably broadcast-
-    sized: 1M x 64 floats = 256 MB; beyond that, LSH-bucket first — see
-    similarity.lsh_topk), then mapInPandas computes each partition's rows
-    against the broadcast matrix with one BLAS matmul. O(N²) flops at
-    memory bandwidth instead of 2M interpreted per-pair array folds; no
-    pair-shuffle at all. Emits id_a < id_b once (j > i filter)."""
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    Exact and fully DISTRIBUTED — no driver collect, no full-matrix
+    broadcast: the corpus splits into `n_blocks` id-hash blocks, each
+    packed into one row; the B(B+1)/2 unordered block pairs come from two
+    equi-joins against a tiny (b1, b2) key relation; one BLAS matmul per
+    block pair scores it inside mapInPandas. Shuffle volume is each
+    packed block replicated ~B times = O(N·B) vector rows; size n_blocks
+    so a block (~N/B x dim doubles) stays an easy Arrow batch (≤64 MB).
 
-    def _block(pdfs):
-        all_ids, all_mat = b_ids.value, b_mat.value
+    O(N²) flops is inherent to EXACT all-pairs — at 100 TB this operator
+    is the per-bucket verify stage after LSH bucketing
+    (similarity.lsh_topk), not a whole-corpus pass."""
+    spark = df.sparkSession
+    packed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("b")
+        # one struct list, not parallel lists: two collect_lists in one agg
+        # are not guaranteed element-aligned
+        .agg(F.collect_list(F.struct("id", "v")).alias("pack"))
+    )
+    pair_keys = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "b1 int, b2 int",
+    )
+    joined = (
+        pair_keys.join(
+            packed.select(
+                F.col("b").alias("b1"), F.col("pack").alias("pack_a")
+            ),
+            "b1",
+        )
+        .join(
+            packed.select(
+                F.col("b").alias("b2"), F.col("pack").alias("pack_b")
+            ),
+            "b2",
+        )
+        .select("b1", "b2", "pack_a", "pack_b")
+    )
+
+    def _score(pdfs):
         for pdf in pdfs:
-            vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            if len(vecs) == 0:
-                continue
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs @ all_mat.T  # (block, N)
-            my_ids = pdf[id_col].to_numpy()
-            # pre-filter slightly below threshold so values that ROUND up
-            # to the threshold survive to the rounded comparison
-            ii, jj = np.nonzero(sims >= threshold - 1e-6)
-            if len(ii) == 0:
-                continue
-            a, bidx = my_ids[ii], all_ids[jj]
-            keep = a < bidx
-            out = pd.DataFrame({
-                "id_a": a[keep],
-                "id_b": bidx[keep],
-                "cosine": np.round(sims[ii, jj][keep], 6),
-            })
-            out = out[out["cosine"] >= threshold]
-            if len(out):
-                yield out
+            for b1, b2, pack_a, pack_b in zip(
+                pdf["b1"], pdf["b2"], pdf["pack_a"], pdf["pack_b"]
+            ):
+                ids_a = np.array([e["id"] for e in pack_a], dtype=np.int64)
+                mat_a = np.array([list(e["v"]) for e in pack_a], dtype=np.float64)
+                mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+                if b1 == b2:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b = np.array([e["id"] for e in pack_b], dtype=np.int64)
+                    mat_b = np.array(
+                        [list(e["v"]) for e in pack_b], dtype=np.float64
+                    )
+                    mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sims = mat_a @ mat_b.T
+                # pre-filter slightly below threshold so values that ROUND
+                # up to the threshold survive to the rounded comparison
+                ii, jj = np.nonzero(sims >= threshold - 1e-6)
+                if len(ii) == 0:
+                    continue
+                a, bidx = ids_a[ii], ids_b[jj]
+                if b1 == b2:
+                    # same block holds both orientations of each pair (and
+                    # the diagonal): keep each unordered pair once
+                    keep = a < bidx
+                else:
+                    keep = np.ones(len(a), dtype=bool)
+                out = pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a[keep], bidx[keep]),
+                        "id_b": np.maximum(a[keep], bidx[keep]),
+                        "cosine": np.round(sims[ii, jj][keep], 6),
+                    }
+                )
+                out = out[out["cosine"] >= threshold]
+                if len(out):
+                    yield out
 
     schema = "id_a long, id_b long, cosine double"
-    return df.mapInPandas(_block, schema=schema)
+    return joined.mapInPandas(_score, schema=schema)
