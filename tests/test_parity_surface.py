@@ -81,6 +81,90 @@ def test_rest_allowlist_fetch_and_validate(spark):
         srv.shutdown()
 
 
+class _PagedAggAPI(BaseHTTPRequestHandler):
+    """5 ids served through skip/limit pipeline stages, page_size 2 ->
+    pages of 2, 2, 1 (short page terminates the loop)."""
+
+    IDS = [f"{i:08d}-e89b-12d3-a456-426614174000" for i in range(5)]
+    requests_seen: list[tuple[int, int]] = []
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["content-length"])))
+        pipeline = body["request"]["pipeline"]
+        skip = next((s["skip"] for s in pipeline if "skip" in s), 0)
+        limit = next((s["limit"] for s in pipeline if "limit" in s), None)
+        type(self).requests_seen.append((skip, limit))
+        page = self.IDS[skip:skip + limit]
+        out = json.dumps({"results": [{"accountId": i} for i in page]}).encode()
+        self.send_response(200)
+        self.send_header("content-length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_rest_allowlist_pagination():
+    _PagedAggAPI.requests_seen = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _PagedAggAPI)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ids = R.fetch_allowlist_ids(
+            f"http://127.0.0.1:{srv.server_port}", "account", "accountId",
+            page_size=2,
+        )
+        assert ids == _PagedAggAPI.IDS
+        assert _PagedAggAPI.requests_seen == [(0, 2), (2, 2), (4, 2)]
+    finally:
+        srv.shutdown()
+
+
+# --------------------------------------------------- singer catalog golden
+SAMPLE_CATALOG = "/root/reference/tap-redshift/sample-catalog.json"
+
+
+def test_singer_catalog_golden_shape():
+    """Discovery output must be byte-shape-compatible with the catalog the
+    reference ships (sample-catalog.json): JSON-schema property mapping
+    (null unions, integer byte-width bounds, date-time formats), breadcrumb
+    metadata (sql-datatype / inclusion / selected-by-default), and
+    table-level selection + replication keys. The test reconstructs each
+    sample stream from bare (name, sql-datatype, pk) triples and asserts
+    deep equality with the shipped file."""
+    from redshift_to_pendo_api_data_pipeline_spark.catalog import singer_catalog_entry
+
+    with open(SAMPLE_CATALOG) as f:
+        golden = json.load(f)["streams"]
+    assert len(golden) == 2
+
+    for stream in golden:
+        table_meta = stream["metadata"][0]["metadata"]
+        col_meta = {
+            m["breadcrumb"][1]: m["metadata"] for m in stream["metadata"][1:]
+        }
+        pks = set(table_meta["key-properties"])
+        specs = [
+            ColumnSpec(
+                name=name,
+                sql_datatype=col_meta[name]["sql-datatype"],
+                nullable=True,        # every sample property is a null union
+                is_primary_key=name in pks,
+            )
+            for name in stream["schema"]["properties"]
+        ]
+        db, schema_name, table = stream["tap_stream_id"].split(".")
+        rebuilt = singer_catalog_entry(
+            db, schema_name, table, specs,
+            is_view=table_meta["is-view"],
+            selected=table_meta["selected"],
+            selected_by_default=table_meta["selected-by-default"],
+            replication_key=table_meta["replication-key"],
+            replication_method=table_meta["replication-method"],
+        )
+        assert rebuilt == stream
+
+
 # ----------------------------------------------------------------- singer
 def test_singer_roundtrip(spark, sf_dir):
     """write_message_file -> read_messages -> records_for_stream must
