@@ -36,15 +36,23 @@ class JdbcConfig:
     user: str = ""
     password: str = ""
     db_schema: str = "public"
+    # dialect plug-in point: Redshift/postgres by default; any JDBC
+    # database whose driver jar is on Spark's classpath works by
+    # overriding these two (the integration tests use embedded Derby,
+    # the only driver shipped with pyspark)
+    driver: str = "org.postgresql.Driver"
+    url_override: str | None = None
 
     @property
     def url(self) -> str:
+        if self.url_override:
+            return self.url_override
         # Redshift speaks the postgres wire protocol; either driver name works
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.dbname}"
 
     @property
     def properties(self) -> dict[str, str]:
-        return {"user": self.user, "password": self.password, "driver": "org.postgresql.Driver"}
+        return {"user": self.user, "password": self.password, "driver": self.driver}
 
 
 # -- metadata queries (S3-S5) — the same relations the reference scans ----

@@ -1,0 +1,108 @@
+"""Live-JDBC integration: read_table against an embedded Derby database.
+
+Exercises the reference's first-user path (point the tap at a database and
+sync, tap-redshift/src/connect.py:8-31 + sync.py:176-198) end-to-end with a
+real JDBC round trip — the only piece the parquet-twin tests can't cover:
+
+- S1 connection open through the Spark JDBC source,
+- S2 scan with predicate + projection PUSHED INTO the remote SQL
+  (asserted on PushedFilters in the executed plan),
+- S6 parallel range-partitioned read (numPartitions cursors).
+
+Derby is the one JDBC driver shipped inside pyspark's jars, so this runs
+hermetically in any environment. The dialect differences to Redshift are
+confined to JdbcConfig.driver/url_override — the reader code under test is
+byte-identical to the Redshift path.
+"""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.sources import jdbc as J
+
+ROWS = [
+    (i, f"user{i}", datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i))
+    for i in range(100)
+]
+
+
+@pytest.fixture(scope="module")
+def derby_cfg(spark, tmp_path_factory):
+    db_path = tmp_path_factory.mktemp("derby") / "db"
+    url = f"jdbc:derby:{db_path};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE accounts (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(64), updated_at TIMESTAMP)"
+    )
+    ps = conn.prepareStatement("INSERT INTO accounts VALUES (?, ?, ?)")
+    for i, name, ts in ROWS:
+        ps.setLong(1, i)
+        ps.setString(2, name)
+        ps.setTimestamp(3, jvm.java.sql.Timestamp.valueOf(str(ts)))
+        ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+    yield J.JdbcConfig(
+        host="", db_schema="APP",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        url_override=f"jdbc:derby:{db_path}",
+    )
+
+
+def test_read_table_full_scan(spark, derby_cfg):
+    df = J.read_table(spark, derby_cfg, "accounts")
+    assert df.count() == 100
+    assert [f.name.lower() for f in df.schema.fields] == [
+        "id", "name", "updated_at"
+    ]
+
+
+def test_incremental_predicate_pushdown(spark, derby_cfg):
+    """The incremental sync shape: rk > bookmark, projected columns only.
+    Both the filter and the projection must reach the remote SQL — the
+    100 TB contract is that the database does the bookmark skip, not
+    Spark."""
+    bookmark = datetime.datetime(2024, 1, 3)
+    df = (
+        J.read_table(spark, derby_cfg, "accounts")
+        .where(F.col("updated_at") > F.lit(bookmark))
+        .select("id", "updated_at")
+    )
+    assert df.count() == sum(1 for _, _, ts in ROWS if ts > bookmark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(UPDATED_AT" in plan
+    # projection pruned at the source: name never crosses the wire
+    assert "NAME" not in plan.split("ReadSchema")[0].split("PushedFilters")[0]
+
+
+def test_partitioned_parallel_read(spark, derby_cfg):
+    """S6: numPartitions range slices over the replication key — each
+    partition issues its own bounded cursor."""
+    df = J.read_table(
+        spark, derby_cfg, "accounts",
+        partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    # slices are disjoint and complete
+    assert df.select("id").distinct().count() == 100
+
+
+def test_metadata_discovery_via_jdbc(spark, derby_cfg):
+    """S3/S4 discovery through the JDBC reader against the system catalog
+    (Derby spells it SYS.* rather than INFORMATION_SCHEMA; the postgres
+    builders are covered by test_jdbc_metadata_queries_shape)."""
+    q = (
+        "SELECT c.columnname, c.columnnumber FROM sys.syscolumns c "
+        "JOIN sys.systables t ON c.referenceid = t.tableid "
+        "WHERE t.tablename = 'ACCOUNTS'"
+    )
+    cols = J.read_query(spark, derby_cfg, q).collect()
+    assert {r[0] for r in cols} == {"ID", "NAME", "UPDATED_AT"}
