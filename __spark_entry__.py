@@ -299,6 +299,123 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of their part's average.
+    Written as SQL subqueries on purpose — Catalyst's decorrelation
+    rewrites both correlated aggregates into one grouped join, which is
+    the plan you'd hand-build; the declarative form keeps that rewrite
+    the optimizer's job. The threshold test is division-free exact
+    decimal/integer arithmetic (qty*5*n < sum  ⇔  qty < 0.2*avg), so
+    both engines evaluate bit-identical comparisons."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS revenue_fp2
+        FROM lineitem_v l
+        WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 *
+                (SELECT COUNT(*) FROM lineitem_v l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,6)))
+               FROM lineitem_v l3 WHERE l3.l_partkey = l.l_partkey)
+    """)
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders in a quarter having at
+    least one lineitem shipped >30 days after the order date. Catalyst
+    decorrelates the EXISTS into a left-semi join whose condition mixes
+    the equi key with the non-equi date predicate — semi-join semantics
+    make the count per-order regardless of lineitem fanout."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_v o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
+        GROUP BY o.o_orderpriority
+    """)
+
+
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery against a DIFFERENT relation level (TPC-H Q2
+    shape, adapted to this schema — there is no partsupp table): the
+    supplier(s) holding the minimum account balance of their nation.
+    Decorrelates to a per-nation min join; ties keep every minimal
+    supplier in both engines identically (equality on an untouched
+    stored double, no arithmetic)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT n.n_name, s.s_name, s.s_suppkey,
+               CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_fp2
+        FROM supplier_v s JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier_v s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+    """)
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join, scalar flavor: orders classified into price
+    bands via the bin-cover equi-join (operators/rangejoin.py) — no
+    nested loop anywhere, shuffle keyed on the (high-cardinality) bin.
+    Grouped decimal totals per band."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.rangejoin import interval_join_banded
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50_000.0),
+            ("mid", 50_000.0, 150_000.0),
+            ("high", 150_000.0, 300_000.0),
+            ("premium", 300_000.0, 600_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    joined = interval_join_banded(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", bin_width=50_000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        TR.fixed_point(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .alias("total_fp2"),
+    )
+
+
+def q_range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join, temporal flavor: events of the same user
+    falling inside a ±12 h window around each purchase. Windows and
+    events are binned to 24 h buckets on unix micros and equi-joined on
+    (user_id, bin) — the per-key composite keeps cardinality high and
+    skew bounded — then exact-filtered on the interval."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.rangejoin import interval_join_banded
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    windows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 12 HOURS")).alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("hi"),
+        )
+    )
+    joined = interval_join_banded(
+        ev, windows, "ts", "lo", "hi",
+        bin_width=24 * 3600 * 1_000_000, keys=["user_id"], time_valued=True,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
 def q_failed_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: join error ids back to their records (inner), the relational
     form of target-pendo __init__.py:272-281's nested-loop lookup."""
@@ -822,6 +939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_user_segments": q_setops_user_segments,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q4_priority_exists": q4_priority_exists,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "range_join_price_bands": q_range_join_price_bands,
+        "range_join_event_windows": q_range_join_event_windows,
         "failed_record_routing": q_failed_record_routing,
         "salted_grouped_stats": q_salted_grouped_stats,
         "percentile_order_value": q_percentile_order_value,
@@ -1056,6 +1178,63 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
             ORDER BY revenue_fp4 DESC, n_name ASC
+        """,
+        # Correlated-subquery family: the SQL text is intentionally the
+        # SAME correlated form Spark runs — each engine decorrelates
+        # independently, so the check covers the rewrite, not just the
+        # arithmetic. Threshold math is division-free decimal (exact).
+        "q17_small_quantity_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS revenue_fp2
+            FROM lineitem l
+            WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 *
+                    (SELECT COUNT(*) FROM lineitem l2
+                     WHERE l2.l_partkey = l.l_partkey)
+                < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,6)))
+                   FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        """,
+        "q4_priority_exists": """
+            SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o.o_orderpriority
+        """,
+        "q2_min_acctbal_supplier": """
+            SELECT n.n_name, s.s_name, s.s_suppkey,
+                   CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_fp2
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                                 WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+        # Range joins: the oracle is the naive theta join — the banded
+        # bin-cover join must produce the identical relation.
+        "range_join_price_bands": """
+            SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(cast(o_totalprice as decimal(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS total_fp2
+            FROM orders o
+            JOIN (VALUES ('budget', 0.0, 50000.0),
+                         ('mid', 50000.0, 150000.0),
+                         ('high', 150000.0, 300000.0),
+                         ('premium', 300000.0, 600000.0)) b(band, lo, hi)
+              ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+            GROUP BY b.band
+        """,
+        "range_join_event_windows": """
+            SELECT p.event_id AS purchase_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   min(epoch_us(e.ts)) AS first_us,
+                   max(epoch_us(e.ts)) AS last_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 12 HOUR
+             AND e.ts <= p.ts + INTERVAL 12 HOUR
+            GROUP BY p.event_id
         """,
         "failed_record_routing": """
             SELECT event_id, user_id, event_type
