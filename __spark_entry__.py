@@ -208,12 +208,24 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ scale path for distinct counts — rows-only check (sketch is
-    engine-specific)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
-        approx_distinct_count,
+    """HLL++ scale path for distinct counts. The sketch estimate is
+    engine-specific, so the value surfaced for hashing is the TOLERANCE
+    VERDICT, not the estimate: exact count (both engines compute it) plus
+    a within-5% flag that Spark genuinely evaluates against its own
+    sketch and the oracle asserts as TRUE — i.e. the check pins 'HLL is
+    within its error budget', the strongest cross-engine statement a
+    sketch admits (rsd=0.02 ⇒ 5% is ≈2.5σ)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count_distinct(F.col("user_id")).alias("exact_count"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    ).select(
+        "exact_count",
+        (
+            F.abs(F.col("__approx") - F.col("exact_count"))
+            <= 0.05 * F.col("exact_count")
+        ).alias("within_5pct"),
     )
-    return approx_distinct_count(load_table(spark, sf_dir, "events"), "user_id")
 
 
 def q_setops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +895,48 @@ def q_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "lang", "n_chars", "cum_tokens")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chop sequence packing for pretraining batches:
+    per-source deterministic-shuffle order, 8192-char sequences, integer
+    assignment (operators/sampling.pack_sequences)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import pack_sequences
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "n_chars", "source", seq_budget=8192
+    ).select("doc_id", "source", "n_chars", "seq_id", "seq_offset")
+
+
+def q_shuffled_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded corpus shuffle, first 50 docs with rank — distributed
+    top-k on the hash order, window only over the k-row head."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import shuffled_head
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffled_head(docs, "doc_id", k=50).select(
+        "doc_id", "source", "shuffle_rank"
+    )
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram rarity per document — exact integer
+    surfaces (see operators/text.token_rarity_stats)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import token_rarity_stats
+    return token_rarity_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup with LOCF per event
+    type (operators/temporal.time_bucket_gapfill)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    out = time_bucket_gapfill(ev, "event_type", "ts", "value", "1 hour")
+    return out.select(
+        "event_type", F.unix_micros("bucket_start").alias("bucket_us"),
+        "n", "sum_value_fp2",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (explode -> two partial-combined
     aggregations -> broadcast df join -> per-doc top-k)."""
@@ -972,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split_counts": q_train_eval_split_counts,
         "source_mix_sample": q_source_mix_sample,
         "token_budget_head": q_token_budget_head,
+        "pack_sequences": q_pack_sequences,
+        "shuffled_head": q_shuffled_head,
+        "token_rarity": q_token_rarity,
+        "hourly_gapfill_locf": q_hourly_gapfill_locf,
         "text_analysis": q_text_analysis,
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
@@ -1134,8 +1192,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "distinct_users": "SELECT count(DISTINCT user_id) AS n_distinct FROM events",
-        # approx_distinct_users: intentionally no oracle (HLL sketches differ
-        # across engines) -> rows-only check
+        # HLL sketches differ across engines, so the hashed value is the
+        # tolerance VERDICT: Spark computes |approx-exact| <= 5%*exact
+        # against its own sketch; the oracle pins exact_count and asserts
+        # the verdict TRUE. A broken sketch (or a >2.5σ miss) fails the
+        # value hash.
+        "approx_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_count,
+                   TRUE AS within_5pct
+            FROM events
+        """,
         "setops_user_segments": """
             WITH purchase AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'),
                  signup   AS (SELECT DISTINCT user_id FROM events WHERE event_type='signup'),
@@ -1495,6 +1561,72 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS cum_tokens
               FROM documents)
             WHERE cum_tokens <= 10000
+        """,
+        "pack_sequences": """
+            SELECT doc_id, source, n_chars,
+                   CAST((cum - n_chars) // 8192 AS BIGINT) AS seq_id,
+                   CAST((cum - n_chars) % 8192 AS BIGINT) AS seq_offset
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     CAST(sum(n_chars) OVER (
+                         PARTITION BY source
+                         ORDER BY substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 4) ASC,
+                                  doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum
+              FROM documents)
+        """,
+        "shuffled_head": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       ORDER BY substr(md5('shuffle-v1' || CAST(doc_id AS VARCHAR)), 1, 4) ASC,
+                                doc_id ASC) AS INTEGER) AS shuffle_rank
+            FROM documents
+            ORDER BY substr(md5('shuffle-v1' || CAST(doc_id AS VARCHAR)), 1, 4) ASC,
+                     doc_id ASC
+            LIMIT 50
+        """,
+        "token_rarity": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                                '\\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents),
+            t2 AS (SELECT * FROM t WHERE tok <> ''),
+            v AS (SELECT tok, CAST(count(*) AS BIGINT) AS tok_count
+                  FROM t2 GROUP BY tok)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(tok_count) AS BIGINT) AS sum_tok_count,
+                   min(tok_count) AS min_tok_count,
+                   max(tok_count) AS max_tok_count
+            FROM t2 JOIN v USING (tok)
+            GROUP BY doc_id
+        """,
+        "hourly_gapfill_locf": """
+            WITH b AS (
+              SELECT event_type AS k,
+                     time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(cast(value as decimal(18,2)) * 100 AS BIGINT))
+                          AS BIGINT) AS sum_value_fp2
+              FROM events GROUP BY 1, 2),
+            span AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM b),
+            spine AS (
+              SELECT k, unnest(generate_series((SELECT lo FROM span),
+                                               (SELECT hi FROM span),
+                                               INTERVAL 1 HOUR)) AS bucket_start
+              FROM (SELECT DISTINCT k FROM b)),
+            j AS (
+              SELECT s.k, s.bucket_start, coalesce(b.n, 0) AS n, b.sum_value_fp2
+              FROM spine s LEFT JOIN b ON s.k = b.k
+                   AND s.bucket_start = b.bucket_start)
+            SELECT k AS event_type, epoch_us(bucket_start) AS bucket_us, n,
+                   last_value(sum_value_fp2 IGNORE NULLS) OVER (
+                       PARTITION BY k ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_value_fp2
+            FROM j
         """,
         "word_jaccard_pairs": """
             WITH w AS (

@@ -134,3 +134,81 @@ def token_budget_head_stratified(
         df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .where(F.col("cum_tokens") <= budget_per_stratum)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Seeded global shuffle of training order: sort by (md5(salt || key),
+    key). Hash-sorting is the scale-safe way to shuffle 100 TB — Spark
+    range-partitions on sampled hash bounds, so the 'random' order comes
+    out of an ordinary distributed sort, reproducible across engines,
+    cluster sizes and reruns. Changing `salt` is reshuffling.
+
+    No global rank column here on purpose: a corpus-wide row_number is a
+    single-reducer window (the token_budget_head lesson). Downstream
+    either consumes the order positionally (write + read back in order)
+    or takes a ranked head via ``shuffled_head``."""
+    h = hash_bucket(F.col(key_col), salt=salt)
+    return df.orderBy(h.asc(), F.col(key_col).asc())
+
+
+def shuffled_head(
+    df: DataFrame, key_col: str, k: int, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """First ``k`` rows of the deterministic shuffle, with their 1-based
+    ``shuffle_rank``. sort+limit collapses to TakeOrderedAndProject
+    (distributed top-k, no global sort); the rank window then runs over
+    just k rows — the single-partition window is bounded by k, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), salt=salt)
+    head = df.withColumn("__h", h).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    return head.withColumn("shuffle_rank", F.row_number().over(w)).drop("__h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    stratum_col: str,
+    seq_budget: int,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concatenate-then-chop sequence packing, the standard pretraining
+    batch layout: within each stratum, order documents by a seeded hash
+    (deterministic shuffle), run a cumulative token count, and assign each
+    document to the fixed-budget sequence its first token falls into
+    (``seq_id = (cum - n) div budget``). Documents may straddle a
+    boundary — exactly the 'chop' in concatenate-then-chop; the consumer
+    truncates/continues at read time using ``seq_offset``.
+
+    All integer arithmetic, so packing assignments are value-checkable
+    cross-engine. Windows are per-stratum — cumulative sums parallelize
+    across strata (same design as token_budget_head_stratified: no global
+    single-reducer window)."""
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), salt=salt)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).cast("long")
+    return (
+        df.withColumn("__start", start)
+        .withColumn(
+            "seq_id",
+            (F.col("__start") - F.pmod(F.col("__start"), F.lit(seq_budget)))
+            / F.lit(seq_budget),
+        )
+        .withColumn("seq_id", F.col("seq_id").cast("long"))
+        .withColumn("seq_offset", F.pmod(F.col("__start"), F.lit(seq_budget)))
+        .drop("__start")
+    )

@@ -123,3 +123,66 @@ def session_stats(
         F.unix_micros(F.max(ts)).alias("end_us"),
         fixed_point(F.sum(F.col("value").cast("decimal(18,2)"))).alias("sum_value_fp2"),
     )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    locf: bool = True,
+) -> DataFrame:
+    """Hypertable-style bucketed rollup with gap filling: aggregate per
+    (key, time bucket), then emit a row for EVERY bucket in the corpus
+    time span per key — zeros for counts, last-observation-carried-forward
+    for the value sum when ``locf``.
+
+    The bucket spine is generated relationally (per-key sequence over the
+    GLOBAL min/max bucket, exploded) and left-joined to the actuals; LOCF
+    is ``last(value, ignorenulls)`` over the per-key ordered window. Spine
+    size is |keys| × span/bucket rows — independent of event volume; the
+    join is keyed on (key, bucket) so it shuffles the (already reduced)
+    rollup, never raw events.
+
+    Output: key, bucket_start (timestamp), n (0-filled), sum_value_fp2
+    (fixed-point, NULL until first observation when locf).
+    """
+    bucketed = (
+        df.select(
+            F.col(key).alias("k"),
+            F.window(F.col(ts_col), bucket).start.alias("bucket_start"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("k", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fixed_point(F.sum("v"), 2).alias("sum_value_fp2"),
+        )
+    )
+    span = bucketed.select(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    spine = (
+        bucketed.select("k").distinct()
+        .crossJoin(F.broadcast(span))  # 1-row span: broadcast, not a cartesian
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket}"))
+            ).alias("bucket_start"),
+        )
+    )
+    out = spine.join(bucketed, ["k", "bucket_start"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    if locf:
+        w = (
+            Window.partitionBy("k")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            "sum_value_fp2", F.last("sum_value_fp2", ignorenulls=True).over(w)
+        )
+    return out.select(F.col("k").alias(key), "bucket_start", "n", "sum_value_fp2")

@@ -195,6 +195,39 @@ def tf_idf_top_terms(
     )
 
 
+def token_rarity_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative unigram quality signal in EXACT integer arithmetic:
+    per document, the sum / min / max of each token's GLOBAL occurrence
+    count. High sum/n ⇒ common-word soup; low min ⇒ contains corpus-rare
+    tokens. The integer surfaces make the scores value-checkable
+    cross-engine (a log-prob variant would inherit libm's last-ulp drift);
+    consumers derive avg = sum/n themselves.
+
+    Two shuffles, both bounded: token-count agg keyed on the token (high
+    cardinality, map-side combined — shuffle is |vocab| rows, not corpus
+    tokens), then the doc re-agg keyed on doc id. The token→count join
+    streams the exploded corpus against the vocab relation; vocabularies
+    fit comfortably in a shuffle join at any corpus size (they grow
+    ~log(corpus))."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_count"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_count").alias("sum_tok_count"),
+            F.min("tok_count").alias("min_tok_count"),
+            F.max("tok_count").alias("max_tok_count"),
+        )
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection: every feature above, computed in
     a single codegen stage over one scan."""
