@@ -475,6 +475,67 @@ def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile (the 100 TB path: fixed-size t-digest-like
+    state per group vs exact percentile's full sort) with the same
+    tolerance-verdict oracle pattern as the HLL check: surface the exact
+    per-group median both engines agree on, plus Spark's own verdict that
+    its approx_percentile(accuracy=10000) lands within 1% of exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("__exact"),
+            F.approx_percentile(
+                "o_totalprice", F.lit(0.5), F.lit(10000)
+            ).alias("__approx"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round("__exact", 4).alias("p50_exact"),
+            (
+                F.abs(F.col("__approx") - F.col("__exact"))
+                <= 0.01 * F.col("__exact")
+            ).alias("within_1pct"),
+        )
+    )
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type count matrix. Spark's
+    pivot with an EXPLICIT value list is one shuffle + conditional
+    aggregation — same plan as hand-written FILTER aggs; an implicit list
+    would add a distinct-scan pass, so the list is always pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "signup", "purchase", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def q_unpivot_order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): per-order numeric facts as (order, metric,
+    value) triples — Spark's unpivot is a zero-shuffle Expand node (each
+    input row emits one row per metric in place)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        F.year("o_orderdate").cast("decimal(18,2)").alias("order_year"),
+    )
+    return (
+        wide.unpivot(
+            "o_orderkey", ["totalprice", "order_year"], "metric", "value"
+        )
+        .select(
+            "o_orderkey", "metric",
+            TR.fixed_point(F.col("value"), 2).alias("value_fp2"),
+        )
+    )
+
+
 def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time-bucket aggregation (batch form of the streaming
     windowed counts)."""
@@ -1030,6 +1091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffled_head": q_shuffled_head,
         "token_rarity": q_token_rarity,
         "hourly_gapfill_locf": q_hourly_gapfill_locf,
+        "approx_percentile_check": q_approx_percentile_check,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "unpivot_order_facts": q_unpivot_order_facts,
         "text_analysis": q_text_analysis,
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
@@ -1627,6 +1691,30 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS sum_value_fp2
             FROM j
+        """,
+        "approx_percentile_check": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+                   TRUE AS within_1pct
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "pivot_event_matrix": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+            FROM events GROUP BY user_id
+        """,
+        "unpivot_order_facts": """
+            SELECT o_orderkey, 'totalprice' AS metric,
+                   CAST(cast(o_totalprice as decimal(18,2)) * 100 AS BIGINT) AS value_fp2
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'order_year',
+                   CAST(cast(year(o_orderdate) as decimal(18,2)) * 100 AS BIGINT)
+            FROM orders
         """,
         "word_jaccard_pairs": """
             WITH w AS (
