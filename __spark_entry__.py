@@ -536,6 +536,49 @@ def q_unpivot_order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/merge.apply_cdc): a deterministic synthetic
+    changelog — updates (incl. a two-action key where the later sequence
+    must win), deletes, inserts — applied to the customer base. The
+    oracle replays the same changelog relationally in DuckDB."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.merge import apply_cdc
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd1 = (
+        cust.where((k % 7 == 0) & (k % 13 != 0))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(1))
+    )
+    upd2 = (  # later action on a subset of upd1's keys: seq 2 must win
+        cust.where((k % 21 == 0) & (k % 13 != 0))
+        .withColumn("c_mktsegment", F.lit("UPDATED-2"))
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(2))
+    )
+    dels = (
+        cust.where(k % 13 == 0)
+        .withColumn("op", F.lit("D")).withColumn("seq", F.lit(1))
+    )
+    ins = (
+        cust.where(k % 11 == 0)
+        .withColumn("c_custkey", k + 1_000_000)
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit("-new")))
+        .withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return apply_cdc(cust, changes, "c_custkey", "seq")
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (operators/merge.scd2_history): each event
+    opens a (user, event_type) state valid until the next event; current
+    state has NULL valid_to."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.merge import scd2_history
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(ev, "user_id", "ts", ["event_type"], tiebreak="event_id")
+
+
 def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time-bucket aggregation (batch form of the streaming
     windowed counts)."""
@@ -1094,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_check": q_approx_percentile_check,
         "pivot_event_matrix": q_pivot_event_matrix,
         "unpivot_order_facts": q_unpivot_order_facts,
+        "cdc_merge_customers": q_cdc_merge_customers,
+        "scd2_user_state": q_scd2_user_state,
         "text_analysis": q_text_analysis,
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
@@ -1715,6 +1760,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, 'order_year',
                    CAST(cast(year(o_orderdate) as decimal(18,2)) * 100 AS BIGINT)
             FROM orders
+        """,
+        "cdc_merge_customers": """
+            WITH changes AS (
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     'UPDATED' AS c_mktsegment, 'U' AS op, 1 AS seq
+              FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+              UNION ALL
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     'UPDATED-2', 'U', 2
+              FROM customer WHERE c_custkey % 21 = 0 AND c_custkey % 13 <> 0
+              UNION ALL
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     c_mktsegment, 'D', 1
+              FROM customer WHERE c_custkey % 13 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_name || '-new', c_nationkey,
+                     c_acctbal, c_mktsegment, 'I', 1
+              FROM customer WHERE c_custkey % 11 = 0),
+            last AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+                FROM changes) WHERE rn = 1)
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                   c.c_mktsegment
+            FROM customer c LEFT JOIN last l ON c.c_custkey = l.c_custkey
+            WHERE l.c_custkey IS NULL
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM last WHERE op <> 'D'
+        """,
+        "scd2_user_state": """
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS valid_to_us
+            FROM events
         """,
         "word_jaccard_pairs": """
             WITH w AS (
