@@ -1077,6 +1077,270 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+# ------------------------------------------------- round-2b widened shapes
+
+def _revenue_dec() -> F.Column:
+    """The repo-standard exact money expression (same recipe as q3/q5):
+    decimal multiply, surfaced later via transforms.fixed_point."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations.
+    The same dimension (nation) plays two roles — supplier side and
+    customer side — so the plan needs disambiguated aliases; both roles
+    broadcast. Spine = lineitem ⋈ orders (one shuffle on orderkey);
+    supplier and the filtered customer side hash in."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(pair))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(pair))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(TR.fixed_point(F.sum(_revenue_dec()), 4).alias("revenue_fp4"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × year for parts whose
+    name matches a pattern. Profit = revenue − retail cost of the
+    quantity, all decimal arithmetic (exact, order-independent).
+    Filtered part broadcast into the lineitem scan; supplier→nation
+    broadcast; one shuffle on orderkey for the date dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    amount = (_revenue_dec() - cost).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(TR.fixed_point(F.sum(amount), 4).alias("profit_fp4"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    date window. Group keys carry the customer attributes (standard Q10
+    form) so the aggregate shuffles one row per customer; top-k is
+    TakeOrderedAndProject with a unique tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            TR.fixed_point(F.sum(_revenue_dec()), 4).alias("revenue_fp4"),
+            TR.fixed_point(
+                F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+            ).alias("acctbal_fp2"),
+        )
+        .orderBy(F.desc("revenue_fp4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — promo-typed revenue vs
+    total revenue in one month. Surfaces both numerator and denominator
+    as fixed-point integers (the ratio is a float division whose last
+    bit could differ across engines; the two exact integers carry the
+    same information)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue_dec()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            TR.fixed_point(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))),
+                4,
+            ).alias("promo_fp4"),
+            TR.fixed_point(F.sum(rev), 4).alias("total_fp4"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING subquery re-joined to the detail —
+    orders whose total quantity clears a threshold, with their customer.
+    The qualifying-keys relation stays aggregated (one row per order) and
+    semi-joins back; quantity totals surface fixed-point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .where(F.col("__qty") > F.lit(130).cast("decimal(18,2)"))
+        .select(
+            F.col("l_orderkey").alias("__bigkey"),
+            TR.fixed_point(F.col("__qty")).alias("total_qty_fp2"),
+        )
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("__bigkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("odate_us"),
+            TR.fixed_point(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "totalprice_fp2"
+            ),
+            "total_qty_fp2",
+        )
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join — customers
+    richer than the positive-balance average with no recent order (none
+    since 2000-07-01), rolled up per nation. The average is a 1-row
+    broadcast cross; the anti join hashes on custkey. Balance sums
+    surface fixed-point."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-07-01 00:00:00"))
+    )
+    cents = TR.fixed_point(F.col("c_acctbal").cast("decimal(18,2)"))
+    # "above average" as the integer cross-multiply cents * n > sum_cents:
+    # no float division, so the qualifying set can't flip on a last-bit
+    # difference between engines' summation orders.
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("__sum_cents"), F.count(F.lit(1)).alias("__n_pos")
+    )
+    rich = cust.join(F.broadcast(pos)).where(
+        cents * F.col("__n_pos") > F.col("__sum_cents")
+    )
+    dormant = rich.join(
+        orders.select(F.col("o_custkey")),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        TR.fixed_point(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        ).alias("sum_acctbal_fp2"),
+    )
+
+
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with a data-relative threshold: users whose
+    event count exceeds the per-user average. The comparison is the
+    integer cross-multiply n * n_users > n_total — no float division, so
+    the qualifying set is deterministic cross-engine."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = heavy_hitters(ev, "user_id", min_count=1)
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__users")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .where(F.col("n") * F.col("__users") > F.col("__total"))
+        .select("user_id", "n")
+    )
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each document
+    with probability n_chars/4096 (capped) — pure integer md5-bucket
+    arithmetic, filter at the scan, zero shuffle."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_hash_sample(
+        docs, "doc_id", "n_chars", max_weight=4096, salt="w1"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_moving_avg_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window per user: trailing-8-rows spend sum + frame
+    size (the moving-average pair, kept as exact integers)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import sliding_frame_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_frame_stats(
+        ev, "user_id", "ts", "event_id", "value", frame_rows=8
+    )
+
+
+def q_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency deciles of orders by price (ntile over a total
+    order), per-decile count and exact sum."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import ntile_buckets
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ntile_buckets(orders, "o_totalprice", "o_orderkey", 10, "o_totalprice")
+
+
+def q_nation_segments_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG shape: per-nation sorted distinct market segments as one
+    csv string (deterministic order ⇒ hashable cross-engine)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import grouped_sorted_concat
+
+    cust = load_table(spark, sf_dir, "customer")
+    return grouped_sorted_concat(cust, "c_nationkey", "c_mktsegment")
+
+
+def q_median_mode_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, over integer cents) and deterministic
+    mode (min value among max-frequency) of order value per priority."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import median_and_min_mode
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        TR.fixed_point(F.col("o_totalprice").cast("decimal(18,2)")).alias("cents"),
+    )
+    return median_and_min_mode(orders, "o_orderpriority", "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
@@ -1143,6 +1407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "media_decode_stats": q_media_decode_stats,
         "media_frame_counts": q_media_frame_counts,
+        "q7_nation_trade": q7_nation_trade,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_customers": q22_dormant_customers,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "moving_avg_user_spend": q_moving_avg_user_spend,
+        "ntile_price_deciles": q_ntile_price_deciles,
+        "nation_segments_concat": q_nation_segments_concat,
+        "median_mode_order_value": q_median_mode_order_value,
     }
 
 
@@ -1900,6 +2176,163 @@ def oracle_sql() -> dict[str, str]:
                    cast(ceil(ceil(cast(octet_length(encode(text)) as double) / 64.0)
                              / 2.0) as bigint) AS n_frames
             FROM documents
+        """,
+        "q7_nation_trade": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(cast(
+                        cast(cast(l_extendedprice as decimal(18,2))
+                             * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                             as decimal(18,4))
+                        - cast(cast(p_retailprice as decimal(18,2))
+                               * cast(l_quantity as decimal(18,2)) as decimal(18,4))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS profit_fp4
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4,
+                   CAST(max(cast(c_acctbal as decimal(18,2))) * 100 AS BIGINT)
+                       AS acctbal_fp2
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_fp4 DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_share": """
+            SELECT CAST(sum(CAST(
+                       CASE WHEN p_type = 'PROMO'
+                            THEN cast(cast(l_extendedprice as decimal(18,2))
+                                 * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                                 as decimal(18,4))
+                            ELSE cast(0 as decimal(18,4)) END * 10000
+                       AS BIGINT)) AS BIGINT) AS promo_fp4,
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS total_fp4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(cast(l_quantity as decimal(18,2))) AS qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(cast(l_quantity as decimal(18,2))) > cast(130 as decimal(18,2)))
+            SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+                   CAST(cast(o_totalprice as decimal(18,2)) * 100 AS BIGINT)
+                       AS totalprice_fp2,
+                   CAST(qty * 100 AS BIGINT) AS total_qty_fp2
+            FROM orders
+            JOIN big      ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q22_dormant_customers": """
+            WITH pos AS (
+              SELECT CAST(sum(CAST(cast(c_acctbal as decimal(18,2)) * 100 AS BIGINT))
+                          AS BIGINT) AS sum_cents,
+                     count(*) AS n_pos
+              FROM customer WHERE c_acctbal > 0),
+            dormant AS (
+              SELECT c.* FROM customer c, pos
+              WHERE CAST(cast(c_acctbal as decimal(18,2)) * 100 AS BIGINT) * n_pos
+                    > sum_cents
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'))
+            SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+                   CAST(sum(cast(c_acctbal as decimal(18,2))) * 100 AS BIGINT)
+                       AS sum_acctbal_fp2
+            FROM dormant GROUP BY c_nationkey
+        """,
+        "heavy_hitter_users": """
+            WITH counts AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS users
+                  FROM counts)
+            SELECT user_id, n FROM counts, t WHERE n * users > total
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5('w1' || cast(doc_id AS varchar)), 1, 4))
+                       AS BIGINT) * 4096
+                  < least(n_chars, 4096) * 65536
+        """,
+        "moving_avg_user_spend": """
+            SELECT user_id, event_id,
+                   CAST(sum(cast(value as decimal(18,2))) OVER w * 100 AS BIGINT)
+                       AS frame_sum_fp2,
+                   count(*) OVER w AS frame_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "ntile_price_deciles": """
+            WITH b AS (
+              SELECT o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                         AS bucket
+              FROM orders)
+            SELECT bucket, count(*) AS n,
+                   CAST(sum(cast(o_totalprice as decimal(18,2))) * 100 AS BIGINT)
+                       AS sum_value_fp2
+            FROM b GROUP BY bucket
+        """,
+        "nation_segments_concat": """
+            SELECT c_nationkey,
+                   array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+                       AS values_csv,
+                   count(DISTINCT c_mktsegment) AS n_distinct
+            FROM customer GROUP BY c_nationkey
+        """,
+        "median_mode_order_value": """
+            WITH o AS (
+              SELECT o_orderpriority,
+                     CAST(cast(o_totalprice as decimal(18,2)) * 100 AS BIGINT) AS cents
+              FROM orders),
+            med AS (
+              SELECT o_orderpriority, median(cents) AS median_value
+              FROM o GROUP BY o_orderpriority),
+            pv AS (
+              SELECT o_orderpriority, cents, count(*) AS c
+              FROM o GROUP BY o_orderpriority, cents),
+            m AS (
+              SELECT o_orderpriority, cents AS mode_value, c AS mode_n,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY c DESC, cents ASC) AS rn
+              FROM pv)
+            SELECT med.o_orderpriority, med.median_value, m.mode_value, m.mode_n
+            FROM med JOIN m ON med.o_orderpriority = m.o_orderpriority AND m.rn = 1
         """,
     }
 

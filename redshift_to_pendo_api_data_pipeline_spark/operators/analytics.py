@@ -85,6 +85,110 @@ def approx_distinct_count(df: DataFrame, col: str, rsd: float = 0.02) -> DataFra
     return df.agg(F.approx_count_distinct(F.col(col), rsd).alias("n_distinct_approx"))
 
 
+def heavy_hitters(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """Exact heavy hitters: keys whose frequency meets `min_count`.
+
+    One map-side-combined count shuffle keyed on the (high-cardinality)
+    key, then a post-aggregation filter — the exact twin of a
+    count-min-sketch pass. At 100 TB the partial aggregation means each
+    executor ships one row per distinct key it saw, not per event; the
+    HAVING filter runs post-shuffle, so no extra pass. Returns
+    (key, n) for qualifying keys."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def sliding_frame_stats(
+    df: DataFrame, partition_key: str, order_col: str, tiebreak: str,
+    value: str, frame_rows: int,
+) -> DataFrame:
+    """Moving-window aggregate over the trailing `frame_rows` rows per
+    key (ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW): windowed
+    sum (exact decimal, surfaced fixed-point) and the actual frame size.
+
+    Partitioned by the entity key so the window parallelizes across keys
+    (no global single-reducer window); within a partition Spark sorts
+    once and both aggregates share the frame scan."""
+    w = (
+        Window.partitionBy(partition_key)
+        .orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    return df.select(
+        F.col(partition_key),
+        F.col(tiebreak),
+        fixed_point(F.sum(F.col(value).cast("decimal(18,2)")).over(w)).alias(
+            "frame_sum_fp2"
+        ),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+def ntile_buckets(
+    df: DataFrame, order_col: str, tiebreak: str, n: int, value: str,
+) -> DataFrame:
+    """Equal-frequency bucketing: ntile(n) over a total order, then
+    per-bucket count and exact sum. The ntile window is global by
+    construction (SQL semantics); for corpus-scale inputs use
+    approx-percentile cut points instead (see
+    percentile_order_value) — this operator is for ranked-report
+    shapes where n buckets over a bounded result set is the ask.
+    The (order_col, tiebreak) order is total, so bucket membership is
+    deterministic and cross-engine stable."""
+    w = Window.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("bucket", F.ntile(n).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fixed_point(F.sum(F.col(value).cast("decimal(18,2)"))).alias(
+                "sum_value_fp2"
+            ),
+        )
+    )
+
+
+def grouped_sorted_concat(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-key sorted distinct concatenation (LISTAGG/STRING_AGG shape):
+    collect_set -> array_sort -> array_join, all JVM built-ins. The
+    sort makes the string deterministic regardless of partitioning, so
+    the result is value-hash-comparable cross-engine."""
+    return df.groupBy(key).agg(
+        F.array_join(F.array_sort(F.collect_set(F.col(value))), ",").alias(
+            "values_csv"
+        ),
+        F.count_distinct(F.col(value)).alias("n_distinct"),
+    )
+
+
+def median_and_min_mode(df: DataFrame, key: str, value_int: str) -> DataFrame:
+    """Exact per-key median (linear interpolation, SQL-standard) and
+    deterministic mode (smallest value among the most frequent — ties
+    broken by value so both engines agree).
+
+    Median via percentile over an integer column: interpolated halves
+    are exactly representable doubles, so the surface is cross-engine
+    hashable. Mode computed relationally (count per value -> max count
+    -> min value at max), partial-aggregated both stages; no
+    engine-specific mode() builtin whose tiebreak could differ."""
+    med = df.groupBy(key).agg(
+        F.percentile(F.col(value_int), F.lit(0.5)).alias("median_value")
+    )
+    per_val = df.groupBy(key, value_int).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(key).orderBy(
+        F.col("__c").desc(), F.col(value_int).asc()
+    )
+    mode = (
+        per_val.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(key, F.col(value_int).alias("mode_value"), F.col("__c").alias("mode_n"))
+    )
+    return med.join(mode, key)
+
+
 def sequential_funnel(
     df: DataFrame, user_col: str, type_col: str, ts_col: str,
     steps: list[str],

@@ -86,6 +86,26 @@ def weighted_mix(
     return df.where(hash_bucket(F.col(key_col), salt) < th)
 
 
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight_col: str, max_weight: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional deterministic Bernoulli sample: keep a row
+    with probability ``weight / max_weight`` (weights above the cap keep
+    with probability 1).
+
+    Membership test is pure integer arithmetic —
+    ``bucket * max_weight < weight * 65536`` with ``bucket`` the first
+    16 bits of md5(salt || key) — so there is no float division whose
+    rounding could differ between engines, and the filter evaluates at
+    the scan (no shuffle, no state), same as hash_sample. Used for
+    importance-weighted corpus subsetting (e.g. keep long documents
+    proportionally more often)."""
+    bucket = F.conv(hash_bucket(F.col(key_col), salt), 16, 10).cast("long")
+    w = F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    return df.where(bucket * F.lit(max_weight) < w * F.lit(_SPACE))
+
+
 def token_budget_head(
     df: DataFrame, key_col: str, tokens_col: str, order_col: str,
     budget: int,

@@ -1,0 +1,107 @@
+"""Round-2b widened analytics operators: heavy hitters, sliding frames,
+ntile bucketing, sorted string-agg, median/mode, weighted sampling."""
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import analytics as A
+from redshift_to_pendo_api_data_pipeline_spark.operators import sampling as SA
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def test_heavy_hitters_threshold_is_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = {r["user_id"]: r["n"] for r in A.heavy_hitters(ev, "user_id", 30).collect()}
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] >= 30
+    }
+    assert out == truth and len(out) > 0
+
+
+def test_sliding_frame_stats_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = A.sliding_frame_stats(ev, "user_id", "ts", "event_id", "value", 4)
+    one_user = out.where(F.col("user_id") == out.first()["user_id"])
+    rows = sorted(one_user.collect(), key=lambda r: r["event_id"])
+    src = {
+        r["event_id"]: r
+        for r in ev.where(F.col("user_id") == rows[0]["user_id"]).collect()
+    }
+    ordered = sorted(src.values(), key=lambda r: (r["ts"], r["event_id"]))
+    for i, r in enumerate(ordered):
+        frame = ordered[max(0, i - 3) : i + 1]
+        want = round(sum(round(x["value"], 2) for x in frame) * 100)
+        got = next(o for o in rows if o["event_id"] == r["event_id"])
+        assert got["frame_n"] == len(frame)
+        assert abs(got["frame_sum_fp2"] - want) <= 1  # fp2 vs float re-round
+
+    # frame never exceeds the configured size
+    assert out.agg(F.max("frame_n")).first()[0] <= 4
+
+
+def test_ntile_buckets_are_balanced(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = A.ntile_buckets(orders, "o_totalprice", "o_orderkey", 10, "o_totalprice").collect()
+    n_total = orders.count()
+    sizes = {r["bucket"]: r["n"] for r in out}
+    assert set(sizes) == set(range(1, 11))
+    assert sum(sizes.values()) == n_total
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # SQL ntile balance
+
+
+def test_grouped_sorted_concat_deterministic(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    a = {r["c_nationkey"]: r["values_csv"]
+         for r in A.grouped_sorted_concat(cust, "c_nationkey", "c_mktsegment").collect()}
+    b = {r["c_nationkey"]: r["values_csv"]
+         for r in A.grouped_sorted_concat(
+             cust.repartition(13), "c_nationkey", "c_mktsegment").collect()}
+    assert a == b  # sort inside the agg => partitioning-invariant
+    assert all("," in v or v for v in a.values())
+    for v in a.values():
+        parts = v.split(",")
+        assert parts == sorted(parts)
+
+
+def test_median_and_min_mode_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 9),
+         ("b", 5), ("b", 7), ("b", 7), ("b", 3), ("b", 3)],
+        "k string, v long",
+    )
+    out = {r["k"]: r for r in A.median_and_min_mode(df, "k", "v").collect()}
+    assert out["a"]["median_value"] == 2.0
+    assert out["a"]["mode_value"] == 2 and out["a"]["mode_n"] == 2
+    assert out["b"]["median_value"] == 5.0
+    # tie between 7 (x2) and 3 (x2): min value wins deterministically
+    assert out["b"]["mode_value"] == 3 and out["b"]["mode_n"] == 2
+
+
+def test_weighted_hash_sample_proportionality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.weighted_hash_sample(docs, "doc_id", "n_chars", max_weight=512)
+    # long docs must be kept at a visibly higher rate than short docs
+    # (n_chars spans ~47-560 in the synthetic corpus)
+    stats = (
+        docs.withColumn("long", F.col("n_chars") >= 300)
+        .groupBy("long").agg(F.count(F.lit(1)).alias("n_all"))
+    ).collect()
+    kept = (
+        out.withColumn("long", F.col("n_chars") >= 300)
+        .groupBy("long").agg(F.count(F.lit(1)).alias("n_kept"))
+    ).collect()
+    n_all = {r["long"]: r["n_all"] for r in stats}
+    n_kept = {r["long"]: r["n_kept"] for r in kept}
+    rate_long = n_kept.get(True, 0) / max(n_all.get(True, 1), 1)
+    rate_short = n_kept.get(False, 0) / max(n_all.get(False, 1), 1)
+    assert rate_long > rate_short
+    # deterministic: same inputs, same membership, any partitioning
+    ids = {r["doc_id"] for r in out.collect()}
+    ids_rp = {
+        r["doc_id"]
+        for r in SA.weighted_hash_sample(
+            docs.repartition(7), "doc_id", "n_chars", max_weight=512
+        ).collect()
+    }
+    assert ids == ids_rp
