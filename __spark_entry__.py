@@ -1341,6 +1341,225 @@ def q_median_mode_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_and_min_mode(orders, "o_orderpriority", "cents")
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate — conjunctive range predicates
+    (date window, discount band, quantity cap) all pushed to the parquet
+    scan, one global decimal sum. The cheapest possible plan: no join, no
+    groupBy shuffle, just partial sums -> one-row final. At 100 TB this is
+    the query that proves predicate pushdown works (the scan skips row
+    groups via parquet min/max stats on l_shipdate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    forecast = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(TR.fixed_point(F.sum(forecast), 4).alias("revenue_fp4"))
+    )
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join + two-way conditional counts.
+    (The synthetic lineitem has no l_shipmode; l_returnflag plays the
+    category role.) lineitem date-filtered at the scan, one shuffle on
+    orderkey; the CASE aggregation is a map-side-combined count pair."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving zero-order customers +
+    double aggregation (orders per customer, then customers per order
+    count). The outer join is the operator under test — null o_orderkey
+    rows must survive into count(o_orderkey)=0. Shuffles: custkey join,
+    custkey agg (same key — one Exchange reused), then a tiny histogram
+    agg on c_count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN subquery (left_anti join against a
+    complained-about supplier set) + per-group COUNT DISTINCT. (No
+    partsupp table in the synthetic data — lineitem provides the
+    part↔supplier association.) The anti side broadcasts (it is a
+    filtered 100-row dim); countDistinct over (brand, type, size) groups
+    expands to a two-phase distinct-then-count agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%9")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate spanning both
+    join sides (brand × size band × quantity band). Catalyst extracts the
+    common join key, pushes the part-only conjuncts below the join via
+    CNF conversion, and evaluates the residual disjunction post-join —
+    the classic test that complex boolean pushdown works."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            TR.fixed_point(F.sum(_revenue_dec()), 4).alias("revenue_fp4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double correlated EXISTS/NOT-EXISTS, decorrelated
+    into grouped flags. A supplier qualifies in an order when it shipped
+    late (> 60 days after the order date), the order has other suppliers
+    (EXISTS), and none of the others were late (NOT EXISTS). Instead of
+    two correlated re-scans of lineitem, one groupBy(orderkey, suppkey)
+    computes per-supplier late flags and one groupBy(orderkey) derives
+    (n_suppliers, n_late_suppliers); the predicate
+    late ∧ n_supp > 1 ∧ n_late = 1 is then rowside — the whole query is
+    two partial-aggregated shuffles on the same orderkey spine plus a
+    100-row broadcast for supplier names. That is the plan a 100 TB run
+    wants: the EXISTS pair never re-reads the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("__late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__late").alias("__n_late"),
+    )
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .where(
+            (F.col("__late") == 1)
+            & (F.col("__n_supp") > 1)
+            & (F.col("__n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce dedup: keep an event only when it is the first
+    of its (user, event_type) or >= 60 s after its predecessor — the
+    standard duplicate-beacon filter in event pipelines. One lag window
+    per (user_id, event_type): partition-parallel, single shuffle, no
+    state beyond the window sort."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import debounce_events
+
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce_events(ev, ["user_id", "event_type"], "ts", "event_id", gap_s=60)
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def q_duplicate_shingle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication diagnostic: per source, the fraction of
+    distinct (doc, 3-gram shingle) pairs whose shingle also appears in
+    some other document — the aggregate signal dedup teams read before
+    picking thresholds. Surfaced as two exact integers (dup_pairs,
+    total_pairs). Plan: one explode over the per-doc distinct shingle
+    arrays, a partial-aggregated count per shingle (high-cardinality key
+    — parallelizes), a shuffle join back on the shingle, and a tiny
+    per-source agg. No all-pairs anything; linear in corpus shingles."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        shingle_sets(docs, "text", "doc_id", n=3, distinct=True)
+        .join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
+        .select("doc", "source", F.explode("sh").alias("shingle"))
+    )
+    per_shingle = pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__docs_with")
+    )
+    return (
+        pairs.join(per_shingle, "shingle")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("__docs_with") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_pairs"),
+            F.count(F.lit(1)).alias("total_pairs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
@@ -1419,6 +1638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_price_deciles": q_ntile_price_deciles,
         "nation_segments_concat": q_nation_segments_concat,
         "median_mode_order_value": q_median_mode_order_value,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q13_order_count_histogram": q13_order_count_histogram,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "debounced_events": q_debounced_events,
+        "duplicate_shingle_rate": q_duplicate_shingle_rate,
     }
 
 
@@ -2333,6 +2560,109 @@ def oracle_sql() -> dict[str, str]:
               FROM pv)
             SELECT med.o_orderpriority, med.median_value, m.mode_value, m.mode_n
             FROM med JOIN m ON med.o_orderpriority = m.o_orderpriority AND m.rn = 1
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * cast(l_discount as decimal(18,2)) as decimal(18,4))
+                        * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.09
+              AND l_quantity < 24
+        """,
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "q13_order_count_histogram": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 5, 10, 15, 20, 25)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_fp4,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        # The oracle keeps the ORIGINAL correlated EXISTS / NOT EXISTS form
+        # (at (order, supplier) grain) so the decorrelated grouped-flag plan
+        # is validated against genuinely independent semantics.
+        "q21_sole_late_supplier": """
+            WITH cand AS (
+              SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+              FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (
+                    SELECT 1
+                    FROM lineitem l3 JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY))
+            SELECT s_name, count(*) AS numwait
+            FROM cand JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 25
+        """,
+        "debounced_events": """
+            WITH lagged AS (
+              SELECT user_id, event_type, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events)
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+            FROM lagged
+            WHERE prev IS NULL OR date_diff('second', prev, ts) >= 60
+        """,
+        "duplicate_shingle_rate": f"""
+            WITH {_SHINGLES_CTE.strip()},
+            pairs AS (
+              SELECT w.doc_id, d.source, unnest(w.sh) AS shingle
+              FROM w JOIN documents d USING (doc_id)),
+            ps AS (SELECT shingle, count(*) AS docs_with
+                   FROM pairs GROUP BY shingle)
+            SELECT source,
+                   CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_pairs,
+                   count(*) AS total_pairs
+            FROM pairs JOIN ps USING (shingle)
+            GROUP BY source
         """,
     }
 

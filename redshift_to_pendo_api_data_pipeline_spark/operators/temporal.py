@@ -186,3 +186,30 @@ def time_bucket_gapfill(
             "sum_value_fp2", F.last("sum_value_fp2", ignorenulls=True).over(w)
         )
     return out.select(F.col("k").alias(key), "bucket_start", "n", "sum_value_fp2")
+
+
+def debounce_events(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    gap_s: int,
+) -> DataFrame:
+    """Debounce dedup: keep a row when it is the first of its key group or
+    at least ``gap_s`` seconds after its PREDECESSOR row (lag semantics —
+    the gap is measured to the previous raw event, not the previous kept
+    event, so the filter is a single stateless window expression both
+    engines evaluate identically; kept-event debouncing needs a running
+    state and lives in the streaming flavor).
+
+    One lag window per key group: a single shuffle on `keys`,
+    partition-parallel, no state. The standard duplicate-beacon /
+    double-click filter in event pipelines (reference analogue: the
+    target's per-record invariant dedupe, target-pendo/src/__init__.py
+    482-520, generalized to time-window semantics)."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    prev = F.lag(F.col(ts_col)).over(w)
+    keep = prev.isNull() | (
+        F.col(ts_col).cast("long") - prev.cast("long") >= gap_s
+    )
+    return df.withColumn("__keep", keep).where("__keep").drop("__keep")

@@ -94,3 +94,48 @@ def test_sequential_funnel_enforces_order(spark):
         ev, "user_id", "event_type", "ts", ["signup", "view", "purchase"]
     ).collect()}
     assert out == {"signup": 2, "view": 1, "purchase": 1}
+
+
+def test_debounce_keeps_first_and_gapped(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import debounce_events
+
+    rows = [
+        # user 1 / click: burst at :00, :30, then a gapped event at +2min
+        (1, "click", 1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, "click", 2, datetime(2024, 1, 1, 10, 0, 30)),
+        (1, "click", 3, datetime(2024, 1, 1, 10, 2, 0)),
+        # same user, different type: independent stream, always first
+        (1, "view", 4, datetime(2024, 1, 1, 10, 0, 10)),
+        # other user: exactly at the 60 s boundary -> kept (>= gap)
+        (2, "click", 5, datetime(2024, 1, 1, 10, 0, 0)),
+        (2, "click", 6, datetime(2024, 1, 1, 10, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "ts"])
+    kept = (
+        debounce_events(df, ["user_id", "event_type"], "ts", "event_id", gap_s=60)
+        .select("event_id")
+        .toPandas()["event_id"]
+        .tolist()
+    )
+    # event 2 debounced (30 s after 1); 3 kept (90 s after 2);
+    # boundary event 6 kept (exactly 60 s)
+    assert sorted(kept) == [1, 3, 4, 5, 6]
+
+
+def test_debounce_lag_is_to_previous_raw_event(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import debounce_events
+
+    # 3 events 40 s apart: lag semantics drop BOTH followers (each is
+    # 40 s after its raw predecessor), even though the third is 80 s
+    # after the last KEPT event.
+    rows = [
+        (1, "click", 1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, "click", 2, datetime(2024, 1, 1, 10, 0, 40)),
+        (1, "click", 3, datetime(2024, 1, 1, 10, 1, 20)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "ts"])
+    kept = (
+        debounce_events(df, ["user_id", "event_type"], "ts", "event_id", gap_s=60)
+        .select("event_id").toPandas()["event_id"].tolist()
+    )
+    assert kept == [1]
