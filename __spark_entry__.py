@@ -1533,29 +1533,43 @@ def q_duplicate_shingle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, 3-gram shingle) pairs whose shingle also appears in
     some other document — the aggregate signal dedup teams read before
     picking thresholds. Surfaced as two exact integers (dup_pairs,
-    total_pairs). Plan: one explode over the per-doc distinct shingle
-    arrays, a partial-aggregated count per shingle (high-cardinality key
-    — parallelizes), a shuffle join back on the shingle, and a tiny
-    per-source agg. No all-pairs anything; linear in corpus shingles."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import shingle_sets
+    total_pairs).
+
+    Plan notes: dedup to distinct (doc, shingle) via explode-then-
+    ``.distinct()``, NOT ``array_distinct``-then-explode — the latter
+    re-evaluates the whole shingle lambda through the collapsed
+    projection under the Generate (measured ~9x slower; same trap
+    exploded_shingles' docstring documents). The doc->source attachment
+    broadcasts (documents' id->source projection is small relative to
+    the exploded relation at any SF with bounded source cardinality —
+    and if it weren't, the join key is the high-cardinality doc id, so a
+    shuffle-hash fallback stays skew-free). Both counting branches
+    aggregate from the SAME Exchange((shingle, source)) — the partial
+    agg before it is the only pass over the exploded data; Spark's
+    ReusedExchange makes the per-shingle total branch free. No all-pairs
+    anything; linear in corpus shingles."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import exploded_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        shingle_sets(docs, "text", "doc_id", n=3, distinct=True)
-        .join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
-        .select("doc", "source", F.explode("sh").alias("shingle"))
+        exploded_shingles(docs, "text", "doc_id", n=3)
+        .distinct()
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("doc"), "source")),
+            "doc",
+        )
+        .select("doc", "source", F.col("sh").alias("shingle"))
     )
-    per_shingle = pairs.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("__docs_with")
-    )
+    ss = pairs.groupBy("shingle", "source").agg(F.count(F.lit(1)).alias("__c"))
+    tot = ss.groupBy("shingle").agg(F.sum("__c").alias("__tot"))
     return (
-        pairs.join(per_shingle, "shingle")
+        ss.join(tot, "shingle")
         .groupBy("source")
         .agg(
-            F.sum(F.when(F.col("__docs_with") > 1, 1).otherwise(0))
+            F.sum(F.when(F.col("__tot") > 1, F.col("__c")).otherwise(0))
             .cast("long")
             .alias("dup_pairs"),
-            F.count(F.lit(1)).alias("total_pairs"),
+            F.sum("__c").cast("long").alias("total_pairs"),
         )
     )
 
