@@ -1476,12 +1476,12 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late (> 60 days after the order date), the order has other suppliers
     (EXISTS), and none of the others were late (NOT EXISTS). Instead of
     two correlated re-scans of lineitem, one groupBy(orderkey, suppkey)
-    computes per-supplier late flags and one groupBy(orderkey) derives
-    (n_suppliers, n_late_suppliers); the predicate
-    late ∧ n_supp > 1 ∧ n_late = 1 is then rowside — the whole query is
-    two partial-aggregated shuffles on the same orderkey spine plus a
-    100-row broadcast for supplier names. That is the plan a 100 TB run
-    wants: the EXISTS pair never re-reads the fact."""
+    computes per-supplier late flags and an orderkey-partitioned window
+    derives (n_suppliers, n_late_suppliers) in the same pass; the
+    predicate late ∧ n_supp > 1 ∧ n_late = 1 is then rowside — the whole
+    query is one orderkey-spine shuffle chain plus a 100-row broadcast
+    for supplier names. That is the plan a 100 TB run wants: the EXISTS
+    pair never re-reads the fact and never self-joins."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -1493,12 +1493,22 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("__late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supp"),
-        F.sum("__late").alias("__n_late"),
+    # (n_suppliers, n_late) per order as unbounded windows partitioned on
+    # l_orderkey: the per-order rollup needs an orderkey exchange either
+    # way, and the window form replaces the SortMergeJoin that a
+    # join-back-to-own-rollup plan adds on top of it.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    per_supp = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        F.count(F.lit(1)).over(w).alias("__n_supp"),
+        F.sum("__late").over(w).alias("__n_late"),
     )
     return (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp
         .where(
             (F.col("__late") == 1)
             & (F.col("__n_supp") > 1)
@@ -1561,9 +1571,16 @@ def q_duplicate_shingle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", "source", F.col("sh").alias("shingle"))
     )
     ss = pairs.groupBy("shingle", "source").agg(F.count(F.lit(1)).alias("__c"))
-    tot = ss.groupBy("shingle").agg(F.sum("__c").alias("__tot"))
+    # per-shingle total as an unbounded window over the shingle prefix of
+    # the agg output — replaces a self-join back to a groupBy("shingle")
+    # rollup (which planned as a SortMergeJoin) with one window pass
+    from pyspark.sql import Window
+
+    ss = ss.withColumn(
+        "__tot", F.sum("__c").over(Window.partitionBy("shingle"))
+    )
     return (
-        ss.join(tot, "shingle")
+        ss
         .groupBy("source")
         .agg(
             F.sum(F.when(F.col("__tot") > 1, F.col("__c")).otherwise(0))
