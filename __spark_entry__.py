@@ -1591,6 +1591,59 @@ def q_duplicate_shingle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the 5 longest documents of every source — the
+    curation 'show me the extremes per slice' query. row_number over a
+    (source)-partitioned window: one shuffle on source, rank state per
+    group only; never a global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user event frequencies next to their exact
+    counts (operators/analytics.count_min_sketch). The per-key hash
+    coordinates stage to the lake, so the oracle re-derives counters and
+    estimates exactly — a sketch with a hash check, not a tolerance
+    check."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return count_min_sketch(
+        ev, "user_id", depth=4, width=256,
+        stage_map_path=f"{_stage_dir(sf_dir)}/cms_map.parquet",
+    )
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: new batch (source = src0) near-dup'd
+    against the existing corpus (every other source) — asymmetric banded
+    LSH over two staged signature relations; the corpus never self-joins.
+    The production shape for 'dedupe today's crawl against the lake'."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = _stage_dir(sf_dir)
+    return incremental_minhash_neardup(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        docs, "text", "doc_id",
+        stage_new=f"{stage}/minhash_sigs_new.parquet",
+        stage_corpus=f"{stage}/minhash_sigs_corpus.parquet",
+        threshold=0.8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
@@ -1677,6 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "debounced_events": q_debounced_events,
         "duplicate_shingle_rate": q_duplicate_shingle_rate,
+        "top_docs_per_source": q_top_docs_per_source,
+        "cms_user_counts": q_cms_user_counts,
+        "incremental_neardup": q_incremental_neardup,
     }
 
 
@@ -2694,6 +2750,69 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_pairs
             FROM pairs JOIN ps USING (shingle)
             GROUP BY source
+        """,
+        "top_docs_per_source": """
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents)
+            SELECT doc_id, source, n_chars, rk FROM ranked WHERE rk <= 5
+        """,
+        # Counters and estimates re-derived from the staged per-key hash
+        # coordinates — the sketch's only engine-specific piece is the
+        # hash family, so the whole estimate is hash-checkable.
+        "cms_user_counts": f"""
+            WITH mapping AS (
+              SELECT user_id, i, bucket
+              FROM read_parquet('{_STAGE}/cms_map.parquet/*.parquet')),
+            counters AS (
+              SELECT i, bucket, count(*) AS cnt
+              FROM events e JOIN mapping m ON e.user_id = m.user_id
+              GROUP BY i, bucket),
+            est AS (
+              SELECT m.user_id, min(cnt) AS cms_est
+              FROM mapping m
+              JOIN counters c ON m.i = c.i AND m.bucket = c.bucket
+              GROUP BY m.user_id),
+            exact AS (SELECT user_id, count(*) AS exact_n
+                      FROM events GROUP BY user_id)
+            SELECT e.user_id, exact_n, cms_est
+            FROM exact e JOIN est ON e.user_id = est.user_id
+        """,
+        # Asymmetric banding between the two staged signature relations
+        # (new batch x corpus); same slice-equality banding + exact
+        # Jaccard verify argument as the self-join CTE above.
+        "incremental_neardup": f"""
+            WITH sn AS (SELECT doc, sig
+                        FROM read_parquet('{_STAGE}/minhash_sigs_new.parquet/*.parquet')),
+            sc AS (SELECT doc, sig
+                   FROM read_parquet('{_STAGE}/minhash_sigs_corpus.parquet/*.parquet')),
+            cand AS (
+              SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+              FROM sn a JOIN sc b
+                ON list_slice(a.sig,  1,  6) = list_slice(b.sig,  1,  6)
+                OR list_slice(a.sig,  7, 12) = list_slice(b.sig,  7, 12)
+                OR list_slice(a.sig, 13, 18) = list_slice(b.sig, 13, 18)
+                OR list_slice(a.sig, 19, 24) = list_slice(b.sig, 19, 24)
+                OR list_slice(a.sig, 25, 30) = list_slice(b.sig, 25, 30)
+                OR list_slice(a.sig, 31, 36) = list_slice(b.sig, 31, 36)
+                OR list_slice(a.sig, 37, 42) = list_slice(b.sig, 37, 42)
+                OR list_slice(a.sig, 43, 48) = list_slice(b.sig, 43, 48)),
+            {_SHINGLES_CTE.strip()},
+            j AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(wa.sh, wb.sh)) AS inter,
+                     len(wa.sh) AS na, len(wb.sh) AS nb
+              FROM cand c
+              JOIN w wa ON wa.doc_id = c.id_a
+              JOIN w wb ON wb.doc_id = c.id_b)
+            SELECT id_a, id_b,
+                   round(cast(inter as double) / cast(na + nb - inter as double), 6)
+                       AS jaccard
+            FROM j
+            WHERE round(cast(inter as double) / cast(na + nb - inter as double), 6)
+                  >= 0.8
         """,
     }
 

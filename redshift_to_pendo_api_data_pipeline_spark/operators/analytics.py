@@ -295,3 +295,70 @@ def sequential_funnel(
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256,
+    stage_map_path: str | None = None,
+) -> DataFrame:
+    """Count-min sketch frequency estimates, composed from built-ins and
+    fully value-checkable cross-engine.
+
+    Counters: each row explodes into `depth` (row-of-the-sketch, bucket)
+    coordinates — bucket_i = xxhash64(i, key) mod width — and one
+    partial-aggregated count per coordinate yields the depth x width
+    counter matrix (a few KB regardless of data size; the shuffle carries
+    at most depth x width rows per map task thanks to map-side combine).
+    Estimate per key = min over the depth counters it hashes into —
+    >= the true count always, with the classic (eps=2/width, delta) CMS
+    overestimate bound.
+
+    The per-key coordinates are STAGED to `stage_map_path` when given —
+    the same lake-staging pattern as MinHash signatures: the hash family
+    is the only engine-specific piece, so an independent engine
+    re-derives counters AND estimates exactly from (events x mapping),
+    making the sketch hash-checkable rather than tolerance-checked.
+
+    Returns (key, exact_n, cms_est): the estimate next to the exact
+    count it approximates (both deterministic integers). At 100 TB the
+    exact twin is the expensive side (full distinct-key shuffle) and the
+    sketch side is one broadcast-sized matrix — production reads just
+    the sketch; the exact column here is the built-in accuracy audit.
+
+    Reference analogue: the record-counter metric family
+    (tap-redshift/src/sync.py:178-183) generalized to per-key frequency
+    under bounded memory."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col(key_col).cast("string")),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("c")
+    counters = (
+        df.select(coords)
+        .select("c.i", "c.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    mapping = exact.select(F.col(key_col), coords).select(
+        key_col, "c.i", "c.bucket"
+    )
+    if stage_map_path is not None:
+        mapping.write.mode("overwrite").parquet(stage_map_path)
+        mapping = df.sparkSession.read.parquet(stage_map_path)
+    return (
+        mapping.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+        .join(exact, key_col)
+        .select(key_col, "exact_n", "cms_est")
+    )

@@ -596,3 +596,68 @@ def embedding_neardup_pairs(
 
     schema = "id_a long, id_b long, cosine double"
     return joined.mapInPandas(_score, schema=schema)
+
+
+def candidates_between_signatures(
+    sigs_new: DataFrame, sigs_corpus: DataFrame, k: int = 48, bands: int = 8
+) -> DataFrame:
+    """Asymmetric banded-LSH candidates: new-batch docs against an
+    existing corpus's staged signatures — the incremental-ingest dedup
+    shape (dedupe today's crawl against the lake without re-pairing the
+    lake against itself). Join is new x corpus on (band, bucket): shuffle
+    O(bands x (N_new + N_corpus)) band rows, and the corpus side never
+    self-joins. Returns distinct (id_new, id_corpus)."""
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        r = k // bands
+        return sigs.select(
+            F.col("doc").alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out, "bb.band", "bb.bucket")
+
+    return (
+        banded(sigs_new, "id_new")
+        .join(banded(sigs_corpus, "id_corpus"), ["band", "bucket"])
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+
+
+def incremental_minhash_neardup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    stage_new: str,
+    stage_corpus: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    k: int = 48,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental near-dup: which new-batch documents duplicate the
+    existing corpus. Both signature relations stage to the lake (the
+    corpus side is written once per ingest in production and reused),
+    asymmetric banding generates candidates, and the exact n-gram
+    Jaccard verify runs only on candidate pairs. `docs` supplies text
+    for the verify (superset of both sides). Returns
+    (id_a=new, id_b=corpus, jaccard >= threshold)."""
+    sn = staged_minhash_signatures(new_df, text_col, id_col, stage_new, n=n, k=k)
+    sc = staged_minhash_signatures(
+        corpus_df, text_col, id_col, stage_corpus, n=n, k=k
+    )
+    cands = candidates_between_signatures(sn, sc, k=k, bands=bands).select(
+        F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
+    )
+    verified = ngram_jaccard(cands, docs, text_col, id_col, n=n)
+    return verified.where(F.col("jaccard") >= threshold)

@@ -105,3 +105,19 @@ def test_weighted_hash_sample_proportionality(spark, sf_dir):
         ).collect()
     }
     assert ids == ids_rp
+
+
+def test_count_min_sketch_overestimates_and_is_exact_without_collisions(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import count_min_sketch
+
+    rows = [(k, i) for k in range(10) for i in range(k + 1)]  # key k appears k+1 times
+    df = spark.createDataFrame(rows, "user_id long, seq long")
+    # 10 keys into width 4096, depth 4: P(some key collides in ALL 4 rows)
+    # is ~0, so every estimate equals the exact count
+    wide = count_min_sketch(df, "user_id", depth=4, width=4096).collect()
+    assert all(r.cms_est == r.exact_n for r in wide)
+    # width 2 forces collisions: the estimate never undercounts
+    narrow = count_min_sketch(df, "user_id", depth=2, width=2).collect()
+    assert all(r.cms_est >= r.exact_n for r in narrow)
+    total = sum(k + 1 for k in range(10))
+    assert all(r.cms_est <= total for r in narrow)

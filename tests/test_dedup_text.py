@@ -256,3 +256,28 @@ def test_text_analysis_single_codegen_stage(spark, sf_dir):
     plan = TX.analyze_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("WholeStageCodegen") <= 2  # one scan-project stage (+exchange-free)
+
+
+def test_incremental_neardup_new_vs_corpus(spark, tmp_path):
+    # corpus holds docs 1/3/4; the "new batch" brings 2 (near-dup of 1)
+    # and 6 (novel). Asymmetric LSH must pair 2 with 1 and leave 6 out —
+    # and never pair corpus docs with each other (3 vs 1 is a near-dup
+    # pair inside the corpus; an incremental pass must not re-find it).
+    docs = _docs_with_dups(spark).union(
+        spark.createDataFrame(
+            [(6, "Entirely novel text about something else entirely")],
+            "doc_id long, text string",
+        )
+    )
+    new = docs.where(F.col("doc_id").isin(2, 6))
+    corpus = docs.where(F.col("doc_id").isin(1, 3, 4))
+    pairs = D.incremental_minhash_neardup(
+        new, corpus, docs, "text", "doc_id",
+        stage_new=str(tmp_path / "sn.parquet"),
+        stage_corpus=str(tmp_path / "sc.parquet"),
+        threshold=0.5,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (2, 1) in got
+    new_ids = {2, 6}
+    assert all(a in new_ids and b not in new_ids for a, b in got)
