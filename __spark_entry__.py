@@ -1591,6 +1591,160 @@ def q_duplicate_shingle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional revenue per year —
+    the deepest snowflake in the suite (lineitem spine; orders carries
+    the year; customer→nation→region restricts the market; supplier→
+    nation tags the competitor; part restricts the product). All
+    dimension arms broadcast; the only shuffles are the orderkey join
+    and the per-year agg. Share surfaces as exact (numerator,
+    denominator) fixed-point integers — the float division happens in
+    the reader's head, not in the hash-checked result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    )
+    market_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    ).select("s_suppkey", "supp_nation")
+    rev = _revenue_dec()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # market_cust is the region-pruned KEY-ONLY projection of the
+        # customer dim (one long per customer in the region) — broadcast
+        # keeps the fact spine shuffle-free on custkey; at a scale where
+        # even the key projection outgrows the broadcast budget this
+        # becomes a shuffle-hash join on the same key, nothing else moves
+        .join(F.broadcast(market_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            TR.fixed_point(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ),
+                4,
+            ).alias("nation_rev_fp4"),
+            TR.fixed_point(F.sum(rev), 4).alias("total_rev_fp4"),
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global scalar threshold.
+    (No partsupp table — shipped value per part from one nation's
+    suppliers plays the stock-value role.) The global total is a 1-row
+    broadcast; the HAVING threshold is the integer cross-multiply
+    value * 1000 > total (no float division, deterministic set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_1"
+    )
+    nation_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    value_cents = TR.fixed_point(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    )
+    per_part = (
+        li.join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(value_cents.alias("value_fp2"))
+    )
+    total = per_part.agg(F.sum("value_fp2").alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_fp2") * 1000 > F.col("__total"))
+        .select("l_partkey", "value_fp2")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the view-then-max pattern — per-supplier revenue
+    over a quarter, keep the supplier(s) equal to the maximum (ties kept,
+    so the result is deterministic without a tiebreak). The max is a
+    1-row broadcast compared on exact fixed-point cents."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(TR.fixed_point(F.sum(_revenue_dec()), 4).alias("total_rev_fp4"))
+    )
+    best = revenue.agg(F.max("total_rev_fp4").alias("__best"))
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_rev_fp4") == F.col("__best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_fp4")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: chained IN subqueries decorrelated to a
+    groupBy-HAVING relation semi-joined back. (No partsupp/availqty —
+    'shipped more than 50 units of some pattern-matched part in 1997'
+    plays the excess-stock role.) The HAVING relation stays aggregated
+    (one row per (supp, part) clearing the bar) and left-semi-joins
+    supplier; nation broadcasts for the name."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .where(F.col("__qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        # heavy is bounded by supplier-table cardinality (one row per
+        # qualifying supplier) — broadcastable at any data scale
+        supp.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k: the 5 longest documents of every source — the
     curation 'show me the extremes per slice' query. row_number over a
@@ -1733,6 +1887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": q_top_docs_per_source,
         "cms_user_counts": q_cms_user_counts,
         "incremental_neardup": q_incremental_neardup,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_excess_shippers": q20_excess_shippers,
     }
 
 
@@ -2813,6 +2971,76 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE round(cast(inter as double) / cast(na + nb - inter as double), 6)
                   >= 0.8
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(
+                       CASE WHEN n2.n_name = 'NATION_1'
+                            THEN cast(cast(l_extendedprice as decimal(18,2))
+                                 * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                                 as decimal(18,4))
+                            ELSE cast(0 as decimal(18,4)) END * 10000
+                       AS BIGINT)) AS BIGINT) AS nation_rev_fp4,
+                   CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                        as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS total_rev_fp4
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD'
+              AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY year(o_orderdate)
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(cast(l_extendedprice as decimal(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS value_fp2
+              FROM lineitem
+              WHERE l_suppkey IN (
+                  SELECT s_suppkey FROM supplier JOIN nation
+                    ON s_nationkey = n_nationkey
+                  WHERE n_name = 'NATION_1')
+              GROUP BY l_partkey),
+            t AS (SELECT CAST(sum(value_fp2) AS BIGINT) AS total FROM per_part)
+            SELECT l_partkey, value_fp2
+            FROM per_part, t
+            WHERE value_fp2 * 1000 > total
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(cast(cast(l_extendedprice as decimal(18,2))
+                          * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                          as decimal(18,4)) * 10000 AS BIGINT)) AS BIGINT)
+                         AS total_rev_fp4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev_fp4
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_fp4 = (SELECT max(total_rev_fp4) FROM revenue)
+        """,
+        "q20_excess_shippers": """
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(cast(l_quantity as decimal(18,2)))
+                       > cast(50 as decimal(18,2)))
         """,
     }
 

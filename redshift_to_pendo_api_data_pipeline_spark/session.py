@@ -66,7 +66,12 @@ def get_spark(
         # Spark has no native type for (SPARK-40819); read as long nanos and
         # convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all N executor threads in ONE JVM: size the
+        # heap for N concurrent tasks' shuffle/broadcast/write buffers, not
+        # for a lone driver (8g thrashed GC late in an 87-query loop; the
+        # per-query cost showed up as 3-5x tail inflation). On a real
+        # cluster this maps to spark.executor.memory per executor instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
