@@ -717,47 +717,20 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact word-set Jaccard: pairs within the same `source`
-    block with similarity >= 0.5 — the deterministic (oracle-checkable)
-    flavor of near-dup detection; blocking bounds the pair count."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
-    # words are hashed to int64 before the pairwise set ops: Jaccard over
-    # hashed sets equals Jaccard over the sets (collisions ~2^-64), and
-    # long-array intersects are ~5x cheaper than string-array intersects
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "source",
-            F.split(normalize_text(F.col("text")), " ").alias("ws"),
-        )
-        .select(
-            "doc_id", "source",
-            F.array_distinct(F.transform("ws", lambda x: F.xxhash64(x))).alias("w"),
-        )
+    """Exact word-set Jaccard pairs within `source` blocks, similarity
+    >= 0.5 — computed by PREFIX FILTERING (dedup.
+    prefix_filtered_jaccard_pairs), the SSJoin/PPJoin family: candidates
+    come from an inverted-index equi-join on each document's
+    rarest-token prefix, never from all pairs, so the exact flavor is
+    scale-safe too (round-1's blocked O(B^2) form survives only in the
+    equivalence test that pins both plans to identical output). The
+    oracle is unchanged: same pairs, same jaccard values."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
     )
-    docs = docs.withColumn("n", F.size("w"))
-    a = docs.select("source", F.col("doc_id").alias("id_a"),
-                    F.col("w").alias("w_a"), F.col("n").alias("n_a"))
-    b = docs.select("source", F.col("doc_id").alias("id_b"),
-                    F.col("w").alias("w_b"), F.col("n").alias("n_b"))
-    # |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one array_intersect per
-    # pair instead of intersect+union — halves the per-pair hash-set work
-    inter = F.size(F.array_intersect("w_a", "w_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        a.join(
-            b,
-            # lossless size-band prune inside the join condition: J >= 0.5
-            # implies min(|A|,|B|) >= 0.5*max(|A|,|B|), so mismatched-size
-            # pairs are dropped before any array work happens
-            (a["source"] == b["source"])
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_a") * 2 >= F.col("n_b"))
-            & (F.col("n_b") * 2 >= F.col("n_a")),
-        )
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
-    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(docs, "text", "doc_id", "source", 0.5)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,10 +833,9 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from near-dup PAIRS: connected components (min-
     label propagation) over the PRODUCTION pair graph — MinHash-LSH
-    candidates + exact-Jaccard verify from staged signatures (the blocked
-    all-pairs Jaccard stays available as word_jaccard_pairs, the
-    verify/oracle flavor, but is quadratic per block and must not feed
-    clustering at scale). cluster_id = min doc_id in the component; the
+    candidates + exact-Jaccard verify from staged signatures
+    (word_jaccard_pairs is the exact flavor, itself scale-safe via
+    prefix filtering). cluster_id = min doc_id in the component; the
     oracle re-derives the same pair graph from the staged parquet and
     walks it with a recursive CTE."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (

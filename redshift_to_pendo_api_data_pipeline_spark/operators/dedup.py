@@ -661,3 +661,98 @@ def incremental_minhash_neardup(
     )
     verified = ngram_jaccard(cands, docs, text_col, id_col, n=n)
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-set Jaccard self-join via prefix filtering (the
+    SSJoin/PPJoin family) — same output as the blocked all-pairs form,
+    but scale-safe: candidate generation is an inverted-index equi-join
+    on rare prefix tokens instead of O(B^2) pairs per block.
+
+    Theory: order every token set by a single global total order
+    (ascending document frequency, token hash as tiebreak — rare first).
+    For Jaccard >= t, a pair must overlap by at least ceil(t*max(|A|,|B|))
+    tokens, so the intersection cannot hide entirely in the last
+    ceil(t*n)-1 positions of either sorted set: any qualifying pair
+    shares a token among each side's first n - ceil(t*n) + 1 tokens (its
+    PREFIX). Indexing only prefixes keeps the join linear in corpus
+    tokens, and frequency-ascending order puts the rarest tokens in
+    prefixes, so per-token candidate lists stay small.
+
+    Plan: one df-count shuffle (token), one rank join (token), one
+    per-doc re-agg (doc), the prefix index join ((block, token) — high
+    cardinality, partial-distinct candidates), and the exact
+    array_intersect verify on candidates only, with the lossless
+    size-band prune (t*|B| <= |A| <= |B|/t) applied before any array
+    work. Every stage is linear or candidate-bounded; nothing is
+    quadratic in block size."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: F.xxhash64(x),
+                )
+            )
+        ).alias("tok"),
+    )
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        toks.join(tok_df, "tok")
+        .groupBy("doc", "blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("tok")))
+            ).alias("ws")
+        )
+        .select(
+            "doc",
+            "blk",
+            F.transform("ws", lambda x: x["tok"]).alias("w"),
+            F.size("ws").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pref = per_doc.select(
+        "doc", "blk", "n", F.explode(F.slice("w", 1, prefix_len)).alias("tok")
+    )
+    a = pref.select(
+        F.col("blk"), F.col("tok"),
+        F.col("doc").alias("id_a"), F.col("n").alias("pn_a"),
+    )
+    b = pref.select(
+        F.col("blk"), F.col("tok"),
+        F.col("doc").alias("id_b"), F.col("n").alias("pn_b"),
+    )
+    cand = (
+        a.join(b, ["blk", "tok"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("pn_a") >= F.lit(threshold) * F.col("pn_b"))
+            & (F.col("pn_b") >= F.lit(threshold) * F.col("pn_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = per_doc.select(
+        F.col("doc").alias("id_a"), F.col("w").alias("w_a"), F.col("n").alias("n_a")
+    )
+    wb = per_doc.select(
+        F.col("doc").alias("id_b"), F.col("w").alias("w_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -281,3 +281,47 @@ def test_incremental_neardup_new_vs_corpus(spark, tmp_path):
     assert (2, 1) in got
     new_ids = {2, 6}
     assert all(a in new_ids and b not in new_ids for a, b in got)
+
+
+def test_prefix_filtered_jaccard_equals_all_pairs(spark):
+    # the prefix-filter index join must reproduce the naive blocked
+    # all-pairs result exactly (pairs AND jaccard values) — the classical
+    # SSJoin correctness guarantee, pinned on a fixture with dup, near-dup,
+    # disjoint and empty docs across two blocks
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy cat"),
+        (3, "a", "entirely different words here today my friend"),
+        (4, "a", ""),
+        (5, "b", "the quick brown fox jumps over the lazy dog"),  # other block
+        (6, "b", "the quick brown fox jumps over the lazy dog"),
+        (7, "b", "short text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    naive_docs = docs.select(
+        "doc_id", "source",
+        F.array_distinct(
+            F.transform(
+                F.split(D.normalize_text(F.col("text")), " "),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("w"),
+    ).withColumn("n", F.size("w"))
+    a = naive_docs.select("source", F.col("doc_id").alias("id_a"),
+                          F.col("w").alias("w_a"), F.col("n").alias("n_a"))
+    b = naive_docs.select("source", F.col("doc_id").alias("id_b"),
+                          F.col("w").alias("w_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    naive = (
+        a.join(b, (a["source"] == b["source"]) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+    fast = D.prefix_filtered_jaccard_pairs(docs, "text", "doc_id", "source", 0.5)
+    n_rows = sorted(tuple(r) for r in naive.collect())
+    f_rows = sorted(tuple(r) for r in fast.collect())
+    assert n_rows == f_rows
+    assert any(r[0] == 5 and r[1] == 6 for r in f_rows)  # exact dup found
+    assert all(not (r[0] == 1 and r[1] == 3) for r in f_rows)  # disjoint absent
