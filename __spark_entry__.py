@@ -850,6 +850,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step dedup actually ships: one canonical document per near-dup
+    cluster — longest text wins, doc_id breaks ties — plus the cluster
+    size (how many docs the representative replaces). Chains the
+    production pipeline (staged signatures -> LSH candidates -> exact
+    verify -> connected components) with a per-cluster argmax window:
+    one extra shuffle on cluster_id over the (tiny) clustered subset."""
+    from pyspark.sql import Window
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs_staged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_staged(
+        docs, "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
+    )
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sized = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        sized.select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_docs"),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "n_docs",
+        )
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids as (label, dim, c) — posexplode+avg,
     JVM-only."""
@@ -1863,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
         "q20_excess_shippers": q20_excess_shippers,
+        "cluster_representatives": q_cluster_representatives,
     }
 
 
@@ -3013,6 +3058,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey, l_partkey
                 HAVING sum(cast(l_quantity as decimal(18,2)))
                        > cast(50 as decimal(18,2)))
+        """,
+        "cluster_representatives": f"""
+            WITH RECURSIVE
+            {_MINHASH_VERIFIED_CTE.strip()},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk AS (
+              SELECT src AS start, src AS reach FROM edges
+              UNION
+              SELECT wk.start, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src),
+            clusters AS (
+              SELECT start AS doc_id, min(reach) AS cluster_id
+              FROM walk GROUP BY start),
+            sized AS (
+              SELECT c.cluster_id, c.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, c.doc_id ASC)
+                         AS rk,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+              FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+            SELECT cluster_id, doc_id AS rep_doc_id,
+                   n_chars AS rep_n_chars, n_docs
+            FROM sized WHERE rk = 1
         """,
     }
 

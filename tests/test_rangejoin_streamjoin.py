@@ -171,3 +171,42 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
 def test_stream_stream_join_requires_bounds():
     with pytest.raises(ValueError):
         stream_stream_join(None, None, "k", "a", "b", within="", watermark="1 hour")
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static dimension enrichment: a streaming fact joined with a
+    static (broadcastable) dimension needs no watermark and no stream
+    state — each micro-batch hash-joins against the dim. Result must
+    equal the batch join."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    expected = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/ev")
+        es = spark.readStream.schema(
+            spark.read.parquet(f"{d}/ev").schema
+        ).parquet(f"{d}/ev")
+        enriched = es.join(F.broadcast(dim), "event_type")
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("sse_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.table("sse_out")
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert _rows(got, ["category", "n"]) == _rows(expected, ["category", "n"])
+        assert got.count() == 4  # 5 types -> 4 categories
