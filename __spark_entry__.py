@@ -850,6 +850,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: banded-MinHash near-dup pairs measured against
+    the EXACT shingle-Jaccard ground truth (prefix-filtered set join over
+    the same 3-gram sets, one corpus-wide block, threshold 0.8). Both
+    sides are deterministic, so the audit is a single hash-checked row:
+    (n_exact, n_lsh, n_common, n_missed). The verify stage filters LSH
+    candidates on exact Jaccard, so n_lsh == n_common (precision 1) and
+    n_missed counts true pairs that never collided in any band — the
+    number the 8-band x 6-row S-curve bounds in expectation. At 100 TB
+    this is the recurring health check run on a sample after every
+    signature-parameter change."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = prefix_filtered_jaccard_pairs(
+        docs.withColumn("__all", F.lit(1)), "text", "doc_id", "__all",
+        threshold=0.8, n=3,
+    )
+    lsh = minhash_dedup_pairs_staged(
+        docs, "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
+    )
+    # union + per-pair max flags instead of a FULL OUTER join: full outer
+    # has no broadcast strategy in Spark (it would plan a SortMergeJoin);
+    # the union aggregates in one partial-combined shuffle on the pair key
+    flags = (
+        exact.select("id_a", "id_b", F.lit(1).alias("__e"), F.lit(0).alias("__l"))
+        .unionByName(
+            lsh.select("id_a", "id_b", F.lit(0).alias("__e"), F.lit(1).alias("__l"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__e").alias("__e"), F.max("__l").alias("__l"))
+    )
+    return flags.agg(
+        F.sum("__e").cast("long").alias("n_exact"),
+        F.sum("__l").cast("long").alias("n_lsh"),
+        F.sum(F.col("__e") * F.col("__l")).cast("long").alias("n_common"),
+        F.sum(F.col("__e") * (1 - F.col("__l"))).cast("long").alias("n_missed"),
+    )
+
+
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step dedup actually ships: one canonical document per near-dup
     cluster — longest text wins, doc_id breaks ties — plus the cluster
@@ -1908,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q20_excess_shippers": q20_excess_shippers,
         "cluster_representatives": q_cluster_representatives,
+        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -3081,6 +3126,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id,
                    n_chars AS rep_n_chars, n_docs
             FROM sized WHERE rk = 1
+        """,
+        # Exact ground truth = all-pairs shingle Jaccard (DuckDB's
+        # independent derivation); LSH side from the staged signatures.
+        "minhash_recall": f"""
+            WITH {_MINHASH_VERIFIED_CTE.strip()},
+            exact AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                          / cast(len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) as double), 6)
+                    >= 0.8),
+            flags AS (
+              SELECT coalesce(e.id_a, v.id_a) AS id_a,
+                     coalesce(e.id_b, v.id_b) AS id_b,
+                     e.id_a IS NOT NULL AS in_e,
+                     v.id_a IS NOT NULL AS in_l
+              FROM exact e FULL OUTER JOIN verified v
+                ON e.id_a = v.id_a AND e.id_b = v.id_b)
+            SELECT CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+                   CAST(sum(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_common,
+                   CAST(sum(CASE WHEN in_e AND NOT in_l THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missed
+            FROM flags
         """,
     }
 

@@ -669,11 +669,15 @@ def prefix_filtered_jaccard_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.5,
+    n: int = 1,
 ) -> DataFrame:
-    """EXACT word-set Jaccard self-join via prefix filtering (the
+    """EXACT set-Jaccard self-join via prefix filtering (the
     SSJoin/PPJoin family) — same output as the blocked all-pairs form,
     but scale-safe: candidate generation is an inverted-index equi-join
-    on rare prefix tokens instead of O(B^2) pairs per block.
+    on rare prefix tokens instead of O(B^2) pairs per block. Token sets
+    are single words (``n=1``) or word n-gram shingles (``n>1`` — the
+    same sets MinHash signs, making this the exact ground truth for LSH
+    recall audits).
 
     Theory: order every token set by a single global total order
     (ascending document frequency, token hash as tiebreak — rare first).
@@ -692,16 +696,17 @@ def prefix_filtered_jaccard_pairs(
     size-band prune (t*|B| <= |A| <= |B|/t) applied before any array
     work. Every stage is linear or candidate-bounded; nothing is
     quadratic in block size."""
-    toks = df.select(
+    words_df = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    units = F.col("w") if n == 1 else _grams_from_words(F.col("w"), n)
+    toks = words_df.select(
+        "doc",
+        "blk",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.split(normalize_text(F.col(text_col)), " "),
-                    lambda x: F.xxhash64(x),
-                )
-            )
+            F.array_distinct(F.transform(units, lambda x: F.xxhash64(x)))
         ).alias("tok"),
     )
     tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
