@@ -112,3 +112,73 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DEB_OUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts timestamp"
+)
+_DEB_STATE_SCHEMA = "last_kept long"  # epoch micros of the last KEPT event
+
+
+def streaming_debounce(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+) -> DataFrame:
+    """KEPT-event debounce over a stream: emit an event only when it is
+    >= gap_seconds after the last EMITTED event of its (user, type) —
+    the semantics the batch `temporal.debounce_events` docstring defers
+    to streaming, because "distance to the last kept event" is a running
+    state a stateless window cannot express (each kept event resets the
+    clock, so a burst longer than the gap still emits only its first
+    event; lag-based debounce would re-admit every gap_seconds).
+
+    State per key: ONE long (last kept timestamp) — bounded by key
+    cardinality. Within a batch the scan is a vectorized loop over the
+    sorted per-key events; across batches the state store carries the
+    clock. Exactly-once per kept event in append mode."""
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user, etype = key
+        last_kept = state.get[0] if state.exists else None
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            order = np.lexsort(
+                (allpdf[id_col].to_numpy(), _micros(allpdf[ts_col]))
+            )
+            ts = _micros(allpdf[ts_col])[order]
+            ids = allpdf[id_col].to_numpy()[order]
+            keep_rows = []
+            for i in range(len(ts)):
+                t = int(ts[i])
+                if last_kept is None or t - last_kept >= gap_us:
+                    keep_rows.append((user, etype, int(ids[i]), t))
+                    last_kept = t
+            if last_kept is not None:
+                state.update((last_kept,))
+            if keep_rows:
+                out = pd.DataFrame(
+                    keep_rows,
+                    columns=["user_id", "event_type", "event_id", "ts"],
+                )
+                out["ts"] = pd.to_datetime(out["ts"], unit="us")
+                yield out
+
+    return (
+        events.groupBy(user_col, type_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_DEB_OUT_SCHEMA,
+            stateStructType=_DEB_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -231,3 +231,63 @@ def test_streaming_windowed_counts_with_watermark(spark, sf_dir):
         assert sum(r["n"] for r in out) <= 500
         types = {r["event_type"] for r in out}
         assert types <= {"click", "view", "purchase", "signup", "error"}
+
+
+def test_streaming_debounce_kept_event_semantics(spark):
+    """Kept-event debounce: each EMITTED event resets the clock (a long
+    burst emits only its head), and the clock survives micro-batch
+    boundaries through the state store."""
+    import os
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    def t(m, s=0):
+        return dt(2024, 1, 1, 10, m, s)
+
+    # user 1 clicks at 40 s spacing. Kept-event semantics: 1 kept (clock
+    # 10:00:00); 2 dropped at 40 s WITHOUT resetting the clock; 3 kept
+    # (80 s after the last KEPT) — the exact dual of lag-based debounce,
+    # which drops BOTH followers (see test_debounce_lag_is_to_previous_
+    # raw_event); the two tests together pin the semantic difference.
+    batch1 = [(1, "click", 1, t(0)), (1, "click", 2, t(0, 40)),
+              (1, "click", 3, t(1, 20)), (2, "view", 10, t(0))]
+    # cross-batch: the state store carries user 1's clock (10:01:20 from
+    # event 3) into batch 2 — event 4 at 10:02:00 is 40 s after it (DROP),
+    # event 5 at 10:02:30 is 70 s after it (KEEP, reset)
+    batch2 = [(1, "click", 4, t(2)), (1, "click", 5, t(2, 30)),
+              (2, "view", 11, t(0, 59))]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(
+            batch1, "user_id long, event_type string, event_id long, ts timestamp"
+        ).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(
+            batch2, "user_id long, event_type string, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_debounce(stream, gap_seconds=60)
+
+        kept = []
+
+        def writer(batch_df, batch_id):
+            kept.extend((r["user_id"], r["event_id"]) for r in batch_df.collect())
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = sorted(kept)
+        # in-burst drop (2), kept-clock re-admit (3), cross-batch drop (4),
+        # cross-batch re-admit (5), 59 s boundary drop (11)
+        assert got == [(1, 1), (1, 3), (1, 5), (2, 10)]
