@@ -1,0 +1,103 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-
+dimensional file pruning.
+
+A lake table is usually range-partitioned/sorted on ONE column (commonly
+time), so parquet min/max stats prune scans filtered on that column —
+and nothing else. Z-ordering interleaves the bits of several columns'
+quantized ranks into one sort key; sorting files by the Z value makes
+every participating column's values locally clustered, so per-file
+min/max spans stay narrow on ALL of them and a filter on ANY of the
+columns skips most files (row-group stats pruning does the rest within a
+file). This is the same layout trick Delta's OPTIMIZE ZORDER BY applies;
+here it is a plain composition of built-ins: quantize -> interleave ->
+repartitionByRange -> sortWithinPartitions -> write.
+
+Everything is exact integer column arithmetic (JVM codegen, no UDF): the
+quantization bounds come from one 1-row agg broadcast back, and the bit
+interleave is an OR-reduction over shift/mask terms.
+
+The reference has no lake layout at all (it replicates row streams); this
+is north-star surface for the 100 TB lake the parquet sink writes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 16 bits per dimension: 65536 buckets is far finer than file count in
+# any practical layout job, and 4 dimensions still fit a long (64 bits).
+_BITS = 16
+
+
+def _quantize(col: Column, lo: Column, hi: Column) -> Column:
+    """Map a numeric column into [0, 2^_BITS) by linear scaling between
+    the column's observed min/max (degenerate range -> bucket 0)."""
+    span = (hi.cast("double") - lo.cast("double"))
+    frac = F.when(
+        span > 0, (col.cast("double") - lo.cast("double")) / span
+    ).otherwise(F.lit(0.0))
+    bucket = F.floor(frac * ((1 << _BITS) - 1)).cast("long")
+    return F.greatest(F.lit(0), F.least(bucket, F.lit((1 << _BITS) - 1)))
+
+
+def _interleave(buckets: list[Column]) -> Column:
+    """Morton-interleave the low _BITS bits of each bucket column into
+    one long: bit i of dimension d lands at position i*len + d."""
+    n = len(buckets)
+    terms = []
+    for d, b in enumerate(buckets):
+        for i in range(_BITS):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
+    return reduce(lambda a, c: a.bitwiseOR(c), terms)
+
+
+def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Add a ``__z`` Morton key over ``cols`` (numeric or timestamp; at
+    most 4 columns). Bounds are computed in one tiny agg and broadcast —
+    the data itself is touched once."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder needs 2-4 columns")
+    dtypes = dict(df.dtypes)
+    casted = {
+        c: F.unix_micros(F.col(c)) if dtypes[c].startswith("timestamp") else F.col(c)
+        for c in cols
+    }
+    work = df.select("*", *[casted[c].cast("double").alias(f"__v_{c}") for c in cols])
+    bounds = work.agg(
+        *[F.min(f"__v_{c}").alias(f"__lo_{c}") for c in cols],
+        *[F.max(f"__v_{c}").alias(f"__hi_{c}") for c in cols],
+    )
+    work = work.join(F.broadcast(bounds))
+    buckets = [
+        _quantize(F.col(f"__v_{c}"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"))
+        for c in cols
+    ]
+    out = work.withColumn("__z", _interleave(buckets))
+    drop = [f"__v_{c}" for c in cols] + [f"__lo_{c}" for c in cols] + [
+        f"__hi_{c}" for c in cols
+    ]
+    return out.drop(*drop)
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the Z-order
+    of ``cols``: range-partition on ``__z`` (one shuffle — the same
+    shuffle any re-layout job pays), sort within partitions, drop the
+    key. After this, a filter on ANY of ``cols`` prunes most files via
+    parquet min/max stats."""
+    (
+        zorder_key(df, cols)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

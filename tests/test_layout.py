@@ -1,0 +1,59 @@
+"""Z-order layout: per-file min/max spans must be narrow on EVERY
+participating dimension, which is what makes multi-dimensional file
+pruning work (a single-column sort only narrows its own column)."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def _file_spans(path, col):
+    """Mean per-file (max-min) span of `col`, from parquet footer stats."""
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append(float(hi) - float(lo))
+    return sum(spans) / len(spans)
+
+
+def test_zorder_narrows_file_spans_on_both_dims(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    full_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    full_ts = ev.agg(F.max("ts_us") - F.min("ts_us")).first()[0]
+
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    # single-column layout: sorted by time only (the default lake layout)
+    ev.repartitionByRange(16, "ts_us").sortWithinPartitions("ts_us") \
+        .write.mode("overwrite").parquet(linear)
+    write_zordered(ev, zpath, ["user_id", "ts_us"], n_files=16)
+
+    # time-sorted: ts spans are tiny, user spans are ~the full range
+    assert _file_spans(linear, "ts_us") < 0.2 * full_ts
+    assert _file_spans(linear, "user_id") > 0.8 * full_user
+    # z-ordered: BOTH dimensions' per-file spans shrink well below full
+    assert _file_spans(zpath, "user_id") < 0.5 * full_user
+    assert _file_spans(zpath, "ts_us") < 0.5 * full_ts
+
+
+def test_zorder_key_deterministic_and_total(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(1000)], "a long, b long"
+    )
+    z1 = {r["a"]: r["__z"] for r in zorder_key(df, ["a", "b"]).collect()}
+    z2 = {r["a"]: r["__z"] for r in zorder_key(df, ["a", "b"]).collect()}
+    assert z1 == z2                      # deterministic
+    assert all(v >= 0 for v in z1.values())
+    assert len(set(z1.values())) > 900   # near-unique keys, no collapse
