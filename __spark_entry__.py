@@ -850,6 +850,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality report: events keyed by the Morton interleave of
+    (user_id, ts), bucketed by the key's top 6 bits — per bucket, the
+    row count and the user/time spans the bucket covers. This is the
+    metric a layout job watches: tight per-bucket spans on BOTH columns
+    are exactly what makes multi-dimensional file pruning work. The
+    whole computation is deterministic integer/double arithmetic, so the
+    oracle re-derives every z value bit-for-bit."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    z = zorder_key(ev, ["user_id", "ts_us"])
+    return (
+        z.groupBy(F.shiftright("__z", 26).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("user_id") - F.min("user_id")).alias("user_span"),
+            (F.max("ts_us") - F.min("ts_us")).alias("ts_span"),
+        )
+    )
+
+
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH quality audit: banded-MinHash near-dup pairs measured against
     the EXACT shingle-Jaccard ground truth (prefix-filtered set join over
@@ -1953,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "cluster_representatives": q_cluster_representatives,
         "minhash_recall": q_minhash_recall,
+        "zorder_locality": q_zorder_locality,
     }
 
 
@@ -3126,6 +3151,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id,
                    n_chars AS rep_n_chars, n_docs
             FROM sized WHERE rk = 1
+        """,
+        # The Morton interleave re-derived bit-for-bit in SQL: 64
+        # shift/mask OR-terms generated by the same (bit, dimension) ->
+        # position rule as operators/layout._interleave.
+        "zorder_locality": f"""
+            WITH b AS (
+              SELECT min(cast(user_id as double)) AS lo_u,
+                     max(cast(user_id as double)) AS hi_u,
+                     min(cast(epoch_us(ts) as double)) AS lo_t,
+                     max(cast(epoch_us(ts) as double)) AS hi_t
+              FROM events),
+            q AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     greatest(0, least(CAST(floor(
+                         CASE WHEN hi_u > lo_u
+                              THEN (cast(user_id as double) - lo_u) / (hi_u - lo_u)
+                              ELSE 0 END * 65535) AS BIGINT), 65535)) AS bu,
+                     greatest(0, least(CAST(floor(
+                         CASE WHEN hi_t > lo_t
+                              THEN (cast(epoch_us(ts) as double) - lo_t) / (hi_t - lo_t)
+                              ELSE 0 END * 65535) AS BIGINT), 65535)) AS bt
+              FROM events, b),
+            z AS (
+              SELECT user_id, ts_us,
+                     ({" | ".join(
+                         f"(((bu >> {i}) & 1) << {2 * i})" for i in range(16)
+                     )} | {" | ".join(
+                         f"(((bt >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+                     )}) AS zv
+              FROM q)
+            SELECT zv >> 26 AS zbucket, count(*) AS n,
+                   max(user_id) - min(user_id) AS user_span,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS ts_span
+            FROM z GROUP BY zv >> 26
         """,
         # Exact ground truth = all-pairs shingle Jaccard (DuckDB's
         # independent derivation); LSH side from the staged signatures.
