@@ -325,3 +325,46 @@ def test_prefix_filtered_jaccard_equals_all_pairs(spark):
     assert n_rows == f_rows
     assert any(r[0] == 5 and r[1] == 6 for r in f_rows)  # exact dup found
     assert all(not (r[0] == 1 and r[1] == 3) for r in f_rows)  # disjoint absent
+
+
+def test_prefix_filtered_jaccard_randomized_equivalence(spark):
+    # seeded random corpora (skewed vocab so pairs exist at several
+    # similarity levels, plus empty and single-word docs): prefix filter
+    # must equal naive all-pairs on every corpus
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for doc_id in range(40):
+            k = rng.choice([0, 1, 3, 8, 15])
+            words = [vocab[min(int(rng.expovariate(0.2)), 29)] for _ in range(k)]
+            rows.append((doc_id, rng.choice(["x", "y"]), " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+        naive_docs = docs.select(
+            "doc_id", "source",
+            F.array_distinct(
+                F.transform(
+                    F.split(D.normalize_text(F.col("text")), " "),
+                    lambda x: F.xxhash64(x),
+                )
+            ).alias("w"),
+        ).withColumn("n", F.size("w"))
+        a = naive_docs.select("source", F.col("doc_id").alias("id_a"),
+                              F.col("w").alias("w_a"), F.col("n").alias("n_a"))
+        b = naive_docs.select("source", F.col("doc_id").alias("id_b"),
+                              F.col("w").alias("w_b"), F.col("n").alias("n_b"))
+        inter = F.size(F.array_intersect("w_a", "w_b"))
+        jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+        naive = (
+            a.join(b, (a["source"] == b["source"]) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.5)
+        )
+        fast = D.prefix_filtered_jaccard_pairs(docs, "text", "doc_id", "source", 0.5)
+        n_rows = sorted(tuple(r) for r in naive.collect())
+        f_rows = sorted(tuple(r) for r in fast.collect())
+        assert n_rows == f_rows, f"seed {seed}: {len(n_rows)} vs {len(f_rows)}"
+        assert len(n_rows) > 0, f"seed {seed} generated no pairs - fixture too weak"
