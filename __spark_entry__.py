@@ -850,6 +850,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-status totals, per-priority totals, and the grand total in ONE
+    pass — Spark expands to a single Expand + partial-aggregated shuffle,
+    not three scans. grouping() flags disambiguate the NULLs that mark
+    rolled-up dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               count(*) AS n,
+               CAST(sum(CAST(cast(o_totalprice as decimal(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_fp2
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order locality report: events keyed by the Morton interleave of
     (user_id, ts), bucketed by the key's top 6 bits — per bucket, the
@@ -1978,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "minhash_recall": q_minhash_recall,
         "zorder_locality": q_zorder_locality,
+        "grouping_sets_orders": q_grouping_sets_orders,
     }
 
 
@@ -3151,6 +3172,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id,
                    n_chars AS rep_n_chars, n_docs
             FROM sized WHERE rk = 1
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                   count(*) AS n,
+                   CAST(sum(CAST(cast(o_totalprice as decimal(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS total_fp2
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         # The Morton interleave re-derived bit-for-bit in SQL: 64
         # shift/mask OR-terms generated by the same (bit, dimension) ->
