@@ -769,26 +769,73 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH ANN (scale path) -> rows-only check
-    (probabilistic candidate set)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import lsh_topk
+    """Multi-table hyperplane-LSH ANN. The (deterministic, seeded)
+    candidate-id set is STAGED to the lake, then the top-k is an exact
+    cosine re-rank over the staged candidates — so the DuckDB twin can
+    re-rank the SAME staged set independently and the result is fully
+    hash-checkable (rows+schema+values), not rows-only."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_candidates,
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return lsh_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=20)
+    q = _query_vec(spark, sf_dir)
+    path = f"{_stage_dir(sf_dir)}/ann_lsh_cands.parquet"
+    lsh_candidates(emb, "embedding", "vec_id", q).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    staged = spark.read.parquet(path).join(emb, "vec_id")
+    return brute_force_topk(staged, "embedding", "vec_id", q, k=20)
 
 
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (deterministic hash-seeded k-means,
-    n_probe nearest lists, exact re-rank) -> rows-only check (approximate
-    candidate set)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import ivf_topk
+    n_probe nearest lists). As with the LSH flavor, the candidate-id set
+    is STAGED and the top-k is an exact re-rank over it — hash-checkable
+    against a DuckDB re-rank of the same staged ids."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_candidates,
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return ivf_topk(
-        emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
-        k=20, n_list=16, n_probe=4,
+    q = _query_vec(spark, sf_dir)
+    path = f"{_stage_dir(sf_dir)}/ann_ivf_cands.parquet"
+    ivf_candidates(
+        emb, "embedding", "vec_id", q, n_list=16, n_probe=4
+    ).select("vec_id").write.mode("overwrite").parquet(path)
+    staged = spark.read.parquet(path).join(emb, "vec_id")
+    return brute_force_topk(staged, "embedding", "vec_id", q, k=20)
+
+
+def q_embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING shape: the index is materialized once,
+    partitionBy("__cluster"), and the probe reads only the n_probe
+    nearest list partitions — PartitionFilters at the scan, no shuffle,
+    no full pass (the 100 TB query path the ivf_topk docstring promises).
+    The probed list ids are staged so the oracle re-ranks exactly the
+    probed partitions of the SAME staged index."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_persisted,
+        nearest_lists,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    stage = _stage_dir(sf_dir)
+    index_path = f"{stage}/ivf_index.parquet"
+    centroids = build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=16)
+    probes = nearest_lists(centroids, q, n_probe=4)
+    spark.createDataFrame(
+        [(int(c),) for c in probes], "cluster int"
+    ).write.mode("overwrite").parquet(f"{stage}/ivf_probes.parquet")
+    return ivf_topk_persisted(
+        spark, index_path, centroids, "embedding", "vec_id", q, k=20, n_probe=4
     )
 
 
@@ -1903,57 +1950,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order: queries without a recorded driver verdict (through r2)
+    # first, then the ANN queries whose oracles are new in r3, then the rest.
     return {
-        "sync_incremental_semijoin": q_sync_incremental_semijoin,
-        "full_table_projection": q_full_table_projection,
-        "ordered_limit_topk": q_ordered_limit_topk,
-        "volume_count": q_volume_count,
-        "bookmark_max": q_bookmark_max,
-        "uuid_validation": q_uuid_validation,
-        "payload_reshape": q_payload_reshape,
-        "q1_pricing_summary": q1_pricing_summary,
-        "grouped_stream_stats": q_grouped_stream_stats,
-        "pairwise_deltas": q_pairwise_deltas,
-        "latest_event_per_user": q_latest_event_per_user,
-        "rollup_pricing": q_rollup_pricing,
-        "cube_order_stats": q_cube_order_stats,
-        "distinct_users": q_distinct_users,
-        "approx_distinct_users": q_approx_distinct_users,
-        "setops_user_segments": q_setops_user_segments,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q4_priority_exists": q4_priority_exists,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "range_join_price_bands": q_range_join_price_bands,
-        "range_join_event_windows": q_range_join_event_windows,
-        "failed_record_routing": q_failed_record_routing,
-        "salted_grouped_stats": q_salted_grouped_stats,
-        "percentile_order_value": q_percentile_order_value,
-        "hourly_event_buckets": q_hourly_event_buckets,
-        "rank_orders": q_rank_orders,
-        "running_user_spend": q_running_user_spend,
-        "flatten_nested_props": q_flatten_nested_props,
-        "asof_join_latest_order": q_asof_join_latest_order,
-        "session_stats": q_session_stats,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "word_jaccard_pairs": q_word_jaccard_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_recall": q_embedding_ann_recall,
-        "dedup_clusters": q_dedup_clusters,
-        "label_centroids": q_label_centroids,
-        "event_funnel": q_event_funnel,
-        "repetition_stats": q_repetition_stats,
-        "quality_funnel": q_quality_funnel,
-        "benchmark_contamination": q_benchmark_contamination,
-        "sampled_docs": q_sampled_docs,
-        "train_eval_split_counts": q_train_eval_split_counts,
-        "source_mix_sample": q_source_mix_sample,
         "token_budget_head": q_token_budget_head,
         "pack_sequences": q_pack_sequences,
         "shuffled_head": q_shuffled_head,
@@ -1999,6 +1998,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "zorder_locality": q_zorder_locality,
         "grouping_sets_orders": q_grouping_sets_orders,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        "sync_incremental_semijoin": q_sync_incremental_semijoin,
+        "full_table_projection": q_full_table_projection,
+        "ordered_limit_topk": q_ordered_limit_topk,
+        "volume_count": q_volume_count,
+        "bookmark_max": q_bookmark_max,
+        "uuid_validation": q_uuid_validation,
+        "payload_reshape": q_payload_reshape,
+        "q1_pricing_summary": q1_pricing_summary,
+        "grouped_stream_stats": q_grouped_stream_stats,
+        "pairwise_deltas": q_pairwise_deltas,
+        "latest_event_per_user": q_latest_event_per_user,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_order_stats": q_cube_order_stats,
+        "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "setops_user_segments": q_setops_user_segments,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q4_priority_exists": q4_priority_exists,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "range_join_price_bands": q_range_join_price_bands,
+        "range_join_event_windows": q_range_join_event_windows,
+        "failed_record_routing": q_failed_record_routing,
+        "salted_grouped_stats": q_salted_grouped_stats,
+        "percentile_order_value": q_percentile_order_value,
+        "hourly_event_buckets": q_hourly_event_buckets,
+        "rank_orders": q_rank_orders,
+        "running_user_spend": q_running_user_spend,
+        "flatten_nested_props": q_flatten_nested_props,
+        "asof_join_latest_order": q_asof_join_latest_order,
+        "session_stats": q_session_stats,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_recall": q_embedding_ann_recall,
+        "dedup_clusters": q_dedup_clusters,
+        "label_centroids": q_label_centroids,
+        "event_funnel": q_event_funnel,
+        "repetition_stats": q_repetition_stats,
+        "quality_funnel": q_quality_funnel,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sampled_docs": q_sampled_docs,
+        "train_eval_split_counts": q_train_eval_split_counts,
+        "source_mix_sample": q_source_mix_sample,
     }
 
 
@@ -2354,9 +2404,51 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY d
         """,
-        # embedding_ann_lsh / embedding_ann_ivf raw top-k: rows-only (the
-        # candidate sets are engine-specific); their QUALITY is oracle-
-        # checked by embedding_ann_recall below.
+        # ANN top-k oracles: each Spark query STAGES its (deterministic)
+        # candidate-id set, then returns an exact cosine re-rank over the
+        # staged ids — so the twin re-ranks the SAME staged set in SQL and
+        # rows+schema+values all hash-match. Candidate QUALITY (recall) is
+        # additionally checked by embedding_ann_recall below.
+        "embedding_ann_lsh": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            cand AS (SELECT vec_id
+                     FROM read_parquet('{_STAGE}/ann_lsh_cands.parquet/*.parquet'))
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 20
+        """,
+        "embedding_ann_ivf": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            cand AS (SELECT vec_id
+                     FROM read_parquet('{_STAGE}/ann_ivf_cands.parquet/*.parquet'))
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 20
+        """,
+        "embedding_ann_ivf_persisted": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            probes AS (SELECT cluster
+                       FROM read_parquet('{_STAGE}/ivf_probes.parquet/*.parquet')),
+            cand AS (SELECT vec_id
+                     FROM read_parquet('{_STAGE}/ivf_index.parquet/*/*.parquet',
+                                       hive_partitioning = true)
+                     WHERE __cluster IN (SELECT cluster FROM probes))
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 20
+        """,
         # sampling family: md5 emits identical lowercase hex in both
         # engines, so hash-membership sampling is value-checkable verbatim
         "minhash_neardup": f"""

@@ -27,28 +27,39 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 # 16 bits per dimension: 65536 buckets is far finer than file count in
-# any practical layout job, and 4 dimensions still fit a long (64 bits).
+# any practical layout job. The interleaved key must stay clear of a
+# long's SIGN bit (bit 63) — a key with bit 63 set sorts before 0 and
+# signed range-partitioning would split the Morton curve into two
+# swapped halves — so per-dimension width shrinks to 15 when 4 columns
+# interleave (60 bits used; 2-3 columns keep the full 16).
 _BITS = 16
 
 
-def _quantize(col: Column, lo: Column, hi: Column) -> Column:
-    """Map a numeric column into [0, 2^_BITS) by linear scaling between
+def _dim_bits(n_dims: int) -> int:
+    return min(_BITS, 63 // n_dims)
+
+
+def _quantize(col: Column, lo: Column, hi: Column, bits: int = _BITS) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear scaling between
     the column's observed min/max (degenerate range -> bucket 0)."""
     span = (hi.cast("double") - lo.cast("double"))
     frac = F.when(
         span > 0, (col.cast("double") - lo.cast("double")) / span
     ).otherwise(F.lit(0.0))
-    bucket = F.floor(frac * ((1 << _BITS) - 1)).cast("long")
-    return F.greatest(F.lit(0), F.least(bucket, F.lit((1 << _BITS) - 1)))
+    bucket = F.floor(frac * ((1 << bits) - 1)).cast("long")
+    return F.greatest(F.lit(0), F.least(bucket, F.lit((1 << bits) - 1)))
 
 
 def _interleave(buckets: list[Column]) -> Column:
-    """Morton-interleave the low _BITS bits of each bucket column into
-    one long: bit i of dimension d lands at position i*len + d."""
+    """Morton-interleave the low _dim_bits(len) bits of each bucket
+    column into one non-negative long: bit i of dimension d lands at
+    position i*len + d (highest position 59 at 4 dims — never the sign
+    bit)."""
     n = len(buckets)
+    bits = _dim_bits(n)
     terms = []
     for d, b in enumerate(buckets):
-        for i in range(_BITS):
+        for i in range(bits):
             terms.append(
                 F.shiftleft(
                     F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + d
@@ -74,8 +85,9 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
         *[F.max(f"__v_{c}").alias(f"__hi_{c}") for c in cols],
     )
     work = work.join(F.broadcast(bounds))
+    bits = _dim_bits(len(cols))
     buckets = [
-        _quantize(F.col(f"__v_{c}"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"))
+        _quantize(F.col(f"__v_{c}"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits)
         for c in cols
     ]
     out = work.withColumn("__z", _interleave(buckets))

@@ -78,27 +78,26 @@ def make_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_topk(
+def lsh_candidates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     query: list[float],
-    k: int = 10,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k via multi-table hyperplane LSH: `n_tables` independent
-    signatures; a row is a candidate if it matches the query's bucket in
-    ANY table (multiprobe: or any 1-bit flip of it). Exact cosine re-rank
-    runs only on the candidate set.
+    """Candidate set for multi-table hyperplane LSH: a row is a candidate
+    if it matches the query's bucket in ANY table (multiprobe: or any
+    1-bit flip of it). Deterministic — seeded hyperplanes, fixed BLAS —
+    so the set can be STAGED and re-ranked independently by an oracle.
 
     Scale path: the per-table bucket columns are computed in one scan
-    (pure JVM expressions); at 100 TB you'd persist them once (bucketed
-    parquet / Z-order) and each probe becomes a pruned scan. Candidate
-    filtering is an OR of `bucket_t IN (probes_t)` literals — broadcast-
-    free, shuffle-free; the only distributed op afterwards is top-k.
+    (a single BLAS matmul per Arrow batch); at 100 TB you'd persist them
+    once (bucketed parquet / Z-order) and each probe becomes a pruned
+    scan. Candidate filtering is an OR of `bucket_t IN (probes_t)`
+    literals — broadcast-free, shuffle-free.
 
     Recall/pruning trade-off is (n_planes, n_tables, multiprobe):
     P(candidate) = 1-(1-p^b)^L with p = 1-θ/π. Near-duplicate queries
@@ -141,7 +140,27 @@ def lsh_topk(
     for t, probes in enumerate(probe_sets):
         c = F.element_at("__sigs", t + 1).isin(probes)
         cond = c if cond is None else (cond | c)
-    cands = sigged.where(cond).select(id_col, vec_col)
+    return sigged.where(cond).select(id_col, vec_col)
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH: `lsh_candidates` prunes,
+    exact cosine re-rank runs only on the candidate set (the only
+    distributed op afterwards is a top-k)."""
+    cands = lsh_candidates(
+        df, vec_col, id_col, query,
+        n_planes=n_planes, n_tables=n_tables, seed=seed, multiprobe=multiprobe,
+    )
     return brute_force_topk(cands, vec_col, id_col, query, k)
 
 
@@ -228,20 +247,27 @@ def train_ivf_centroids(
         parts_df = df.select(vec_col).mapInPandas(
             _partials, schema="cluster int, vsum array<double>, cnt long"
         )
-        dim_sums = (
-            parts_df.select("cluster", F.posexplode("vsum").alias("pos", "v"))
+        # ONE aggregation chain over the partials (the mapInPandas
+        # assignment pass executes exactly once per iteration): cnt rides
+        # the posexplode — per (cluster,pos) it sums to the same per-
+        # cluster total at every pos, so max() at the regroup recovers it
+        # without a second scan or a join.
+        merged = (
+            parts_df.select(
+                "cluster", "cnt", F.posexplode("vsum").alias("pos", "v")
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"))
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
             .groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "s"))),
                     lambda x: x["s"],
-                ).alias("vsum")
+                ).alias("vsum"),
+                F.max("c").alias("cnt"),
             )
+            .collect()
         )
-        cnts = parts_df.groupBy("cluster").agg(F.sum("cnt").alias("cnt"))
-        merged = dim_sums.join(cnts, "cluster").collect()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for r in merged:
@@ -270,6 +296,33 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
     return df.withColumn("__cluster", _assign(F.col(vec_col)))
 
 
+def nearest_lists(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:
+    """The query's `n_probe` nearest coarse-quantizer lists (stable order
+    for determinism)."""
+    q = np.array(query, dtype=np.float64)
+    order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    return [int(c) for c in order[:n_probe]]
+
+
+def ivf_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    n_list: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+) -> DataFrame:
+    """IVF candidate set: train the coarse quantizer, keep only rows whose
+    cluster is among the query's `n_probe` nearest centroids. The probe
+    filter is a literal IN list, so Catalyst folds it into the scan of the
+    assigned relation. Deterministic (hash-seeded k-means) — stageable."""
+    centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
+    probes = nearest_lists(centroids, query, n_probe)
+    assigned = ivf_assign(df, vec_col, centroids)
+    return assigned.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -285,15 +338,58 @@ def ivf_topk(
     `n_probe` nearest centroids, exact cosine re-rank inside those lists.
 
     Scale path: at 100 TB the assignment is computed once and the table is
-    written partitioned by `__cluster` (partitionBy on the lake sink), so
-    each query prunes to n_probe/n_list of the data at the SCAN — partition
+    written partitioned by `__cluster` (build_ivf_index below), so each
+    query prunes to n_probe/n_list of the data at the SCAN — partition
     pruning, no shuffle, no full pass. Here train+assign+probe run in one
-    job at small sf; the probe filter is a literal IN list so Catalyst
-    folds it into the scan of the assigned relation."""
+    job at small sf."""
+    cands = ivf_candidates(
+        df, vec_col, id_col, query, n_list=n_list, n_probe=n_probe, n_iter=n_iter
+    )
+    return brute_force_topk(cands, vec_col, id_col, query, k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    n_list: int = 16,
+    n_iter: int = 3,
+) -> np.ndarray:
+    """Materialize the IVF index on the lake: train the coarse quantizer,
+    assign every row, and write the table `partitionBy("__cluster")` so a
+    probe is a PARTITION-PRUNED read (n_probe/n_list of the files, decided
+    by the catalog before any task launches). Returns the centroids — the
+    only driver-side state a probe needs (n_list x dim doubles).
+
+    This is the 100 TB serving shape: build once per corpus version,
+    probe many times; each probe touches n_probe directories, no shuffle,
+    no full scan."""
     centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
-    q = np.array(query, dtype=np.float64)
-    order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1), kind="stable")
-    probes = [int(c) for c in order[:n_probe]]
     assigned = ivf_assign(df, vec_col, centroids)
-    cands = assigned.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
+    (
+        assigned.select(F.col(id_col), F.col(vec_col), F.col("__cluster"))
+        .write.mode("overwrite")
+        .partitionBy("__cluster")
+        .parquet(index_path)
+    )
+    return centroids
+
+
+def ivf_topk_persisted(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve an ANN top-k from a persisted IVF index: read only the
+    query's `n_probe` nearest list partitions (PartitionFilters in the
+    scan — asserted in tests), exact cosine re-rank inside them."""
+    probes = nearest_lists(centroids, query, n_probe)
+    idx = spark.read.parquet(index_path)
+    cands = idx.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
     return brute_force_topk(cands, vec_col, id_col, query, k)

@@ -368,3 +368,34 @@ def test_prefix_filtered_jaccard_randomized_equivalence(spark):
         f_rows = sorted(tuple(r) for r in fast.collect())
         assert n_rows == f_rows, f"seed {seed}: {len(n_rows)} vs {len(f_rows)}"
         assert len(n_rows) > 0, f"seed {seed} generated no pairs - fixture too weak"
+
+
+def test_ivf_persisted_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The serving shape: build_ivf_index writes partitionBy(__cluster);
+    a probe must (a) return exactly what the in-job ivf_topk returns and
+    (b) plan as a partition-PRUNED scan — PartitionFilters on __cluster,
+    with only n_probe of n_list partition directories surviving."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    index_path = str(tmp_path / "ivf_index.parquet")
+    centroids = S.build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=8)
+
+    served = S.ivf_topk_persisted(
+        spark, index_path, centroids, "embedding", "vec_id", q, k=10, n_probe=3
+    )
+    in_job = S.ivf_topk(
+        emb, "embedding", "vec_id", q, k=10, n_list=8, n_probe=3
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in served.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in in_job
+    ]
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan must touch only the probed lists, not all n_list
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cluster" in m.group(1)

@@ -57,3 +57,39 @@ def test_zorder_key_deterministic_and_total(spark):
     assert z1 == z2                      # deterministic
     assert all(v >= 0 for v in z1.values())
     assert len(set(z1.values())) > 900   # near-unique keys, no collapse
+
+
+def test_zorder_4col_stays_nonnegative_and_true_morton(spark):
+    """4 dims x 16 bits would place the 4th dimension's MSB on the long
+    SIGN bit and split the curve into two swapped halves under signed
+    sort; the key must instead use 15 bits/dim (highest position 59)."""
+    df = spark.createDataFrame(
+        [(i, i, (i * 7) % 64, (i * 13) % 64, (i * 29) % 64)
+         for i in range(4096)],
+        "id long, a long, b long, c long, d long",
+    )
+    rows = zorder_key(df, ["a", "b", "c", "d"]).collect()
+    zs = [r["__z"] for r in rows]
+    assert all(z >= 0 for z in zs)
+    assert max(zs) < (1 << 60)
+
+    # bit-exact re-derivation in Python: quantize each dim to 15 bits
+    # over its observed range, interleave at position i*4+d — every key
+    # must match (unbounded Python ints make a sign-bit escape visible
+    # as a mismatch, not a wrap)
+    los = {c: min(r[c] for r in rows) for c in "abcd"}
+    his = {c: max(r[c] for r in rows) for c in "abcd"}
+    bits = 15
+
+    def pyz(r):
+        z = 0
+        for d, c in enumerate("abcd"):
+            span = his[c] - los[c]
+            frac = (r[c] - los[c]) / span if span else 0.0
+            b = min(max(int(frac * ((1 << bits) - 1)), 0), (1 << bits) - 1)
+            for i in range(bits):
+                z |= ((b >> i) & 1) << (i * 4 + d)
+        return z
+
+    for r in rows:
+        assert r["__z"] == pyz(r)

@@ -68,7 +68,7 @@ def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     return ""
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +77,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         sdf_spark = fn(spark, sf_dir)
