@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from redshift_to_pendo_api_data_pipeline_spark.operators import extract as X
 from redshift_to_pendo_api_data_pipeline_spark.functions import transforms as TR
 from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -679,9 +680,12 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_dir(sf_dir: str) -> str:
     """Lake staging area for signature/candidate relations, keyed by the
     scale-factor directory so concurrent runs at different SF never
-    clobber each other. The oracle SQL reads the sf0.01 staging paths —
-    the only SF the correctness gate runs at."""
-    return f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}"
+    clobber each other. The oracle SQL reads the sf0.01 staging paths
+    under the DEFAULT root — the only SF the correctness gate runs at;
+    SPARK_GRAFT_STAGE_ROOT redirects bench runs to a cold directory."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_dir
+
+    return stage_dir(sf_dir)
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,9 +787,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vec(spark, sf_dir)
     path = f"{_stage_dir(sf_dir)}/ann_lsh_cands.parquet"
-    lsh_candidates(emb, "embedding", "vec_id", q).select("vec_id").write.mode(
-        "overwrite"
-    ).parquet(path)
+    stage_parquet(lsh_candidates(emb, "embedding", "vec_id", q).select("vec_id"), path)
     staged = spark.read.parquet(path).join(emb, "vec_id")
     return brute_force_topk(staged, "embedding", "vec_id", q, k=20)
 
@@ -804,9 +806,11 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vec(spark, sf_dir)
     path = f"{_stage_dir(sf_dir)}/ann_ivf_cands.parquet"
-    ivf_candidates(
-        emb, "embedding", "vec_id", q, n_list=16, n_probe=4
-    ).select("vec_id").write.mode("overwrite").parquet(path)
+    stage_parquet(
+        ivf_candidates(emb, "embedding", "vec_id", q, n_list=16, n_probe=4)
+        .select("vec_id"),
+        path,
+    )
     staged = spark.read.parquet(path).join(emb, "vec_id")
     return brute_force_topk(staged, "embedding", "vec_id", q, k=20)
 
@@ -831,9 +835,10 @@ def q_embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     index_path = f"{stage}/ivf_index.parquet"
     centroids = build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=16)
     probes = nearest_lists(centroids, q, n_probe=4)
-    spark.createDataFrame(
-        [(int(c),) for c in probes], "cluster int"
-    ).write.mode("overwrite").parquet(f"{stage}/ivf_probes.parquet")
+    stage_parquet(
+        spark.createDataFrame([(int(c),) for c in probes], "cluster int"),
+        f"{stage}/ivf_probes.parquet",
+    )
     return ivf_topk_persisted(
         spark, index_path, centroids, "embedding", "vec_id", q, k=20, n_probe=4
     )
@@ -867,7 +872,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16, n_probe=4)),
     ):
         path = f"{stage}/ann_{algo}_topk.parquet"
-        topk.select("vec_id").write.mode("overwrite").parquet(path)
+        stage_parquet(topk.select("vec_id"), path)
         staged = spark.read.parquet(path)
         out.append(
             staged.join(exact, "vec_id")

@@ -145,15 +145,51 @@ def main() -> None:
     # standard repeated-measurement fix (timeit does the same) and matches
     # what the warm-up already targets — steady-state operator cost. Every
     # run is the full plan end-to-end (scan -> noop sink), never a cache
-    # read: the work measured is identical each time.
+    # read: the work measured is identical each time. BOTH numbers are
+    # reported: `value` is the steady-state (min-of-2) total, and
+    # wall_clock_once_sec is the sum of each query's FIRST timed run —
+    # the honest single-pass figure.
+    first_runs: dict[str, float] = {}
     for name, fn in qs.items():
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, data_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        first_runs[name] = samples[0]
         timings[name] = round(min(samples), 4)
     total = round(sum(timings.values()), 4)
+    wall_once = round(sum(first_runs.values()), 4)
+
+    # Staged-family decomposition: every staged pipeline (MinHash/SimHash
+    # signatures, ANN candidate sets, IVF index) is stage-once/probe-many
+    # in production, but the loop above re-stages on every run. Measure
+    # the two costs separately against a COLD run-unique staging root:
+    # pass 1 with reuse ON pays the staging writes (cold = stage+probe),
+    # pass 2 finds the artifacts present and is pure probe cost.
+    import inspect
+    import shutil
+
+    staged_names = [
+        n for n, fn in qs.items() if "_stage_dir" in inspect.getsource(fn)
+    ]
+    cold_root = f"/tmp/spark_graft_stage_bench_{os.getpid()}"
+    os.environ["SPARK_GRAFT_STAGE_ROOT"] = cold_root
+    os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
+    staged_cold: dict[str, float] = {}
+    staged_probe: dict[str, float] = {}
+    try:
+        for n in staged_names:
+            t0 = time.perf_counter()
+            qs[n](spark, data_dir).write.format("noop").mode("overwrite").save()
+            staged_cold[n] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            qs[n](spark, data_dir).write.format("noop").mode("overwrite").save()
+            staged_probe[n] = round(time.perf_counter() - t0, 4)
+    finally:
+        os.environ.pop("SPARK_GRAFT_STAGE_ROOT", None)
+        os.environ.pop("SPARK_GRAFT_STAGE_REUSE", None)
+        shutil.rmtree(cold_root, ignore_errors=True)
 
     # best-of-2 for the same reason as the query loop: a GC pause in the
     # single shared JVM otherwise lands on one measurement unpredictably
@@ -170,10 +206,19 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "total_query_runtime",
+        # steady-state: sum of per-query min-of-2 after warm-up
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # honest single-pass figure: sum of each query's FIRST timed run
+        "wall_clock_once_sec": wall_once,
+        # stage-once/probe-many decomposition against a COLD run-unique
+        # staging root: `cold` includes the staging writes (shared
+        # artifacts are paid by the first query of a family), `probe`
+        # reuses them — the production serving cost. Aggregate staging
+        # cost = sum(cold) - sum(probe).
+        "staged": {"cold": staged_cold, "probe": staged_probe},
         # BASELINE.md parity: reference ~12,000 extract rec/s (single
         # cursor) and ~2,500 sink rec/s (per async connection)
         "throughput": throughput,

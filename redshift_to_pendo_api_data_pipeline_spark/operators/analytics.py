@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import fixed_point
+from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
 
 def grouped_stats(df: DataFrame, key: str, value: str, ts: str) -> DataFrame:
@@ -353,7 +354,7 @@ def count_min_sketch(
         key_col, "c.i", "c.bucket"
     )
     if stage_map_path is not None:
-        mapping.write.mode("overwrite").parquet(stage_map_path)
+        stage_parquet(mapping, stage_map_path)
         mapping = df.sparkSession.read.parquet(stage_map_path)
     return (
         mapping.join(F.broadcast(counters), ["i", "bucket"])

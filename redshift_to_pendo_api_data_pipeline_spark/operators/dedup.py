@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
 
 # ------------------------------------------------------------------ exact
 
@@ -134,9 +136,7 @@ def staged_minhash_signatures(
     file is deterministic relational algebra any engine can replicate
     (band equality == signature-slice equality), so the DuckDB oracle can
     re-derive the same near-dup pairs independently."""
-    minhash_signatures(df, text_col, id_col, n=n, k=k).write.mode(
-        "overwrite"
-    ).parquet(path)
+    stage_parquet(minhash_signatures(df, text_col, id_col, n=n, k=k), path)
     return df.sparkSession.read.parquet(path)
 
 
@@ -352,9 +352,7 @@ def staged_simhash_signatures(
     downstream is pure integer algebra (shifts, xor, popcount) any engine
     can replicate over the staged file — which makes the pandas-UDF
     signature computation itself the only engine-specific stage."""
-    simhash_signatures_jvm(df, text_col, id_col).write.mode("overwrite").parquet(
-        path
-    )
+    stage_parquet(simhash_signatures_jvm(df, text_col, id_col), path)
     return df.sparkSession.read.parquet(path)
 
 

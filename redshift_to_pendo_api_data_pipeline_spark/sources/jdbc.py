@@ -134,6 +134,75 @@ def read_table(
     return reader.load()
 
 
+# -- large-allowlist semi-join pushdown (SURVEY §4: temp-table fallback) --
+
+# Above this many ids, an inlined IN (...) predicate stops being a win:
+# the SQL text grows into megabytes, remote parsers cap expression counts
+# (and Spark's isin builds one literal expression per element), so the
+# allowlist is shipped once as a table and the JOIN runs remotely.
+ALLOWLIST_INLINE_MAX = 10_000
+
+
+def write_allowlist_table(
+    cfg: JdbcConfig, allowlist: DataFrame, table: str, key_col: str = "id"
+) -> str:
+    """Materialize an allowlist into a remote staging table through the
+    JDBC writer (one batched insert stream per partition). Returns the
+    qualified table name."""
+    qualified = f"{cfg.db_schema}.{table}"
+    (
+        allowlist.selectExpr(f"{key_col} AS id")
+        .write.mode("overwrite")
+        .jdbc(cfg.url, qualified, properties=cfg.properties)
+    )
+    return qualified
+
+
+def read_table_semijoin_remote(
+    spark: SparkSession, cfg: JdbcConfig, table: str, key: str, allowlist_table: str
+) -> DataFrame:
+    """Scan `table` semi-joined against a remote allowlist table INSIDE
+    the database: only matching rows ever cross the wire, the remote
+    planner uses its own indexes, and the query text stays O(1) no matter
+    how many ids the allowlist holds."""
+    # the staging column is double-quoted: Spark's JDBC writer creates
+    # case-sensitive quoted identifiers, so an unquoted a.id would
+    # fold to the dialect's default case and miss (Derby folds up,
+    # postgres folds down — the quoted form matches both)
+    q = (
+        f"SELECT t.* FROM {cfg.db_schema}.{table} t "
+        f'JOIN {allowlist_table} a ON t.{key} = a."id"'
+    )
+    return read_query(spark, cfg, q)
+
+
+def scan_with_allowlist(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    key: str,
+    allowlist: DataFrame,
+    allowlist_key: str = "id",
+    inline_max: int = ALLOWLIST_INLINE_MAX,
+    staging_table: str = "sync_allowlist_stage",
+) -> DataFrame:
+    """J3 at any allowlist size (SURVEY §4): small allowlists run as a
+    broadcast left-semi join over the scan (Catalyst may push an IN list
+    remotely); past `inline_max` ids the allowlist is written to a remote
+    staging table and the semi-join executes AS A REAL JOIN inside the
+    database — never a multi-megabyte literal list in the SQL text."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.extract import (
+        semi_join_allowlist,
+    )
+
+    if allowlist.count() <= inline_max:
+        return semi_join_allowlist(
+            read_table(spark, cfg, table), key, allowlist, allowlist_key
+        )
+    staged = write_allowlist_table(cfg, allowlist, staging_table, allowlist_key)
+    return read_table_semijoin_remote(spark, cfg, table, key, staged)
+
+
 def column_specs_from_metadata(rows) -> dict[str, list[ColumnSpec]]:
     """Assemble discovery rows (S4 + S5 results) into per-table ColumnSpec
     lists — the catalog-build step (discover.py:57-97) minus the

@@ -1,0 +1,56 @@
+"""Lake staging for signature/candidate/index relations.
+
+Dedup and ANN pipelines follow the stage-once / probe-many shape: a
+signature (MinHash, SimHash), candidate-id set, or IVF index is
+materialized to parquet once per corpus version, and every downstream
+probe — banding joins, verifies, clustering rounds, ANN re-ranks — scans
+the staged copy instead of recomputing. At 100 TB the staged relation is
+the product of the expensive pass; rerunning it per query would dominate
+every job.
+
+Two environment knobs (both read at call time, default off):
+
+- ``SPARK_GRAFT_STAGE_ROOT`` — overrides the staging root directory
+  (default ``/tmp/spark_graft_stage``); lets the bench stage into a
+  run-unique directory so cold-stage cost is measured against a cold
+  filesystem, and concurrent runs never clobber each other.
+- ``SPARK_GRAFT_STAGE_REUSE=1`` — skip the write when the staged parquet
+  already exists (``_SUCCESS`` marker present). Off by default: the
+  correctness gate must always re-stage with the code under test, but a
+  bench probe pass or a production stage-once/probe-many serving job
+  reuses the artifact, which is the entire point of staging.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+DEFAULT_ROOT = "/tmp/spark_graft_stage"
+
+
+def stage_root() -> str:
+    return os.environ.get("SPARK_GRAFT_STAGE_ROOT", DEFAULT_ROOT)
+
+
+def stage_dir(sf_dir: str) -> str:
+    """Staging area keyed by the scale-factor directory basename, so
+    concurrent runs at different SFs never clobber each other."""
+    return f"{stage_root()}/{os.path.basename(os.path.normpath(sf_dir))}"
+
+
+def stage_parquet(df: DataFrame, path: str, partition_by: str | None = None) -> bool:
+    """Write ``df`` to ``path`` as the staged artifact. Returns True if a
+    write happened, False when ``SPARK_GRAFT_STAGE_REUSE=1`` and a
+    complete staged copy (``_SUCCESS``) is already present."""
+    if (
+        os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and os.path.exists(os.path.join(path, "_SUCCESS"))
+    ):
+        return False
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+    return True

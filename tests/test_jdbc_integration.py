@@ -106,3 +106,35 @@ def test_metadata_discovery_via_jdbc(spark, derby_cfg):
     )
     cols = J.read_query(spark, derby_cfg, q).collect()
     assert {r[0] for r in cols} == {"ID", "NAME", "UPDATED_AT"}
+
+
+def test_large_allowlist_pushes_real_remote_join(spark, derby_cfg):
+    """SURVEY §4 temp-table fallback: a >10k-id allowlist must NOT become
+    an inlined IN/isin literal list — it is written to a remote staging
+    table and the semi-join executes inside the database as a real JOIN;
+    the Spark plan is then a single JDBC scan of the join query (no local
+    join operator, no literal explosion in the scan SQL)."""
+    ids = list(range(0, 50, 2)) + list(range(1000, 13000))  # 12,025 ids
+    allow = spark.createDataFrame([(i,) for i in ids], "id long")
+
+    df = J.scan_with_allowlist(spark, derby_cfg, "accounts", "id", allow)
+    got = sorted(r[0] for r in df.select("id").collect())  # resolver is
+    assert got == list(range(0, 50, 2))  # case-insensitive; Derby says ID
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the join ran remotely: Spark's plan is one JDBC relation scan of the
+    # JOIN query, with no local join node and none of the 12k literals
+    assert "JOIN" in plan and "sync_allowlist_stage".upper() in plan.upper()
+    assert "BroadcastHashJoin" not in plan
+    assert "12999" not in plan  # no inlined literal list
+    assert len(plan) < 20_000
+
+
+def test_small_allowlist_stays_broadcast_semi(spark, derby_cfg):
+    """Below the threshold the existing broadcast left-semi path runs
+    unchanged (no remote staging table round-trip)."""
+    allow = spark.createDataFrame([(i,) for i in range(0, 20)], "id long")
+    df = J.scan_with_allowlist(spark, derby_cfg, "accounts", "id", allow)
+    assert df.count() == 20
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
