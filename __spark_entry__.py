@@ -1217,19 +1217,31 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> mapInPandas decode
     (FakeCodec: deterministic byte-level stats). Oracle checks the
     SQL-expressible outputs (byte length + content digest)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import attach_media, decode_stats
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        FakeCodec,
+        attach_media,
+        decode_stats,
+    )
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(docs, "text", media_type="image/fake")
-    return decode_stats(media, "doc_id").select("doc_id", "n_bytes", "digest")
+    # FakeCodec pinned: payloads are synthetic text bytes, and the oracle
+    # re-derives the byte-level stats — a real codec must never kick in
+    return decode_stats(media, "doc_id", codec=FakeCodec()).select(
+        "doc_id", "n_bytes", "digest"
+    )
 
 
 def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: per-item frame explosion inside the Arrow
     batch; output = frames kept per doc (64-byte windows, every 2nd)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import attach_media, sampled_frames
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        FakeCodec,
+        attach_media,
+        sampled_frames,
+    )
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(docs, "text", media_type="video/fake")
-    frames = sampled_frames(media, "doc_id", every_n=2)
+    frames = sampled_frames(media, "doc_id", every_n=2, codec=FakeCodec())
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 

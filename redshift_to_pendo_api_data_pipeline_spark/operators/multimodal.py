@@ -11,8 +11,13 @@ resampling, frame extraction) needs libraries this container doesn't ship
 - ``FakeCodec`` — deterministic, dependency-free: derives pseudo pixel
   stats/frames from the bytes themselves. Makes the Spark-side plumbing
   (schemas, batching, partitioning, UDF signatures) fully testable.
-- ``RealCodec`` — raises ``NotImplementedError`` with the dependency it
-  would use; plug in PIL/av on a real image (STUB, clearly marked).
+- ``PilCodec`` — the real image path, behind an import guard: construction
+  raises ImportError when Pillow is absent (this container), and the
+  instance is picklable because PIL is imported per call on the executor,
+  never stored. Video/audio would follow the same pattern with av/ffmpeg.
+- ``default_codec()`` — PilCodec when Pillow is importable, else FakeCodec
+  with a one-time warning, so the SAME operator code runs real decodes the
+  moment the dependency appears.
 
 Batch-shape rule: one Arrow batch in, one pandas DataFrame out, columns
 exactly matching the declared schema. Spark handles partition-level
@@ -42,18 +47,82 @@ class Codec:
         raise NotImplementedError
 
 
-class RealCodec(Codec):
-    """STUB — the real implementation would use PIL (images) / av (video),
-    neither of which is available in this container."""
+class PilCodec(Codec):
+    """Real image codec backed by Pillow. Import-guarded: constructing it
+    without Pillow installed raises ImportError (callers fall back via
+    ``default_codec``). PIL is imported inside each method — executors
+    re-import locally and the instance stays picklable for mapInPandas
+    closures. Video frame sampling uses PIL's multi-frame seek (GIF/TIFF);
+    a full av/ffmpeg codec would subclass Codec the same way."""
+
+    def __init__(self) -> None:
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise ImportError("Pillow is not installed")
+
+    @staticmethod
+    def _open(payload: bytes):
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload))
 
     def decode_stats(self, payload: bytes) -> dict:
-        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+        arr = np.asarray(self._open(payload).convert("L"), dtype=np.uint8)
+        return {
+            "n_bytes": len(payload),
+            "mean": float(arr.mean()) if arr.size else 0.0,
+            "std": float(arr.std()) if arr.size else 0.0,
+            "digest": hashlib.md5(payload).hexdigest(),
+        }
 
     def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+        import io
+
+        buf = io.BytesIO()
+        self._open(payload).convert("RGB").resize((w, h)).save(buf, format="PNG")
+        return buf.getvalue()
 
     def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
-        raise NotImplementedError("RealCodec requires PIL/libav; not in container")
+        import io
+
+        img = self._open(payload)
+        frames: list[bytes] = []
+        i = 0
+        while True:
+            try:
+                img.seek(i)
+            except EOFError:
+                break
+            if i % every_n == 0:
+                buf = io.BytesIO()
+                img.convert("RGB").save(buf, format="PNG")
+                frames.append(buf.getvalue())
+            i += 1
+        return frames
+
+
+# kept as the historical name for the real-dependency boundary
+RealCodec = PilCodec
+
+
+def default_codec() -> Codec:
+    """The codec the operators use when none is passed: the real Pillow
+    path when importable, else the deterministic FakeCodec (with a
+    one-time warning so silent fake decodes never masquerade as real)."""
+    try:
+        return PilCodec()
+    except ImportError:
+        import warnings
+
+        warnings.warn(
+            "Pillow not installed — multimodal operators fall back to "
+            "FakeCodec (deterministic byte-stream pseudo-decodes)",
+            stacklevel=2,
+        )
+        return FakeCodec()
 
 
 class FakeCodec(Codec):
@@ -103,7 +172,7 @@ def attach_media(
 def decode_stats(df: DataFrame, id_col: str, codec: Codec | None = None) -> DataFrame:
     """Per-item decode/feature-extract via mapInPandas: (id, n_bytes, mean,
     std, digest). Arrow-batched; payloads never leave the executor."""
-    codec = codec or FakeCodec()
+    codec = codec or default_codec()
 
     def _run(batches):
         for pdf in batches:
@@ -126,7 +195,7 @@ def thumbnails(
     df: DataFrame, id_col: str, w: int = 8, h: int = 8, codec: Codec | None = None
 ) -> DataFrame:
     """Resize stage: (id, thumb binary, thumb_meta struct)."""
-    codec = codec or FakeCodec()
+    codec = codec or default_codec()
 
     def _run(batches):
         for pdf in batches:
@@ -149,7 +218,7 @@ def sampled_frames(
     """Frame-sampling stage: one output row per kept frame
     (id, frame_idx, frame binary) — the explode happens Python-side inside
     the batch so the Arrow transfer carries only kept frames."""
-    codec = codec or FakeCodec()
+    codec = codec or default_codec()
 
     def _run(batches):
         for pdf in batches:

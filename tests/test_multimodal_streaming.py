@@ -64,9 +64,70 @@ def test_sampled_frames_explode(spark, sf_dir):
         assert r["count"] == expected
 
 
-def test_real_codec_is_marked_stub(spark, sf_dir):
-    with pytest.raises(NotImplementedError, match="PIL|libav"):
-        MM.RealCodec().decode_stats(b"x")
+def test_pil_codec_import_guard_absent(monkeypatch):
+    """Without Pillow (this container), PilCodec construction raises and
+    default_codec falls back to FakeCodec with a warning."""
+    import importlib.util as ilu
+
+    monkeypatch.setattr(ilu, "find_spec", lambda name: None)
+    with pytest.raises(ImportError, match="Pillow"):
+        MM.PilCodec()
+    with pytest.warns(UserWarning, match="FakeCodec"):
+        codec = MM.default_codec()
+    assert isinstance(codec, MM.FakeCodec)
+
+
+def test_pil_codec_used_when_pillow_present(monkeypatch):
+    """With Pillow importable (mocked here), default_codec returns the
+    real-decode path and PilCodec drives PIL.Image for stats, thumbnail
+    and multi-frame sampling through the SAME operator API."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _Img:
+        n_frames = 3
+
+        def __init__(self, payload):
+            self.payload = payload
+            self._frame = 0
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def seek(self, i):
+            if i >= self.n_frames:
+                raise EOFError
+            self._frame = i
+
+        def save(self, buf, format=None):
+            buf.write(b"PNG" + bytes([self._frame]))
+
+        def __array__(self, dtype=None, copy=None):
+            return np.frombuffer(self.payload, dtype=np.uint8)
+
+    import importlib.machinery
+
+    pil = types.ModuleType("PIL")
+    pil.__spec__ = importlib.machinery.ModuleSpec("PIL", None)
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda bio: _Img(bio.getvalue())
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    codec = MM.default_codec()
+    assert isinstance(codec, MM.PilCodec)
+    stats = codec.decode_stats(b"\x00\x02\x04")
+    assert stats["n_bytes"] == 3 and stats["mean"] == 2.0
+    assert codec.thumbnail(b"abc", 4, 4) == b"PNG\x00"
+    frames = codec.sample_frames(b"abc", every_n=2)
+    assert frames == [b"PNG\x00", b"PNG\x02"]  # frames 0 and 2 of 3
 
 
 # -------------------------------------------------------------- streaming
@@ -291,3 +352,59 @@ def test_streaming_debounce_kept_event_semantics(spark):
         # in-burst drop (2), kept-clock re-admit (3), cross-batch drop (4),
         # cross-batch re-admit (5), 59 s boundary drop (11)
         assert got == [(1, 1), (1, 3), (1, 5), (2, 10)]
+
+
+def test_streaming_neardup_against_staged_corpus(spark, tmp_path):
+    """The streaming ingest-dedup shape: corpus signatures staged once,
+    then a file-source stream of new docs is near-dup-checked per
+    micro-batch via asymmetric banding against the staged relation.
+    Mirrors the batch incremental_neardup semantics exactly-once."""
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.dedup_bridge import (
+        streaming_neardup_against_corpus,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four"
+    )
+    near = " ".join(
+        w if i != 15 else "CHANGED" for i, w in enumerate(base.split())
+    )  # one word of 30 changed -> Jaccard ~0.84, lands in a band
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "an entirely different corpus document about spark plans"),
+            (3, "rate limiting uses a token bucket with a global budget"),
+        ],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (101, near),  # near-dup of corpus doc 1
+        # exact text of corpus doc 3
+        (102, "rate limiting uses a token bucket with a global budget"),
+        # novel
+        (103, "completely novel content that matches nothing in the lake"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(src)
+
+    got = []
+
+    def on_pairs(pairs, batch_id):
+        got.extend((r["id_a"], r["id_b"]) for r in pairs.collect())
+
+    q = streaming_neardup_against_corpus(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus,
+        "text",
+        "doc_id",
+        stage_corpus=str(tmp_path / "corpus_sigs.parquet"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_pairs=on_pairs,
+        threshold=0.6,
+    )
+    q.awaitTermination(120)
+    assert (102, 3) in got            # exact dup found
+    assert (101, 1) in got            # near dup found
+    assert all(a != 103 for a, _ in got)  # novel doc clean
