@@ -922,6 +922,49 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (CCNet/Gopher family): per-doc frequency
+    mass of its word bigrams under the corpus's own bigram counts.
+    Surprisal is the integer BIT-LENGTH of each bigram's corpus count —
+    monotone in log2, bit-identical across engines, so the whole score is
+    hash-checked (a float log-prob would be libm-dependent)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate filter: per-doc token coverage against the corpus top-500
+    vocabulary (count-desc, token-asc — deterministic), in basis points.
+    Vocab is 500 rows -> broadcast; the token stream never shuffles for
+    the join."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", v=500
+    )
+
+
+def q_source_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing diagnostic: per-source token totals, distinct vocabulary and
+    global-top-500 coverage — the lexical-idiosyncrasy read taken before
+    choosing source mixture weights."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import (
+        source_vocab_profile,
+    )
+
+    return source_vocab_profile(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", "source",
+        v=500,
+    )
+
+
 def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order locality report: events keyed by the Morton interleave of
     (user_id, ts), bucketed by the key's top 6 bits — per bucket, the
@@ -2018,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        "bigram_surprisal": q_bigram_surprisal,
+        "vocab_coverage": q_vocab_coverage,
+        "source_vocab_profile": q_source_vocab_profile,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -2796,6 +2842,73 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 20
+        """,
+        # LM-family quality scores: tokenization/bigram twins of
+        # operators/lm.py; bit-length (length(bin(c))) mirrors Spark's
+        # length(conv(c,10,2)) exactly, // mirrors div
+        "bigram_surprisal": """
+            WITH w AS (
+              SELECT doc_id AS doc,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w0
+              FROM documents),
+            bigs AS (
+              SELECT doc,
+                     unnest(list_transform(range(1, len(w0)),
+                                           i -> w0[i] || ' ' || w0[i + 1])) AS big
+              FROM w),
+            cnt AS (SELECT big, count(*) AS c FROM bigs GROUP BY big)
+            SELECT b.doc AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(length(bin(c.c))) AS BIGINT) AS freq_bits,
+                   CAST(100 * CAST(sum(length(bin(c.c))) AS BIGINT)
+                        // CAST(count(*) AS BIGINT) AS BIGINT)
+                       AS mean_freq_bits_x100
+            FROM bigs b JOIN cnt c USING (big)
+            GROUP BY b.doc
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT doc_id AS doc, tok
+              FROM (SELECT doc_id,
+                           unnest(string_split(trim(regexp_replace(lower(text),
+                                  '\\s+', ' ', 'g')), ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> ''),
+            vcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (SELECT tok FROM vcnt ORDER BY c DESC, tok ASC LIMIT 500)
+            SELECT t.doc AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_vocab,
+                   CAST(10000 * CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1
+                                         ELSE 0 END) AS BIGINT)
+                        // CAST(count(*) AS BIGINT) AS BIGINT) AS coverage_bp
+            FROM toks t LEFT JOIN vocab v USING (tok)
+            GROUP BY t.doc
+        """,
+        "source_vocab_profile": """
+            WITH toks AS (
+              SELECT doc_id AS doc, tok
+              FROM (SELECT doc_id,
+                           unnest(string_split(trim(regexp_replace(lower(text),
+                                  '\\s+', ' ', 'g')), ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> ''),
+            vcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (SELECT tok FROM vcnt ORDER BY c DESC, tok ASC LIMIT 500)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct_toks,
+                   CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_top_v,
+                   CAST(10000 * CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1
+                                         ELSE 0 END) AS BIGINT)
+                        // CAST(count(*) AS BIGINT) AS BIGINT) AS top_v_bp
+            FROM toks t
+            JOIN documents d ON d.doc_id = t.doc
+            LEFT JOIN vocab v USING (tok)
+            GROUP BY d.source
         """,
         "text_analysis": """
             WITH base AS (

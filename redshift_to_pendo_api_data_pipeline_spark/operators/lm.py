@@ -1,0 +1,176 @@
+"""Corpus language-model statistics for pretraining-data curation.
+
+The quality signals a data pipeline runs before training — "how typical
+is this document of the corpus", "how much of it is in-vocabulary" — are
+classically LM perplexity filters (CCNet, Gopher). This module computes
+the same family of signals with the corpus ITSELF as the model, as pure
+DataFrame algebra:
+
+- ``bigram_surprisal``: train corpus bigram counts in one pass, score
+  each document by the frequency mass of its bigrams. The per-bigram
+  "surprisal" is the INTEGER bit-length of its corpus count
+  (``len(bin(c))`` ≈ floor(log2 c)+1) rather than a float log-prob:
+  bit-identical across engines (the whole result hash-checks against
+  DuckDB), monotone in the true log — boilerplate scores high mean
+  bits, novel/garbled text scores low.
+- ``vocab_coverage``: top-V corpus vocabulary, per-doc in-vocab token
+  counts — the OOV-rate filter. The vocab is V rows → broadcast join.
+- ``source_vocab_profile``: per-source token totals, distinct counts and
+  global-top-V coverage in basis points — the mixing diagnostic read
+  before choosing source weights.
+
+Scale design: tokenization is one projection (split, no UDF); counts are
+map-side-combined groupBys on token/bigram keys (high cardinality, even
+hash partitioning); the only joins are doc-bigrams × bigram-counts
+(big-big equi-join on the bigram key — one shuffle each side) and
+token × top-V vocab (broadcast). Nothing is all-pairs, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, pos, tok) — one row per token occurrence, position kept so
+    bigrams can be rebuilt without re-tokenizing."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+        )
+        .select("doc", F.posexplode("w").alias("pos", "tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, big) — one row per bigram occurrence, built as a JVM array
+    zip of the words array with its own tail (no self-join)."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    bigs = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select("doc", F.explode(bigs).alias("big"))
+
+
+def bigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document corpus-typicality: (doc_id, n_bigrams, freq_bits,
+    mean_freq_bits_x100).
+
+    freq_bits = Σ over the doc's bigram occurrences of bit_length(corpus
+    count of that bigram); mean_freq_bits_x100 = 100·freq_bits/n_bigrams
+    as an exact integer. High mean = the document is built from corpus-
+    common word transitions (boilerplate end of the distribution); low
+    mean = novel or garbled. Every surface is integer arithmetic —
+    bit-length replaces log2 so DuckDB reproduces it exactly."""
+    doc_bigs = _doc_bigrams(df, text_col, id_col)
+    counts = doc_bigs.groupBy("big").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        doc_bigs.join(counts, "big")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.length(F.conv(F.col("c"), 10, 2))).alias("freq_bits"),
+        )
+    )
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.col("freq_bits").cast("long").alias("freq_bits"),
+        F.expr("(100 * freq_bits) div n_bigrams").alias("mean_freq_bits_x100"),
+    )
+
+
+def top_vocab(df: DataFrame, text_col: str, id_col: str, v: int) -> DataFrame:
+    """The corpus's top-``v`` tokens by occurrence count (count desc,
+    token asc tiebreak — fully deterministic): (tok, c, rank). V rows —
+    broadcastable by construction."""
+    from pyspark.sql import Window
+
+    counts = (
+        _tokens(df, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("tok"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= v)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, id_col: str, v: int = 1000
+) -> DataFrame:
+    """Per-document OOV profile against the corpus top-``v`` vocabulary:
+    (doc_id, n_tokens, n_in_vocab, coverage_bp) with coverage in basis
+    points (10000·in/total, integer). The vocab side is ``v`` rows and
+    broadcast; the token relation never shuffles for the join.
+
+    Note the single-reducer window inside ``top_vocab`` ranks only the
+    DISTINCT-token relation (vocabulary-sized, ~10^6 rows at any corpus
+    scale — fine for one reducer), never the token stream."""
+    toks = _tokens(df, text_col, id_col)
+    vocab = top_vocab(df, text_col, id_col, v).select("tok")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
+            F.expr("(10000 * n_in_vocab) div n_tokens").alias("coverage_bp"),
+        )
+    )
+
+
+def source_vocab_profile(
+    df: DataFrame, text_col: str, id_col: str, source_col: str, v: int = 1000
+) -> DataFrame:
+    """Per-source mixing diagnostic: (source, n_tokens, n_distinct_toks,
+    n_in_top_v, top_v_bp). A source whose top-V coverage is far below the
+    corpus's is lexically idiosyncratic — weight it knowingly."""
+    toks = _tokens(df, text_col, id_col).join(
+        df.select(
+            F.col(id_col).alias("doc"), F.col(source_col).alias("__src")
+        ),
+        "doc",
+    )
+    vocab = top_vocab(df, text_col, id_col, v).select("tok")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("__src")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_toks"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("n_in_top_v"),
+        )
+        .select(
+            F.col("__src").alias("source"),
+            "n_tokens",
+            "n_distinct_toks",
+            F.col("n_in_top_v").cast("long").alias("n_in_top_v"),
+            F.expr("(10000 * n_in_top_v) div n_tokens").alias("top_v_bp"),
+        )
+    )

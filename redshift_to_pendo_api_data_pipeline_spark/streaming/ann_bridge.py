@@ -1,0 +1,129 @@
+"""Streaming ANN serving: a stream of query vectors probed against the
+persisted IVF index.
+
+Complements ``streaming/dedup_bridge`` on the similarity side: the index
+is built once (``operators/similarity.build_ivf_index`` —
+partitionBy(__cluster) parquet + staged centroids) and a stream of
+(query_id, vector) rows is answered per micro-batch via ``foreachBatch``:
+
+1. the batch's query vectors assign to their n_probe nearest lists with
+   one numpy distance matrix on the driver (a micro-batch of queries is
+   small by construction; the CORPUS never touches the driver),
+2. the index is read ONCE per batch, partition-pruned to the union of
+   all probed lists,
+3. queries explode to (query, cluster) pairs and equi-join the pruned
+   index on cluster — so each query only meets candidates in its own
+   lists; exact cosine + a per-query top-k window finishes the job.
+
+One Spark job per micro-batch regardless of how many queries it holds;
+per-batch scan cost is |union of probed lists|, not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+    _dot,
+    _norm,
+)
+
+
+def batch_ivf_topk(
+    spark,
+    queries_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Answer MANY queries against a persisted IVF index in one job:
+    (query_id, vec_id, cosine), top-k rows per query. Also usable in
+    batch for bulk re-ranking jobs."""
+    qrows = queries_df.select(qid_col, qvec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, cosine double"
+        )
+    qm = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
+    d = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (int(r[qid_col]), [float(x) for x in qm[i]], [int(c) for c in order[i]])
+        for i, r in enumerate(qrows)
+    ]
+    qdf = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, {qvec_col} array<double>, __probes array<int>"
+    )
+    all_probes = sorted({int(c) for r in order for c in r})
+
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("__cluster").isin(all_probes))  # partition-pruned scan
+        .select(id_col, vec_col, "__cluster")
+    )
+    exploded = qdf.select(
+        qid_col, qvec_col, F.explode("__probes").alias("__cluster")
+    )
+    # each query meets only candidates in its own probed lists
+    pairs = idx.join(F.broadcast(exploded), "__cluster")
+    cos = F.round(
+        _dot(F.col(vec_col), F.col(qvec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))),
+        6,
+    )
+    ranked = pairs.select(
+        qid_col, F.col(id_col), cos.alias("cosine")
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(qid_col).orderBy(
+                F.desc("cosine"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.where(F.col("__rk") <= k).drop("__rk")
+
+
+def streaming_ann_topk(
+    stream_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    checkpoint: str,
+    on_results: Callable[[DataFrame, int], None],
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_probe: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query answering each micro-batch of
+    (query_id, qvec) rows from the persisted IVF index;
+    ``on_results(topk_df, batch_id)`` receives (query_id, vec_id, cosine)
+    top-k rows per query. Returns the StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_ivf_topk(
+            spark, batch_df, index_path, centroids, vec_col, id_col,
+            qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
+        )
+        on_results(out, batch_id)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_process)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

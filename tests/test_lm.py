@@ -1,0 +1,128 @@
+"""Corpus-LM quality family: bigram surprisal, vocab coverage, source
+profiles — integer-exact surfaces, broadcast vocab joins."""
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import lm as LM
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat", "web"),
+        (2, "the cat sat on the mat", "web"),          # exact repeat
+        (3, "the cat sat on the rug today", "web"),    # mostly common
+        (4, "zx qv jk wp ld", "forum"),                # all-novel tokens
+        (5, "one", "forum"),                           # single token: no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_bigram_surprisal_orders_common_above_novel(spark):
+    out = {r["doc_id"]: r for r in
+           LM.bigram_surprisal(_corpus(spark), "text", "doc_id").collect()}
+    # doc 5 has <2 words -> no bigrams -> absent
+    assert set(out) == {1, 2, 3, 4}
+    # identical docs score identically
+    assert out[1]["mean_freq_bits_x100"] == out[2]["mean_freq_bits_x100"]
+    # docs built from repeated corpus bigrams outrank the all-novel doc
+    assert out[1]["mean_freq_bits_x100"] > out[4]["mean_freq_bits_x100"]
+    # exact arithmetic: doc 4's bigrams are all unique (count 1 -> 1 bit)
+    assert out[4]["n_bigrams"] == 4 and out[4]["freq_bits"] == 4
+    assert out[4]["mean_freq_bits_x100"] == 100
+
+
+def test_vocab_coverage_and_broadcast_plan(spark):
+    df = _corpus(spark)
+    cov = LM.vocab_coverage(df, "text", "doc_id", v=5)
+    out = {r["doc_id"]: r for r in cov.collect()}
+    # top-5 tokens are exactly {the(6), cat(3), sat(3), on(3), mat(2)} —
+    # the count-2 cut keeps every count-1 token (incl. doc 4's) out
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["n_in_vocab"] == 6  # all six tokens of doc 1 in vocab
+    assert out[1]["coverage_bp"] >= out[4]["coverage_bp"]
+    # all-novel doc: tokens outside any plausible top-6
+    assert out[4]["n_in_vocab"] == 0 and out[4]["coverage_bp"] == 0
+    # single-token doc present here (tokens exist even without bigrams)
+    assert out[5]["n_tokens"] == 1
+    # the vocab side joins as a broadcast, never a shuffle of the stream
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_vocab_profile_partitions_corpus(spark):
+    out = {r["source"]: r for r in
+           LM.source_vocab_profile(
+               _corpus(spark), "text", "doc_id", "source", v=6
+           ).collect()}
+    assert set(out) == {"web", "forum"}
+    web, forum = out["web"], out["forum"]
+    assert web["n_tokens"] == 19 and forum["n_tokens"] == 6
+    # forum is lexically idiosyncratic: far lower top-V coverage
+    assert forum["top_v_bp"] < web["top_v_bp"]
+    # distinct counts are per-source vocabularies
+    assert forum["n_distinct_toks"] == 6
+
+
+def test_streaming_ann_serving_from_persisted_index(spark, sf_dir, tmp_path):
+    """ANN serving bridge: build the IVF index once, stream query vectors
+    through foreachBatch, and each query's top-k must equal the batch
+    ivf probe with the same parameters (and the exact top-1 for a query
+    that IS a corpus vector)."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_persisted,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.ann_bridge import (
+        streaming_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index_path = str(tmp_path / "ivf_index.parquet")
+    centroids = build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=8)
+
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin([3, 7])).collect()
+    }
+    src = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(qid, vec) for qid, vec in qvecs.items()],
+        "query_id long, qvec array<double>",
+    ).write.parquet(src)
+
+    got = {}
+
+    def on_results(df, batch_id):
+        for r in df.collect():
+            got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+
+    q = streaming_ann_topk(
+        spark.readStream.schema("query_id long, qvec array<double>").parquet(src),
+        index_path,
+        centroids,
+        "embedding",
+        "vec_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_results=on_results,
+        k=5,
+        n_probe=3,
+    )
+    q.awaitTermination(120)
+
+    assert set(got) == {3, 7}
+    for qid in (3, 7):
+        ranked = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert ranked[0][0] == qid  # a corpus vector finds itself first
+        expected = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk_persisted(
+                spark, index_path, centroids, "embedding", "vec_id",
+                qvecs[qid], k=5, n_probe=3,
+            ).collect()
+        ]
+        assert ranked == expected

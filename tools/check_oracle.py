@@ -69,6 +69,13 @@ def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
+    """Check queries against oracles; a ``--json=PATH`` argument writes a
+    driver-shaped CORRECTNESS artifact for the checked queries."""
+    json_out = None
+    for a in only:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    only = tuple(a for a in only if not a.startswith("--json="))
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -80,32 +87,56 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         sdf_spark = fn(spark, sf_dir)
         spdf = sdf_spark.toPandas()
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(spdf)} rows")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spdf), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"✗ {name:35s} ORACLE ERROR: {e}")
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spdf), "oracle_rows": None, "err": str(e),
+            }
             failures += 1
             continue
         problems = []
-        if len(spdf) != len(odf):
+        rows_ok = len(spdf) == len(odf)
+        cols_ok = sorted(spdf.columns) == sorted(odf.columns)
+        hash_ok = cols_ok and value_hash(spdf) == value_hash(odf)
+        if not rows_ok:
             problems.append(f"rows {len(spdf)} != {len(odf)}")
-        if sorted(spdf.columns) != sorted(odf.columns):
+        if not cols_ok:
             problems.append(
                 f"cols {sorted(spdf.columns)} != {sorted(odf.columns)}"
             )
-        elif value_hash(spdf) != value_hash(odf):
+        elif not hash_ok:
             problems.append("value hash mismatch" + _diff_sample(spdf, odf))
+        record[name] = {
+            "rows_match": rows_ok, "schema_match": cols_ok,
+            "hash_match": hash_ok, "spark_rows": len(spdf),
+            "oracle_rows": len(odf), "err": None,
+        }
         if problems:
             print(f"✗ {name:35s} {', '.join(problems)}")
             failures += 1
         else:
             print(f"✓ {name:35s} {len(spdf)} rows")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {json_out} ({len(record)} queries)")
     return failures
 
 
