@@ -72,6 +72,15 @@ def singer_json_schema(spec: ColumnSpec) -> dict:
         out["type"] = "string"
     elif dt.split("(")[0].strip() in _SINGER_STRING:
         out["type"] = "string"
+        # maxLength from discovery metadata, else from a varchar(n)
+        # type spelling (reference README.md:379 documents the field)
+        max_len = spec.char_max_length
+        if max_len is None and "(" in dt and dt.endswith(")"):
+            inner = dt.split("(", 1)[1][:-1].strip()
+            if inner.isdigit():
+                max_len = int(inner)
+        if max_len is not None:
+            out["maxLength"] = max_len
     else:
         return {
             "inclusion": "unsupported",

@@ -221,3 +221,93 @@ def records_for_stream(
         "stream", "version", "record"
     )
     return valid, quarantine
+
+
+# ----------------------------------------------------- conformance check
+
+def validate_message_stream(lines: list[str]) -> list[str]:
+    """singer-check-tap-style conformance runner: validate an ordered
+    message stream and return the list of violations (empty = clean).
+    The reference declares singer-check-tap in its requirements but ships
+    no runner; this implements the checks that tool applies to a tap's
+    stdout, so CLI output can be asserted conformant in tests.
+
+    Checks: every line parses as JSON with a known ``type``; each
+    stream's SCHEMA precedes its first RECORD; each RECORD's fields are a
+    subset of the SCHEMA's properties with JSON types matching the
+    declared (possibly null-union) types; key_properties are present and
+    non-null in every RECORD; RECORD versions match the announced
+    ACTIVATE_VERSION; the stream ends with a STATE flush."""
+    import json as _json
+
+    violations: list[str] = []
+    schemas: dict[str, dict] = {}
+    keyprops: dict[str, list[str]] = {}
+    versions: dict[str, int] = {}
+    last_type = None
+
+    def type_ok(value, declared) -> bool:
+        types = declared if isinstance(declared, list) else [declared]
+        for t in types:
+            if t == "null" and value is None:
+                return True
+            if t == "boolean" and isinstance(value, bool):
+                return True
+            if t == "integer" and isinstance(value, int) and not isinstance(value, bool):
+                return True
+            if t == "number" and isinstance(value, (int, float)) and not isinstance(value, bool):
+                return True
+            if t == "string" and isinstance(value, str):
+                return True
+            if t == "object" and isinstance(value, dict):
+                return True
+            if t == "array" and isinstance(value, list):
+                return True
+        return False
+
+    for i, line in enumerate(lines):
+        try:
+            msg = _json.loads(line)
+        except ValueError:
+            violations.append(f"line {i}: not JSON")
+            continue
+        mtype = msg.get("type")
+        last_type = mtype
+        if mtype == "SCHEMA":
+            stream = msg.get("stream")
+            if not stream or "schema" not in msg:
+                violations.append(f"line {i}: SCHEMA missing stream/schema")
+                continue
+            schemas[stream] = msg["schema"].get("properties", {})
+            keyprops[stream] = msg.get("key_properties", [])
+        elif mtype == "ACTIVATE_VERSION":
+            versions[msg.get("stream")] = msg.get("version")
+        elif mtype == "RECORD":
+            stream = msg.get("stream")
+            if stream not in schemas:
+                violations.append(f"line {i}: RECORD for {stream!r} before SCHEMA")
+                continue
+            props = schemas[stream]
+            rec = msg.get("record", {})
+            for k, v in rec.items():
+                if k not in props:
+                    violations.append(f"line {i}: field {k!r} not in SCHEMA")
+                elif "type" in props[k] and not type_ok(v, props[k]["type"]):
+                    violations.append(
+                        f"line {i}: field {k!r}={v!r} violates type {props[k]['type']}"
+                    )
+            for k in keyprops.get(stream, []):
+                if rec.get(k) is None:
+                    violations.append(f"line {i}: key property {k!r} missing/null")
+            if stream in versions and msg.get("version") != versions[stream]:
+                violations.append(
+                    f"line {i}: version {msg.get('version')} != activated "
+                    f"{versions[stream]}"
+                )
+        elif mtype in ("STATE", "VOLUME"):
+            pass
+        else:
+            violations.append(f"line {i}: unknown message type {mtype!r}")
+    if lines and last_type != "STATE":
+        violations.append("stream does not end with a STATE flush")
+    return violations

@@ -29,13 +29,27 @@ UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-f
 DEFAULT_QUERY_LIMIT = 1_000_000  # tap-redshift/src/parsed_args.py:95
 
 
-def incremental_filter(df: DataFrame, replication_key: str, bookmark) -> DataFrame:
+def incremental_filter(
+    df: DataFrame, replication_key: str, bookmark, lookback: str | None = None
+) -> DataFrame:
     """P4: strictly-greater-than bookmark scan (sync.py:143,147).
 
-    Pushed into the source scan by Catalyst (check PushedFilters)."""
+    Pushed into the source scan by Catalyst (check PushedFilters).
+
+    ``lookback`` is the late-data remedy the reference acknowledges but
+    never ships (changelog.md:44 — rows whose replication key is stamped
+    late are silently skipped by a strict ``> bookmark``): an SQL
+    INTERVAL string (e.g. ``'1 hour'``) widens the scan to
+    ``> bookmark - lookback``, re-syncing the overlap window. Requires
+    the idempotent upsert sink (which this pipeline has, README.md:142);
+    multi-version feeds should collapse the overlap with
+    ``analytics.latest_per_key`` before sinking."""
     if bookmark is None:
         return df
-    return df.filter(F.col(replication_key) > F.lit(bookmark))
+    bound = F.lit(bookmark)
+    if lookback is not None:
+        bound = bound - F.expr(f"INTERVAL {lookback}")
+    return df.filter(F.col(replication_key) > bound)
 
 
 def semi_join_allowlist(

@@ -49,6 +49,7 @@ def sync_plan(
     allowlist: DataFrame | None = None,
     pk_alias: str = "id",
     limit: int | None = DEFAULT_QUERY_LIMIT,
+    lookback: str | None = None,
 ) -> DataFrame:
     """Build the extract+shape plan for one stream (no execution).
 
@@ -68,7 +69,11 @@ def sync_plan(
     """
     out = resolve_projection(df, stream)
     if stream.replication_method == "INCREMENTAL":
-        out = incremental_filter(out, stream.replication_key, bookmark)
+        # lookback widens the scan to catch late-stamped rows; safe only
+        # because the sink upserts idempotently (resynced rows collapse)
+        out = incremental_filter(
+            out, stream.replication_key, bookmark, lookback=lookback
+        )
     if allowlist is not None:
         out = semi_join_allowlist(out, stream.primary_key, allowlist)
     if limit is not None and stream.replication_method == "INCREMENTAL":

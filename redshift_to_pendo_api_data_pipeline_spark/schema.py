@@ -68,6 +68,9 @@ class ColumnSpec:
     sql_datatype: str
     nullable: bool = True
     is_primary_key: bool = False
+    #: information_schema character_maximum_length for char/varchar —
+    #: emitted as JSON-schema maxLength (reference README.md:379)
+    char_max_length: int | None = None
 
     @property
     def spark_type(self) -> T.DataType | None:

@@ -70,7 +70,7 @@ def columns_query(db_schema: str) -> str:
     """S4: column metadata, Tables ⋈ Columns (discover.py:28-37)."""
     return (
         "SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, "
-        "c.udt_name, c.is_nullable "
+        "c.udt_name, c.is_nullable, c.character_maximum_length "
         "FROM INFORMATION_SCHEMA.Tables t "
         "JOIN INFORMATION_SCHEMA.Columns c ON c.table_name = t.table_name "
         "AND c.table_schema = t.table_schema "
@@ -213,14 +213,16 @@ def column_specs_from_metadata(rows) -> dict[str, list[ColumnSpec]]:
         if len(r) == 3:  # pk row: (schema, table, column)
             pk.add((r[1], r[2]))
     for r in rows:
-        if len(r) == 6:  # column row
-            _, table, name, _, udt, nullable = r
+        if len(r) in (6, 7):  # column row (7th = character_maximum_length)
+            _, table, name, _, udt, nullable = r[:6]
+            char_max = r[6] if len(r) == 7 and r[6] is not None else None
             cols.setdefault(table, []).append(
                 ColumnSpec(
                     name=name,
                     sql_datatype=udt,
                     nullable=str(nullable).lower() == "yes",
                     is_primary_key=(table, name) in pk,
+                    char_max_length=int(char_max) if char_max else None,
                 )
             )
     return cols

@@ -228,3 +228,29 @@ def test_allowlist_join_with_colliding_column_name(spark):
     allow = spark.createDataFrame([(1,), (3,)], "id long")
     assert sorted(r["id"] for r in semi_join_allowlist(df, "id", allow).collect()) == [1, 3]
     assert [r["id"] for r in anti_join_allowlist(df, "id", allow).collect()] == [2]
+
+
+def test_incremental_lookback_recovers_late_rows(spark):
+    """SURVEY §2.8 late-data remedy: a row whose replication key was
+    stamped just before the bookmark (late mutation, already missed by a
+    strict scan) is re-synced when a lookback interval widens the scan;
+    the strict scan still skips it. Plan stays pushdown-eligible."""
+    import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.extract import (
+        incremental_filter,
+    )
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(minutes=30)),   # late-stamped, pre-bookmark
+        (2, base + dt.timedelta(minutes=5)),    # normal new row
+        (3, base - dt.timedelta(hours=3)),      # genuinely old
+    ]
+    df = spark.createDataFrame(rows, "id long, updated_at timestamp")
+
+    strict = incremental_filter(df, "updated_at", base)
+    assert {r["id"] for r in strict.collect()} == {2}
+
+    widened = incremental_filter(df, "updated_at", base, lookback="1 hour")
+    assert {r["id"] for r in widened.collect()} == {1, 2}

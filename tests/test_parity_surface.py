@@ -271,3 +271,98 @@ def test_cli_sync_singer_end_to_end(tmp_path):
     first = out_files[0].read_text().splitlines()
     assert json.loads(first[0])["type"] == "STATE"
     assert json.loads(first[1])["type"] == "SCHEMA"
+
+
+def test_singer_conformance_runner_clean_stream(spark, sf_dir):
+    """singer-check-tap parity: the full ordered message file our writer
+    emits must pass the conformance validator with zero violations."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events").limit(30).select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        SG.write_message_file(
+            ev, "events", 7, ["event_id"], {"bookmarks": {}}, f"{d}/msgs"
+        )
+        lines = []
+        for f in sorted(glob.glob(f"{d}/msgs/part-*")):
+            with open(f) as fh:
+                lines.extend(line.rstrip("\n") for line in fh if line.strip())
+        assert SG.validate_message_stream(lines) == []
+
+
+def test_singer_conformance_runner_flags_violations():
+    """Each conformance rule fires on a planted violation."""
+    schema_line = json.dumps({
+        "type": "SCHEMA", "stream": "s",
+        "schema": {"type": "object", "properties": {
+            "id": {"type": "integer"}, "name": {"type": ["null", "string"]}}},
+        "key_properties": ["id"],
+    })
+    state = json.dumps({"type": "STATE", "value": {}})
+    av = json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 1})
+
+    def rec(record, version=1):
+        return json.dumps({"type": "RECORD", "stream": "s",
+                           "version": version, "record": record})
+
+    # record before schema
+    v = SG.validate_message_stream([state, rec({"id": 1}), state])
+    assert any("before SCHEMA" in x for x in v)
+    # wrong field type
+    v = SG.validate_message_stream(
+        [state, schema_line, av, rec({"id": "not-int"}), state])
+    assert any("violates type" in x for x in v)
+    # unknown field
+    v = SG.validate_message_stream(
+        [state, schema_line, av, rec({"id": 1, "zzz": 2}), state])
+    assert any("not in SCHEMA" in x for x in v)
+    # null key property
+    v = SG.validate_message_stream(
+        [state, schema_line, av, rec({"name": "x"}), state])
+    assert any("key property" in x for x in v)
+    # version mismatch
+    v = SG.validate_message_stream(
+        [state, schema_line, av, rec({"id": 1}, version=9), state])
+    assert any("!= activated" in x for x in v)
+    # missing closing STATE
+    v = SG.validate_message_stream([state, schema_line, av, rec({"id": 1})])
+    assert any("STATE flush" in x for x in v)
+    # clean stream: no violations
+    v = SG.validate_message_stream(
+        [state, schema_line, av, rec({"id": 1, "name": None}), state])
+    assert v == []
+
+
+def test_maxlength_emitted_for_sized_strings():
+    """JSON-schema maxLength parity (reference README.md:379): emitted
+    when discovery provides character_maximum_length or the type spells
+    varchar(n); omitted for bare string types (sample-catalog parity)."""
+    from redshift_to_pendo_api_data_pipeline_spark.catalog import singer_json_schema
+
+    sized = ColumnSpec(name="name", sql_datatype="varchar",
+                       nullable=True, char_max_length=64)
+    assert singer_json_schema(sized)["maxLength"] == 64
+    spelled = ColumnSpec(name="name", sql_datatype="varchar(128)", nullable=False)
+    assert singer_json_schema(spelled)["maxLength"] == 128
+    bare = ColumnSpec(name="name", sql_datatype="varchar", nullable=True)
+    assert "maxLength" not in singer_json_schema(bare)
+
+
+def test_column_specs_carry_char_max_length():
+    """Discovery rows with a 7th character_maximum_length element flow
+    into ColumnSpec.char_max_length (None stays None)."""
+    from redshift_to_pendo_api_data_pipeline_spark.sources.jdbc import (
+        column_specs_from_metadata,
+    )
+
+    rows = [
+        ("public", "t", "id"),  # pk row
+        ("public", "t", "id", 1, "int4", "NO", None),
+        ("public", "t", "name", 2, "varchar", "YES", 64),
+    ]
+    specs = {c.name: c for c in column_specs_from_metadata(rows)["t"]}
+    assert specs["name"].char_max_length == 64
+    assert specs["id"].char_max_length is None
+    assert specs["id"].is_primary_key
