@@ -965,6 +965,36 @@ def q_source_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (Deequ/dbt-test family) over orders:
+    key uniqueness, completeness, value ranges, accepted values, a format
+    regex and referential integrity to customer — all row-level checks
+    fold into ONE aggregation pass, the reference check is one broadcast
+    anti-join. Output is (constraint, n_violations, n_checked) integers."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        Suite,
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        run_suite,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    suite = (
+        Suite()
+        .require(not_null("o_orderkey"))
+        .require(not_null("o_custkey"))
+        .require(in_range("o_totalprice", lo=0))
+        .require(accepted_values("o_orderstatus", ["O", "F", "P"]))
+        .require(matches("o_orderpriority", r"^[1-5]-"))
+        .require_unique("o_orderkey")
+        .require_reference("o_custkey", customer, "c_custkey")
+    )
+    return run_suite(orders, suite)
+
+
 def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order locality report: events keyed by the Morton interleave of
     (user_id, ts), bucketed by the key's top 6 bits — per bucket, the
@@ -2064,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
+        "data_quality_report": q_data_quality_report,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -2909,6 +2940,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON d.doc_id = t.doc
             LEFT JOIN vocab v USING (tok)
             GROUP BY d.source
+        """,
+        "data_quality_report": """
+            WITH base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v_nn_ok,
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v_nn_ck,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                        AND o_totalprice < 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v_range,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                                        o_orderstatus NOT IN ('O','F','P')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v_accept,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+                                        regexp_matches(o_orderpriority, '^[1-5]-')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
+                     CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                         AS v_uniq
+              FROM orders),
+            orph AS (
+              SELECT CAST(count(*) AS BIGINT) AS v_ref FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+            SELECT * FROM (
+              SELECT 'not_null(o_orderkey)' AS "constraint", v_nn_ok AS n_violations, n AS n_checked FROM base
+              UNION ALL SELECT 'not_null(o_custkey)', v_nn_ck, n FROM base
+              UNION ALL SELECT 'in_range(o_totalprice)', v_range, n FROM base
+              UNION ALL SELECT 'accepted_values(o_orderstatus)', v_accept, n FROM base
+              UNION ALL SELECT 'matches(o_orderpriority)', v_match, n FROM base
+              UNION ALL SELECT 'unique(o_orderkey)', v_uniq, n FROM base
+              UNION ALL SELECT 'references(o_custkey)', v_ref, n FROM base, orph)
+            ORDER BY "constraint"
         """,
         "text_analysis": """
             WITH base AS (

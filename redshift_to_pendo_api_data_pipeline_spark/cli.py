@@ -136,6 +136,74 @@ def cmd_sync(cfg: dict, state_path: str | None) -> int:
     return 0
 
 
+def cmd_curate(cfg: dict) -> int:
+    """Run the corpus-curation funnel end-to-end: configured stages over a
+    documents table, curated parquet out, per-stage attrition report on
+    stdout as one JSON line. Config:
+
+        {"input": "/root/testdata/sf0.001", "table": "documents",
+         "output": "/tmp/curated",
+         "text_col": "text", "id_col": "doc_id",
+         "stages": [
+           {"kind": "min_length", "col": "n_chars", "min_chars": 50},
+           {"kind": "lang", "col": "lang", "allow": ["en"]},
+           {"kind": "exact_dedup"},
+           {"kind": "neardup", "threshold": 0.8, "stage_dir": "/tmp/sigs"},
+           {"kind": "decontaminate", "eval_dir": ..., "eval_table": ..., "n": 8}
+         ]}
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        exact_dedup_stage,
+        decontamination_stage,
+        lang_allowlist_stage,
+        min_length_stage,
+        neardup_stage,
+        quality_funnel,
+    )
+
+    spark = get_spark(app_name="curate")
+    text_col = cfg.get("text_col", "text")
+    id_col = cfg.get("id_col", "doc_id")
+    df = load_table(spark, cfg["input"], cfg.get("table", "documents"))
+
+    stages = []
+    for st in cfg["stages"]:
+        kind = st["kind"]
+        if kind == "min_length":
+            stages.append(
+                (kind, min_length_stage(st.get("col", "n_chars"), st["min_chars"]))
+            )
+        elif kind == "lang":
+            stages.append((kind, lang_allowlist_stage(st.get("col", "lang"), st["allow"])))
+        elif kind == "exact_dedup":
+            stages.append((kind, exact_dedup_stage(text_col, id_col)))
+        elif kind == "neardup":
+            stages.append(
+                (kind, neardup_stage(
+                    text_col, id_col,
+                    stage_dir=st["stage_dir"], threshold=st.get("threshold", 0.8),
+                ))
+            )
+        elif kind == "decontaminate":
+            eval_df = load_table(spark, st["eval_dir"], st["eval_table"])
+            stages.append(
+                (kind, decontamination_stage(eval_df, text_col, id_col, st.get("n", 8)))
+            )
+        else:
+            raise SystemExit(f"unknown curation stage {kind!r}")
+
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in quality_funnel(df, stages).collect()
+    }
+    cur = df
+    for _, fn in stages:
+        cur = fn(cur)
+    cur.write.mode("overwrite").parquet(cfg["output"])
+    print(json.dumps({"attrition": report, "output": cfg["output"]}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -144,10 +212,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("sync", help="sync all configured streams")
     s.add_argument("-c", "--config", required=True)
     s.add_argument("-s", "--state", default=None)
+    c = sub.add_parser(
+        "curate", help="run the corpus-curation funnel, write curated parquet"
+    )
+    c.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
         return cmd_discover(cfg)
+    if args.cmd == "curate":
+        return cmd_curate(cfg)
     return cmd_sync(cfg, args.state)
 
 

@@ -80,6 +80,29 @@ def exact_dedup_stage(text_col: str, id_col: str):
     return fn
 
 
+def neardup_stage(text_col: str, id_col: str, stage_dir: str, threshold: float = 0.8):
+    """Remove near-duplicates via staged MinHash-LSH verified pairs: any
+    document that pairs with a lower-id document drops (the lower id
+    survives). Pair-based removal — a chain A~B~C keeps A and drops B, C
+    whenever B/C pair directly with a lower id; for exact component-wise
+    dedup use ``dedup.connected_components`` + ``cluster_representatives``
+    (heavier: iterative). Signatures stage under ``stage_dir`` and are
+    reusable by later runs (stage-once/probe-many)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+    )
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = minhash_dedup_pairs_staged(
+            df, text_col, id_col,
+            stage_path=f"{stage_dir}/minhash_sigs.parquet",
+            threshold=threshold,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(F.broadcast(losers), id_col, "left_anti")
+    return fn
+
+
 def decontamination_stage(eval_set: DataFrame, text_col: str, id_col: str, n: int):
     """Anti-join against benchmark-overlapping ids."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (

@@ -1,0 +1,127 @@
+"""Declarative data-quality constraints (the Deequ/dbt-test family).
+
+A 100 TB ingest needs machine-checkable contracts on every table it
+lands: key uniqueness, completeness, value ranges, referential
+integrity. Each constraint here compiles to ONE aggregate expression
+over a single scan of the checked table (plus one broadcast-friendly
+anti-join for referential checks), so a full constraint suite costs one
+pass per table — never one job per rule.
+
+Everything is exact integer arithmetic over counts: (constraint,
+n_violations, n_checked) rows, hash-checkable against any SQL engine.
+
+The reference has no quality layer (records that fail the remote API are
+quarantined after the fact, __init__.py:482-520); this is north-star
+surface for the lake the parquet sink writes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class Check:
+    """One named constraint; ``agg`` yields (n_violations, n_checked)."""
+
+    name: str
+    violations: object  # Column: 1 if the row violates, else 0
+    checked: object | None = None  # Column: 1 if the row is in scope
+
+
+def not_null(col: str) -> Check:
+    return Check(name=f"not_null({col})", violations=F.col(col).isNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Check:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        cond = cond | (F.col(col) > F.lit(hi))
+    return Check(name=f"in_range({col})", violations=F.col(col).isNotNull() & cond)
+
+
+def matches(col: str, regex: str) -> Check:
+    return Check(
+        name=f"matches({col})",
+        violations=F.col(col).isNotNull() & ~F.col(col).rlike(regex),
+    )
+
+
+def accepted_values(col: str, values: list) -> Check:
+    return Check(
+        name=f"accepted_values({col})",
+        violations=F.col(col).isNotNull()
+        & ~F.col(col).isin([F.lit(v) for v in values]),
+    )
+
+
+@dataclass
+class Suite:
+    """A constraint suite over one table: row-level checks fold into ONE
+    aggregation; uniqueness folds into the same pass via count-distinct;
+    referential checks each add one anti-join agg (broadcast-eligible
+    when the parent key side is dimension-sized)."""
+
+    checks: list[Check] = field(default_factory=list)
+    unique_keys: list[tuple[str, ...]] = field(default_factory=list)
+    references: list[tuple[str, DataFrame, str]] = field(default_factory=list)
+
+    def require(self, check: Check) -> "Suite":
+        self.checks.append(check)
+        return self
+
+    def require_unique(self, *cols: str) -> "Suite":
+        self.unique_keys.append(tuple(cols))
+        return self
+
+    def require_reference(
+        self, col: str, parent: DataFrame, parent_col: str
+    ) -> "Suite":
+        """Referential integrity: every non-null ``col`` value exists in
+        ``parent.parent_col``."""
+        self.references.append((col, parent, parent_col))
+        return self
+
+
+def run_suite(df: DataFrame, suite: Suite) -> DataFrame:
+    """Evaluate the suite: (constraint, n_violations, n_checked) rows,
+    ordered by constraint name. One scan covers all row-level + unique
+    checks; each referential check is one anti-join aggregate."""
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in suite.checks:
+        aggs.append(
+            F.sum(F.when(c.violations, 1).otherwise(0)).alias(f"__v_{c.name}")
+        )
+    for cols in suite.unique_keys:
+        aggs.append(
+            F.count_distinct(*[F.col(x) for x in cols]).alias(
+                f"__d_{','.join(cols)}"
+            )
+        )
+    row = df.agg(*aggs).first()
+    n_rows = row["__n_rows"]
+    out = []
+    for c in suite.checks:
+        out.append((c.name, int(row[f"__v_{c.name}"]), int(n_rows)))
+    for cols in suite.unique_keys:
+        dups = int(n_rows) - int(row[f"__d_{','.join(cols)}"])
+        out.append((f"unique({','.join(cols)})", dups, int(n_rows)))
+    for col, parent, parent_col in suite.references:
+        orphans = (
+            df.select(F.col(col)).where(F.col(col).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(parent_col).alias(col)).distinct()),
+                col,
+                "left_anti",
+            )
+            .count()
+        )
+        out.append((f"references({col})", int(orphans), int(n_rows)))
+    return spark.createDataFrame(
+        sorted(out), "constraint string, n_violations long, n_checked long"
+    )

@@ -43,3 +43,41 @@ def test_decontamination_stage_removes_overlap(spark):
     )
     out = C.decontamination_stage(eval_set, "text", "doc_id", 3)(corpus).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """The curate subcommand: config in, curated parquet + attrition JSON
+    out, stages applied in order (length -> lang -> exact dedup ->
+    near-dup)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = {
+        "input": "/root/testdata/sf0.001",
+        "table": "documents",
+        "output": str(tmp_path / "curated"),
+        "text_col": "text",
+        "id_col": "doc_id",
+        "stages": [
+            {"kind": "min_length", "col": "n_chars", "min_chars": 10},
+            {"kind": "exact_dedup"},
+            {"kind": "neardup", "threshold": 0.8,
+             "stage_dir": str(tmp_path / "sigs")},
+        ],
+    }
+    cfg_path = tmp_path / "curate.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli",
+         "curate", "-c", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    att = report["attrition"]
+    assert att["input"] >= att["min_length"] >= att["exact_dedup"] >= att["neardup"]
+    curated = spark.read.parquet(cfg["output"])
+    assert curated.count() == att["neardup"]
+    assert set(curated.columns) >= {"doc_id", "text"}
