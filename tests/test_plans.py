@@ -92,3 +92,35 @@ def test_q3_join_order_broadcasts_filtered_dim(spark):
     # the orders join rather than shuffling the fact side
     p = plan_of("q3_shipping_priority", spark)
     assert "BroadcastHashJoin" in p
+
+
+def test_quality_suite_references_broadcast_anti(spark):
+    """data_quality_report's referential check must plan as a broadcast
+    left-anti join (parent keys are dimension-sized), never a shuffle of
+    the fact side."""
+    p = plan_of("data_quality_report", spark)
+    assert "SortMergeJoin" not in p
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The top-V vocab side is V rows by construction — the token-stream
+    join must be a BroadcastHashJoin, and the stream itself must not be
+    exchanged for it."""
+    p = plan_of("vocab_coverage", spark)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bigram_surprisal_no_python_no_smj(spark):
+    """The LM scoring path is pure JVM (split/zip_with/conv) and its
+    big-big counts join stays a hash join at bench scale."""
+    p = plan_of("bigram_surprisal", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ivf_persisted_probe_partition_filters(spark):
+    """The persisted-IVF probe is a partition-pruned scan: the registry
+    query's plan must show PartitionFilters on __cluster."""
+    p = plan_of("embedding_ann_ivf_persisted", spark)
+    assert "PartitionFilters" in p and "__cluster" in p

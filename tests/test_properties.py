@@ -54,3 +54,105 @@ def test_hex_threshold_monotone_and_bounded(rate):
     for other in (0.0, 0.25, 0.5, 0.75, 1.0):
         if other <= rate:
             assert rate_to_hex_threshold(other) <= th
+
+
+# -------------------------------------------- singer conformance runner
+
+import json as _json
+
+from redshift_to_pendo_api_data_pipeline_spark.functions.singer import (
+    validate_message_stream,
+)
+
+_field_names = st.sampled_from(["id", "name", "amount", "flag", "note"])
+_schema_types = {
+    "id": "integer", "name": "string", "amount": "number",
+    "flag": "boolean", "note": "string",
+}
+_value_for = {
+    "integer": st.integers(-10**9, 10**9),
+    "number": st.floats(allow_nan=False, allow_infinity=False) | st.integers(-100, 100),
+    "string": st.text(max_size=20),
+    "boolean": st.booleans(),
+}
+
+
+@st.composite
+def _valid_stream(draw):
+    fields = sorted(set(draw(st.lists(_field_names, min_size=1, max_size=5))))
+    props = {
+        f: {"type": ["null", _schema_types[f]] if f != "id" else _schema_types[f]}
+        for f in fields
+    }
+    lines = [
+        _json.dumps({"type": "STATE", "value": {}}),
+        _json.dumps({"type": "SCHEMA", "stream": "s",
+                     "schema": {"type": "object", "properties": props},
+                     "key_properties": ["id"] if "id" in fields else []}),
+        _json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 1}),
+    ]
+    n = draw(st.integers(0, 8))
+    for _ in range(n):
+        rec = {}
+        for f in fields:
+            if f == "id":
+                rec[f] = draw(_value_for["integer"])
+            elif draw(st.booleans()):
+                rec[f] = draw(_value_for[_schema_types[f]])
+            else:
+                rec[f] = None
+        lines.append(_json.dumps(
+            {"type": "RECORD", "stream": "s", "version": 1, "record": rec}))
+    lines.append(_json.dumps({"type": "STATE", "value": {}}))
+    return lines
+
+
+@given(_valid_stream())
+@settings(max_examples=150, deadline=None)
+def test_conformance_accepts_every_valid_stream(lines):
+    assert validate_message_stream(lines) == []
+
+
+@given(_valid_stream(), st.data())
+@settings(max_examples=150, deadline=None)
+def test_conformance_flags_any_single_corruption(lines, data):
+    """Mutating one message into a violation is always detected."""
+    kind = data.draw(st.sampled_from(
+        ["drop_schema", "bad_type", "unknown_field", "bad_version",
+         "truncate_state"]))
+    mutated = list(lines)
+    if kind == "drop_schema":
+        mutated = [l for l in mutated if '"SCHEMA"' not in l]
+        has_record = any('"RECORD"' in l for l in mutated)
+        if not has_record:
+            return  # nothing left to violate
+    elif kind == "bad_type":
+        idx = [i for i, l in enumerate(mutated) if '"RECORD"' in l]
+        if not idx:
+            return
+        m = _json.loads(mutated[idx[0]])
+        # ids are non-null integers in every generated schema
+        if "id" not in m["record"]:
+            return
+        m["record"]["id"] = "not-an-integer"
+        mutated[idx[0]] = _json.dumps(m)
+    elif kind == "unknown_field":
+        idx = [i for i, l in enumerate(mutated) if '"RECORD"' in l]
+        if not idx:
+            return
+        m = _json.loads(mutated[idx[0]])
+        m["record"]["__zzz"] = 1
+        mutated[idx[0]] = _json.dumps(m)
+    elif kind == "bad_version":
+        idx = [i for i, l in enumerate(mutated) if '"RECORD"' in l]
+        if not idx:
+            return
+        m = _json.loads(mutated[idx[0]])
+        m["version"] = 999
+        mutated[idx[0]] = _json.dumps(m)
+    elif kind == "truncate_state":
+        mutated = mutated[:-1]
+        if not mutated or not any('"RECORD"' in l or '"SCHEMA"' in l
+                                  for l in mutated):
+            return
+    assert validate_message_stream(mutated) != []
