@@ -2039,10 +2039,70 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram duplicated-SPAN coverage per document (Lee et al. 2022
+    substring dedup, k-gram-cover form): a token is covered when any
+    5-gram window containing it appears in >= 2 distinct documents.
+    Integer basis-point surface, fully hash-checked."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        duplicated_span_coverage,
+    )
+    return duplicated_span_coverage(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=5, min_docs=2
+    )
+
+
+def q_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning transform of substring dedup: rewrite each document
+    with its cross-document-duplicated 5-gram spans removed; survivors
+    re-join in original token order so the clean text is deterministic
+    and hash-checkable."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        strip_duplicated_spans,
+    )
+    return strip_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=5, min_docs=2
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic IVF k-means clusters the embedding space,
+    then any vector with a lower-id same-cluster neighbor at cosine >=
+    0.45 is dropped. Assignment staged to the lake; the oracle re-derives
+    kept/dropped from the staged parquet independently."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(
+        emb, "embedding", "vec_id",
+        stage_path=f"{_stage_dir(sf_dir)}/semdedup_assign.parquet",
+        n_list=16, threshold=0.45,
+    )
+
+
+def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: per-doc sum of integer log-ratio
+    surrogates bit_length(c_target+1) - bit_length(c_raw+1) over the
+    doc's tokens, target = source 'src0'. High score = built from
+    target-typical vocabulary."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(docs, "text", "doc_id", F.col("source") == "src0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: queries without a recorded driver verdict (through r2)
     # first, then the ANN queries whose oracles are new in r3, then the rest.
     return {
+        # round-3 additions first (no driver verdict yet)
+        "ngram_span_coverage": q_ngram_span_coverage,
+        "strip_duplicated_spans": q_strip_duplicated_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_doc_scores": q_dsir_doc_scores,
         "token_budget_head": q_token_budget_head,
         "pack_sequences": q_pack_sequences,
         "shuffled_head": q_shuffled_head,
@@ -2203,8 +2263,91 @@ _MINHASH_VERIFIED_CTE = f"""
 """
 
 
+# Positional word-5-grams per document — the DuckDB twin of
+# operators/spans.positional_kgrams(k=5): gram at 1-based pos i is words
+# i..i+4 (clamped at the end; docs shorter than 5 words yield one
+# truncated gram at pos 1), hashed to md5 like the Spark side.
+_POS_GRAMS_CTE = """
+    t AS (
+      SELECT doc_id AS doc,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w0
+      FROM documents),
+    g AS (
+      SELECT doc, len(w0) AS n_tokens, i AS pos,
+             md5(array_to_string(list_slice(w0, i, i + 4), ' ')) AS gd
+      FROM t, unnest(range(1, greatest(len(w0) - 4, 1) + 1)) AS r(i)),
+    dup AS (SELECT gd FROM g GROUP BY gd HAVING count(DISTINCT doc) >= 2),
+    cov AS (
+      SELECT DISTINCT doc, p
+      FROM (SELECT g.doc,
+                   unnest(range(g.pos, least(g.pos + 4, g.n_tokens) + 1)) AS p
+            FROM g JOIN dup USING (gd))),
+    c AS (SELECT doc, count(*) AS dup_tokens FROM cov GROUP BY doc)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_span_coverage": f"""
+            WITH {_POS_GRAMS_CTE.strip()}
+            SELECT t.doc AS doc_id,
+                   CAST(len(t.w0) AS INT) AS n_tokens,
+                   CAST(coalesce(c.dup_tokens, 0) AS INT) AS dup_tokens,
+                   CAST((10000 * coalesce(c.dup_tokens, 0)) // len(t.w0)
+                        AS BIGINT) AS dup_coverage_bp
+            FROM t LEFT JOIN c USING (doc)
+        """,
+        "strip_duplicated_spans": f"""
+            WITH {_POS_GRAMS_CTE.strip()},
+            dropped AS (
+              SELECT doc, list_sort(list(p)) AS ps FROM cov GROUP BY doc)
+            SELECT t.doc AS doc_id,
+                   coalesce(array_to_string(
+                     list_transform(
+                       list_filter(range(1, len(t.w0) + 1),
+                                   i -> d.doc IS NULL
+                                        OR NOT list_contains(d.ps, i)),
+                       i -> t.w0[i]),
+                     ' '), '') AS clean_text,
+                   CAST(len(t.w0) AS INT) AS n_tokens,
+                   CAST(len(t.w0) - coalesce(len(d.ps), 0) AS INT)
+                       AS kept_tokens
+            FROM t LEFT JOIN dropped d USING (doc)
+        """,
+        "semantic_dedup": f"""
+            WITH s AS (
+              SELECT vec_id, cluster, embedding::DOUBLE[] AS v
+              FROM read_parquet('{_STAGE}/semdedup_assign.parquet/*.parquet')),
+            d AS (
+              SELECT DISTINCT a.vec_id
+              FROM s a JOIN s b
+                ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45)
+            SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+                   (d.vec_id IS NULL) AS kept
+            FROM s LEFT JOIN d ON s.vec_id = d.vec_id
+        """,
+        "dsir_doc_scores": """
+            WITH tok0 AS (
+              SELECT doc_id AS doc, (source = 'src0') AS is_tgt,
+                     unnest(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ')) AS tok
+              FROM documents),
+            tok AS (SELECT * FROM tok0 WHERE tok <> ''),
+            st AS (
+              SELECT tok, count(*) AS c_raw,
+                     sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+              FROM tok GROUP BY tok)
+            SELECT tok.doc AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(bin(st.c_tgt + 1))
+                            - length(bin(st.c_raw + 1))) AS BIGINT)
+                       AS dsir_score
+            FROM tok JOIN st USING (tok)
+            GROUP BY tok.doc
+        """,
         "sync_incremental_semijoin": f"""
             SELECT event_id AS eventId,
                    epoch_us(ts) AS ts_us,

@@ -174,3 +174,57 @@ def source_vocab_profile(
             F.expr("(10000 * n_in_top_v) div n_tokens").alias("top_v_bp"),
         )
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_flag,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each document by
+    how much more typical its tokens are of a TARGET subset (the
+    high-quality domain you want more of) than of the raw corpus.
+    ``target_flag`` is a boolean Column marking target membership.
+
+    Per token occurrence the log-ratio log2(p_target/p_raw) is surfaced
+    as the INTEGER surrogate bit_length(c_target+1) - bit_length(c_raw+1)
+    — the same bit-identical-across-engines discipline as
+    bigram_surprisal (a float log would be libm-dependent and break the
+    hash check). The per-doc score is the sum over its tokens; documents
+    made of target-typical vocabulary score high and get kept when the
+    resampler thresholds on the score.
+
+    Returns (doc_id, n_tokens, dsir_score). Scale: one map-side-combined
+    groupBy on the token (counts both distributions in a single pass via
+    a conditional sum — the corpus is never scanned twice), one big-big
+    equi-join token-occurrences x token-stats on the token key, one
+    groupBy doc. All linear, no collect, no UDF."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            target_flag.cast("boolean").alias("is_tgt"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+        )
+        .select("doc", "is_tgt", F.explode("w").alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    bits = lambda c: F.length(F.conv(c + 1, 10, 2))  # noqa: E731
+    return (
+        tok.join(stats, "tok")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits(F.col("c_tgt")) - bits(F.col("c_raw"))).alias("s"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("s").cast("long").alias("dsir_score"),
+        )
+    )

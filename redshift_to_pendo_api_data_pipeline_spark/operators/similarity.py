@@ -420,3 +420,68 @@ def ivf_topk_persisted(
     idx = spark.read.parquet(index_path)
     cands = idx.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
     return brute_force_topk(cands, vec_col, id_col, query, k)
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stage_path: str,
+    n_list: int = 16,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    deterministic IVF coarse quantizer, then drop any vector that has a
+    LOWER-id neighbor in the same cluster with cosine >= threshold.
+    Returns (id, cluster, kept) for every input row.
+
+    The cluster assignment bounds the quadratic: candidate pairs are
+    within-cluster only, so the self-join costs sum(|cluster|^2) instead
+    of N^2 — the entire point of the SemDeDup design. At 100 TB, n_list
+    scales ~sqrt(N) to keep per-cluster populations flat, the staged
+    assignment is parquet partitioned work already paid for by the IVF
+    index build, and a pathological mega-cluster is visible in the
+    staged table's partition sizes BEFORE the join runs (split it by
+    raising n_list; the k-means is deterministic, so re-assignment is
+    reproducible).
+
+    "Lower-id neighbor" replaces the paper's arbitrary keep-one choice
+    with a total order, making the output an exact function of the
+    staged assignment — the DuckDB oracle re-derives kept/dropped from
+    the staged parquet independently (cosine rounded to 6dp on both
+    engines, same margin discipline as embedding_neardup)."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list)
+    assigned = ivf_assign(df, vec_col, cents).select(
+        F.col(id_col), F.col(vec_col), F.col("__cluster").alias("cluster")
+    )
+    stage_parquet(assigned, stage_path)
+    spark = df.sparkSession
+    st = spark.read.parquet(stage_path)
+    a, b = st.alias("a"), st.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        st.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

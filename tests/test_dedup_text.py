@@ -399,3 +399,40 @@ def test_ivf_persisted_index_partition_pruned_probe(spark, sf_dir, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "__cluster" in m.group(1)
+
+
+def test_semantic_dedup_drops_lower_id_neighbors(spark, tmp_path):
+    import itertools
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    # 3 well-separated base vectors, each with a near-duplicate copy
+    for i in range(3):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((2 * i, [float(x) for x in v]))
+        dup = v + rng.normal(scale=0.01, size=8)
+        dup = dup / np.linalg.norm(dup)
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(
+        df, "embedding", "vec_id",
+        stage_path=str(tmp_path / "assign.parquet"),
+        n_list=3, threshold=0.95,
+    ).collect()
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    cl = {r["vec_id"]: r["cluster"] for r in out}
+    assert len(out) == 6
+    # rule: dropped iff a lower-id same-cluster neighbor has cos >= t;
+    # every pair (2i, 2i+1) has cos ~0.9999, so whenever the pair landed
+    # in the same cluster the odd id must be dropped
+    for i in range(3):
+        if cl[2 * i] == cl[2 * i + 1]:
+            assert 2 * i in kept and 2 * i + 1 not in kept
+    # no two kept vectors in the same cluster are near-dups
+    vecs = dict(rows)
+    for a, b in itertools.combinations(sorted(kept), 2):
+        if cl[a] == cl[b]:
+            cos = float(np.dot(vecs[a], vecs[b]))
+            assert cos < 0.95

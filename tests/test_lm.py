@@ -126,3 +126,30 @@ def test_streaming_ann_serving_from_persisted_index(spark, sf_dir, tmp_path):
             ).collect()
         ]
         assert ranked == expected
+
+
+def test_dsir_scores_prefer_target_vocabulary(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import dsir_scores
+    from pyspark.sql import functions as F
+
+    rows = [
+        # target domain: medical-ish vocabulary
+        (1, "dose patient trial dose patient", "tgt"),
+        (2, "patient trial outcome dose trial", "tgt"),
+        # raw-only: web-ish vocabulary
+        (3, "click here subscribe click now", "web"),
+        (4, "subscribe now click here now", "web"),
+        # mixed doc built from target vocabulary should score high
+        (5, "dose trial patient outcome", "web"),
+        # doc from raw-only vocabulary should score low
+        (6, "click subscribe here now", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(df, "text", "doc_id", F.col("source") == "tgt").collect()
+    }
+    assert out[5] > out[6]          # target-typical vocab outranks web vocab
+    assert out[1] > out[3]
+    # raw-only tokens have c_tgt=0 -> bits(1)-bits(c_raw+1) <= 0
+    assert out[6] <= 0
