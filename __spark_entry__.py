@@ -2094,6 +2094,34 @@ def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, "text", "doc_id", F.col("source") == "src0")
 
 
+def q_strip_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: corpus docs (source != src19) with
+    every token position covered by an eval-set (source == src19) 5-gram
+    excised — the surgical form of benchmark_contamination. Eval grams
+    broadcast; corpus grams never shuffle for the membership join."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        strip_contaminated_spans,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_contaminated_spans(
+        docs.where(F.col("source") != "src19"),
+        docs.where(F.col("source") == "src19"),
+        "text", "doc_id", k=5,
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: per-source sampling rates realizing
+    target ratio weights w = (source index mod 4) + 1 at the largest
+    feasible total budget. Pure integer arithmetic, hash-exact."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        mixture_plan,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4) + 1
+    return mixture_plan(docs, "text", "source", w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: queries without a recorded driver verdict (through r2)
     # first, then the ANN queries whose oracles are new in r3, then the rest.
@@ -2101,8 +2129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions first (no driver verdict yet)
         "ngram_span_coverage": q_ngram_span_coverage,
         "strip_duplicated_spans": q_strip_duplicated_spans,
+        "strip_contaminated_spans": q_strip_contaminated_spans,
         "semantic_dedup": q_semantic_dedup,
         "dsir_doc_scores": q_dsir_doc_scores,
+        "mixture_plan": q_mixture_plan,
         "token_budget_head": q_token_budget_head,
         "pack_sequences": q_pack_sequences,
         "shuffled_head": q_shuffled_head,
@@ -2266,7 +2296,11 @@ _MINHASH_VERIFIED_CTE = f"""
 # Positional word-5-grams per document — the DuckDB twin of
 # operators/spans.positional_kgrams(k=5): gram at 1-based pos i is words
 # i..i+4 (clamped at the end; docs shorter than 5 words yield one
-# truncated gram at pos 1), hashed to md5 like the Spark side.
+# truncated gram at pos 1). The oracle groups by the gram STRING — exact
+# equality — while Spark groups by xxhash64(gram): a hash collision
+# (2^-64 per pair) could only add a false covered span on the Spark
+# side, the same one-sided-error budget the MinHash banding oracle
+# documents.
 _POS_GRAMS_CTE = """
     t AS (
       SELECT doc_id AS doc,
@@ -2275,7 +2309,7 @@ _POS_GRAMS_CTE = """
       FROM documents),
     g AS (
       SELECT doc, len(w0) AS n_tokens, i AS pos,
-             md5(array_to_string(list_slice(w0, i, i + 4), ' ')) AS gd
+             array_to_string(list_slice(w0, i, i + 4), ' ') AS gd
       FROM t, unnest(range(1, greatest(len(w0) - 4, 1) + 1)) AS r(i)),
     dup AS (SELECT gd FROM g GROUP BY gd HAVING count(DISTINCT doc) >= 2),
     cov AS (
@@ -2314,6 +2348,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t.w0) - coalesce(len(d.ps), 0) AS INT)
                        AS kept_tokens
             FROM t LEFT JOIN dropped d USING (doc)
+        """,
+        "strip_contaminated_spans": """
+            WITH t AS (
+              SELECT doc_id AS doc, source,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w0
+              FROM documents),
+            g AS (
+              SELECT doc, source, len(w0) AS n_tokens, i AS pos,
+                     array_to_string(list_slice(w0, i, i + 4), ' ') AS gd
+              FROM t, unnest(range(1, greatest(len(w0) - 4, 1) + 1)) AS r(i)),
+            ev AS (SELECT DISTINCT gd FROM g WHERE source = 'src19'),
+            cov AS (
+              SELECT DISTINCT doc, p
+              FROM (SELECT g.doc,
+                           unnest(range(g.pos, least(g.pos + 4, g.n_tokens) + 1)) AS p
+                    FROM g JOIN ev USING (gd)
+                    WHERE g.source <> 'src19')),
+            dropped AS (
+              SELECT doc, list_sort(list(p)) AS ps FROM cov GROUP BY doc)
+            SELECT t.doc AS doc_id,
+                   coalesce(array_to_string(
+                     list_transform(
+                       list_filter(range(1, len(t.w0) + 1),
+                                   i -> d.doc IS NULL
+                                        OR NOT list_contains(d.ps, i)),
+                       i -> t.w0[i]),
+                     ' '), '') AS clean_text,
+                   CAST(len(t.w0) AS INT) AS n_tokens,
+                   CAST(len(t.w0) - coalesce(len(d.ps), 0) AS INT)
+                       AS kept_tokens
+            FROM t LEFT JOIN dropped d USING (doc)
+            WHERE t.source <> 'src19'
+        """,
+        "mixture_plan": """
+            WITH ps AS (
+              SELECT source,
+                     CAST(sum(len(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' '))) AS BIGINT) AS tokens,
+                     CAST((CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
+                           % 4) + 1 AS BIGINT) AS weight
+              FROM documents GROUP BY source),
+            tw AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM ps),
+            caps AS (
+              SELECT ps.source, ps.tokens, ps.weight, tw.W,
+                     (ps.tokens * tw.W) // ps.weight AS cap
+              FROM ps, tw),
+            tm AS (SELECT min(cap) AS T FROM caps)
+            SELECT source, tokens, weight,
+                   CAST((tm.T * weight) // W AS BIGINT) AS take_tokens,
+                   CAST(((tm.T * weight) // W) * 10000 // tokens AS BIGINT)
+                       AS rate_bp
+            FROM caps, tm
         """,
         "semantic_dedup": f"""
             WITH s AS (

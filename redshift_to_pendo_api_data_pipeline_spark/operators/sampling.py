@@ -232,3 +232,62 @@ def pack_sequences(
         .withColumn("seq_offset", F.pmod(F.col("__start"), F.lit(seq_budget)))
         .drop("__start")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Token-budget mixture planning: given relative target WEIGHTS per
+    source (``weight`` — any positive integer Column derived from the
+    source), compute the largest total token budget T that respects the
+    target ratios without over-sampling any source, and the per-source
+    hash-sample rate that realizes it. This is the planning step before
+    weighted_mix / weighted_hash_sample executes a training-mix build.
+
+    All-integer arithmetic (div floors on both engines, so the result
+    hash-checks exactly); ``normalize_text`` tokenization matches every
+    other token-count surface in the repo:
+
+        cap_s   = A_s * W div w_s     (total if source s binds)
+        T       = min_s cap_s
+        take_s  = T * w_s div W
+        rate_bp = take_s * 10000 div A_s   (the binding source ~10000)
+
+    Scale: one map-side-combined groupBy(source) over token counts (the
+    only pass over data), then scalar 1-row aggregates joined back by
+    broadcast — the same scalar-threshold join shape as TPC-H Q11."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("n"),
+            weight.cast("long").alias("w"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("tokens"),
+            F.max("w").alias("weight"),
+        )
+    )
+    w_total = per_source.agg(F.sum("weight").alias("W"))
+    caps = per_source.join(F.broadcast(w_total)).select(
+        "source", "tokens", "weight", "W",
+        F.expr("(tokens * W) div weight").alias("cap"),
+    )
+    t_min = caps.agg(F.min("cap").alias("T"))
+    return (
+        caps.join(F.broadcast(t_min))
+        .select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("weight").cast("long").alias("weight"),
+            F.expr("(T * weight) div W").alias("take_tokens"),
+            F.expr("((T * weight) div W) * 10000 div tokens").alias("rate_bp"),
+        )
+    )

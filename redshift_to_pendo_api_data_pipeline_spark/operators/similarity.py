@@ -431,6 +431,7 @@ def semantic_dedup(
     stage_path: str,
     n_list: int = 16,
     threshold: float = 0.45,
+    n_iter: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
     deterministic IVF coarse quantizer, then drop any vector that has a
@@ -454,26 +455,43 @@ def semantic_dedup(
     engines, same margin discipline as embedding_neardup)."""
     from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
-    cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list)
+    # One Lloyd iteration by default: the quantizer only PARTITIONS the
+    # space — SemDeDup's dedup decisions are exact within whatever
+    # partition it lands on, so converged centroids buy balance, not
+    # correctness. Each extra iteration is a full-data BLAS pass.
+    cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
     assigned = ivf_assign(df, vec_col, cents).select(
         F.col(id_col), F.col(vec_col), F.col("__cluster").alias("cluster")
     )
     stage_parquet(assigned, stage_path)
     spark = df.sparkSession
     st = spark.read.parquet(stage_path)
-    a, b = st.alias("a"), st.alias("b")
-    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+
+    # Within-cluster scoring is one BLAS gram matrix per cluster group
+    # (applyInPandas), NOT a row-pair equi-join: an interpreted zip_with
+    # cosine per candidate pair costs ~|C|^2 * dim higher-order-function
+    # evaluations per cluster (measured ~3x the rest of the pipeline
+    # combined); the matmul form is the same arithmetic embedding_neardup
+    # already hash-matches against DuckDB (row-normalize, m @ m.T,
+    # round 6dp).
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64)})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.array(
+            [list(v) for v in pdf[vec_col].to_numpy()[order]],
+            dtype=np.float64,
         )
-        .where(F.round(cos, 6) >= threshold)
-        .select(F.col(f"a.{id_col}").alias(id_col))
-        .distinct()
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        has_lower = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame({id_col: ids[has_lower]})
+
+    dropped = (
+        st.groupBy("cluster")
+        .applyInPandas(_dropped, schema=f"{id_col} long")
         .withColumn("__dropped", F.lit(True))
     )
     return (

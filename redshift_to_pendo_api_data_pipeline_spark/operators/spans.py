@@ -31,7 +31,7 @@ surface per BASELINE.json's north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
     _grams_from_words,
@@ -43,9 +43,12 @@ def positional_kgrams(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(doc, n_tokens, pos, g) — one row per k-gram START position
-    (1-based), g = md5 of the space-joined gram. Short docs (< k words)
-    yield one truncated gram at pos 1, matching dedup._grams_from_words,
-    so every document has at least one row."""
+    (1-based), g = xxhash64 of the space-joined gram (8-byte shuffle key;
+    a 2^-64 collision can only ADD a false covered span, never drop one —
+    the same one-sided-error argument the MinHash banding oracle notes
+    make). Short docs (< k words) yield one truncated gram at pos 1,
+    matching dedup._grams_from_words, so every document has at least one
+    row."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("w"),
@@ -58,8 +61,47 @@ def positional_kgrams(
         "doc",
         "n_tokens",
         (F.col("pos0") + 1).alias("pos"),
-        F.md5("gram").alias("g"),
+        F.xxhash64("gram").alias("g"),
     )
+
+
+def _covered_positions(grams: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """Distinct (doc, p) token positions covered by a k-gram that occurs
+    in >= min_docs distinct documents.
+
+    min_docs == 2 (the default, and the Lee-et-al semantics) flags
+    duplicated grams with a window min(doc) != max(doc) over the gram
+    key: ONE evaluation of the gram subtree and one Exchange — the
+    groupBy + join-back alternative evaluates the (scan -> split -> gram
+    -> explode) subtree twice, once per join input (no CSE across join
+    sides), which profiling showed dominates. For min_docs > 2 the
+    window can't express count_distinct, so the general path aggregates
+    and joins back on the same key. Both shapes put a hot boilerplate
+    gram into a single task; that skew is inherent to grouping by gram
+    (AQE splits the join form's shuffle, and the window form's per-group
+    state is two longs)."""
+    if min_docs == 2:
+        w = Window.partitionBy("g")
+        flagged = grams.withColumn(
+            "__dup", F.min("doc").over(w) != F.max("doc").over(w)
+        ).where(F.col("__dup"))
+    else:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("doc").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("g")
+        )
+        flagged = grams.join(dup, "g")
+    return flagged.select(
+        "doc",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
+            )
+        ).alias("p"),
+    ).distinct()
 
 
 def duplicated_span_coverage(
@@ -78,32 +120,14 @@ def duplicated_span_coverage(
     every other quality score in this repo uses, so the whole result
     hash-checks against the DuckDB oracle.
 
-    Plan: gram digests aggregate once (count_distinct doc, partial agg
-    map-side), positions join back on the SAME digest key (the
-    aggregation's Exchange is the join's co-partitioning), covered
-    positions expand via sequence()/explode and dedup on (doc, p).
-    Nothing is quadratic; the widest shuffle is one row per corpus
-    token occurrence.
-    """
+    Plan: one evaluation of the positional-gram relation, one Exchange
+    on the 8-byte gram hash (_covered_positions), covered positions
+    expand via sequence()/explode and dedup on (doc, p). Nothing is
+    quadratic; the widest shuffle is one row per corpus token
+    occurrence."""
     grams = positional_kgrams(df, text_col, id_col, k)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("g")
-    )
     covered = (
-        grams.join(dup, "g")
-        .select(
-            "doc",
-            F.explode(
-                F.sequence(
-                    F.col("pos"),
-                    F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
-                )
-            ).alias("p"),
-        )
-        .distinct()
+        _covered_positions(grams, k, min_docs)
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("dup_tokens"))
     )
@@ -142,32 +166,25 @@ def strip_duplicated_spans(
     Lee-et-al pipeline: tokens covered by a cross-document-duplicated
     k-gram window are dropped, survivors re-join in original order.
 
-    Plan: same coverage pipeline, then an aggregation of KEPT positions
-    per doc (sort_array over a collected int list — bounded by document
-    length, never corpus size) and one element-wise rebuild against the
-    materialized words array. Documents with no duplicated span pass
-    through via the left join + coalesce, untouched."""
+    Plan: same coverage pipeline, then an aggregation of DROPPED
+    positions per doc (sort_array over a collected int list — bounded by
+    document length, never corpus size) and one element-wise rebuild
+    against the materialized words array. Documents with no duplicated
+    span pass through via the left join + coalesce, untouched."""
     grams = positional_kgrams(df, text_col, id_col, k)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("g")
+    return _rebuild_without_positions(
+        df, _covered_positions(grams, k, min_docs), text_col, id_col
     )
-    covered = (
-        grams.join(dup, "g")
-        .select(
-            "doc",
-            F.explode(
-                F.sequence(
-                    F.col("pos"),
-                    F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
-                )
-            ).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_list("p")).alias("dropped"))
+
+
+def _rebuild_without_positions(
+    df: DataFrame, covered: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rewrite each document dropping the (doc, p) positions in
+    ``covered``: (id, clean_text, n_tokens, kept_tokens). The dropped
+    list per doc is bounded by document length, never corpus size."""
+    dropped = covered.groupBy("doc").agg(
+        F.sort_array(F.collect_list("p")).alias("dropped")
     )
     tok = df.select(
         F.col(id_col).alias("doc"),
@@ -175,7 +192,7 @@ def strip_duplicated_spans(
     )
     empty = F.array().cast("array<int>")
     return (
-        tok.join(covered, "doc", "left")
+        tok.join(dropped, "doc", "left")
         .select(
             "doc",
             "w",
@@ -200,3 +217,42 @@ def strip_duplicated_spans(
             (F.size("w") - F.size("dropped")).cast("int").alias("kept_tokens"),
         )
     )
+
+
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Span-level DECONTAMINATION: rewrite each corpus document dropping
+    every token position covered by a k-gram that appears anywhere in the
+    eval/benchmark set. The surgical form of dedup.benchmark_contamination
+    — instead of quarantining whole documents, only the verbatim
+    benchmark spans are excised, preserving the rest of the document for
+    training.
+
+    Scale: the eval side (thousands of docs) collapses to a distinct
+    gram-hash relation that BROADCASTS — the corpus side is one scan +
+    explode with a broadcast hash join, no shuffle of corpus grams at
+    all; the only corpus shuffles are the (doc, p) dedup and the per-doc
+    dropped-list aggregation, both linear."""
+    grams = positional_kgrams(corpus, text_col, id_col, k)
+    eval_grams = (
+        positional_kgrams(eval_set, text_col, id_col, k).select("g").distinct()
+    )
+    covered = (
+        grams.join(F.broadcast(eval_grams), "g")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    return _rebuild_without_positions(corpus, covered, text_col, id_col)

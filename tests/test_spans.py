@@ -71,3 +71,57 @@ def test_coverage_never_exceeds_doc(spark):
         | (F.col("dup_coverage_bp") > 10000)
     ).count()
     assert bad == 0
+
+
+def test_strip_contaminated_spans_excises_eval_grams(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words the secret benchmark answer is here tail words"),
+            (2, "nothing shared with the eval set at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the secret benchmark answer is here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in SP.strip_contaminated_spans(
+            corpus, eval_set, "text", "doc_id", k=5
+        ).collect()
+    }
+    # the 6 eval tokens are covered by the two 5-gram windows; the rest stays
+    assert out[1]["clean_text"] == "intro words tail words"
+    assert out[1]["kept_tokens"] == 4
+    assert out[2]["clean_text"] == "nothing shared with the eval set at all ok"
+    assert out[2]["kept_tokens"] == out[2]["n_tokens"]
+
+
+def test_mixture_plan_integer_invariants(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    # large counts so the double floor (T = A*W div w, take = T*w div W)
+    # loses at most a relative 1e-3 — small inputs make the binding
+    # source's rate visibly under 10000, which is correct but noisy
+    rows = [
+        (1, "a " * 10000, "s1"),
+        (2, "b " * 5000, "s2"),
+        (3, "c " * 1000, "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4) + 1
+    out = {r["source"]: r for r in mixture_plan(df, "text", "source", w).collect()}
+    assert set(out) == {"s1", "s2", "s3"}
+    # rates bounded, binding source saturates (rate_bp == 10000 after floor)
+    assert all(0 < r["rate_bp"] <= 10000 for r in out.values())
+    assert max(r["rate_bp"] for r in out.values()) >= 9999
+    # takes respect the target ratios: take_s / w_s equal across sources
+    # up to floor error of 1 unit of T/W
+    ratios = [r["take_tokens"] / r["weight"] for r in out.values()]
+    assert max(ratios) - min(ratios) <= 1.0
+    # never over-sample
+    assert all(r["take_tokens"] <= r["tokens"] for r in out.values())
