@@ -124,3 +124,40 @@ def test_ivf_persisted_probe_partition_filters(spark):
     query's plan must show PartitionFilters on __cluster."""
     p = plan_of("embedding_ann_ivf_persisted", spark)
     assert "PartitionFilters" in p and "__cluster" in p
+
+
+def test_span_coverage_single_gram_evaluation(spark):
+    """The duplicated-gram flag is a window over the gram hash — the
+    exploded positional-gram relation must appear ONCE in the plan (the
+    groupBy+join-back form evaluates the Generate subtree twice), and
+    the whole path is JVM-only."""
+    p = plan_of("ngram_span_coverage", spark)
+    assert p.count("Generate explode") + p.count("Generate posexplode") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval-set gram relation broadcasts; the corpus gram stream is
+    never exchanged for the membership join."""
+    p = plan_of("strip_contaminated_spans", spark)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_partial_aggregates_and_no_python(spark):
+    """Token stats partial-aggregate before the exchange; the scoring
+    path is pure JVM (split/explode/conv)."""
+    p = plan_of("dsir_doc_scores", spark)
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mixture_plan_scalar_broadcast_joins(spark):
+    """Budget/rate scalars join back by broadcast (the Q11 scalar-
+    threshold shape), never a shuffle join."""
+    p = plan_of("mixture_plan", spark)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
