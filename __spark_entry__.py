@@ -2122,6 +2122,70 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(docs, "text", "source", w)
 
 
+def q_bloom_corpus_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered new-vs-corpus 8-gram membership: the incoming
+    batch (doc_id % 7 == 0) is screened against the rest of the corpus
+    through a broadcast Bloom position table, then exact-verified — so
+    the result is exact membership and the oracle is a plain gram
+    semi-join. See operators/dedup.py bloom_gram_membership."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        bloom_gram_membership,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return bloom_gram_membership(batch, corpus, "text", "doc_id", n=8)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events stream."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        retention_cohorts,
+    )
+    return retention_cohorts(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def q_windowed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-window z-score anomaly flags, all-BIGINT
+    cross-multiplied form (hash-exact)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        windowed_anomalies,
+    )
+    return windowed_anomalies(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive tokens per source by integer chi-squared keyness
+    numerator."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+    return distinctive_terms(load_table(spark, sf_dir, "documents"), "text", "source")
+
+
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling analyzer over orders: exact row/null/
+    distinct counts per profiled column, long form."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        profile_columns,
+    )
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE pair statistics over the document corpus:
+    top-20 adjacent in-word character pairs."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        bpe_merge_pair_counts,
+    )
+    return bpe_merge_pair_counts(load_table(spark, sf_dir, "documents"), "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: queries without a recorded driver verdict (through r2)
     # first, then the ANN queries whose oracles are new in r3, then the rest.
@@ -2181,6 +2245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        # round-3 second-wave additions (no driver verdict yet)
+        "bloom_corpus_membership": q_bloom_corpus_membership,
+        "retention_cohorts": q_retention_cohorts,
+        "windowed_anomalies": q_windowed_anomalies,
+        "distinctive_terms": q_distinctive_terms,
+        "column_profile_orders": q_column_profile_orders,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3108,6 +3179,114 @@ def oracle_sql() -> dict[str, str]:
         # LM-family quality scores: tokenization/bigram twins of
         # operators/lm.py; bit-length (length(bin(c))) mirrors Spark's
         # length(conv(c,10,2)) exactly, // mirrors div
+        "bloom_corpus_membership": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w) - 6, 2)),
+                            i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gd
+              FROM t),
+            c AS (SELECT DISTINCT gd FROM g WHERE doc_id % 7 <> 0),
+            hits AS (
+              SELECT doc_id, count(DISTINCT gd) AS sg
+              FROM g WHERE doc_id % 7 = 0 AND gd IN (SELECT gd FROM c)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.sg, 0) AS BIGINT) AS shared_grams,
+                   CAST(h.doc_id IS NOT NULL AS INT) AS is_hit
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "retention_cohorts": """
+            WITH acts AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            coh AS (SELECT u, min(wk) AS cohort_wk FROM acts GROUP BY u)
+            SELECT CAST(cohort_wk AS VARCHAR) AS cohort_week,
+                   CAST(datediff('day', cohort_wk, wk) // 7 AS INT) AS week_offset,
+                   count(*) AS n_users
+            FROM acts JOIN coh USING (u)
+            GROUP BY 1, 2
+        """,
+        "windowed_anomalies": """
+            SELECT event_id, user_id, v AS v_cents,
+                   CAST(cnt >= 10
+                        AND (v*cnt - s)*(v*cnt - s) > 4*(cnt*ss - s*s)
+                        AS INT) AS is_anomaly
+            FROM (
+              SELECT event_id, user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS v,
+                     count(*) OVER w AS cnt,
+                     sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s,
+                     sum(CAST(floor(value * 100) AS BIGINT)
+                         * CAST(floor(value * 100) AS BIGINT)) OVER w AS ss
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        """,
+        "distinctive_terms": """
+            WITH toks AS (
+              SELECT source AS grp,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS tok
+              FROM documents),
+            cells AS (SELECT grp, tok, count(*) AS a FROM toks GROUP BY grp, tok),
+            rt AS (SELECT grp, sum(a) AS rowtot FROM cells GROUP BY grp),
+            ct AS (SELECT tok, sum(a) AS coltot FROM cells GROUP BY tok),
+            nt AS (SELECT sum(a) AS n_total FROM cells)
+            SELECT grp AS source, tok AS term,
+                   CAST(keyness AS BIGINT) AS keyness,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT c.grp, c.tok,
+                     c.a * nt.n_total - rt.rowtot * ct.coltot AS keyness,
+                     row_number() OVER (
+                       PARTITION BY c.grp
+                       ORDER BY (c.a * nt.n_total - rt.rowtot * ct.coltot) DESC,
+                                c.tok ASC) AS rank
+              FROM cells c
+              JOIN rt USING (grp) JOIN ct USING (tok) CROSS JOIN nt)
+            WHERE rank <= 5
+        """,
+        "column_profile_orders": """
+            SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT o_custkey) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderpriority) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_totalprice) FROM orders
+        """,
+        "bpe_merge_pairs": """
+            WITH wds AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS wd
+              FROM documents),
+            p AS (
+              SELECT unnest(list_transform(range(1, greatest(length(wd), 2)),
+                                           i -> substr(wd, i, 2))) AS pair
+              FROM wds),
+            c AS (SELECT pair, count(*) AS n FROM p
+                  WHERE length(pair) = 2 GROUP BY pair)
+            SELECT pair, n, CAST(rank AS INT) AS rank
+            FROM (SELECT pair, n,
+                         row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+                  FROM c)
+            WHERE rank <= 20
+        """,
         "bigram_surprisal": """
             WITH w AS (
               SELECT doc_id AS doc,

@@ -363,3 +363,80 @@ def count_min_sketch(
         .join(exact, key_col)
         .select(key_col, "exact_n", "cms_est")
     )
+
+
+def retention_cohorts(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Classic cohort-retention matrix: users are grouped by the week of
+    their first event (cohort), and each cell counts how many of that
+    cohort were active `week_offset` weeks later.
+
+    Scale design: two shuffles total — one groupBy(user) for the cohort
+    assignment (map-side combined min), one groupBy(cohort, offset) for
+    the matrix. The per-user cohort joins back onto the distinct
+    (user, week) activity relation; at 100 TB the cohort relation is
+    |users| rows — hash-join on user_id, broadcast when the user
+    dimension fits. The matrix itself is O(weeks²) rows — always tiny.
+    week_offset is an exact integer day-diff // 7 on DATE-truncated
+    weeks, so the result hash-matches any engine."""
+    acts = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+    ).distinct()
+    cohorts = acts.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        acts.join(cohorts, "u")
+        .select(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort_wk").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+def windowed_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    frame: int = 20,
+    min_n: int = 10,
+    z: int = 2,
+) -> DataFrame:
+    """Flag events whose value deviates more than z population standard
+    deviations from their own trailing window (the last `frame` events of
+    the same key, current included).
+
+    All arithmetic is integer (values fixed-pointed to cents with floor,
+    exact on doubles in any engine), so the z-test
+        (x - mu)^2 > z^2 * sigma^2
+    is evaluated in its cross-multiplied BIGINT form
+        (x*n - s)^2 > z^2 * (n*ss - s^2)
+    — no floating point anywhere, hash-exact across engines.
+
+    Scale design: one shuffle (hash partition by key) + per-key sort for
+    the running frame; no global window, no driver state. Sliding sums
+    are O(1) per row in Spark's window operator."""
+    v = F.floor(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(-(frame - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    lhs = (v * n - s) * (v * n - s)
+    rhs = F.lit(z * z) * (n * ss - s * s)
+    return df.select(
+        F.col(tiebreak),
+        F.col(key_col),
+        v.alias("v_cents"),
+        ((n >= min_n) & (lhs > rhs)).cast("int").alias("is_anomaly"),
+    )

@@ -499,6 +499,100 @@ def benchmark_contamination(
     )
 
 
+# --------------------------------------- bloom-prefiltered membership
+
+def bloom_gram_positions(
+    grams: DataFrame, m: int, k: int, gram_col: str = "sh"
+) -> DataFrame:
+    """Distinct (seed, pos) Bloom positions of a gram relation: for each
+    of k seeded xxhash64 family members, pos = hash(gram, seed) mod m.
+
+    This is a Bloom filter realized relationally — the bit array becomes a
+    distinct position table of AT MOST k*m rows no matter how large the
+    corpus is, which is the whole point: at 100 TB the corpus's distinct
+    n-gram set cannot broadcast, but a fixed-m position summary can
+    (m = 1<<20, k = 4 is 8 MB of longs worst case). Building it is one
+    map-side-combined distinct on a bounded keyspace — the shuffle carries
+    <= k*m rows regardless of input size."""
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    return (
+        grams.select(
+            F.explode(seeds).alias("seed"),
+            F.col(gram_col).alias("__g"),
+        )
+        .select("seed", F.pmod(F.xxhash64("__g", "seed"), F.lit(m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_gram_membership(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    m: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Which incoming-batch documents share any word n-gram with a large
+    corpus? Returns one row per batch doc: (id, shared_grams, is_hit).
+
+    benchmark_contamination covers the small-side case (eval grams
+    broadcast directly). Here NEITHER side is broadcastable — the corpus
+    is the 100 TB training set — so the broadcastable summary is a Bloom
+    position table (bloom_gram_positions, <= k*m rows). The pipeline:
+
+      1. corpus grams -> (seed, pos) distinct summary, broadcast;
+      2. batch grams probe it: a gram is a CANDIDATE iff all k of its
+         positions hit (inner join + count == k — exactly mightContain);
+      3. candidates verify exactly against the corpus gram relation (the
+         only corpus-side join, now fed by a batch side already shrunk by
+         the Bloom FP rate — and Spark's runtime bloom/DPP can prune the
+         corpus scan off the tiny candidate side);
+      4. left-join back onto the full batch id list so misses surface
+         with shared_grams = 0.
+
+    No false negatives (Bloom guarantee), so the result is EXACT
+    membership — the oracle is a plain gram semi-join. At extreme scale
+    step 3 can be skipped to accept the probabilistic verdict; the
+    operator keeps the exact contract."""
+    batch_grams = (
+        exploded_shingles(batch, text_col, id_col, n=n)
+        .groupBy("doc", "sh").agg(F.lit(1))
+        .select("doc", "sh")
+    )
+    corpus_grams = (
+        exploded_shingles(corpus, text_col, id_col, n=n).select("sh").distinct()
+    )
+    positions = bloom_gram_positions(corpus_grams, m=m, k=k)
+
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    probe = batch_grams.select(
+        "doc", "sh", F.explode(seeds).alias("seed")
+    ).withColumn("pos", F.pmod(F.xxhash64("sh", "seed"), F.lit(m)))
+    candidates = (
+        probe.join(F.broadcast(positions), ["seed", "pos"])
+        .groupBy("doc", "sh")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .where(F.col("__hits") == k)
+        .select("doc", "sh")
+    )
+    verified = (
+        candidates.join(corpus_grams, "sh", "left_semi")
+        .groupBy("doc")
+        .agg(F.count_distinct("sh").alias("shared_grams"))
+    )
+    ids = batch.select(F.col(id_col).alias("doc")).distinct()
+    return (
+        ids.join(verified, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("shared_grams", F.lit(0)).cast("long").alias("shared_grams"),
+            (F.col("shared_grams").isNotNull()).cast("int").alias("is_hit"),
+        )
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 def embedding_neardup_pairs(

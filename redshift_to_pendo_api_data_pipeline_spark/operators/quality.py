@@ -125,3 +125,40 @@ def run_suite(df: DataFrame, suite: Suite) -> DataFrame:
     return spark.createDataFrame(
         sorted(out), "constraint string, n_violations long, n_checked long"
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling analyzer (the Deequ-analyzer / dbt-docs shape):
+    one long-form row per profiled column with exact row, null and
+    distinct counts — the summary a pipeline operator reads before
+    choosing join keys, partition columns or constraint thresholds.
+
+    Scale design: everything folds into ONE aggregation over one scan.
+    Multiple exact count_distincts plan through Catalyst's Expand (the
+    data is replicated once per distinct-aggregate map-side, then
+    partial-aggregated before the single shuffle) — at 100 TB with many
+    profiled columns, switch the distinct counters to approx_count_
+    distinct to drop the Expand multiplier; counts stay exact either
+    way on nulls/rows. Output is all-BIGINT, so it hash-matches any
+    engine bit-for-bit."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__null_{c}").cast("long").alias("n_null"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    )
+    return stacked.select("p.column", "p.n_rows", "p.n_null", "p.n_distinct")

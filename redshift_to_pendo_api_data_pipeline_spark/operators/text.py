@@ -11,6 +11,7 @@ exactly mirrorable in ANSI SQL for the DuckDB oracle:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
@@ -240,3 +241,162 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group distinctive vocabulary (keyness): rank each group's
+    tokens by how over-represented they are vs the whole corpus.
+
+    The score is the integer numerator of the chi-squared/log-likelihood
+    association test, observed-minus-expected cross-multiplied to BIGINT:
+
+        keyness = a*N - rowtot*coltot
+               (= N^2 * (observed - expected) for cell (group, token))
+
+    where a = token count in the group, rowtot = group token total,
+    coltot = corpus token count, N = corpus total. Positive means
+    over-represented. Staying in the numerator keeps every value exact
+    integer arithmetic — hash-identical across engines — while preserving
+    the chi-squared ordering for fixed group size.
+
+    Scale design: one shuffle to count (group, token) cells (map-side
+    combined); group totals and corpus totals derive from the cell
+    relation (vocabulary-sized, not token-stream-sized); the final
+    row_number window partitions by group over per-group vocabularies.
+    The token stream itself is scanned once and never sorted."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    )
+    cells = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("a"))
+    row_tot = cells.groupBy("grp").agg(F.sum("a").alias("rowtot"))
+    col_tot = cells.groupBy("tok").agg(F.sum("a").alias("coltot"))
+    n_tot = cells.agg(F.sum("a").alias("n_total"))
+    scored = (
+        cells.join(F.broadcast(row_tot), "grp")
+        .join(col_tot, "tok")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "grp", "tok",
+            (F.col("a") * F.col("n_total")
+             - F.col("rowtot") * F.col("coltot")).alias("keyness"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("keyness").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col), F.col("tok").alias("term"),
+            "keyness", "rank",
+        )
+    )
+
+
+def bpe_merge_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """First-iteration BPE tokenizer-induction statistics: corpus-wide
+    counts of adjacent character pairs within words, ranked. (A full BPE
+    train is this, iterated, with the winning pair merged each round —
+    see bpe_train; the pair-count pass is the cost that matters, the
+    merge table is vocabulary-sized.)
+
+    Scale design: one scan, explode words then in-word character pairs
+    (JVM substring transform, no Python); one map-side-combined groupBy
+    on a pair keyspace bounded by charset² — the shuffle carries the
+    pair vocabulary, not the token stream. The final top-k window runs
+    over that tiny relation."""
+    from pyspark.sql import Window
+
+    word = F.explode(words(F.col(text_col))).alias("wd")
+    pairs = df.select(word).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("wd") - 1, F.lit(1))),
+                lambda i: F.col("wd").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    ).where(F.length("pair") == 2)
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("pair", "n", "rank")
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[str, str]]:
+    """Distributed BPE tokenizer training: repeat (count adjacent symbol
+    pairs, merge the winner everywhere) n_merges times. Returns the
+    ordered merge list — the artifact a tokenizer ships.
+
+    The pair-count pass is fully distributed each round (groupBy on the
+    symbol-pair key, map-side combined); only the single winning pair
+    (one row) is collected per round. The merge rewrite is a vectorized
+    Arrow pandas_udf — leftmost-first in-word merge is an inherently
+    sequential per-word scan, but words are short and the UDF is
+    Arrow-batched (this is the textbook justified-Python edge). Lineage
+    is cut with localCheckpoint every few rounds, the iterative-plan
+    trap k-means/connected-components also avoid."""
+    from pyspark.sql import types as T
+
+    sym = df.select(
+        F.explode(words(F.col(text_col))).alias("wd")
+    ).select(
+        # (?!^)(?=.) = every inter-character position: not the start, and
+        # followed by a character (so no trailing empty element)
+        F.split(F.col("wd"), "(?!^)(?=.)").alias("syms")
+    )
+
+    merges: list[tuple[str, str]] = []
+    for round_no in range(n_merges):
+        pair_counts = (
+            sym.select(
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        lambda s, i: F.struct(
+                            s.alias("a"),
+                            F.element_at(F.col("syms"), i + F.lit(2)).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = pair_counts.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _merge(col: pd.Series) -> pd.Series:
+            def one(syms):
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+            return col.map(one)
+
+        sym = sym.select(_merge("syms").alias("syms"))
+        if (round_no + 1) % 4 == 0:
+            sym = sym.localCheckpoint(eager=False)
+    return merges

@@ -121,3 +121,48 @@ def test_count_min_sketch_overestimates_and_is_exact_without_collisions(spark):
     assert all(r.cms_est >= r.exact_n for r in narrow)
     total = sum(k + 1 for k in range(10))
     assert all(r.cms_est <= total for r in narrow)
+
+
+def test_retention_cohorts_crafted(spark):
+    rows = [
+        # user 1: first week w0, active w0 and w2
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-15 10:00:00"),
+        # user 2: first week w0 only
+        (2, "2024-01-03 10:00:00"),
+        # user 3: first week w1, active w1, w2
+        (3, "2024-01-08 10:00:00"), (3, "2024-01-16 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in A.retention_cohorts(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_windowed_anomalies_flags_spike_only(spark):
+    rows = [(1, f"2024-01-01 00:00:{i:02d}", float(i + 1), 10.0 if i != 14 else 500.0)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_id double, value double")
+    df = df.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                   F.col("event_id").cast("long").alias("event_id"), "value")
+    out = A.windowed_anomalies(df, "user_id", "ts", "value", "event_id",
+                               frame=20, min_n=10, z=2)
+    flagged = [r["event_id"] for r in out.where(F.col("is_anomaly") == 1).collect()]
+    assert flagged == [15]  # only the 500.0 spike (event_id 15, i=14)
+
+
+def test_windowed_anomalies_respects_min_n(spark):
+    rows = [(1, f"2024-01-01 00:00:{i:02d}", i, 10.0 if i < 4 else 999.0)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_id long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = A.windowed_anomalies(df, "user_id", "ts", "value", "event_id", min_n=10)
+    assert out.where(F.col("is_anomaly") == 1).count() == 0

@@ -436,3 +436,97 @@ def test_semantic_dedup_drops_lower_id_neighbors(spark, tmp_path):
         if cl[a] == cl[b]:
             cos = float(np.dot(vecs[a], vecs[b]))
             assert cos < 0.95
+
+
+def test_bloom_membership_no_false_negatives_and_exact(spark):
+    """Every true gram-sharing doc is found (Bloom has no false
+    negatives) and the exact-verify stage removes all false positives,
+    even with an adversarially tiny filter (m=64 -> heavy FP rate)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        bloom_gram_membership, exploded_shingles,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    out = {
+        r["doc_id"]: (r["shared_grams"], r["is_hit"])
+        for r in bloom_gram_membership(
+            batch, corpus, "text", "doc_id", n=5, m=64, k=2
+        ).collect()
+    }
+    bg = exploded_shingles(batch, "text", "doc_id", n=5).distinct()
+    cg = exploded_shingles(corpus, "text", "doc_id", n=5).select("sh").distinct()
+    truth = {
+        r["doc"]: r["n"]
+        for r in bg.join(cg, "sh").groupBy("doc")
+        .agg(F.count_distinct("sh").alias("n")).collect()
+    }
+    assert len(out) == batch.count()
+    for doc, (sg, hit) in out.items():
+        assert sg == truth.get(doc, 0)
+        assert hit == (1 if doc in truth else 0)
+
+
+def test_distinctive_terms_top1_is_most_overrepresented(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+    rows = [
+        (0, "apple apple apple banana", "a"),
+        (1, "apple banana banana banana", "b"),
+        (2, "cherry cherry cherry cherry", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    top = {
+        r["source"]: r["term"]
+        for r in distinctive_terms(df, "text", "source", top_k=1).collect()
+    }
+    assert top == {"a": "apple", "b": "banana", "c": "cherry"}
+
+
+def test_bpe_pair_counts_match_python(spark):
+    rows = [(0, "hello hello world"), (1, "help the world")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["pair"], r["n"]) for r in
+           TX.bpe_merge_pair_counts(df, "text", top_k=100).collect()}
+    from collections import Counter
+    c = Counter()
+    for _, t in rows:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    assert out == set(c.items())
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = ["low lower lowest low low", "newer newest new low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id int, text string")
+    got = TX.bpe_train(df, "text", n_merges=5)
+
+    # pure-Python reference: same leftmost-first merge, count-desc then
+    # lexicographic tiebreak
+    from collections import Counter
+    words = [list(w) for t in corpus for w in t.split()]
+    want = []
+    for _ in range(5):
+        c = Counter()
+        for syms in words:
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += 1
+        if not c:
+            break
+        pair = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if c[pair] < 2:
+            break
+        want.append(pair)
+        a, b = pair
+        for syms in words:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms[:] = out
+    assert got == want and len(got) == 5

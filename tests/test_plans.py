@@ -161,3 +161,54 @@ def test_mixture_plan_scalar_broadcast_joins(spark):
     p = plan_of("mixture_plan", spark)
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_bloom_membership_broadcasts_positions(spark):
+    """The Bloom position summary broadcasts (it is m-bounded by design);
+    no sort-merge join and no Python anywhere in the pipeline."""
+    p = plan_of("bloom_corpus_membership", spark)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_retention_cohorts_two_agg_shuffles_no_python(spark):
+    p = plan_of("retention_cohorts", spark)
+    assert "partial" in p  # map-side combine on both aggs
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_windowed_anomalies_single_hash_exchange(spark):
+    """One hash partition by user feeds the running frame; no range
+    (global-sort) exchange, no Python."""
+    p = plan_of("windowed_anomalies", spark)
+    assert "Window" in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_distinctive_terms_broadcasts_totals(spark):
+    """Group/corpus totals are vocabulary-sized scalars/dims — they must
+    broadcast back onto the cell relation."""
+    p = plan_of("distinctive_terms", spark)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_column_profile_single_pass_no_python(spark):
+    """The profiler folds every counter into one aggregation (Expand for
+    the exact distincts), never a per-column scan; no Python."""
+    p = plan_of("column_profile_orders", spark)
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p and "partial" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_pairs_partial_agg_no_python(spark):
+    p = plan_of("bpe_merge_pairs", spark)
+    assert "partial" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p

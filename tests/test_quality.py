@@ -47,3 +47,15 @@ def test_clean_table_zero_violations(spark):
     out = run_suite(df, suite).collect()
     assert all(r["n_violations"] == 0 for r in out)
     assert all(r["n_checked"] == 2 for r in out)
+
+
+def test_profile_columns_counts(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        profile_columns,
+    )
+    rows = [(1, "a"), (2, None), (2, "b"), (None, "b")]
+    df = spark.createDataFrame(rows, "k int, s string")
+    out = {r["column"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
