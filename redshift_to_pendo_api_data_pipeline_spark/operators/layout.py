@@ -113,3 +113,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+) -> dict:
+    """Lake maintenance: bin-pack a directory of (typically many small)
+    parquet files into ~target_file_mb outputs — the compaction job every
+    streaming/incremental sink eventually needs, since per-trigger
+    appends produce file counts proportional to trigger frequency and
+    small files destroy scan parallelism economics at 100 TB (footer
+    overhead + task-per-file scheduling).
+
+    File count is sized from the ACTUAL on-disk bytes (Hadoop
+    listing — no data pass); the single data pass is one
+    repartition(ByRange when sort_col given, preserving/establishing a
+    clusterable order so min/max stats stay useful) + write. Returns
+    {files_in, bytes_in, files_out} for the maintenance log."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    files = [
+        f for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    bytes_in = sum(f.getLen() for f in files)
+    n_out = max(1, -(-bytes_in // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return {"files_in": len(files), "bytes_in": int(bytes_in), "files_out": int(n_out)}

@@ -1,0 +1,74 @@
+"""File-format sources beyond parquet: CSV and JSON-lines with the same
+quarantine discipline as the Singer stdin source (functions/singer.py) —
+malformed rows never kill a 100 TB job and never silently vanish; they
+route to a quarantine relation the pipeline can count, sample and replay.
+
+Scale notes: both readers take an EXPLICIT schema (inference is a full
+extra pass over the data — never acceptable at scale) and keep Spark's
+PERMISSIVE mode with a ``_corrupt_record`` capture column, so one scan
+yields both the clean and the quarantined rows. Column pruning and
+(CSV) predicate pushdown behave as for any FileScan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One parse, two relations. Spark disallows queries whose required
+    schema is ONLY the corrupt column (SPARK-21610 / the
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN rule), so the parsed scan is
+    materialized once (MEMORY_AND_DISK — on a cluster this is exactly
+    the "persist the parse, then split" pattern the Spark docs
+    prescribe; for 100 TB jobs substitute a staging parquet write, which
+    is the same single pass with durable output)."""
+    raw = raw.persist()
+    valid = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = raw.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return valid, quarantine
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [
+        T.StructField(CORRUPT_COL, T.StringType(), True)
+    ])
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) from JSON-lines files. A row is quarantined
+    when it fails to parse or type-check (PERMISSIVE capture)."""
+    raw = spark.read.schema(_with_corrupt(schema)).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", CORRUPT_COL).json(path)
+    return _split(raw)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) from CSV files, explicit schema, PERMISSIVE
+    corrupt-capture. Numeric/timestamp parse failures quarantine the
+    whole raw line rather than nulling fields silently."""
+    raw = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    return _split(raw)

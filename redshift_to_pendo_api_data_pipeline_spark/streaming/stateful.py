@@ -182,3 +182,83 @@ def streaming_debounce(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_ANOM_OUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, v_cents long, is_anomaly int"
+)
+_ANOM_STATE_SCHEMA = "vals array<long>"  # trailing cents, most recent last
+
+
+def streaming_anomalies(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    frame: int = 20,
+    min_n: int = 10,
+    z: int = 2,
+) -> DataFrame:
+    """Streaming twin of analytics.windowed_anomalies: per-key trailing-
+    window z-score flags where the window must SURVIVE micro-batch
+    boundaries — the last frame-1 values ride the state store, so an
+    event arriving at the head of a new batch is still judged against
+    its full history (a stateless per-batch window would see an empty
+    frame and go silent after every trigger).
+
+    Same exact integer contract as the batch flavor: values fixed-point
+    to cents with floor, the z-test evaluated in cross-multiplied BIGINT
+    form — flags agree bit-for-bit with the batch operator when events
+    arrive in timestamp order (the streaming ordering caveat; out-of-
+    order arrivals are judged against the history as-arrived).
+
+    State per key: at most frame-1 longs — bounded by key cardinality
+    times the frame, independent of stream length. Within a batch the
+    sliding sums are one numpy cumsum, no per-event Python arithmetic.
+    """
+    hist = frame - 1
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        prev = np.array(state.get[0], dtype="int64") if state.exists else np.empty(
+            0, dtype="int64"
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((prev.tolist(),))
+            return
+        batch = pd.concat(chunks).sort_values([ts_col, id_col])
+        v = np.floor(batch[value_col].to_numpy() * 100).astype("int64")
+        buf = np.concatenate([prev, v])
+        cs = np.concatenate(([0], np.cumsum(buf)))
+        css = np.concatenate(([0], np.cumsum(buf * buf)))
+        j = np.arange(len(prev), len(buf))          # new values' positions
+        lo = np.maximum(j - hist, 0)
+        n = j + 1 - lo
+        s = cs[j + 1] - cs[lo]
+        ss = css[j + 1] - css[lo]
+        lhs = (v * n - s) ** 2
+        rhs = z * z * (n * ss - s * s)
+        flag = ((n >= min_n) & (lhs > rhs)).astype("int32")
+        state.update((buf[-hist:].tolist() if hist else [],))
+        yield pd.DataFrame(
+            {
+                "user_id": user,
+                "event_id": batch[id_col].to_numpy(),
+                "ts": batch[ts_col].to_numpy(),
+                "v_cents": v,
+                "is_anomaly": flag,
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,50 @@
+"""CSV/JSONL sources: explicit schema, PERMISSIVE corrupt-record
+quarantine — bad rows route, never vanish, never kill the job."""
+
+from pyspark.sql import types as T
+
+from redshift_to_pendo_api_data_pipeline_spark.sources.files import (
+    read_csv, read_jsonl,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("amount", T.DoubleType()),
+])
+
+
+def test_jsonl_valid_and_quarantine(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "amount": 2.5}\n'
+        'not json at all\n'
+        '{"id": "NaNopeNotANumber", "name": "c", "amount": 1.0}\n'
+        '{"id": 3, "name": "d", "amount": 4.0}\n'
+    )
+    valid, quar = read_jsonl(spark, str(p), SCHEMA)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+    assert quar.count() == 2
+    assert "_corrupt_record" not in valid.columns
+
+
+def test_csv_valid_and_quarantine(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,a,2.5\n"
+        "oops,b,xyz\n"
+        "3,c,4.0\n"
+    )
+    valid, quar = read_csv(spark, str(p), SCHEMA)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+    qr = [r["raw"] for r in quar.collect()]
+    assert qr == ["oops,b,xyz"]
+
+
+def test_csv_projection_prunes(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("id,name,amount\n1,a,2.5\n")
+    valid, _ = read_csv(spark, str(p), SCHEMA)
+    plan = valid.select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan

@@ -93,3 +93,25 @@ def test_zorder_4col_stays_nonnegative_and_true_morton(spark):
 
     for r in rows:
         assert r["__z"] == pyz(r)
+
+
+def test_compact_small_files_bin_packs(spark, tmp_path):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        compact_small_files,
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(50_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    report = compact_small_files(spark, src, dst, target_file_mb=1, sort_col="id")
+    out = spark.read.parquet(dst)
+    assert out.count() == 50_000
+    assert report["files_in"] == 40
+    assert report["files_out"] < 40
+    import glob
+    assert len(glob.glob(f"{dst}/*.parquet")) == report["files_out"]
+    # clustering preserved: each output file covers a disjoint id range
+    spans = (out.groupBy(F.input_file_name().alias("f"))
+             .agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect())
+    spans = sorted((r["lo"], r["hi"]) for r in spans)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2

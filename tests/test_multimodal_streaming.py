@@ -408,3 +408,107 @@ def test_streaming_neardup_against_staged_corpus(spark, tmp_path):
     assert (102, 3) in got            # exact dup found
     assert (101, 1) in got            # near dup found
     assert all(a != 103 for a, _ in got)  # novel doc clean
+
+
+def test_streaming_anomalies_matches_batch_flavor(spark):
+    """Stateful z-score flags agree bit-for-bit with the batch window
+    operator when events arrive in ts order — including the event at the
+    head of batch 2, whose frame lives entirely in the state store."""
+    import os
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        windowed_anomalies,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_anomalies,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0, i), i + 1, 10.0 if i not in (14, 17) else 400.0)
+        for i in range(20)
+    ]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    batch1, batch2 = rows[:12], rows[12:]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_anomalies(stream, frame=10, min_n=5)
+
+        got = {}
+
+        def writer(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r["event_id"]] = (r["v_cents"], r["is_anomaly"])
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        r["event_id"]: (r["v_cents"], r["is_anomaly"])
+        for r in windowed_anomalies(
+            batch_df, "user_id", "ts", "value", "event_id", frame=10, min_n=5
+        ).collect()
+    }
+    assert got == want
+    assert sum(f for _, f in got.values()) >= 1  # the spikes actually flag
+
+
+def test_streaming_quality_monitor_per_batch_reports(spark):
+    """foreachBatch constraint suite: planted violations appear in the
+    right batch's report, clean batches report zero."""
+    import os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        Suite, in_range, not_null,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.quality_monitor import (
+        monitor_stream,
+    )
+
+    schema = "id long, amount double"
+    batch1 = [(1, 5.0), (2, 7.0)]           # clean
+    batch2 = [(3, -1.0), (4, 9.0), (5, None)]  # one range + one null violation
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        suite = (Suite()
+                 .require(not_null("amount"))
+                 .require(in_range("amount", lo=0.0)))
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        reports = {}
+
+        def on_report(df, batch_id):
+            reports[batch_id] = {
+                r["constraint"]: r["n_violations"] for r in df.collect()
+            }
+
+        q = monitor_stream(stream, suite, on_report=on_report,
+                           checkpoint_dir=ckpt)
+        q.processAllAvailable(); q.stop()
+
+    assert len(reports) >= 2
+    first, last = min(reports), max(reports)
+    assert all(v == 0 for v in reports[first].values())
+    assert sum(reports[last].values()) == 2
