@@ -2083,6 +2083,36 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-describe: deterministic IVF k-means partitions the
+    embedding space, the assignment is staged, and each cluster is
+    summarized by its top-3 distinctive tokens (integer chi-squared
+    keyness) — the corpus-exploration composition (cluster + keyness)
+    a curation pipeline runs before choosing mixture weights. Oracle
+    re-derives the keyness ranking from the staged assignment."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        ivf_assign, train_ivf_centroids,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_ivf_centroids(emb, "embedding", "vec_id", n_list=8, n_iter=1)
+    assigned = ivf_assign(emb, "embedding", cents).select(
+        "vec_id", F.col("__cluster").alias("cluster")
+    )
+    path = f"{_stage_dir(sf_dir)}/topic_assign.parquet"
+    stage_parquet(assigned, path)
+    assigned = spark.read.parquet(path)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(
+        assigned, docs.doc_id == assigned.vec_id
+    ).select("cluster", "text")
+    return distinctive_terms(joined, "text", "cluster", top_k=3)
+
+
 def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores: per-doc sum of integer log-ratio
     surrogates bit_length(c_target+1) - bit_length(c_raw+1) over the
@@ -2252,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "column_profile_orders": q_column_profile_orders,
         "bpe_merge_pairs": q_bpe_merge_pairs,
+        "topic_clusters": q_topic_clusters,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3286,6 +3317,33 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                   FROM c)
             WHERE rank <= 20
+        """,
+        "topic_clusters": f"""
+            WITH assign AS (
+              SELECT vec_id, cluster
+              FROM read_parquet('{_STAGE}/topic_assign.parquet/*.parquet')),
+            toks AS (
+              SELECT a.cluster AS grp,
+                     unnest(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')),
+                                         ' ')) AS tok
+              FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+            cells AS (SELECT grp, tok, count(*) AS a FROM toks GROUP BY grp, tok),
+            rt AS (SELECT grp, sum(a) AS rowtot FROM cells GROUP BY grp),
+            ct AS (SELECT tok, sum(a) AS coltot FROM cells GROUP BY tok),
+            nt AS (SELECT sum(a) AS n_total FROM cells)
+            SELECT grp AS cluster, tok AS term,
+                   CAST(keyness AS BIGINT) AS keyness,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT c.grp, c.tok,
+                     c.a * nt.n_total - rt.rowtot * ct.coltot AS keyness,
+                     row_number() OVER (
+                       PARTITION BY c.grp
+                       ORDER BY (c.a * nt.n_total - rt.rowtot * ct.coltot) DESC,
+                                c.tok ASC) AS rank
+              FROM cells c
+              JOIN rt USING (grp) JOIN ct USING (tok) CROSS JOIN nt)
+            WHERE rank <= 3
         """,
         "bigram_surprisal": """
             WITH w AS (
