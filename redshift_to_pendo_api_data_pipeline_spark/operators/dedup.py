@@ -545,10 +545,11 @@ def bloom_gram_membership(
       1. corpus grams -> (seed, pos) distinct summary, broadcast;
       2. batch grams probe it: a gram is a CANDIDATE iff all k of its
          positions hit (inner join + count == k — exactly mightContain);
-      3. candidates verify exactly against the corpus gram relation (the
-         only corpus-side join, now fed by a batch side already shrunk by
-         the Bloom FP rate — and Spark's runtime bloom/DPP can prune the
-         corpus scan off the tiny candidate side);
+      3. candidates verify exactly: the corpus gram stream joins the
+         BROADCAST candidate set — the corpus is scanned but NEVER
+         shuffled (no corpus-side distinct either: duplicate grams
+         collapse in the bounded position-distinct and in the final
+         count_distinct, so the raw explode feeds both consumers);
       4. left-join back onto the full batch id list so misses surface
          with shared_grams = 0.
 
@@ -561,9 +562,7 @@ def bloom_gram_membership(
         .groupBy("doc", "sh").agg(F.lit(1))
         .select("doc", "sh")
     )
-    corpus_grams = (
-        exploded_shingles(corpus, text_col, id_col, n=n).select("sh").distinct()
-    )
+    corpus_grams = exploded_shingles(corpus, text_col, id_col, n=n).select("sh")
     positions = bloom_gram_positions(corpus_grams, m=m, k=k)
 
     seeds = F.array(*[F.lit(i) for i in range(k)])
@@ -578,13 +577,14 @@ def bloom_gram_membership(
         .select("doc", "sh")
     )
     verified = (
-        candidates.join(corpus_grams, "sh", "left_semi")
+        corpus_grams.join(F.broadcast(candidates), "sh")
         .groupBy("doc")
         .agg(F.count_distinct("sh").alias("shared_grams"))
     )
     ids = batch.select(F.col(id_col).alias("doc")).distinct()
     return (
-        ids.join(verified, "doc", "left")
+        # verified <= |batch| rows (the small incoming side by contract)
+        ids.join(F.broadcast(verified), "doc", "left")
         .select(
             F.col("doc").alias(id_col),
             F.coalesce("shared_grams", F.lit(0)).cast("long").alias("shared_grams"),
