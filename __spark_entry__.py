@@ -2198,6 +2198,17 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(load_table(spark, sf_dir, "documents"), "text", "source")
 
 
+def q_ewm_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving spend per user (bounded-frame
+    integer EWMA numerator — exact BIGINT, no float smoothing)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        ewm_weighted_sum,
+    )
+    return ewm_weighted_sum(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value"
+    )
+
+
 def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-profiling analyzer over orders: exact row/null/
     distinct counts per profiled column, long form."""
@@ -2286,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile_orders": q_column_profile_orders,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "topic_clusters": q_topic_clusters,
+        "ewm_user_spend": q_ewm_user_spend,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3320,6 +3332,18 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                   FROM c)
             WHERE rank <= 20
+        """,
+        "ewm_user_spend": """
+            SELECT event_id, user_id,
+                   CAST(len(l) AS INT) AS frame_n,
+                   CAST(list_reduce(list_reverse(l),
+                                    (acc, x) -> acc * 2 + x) AS BIGINT) AS ewm_num
+            FROM (
+              SELECT event_id, user_id,
+                     list(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+              FROM events)
         """,
         "topic_clusters": f"""
             WITH assign AS (

@@ -440,3 +440,43 @@ def windowed_anomalies(
         v.alias("v_cents"),
         ((n >= min_n) & (lhs > rhs)).cast("int").alias("is_anomaly"),
     )
+
+
+def ewm_weighted_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    frame: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving sum over the trailing `frame`
+    events per key: the newest value carries weight 2^(m-1), halving
+    backwards (m = rows in frame). Divide by 2^m - 1 for the EWMA — the
+    numerator is kept as the exact BIGINT surface, so the result
+    hash-matches any engine (no float smoothing constants anywhere;
+    this is the alpha = 1/2 EWMA restricted to a bounded window, which
+    is also what keeps the integer magnitudes in 2^63).
+
+    Scale design: one shuffle (hash by key) + per-key sort; the fold is
+    a JVM higher-order aggregate over the frame's collect_list — frame
+    is a small constant, so per-row cost is O(frame) with no Python and
+    no second shuffle."""
+    v = F.floor(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(-(frame - 1), 0)
+    )
+    lst = F.collect_list(v).over(w)
+    num = F.aggregate(
+        F.reverse(lst),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2) + x,
+    )
+    return df.select(
+        F.col(tiebreak),
+        F.col(key_col),
+        F.size(lst).alias("frame_n"),
+        num.alias("ewm_num"),
+    )

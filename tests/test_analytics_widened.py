@@ -166,3 +166,17 @@ def test_windowed_anomalies_respects_min_n(spark):
     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     out = A.windowed_anomalies(df, "user_id", "ts", "value", "event_id", min_n=10)
     assert out.where(F.col("is_anomaly") == 1).count() == 0
+
+
+def test_ewm_weighted_sum_crafted(spark):
+    rows = [(1, "2024-01-01 00:00:01", 1, 1.0),
+            (1, "2024-01-01 00:00:02", 2, 2.0),
+            (1, "2024-01-01 00:00:03", 3, 3.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: (r["frame_n"], r["ewm_num"])
+           for r in A.ewm_weighted_sum(df, "user_id", "ts", "event_id",
+                                       "value", frame=8).collect()}
+    # newest weight 2^(m-1): [100]=100; [100,200]=2*200+100; [..,300]=4*300+2*200+100
+    assert out == {1: (1, 100), 2: (2, 500), 3: (3, 1700)}

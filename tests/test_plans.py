@@ -212,3 +212,19 @@ def test_bpe_pairs_partial_agg_no_python(spark):
     assert "partial" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_ewm_single_hash_exchange_no_python(spark):
+    p = plan_of("ewm_user_spend", spark)
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q17_single_agg_join_two_scans(spark):
+    """The merged-aggregate rewrite: exactly 2 lineitem scans (outer +
+    stats), one broadcast join, no SMJ."""
+    p = plan_of("q17_small_quantity_revenue", spark)
+    assert p.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
