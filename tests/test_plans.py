@@ -228,3 +228,30 @@ def test_q17_single_agg_join_two_scans(spark):
     p = plan_of("q17_small_quantity_revenue", spark)
     assert p.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_global_plan_audit_no_smj_python_only_at_declared_edges(spark):
+    """Sweep EVERY registry query's physical plan at sf0.001: zero
+    SortMergeJoin anywhere (the 100x scale-up guard — every join in the
+    surface either broadcasts or is a 1-row scalar nested-loop), and
+    Python eval nodes appear ONLY in the declared Arrow-batched edges
+    (BLAS cosine / k-means assignment / media codecs). Staged pipelines
+    materialize their signature writes during plan construction, so
+    their probe plans are pure JVM by design."""
+    PYTHON_EDGE_QUERIES = {
+        "semantic_dedup",        # IVF assign pandas_udf
+        "media_decode_stats",    # mapInPandas codec
+        "media_frame_counts",    # mapInPandas codec
+        "embedding_neardup",     # block-packed BLAS cosine
+    }
+    py_offenders, smj_offenders = [], []
+    for name, fn in entry.queries().items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" in p:
+            smj_offenders.append(name)
+        has_py = ("EvalPython" in p or "MapInPandas" in p
+                  or "FlatMapGroupsInPandas" in p)
+        if has_py and name not in PYTHON_EDGE_QUERIES:
+            py_offenders.append(name)
+    assert smj_offenders == [], smj_offenders
+    assert py_offenders == [], py_offenders
