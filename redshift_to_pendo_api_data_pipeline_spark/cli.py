@@ -204,6 +204,35 @@ def cmd_curate(cfg: dict) -> int:
     return 0
 
 
+def cmd_profile(cfg: dict) -> int:
+    """One-pass column profiling report (the analyzer a pipeline runs
+    before choosing join keys / partition columns / constraint
+    thresholds). Config:
+
+        {"input": "/root/testdata/sf0.001", "table": "orders",
+         "columns": ["o_custkey", "o_orderstatus"]}   # default: all
+
+    Prints one JSON line: per-column row/null/exact-distinct counts."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        profile_columns,
+    )
+
+    spark = get_spark(app_name="profile")
+    table = cfg.get("table", "documents")
+    df = load_table(spark, cfg["input"], table)
+    cols = cfg.get("columns") or list(df.columns)
+    rows = profile_columns(df, cols).collect()
+    print(json.dumps({
+        "table": table,
+        "profile": [
+            {"column": r["column"], "n_rows": r["n_rows"],
+             "n_null": r["n_null"], "n_distinct": r["n_distinct"]}
+            for r in rows
+        ],
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -216,12 +245,16 @@ def main(argv: list[str] | None = None) -> int:
         "curate", help="run the corpus-curation funnel, write curated parquet"
     )
     c.add_argument("-c", "--config", required=True)
+    p = sub.add_parser("profile", help="one-pass column profiling report")
+    p.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
         return cmd_discover(cfg)
     if args.cmd == "curate":
         return cmd_curate(cfg)
+    if args.cmd == "profile":
+        return cmd_profile(cfg)
     return cmd_sync(cfg, args.state)
 
 

@@ -81,3 +81,33 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     curated = spark.read.parquet(cfg["output"])
     assert curated.count() == att["neardup"]
     assert set(curated.columns) >= {"doc_id", "text"}
+
+
+def test_cli_profile_end_to_end(tmp_path):
+    """The profile subcommand: config in, one JSON line of per-column
+    row/null/exact-distinct counts out."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = {
+        "input": "/root/testdata/sf0.001",
+        "table": "orders",
+        "columns": ["o_custkey", "o_orderstatus"],
+    }
+    cfg_path = tmp_path / "profile.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli",
+         "profile", "-c", str(cfg_path)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    rep = _json.loads(line)
+    assert rep["table"] == "orders"
+    cols = {p["column"]: p for p in rep["profile"]}
+    assert set(cols) == {"o_custkey", "o_orderstatus"}
+    assert cols["o_custkey"]["n_rows"] > 0
+    assert cols["o_orderstatus"]["n_distinct"] >= 1
+    assert all(p["n_null"] == 0 for p in rep["profile"])
