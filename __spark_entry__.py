@@ -905,6 +905,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split at the NEAR-DUP-CLUSTER level: a
+    per-document hash split leaks when two near-duplicates straddle the
+    boundary (the eval set then contains paraphrases of training docs),
+    so the split key is the connected-component id of the production
+    near-dup graph — every near-duplicate family lands on one side.
+    Singletons split by their own id. Same md5 membership arithmetic as
+    train_eval_split (exact, engine-portable); the oracle re-walks the
+    staged pair graph with a recursive CTE and applies the identical
+    hash predicate."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs_staged,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        train_eval_split,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_staged(
+        docs, "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    lab = docs.select("doc_id").join(
+        F.broadcast(cc), F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    return train_eval_split(lab, "cluster_id", eval_rate=0.1, salt="docsplit")
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube specialize):
     per-status totals, per-priority totals, and the grand total in ONE
@@ -2298,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "topic_clusters": q_topic_clusters,
         "ewm_user_spend": q_ewm_user_spend,
+        "cluster_split": q_cluster_split,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3332,6 +3364,24 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                   FROM c)
             WHERE rank <= 20
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE
+            {_MINHASH_VERIFIED_CTE.strip()},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk AS (
+              SELECT src AS start, src AS reach FROM edges
+              UNION
+              SELECT wk.start, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src),
+            comp AS (SELECT start AS doc_id, min(reach) AS cluster_id
+                     FROM walk GROUP BY start)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   CASE WHEN substring(md5('docsplit' ||
+                          CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+                        < '1999' THEN 'eval' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "ewm_user_spend": """
             SELECT event_id, user_id,

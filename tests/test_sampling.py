@@ -70,3 +70,28 @@ def test_token_budget_head_respects_budget(spark, sf_dir):
     assert all(r["cum_tokens"] <= 5000 for r in rows)
     langs = [r["lang"] for r in rows]
     assert langs == sorted(langs, key=lambda v: v != "en")  # en block first
+
+
+def test_cluster_split_no_neardup_straddles(spark):
+    """The whole point: every near-dup pair lands on one side of the
+    split (a per-doc hash split would leak paraphrases into eval)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["cluster_split"](spark, "/root/testdata/sf0.001")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+    pairs = minhash_dedup_pairs_staged(
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+        "text", "doc_id",
+        stage_path="/tmp/spark_graft_stage/sf0.001/minhash_sigs.parquet",
+        threshold=0.8,
+    ).collect()
+    assert len(split_of) > 0
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+    # both sides populated (eval_rate=0.1 at 500 docs)
+    assert {"train", "eval"} == set(split_of.values())
