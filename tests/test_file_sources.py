@@ -48,3 +48,18 @@ def test_csv_projection_prunes(spark, tmp_path):
     valid, _ = read_csv(spark, str(p), SCHEMA)
     plan = valid.select("id")._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC is a first-class engine format (built into Spark): write,
+    read back, and confirm predicate pushdown reaches the ORC scan the
+    same way it does for parquet."""
+    p = str(tmp_path / "events_orc")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == src.count()
+    filtered = back.where("o_totalprice > 1000").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    assert "ReadSchema" in plan
