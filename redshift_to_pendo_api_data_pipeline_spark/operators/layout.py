@@ -138,11 +138,13 @@ def compact_small_files(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
-    files = [
-        f for f in fs.listStatus(p)
-        if f.getPath().getName().endswith(".parquet")
-    ]
-    bytes_in = sum(f.getLen() for f in files)
+    it = fs.listFiles(p, True)  # recursive: partitioned layouts nest dirs
+    n_files_in, bytes_in = 0, 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n_files_in += 1
+            bytes_in += f.getLen()
     n_out = max(1, -(-bytes_in // (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
@@ -151,4 +153,4 @@ def compact_small_files(
     else:
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
-    return {"files_in": len(files), "bytes_in": int(bytes_in), "files_out": int(n_out)}
+    return {"files_in": n_files_in, "bytes_in": int(bytes_in), "files_out": int(n_out)}
