@@ -264,11 +264,15 @@ def distinctive_terms(
     integer arithmetic — hash-identical across engines — while preserving
     the chi-squared ordering for fixed group size.
 
-    Scale design: one shuffle to count (group, token) cells (map-side
-    combined); group totals and corpus totals derive from the cell
-    relation (vocabulary-sized, not token-stream-sized); the final
-    row_number window partitions by group over per-group vocabularies.
-    The token stream itself is scanned once and never sorted."""
+    Scale design: ONE token-stream scan + one map-side-combined shuffle
+    builds the (group, token) cell relation; the three totals (group,
+    token, corpus) are WINDOW sums over that vocabulary-sized relation —
+    not joins back to re-derived aggregates, which would re-execute the
+    token-stream subtree once per total (the naive join form planned 4
+    full scans). The corpus-total window is a single-partition pass over
+    the vocabulary only (~1e6 rows at web scale — the same bounded
+    single-reducer contract as lm.top_vocab, never the token stream).
+    The final row_number window partitions by group."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -276,18 +280,13 @@ def distinctive_terms(
         F.explode(words(F.col(text_col))).alias("tok"),
     )
     cells = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("a"))
-    row_tot = cells.groupBy("grp").agg(F.sum("a").alias("rowtot"))
-    col_tot = cells.groupBy("tok").agg(F.sum("a").alias("coltot"))
-    n_tot = cells.agg(F.sum("a").alias("n_total"))
-    scored = (
-        cells.join(F.broadcast(row_tot), "grp")
-        .join(col_tot, "tok")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "grp", "tok",
-            (F.col("a") * F.col("n_total")
-             - F.col("rowtot") * F.col("coltot")).alias("keyness"),
-        )
+    w_grp = Window.partitionBy("grp")
+    w_tok = Window.partitionBy("tok")
+    w_all = Window.partitionBy()
+    scored = cells.select(
+        "grp", "tok",
+        (F.col("a") * F.sum("a").over(w_all)
+         - F.sum("a").over(w_grp) * F.sum("a").over(w_tok)).alias("keyness"),
     )
     w = Window.partitionBy("grp").orderBy(F.col("keyness").desc(), F.col("tok").asc())
     return (

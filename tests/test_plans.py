@@ -189,11 +189,13 @@ def test_windowed_anomalies_single_hash_exchange(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_distinctive_terms_broadcasts_totals(spark):
-    """Group/corpus totals are vocabulary-sized scalars/dims — they must
-    broadcast back onto the cell relation."""
+def test_distinctive_terms_single_scan_window_totals(spark):
+    """The totals are WINDOW sums over the vocabulary-sized cell
+    relation — the token stream is scanned exactly once (the join form
+    re-executed the explode subtree once per total)."""
     p = plan_of("distinctive_terms", spark)
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert p.count("Scan parquet") == 1
+    assert "Window" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
