@@ -370,24 +370,23 @@ def retention_cohorts(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
     their first event (cohort), and each cell counts how many of that
     cohort were active `week_offset` weeks later.
 
-    Scale design: two shuffles total — one groupBy(user) for the cohort
-    assignment (map-side combined min), one groupBy(cohort, offset) for
-    the matrix. The per-user cohort joins back onto the distinct
-    (user, week) activity relation; at 100 TB the cohort relation is
-    |users| rows — hash-join on user_id, broadcast when the user
-    dimension fits. The matrix itself is O(weeks²) rows — always tiny.
-    week_offset is an exact integer day-diff // 7 on DATE-truncated
-    weeks, so the result hash-matches any engine."""
+    Scale design: ONE scan, two shuffles — the distinct (user, week)
+    activity relation hash-partitions by user, the cohort week is a
+    per-user MIN WINDOW over it (no join back to a re-derived aggregate
+    — that form re-scans the event stream), and the matrix groupBy
+    reuses nothing heavier than the |users x weeks| activity relation.
+    The matrix itself is O(weeks²) rows — always tiny. week_offset is
+    an exact integer day-diff // 7 on DATE-truncated weeks, so the
+    result hash-matches any engine."""
     acts = df.select(
         F.col(user_col).alias("u"),
         F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
     ).distinct()
-    cohorts = acts.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    cohort_wk = F.min("wk").over(Window.partitionBy("u"))
     return (
-        acts.join(cohorts, "u")
-        .select(
-            "cohort_wk",
-            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        acts.select(
+            cohort_wk.alias("cohort_wk"),
+            (F.datediff("wk", cohort_wk) / 7).cast("int").alias("week_offset"),
         )
         .groupBy("cohort_wk", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))

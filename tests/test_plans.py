@@ -257,3 +257,11 @@ def test_global_plan_audit_no_smj_python_only_at_declared_edges(spark):
             py_offenders.append(name)
     assert smj_offenders == [], smj_offenders
     assert py_offenders == [], py_offenders
+
+
+def test_retention_cohorts_single_scan(spark):
+    """Cohort week is a per-user window min — the event stream is
+    scanned once (the join form re-derived the activity relation)."""
+    p = plan_of("retention_cohorts", spark)
+    assert p.count("Scan parquet") == 1
+    assert "Window" in p
