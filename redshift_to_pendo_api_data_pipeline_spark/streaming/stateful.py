@@ -262,3 +262,68 @@ def streaming_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_OUT_SCHEMA = "user_id long, step_idx int, step string, ts timestamp"
+_FUNNEL_STATE_SCHEMA = "stage int, t_reach long"  # next step index, epoch micros
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of analytics.sequential_funnel: per-user ordered
+    conversion tracking where the progression state (how far this user
+    got, and when) must SURVIVE micro-batch boundaries — a user who
+    signed up in batch 1 and purchased in batch 40 is exactly the case
+    a per-batch join chain cannot see. Emits one row per stage ADVANCE
+    (append mode, each reach emitted exactly once), carrying the reach
+    timestamp; the consumer aggregates counts per step.
+
+    Semantics match the batch operator when events arrive in ts order:
+    a user reaches step i at their first step-i event at-or-after their
+    step-(i-1) reach time. State per key: TWO scalars (stage index +
+    reach micros) — bounded by user cardinality, independent of stream
+    length. Within a batch the scan is one pass over the user's sorted
+    batch slice; events of non-next types are skipped without state
+    churn."""
+    step_of = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        stage, t_reach = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks or stage >= n_steps:
+            if state.exists:
+                state.update((stage, t_reach))
+            return
+        batch = pd.concat(chunks).sort_values(ts_col)
+        ts_us = _micros(batch[ts_col])
+        types = batch[type_col].to_numpy()
+        out = []
+        for t, ty in zip(ts_us, types):
+            if stage >= n_steps:
+                break
+            if step_of.get(ty) == stage and (t_reach is None or t >= t_reach):
+                out.append((user, stage, steps[stage], t))
+                t_reach = int(t)
+                stage += 1
+        state.update((stage, t_reach))
+        if out:
+            df = pd.DataFrame(out, columns=["user_id", "step_idx", "step", "ts"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

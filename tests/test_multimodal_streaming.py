@@ -512,3 +512,75 @@ def test_streaming_quality_monitor_per_batch_reports(spark):
     first, last = min(reports), max(reports)
     assert all(v == 0 for v in reports[first].values())
     assert sum(reports[last].values()) == 2
+
+
+def test_streaming_funnel_matches_batch_and_crosses_batches(spark):
+    """Stateful funnel: stage reaches agree with the batch operator on
+    the full event set, including a user whose signup is in batch 1 and
+    purchase in batch 2 (state store carries the progression)."""
+    import os
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    STEPS = ["signup", "view", "purchase"]
+    rows = [
+        # user 1 completes across the batch boundary
+        (1, "signup", dt(2024, 1, 1, 10, 0)),
+        (1, "view", dt(2024, 1, 1, 10, 5)),
+        (1, "purchase", dt(2024, 1, 1, 12, 0)),      # batch 2
+        # user 2: view before signup does not count; re-view after does
+        (2, "view", dt(2024, 1, 1, 9, 0)),
+        (2, "signup", dt(2024, 1, 1, 9, 30)),
+        (2, "view", dt(2024, 1, 1, 11, 0)),          # batch 2
+        # user 3 never signs up
+        (3, "view", dt(2024, 1, 1, 9, 0)),
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    batch1 = [r for r in rows if r[2] < dt(2024, 1, 1, 10, 30)]
+    batch2 = [r for r in rows if r[2] >= dt(2024, 1, 1, 10, 30)]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_funnel(stream, STEPS)
+
+        reaches = []
+
+        def writer(batch_df, batch_id):
+            reaches.extend(
+                (r["user_id"], r["step_idx"], r["step"]) for r in batch_df.collect()
+            )
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    assert sorted(reaches) == [
+        (1, 0, "signup"), (1, 1, "view"), (1, 2, "purchase"),
+        (2, 0, "signup"), (2, 1, "view"),
+    ]
+    # counts per step equal the batch funnel on the union
+    from collections import Counter
+    got = Counter(s for _, _, s in reaches)
+    batch_counts = {
+        r["step"]: r["n_users"]
+        for r in sequential_funnel(
+            spark.createDataFrame(rows, schema), "user_id", "event_type", "ts", STEPS
+        ).collect()
+    }
+    assert got == Counter({k: v for k, v in batch_counts.items() if v})
