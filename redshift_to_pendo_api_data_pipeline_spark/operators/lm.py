@@ -64,7 +64,9 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return words.select("doc", F.explode(bigs).alias("big"))
 
 
-def bigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def bigram_surprisal(
+    df: DataFrame, text_col: str, id_col: str, fold_singletons: bool = False
+) -> DataFrame:
     """Per-document corpus-typicality: (doc_id, n_bigrams, freq_bits,
     mean_freq_bits_x100).
 
@@ -73,15 +75,31 @@ def bigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     as an exact integer. High mean = the document is built from corpus-
     common word transitions (boilerplate end of the distribution); low
     mean = novel or garbled. Every surface is integer arithmetic —
-    bit-length replaces log2 so DuckDB reproduces it exactly."""
+    bit-length replaces log2 so DuckDB reproduces it exactly.
+
+    ``fold_singletons=True`` is the 100 TB mitigation for the big-big
+    count join (SCALE.md honest-limits): singleton bigrams — on a Zipf
+    corpus roughly half of all distinct TYPES — are pruned from the
+    count relation and folded arithmetically instead (bit_length(1) = 1
+    exactly, so a LEFT join + coalesce(…, 1) gives a BIT-IDENTICAL
+    result, pinned by test). The count side shrinks to repeated types
+    only, moving it toward broadcastability; the fold is exact only at
+    threshold 2, which is why no higher truncation is offered."""
     doc_bigs = _doc_bigrams(df, text_col, id_col)
     counts = doc_bigs.groupBy("big").agg(F.count(F.lit(1)).alias("c"))
+    if fold_singletons:
+        counts = counts.where(F.col("c") >= 2)
+        bits = F.coalesce(F.length(F.conv(F.col("c"), 10, 2)), F.lit(1))
+        joined = doc_bigs.join(counts, "big", "left")
+    else:
+        bits = F.length(F.conv(F.col("c"), 10, 2))
+        joined = doc_bigs.join(counts, "big")
     scored = (
-        doc_bigs.join(counts, "big")
+        joined
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.length(F.conv(F.col("c"), 10, 2))).alias("freq_bits"),
+            F.sum(bits).alias("freq_bits"),
         )
     )
     return scored.select(

@@ -153,3 +153,20 @@ def test_dsir_scores_prefer_target_vocabulary(spark):
     assert out[1] > out[3]
     # raw-only tokens have c_tgt=0 -> bits(1)-bits(c_raw+1) <= 0
     assert out[6] <= 0
+
+
+def test_bigram_surprisal_singleton_fold_bit_identical(spark, sf_dir):
+    """The scale mitigation is EXACT: pruning singleton bigrams from the
+    count relation and folding them as a constant 1 bit reproduces the
+    full-join result bit-for-bit (bit_length(1) == 1)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: (r["n_bigrams"], r["freq_bits"], r["mean_freq_bits_x100"])
+            for r in bigram_surprisal(docs, "text", "doc_id").collect()}
+    folded = {r["doc_id"]: (r["n_bigrams"], r["freq_bits"], r["mean_freq_bits_x100"])
+              for r in bigram_surprisal(
+                  docs, "text", "doc_id", fold_singletons=True).collect()}
+    assert full == folded and len(full) > 0
