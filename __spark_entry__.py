@@ -936,6 +936,23 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_eval_split(lab, "cluster_id", eval_rate=0.1, salt="docsplit")
 
 
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (the whole-corpus scale path:
+    exact cosine only within hyperplane buckets; staged assignment
+    re-derived by the oracle)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        bucketed_neardup_pairs,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=f"{_stage_dir(sf_dir)}/embedding_buckets.parquet",
+        threshold=0.45,
+    )
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube specialize):
     per-status totals, per-priority totals, and the grand total in ONE
@@ -2330,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_clusters": q_topic_clusters,
         "ewm_user_spend": q_ewm_user_spend,
         "cluster_split": q_cluster_split,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3364,6 +3382,17 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                   FROM c)
             WHERE rank <= 20
+        """,
+        "embedding_neardup_bucketed": f"""
+            WITH asg AS (
+              SELECT id, bucket
+              FROM read_parquet('{_STAGE}/embedding_buckets.parquet/*.parquet')),
+            e AS (SELECT m.vec_id, asg.bucket, m.embedding::DOUBLE[] AS v
+                  FROM embeddings m JOIN asg ON m.vec_id = asg.id)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         """,
         "cluster_split": f"""
             WITH RECURSIVE

@@ -503,3 +503,60 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def bucketed_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stage_path: str,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """The 100 TB all-pairs near-dup shape the exact operator's docstring
+    defers to (dedup.embedding_neardup_pairs: "per-bucket verify stage
+    after LSH bucketing"): a single-table hyperplane signature partitions
+    the corpus into 2^n_planes buckets, and exact cosine runs only
+    WITHIN buckets — sum(|bucket|^2) flops instead of N^2, one
+    bucket-key shuffle instead of a blocked broadcast.
+
+    Everything is JVM column algebra: the signature is sign-of-dot bits
+    (no Python), the within-bucket self-join is a plain equi-join on the
+    bucket key, the cosine a zip_with/aggregate fold. The assignment is
+    STAGED, making the result an exact function of the staged parquet —
+    the oracle re-derives within-bucket pairs independently.
+
+    Recall contract: a pair at angle θ shares the bucket with
+    p = (1 - θ/π)^n_planes; near-duplicates (θ→0) are found with high
+    probability, and the multi-table union (lsh_candidates) is the
+    recall lever when one table is not enough. Pairs straddling buckets
+    are MISSED by design — that is the prune."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = make_hyperplanes(dim, n_planes, seed)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    stage_parquet(assigned.select("id", "bucket"), stage_path)
+
+    a = assigned.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    dot = _dot(F.col("v_a"), F.col("v_b"))
+    cos = dot / (
+        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
+        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -530,3 +530,23 @@ def test_bpe_train_matches_reference(spark):
                     out.append(syms[i]); i += 1
             syms[:] = out
     assert got == want and len(got) == 5
+
+
+def test_bucketed_neardup_subset_of_exact_with_recall(spark, tmp_path):
+    """Bucketed pairs are exactly the exact-cosine pairs that share a
+    bucket: a subset of the exact all-pairs result (no false pairs), and
+    on the clustered synthetic embeddings the single-table bucketing
+    keeps useful recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    got = {(r["id_a"], r["id_b"]) for r in S.bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=str(tmp_path / "buckets.parquet"), threshold=0.45,
+    ).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45,
+    ).collect()}
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.2  # single table; union raises it
