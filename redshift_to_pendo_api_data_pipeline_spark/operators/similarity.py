@@ -531,7 +531,13 @@ def bucketed_neardup_pairs(
     p = (1 - θ/π)^n_planes; near-duplicates (θ→0) are found with high
     probability, and the multi-table union (lsh_candidates) is the
     recall lever when one table is not enough. Pairs straddling buckets
-    are MISSED by design — that is the prune."""
+    are MISSED by design — that is the prune.
+
+    Size n_planes ~ log2(N / target_bucket_rows): the bucket key is the
+    shuffle key, so 2^n_planes must comfortably exceed the partition
+    count (n_planes=6 here fits the test corpus; a 10^9-vector corpus
+    wants ~20 planes -> 10^6 buckets of ~10^3 rows, and AQE's skew-join
+    split handles the residual heavy buckets)."""
     from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
     dim = df.select(F.size(vec_col)).first()[0]
