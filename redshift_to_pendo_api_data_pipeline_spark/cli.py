@@ -149,6 +149,7 @@ def cmd_curate(cfg: dict) -> int:
            {"kind": "lang", "col": "lang", "allow": ["en"]},
            {"kind": "exact_dedup"},
            {"kind": "neardup", "threshold": 0.8, "stage_dir": "/tmp/sigs"},
+           {"kind": "strip_spans", "k": 5, "min_docs": 2},
            {"kind": "decontaminate", "eval_dir": ..., "eval_table": ..., "n": 8}
          ]}
     """
@@ -159,6 +160,7 @@ def cmd_curate(cfg: dict) -> int:
         min_length_stage,
         neardup_stage,
         quality_funnel,
+        strip_spans_stage,
     )
 
     spark = get_spark(app_name="curate")
@@ -182,6 +184,13 @@ def cmd_curate(cfg: dict) -> int:
                 (kind, neardup_stage(
                     text_col, id_col,
                     stage_dir=st["stage_dir"], threshold=st.get("threshold", 0.8),
+                ))
+            )
+        elif kind == "strip_spans":
+            stages.append(
+                (kind, strip_spans_stage(
+                    text_col, id_col,
+                    k=st.get("k", 5), min_docs=st.get("min_docs", 2),
                 ))
             )
         elif kind == "decontaminate":

@@ -115,3 +115,29 @@ def decontamination_stage(eval_set: DataFrame, text_col: str, id_col: str, n: in
             F.broadcast(hits.select(id_col)), id_col, "left_anti"
         )
     return fn
+
+
+def strip_spans_stage(text_col: str, id_col: str, k: int = 5, min_docs: int = 2):
+    """REWRITE stage (row-preserving, unlike the drop stages): replace
+    each document's text with its duplicated-spans-stripped form
+    (spans.strip_duplicated_spans — the Lee-et-al surgical dedup that
+    keeps the document, excising only cross-document-repeated k-gram
+    windows), then drop documents left empty. Place it after exact/near
+    dedup and before decontamination: whole-document duplicates are
+    cheaper to kill outright, and contamination checks should see the
+    final text."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        strip_duplicated_spans,
+    )
+
+    def fn(df: DataFrame) -> DataFrame:
+        cleaned = strip_duplicated_spans(df, text_col, id_col, k=k,
+                                         min_docs=min_docs)
+        out = (
+            df.drop(text_col)
+            .join(cleaned.select(F.col(id_col),
+                                 F.col("clean_text").alias(text_col)), id_col)
+            .where(F.length(text_col) > 0)
+        )
+        return out
+    return fn

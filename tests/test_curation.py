@@ -111,3 +111,27 @@ def test_cli_profile_end_to_end(tmp_path):
     assert cols["o_custkey"]["n_rows"] > 0
     assert cols["o_orderstatus"]["n_distinct"] >= 1
     assert all(p["n_null"] == 0 for p in rep["profile"])
+
+
+def test_strip_spans_stage_rewrites_not_drops(spark):
+    """The span stage REWRITES text (rows survive, duplicated windows
+    excised); only fully-duplicated documents fall out."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        strip_spans_stage,
+    )
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"unique one two three {shared}", "en"),
+        (1, f"{shared} other words here now", "en"),
+        (2, shared, "en"),                       # nothing but the dup span
+        (3, "totally novel text with no dups", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {r["doc_id"]: r["text"]
+           for r in strip_spans_stage("text", "doc_id", k=5)(df).collect()}
+    assert 2 not in out                      # emptied -> dropped
+    assert out[3] == "totally novel text with no dups"
+    for w in shared.split():
+        assert w not in out[0] and w not in out[1]
+    assert "unique" in out[0] and "other" in out[1]
+    assert set(out) == {0, 1, 3}
