@@ -953,6 +953,33 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 8-grams they share — the diagnostic read before
+    mixing sources (high overlap = double-counting the same content
+    under two source labels). One gram-key shuffle builds the distinct
+    (source, gram) relation; the self-join output is bounded by the
+    gram vocabulary and the matrix itself is |sources|² rows."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        exploded_shingles,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        exploded_shingles(docs, "text", "doc_id", n=8)
+        .join(docs.select("doc_id", "source"), F.col("doc") == F.col("doc_id"))
+        .select("source", "sh")
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "sh")
+    b = sg.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("sh").alias("shared_grams"))
+    )
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube specialize):
     per-status totals, per-priority totals, and the grand total in ONE
@@ -2348,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_user_spend": q_ewm_user_spend,
         "cluster_split": q_cluster_split,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "bigram_surprisal": q_bigram_surprisal,
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
@@ -3382,6 +3410,22 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
                   FROM c)
             WHERE rank <= 20
+        """,
+        "source_overlap_matrix": """
+            WITH t AS (
+              SELECT source,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(range(1, greatest(len(w) - 6, 2)),
+                            i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gd
+              FROM t)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(DISTINCT a.gd) AS shared_grams
+            FROM g a JOIN g b ON a.gd = b.gd AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "embedding_neardup_bucketed": f"""
             WITH asg AS (
