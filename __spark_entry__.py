@@ -957,9 +957,13 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every source pair, how
     many distinct 8-grams they share — the diagnostic read before
     mixing sources (high overlap = double-counting the same content
-    under two source labels). One gram-key shuffle builds the distinct
-    (source, gram) relation; the self-join output is bounded by the
-    gram vocabulary and the matrix itself is |sources|² rows."""
+    under two source labels). JOIN-FREE: one gram-key shuffle collects
+    each gram's distinct source SET (bounded by |sources|, ~tens), the
+    source pairs expand from that array map-side (each gram emits each
+    pair at most once, so count(*) IS the distinct-gram count), and the
+    final groupBy lands on the |sources|²-row matrix. A gram self-join
+    would shuffle the gram relation twice and plan a sort-merge join;
+    this shape never joins at all."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
         exploded_shingles,
     )
@@ -970,13 +974,23 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "sh")
         .distinct()
     )
-    a = sg.select(F.col("source").alias("source_a"), "sh")
-    b = sg.select(F.col("source").alias("source_b"), "sh")
+    srcs = F.array_sort(F.collect_set("source"))
+    per_gram = sg.groupBy("sh").agg(srcs.alias("ss"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2),
+                        F.greatest(F.size("ss") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "sh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count_distinct("sh").alias("shared_grams"))
+        per_gram.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
 
 
