@@ -550,3 +550,19 @@ def test_bucketed_neardup_subset_of_exact_with_recall(spark, tmp_path):
     assert got <= exact
     if exact:
         assert len(got) / len(exact) >= 0.2  # single table; union raises it
+
+
+def test_bloom_positions_bounded_by_k_times_m(spark):
+    """The broadcastable summary's whole contract: the position table
+    never exceeds k*m rows no matter the corpus size."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        bloom_gram_positions, exploded_shingles,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = exploded_shingles(docs, "text", "doc_id", n=3)
+    m, k = 32, 3
+    pos = bloom_gram_positions(grams, m=m, k=k)
+    rows = pos.collect()
+    assert len(rows) <= k * m
+    assert all(0 <= r["pos"] < m and 0 <= r["seed"] < k for r in rows)
+    assert len({(r["seed"], r["pos"]) for r in rows}) == len(rows)

@@ -115,3 +115,18 @@ def test_compact_small_files_bin_packs(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in spans)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 < l2
+
+
+def test_compact_small_files_partitioned_input(spark, tmp_path):
+    """The byte sizing lists recursively: a partitioned source (nested
+    part=... dirs) still reports real file counts/bytes and compacts."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        compact_small_files,
+    )
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    df = spark.range(20_000).withColumn("part", (F.col("id") % 4).cast("int"))
+    df.repartition(8).write.partitionBy("part").parquet(src)
+    report = compact_small_files(spark, src, dst, target_file_mb=1, sort_col="id")
+    assert report["files_in"] >= 8  # nested files were found
+    assert report["bytes_in"] > 0
+    assert spark.read.parquet(dst).count() == 20_000
