@@ -72,3 +72,40 @@ def read_csv(
         .csv(path)
     )
     return _split(raw)
+
+
+def stream_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    on_batch,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of read_jsonl: a JSON-lines directory consumed as
+    a stream, each micro-batch split into (valid, quarantine) with the
+    same PERMISSIVE corrupt-capture, routed through ``on_batch(valid,
+    quarantine, batch_id)``. The split happens inside foreachBatch —
+    batch DataFrames, so the corrupt-column restriction never applies
+    and the parse is evaluated once per trigger. Returns the
+    StreamingQuery (caller owns lifecycle)."""
+    raw = (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+    def _each(batch_df, batch_id: int) -> None:
+        valid, quarantine = _split(batch_df)
+        try:
+            on_batch(valid, quarantine, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(_each).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -63,3 +63,39 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_totalprice" in plan
     assert "ReadSchema" in plan
+
+
+def test_stream_jsonl_quarantine_routing(spark, tmp_path):
+    """Streaming JSONL ingest: each micro-batch splits into valid and
+    quarantined rows (corrupt rows route, never vanish, never kill the
+    stream)."""
+    import os
+
+    from redshift_to_pendo_api_data_pipeline_spark.sources.files import (
+        stream_jsonl_with_quarantine,
+    )
+    src = tmp_path / "stream"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "name": "a", "amount": 2.5}\nnot json\n'
+    )
+    os.utime(src / "a.jsonl", (1000000000, 1000000000))
+    (src / "b.jsonl").write_text(
+        '{"id": 2, "name": "b", "amount": 3.5}\n'
+        '{"id": 3, "name": "c", "amount": 4.5}\n'
+    )
+    seen = []
+
+    def on_batch(valid, quarantine, batch_id):
+        seen.append((sorted(r["id"] for r in valid.collect()),
+                     quarantine.count()))
+
+    q = stream_jsonl_with_quarantine(
+        spark, str(src), SCHEMA, on_batch,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    all_valid = sorted(i for ids, _ in seen for i in ids)
+    total_quar = sum(n for _, n in seen)
+    assert all_valid == [1, 2, 3]
+    assert total_quar == 1
