@@ -2202,7 +2202,9 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.join(
         assigned, docs.doc_id == assigned.vec_id
     ).select("cluster", "text")
-    return distinctive_terms(joined, "text", "cluster", top_k=3)
+    return distinctive_terms(joined, "text", "cluster", top_k=3).withColumn(
+        "keyness", F.col("keyness").cast("bigint")
+    )
 
 
 def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,12 +2281,16 @@ def q_windowed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 distinctive tokens per source by integer chi-squared keyness
-    numerator."""
+    """Top-5 distinctive tokens per source by the integer keyness
+    numerator a*N - rowtot*coltot (observed-minus-expected, exact).
+    The operator scores on DECIMAL(38,0) (overflow-proof to 10^19
+    corpus tokens); the BIGINT cast here is for cross-engine hash
+    parity and, under ANSI, fits-or-errors — never silently wraps."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         distinctive_terms,
     )
-    return distinctive_terms(load_table(spark, sf_dir, "documents"), "text", "source")
+    out = distinctive_terms(load_table(spark, sf_dir, "documents"), "text", "source")
+    return out.withColumn("keyness", F.col("keyness").cast("bigint"))
 
 
 def q_ewm_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:

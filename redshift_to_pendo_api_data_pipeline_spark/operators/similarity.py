@@ -540,7 +540,13 @@ def bucketed_neardup_pairs(
     split handles the residual heavy buckets)."""
     from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
-    dim = df.select(F.size(vec_col)).first()[0]
+    first = df.select(F.size(vec_col)).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"bucketed_neardup_pairs: input has no rows with a non-null "
+            f"'{vec_col}' vector — cannot infer the embedding dimension"
+        )
+    dim = first[0]
     planes = make_hyperplanes(dim, n_planes, seed)
     assigned = df.select(
         F.col(id_col).alias("id"),

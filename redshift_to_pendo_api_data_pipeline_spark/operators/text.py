@@ -252,17 +252,24 @@ def distinctive_terms(
     """Per-group distinctive vocabulary (keyness): rank each group's
     tokens by how over-represented they are vs the whole corpus.
 
-    The score is the integer numerator of the chi-squared/log-likelihood
-    association test, observed-minus-expected cross-multiplied to BIGINT:
+    The score is an observed-minus-expected keyness numerator,
+    cross-multiplied to stay in exact integer arithmetic:
 
         keyness = a*N - rowtot*coltot
                (= N^2 * (observed - expected) for cell (group, token))
 
     where a = token count in the group, rowtot = group token total,
     coltot = corpus token count, N = corpus total. Positive means
-    over-represented. Staying in the numerator keeps every value exact
-    integer arithmetic — hash-identical across engines — while preserving
-    the chi-squared ordering for fixed group size.
+    over-represented. This is the chi-squared numerator WITHOUT the
+    division by expected count — it ranks by N^2*(obs - exp), so two
+    tokens with equal obs-exp but different expected counts tie here
+    where chi-squared would not; the trade buys hash-identical exact
+    integers across engines.
+
+    Overflow: the products are computed on DECIMAL(19,0) operands →
+    DECIMAL(38,0) results (see _keyness_scores), exact for corpora up to
+    10^19 tokens; the earlier pure-BIGINT form silently hit ANSI overflow
+    errors past ~10^13 corpus tokens (SCALE.md §9.9, closed this round).
 
     Scale design: ONE token-stream scan + one map-side-combined shuffle
     builds the (group, token) cell relation; the three totals (group,
@@ -273,29 +280,48 @@ def distinctive_terms(
     the vocabulary only (~1e6 rows at web scale — the same bounded
     single-reducer contract as lm.top_vocab, never the token stream).
     The final row_number window partitions by group."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(words(F.col(text_col))).alias("tok"),
     )
     cells = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("a"))
+    return _keyness_scores(cells, top_k).select(
+        F.col("grp").alias(group_col), F.col("tok").alias("term"),
+        "keyness", "rank",
+    )
+
+
+def _keyness_scores(cells: DataFrame, top_k: int) -> DataFrame:
+    """Score + rank a (grp, tok, a) cell relation by the keyness
+    numerator a*N - rowtot*coltot, exact on DECIMAL.
+
+    Each BIGINT count is cast to DECIMAL(19,0) (lossless: 2^63 has 19
+    digits) so each product is DECIMAL(38,0) — Spark keeps scale-0
+    multiplication exact up to 38 digits, covering corpora to 10^19
+    tokens, where BIGINT products overflow past ~3*10^9 * 3*10^9.
+    ``keyness`` surfaces as DECIMAL(38,0); callers that need a BIGINT
+    (e.g. the oracle-hashed registry query) cast it back, which under
+    ANSI either fits or errors loudly — never silently wrong."""
+    from pyspark.sql import Window
+
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     w_grp = Window.partitionBy("grp")
     w_tok = Window.partitionBy("tok")
     w_all = Window.partitionBy()
-    scored = cells.select(
+    totals = cells.select(
+        "grp", "tok", "a",
+        F.sum("a").over(w_all).alias("n_total"),
+        F.sum("a").over(w_grp).alias("rowtot"),
+        F.sum("a").over(w_tok).alias("coltot"),
+    )
+    scored = totals.select(
         "grp", "tok",
-        (F.col("a") * F.sum("a").over(w_all)
-         - F.sum("a").over(w_grp) * F.sum("a").over(w_tok)).alias("keyness"),
+        (d("a") * d("n_total") - d("rowtot") * d("coltot")).alias("keyness"),
     )
     w = Window.partitionBy("grp").orderBy(F.col("keyness").desc(), F.col("tok").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
-        .select(
-            F.col("grp").alias(group_col), F.col("tok").alias("term"),
-            "keyness", "rank",
-        )
     )
 
 

@@ -18,7 +18,28 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
-def _split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+class ParsedSource:
+    """(valid, quarantine) pair that still owns its persisted parse.
+
+    Unpacks as a 2-tuple for existing callers; long-lived sessions that
+    read many batch files should call :meth:`unpersist` once both
+    relations have been consumed, or cached parse blocks accumulate in
+    executor storage across reads."""
+
+    def __init__(self, raw: DataFrame, valid: DataFrame, quarantine: DataFrame):
+        self._raw = raw
+        self.valid = valid
+        self.quarantine = quarantine
+
+    def __iter__(self):
+        return iter((self.valid, self.quarantine))
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the cached parsed scan backing both relations."""
+        self._raw.unpersist(blocking)
+
+
+def _split(raw: DataFrame) -> ParsedSource:
     """One parse, two relations. Spark disallows queries whose required
     schema is ONLY the corrupt column (SPARK-21610 / the
     QUERY_ONLY_CORRUPT_RECORD_COLUMN rule), so the parsed scan is
@@ -31,7 +52,7 @@ def _split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     quarantine = raw.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )
-    return valid, quarantine
+    return ParsedSource(raw, valid, quarantine)
 
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
@@ -44,7 +65,7 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
 
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> ParsedSource:
     """(valid, quarantine) from JSON-lines files. A row is quarantined
     when it fails to parse or type-check (PERMISSIVE capture)."""
     raw = spark.read.schema(_with_corrupt(schema)).option(
@@ -59,7 +80,7 @@ def read_csv(
     schema: T.StructType,
     header: bool = True,
     delimiter: str = ",",
-) -> tuple[DataFrame, DataFrame]:
+) -> ParsedSource:
     """(valid, quarantine) from CSV files, explicit schema, PERMISSIVE
     corrupt-capture. Numeric/timestamp parse failures quarantine the
     whole raw line rather than nulling fields silently."""

@@ -303,7 +303,15 @@ def streaming_funnel(
             if state.exists:
                 state.update((stage, t_reach))
             return
-        batch = pd.concat(chunks).sort_values(ts_col)
+        # Secondary key = funnel-stage index so same-timestamp events are
+        # scanned in funnel order; ts-only stable sort could visit step
+        # i+1 before step i at an equal ts and miss an advance the batch
+        # operator's ts >= t_reach semantics would count.
+        batch = pd.concat(chunks)
+        batch["__step_ord"] = (
+            batch[type_col].map(step_of).fillna(n_steps).astype("int64")
+        )
+        batch = batch.sort_values([ts_col, "__step_ord"])
         ts_us = _micros(batch[ts_col])
         types = batch[type_col].to_numpy()
         out = []

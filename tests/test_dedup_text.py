@@ -484,6 +484,42 @@ def test_distinctive_terms_top1_is_most_overrepresented(spark):
     assert top == {"a": "apple", "b": "banana", "c": "cherry"}
 
 
+def test_keyness_exact_at_adversarial_magnitudes(spark):
+    """The keyness numerator a*N - rowtot*coltot must stay EXACT when the
+    products exceed BIGINT (SCALE.md §9.9): counts ~1e13 per cell give
+    N ~ 4e13 and products ~1e27 — 9 digits past int64. The DECIMAL(38,0)
+    path must match Python bigints digit-for-digit."""
+    from decimal import Decimal
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        _keyness_scores,
+    )
+
+    cells = [
+        ("g1", "the", 9_999_999_999_999),
+        ("g1", "rare", 3),
+        ("g2", "the", 12_345_678_901_234),
+        ("g2", "zebra", 17_000_000_000_001),
+    ]
+    df = spark.createDataFrame(cells, "grp string, tok string, a long")
+    got = {
+        (r["grp"], r["tok"]): r["keyness"]
+        for r in _keyness_scores(df, top_k=10).collect()
+    }
+    n = sum(a for _, _, a in cells)
+    rowtot = {}
+    coltot = {}
+    for g, t, a in cells:
+        rowtot[g] = rowtot.get(g, 0) + a
+        coltot[t] = coltot.get(t, 0) + a
+    expects = {(g, t): a * n - rowtot[g] * coltot[t] for g, t, a in cells}
+    assert any(abs(v) > 2**63 for v in expects.values()), (
+        "fixture must actually exceed BIGINT"
+    )
+    for key, expect in expects.items():
+        assert got[key] == Decimal(expect)
+
+
 def test_bpe_pair_counts_match_python(spark):
     rows = [(0, "hello hello world"), (1, "help the world")]
     df = spark.createDataFrame(rows, "doc_id int, text string")

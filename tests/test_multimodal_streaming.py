@@ -584,3 +584,44 @@ def test_streaming_funnel_matches_batch_and_crosses_batches(spark):
         ).collect()
     }
     assert got == Counter({k: v for k, v in batch_counts.items() if v})
+
+
+def test_streaming_funnel_same_timestamp_events_scan_in_funnel_order(spark):
+    """Two consecutive steps sharing one timestamp must BOTH count
+    (batch semantics: ts >= t_reach). A ts-only stable sort could visit
+    'view' before 'signup' when they tie and drop the advance; the
+    stage-index secondary sort makes the scan order deterministic."""
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    STEPS = ["signup", "view", "purchase"]
+    t = dt(2024, 1, 1, 10, 0)
+    # deliberately list the later step FIRST so a naive stable ts sort
+    # keeps it ahead of the signup it depends on
+    rows = [(1, "view", t), (1, "signup", t), (1, "purchase", t)]
+    schema = "user_id long, event_type string, ts timestamp"
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .parquet(src))
+        out = streaming_funnel(stream, STEPS)
+        reaches = []
+
+        def writer(batch_df, batch_id):
+            reaches.extend(
+                (r["user_id"], r["step_idx"], r["step"]) for r in batch_df.collect()
+            )
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    assert sorted(reaches) == [
+        (1, 0, "signup"), (1, 1, "view"), (1, 2, "purchase"),
+    ]
