@@ -170,3 +170,59 @@ def test_bigram_surprisal_singleton_fold_bit_identical(spark, sf_dir):
               for r in bigram_surprisal(
                   docs, "text", "doc_id", fold_singletons=True).collect()}
     assert full == folded and len(full) > 0
+
+
+def test_top_vocab_two_stage_matches_bruteforce_across_partitions(spark):
+    """top_vocab ranks in two stages (per-physical-partition top-V, then
+    a global window over the <= V*P survivors). Exactness check vs a
+    Python brute-force ranking on a corpus whose count relation spans
+    many partitions, with heavy count ties to stress the (count desc,
+    token asc) tiebreak; plus the plan must show the distributed
+    first-stage window (partitioned by spark_partition_id) feeding the
+    partial-rank filter."""
+    rows = [(i, " ".join(f"tok{j:03d}" for j in range(i % 40))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    v = 7
+    got = [(r["tok"], r["c"], r["rank"])
+           for r in LM.top_vocab(df, "text", "doc_id", v).collect()]
+    from collections import Counter
+    c = Counter()
+    for _, t in rows:
+        for w in t.split():
+            if w:
+                c[w] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    assert sorted(got, key=lambda x: x[2]) == [
+        (tok, n, i + 1) for i, (tok, n) in enumerate(want)
+    ]
+    plan = LM.top_vocab(df, "text", "doc_id", v)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # stage-1: partitioned window on __pid with WindowGroupLimit top-k
+    # pushdown (partial per input split + final per __pid group);
+    # stage-2: the only global ordering is a TakeOrderedAndProject over
+    # the <= v*P survivors — no full-vocab single-reducer Sort remains.
+    assert "__pr" in plan and "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject(limit=7" in plan
+
+
+def test_bigram_surprisal_staged_counts_broadcast(spark, tmp_path):
+    """SCALE §9.5 closure: with fold_singletons + a staged count side,
+    Catalyst sees the real parquet size of the folded relation and
+    broadcasts it under autoBroadcastJoinThreshold — the doc-bigram
+    stream never shuffles for the join. Result must stay bit-identical
+    to the unstaged fold path (and the fold path is already pinned
+    bit-identical to the plain join)."""
+    rows = [(i, f"the cat sat on mat{i % 7} and the dog ran") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = LM.bigram_surprisal(
+        df, "text", "doc_id", fold_singletons=True,
+        stage_path=str(tmp_path / "bigram_counts.parquet"),
+    )
+    plain = LM.bigram_surprisal(df, "text", "doc_id", fold_singletons=True)
+    assert sorted(map(tuple, staged.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the broadcast side is the staged parquet scan, not the agg subtree
+    # (plan strings truncate long paths, so key on the scan schema)
+    assert "ReadSchema: struct<big:string,c:bigint>" in plan
