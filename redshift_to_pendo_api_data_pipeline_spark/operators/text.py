@@ -359,69 +359,230 @@ def bpe_merge_pair_counts(
     )
 
 
-def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int
+def _safe_merge_batch(
+    rows: list, cap: int
 ) -> list[tuple[str, str]]:
-    """Distributed BPE tokenizer training: repeat (count adjacent symbol
-    pairs, merge the winner everywhere) n_merges times. Returns the
-    ordered merge list — the artifact a tokenizer ships.
+    """The longest PREFIX of the ranked pair list that sequential BPE is
+    guaranteed to merge in exactly this order, so a whole batch can be
+    applied per distributed count pass without changing the merge list.
 
-    The pair-count pass is fully distributed each round (groupBy on the
-    symbol-pair key, map-side combined); only the single winning pair
-    (one row) is collected per round. The merge rewrite is a vectorized
-    Arrow pandas_udf — leftmost-first in-word merge is an inherently
-    sequential per-word scan, but words are short and the UDF is
-    Arrow-batched (this is the textbook justified-Python edge). Lineage
-    is cut with localCheckpoint every few rounds, the iterative-plan
-    trap k-means/connected-components also avoid."""
+    A prefix p1..pk (ranked by count desc, then (a, b) asc — the
+    sequential tiebreak) is safe when:
+
+    1. the pairs are mutually symbol-disjoint (string equality), so
+       merging one neither destroys nor creates instances of another;
+    2. no pair's concatenation equals another accepted pair's symbol
+       (merging (a,bc) mints new "abc" symbols — if some batch pair
+       contains "abc", its count would change mid-batch), and no
+       accepted concatenation equals a later pair's symbol;
+    3. the prefix is UNSKIPPED: the first conflicting pair ends the
+       batch. Every pair outside the prefix therefore ranks > k, which
+       bounds all counts that replay could see — any original pair
+       outside, and any pair newly created by an accepted merge (its
+       instances embed an original adjacency that shares a symbol with
+       the merged pair, hence ranks > k);
+    4. strict count gap at the boundary: accepted pairs whose count
+       equals the first non-accepted count are dropped. Within-batch
+       ties are fine (their relative (n, a, b) order IS the sequential
+       tiebreak and their counts are unchanged during replay); boundary
+       ties are not, because an outside pair could tie and win the
+       lexicographic tiebreak mid-replay.
+
+    Degenerate case (total tie at the top): the gap rule would empty the
+    batch, so fall back to the single top pair — one merge per count
+    pass is always exact."""
+    accepted: list[tuple[str, str, int]] = []
+    syms_used: set[str] = set()
+    concats: set[str] = set()
+    boundary = 1  # "no further pair" ranks below any count>=2 pair
+    for r in rows:
+        a, b, n = r["a"], r["b"], r["n"]
+        if n < 2 or len(accepted) >= cap:
+            boundary = n
+            break
+        if (
+            a in syms_used or b in syms_used
+            or a in concats or b in concats
+            or (a + b) in syms_used
+        ):
+            boundary = n
+            break
+        accepted.append((a, b, n))
+        syms_used.update((a, b))
+        concats.add(a + b)
+    while accepted and accepted[-1][2] == boundary:
+        accepted.pop()
+    if not accepted and rows and rows[0]["n"] >= 2:
+        r = rows[0]
+        return [(r["a"], r["b"])]
+    return [(a, b) for a, b, _ in accepted]
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    batch_cap: int = 32,
+    local_vocab_rows: int = 200_000,
+    _stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """BPE tokenizer training at corpus scale: repeat (count adjacent
+    symbol pairs, merge the winners everywhere) until ``n_merges``
+    merges are produced. Returns the ordered merge list — the artifact
+    a tokenizer ships.
+
+    THE structural insight every production BPE trainer uses: pair
+    counts are a function of the (distinct word, occurrence count)
+    table, not the token stream — "the the the" contributes 3×(t,h) via
+    one vocabulary row with weight 3. So the 100 TB corpus is touched
+    EXACTLY ONCE (one map-side-combined word-count groupBy), and all
+    training iterations run over the vocabulary relation, which Zipf
+    keeps ~10^6-10^8 rows regardless of corpus bytes:
+
+    - vocabulary fits the driver (``local_vocab_rows``, default 2e5
+      rows — same bounded-collect contract as the IVF centroid
+      sidecar): finish training in-process, zero Spark jobs per merge;
+      256 merges cost one distributed pass + milliseconds-per-merge
+      locally. Bit-identical by the weighted-count identity (pinned
+      against the pure-Python token-stream reference).
+    - larger vocabularies: stay distributed over the weighted word
+      relation. Each round counts pairs in one pass (groupBy pair key,
+      sum of word weights), collects only the top ``batch_cap + 1``
+      rows, and accepts the provably-safe prefix (_safe_merge_batch) —
+      the merge list stays BIT-IDENTICAL to the one-pair-per-round
+      loop (pinned by test at ``batch_cap=1`` vs default). The rewrite
+      applies the whole batch in one vectorized Arrow pandas_udf scan —
+      legal because batch pairs are symbol-disjoint, so no position
+      matches two pairs. Lineage is cut with localCheckpoint every few
+      rounds (the iterative-plan trap k-means/CC also avoid). On
+      natural text the safe batch is usually small (top pairs share
+      'e','t','r'...), so the word-count reduction — not batching — is
+      what makes real merge counts affordable."""
     from pyspark.sql import types as T
 
-    sym = df.select(
-        F.explode(words(F.col(text_col))).alias("wd")
-    ).select(
+    wc = (
+        df.select(F.explode(words(F.col(text_col))).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    base_sym = wc.select(
         # (?!^)(?=.) = every inter-character position: not the start, and
         # followed by a character (so no trailing empty element)
-        F.split(F.col("wd"), "(?!^)(?=.)").alias("syms")
-    )
+        F.split(F.col("wd"), "(?!^)(?=.)").alias("syms"),
+        "w",
+    ).persist()
+    try:
+        n_vocab = base_sym.count()  # also materializes the one corpus pass
+        if _stats is not None:
+            _stats["n_vocab"] = n_vocab
+        if n_vocab <= local_vocab_rows:
+            vocab = [(list(r["syms"]), r["w"]) for r in base_sym.collect()]
+            if _stats is not None:
+                _stats["mode"] = "local"
+                _stats["count_passes"] = 0
+            return _bpe_train_local(vocab, n_merges)
+
+        if _stats is not None:
+            _stats["mode"] = "distributed"
+        sym = base_sym
+        merges: list[tuple[str, str]] = []
+        round_no = 0
+        while len(merges) < n_merges:
+            cap = min(batch_cap, n_merges - len(merges))
+            pair_counts = (
+                sym.select(
+                    F.col("w"),
+                    F.explode(
+                        F.transform(
+                            F.slice(
+                                F.col("syms"), 1,
+                                F.greatest(F.size("syms") - 1, F.lit(0)),
+                            ),
+                            lambda s, i: F.struct(
+                                s.alias("a"),
+                                F.element_at(
+                                    F.col("syms"), i + F.lit(2)
+                                ).alias("b"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("w").alias("n"))
+            )
+            top = (
+                pair_counts.orderBy(F.col("n").desc(), "a", "b")
+                .limit(cap + 1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            batch = _safe_merge_batch(top, cap)
+            merges.extend(batch)
+
+            def _make_merge(pair_set: frozenset):
+                @F.pandas_udf(T.ArrayType(T.StringType()))
+                def _merge(col: pd.Series) -> pd.Series:
+                    def one(syms):
+                        out, i, size = [], 0, len(syms)
+                        while i < size:
+                            if i + 1 < size and (syms[i], syms[i + 1]) in pair_set:
+                                out.append(syms[i] + syms[i + 1])
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        return out
+                    return col.map(one)
+                return _merge
+
+            sym = sym.select(
+                _make_merge(frozenset(batch))("syms").alias("syms"), "w"
+            )
+            round_no += 1
+            if round_no % 4 == 0:
+                sym = sym.localCheckpoint(eager=False)
+        if _stats is not None:
+            _stats["count_passes"] = round_no
+        return merges[:n_merges]
+    finally:
+        base_sym.unpersist()
+
+
+def _bpe_train_local(
+    vocab: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """In-process BPE over a (symbol-list, weight) vocabulary — the
+    driver-side finish when the distinct-word table is bounded. Same
+    argmax ((count desc, pair asc)), same leftmost-greedy merge, same
+    <2-count stop as the distributed loop; exact because weighted
+    distinct-word pair counts equal token-stream pair counts."""
+    from collections import Counter
 
     merges: list[tuple[str, str]] = []
-    for round_no in range(n_merges):
-        pair_counts = (
-            sym.select(
-                F.explode(
-                    F.transform(
-                        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
-                        lambda s, i: F.struct(
-                            s.alias("a"),
-                            F.element_at(F.col("syms"), i + F.lit(2)).alias("b"),
-                        ),
-                    )
-                ).alias("p")
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        top = pair_counts.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
-        if not top or top[0]["n"] < 2:
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, w in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += w
+        if not counts:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def _merge(col: pd.Series) -> pd.Series:
-            def one(syms):
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                return out
-            return col.map(one)
-
-        sym = sym.select(_merge("syms").alias("syms"))
-        if (round_no + 1) % 4 == 0:
-            sym = sym.localCheckpoint(eager=False)
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        for syms, _w in vocab:
+            if a not in syms:
+                continue
+            out, i, size = [], 0, len(syms)
+            while i < size:
+                if i + 1 < size and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms[:] = out
     return merges

@@ -602,3 +602,40 @@ def test_bloom_positions_bounded_by_k_times_m(spark):
     assert len(rows) <= k * m
     assert all(0 <= r["pos"] < m and 0 <= r["seed"] < k for r in rows)
     assert len({(r["seed"], r["pos"]) for r in rows}) == len(rows)
+
+
+def test_bpe_train_local_distributed_and_batched_all_agree(spark, sf_dir):
+    """Three paths, one merge list: (a) local finish over the collected
+    word-count vocabulary, (b) distributed weighted loop with safe
+    batching, (c) distributed strictly-sequential (batch_cap=1). All
+    must produce EXACTLY the same 24 merges on real text — (a) by the
+    weighted-count identity, (b) by the safe-batch proof."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    stats_l, stats_b, stats_s = {}, {}, {}
+    local = TX.bpe_train(docs, "text", n_merges=24, _stats=stats_l)
+    batched = TX.bpe_train(docs, "text", n_merges=24, batch_cap=32,
+                           local_vocab_rows=0, _stats=stats_b)
+    sequential = TX.bpe_train(docs, "text", n_merges=24, batch_cap=1,
+                              local_vocab_rows=0, _stats=stats_s)
+    assert local == batched == sequential
+    assert len(local) == 24
+    assert stats_l["mode"] == "local" and stats_l["count_passes"] == 0
+    assert stats_b["mode"] == "distributed"
+    assert stats_s["count_passes"] == 24
+    assert stats_b["count_passes"] <= stats_s["count_passes"]
+
+
+def test_bpe_train_256_merges_one_corpus_pass(spark, sf_dir):
+    """Real merge counts (SCALE §9.11 closure): 256 merges over the
+    documents corpus must touch the corpus ONCE (the word-count pass)
+    and finish on the driver-side vocabulary — zero per-merge Spark
+    jobs, so wall-clock is the same class as a single aggregation, not
+    256 of them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    stats = {}
+    merges = TX.bpe_train(docs, "text", n_merges=256, _stats=stats)
+    # the sf0.001 corpus exhausts (every remaining pair count < 2)
+    # before 256 — the correct BPE stop; the cost claim holds regardless
+    assert 64 <= len(merges) <= 256
+    assert len(set(merges)) == len(merges)  # no duplicate merges
+    assert stats["mode"] == "local" and stats["count_passes"] == 0
