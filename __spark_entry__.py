@@ -953,6 +953,49 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH recall audit (the bucketed near-dup health check):
+    exact all-pairs ground truth vs single-table vs 4-table hyperplane
+    bucketing, one hash-checked row. Precision is 1 by construction
+    (pairs are exact-cosine verified), so the row reports only recall:
+    n_exact / n_single / n_multi and both recalls in basis points.
+    Both bucket assignments are STAGED; the oracle re-derives the
+    union-over-tables pairs and the exact ground truth independently.
+    At 100 TB this runs on a sample after every (n_planes, n_tables)
+    change — the multi-table union is the recall lever the single-table
+    docstring promises."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        bucketed_neardup_pairs,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+    single = bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=f"{_stage_dir(sf_dir)}/bucket_recall_t1.parquet",
+        threshold=0.45, n_tables=1,
+    )
+    multi = bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=f"{_stage_dir(sf_dir)}/bucket_recall_t4.parquet",
+        threshold=0.45, n_tables=4,
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(single.agg(F.count(F.lit(1)).alias("n_single")))
+        .crossJoin(multi.agg(F.count(F.lit(1)).alias("n_multi")))
+        .select(
+            "n_exact", "n_single", "n_multi",
+            F.expr("(10000 * n_single) div n_exact").alias("recall_single_bp"),
+            F.expr("(10000 * n_multi) div n_exact").alias("recall_multi_bp"),
+        )
+    )
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every source pair, how
     many distinct 8-grams they share — the diagnostic read before
@@ -2350,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "source_vocab_profile": q_source_vocab_profile,
         "data_quality_report": q_data_quality_report,
+        # round-4 additions (no driver verdict yet)
+        "bucketed_neardup_recall": q_bucketed_neardup_recall,
         # already driver-certified (r1-r3 union)
         "ngram_span_coverage": q_ngram_span_coverage,
         "strip_duplicated_spans": q_strip_duplicated_spans,
@@ -3450,14 +3495,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_bucketed": f"""
             WITH asg AS (
-              SELECT id, bucket
+              SELECT id, tbl, bucket
               FROM read_parquet('{_STAGE}/embedding_buckets.parquet/*.parquet')),
-            e AS (SELECT m.vec_id, asg.bucket, m.embedding::DOUBLE[] AS v
+            e AS (SELECT m.vec_id, asg.tbl, asg.bucket, m.embedding::DOUBLE[] AS v
                   FROM embeddings m JOIN asg ON m.vec_id = asg.id)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM e a JOIN e b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        "bucketed_neardup_recall": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ex AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+            s1 AS (SELECT id, tbl, bucket
+                   FROM read_parquet('{_STAGE}/bucket_recall_t1.parquet/*.parquet')),
+            s4 AS (SELECT id, tbl, bucket
+                   FROM read_parquet('{_STAGE}/bucket_recall_t4.parquet/*.parquet')),
+            p1 AS (
+              SELECT DISTINCT x.id AS ia, y.id AS ib
+              FROM s1 x
+              JOIN s1 y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
+              JOIN e a ON a.vec_id = x.id
+              JOIN e b ON b.vec_id = y.id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+            p4 AS (
+              SELECT DISTINCT x.id AS ia, y.id AS ib
+              FROM s4 x
+              JOIN s4 y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
+              JOIN e a ON a.vec_id = x.id
+              JOIN e b ON b.vec_id = y.id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45)
+            SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+                   CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_single,
+                   CAST((SELECT count(*) FROM p4) AS BIGINT) AS n_multi,
+                   CAST((10000 * (SELECT count(*) FROM p1))
+                        // (SELECT count(*) FROM ex) AS BIGINT)
+                       AS recall_single_bp,
+                   CAST((10000 * (SELECT count(*) FROM p4))
+                        // (SELECT count(*) FROM ex) AS BIGINT)
+                       AS recall_multi_bp
         """,
         "cluster_split": f"""
             WITH RECURSIVE

@@ -513,25 +513,35 @@ def bucketed_neardup_pairs(
     threshold: float = 0.45,
     n_planes: int = 6,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
     """The 100 TB all-pairs near-dup shape the exact operator's docstring
     defers to (dedup.embedding_neardup_pairs: "per-bucket verify stage
-    after LSH bucketing"): a single-table hyperplane signature partitions
-    the corpus into 2^n_planes buckets, and exact cosine runs only
-    WITHIN buckets — sum(|bucket|^2) flops instead of N^2, one
-    bucket-key shuffle instead of a blocked broadcast.
+    after LSH bucketing"): per-table hyperplane signatures partition the
+    corpus into 2^n_planes buckets, and exact cosine runs only WITHIN
+    buckets — n_tables · sum(|bucket|^2) flops instead of N^2, one
+    (table, bucket)-key shuffle instead of a blocked broadcast.
 
-    Everything is JVM column algebra: the signature is sign-of-dot bits
-    (no Python), the within-bucket self-join is a plain equi-join on the
-    bucket key, the cosine a zip_with/aggregate fold. The assignment is
-    STAGED, making the result an exact function of the staged parquet —
-    the oracle re-derives within-bucket pairs independently.
+    Everything is JVM column algebra: the signatures are sign-of-dot
+    bits (no Python), the within-bucket self-join is a plain equi-join
+    on the (table, bucket) key, the cosine a zip_with/aggregate fold.
+    The assignment is STAGED as (id, tbl, bucket) — one row per table,
+    built in a single scan via explode — making the result an exact
+    function of the staged parquet: the oracle re-derives the
+    union-over-tables pairs independently.
 
-    Recall contract: a pair at angle θ shares the bucket with
-    p = (1 - θ/π)^n_planes; near-duplicates (θ→0) are found with high
-    probability, and the multi-table union (lsh_candidates) is the
-    recall lever when one table is not enough. Pairs straddling buckets
-    are MISSED by design — that is the prune.
+    Recall contract: a pair at angle θ shares a bucket in at least one
+    of L tables with p = 1 - (1 - (1-θ/π)^n_planes)^L — ``n_tables`` is
+    THE recall lever (each table is an independent seeded plane set,
+    seed + 1000·t, the lsh_candidates convention); near-duplicates
+    (θ→0) are found with probability → 1 while the per-table prune is
+    preserved. Precision stays 1 by construction (pairs are exact-
+    cosine verified), so recall is the only audited axis — see the
+    ``bucketed_neardup_recall`` registry query. Pairs straddling
+    buckets in EVERY table are missed by design — that is the prune.
+    Multi-table pairs found in several tables are deduped with one
+    DISTINCT on the verified pair row (cosine is deterministic per
+    pair, so the triple collapses exactly).
 
     Size n_planes ~ log2(N / target_bucket_rows): the bucket key is the
     shuffle key, so 2^n_planes must comfortably exceed the partition
@@ -547,28 +557,36 @@ def bucketed_neardup_pairs(
             f"'{vec_col}' vector — cannot infer the embedding dimension"
         )
     dim = first[0]
-    planes = make_hyperplanes(dim, n_planes, seed)
+    sigs = F.array(*[
+        hyperplane_signature(
+            F.col(vec_col), make_hyperplanes(dim, n_planes, seed + 1000 * t)
+        )
+        for t in range(n_tables)
+    ])
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(sigs).alias("tbl", "bucket"),
     )
-    stage_parquet(assigned.select("id", "bucket"), stage_path)
+    stage_parquet(assigned.select("id", "tbl", "bucket"), stage_path)
 
     a = assigned.select(
-        "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+        "tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
     )
     b = assigned.select(
-        "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+        "tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
     )
     dot = _dot(F.col("v_a"), F.col("v_b"))
     cos = dot / (
         F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
         * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
     )
-    return (
-        a.join(b, "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    return pairs

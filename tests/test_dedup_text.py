@@ -639,3 +639,27 @@ def test_bpe_train_256_merges_one_corpus_pass(spark, sf_dir):
     assert 64 <= len(merges) <= 256
     assert len(set(merges)) == len(merges)  # no duplicate merges
     assert stats["mode"] == "local" and stats["count_passes"] == 0
+
+
+def test_bucketed_neardup_multi_table_recall_dominates_single(spark, tmp_path):
+    """n_tables is the recall lever: the 4-table union must find every
+    pair the single table finds (same seed convention: table t uses
+    seed + 1000*t, so table 0 IS the single-table run), stay a subset
+    of the exact ground truth (precision 1), and on the clustered
+    synthetic embeddings strictly improve recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    single = {(r["id_a"], r["id_b"]) for r in S.bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=str(tmp_path / "t1.parquet"), threshold=0.45, n_tables=1,
+    ).collect()}
+    multi = {(r["id_a"], r["id_b"]) for r in S.bucketed_neardup_pairs(
+        emb, "embedding", "vec_id",
+        stage_path=str(tmp_path / "t4.parquet"), threshold=0.45, n_tables=4,
+    ).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45,
+    ).collect()}
+    assert single <= multi <= exact
+    assert len(multi) > len(single)
