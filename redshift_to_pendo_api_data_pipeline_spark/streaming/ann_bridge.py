@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
@@ -92,6 +93,83 @@ def batch_ivf_topk(
     return ranked.where(F.col("__rk") <= k).drop("__rk")
 
 
+def batch_ivf_topk_distributed(
+    spark,
+    queries_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Join-based twin of batch_ivf_topk for HEAVY query batches: query
+    vectors never touch the driver. Probe assignment runs as an
+    Arrow-batched pandas_udf (one numpy distance matrix per batch — the
+    centroid matrix is the closure constant, n_list·dim floats), queries
+    explode to (query, cluster) rows, and the equi-join against the
+    partition-pruned index is a plain shuffle join AQE converts to a
+    broadcast when the query side turns out small — the crossover is
+    Spark's, sized at runtime.
+
+    The only driver materialization is the DISTINCT probed-cluster list
+    (≤ n_list rows — the same bounded sidecar contract as the centroids
+    themselves), needed to push partition pruning into the index scan.
+    The probe-assignment subtree is evaluated twice (once for that
+    distinct, once in the join) rather than persisted — two Arrow passes
+    over the query batch beat holding micro-batch blocks in executor
+    storage across triggers."""
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    exploded = queries_df.select(
+        F.col(qid_col).cast("long").alias(qid_col),
+        F.col(qvec_col),
+        F.explode(probes_of(F.col(qvec_col))).alias("__cluster"),
+    )
+    probed = [
+        int(r["__cluster"])
+        for r in exploded.select("__cluster").distinct().collect()
+    ]
+    if not probed:
+        return spark.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, cosine double"
+        )
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("__cluster").isin(probed))  # partition-pruned scan
+        .select(id_col, vec_col, "__cluster")
+    )
+    cos = F.round(
+        _dot(F.col(vec_col), F.col(qvec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))),
+        6,
+    )
+    ranked = idx.join(exploded, "__cluster").select(
+        qid_col, F.col(id_col), cos.alias("cosine")
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(qid_col).orderBy(
+                F.desc("cosine"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.where(F.col("__rk") <= k).drop("__rk")
+
+
 def streaming_ann_topk(
     stream_df: DataFrame,
     index_path: str,
@@ -105,15 +183,29 @@ def streaming_ann_topk(
     k: int = 10,
     n_probe: int = 4,
     trigger_available_now: bool = True,
+    max_driver_queries: int = 10_000,
 ):
     """Start a streaming query answering each micro-batch of
     (query_id, qvec) rows from the persisted IVF index;
     ``on_results(topk_df, batch_id)`` receives (query_id, vec_id, cosine)
-    top-k rows per query. Returns the StreamingQuery."""
+    top-k rows per query. Returns the StreamingQuery.
+
+    Micro-batches up to ``max_driver_queries`` rows take the collect
+    path (one driver matmul — lowest latency for serving-sized
+    batches); heavier batches switch to the join-based distributed
+    path, so a backlogged source replaying millions of queries in one
+    availableNow batch never funnels them through the driver. Both
+    paths return identical rows (crossover pinned by test)."""
     spark = stream_df.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_ivf_topk(
+        n = batch_df.count()
+        fn = (
+            batch_ivf_topk
+            if n <= max_driver_queries
+            else batch_ivf_topk_distributed
+        )
+        out = fn(
             spark, batch_df, index_path, centroids, vec_col, id_col,
             qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
         )

@@ -226,3 +226,68 @@ def test_bigram_surprisal_staged_counts_broadcast(spark, tmp_path):
     # the broadcast side is the staged parquet scan, not the agg subtree
     # (plan strings truncate long paths, so key on the scan schema)
     assert "ReadSchema: struct<big:string,c:bigint>" in plan
+
+
+def test_streaming_ann_distributed_path_matches_collect(spark, sf_dir, tmp_path):
+    """Heavy-batch crossover (SCALE §9.7 closure): a micro-batch above
+    max_driver_queries takes the join-based path — query vectors never
+    collect to the driver — and must return row-identical top-k to the
+    driver-matmul collect path."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.ann_bridge import (
+        batch_ivf_topk,
+        batch_ivf_topk_distributed,
+        streaming_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index_path = str(tmp_path / "ivf_index.parquet")
+    centroids = build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=8)
+
+    queries = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    src = str(tmp_path / "queries")
+    queries.write.parquet(src)
+
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in batch_ivf_topk(
+            spark, queries, index_path, centroids, "embedding", "vec_id",
+            k=5, n_probe=3,
+        ).collect()
+    )
+    # direct equivalence of the two batch flavors
+    got_dist = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in batch_ivf_topk_distributed(
+            spark, queries, index_path, centroids, "embedding", "vec_id",
+            k=5, n_probe=3,
+        ).collect()
+    )
+    assert got_dist == want and len(want) == 40 * 5
+
+    # and through the stream with a batch 10x the driver-comfort cap
+    rows = []
+
+    def on_results(df, batch_id):
+        rows.extend(
+            (r["query_id"], r["vec_id"], r["cosine"]) for r in df.collect()
+        )
+
+    q = streaming_ann_topk(
+        spark.readStream.schema("query_id long, qvec array<double>").parquet(src),
+        index_path, centroids, "embedding", "vec_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_results=on_results, k=5, n_probe=3,
+        max_driver_queries=4,
+    )
+    q.awaitTermination(180)
+    assert sorted(rows) == want
