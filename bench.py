@@ -139,16 +139,20 @@ def main() -> None:
         except Exception:
             pass  # a query that only works at the bench SF warms in-loop
 
-    # Each query is timed as the MIN of two consecutive end-to-end runs:
-    # a single 32-thread JVM hands random queries a GC pause or page-cache
-    # miss, and one-shot timings scatter 3-5x run to run. Min-of-2 is the
-    # standard repeated-measurement fix (timeit does the same) and matches
-    # what the warm-up already targets — steady-state operator cost. Every
-    # run is the full plan end-to-end (scan -> noop sink), never a cache
-    # read: the work measured is identical each time. BOTH numbers are
-    # reported: `value` is the steady-state (min-of-2) total, and
-    # wall_clock_once_sec is the sum of each query's FIRST timed run —
-    # the honest single-pass figure.
+    # Each query is timed as the MEDIAN of three consecutive end-to-end
+    # runs (r4 methodology; r1-r2 used one-shot timings, r3 min-of-2 —
+    # cross-round totals are comparable only within one methodology): a
+    # single 32-thread JVM hands random queries a GC pause or page-cache
+    # miss, and one-shot timings scatter 3-5x run to run. The median is
+    # robust to one outlier in either direction where min-of-2 was
+    # optimistic; the per-query SPREAD (max - min of the three) is
+    # reported alongside so round-over-round deltas smaller than a
+    # query's own spread are visibly noise. Every run is the full plan
+    # end-to-end (scan -> noop sink), never a cache read: the work
+    # measured is identical each time. BOTH totals are reported: `value`
+    # is the steady-state (median-of-3) total, and wall_clock_once_sec
+    # is the sum of each query's FIRST timed run — the honest
+    # single-pass figure.
     #
     # Staged pipelines (MinHash/SimHash signatures, ANN candidate sets,
     # IVF index) run the loop with reuse ON against a run-unique root:
@@ -164,14 +168,16 @@ def main() -> None:
     os.environ["SPARK_GRAFT_STAGE_ROOT"] = loop_stage_root
     os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
     first_runs: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in qs.items():
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, data_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         first_runs[name] = samples[0]
-        timings[name] = round(min(samples), 4)
+        timings[name] = round(sorted(samples)[1], 4)  # median of 3
+        spreads[name] = round(max(samples) - min(samples), 4)
     total = round(sum(timings.values()), 4)
     wall_once = round(sum(first_runs.values()), 4)
     os.environ.pop("SPARK_GRAFT_STAGE_ROOT", None)
@@ -224,6 +230,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query max-min over the three timed runs: a round-over-round
+        # delta smaller than the query's own spread is noise, not a
+        # regression (README 3b: cross-session host drift is +-40%)
+        "query_spread": spreads,
+        "per_query_stat": "median_of_3",
         "sf": sf,
         # honest single-pass figure: sum of each query's FIRST timed run
         "wall_clock_once_sec": wall_once,
