@@ -203,6 +203,185 @@ def scan_with_allowlist(
     return read_table_semijoin_remote(spark, cfg, table, key, staged)
 
 
+# -- dialect layer ---------------------------------------------------------
+#
+# The reader/writer paths above are dialect-free (plain JDBC); everything
+# dialect-SPECIFIC is the metadata discovery SQL and identifier case
+# folding, captured here explicitly. Differences between the two shipped
+# dialects (all public-documentation facts):
+#
+# | concern            | postgres/redshift              | derby            |
+# |--------------------|--------------------------------|------------------|
+# | url scheme         | jdbc:postgresql://host/db      | jdbc:derby:path  |
+# | unquoted identifier| folds to LOWER case            | folds to UPPER   |
+# | table catalog      | information_schema.tables      | SYS.SYSTABLES ⋈  |
+# |                    |                                | SYS.SYSSCHEMAS   |
+# | column catalog     | information_schema.columns     | SYS.SYSCOLUMNS   |
+# |                    | (udt_name, is_nullable,        | (COLUMNDATATYPE  |
+# |                    |  character_maximum_length)     |  stringifies as  |
+# |                    |                                | 'VARCHAR(64) NOT |
+# |                    |                                |  NULL' — parsed) |
+# | primary keys       | information_schema             | no SQL-friendly  |
+# |                    | .table_constraints ⋈           | exposure (SYSKEYS|
+# |                    | .key_column_usage              | descriptor blob) |
+#
+# Primary keys therefore go through java.sql.DatabaseMetaData
+# .getPrimaryKeys — the JDBC-standard, dialect-FREE metadata API — for
+# every dialect; the postgres information_schema SQL form is kept for
+# parity with the reference (discover.py:39-54) and remains the default
+# for PostgresDialect when SQL-only access is preferred.
+
+
+class PostgresDialect:
+    """Redshift speaks the postgres wire protocol and ships the standard
+    information_schema, so one dialect covers both (reference
+    tap-redshift targets Redshift with psycopg2, the postgres driver)."""
+
+    name = "postgres"
+
+    @staticmethod
+    def fold(ident: str) -> str:
+        """Postgres folds unquoted identifiers to lower case."""
+        return ident.lower()
+
+    @staticmethod
+    def tables_query(db_schema: str) -> str:
+        return tables_query(db_schema)
+
+    @staticmethod
+    def columns_query(db_schema: str) -> str:
+        return columns_query(db_schema)
+
+    @staticmethod
+    def primary_keys_query(db_schema: str) -> str:
+        return primary_keys_query(db_schema)
+
+    @staticmethod
+    def normalize_column_rows(rows) -> list[tuple]:
+        """information_schema rows are already the canonical shape
+        (schema, table, column, position, udt, is_nullable, char_max)."""
+        return [tuple(r) for r in rows]
+
+
+class DerbyDialect:
+    """Embedded Derby — the one driver shipped inside pyspark's jars, so
+    the dialect layer is LIVE-provable hermetically. Metadata lives in
+    the SYS catalog; column types stringify through COLUMNDATATYPE
+    (e.g. 'VARCHAR(64) NOT NULL'), normalized below to the canonical
+    information_schema shape."""
+
+    name = "derby"
+
+    @staticmethod
+    def fold(ident: str) -> str:
+        """Derby follows the SQL standard: unquoted folds to UPPER."""
+        return ident.upper()
+
+    @staticmethod
+    def tables_query(db_schema: str) -> str:
+        return (
+            "SELECT s.schemaname, t.tablename, t.tabletype "
+            "FROM sys.systables t JOIN sys.sysschemas s "
+            "ON t.schemaid = s.schemaid "
+            f"WHERE s.schemaname = '{db_schema}'"
+        )
+
+    @staticmethod
+    def columns_query(db_schema: str) -> str:
+        return (
+            "SELECT s.schemaname, t.tablename, c.columnname, "
+            "c.columnnumber, "
+            "CAST(c.columndatatype AS VARCHAR(254)) AS datatype "
+            "FROM sys.syscolumns c "
+            "JOIN sys.systables t ON c.referenceid = t.tableid "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            f"WHERE s.schemaname = '{db_schema}' "
+            "ORDER BY t.tablename, c.columnnumber"
+        )
+
+    @staticmethod
+    def primary_keys_query(db_schema: str) -> str:
+        raise NotImplementedError(
+            "Derby exposes PK column positions only through the SYSKEYS "
+            "conglomerate descriptor blob — use primary_keys_jdbc() "
+            "(java.sql.DatabaseMetaData.getPrimaryKeys), the dialect-free "
+            "JDBC metadata API"
+        )
+
+    @staticmethod
+    def normalize_column_rows(rows) -> list[tuple]:
+        """Parse 'VARCHAR(64) NOT NULL' / 'BIGINT' style type strings to
+        the canonical (schema, table, column, position, udt,
+        is_nullable, char_max) shape."""
+        import re as _re
+
+        out = []
+        for r in rows:
+            schema, table, col, pos, dtype = r[0], r[1], r[2], r[3], r[4]
+            nullable = "NO" if "NOT NULL" in dtype.upper() else "YES"
+            base = dtype.split("(")[0].strip().split(" ")[0].lower()
+            m = _re.match(r"^[A-Za-z ]+\((\d+)", dtype)
+            char_max = int(m.group(1)) if m and base in (
+                "varchar", "char", "clob"
+            ) else None
+            out.append((schema, table, col, pos, base, nullable, char_max))
+        return out
+
+
+def dialect_for(cfg: JdbcConfig):
+    """Pick the dialect from the connection shape: explicit Derby URLs
+    get DerbyDialect; everything else is the postgres/redshift family
+    (the reference's only target)."""
+    if "derby" in (cfg.url_override or "") or "derby" in cfg.driver.lower():
+        return DerbyDialect()
+    return PostgresDialect()
+
+
+def primary_keys_jdbc(
+    spark: SparkSession, cfg: JdbcConfig, db_schema: str, tables: list[str]
+) -> list[tuple]:
+    """(schema, table, column) PK rows via java.sql.DatabaseMetaData
+    .getPrimaryKeys — the JDBC-standard API every driver implements, so
+    this path is dialect-free. Driver-side by design: catalog metadata
+    is O(tables), never data-sized."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in cfg.properties.items():
+        if v:
+            props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    try:
+        meta = conn.getMetaData()
+        rows = []
+        for t in tables:
+            rs = meta.getPrimaryKeys(None, db_schema, t)
+            while rs.next():
+                rows.append(
+                    (rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME"),
+                     rs.getString("COLUMN_NAME"))
+                )
+        return rows
+    finally:
+        conn.close()
+
+
+def discover_column_specs(
+    spark: SparkSession, cfg: JdbcConfig
+) -> dict[str, list[ColumnSpec]]:
+    """Full S3-S5 discovery through the dialect layer: dialect SQL for
+    tables/columns (pushed through the same JDBC reader as data scans),
+    DatabaseMetaData for primary keys. Returns per-table ColumnSpec
+    lists — the dialect-parameterized version of the reference's
+    discover.py flow."""
+    d = dialect_for(cfg)
+    col_rows = d.normalize_column_rows(
+        read_query(spark, cfg, d.columns_query(cfg.db_schema)).collect()
+    )
+    tables = sorted({r[1] for r in col_rows})
+    pk_rows = primary_keys_jdbc(spark, cfg, cfg.db_schema, tables)
+    return column_specs_from_metadata(list(pk_rows) + list(col_rows))
+
+
 def column_specs_from_metadata(rows) -> dict[str, list[ColumnSpec]]:
     """Assemble discovery rows (S4 + S5 results) into per-table ColumnSpec
     lists — the catalog-build step (discover.py:57-97) minus the
