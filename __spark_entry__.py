@@ -953,6 +953,44 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) near-dup pairs over the part-name
+    DICTIONARY — the record-linkage primitive for typo-class duplicates
+    token/vector dedup can't see. Distinct-value dictionary first (2000
+    rows -> 64 names), blocked by the trailing token, length-prefiltered
+    before the O(n*m) distance; occurrence counts ride along for merge
+    decisions. Levenshtein is JVM codegen here and a DuckDB builtin
+    there — the pair set hash-checks exactly."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        editdist_pairs,
+    )
+    return editdist_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", max_dist=2
+    )
+
+
+def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit: document counts, documents with
+    any PII, and per-pattern match totals (email/ipv4/phone) — the
+    report that decides which sources need the redaction pass. One
+    codegen scan, RE2-safe patterns shared verbatim with the oracle."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import pii_rate
+    return pii_rate(load_table(spark, sf_dir, "documents"), "text", "source")
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on power-of-two buckets
+    (bit_length of the token count — exact-integer, hash-stable): the
+    profile read before choosing sequence-packing and truncation
+    parameters."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        length_histogram,
+    )
+    return length_histogram(
+        load_table(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
 def q_bucketed_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH recall audit (the bucketed near-dup health check):
     exact all-pairs ground truth vs single-table vs 4-table hyperplane
@@ -2395,6 +2433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": q_data_quality_report,
         # round-4 additions (no driver verdict yet)
         "bucketed_neardup_recall": q_bucketed_neardup_recall,
+        "name_editdist_pairs": q_name_editdist_pairs,
+        "pii_rate_by_source": q_pii_rate_by_source,
+        "doc_length_histogram": q_doc_length_histogram,
         # already driver-certified (r1-r3 union)
         "ngram_span_coverage": q_ngram_span_coverage,
         "strip_duplicated_spans": q_strip_duplicated_spans,
@@ -3504,6 +3545,52 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.tbl = b.tbl AND a.bucket = b.bucket
                              AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        "name_editdist_pairs": """
+            WITH d AS (SELECT p_name AS name, count(*) AS n
+                       FROM part GROUP BY p_name),
+            p AS (SELECT name, n, string_split(name, ' ')[-1] AS blk FROM d)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                   CAST(a.n AS BIGINT) AS n_a,
+                   CAST(b.n AS BIGINT) AS n_b
+            FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
+            WHERE abs(len(a.name) - len(b.name)) <= 2
+              AND levenshtein(a.name, b.name) <= 2
+        """,
+        "pii_rate_by_source": """
+            WITH m AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                         AS ne,
+                     len(regexp_extract_all(text,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                         AS ni,
+                     len(regexp_extract_all(text,
+                         '\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}'))
+                         AS np
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_pii,
+                   CAST(sum(ne) AS BIGINT) AS n_email,
+                   CAST(sum(ni) AS BIGINT) AS n_ipv4,
+                   CAST(sum(np) AS BIGINT) AS n_phone
+            FROM m GROUP BY source
+        """,
+        "doc_length_histogram": """
+            WITH t AS (
+              SELECT source,
+                     len(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS n
+              FROM documents)
+            SELECT source,
+                   CAST(length(bin(n)) AS INT) AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM t GROUP BY 1, 2
         """,
         "bucketed_neardup_recall": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -853,3 +853,66 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def editdist_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block=None,
+) -> DataFrame:
+    """Character-level near-duplicate pairs by Levenshtein distance —
+    the record-linkage primitive (fuzzy entity names, titles, URLs)
+    that completes the dedup family: exact hash / token MinHash /
+    SimHash / token Jaccard / embedding cosine are all TOKEN-or-vector
+    level; typo-class duplicates ("blue wiget" vs "blue widget") need
+    edit distance.
+
+    THE scale move is running over the DISTINCT-value dictionary, not
+    the row stream: real string columns are heavily repeated (TPC-H
+    part names: 2000 rows, 64 distinct), so the dictionary groupBy
+    collapses the corpus first and every downstream cost is
+    dictionary-sized. Each pair carries both occurrence counts so the
+    caller can weigh merge decisions.
+
+    Candidate generation is BLOCKED (``block`` column expression,
+    default: last whitespace token — entity-name convention where the
+    head noun survives typos): the self-join runs per block key, one
+    equi-join shuffle, |block|² levenshtein evaluations inside blocks
+    only. Pairs straddling blocks are missed by design — the same
+    honest prune contract as the LSH families (a fuzzier blocker =
+    higher recall, bigger blocks). Levenshtein is evaluated JVM-side
+    (F.levenshtein, codegen) and identically in DuckDB, so results
+    hash-check cross-engine.
+
+    Cost model at 100 TB: dictionary |D| ≪ rows; blocks of ~b rows →
+    |D|·b levenshtein calls after the length prefilter
+    (|len_a - len_b| ≤ max_dist, a free necessary condition checked
+    before the O(n·m) distance)."""
+    dic = df.groupBy(F.col(col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    blk = (
+        block
+        if block is not None
+        else F.element_at(F.split(F.col("name"), " "), -1)
+    )
+    dic = dic.select("name", "n", blk.alias("__blk"))
+    a = dic.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "__blk"
+    )
+    b = dic.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        # length prefilter: a necessary condition costing O(1), before
+        # the O(n*m) distance — standard edit-distance join prune
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

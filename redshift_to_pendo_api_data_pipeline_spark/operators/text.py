@@ -586,3 +586,73 @@ def _bpe_train_local(
                     i += 1
             syms[:] = out
     return merges
+
+
+def pii_rate(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group PII exposure report — the go/no-go audit a curation
+    pipeline runs BEFORE deciding whether a source needs the redaction
+    pass (redact_pii) at all: per group, document count, documents
+    containing any PII, and total match counts per pattern family.
+    Same PII_PATTERNS as the scrubber, so the report predicts exactly
+    what redaction would touch. One codegen scan + one
+    map-side-combined groupBy on the (low-cardinality) group key —
+    no shuffle of text, no UDF."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(
+            f"__{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    per_doc = df.select(F.col(group_col).alias("grp"), *counts)
+    any_pii = sum(F.col(f"__{n}") for n in PII_PATTERNS) > 0
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_pii.cast("long")).alias("docs_with_pii"),
+            *[
+                F.sum(f"__{name}").cast("long").alias(f"n_{name}")
+                for name in PII_PATTERNS
+            ],
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_docs", "docs_with_pii",
+            *[f"n_{name}" for name in PII_PATTERNS],
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group document-length histogram on power-of-two buckets:
+    (group, len_bucket = bit_length(n_tokens), n_docs, total_tokens).
+    The length-distribution profile read before choosing sequence-
+    packing and truncation parameters — a source whose mass sits in
+    short buckets packs differently from long-form text. Bit-length
+    buckets keep the surface exact-integer (the repo's cross-engine
+    hash discipline; log2 floats would be libm-dependent). One scan,
+    one map-side-combined groupBy on (group, bucket) — bounded by
+    |groups| * 64 output rows."""
+    n_tok = token_count(F.col(text_col))
+    bucket = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(n_tok, 10, 2))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            n_tok.alias("__n"),
+            bucket.cast("int").alias("len_bucket"),
+        )
+        .groupBy("grp", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "len_bucket", "n_docs",
+            "total_tokens",
+        )
+    )

@@ -663,3 +663,49 @@ def test_bucketed_neardup_multi_table_recall_dominates_single(spark, tmp_path):
     ).collect()}
     assert single <= multi <= exact
     assert len(multi) > len(single)
+
+
+def test_editdist_pairs_dictionary_and_blocking(spark):
+    """Linkage runs over the distinct-value dictionary with occurrence
+    counts; pairs straddling blocks (different trailing token) are
+    pruned by design; the length prefilter never drops a true pair."""
+    rows = (
+        [(i, "blue widget") for i in range(3)]
+        + [(10, "blu widget"), (11, "blue widgets"), (12, "red gear"),
+           (13, "red gers"), (14, "completely different name")]
+    )
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"])
+           for r in D.editdist_pairs(df, "name", max_dist=2).collect()}
+    assert got[("blu widget", "blue widget")] == (1, 1, 3)
+    # 'blue widgets' blocks under 'widgets' — unreachable by design
+    assert not any("blue widgets" in k for k in got)
+    # different blocks never pair
+    assert not any("red" in a and "widget" in b for a, b in got)
+
+
+def test_pii_rate_matches_redaction_counts(spark):
+    """The audit must predict exactly what redact_pii would touch."""
+    rows = [
+        (1, "mail bob@example.com and 10.0.0.1 twice: 10.0.0.2", "a"),
+        (2, "call +1-555-123-4567 now", "a"),
+        (3, "clean text", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in TX.pii_rate(df, "text", "source").collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["docs_with_pii"] == 2
+    assert out["a"]["n_email"] == 1 and out["a"]["n_ipv4"] == 2
+    assert out["a"]["n_phone"] == 1
+    assert out["b"]["docs_with_pii"] == 0
+    red = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert red[1]["n_email"] == 1 and red[1]["n_ipv4"] == 2
+    assert red[2]["n_phone"] == 1
+
+
+def test_length_histogram_buckets_power_of_two(spark):
+    rows = [(1, "one", "s"), (2, "a b c d", "s"), (3, " ".join(["w"] * 9), "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["len_bucket"]): (r["n_docs"], r["total_tokens"])
+           for r in TX.length_histogram(df, "text", "source").collect()}
+    # 1 token -> bucket 1; 4 tokens -> bucket 3 (100b); 9 tokens -> 4 (1001b)
+    assert got[1] == (1, 1) and got[3] == (1, 4) and got[4] == (1, 9)
