@@ -1007,20 +1007,22 @@ def q_bucketed_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
         bucketed_neardup_pairs,
+        bucketed_pairs_from_staged,
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     exact = embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
-    single = bucketed_neardup_pairs(
-        emb, "embedding", "vec_id",
-        stage_path=f"{_stage_dir(sf_dir)}/bucket_recall_t1.parquet",
-        threshold=0.45, n_tables=1,
-    )
+    # stage ONCE at the widest table count; table 0 IS the single-table
+    # run (seed + 1000*t convention), so the narrower variant derives by
+    # filter from the same artifact — one signature pass, one staging
+    stage = f"{_stage_dir(sf_dir)}/bucket_recall_t4.parquet"
     multi = bucketed_neardup_pairs(
         emb, "embedding", "vec_id",
-        stage_path=f"{_stage_dir(sf_dir)}/bucket_recall_t4.parquet",
-        threshold=0.45, n_tables=4,
+        stage_path=stage, threshold=0.45, n_tables=4,
+    )
+    single = bucketed_pairs_from_staged(
+        spark, emb, "embedding", "vec_id", stage, threshold=0.45, tables=[0],
     )
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -3598,10 +3600,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS ia, b.vec_id AS ib
               FROM e a JOIN e b ON a.vec_id < b.vec_id
               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
-            s1 AS (SELECT id, tbl, bucket
-                   FROM read_parquet('{_STAGE}/bucket_recall_t1.parquet/*.parquet')),
             s4 AS (SELECT id, tbl, bucket
                    FROM read_parquet('{_STAGE}/bucket_recall_t4.parquet/*.parquet')),
+            s1 AS (SELECT id, tbl, bucket FROM s4 WHERE tbl = 0),
             p1 AS (
               SELECT DISTINCT x.id AS ia, y.id AS ib
               FROM s1 x

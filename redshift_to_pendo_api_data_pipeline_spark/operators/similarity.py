@@ -590,3 +590,45 @@ def bucketed_neardup_pairs(
     if n_tables > 1:
         pairs = pairs.distinct()
     return pairs
+
+
+def bucketed_pairs_from_staged(
+    spark,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stage_path: str,
+    threshold: float = 0.45,
+    tables: list[int] | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs derived from an EXISTING staged
+    (id, tbl, bucket) assignment — the probe half of
+    bucketed_neardup_pairs without re-signing the corpus. ``tables``
+    restricts to a table subset: because table t always uses seed +
+    1000·t, the single-table result IS ``tables=[0]`` of any wider
+    staging — so a recall audit stages once at the widest L and derives
+    every narrower variant by filter, and production can A/B table
+    counts against one assignment artifact."""
+    asg = spark.read.parquet(stage_path)
+    if tables is not None:
+        asg = asg.where(F.col("tbl").isin([int(t) for t in tables]))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = asg.join(vecs, "id")
+    a = assigned.select(
+        "tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        "tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    dot = _dot(F.col("v_a"), F.col("v_b"))
+    cos = dot / (
+        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
+        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
