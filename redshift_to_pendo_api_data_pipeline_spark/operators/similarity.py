@@ -403,6 +403,40 @@ def load_ivf_centroids(spark, cent_path: str) -> np.ndarray:
     return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
+def ivf_index_append(
+    new_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    centroids: np.ndarray,
+) -> None:
+    """Incremental index maintenance — the missing half of the
+    build-once/probe-many serving story: new vectors are assigned to the
+    EXISTING coarse quantizer (one Arrow-batched BLAS argmax pass) and
+    appended into their list partitions. No retrain, no rewrite of
+    existing lists; a probe's partition pruning is unchanged because the
+    partitioning key set doesn't grow (clusters are fixed by the
+    quantizer). Cost: one scan of the NEW batch + one partitioned append.
+
+    The classic IVF drift caveat applies and is the operator contract:
+    appended vectors are quantized against the original centroids, so
+    recall degrades only if the data distribution shifts away from the
+    training corpus — the rebuild trigger is a monitoring decision
+    (e.g. mean assign-distance creeping up), at which point
+    build_ivf_index rewrites the index under a new path and serving
+    flips atomically (the parquet_sink ACTIVATE_VERSION pointer-swap
+    pattern). Appends create one small file per touched list per batch —
+    compact with layout.compact_small_files per the usual small-files
+    discipline."""
+    assigned = ivf_assign(new_df, vec_col, centroids)
+    (
+        assigned.select(F.col(id_col), F.col(vec_col), F.col("__cluster"))
+        .write.mode("append")
+        .partitionBy("__cluster")
+        .parquet(index_path)
+    )
+
+
 def ivf_topk_persisted(
     spark,
     index_path: str,

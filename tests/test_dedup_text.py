@@ -709,3 +709,43 @@ def test_length_histogram_buckets_power_of_two(spark):
            for r in TX.length_histogram(df, "text", "source").collect()}
     # 1 token -> bucket 1; 4 tokens -> bucket 3 (100b); 9 tokens -> 4 (1001b)
     assert got[1] == (1, 1) and got[3] == (1, 4) and got[4] == (1, 9)
+
+
+def test_ivf_index_append_serves_new_vectors_with_pruned_probe(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: append a new batch against the
+    existing quantizer; a probe must (a) find an appended vector as its
+    own top-1, (b) keep returning the original corpus unchanged, and
+    (c) stay partition-pruned (no full-index scan after append)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    index_path = str(tmp_path / "ivf.parquet")
+    cents = S.build_ivf_index(old, "embedding", "vec_id", index_path, n_list=8)
+
+    before = spark.read.parquet(index_path).count()
+    S.ivf_index_append(new, "embedding", "vec_id", index_path, cents)
+    after = spark.read.parquet(index_path)
+    assert after.count() == before + new.count()
+
+    q_new = new.limit(1).collect()[0]
+    top = S.ivf_topk_persisted(
+        spark, index_path, cents, "embedding", "vec_id",
+        list(q_new["embedding"]), k=3, n_probe=3,
+    )
+    rows = top.collect()
+    assert rows[0]["vec_id"] == q_new["vec_id"]
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-6
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__cluster" in plan or \
+        "__cluster#" in plan.split("PartitionFilters")[1][:200]
+
+    # original corpus still served identically for an old query vector
+    q_old = old.where(F.col("vec_id") == 7).collect()[0]
+    t_old = [r["vec_id"] for r in S.ivf_topk_persisted(
+        spark, index_path, cents, "embedding", "vec_id",
+        list(q_old["embedding"]), k=1, n_probe=3).collect()]
+    assert t_old == [7]
