@@ -646,13 +646,31 @@ def bucketed_pairs_from_staged(
     asg = spark.read.parquet(stage_path)
     if tables is not None:
         asg = asg.where(F.col("tbl").isin([int(t) for t in tables]))
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = asg.join(vecs, "id")
-    a = assigned.select(
-        "tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    # pair ids from the assignment ALONE (scan-sized estimates keep the
+    # self-join broadcastable; a vectors-first join would self-join a
+    # join output, whose inflated cardinality estimate flips the
+    # planner to SortMergeJoin), distinct BEFORE the cosine so each
+    # unique pair is verified once
+    pair_ids = (
+        asg.select("tbl", "bucket", F.col("id").alias("id_a"))
+        .join(
+            asg.select("tbl", "bucket", F.col("id").alias("id_b")),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = assigned.select(
-        "tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = (
+        pair_ids.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")),
+            "id_b",
+        )
     )
     dot = _dot(F.col("v_a"), F.col("v_b"))
     cos = dot / (
@@ -660,9 +678,6 @@ def bucketed_pairs_from_staged(
         * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
     )
     return (
-        a.join(b, ["tbl", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
-        .distinct()
     )
