@@ -378,10 +378,21 @@ def _safe_merge_batch(
     3. the prefix is UNSKIPPED: the first conflicting pair ends the
        batch. Every pair outside the prefix therefore ranks > k, which
        bounds all counts that replay could see — any original pair
-       outside, and any pair newly created by an accepted merge (its
-       instances embed an original adjacency that shares a symbol with
-       the merged pair, hence ranks > k);
-    4. strict count gap at the boundary: accepted pairs whose count
+       outside, and any pair newly created by an accepted merge: a new
+       pair's instances embed an original adjacency touching a merged
+       pair's symbol, and for two DISTINCT accepted pairs that
+       adjacency (b_i, a_j) shares a symbol with an accepted pair, so
+       it ranks > k;
+    4. a SELF-pair (a == a) may only CLOSE the batch: merging (a,a)
+       mints (aa,aa)/(aa,a) offspring whose instances embed the
+       accepted pair ITSELF — count ~ half the chains, NOT bounded by
+       the boundary rank — and sequential would merge that offspring
+       before any later batch member (found by hypothesis:
+       'aaaaaabbb' ranks (a,a)=5, (b,b)=2, but after merging (a,a)
+       the new (aa,aa)=2 beats (b,b) on the lexicographic tiebreak).
+       As the final element it is safe — its offspring exist only
+       after the batch's last replay step;
+    5. strict count gap at the boundary: accepted pairs whose count
        equals the first non-accepted count are dropped. Within-batch
        ties are fine (their relative (n, a, b) order IS the sequential
        tiebreak and their counts are unchanged during replay); boundary
@@ -395,9 +406,10 @@ def _safe_merge_batch(
     syms_used: set[str] = set()
     concats: set[str] = set()
     boundary = 1  # "no further pair" ranks below any count>=2 pair
+    closed = False
     for r in rows:
         a, b, n = r["a"], r["b"], r["n"]
-        if n < 2 or len(accepted) >= cap:
+        if n < 2 or len(accepted) >= cap or closed:
             boundary = n
             break
         if (
@@ -410,6 +422,8 @@ def _safe_merge_batch(
         accepted.append((a, b, n))
         syms_used.update((a, b))
         concats.add(a + b)
+        if a == b:  # self-pair: rule 4 — nothing may follow it
+            closed = True
     while accepted and accepted[-1][2] == boundary:
         accepted.pop()
     if not accepted and rows and rows[0]["n"] >= 2:
