@@ -847,6 +847,48 @@ def q_embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end-to-end (similarity.py
+    ivf_index_append): the index is built on 3/4 of the corpus
+    (vec_id % 4 != 0), the remaining quarter — which contains the
+    vec_id=0 query vector — is APPENDED against the existing quantizer
+    under a stable batch_id, and the SAME batch is replayed (a no-op by
+    the marker-file discipline; row-count idempotence is pinned by
+    test_ivf_index_append_* since the oracle re-ranks the same staged
+    index and would see any duplicates symmetrically). The probe then
+    serves from the appended index partition-pruned, so the result
+    proves appended vectors are findable: top-1 is vec 0 itself at
+    cosine 1.0."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_persisted,
+        nearest_lists,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    stage = _stage_dir(sf_dir)
+    index_path = f"{stage}/ivf_index_appended.parquet"
+    centroids = build_ivf_index(base, "embedding", "vec_id", index_path, n_list=16)
+    ivf_index_append(batch, "embedding", "vec_id", index_path, centroids,
+                     batch_id="quarter-0")
+    # at-least-once replay of the same batch: marker makes it a no-op
+    ivf_index_append(batch, "embedding", "vec_id", index_path, centroids,
+                     batch_id="quarter-0")
+    q = _query_vec(spark, sf_dir)
+    probes = nearest_lists(centroids, q, n_probe=4)
+    stage_parquet(
+        spark.createDataFrame([(int(c),) for c in probes], "cluster int"),
+        f"{stage}/ivf_appended_probes.parquet",
+    )
+    return ivf_topk_persisted(
+        spark, index_path, centroids, "embedding", "vec_id", q, k=20, n_probe=4
+    )
+
+
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of both ANN variants against the exact brute-force top-k —
     the oracle hook for the probabilistic ANN paths: each ANN's chosen id
@@ -2286,7 +2328,7 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, docs.doc_id == assigned.vec_id
     ).select("cluster", "text")
     return distinctive_terms(joined, "text", "cluster", top_k=3).withColumn(
-        "keyness", F.col("keyness").cast("bigint")
+        "keyness", TR.checked_bigint(F.col("keyness"))
     )
 
 
@@ -2368,12 +2410,13 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator a*N - rowtot*coltot (observed-minus-expected, exact).
     The operator scores on DECIMAL(38,0) (overflow-proof to 10^19
     corpus tokens); the BIGINT cast here is for cross-engine hash
-    parity and, under ANSI, fits-or-errors — never silently wraps."""
+    parity and goes through checked_bigint, which raises on overflow
+    regardless of the session's ANSI setting — never silently wraps."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         distinctive_terms,
     )
     out = distinctive_terms(load_table(spark, sf_dir, "documents"), "text", "source")
-    return out.withColumn("keyness", F.col("keyness").cast("bigint"))
+    return out.withColumn("keyness", TR.checked_bigint(F.col("keyness")))
 
 
 def q_ewm_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2418,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
         "bloom_corpus_membership": q_bloom_corpus_membership,
         "retention_cohorts": q_retention_cohorts,
         "windowed_anomalies": q_windowed_anomalies,
@@ -3069,6 +3113,22 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{_STAGE}/ivf_probes.parquet/*.parquet')),
             cand AS (SELECT vec_id
                      FROM read_parquet('{_STAGE}/ivf_index.parquet/*/*.parquet',
+                                       hive_partitioning = true)
+                     WHERE __cluster IN (SELECT cluster FROM probes))
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 20
+        """,
+        "embedding_ann_ivf_appended": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            probes AS (SELECT cluster
+                       FROM read_parquet('{_STAGE}/ivf_appended_probes.parquet/*.parquet')),
+            cand AS (SELECT vec_id
+                     FROM read_parquet('{_STAGE}/ivf_index_appended.parquet/*/*.parquet',
                                        hive_partitioning = true)
                      WHERE __cluster IN (SELECT cluster FROM probes))
             SELECT e.vec_id,

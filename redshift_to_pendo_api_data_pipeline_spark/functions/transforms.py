@@ -20,6 +20,31 @@ from pyspark.sql import types as T
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def checked_bigint(col: Column) -> Column:
+    """Cast to BIGINT with a fits-or-errors guarantee that does NOT depend
+    on ``spark.sql.ansi.enabled``.
+
+    A plain ``.cast("bigint")`` under the default (non-ANSI) session
+    silently returns NULL/wrapped values on overflow — exactly the silent
+    wrongness a DECIMAL(38,0) intermediate is meant to rule out. This
+    wraps the cast in a row-level ``raise_error`` so an out-of-range value
+    fails the job loudly on any executor, with zero extra passes and no
+    session-wide ANSI blast radius across unrelated queries."""
+    dec = T.DecimalType(38, 0)
+    in_range = (col >= F.lit(str(_I64_MIN)).cast(dec)) & (
+        col <= F.lit(str(_I64_MAX)).cast(dec)
+    )
+    return F.when(in_range, col.cast("bigint")).otherwise(
+        F.raise_error(
+            F.concat(F.lit("checked_bigint: value out of int64 range: "),
+                     col.cast("string"))
+        ).cast("bigint")
+    )
+
 
 def fixed_point(col: Column, scale: int = 2) -> Column:
     """Exact DECIMAL aggregate -> fixed-point BIGINT (value * 10^scale).

@@ -409,7 +409,8 @@ def ivf_index_append(
     id_col: str,
     index_path: str,
     centroids: np.ndarray,
-) -> None:
+    batch_id: str | None = None,
+) -> bool:
     """Incremental index maintenance — the missing half of the
     build-once/probe-many serving story: new vectors are assigned to the
     EXISTING coarse quantizer (one Arrow-batched BLAS argmax pass) and
@@ -427,7 +428,29 @@ def ivf_index_append(
     flips atomically (the parquet_sink ACTIVATE_VERSION pointer-swap
     pattern). Appends create one small file per touched list per batch —
     compact with layout.compact_small_files per the usual small-files
-    discipline."""
+    discipline.
+
+    Idempotence: pass a stable ``batch_id`` (source offset, CDC LSN,
+    micro-batch id). A marker file ``_append_<batch_id>`` is written
+    inside the index directory after the append commits; a replay of the
+    same batch — job retry, re-run of a serving/bench loop, at-least-once
+    streaming source — sees the marker and becomes a no-op instead of
+    silently duplicating vectors (which would inflate every downstream
+    top-k candidate set). Underscore-prefixed files are invisible to
+    parquet readers, so the marker travels with the index through
+    copies/renames. The residual window (append committed, marker write
+    lost) is the standard two-ops-no-transaction gap; on a lake this is
+    closed by table-format atomicity (Iceberg/Delta commit), not by the
+    writer. Returns True if data was appended, False on a deduped replay.
+    """
+    import os as _os
+
+    marker = None
+    if batch_id is not None:
+        safe = "".join(c if (c.isalnum() or c in "-._") else "_" for c in str(batch_id))
+        marker = _os.path.join(index_path, f"_append_{safe}")
+        if _os.path.exists(marker):
+            return False
     assigned = ivf_assign(new_df, vec_col, centroids)
     (
         assigned.select(F.col(id_col), F.col(vec_col), F.col("__cluster"))
@@ -435,6 +458,10 @@ def ivf_index_append(
         .partitionBy("__cluster")
         .parquet(index_path)
     )
+    if marker is not None:
+        with open(marker, "w") as fh:
+            fh.write("committed\n")
+    return True
 
 
 def ivf_topk_persisted(
@@ -539,6 +566,50 @@ def semantic_dedup(
     )
 
 
+def _within_bucket_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verify WITHIN (tbl, bucket) groups as one BLAS gram
+    matrix per group (``m @ m.T`` over row-normalized float64, round 6dp
+    — the same arithmetic embedding_neardup hash-matches against DuckDB
+    and the same kernel shape semantic_dedup measured ~3x faster than
+    interpreted per-pair zip_with folds). Input columns: (tbl, bucket,
+    id, v); output (id_a, id_b, cosine) with id_a < id_b, one row per
+    in-bucket pair at or above threshold.
+
+    One shuffle on the (tbl, bucket) key, zero joins. Group memory is
+    |bucket|² doubles for the gram matrix, so bucket sizing via n_planes
+    (~log2(N / target_bucket_rows)) is the memory bound too — a
+    mega-bucket is visible in the staged table's partition sizes BEFORE
+    this runs, and the fix is raising n_planes, exactly as the
+    bucketed_neardup_pairs docstring prescribes."""
+    id_f = assigned.schema["id"]
+    out_schema = T.StructType([
+        T.StructField("id_a", id_f.dataType, False),
+        T.StructField("id_b", id_f.dataType, False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ])
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.array([list(v) for v in pdf["v"].to_numpy()[order]],
+                     dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine": sims[ia[keep], ib[keep]],
+        })
+
+    return assigned.groupBy("tbl", "bucket").applyInPandas(_pairs, out_schema)
+
+
 def bucketed_neardup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -604,22 +675,11 @@ def bucketed_neardup_pairs(
     )
     stage_parquet(assigned.select("id", "tbl", "bucket"), stage_path)
 
-    a = assigned.select(
-        "tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
-    )
-    b = assigned.select(
-        "tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
-    )
-    dot = _dot(F.col("v_a"), F.col("v_b"))
-    cos = dot / (
-        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
-        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
-    )
-    pairs = (
-        a.join(b, ["tbl", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    # within-bucket verify = one BLAS gram matrix per (tbl, bucket)
+    # group (_within_bucket_pairs): one shuffle on the bucket key, no
+    # self-join, no interpreted per-pair fold
+    pairs = _within_bucket_pairs(
+        assigned.select("tbl", "bucket", "id", "v"), threshold
     )
     if n_tables > 1:
         pairs = pairs.distinct()
@@ -646,38 +706,15 @@ def bucketed_pairs_from_staged(
     asg = spark.read.parquet(stage_path)
     if tables is not None:
         asg = asg.where(F.col("tbl").isin([int(t) for t in tables]))
-    # pair ids from the assignment ALONE (scan-sized estimates keep the
-    # self-join broadcastable; a vectors-first join would self-join a
-    # join output, whose inflated cardinality estimate flips the
-    # planner to SortMergeJoin), distinct BEFORE the cosine so each
-    # unique pair is verified once
-    pair_ids = (
-        asg.select("tbl", "bucket", F.col("id").alias("id_a"))
-        .join(
-            asg.select("tbl", "bucket", F.col("id").alias("id_b")),
-            ["tbl", "bucket"],
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # hydrate vectors onto the assignment with ONE equi-join on id (the
+    # assignment is scan-sized, so this broadcasts or AQE-broadcasts),
+    # then verify within (tbl, bucket) groups as BLAS gram matrices —
+    # no self-join at all, so no cardinality-estimate fragility. A pair
+    # sharing a bucket in several tables is verified once per table
+    # (bounded by L) and collapsed by the final DISTINCT (cosine is
+    # deterministic per pair, so the triple collapses exactly).
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    joined = (
-        pair_ids.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")),
-            "id_a",
-        )
-        .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")),
-            "id_b",
-        )
-    )
-    dot = _dot(F.col("v_a"), F.col("v_b"))
-    cos = dot / (
-        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
-        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
-    )
-    return (
-        joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    pairs = _within_bucket_pairs(asg.join(vecs, "id"), threshold)
+    if tables is None or len(tables) > 1:
+        pairs = pairs.distinct()
+    return pairs

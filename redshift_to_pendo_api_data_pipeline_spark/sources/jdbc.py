@@ -57,8 +57,24 @@ class JdbcConfig:
 
 # -- metadata queries (S3-S5) — the same relations the reference scans ----
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def _checked_ident(name: str, what: str = "db_schema") -> str:
+    """Schema/table names are interpolated into dialect SQL text (JDBC
+    metadata queries take no bind parameters through spark.read.jdbc), so
+    restrict them to plain SQL identifiers — anything else (quotes,
+    semicolons, whitespace) raises instead of reaching the remote SQL."""
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"{what} is not a plain SQL identifier: {name!r}")
+    return name
+
+
 def tables_query(db_schema: str) -> str:
     """S3: table enumeration (discover.py:20-26)."""
+    db_schema = _checked_ident(db_schema)
     return (
         "SELECT table_schema, table_name, table_type "
         "FROM INFORMATION_SCHEMA.Tables "
@@ -68,6 +84,7 @@ def tables_query(db_schema: str) -> str:
 
 def columns_query(db_schema: str) -> str:
     """S4: column metadata, Tables ⋈ Columns (discover.py:28-37)."""
+    db_schema = _checked_ident(db_schema)
     return (
         "SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, "
         "c.udt_name, c.is_nullable, c.character_maximum_length "
@@ -82,6 +99,7 @@ def columns_query(db_schema: str) -> str:
 def primary_keys_query(db_schema: str) -> str:
     """S5: PK columns, table_constraints ⋈ key_column_usage
     (discover.py:39-54)."""
+    db_schema = _checked_ident(db_schema)
     return (
         "SELECT kc.table_schema, kc.table_name, kc.column_name "
         "FROM information_schema.table_constraints tc "
@@ -279,6 +297,7 @@ class DerbyDialect:
 
     @staticmethod
     def tables_query(db_schema: str) -> str:
+        db_schema = _checked_ident(db_schema)
         return (
             "SELECT s.schemaname, t.tablename, t.tabletype "
             "FROM sys.systables t JOIN sys.sysschemas s "
@@ -288,6 +307,7 @@ class DerbyDialect:
 
     @staticmethod
     def columns_query(db_schema: str) -> str:
+        db_schema = _checked_ident(db_schema)
         return (
             "SELECT s.schemaname, t.tablename, c.columnname, "
             "c.columnnumber, "
@@ -329,10 +349,13 @@ class DerbyDialect:
 
 
 def dialect_for(cfg: JdbcConfig):
-    """Pick the dialect from the connection shape: explicit Derby URLs
-    get DerbyDialect; everything else is the postgres/redshift family
-    (the reference's only target)."""
-    if "derby" in (cfg.url_override or "") or "derby" in cfg.driver.lower():
+    """Pick the dialect from the connection shape: the JDBC URL *scheme*
+    (``jdbc:derby:``) or a Derby driver class selects DerbyDialect;
+    everything else is the postgres/redshift family (the reference's only
+    target). Scheme-prefix matching, not substring — a postgres URL whose
+    database happens to be named 'derbydb' must not flip dialects."""
+    url = (cfg.url_override or cfg.url or "").lower()
+    if url.startswith("jdbc:derby:") or cfg.driver.startswith("org.apache.derby."):
         return DerbyDialect()
     return PostgresDialect()
 

@@ -33,6 +33,24 @@ from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
 )
 
 
+def _result_schema(spark, queries_df: DataFrame, index_path: str,
+                   qid_col: str, id_col: str):
+    """Output schema (qid, id, cosine) derived from the ACTUAL query and
+    index schemas — string/uuid/int ids pass through unchanged instead of
+    being coerced to long, keeping the driver and distributed paths
+    row-identical for any id type. Reading the index schema is a parquet
+    footer touch, not a scan."""
+    from pyspark.sql import types as T
+
+    qf = queries_df.schema[qid_col]
+    idf = spark.read.parquet(index_path).schema[id_col]
+    return T.StructType([
+        T.StructField(qid_col, qf.dataType, qf.nullable),
+        T.StructField(id_col, idf.dataType, idf.nullable),
+        T.StructField("cosine", T.DoubleType(), True),
+    ])
+
+
 def batch_ivf_topk(
     spark,
     queries_df: DataFrame,
@@ -48,20 +66,28 @@ def batch_ivf_topk(
     """Answer MANY queries against a persisted IVF index in one job:
     (query_id, vec_id, cosine), top-k rows per query. Also usable in
     batch for bulk re-ranking jobs."""
+    from pyspark.sql import types as T
+
     qrows = queries_df.select(qid_col, qvec_col).collect()
     if not qrows:
         return spark.createDataFrame(
-            [], f"{qid_col} long, {id_col} long, cosine double"
+            [], _result_schema(spark, queries_df, index_path, qid_col, id_col)
         )
     qm = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
     d = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
-        (int(r[qid_col]), [float(x) for x in qm[i]], [int(c) for c in order[i]])
+        (r[qid_col], [float(x) for x in qm[i]], [int(c) for c in order[i]])
         for i, r in enumerate(qrows)
     ]
+    qf = queries_df.schema[qid_col]
     qdf = spark.createDataFrame(
-        probe_rows, f"{qid_col} long, {qvec_col} array<double>, __probes array<int>"
+        probe_rows,
+        T.StructType([
+            T.StructField(qid_col, qf.dataType, qf.nullable),
+            T.StructField(qvec_col, T.ArrayType(T.DoubleType()), False),
+            T.StructField("__probes", T.ArrayType(T.IntegerType()), False),
+        ]),
     )
     all_probes = sorted({int(c) for r in order for c in r})
 
@@ -135,7 +161,7 @@ def batch_ivf_topk_distributed(
         return pd.Series([[int(c) for c in row] for row in order])
 
     exploded = queries_df.select(
-        F.col(qid_col).cast("long").alias(qid_col),
+        F.col(qid_col),
         F.col(qvec_col),
         F.explode(probes_of(F.col(qvec_col))).alias("__cluster"),
     )
@@ -145,7 +171,7 @@ def batch_ivf_topk_distributed(
     ]
     if not probed:
         return spark.createDataFrame(
-            [], f"{qid_col} long, {id_col} long, cosine double"
+            [], _result_schema(spark, queries_df, index_path, qid_col, id_col)
         )
     idx = (
         spark.read.parquet(index_path)
@@ -199,17 +225,27 @@ def streaming_ann_topk(
     spark = stream_df.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        fn = (
-            batch_ivf_topk
-            if n <= max_driver_queries
-            else batch_ivf_topk_distributed
-        )
-        out = fn(
-            spark, batch_df, index_path, centroids, vec_col, id_col,
-            qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
-        )
-        on_results(out, batch_id)
+        # foreachBatch re-evaluates the source per action; persist so the
+        # crossover probe + the chosen path read the batch once, and bound
+        # the probe with limit(cap+1) so deciding "small or big?" costs
+        # O(cap) rows, never a full count of a backlogged batch.
+        batch_df.persist()
+        try:
+            n = batch_df.limit(max_driver_queries + 1).count()
+            fn = (
+                batch_ivf_topk
+                if n <= max_driver_queries
+                else batch_ivf_topk_distributed
+            )
+            out = fn(
+                spark, batch_df, index_path, centroids, vec_col, id_col,
+                qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
+            )
+            # on_results must consume `out` eagerly (write/collect) — the
+            # batch is unpersisted when it returns.
+            on_results(out, batch_id)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -1,0 +1,70 @@
+"""checked_bigint: DECIMAL(38,0) -> BIGINT that errors on overflow
+regardless of ``spark.sql.ansi.enabled``.
+
+Spark 4.x ships ANSI on by default (so a plain cast already
+fits-or-errors there), but the keyness queries must not depend on a
+session flag someone can turn off: with ANSI off, a plain cast silently
+NULLs an overflowing DECIMAL — exactly the silent-wrong failure the
+DECIMAL(38,0) numerator exists to prevent. checked_bigint raises in both
+modes; these tests pin both.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import checked_bigint
+
+I64_MAX = (1 << 63) - 1
+I64_MIN = -(1 << 63)
+
+
+def _dec_df(spark, values):
+    return spark.createDataFrame(
+        [(str(v),) for v in values], "s string"
+    ).select(F.col("s").cast(T.DecimalType(38, 0)).alias("d"))
+
+
+@pytest.fixture
+def ansi_off(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_in_range_values_cast_exactly(spark):
+    vals = [0, 1, -1, I64_MAX, I64_MIN, 12345678901234567]
+    out = _dec_df(spark, vals).select(checked_bigint(F.col("d")).alias("b"))
+    assert out.schema["b"].dataType == T.LongType()
+    got = sorted(r.b for r in out.collect())
+    assert got == sorted(vals)
+
+
+@pytest.mark.parametrize("v", [I64_MAX + 1, I64_MIN - 1])
+def test_overflow_raises_under_default_session(spark, v):
+    df = _dec_df(spark, [v]).select(checked_bigint(F.col("d")).alias("b"))
+    with pytest.raises(Exception, match="checked_bigint"):
+        df.collect()
+
+
+def test_overflow_raises_even_with_ansi_off(ansi_off):
+    spark = ansi_off
+    # the plain cast this helper replaces IS silent under non-ANSI —
+    # it wraps (or NULLs, version-dependent), never errors:
+    plain = _dec_df(spark, [I64_MAX + 1]).select(
+        F.col("d").cast("bigint").alias("b")
+    )
+    got = plain.collect()[0].b
+    assert got is None or got != I64_MAX + 1  # silently wrong, not an error
+    # ...while checked_bigint still fails loudly:
+    df = _dec_df(spark, [I64_MAX + 1]).select(checked_bigint(F.col("d")).alias("b"))
+    with pytest.raises(Exception, match="checked_bigint"):
+        df.collect()
+
+
+def test_in_range_unaffected_by_ansi_off(ansi_off):
+    out = _dec_df(ansi_off, [42]).select(checked_bigint(F.col("d")).alias("b"))
+    assert out.collect()[0].b == 42

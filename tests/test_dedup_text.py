@@ -727,9 +727,25 @@ def test_ivf_index_append_serves_new_vectors_with_pruned_probe(spark, sf_dir, tm
     cents = S.build_ivf_index(old, "embedding", "vec_id", index_path, n_list=8)
 
     before = spark.read.parquet(index_path).count()
-    S.ivf_index_append(new, "embedding", "vec_id", index_path, cents)
+    assert S.ivf_index_append(
+        new, "embedding", "vec_id", index_path, cents, batch_id="b-1"
+    ) is True
     after = spark.read.parquet(index_path)
-    assert after.count() == before + new.count()
+    expected = before + new.count()
+    assert after.count() == expected
+
+    # at-least-once replay of the SAME batch (job retry, streaming
+    # replay, bench loop) must be a no-op, not a silent duplication
+    assert S.ivf_index_append(
+        new, "embedding", "vec_id", index_path, cents, batch_id="b-1"
+    ) is False
+    assert spark.read.parquet(index_path).count() == expected
+    # a genuinely NEW batch id still appends
+    new2 = new.withColumn("vec_id", F.col("vec_id") + 1000000)
+    assert S.ivf_index_append(
+        new2, "embedding", "vec_id", index_path, cents, batch_id="b-2"
+    ) is True
+    assert spark.read.parquet(index_path).count() == expected + new2.count()
 
     q_new = new.limit(1).collect()[0]
     top = S.ivf_topk_persisted(

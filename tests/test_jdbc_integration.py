@@ -171,6 +171,36 @@ def test_dialect_selection_and_folding():
     assert J.dialect_for(db).fold("MixedCase") == "MIXEDCASE"
 
 
+def test_dialect_selection_is_scheme_prefix_not_substring():
+    """A postgres database that happens to be NAMED 'derbydb' must stay on
+    PostgresDialect — only the jdbc:derby: scheme (or a Derby driver
+    class) selects Derby."""
+    pg_named_derby = J.JdbcConfig(host="h", dbname="derbydb")
+    assert J.dialect_for(pg_named_derby).name == "postgres"
+    pg_url_derby = J.JdbcConfig(
+        host="", url_override="jdbc:postgresql://host/derbydb"
+    )
+    assert J.dialect_for(pg_url_derby).name == "postgres"
+    scheme = J.JdbcConfig(host="", url_override="JDBC:DERBY:memory:x",
+                          driver="org.postgresql.Driver")
+    assert J.dialect_for(scheme).name == "derby"
+
+
+def test_metadata_queries_reject_non_identifier_schema():
+    """db_schema is interpolated into dialect SQL text; anything but a
+    plain identifier must raise before reaching the remote server."""
+    import pytest as _pytest
+
+    for bad in ("pub'lic", "a;drop table t", "a b", "", "x--y"):
+        for fn in (J.tables_query, J.columns_query, J.primary_keys_query,
+                   J.DerbyDialect.tables_query, J.DerbyDialect.columns_query):
+            with _pytest.raises(ValueError):
+                fn(bad)
+    # plain identifiers (incl. $ and _) still pass
+    assert "sales_2024" in J.tables_query("sales_2024")
+    assert "APP" in J.DerbyDialect.tables_query("APP")
+
+
 def test_derby_dialect_normalizes_type_strings():
     rows = [
         ("APP", "T", "A", 1, "BIGINT NOT NULL"),

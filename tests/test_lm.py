@@ -291,3 +291,52 @@ def test_streaming_ann_distributed_path_matches_collect(spark, sf_dir, tmp_path)
     )
     q.awaitTermination(180)
     assert sorted(rows) == want
+
+
+def test_batch_ivf_topk_preserves_string_query_ids(spark, sf_dir, tmp_path):
+    """Both batch flavors must pass non-long query ids through unchanged
+    (no silent cast('long')), and the empty-batch result schema must be
+    derived from the actual query/index schemas — the crossover contract
+    is 'row-identical for ANY id type'."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.ann_bridge import (
+        batch_ivf_topk,
+        batch_ivf_topk_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index_path = str(tmp_path / "ivf_index.parquet")
+    centroids = build_ivf_index(emb, "embedding", "vec_id", index_path, n_list=8)
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    a = batch_ivf_topk(spark, queries, index_path, centroids,
+                       "embedding", "vec_id", k=3, n_probe=3)
+    b = batch_ivf_topk_distributed(spark, queries, index_path, centroids,
+                                   "embedding", "vec_id", k=3, n_probe=3)
+    for out in (a, b):
+        assert out.schema["query_id"].dataType == T.StringType()
+        assert out.schema["vec_id"].dataType == T.LongType()
+    ra = sorted((r["query_id"], r["vec_id"], r["cosine"]) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"], r["cosine"]) for r in b.collect())
+    assert ra == rb and len(ra) == 5 * 3
+    assert all(isinstance(t[0], str) and t[0].startswith("q-") for t in ra)
+
+    # empty batches: schema still derived, not hardcoded long
+    empty = queries.where(F.lit(False))
+    for fn in (batch_ivf_topk, batch_ivf_topk_distributed):
+        out = fn(spark, empty, index_path, centroids,
+                 "embedding", "vec_id", k=3, n_probe=3)
+        assert out.schema["query_id"].dataType == T.StringType()
+        assert out.schema["vec_id"].dataType == T.LongType()
+        assert out.count() == 0
