@@ -224,9 +224,10 @@ def main() -> None:
         ),
     }
 
-    print(json.dumps({
+    full = {
         "metric": "total_query_runtime",
-        # steady-state: sum of per-query min-of-2 after warm-up
+        # steady-state: sum of per-query median-of-3 after warm-up,
+        # over ALL registry queries
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -247,7 +248,47 @@ def main() -> None:
         # BASELINE.md parity: reference ~12,000 extract rec/s (single
         # cursor) and ~2,500 sink rec/s (per async connection)
         "throughput": throughput,
-    }))
+    }
+    # Full artifact (all 122 queries + spreads + staged split) goes to a
+    # repo file; the driver's recorded stdout keeps only a ~2,000-char
+    # tail, which truncated the full line every round (BENCH_r*
+    # `parsed: null`). The printed line therefore carries the totals,
+    # throughputs, and a STABLE headline-query subset — guaranteed to fit
+    # the tail — and points at the full file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+        "q18_large_orders", "q21_sole_late_supplier",
+        "sync_incremental_semijoin", "payload_reshape", "session_stats",
+        "windowed_anomalies",
+        "exact_dedup_docs", "minhash_neardup", "simhash_neardup",
+        "word_jaccard_pairs", "incremental_neardup", "dedup_clusters",
+        "cluster_split", "embedding_neardup", "embedding_neardup_bucketed",
+        "bucketed_neardup_recall", "semantic_dedup",
+        "embedding_topk", "embedding_ann_lsh", "embedding_ann_ivf",
+        "embedding_ann_ivf_persisted", "embedding_ann_recall",
+        "bpe_merge_pairs", "tfidf_top_terms", "distinctive_terms",
+        "text_analysis", "media_decode_stats",
+    ]
+    line = dict(full)
+    line["queries"] = {n: timings[n] for n in headline if n in timings}
+    line["queries_total_count"] = len(timings)
+    line["queries_shown"] = "headline_subset"
+    line["full_artifact"] = "BENCH_full.json"
+    del line["query_spread"]
+    del line["staged"]
+    out = json.dumps(line)
+    # driver records only a ~2,000-char stdout tail: shed headline
+    # entries (never crash) until the line is guaranteed to fit
+    while len(out) >= 1900 and line["queries"]:
+        line["queries"].popitem()
+        line["queries_shown"] = "headline_subset_trimmed"
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":

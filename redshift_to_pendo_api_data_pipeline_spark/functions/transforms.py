@@ -33,12 +33,19 @@ def checked_bigint(col: Column) -> Column:
     wrongness a DECIMAL(38,0) intermediate is meant to rule out. This
     wraps the cast in a row-level ``raise_error`` so an out-of-range value
     fails the job loudly on any executor, with zero extra passes and no
-    session-wide ANSI blast radius across unrelated queries."""
+    session-wide ANSI blast radius across unrelated queries.
+
+    NULL passes through as NULL (matching a plain cast): without the
+    leading isNull branch a NULL input would make ``in_range`` NULL and
+    fall to the raise_error arm — with a NULL message, since concat with
+    NULL is NULL."""
     dec = T.DecimalType(38, 0)
     in_range = (col >= F.lit(str(_I64_MIN)).cast(dec)) & (
         col <= F.lit(str(_I64_MAX)).cast(dec)
     )
-    return F.when(in_range, col.cast("bigint")).otherwise(
+    return F.when(col.isNull(), F.lit(None).cast("bigint")).when(
+        in_range, col.cast("bigint")
+    ).otherwise(
         F.raise_error(
             F.concat(F.lit("checked_bigint: value out of int64 range: "),
                      col.cast("string"))

@@ -597,7 +597,7 @@ def bloom_gram_membership(
 
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
-    n_blocks: int = 8,
+    n_blocks: int | None = None, target_block_rows: int = 8192,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold.
 
@@ -609,10 +609,22 @@ def embedding_neardup_pairs(
     packed block replicated ~B times = O(N·B) vector rows; size n_blocks
     so a block (~N/B x dim doubles) stays an easy Arrow batch (≤64 MB).
 
+    ``n_blocks=None`` (default) auto-sizes from the corpus: one cheap
+    column-pruned count, then ``ceil(N / target_block_rows)`` clipped to
+    [1, 64]. The fixed ``n_blocks=8`` default this replaces was the r5
+    bench regression: at 2k vectors it meant 36 block-pair tasks, each
+    Arrow-unpacking ~250x64 doubles for a matmul that takes microseconds
+    — pure per-task overhead. Small corpora now collapse to ONE matmul
+    task; callers at per-bucket-verify scale pass n_blocks explicitly to
+    skip the count.
+
     O(N²) flops is inherent to EXACT all-pairs — at 100 TB this operator
     is the per-bucket verify stage after LSH bucketing
     (similarity.lsh_topk), not a whole-corpus pass."""
     spark = df.sparkSession
+    if n_blocks is None:
+        n = df.select(id_col).count()
+        n_blocks = max(1, min(64, -(-n // target_block_rows)))
     packed = (
         df.select(
             F.col(id_col).alias("id"),

@@ -370,14 +370,14 @@ def build_ivf_index(
     against a built index pay zero training cost."""
     import os as _os
 
-    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, stage_parquet
 
     spark = df.sparkSession
     cent_path = f"{index_path}__centroids"
     if (
         _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
-        and _os.path.exists(_os.path.join(index_path, "_SUCCESS"))
-        and _os.path.exists(_os.path.join(cent_path, "_SUCCESS"))
+        and fs_exists(spark, f"{index_path}/_SUCCESS")
+        and fs_exists(spark, f"{cent_path}/_SUCCESS")
     ):
         return load_ivf_centroids(spark, cent_path)
 
@@ -438,18 +438,28 @@ def ivf_index_append(
     silently duplicating vectors (which would inflate every downstream
     top-k candidate set). Underscore-prefixed files are invisible to
     parquet readers, so the marker travels with the index through
-    copies/renames. The residual window (append committed, marker write
-    lost) is the standard two-ops-no-transaction gap; on a lake this is
-    closed by table-format atomicity (Iceberg/Delta commit), not by the
-    writer. Returns True if data was appended, False on a deduped replay.
+    copies/renames. Marker existence and write both go through the Hadoop
+    FileSystem API, so the guarantee holds on whatever scheme backs
+    ``index_path`` (file://, hdfs://, s3a://), not just the driver's
+    local disk; the name carries a short hash of the RAW batch id so two
+    ids that sanitize to the same string ('b 1' vs 'b_1') stay distinct.
+    The residual window (append committed, marker write lost) is the
+    standard two-ops-no-transaction gap; on a lake this is closed by
+    table-format atomicity (Iceberg/Delta commit), not by the writer.
+    Returns True if data was appended, False on a deduped replay.
     """
-    import os as _os
+    import hashlib as _hashlib
 
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, fs_touch
+
+    spark = new_df.sparkSession
     marker = None
     if batch_id is not None:
-        safe = "".join(c if (c.isalnum() or c in "-._") else "_" for c in str(batch_id))
-        marker = _os.path.join(index_path, f"_append_{safe}")
-        if _os.path.exists(marker):
+        raw = str(batch_id)
+        safe = "".join(c if (c.isalnum() or c in "-._") else "_" for c in raw)
+        digest = _hashlib.sha1(raw.encode("utf-8")).hexdigest()[:8]
+        marker = f"{index_path}/_append_{safe}_{digest}"
+        if fs_exists(spark, marker):
             return False
     assigned = ivf_assign(new_df, vec_col, centroids)
     (
@@ -459,8 +469,7 @@ def ivf_index_append(
         .parquet(index_path)
     )
     if marker is not None:
-        with open(marker, "w") as fh:
-            fh.write("committed\n")
+        fs_touch(spark, marker)
     return True
 
 
@@ -574,6 +583,13 @@ def _within_bucket_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
     interpreted per-pair zip_with folds). Input columns: (tbl, bucket,
     id, v); output (id_a, id_b, cosine) with id_a < id_b, one row per
     in-bucket pair at or above threshold.
+
+    Rounding-mode assumption: ``np.round`` is half-to-even while the
+    oracle's DuckDB ``round`` is HALF_UP — they agree unless a cosine
+    lands EXACTLY on a 6dp half-boundary, which the float64 dot products
+    here essentially never produce (parity is hash-verified every round
+    on both this path and embedding_neardup, which uses the identical
+    kernel).
 
     One shuffle on the (tbl, bucket) key, zero joins. Group memory is
     |bucket|² doubles for the gram matrix, so bucket sizing via n_planes

@@ -40,13 +40,40 @@ def stage_dir(sf_dir: str) -> str:
     return f"{stage_root()}/{os.path.basename(os.path.normpath(sf_dir))}"
 
 
+def _hadoop_fs(spark, path: str):
+    """Resolve ``path`` through Spark's Hadoop FileSystem so existence
+    checks and marker writes work on any configured scheme (file://,
+    hdfs://, s3a://) — driver-local ``os.path`` silently breaks the
+    moment the staging root points at a lake."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_touch(spark, path: str, content: str = "committed\n") -> None:
+    """Create-or-overwrite a small marker file through the Hadoop FS —
+    the lake-safe replacement for ``open(path, "w")``."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def stage_parquet(df: DataFrame, path: str, partition_by: str | None = None) -> bool:
     """Write ``df`` to ``path`` as the staged artifact. Returns True if a
     write happened, False when ``SPARK_GRAFT_STAGE_REUSE=1`` and a
     complete staged copy (``_SUCCESS``) is already present."""
     if (
         os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
-        and os.path.exists(os.path.join(path, "_SUCCESS"))
+        and fs_exists(df.sparkSession, f"{path}/_SUCCESS")
     ):
         return False
     w = df.write.mode("overwrite")

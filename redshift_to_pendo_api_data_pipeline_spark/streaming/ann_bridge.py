@@ -255,3 +255,52 @@ def streaming_ann_topk(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_index_append(
+    stream_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    checkpoint: str,
+    batch_prefix: str = "mb",
+    trigger_available_now: bool = True,
+):
+    """Streaming IVF index MAINTENANCE: every micro-batch of new
+    (id, vector) rows is appended into the persisted index's list
+    partitions via ``operators/similarity.ivf_index_append``, quantized
+    against the EXISTING centroids — the ingest half of the
+    build-once/probe-many serving story, as a Structured Streaming sink.
+
+    Exactly-once effect from at-least-once delivery: foreachBatch may
+    replay a batch after a failure (its output action is not
+    transactional), so each append is keyed by a deterministic batch id
+    ``<batch_prefix>-<epoch id>`` and the operator's Hadoop-FS marker
+    turns the replay into a no-op instead of duplicating vectors — the
+    same contract the checkpoint gives the streaming engine, extended to
+    the index files. Probes (``streaming_ann_topk``, `ivf_topk_persisted`)
+    see appended vectors on their next batch read with partition pruning
+    unchanged, because the partitioning key set is fixed by the quantizer.
+
+    Returns the StreamingQuery."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        ivf_index_append,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_append(
+            batch_df, vec_col, id_col, index_path, centroids,
+            batch_id=f"{batch_prefix}-{batch_id}",
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_process)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

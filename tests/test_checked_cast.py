@@ -68,3 +68,22 @@ def test_overflow_raises_even_with_ansi_off(ansi_off):
 def test_in_range_unaffected_by_ansi_off(ansi_off):
     out = _dec_df(ansi_off, [42]).select(checked_bigint(F.col("d")).alias("b"))
     assert out.collect()[0].b == 42
+
+
+def test_null_passes_through_as_null(spark):
+    """NULL input returns NULL (matching a plain cast): without the
+    isNull branch the NULL falls to the raise_error arm — with a NULL
+    message, since concat with NULL is NULL."""
+    df = spark.createDataFrame([(None,)], "s string").select(
+        F.col("s").cast(T.DecimalType(38, 0)).alias("d")
+    )
+    out = df.select(checked_bigint(F.col("d")).alias("b")).collect()
+    assert out[0].b is None
+
+
+def test_null_and_overflow_mix_still_raises_on_the_overflow(spark):
+    df = spark.createDataFrame(
+        [(None,), (str(I64_MAX + 1),)], "s string"
+    ).select(F.col("s").cast(T.DecimalType(38, 0)).alias("d"))
+    with pytest.raises(Exception, match="checked_bigint"):
+        df.select(checked_bigint(F.col("d")).alias("b")).collect()

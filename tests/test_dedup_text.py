@@ -765,3 +765,42 @@ def test_ivf_index_append_serves_new_vectors_with_pruned_probe(spark, sf_dir, tm
         spark, index_path, cents, "embedding", "vec_id",
         list(q_old["embedding"]), k=1, n_probe=3).collect()]
     assert t_old == [7]
+
+
+def test_ivf_append_marker_names_injective_after_sanitization(spark, sf_dir, tmp_path):
+    """'b 1' and 'b_1' sanitize to the same safe string; the sha1 suffix
+    keeps their markers distinct, so the second (genuinely different)
+    batch must append rather than be dropped as a deduped replay."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") < 200)
+    index_path = str(tmp_path / "ivf_inj.parquet")
+    cents = S.build_ivf_index(base, "embedding", "vec_id", index_path, n_list=4)
+    n0 = spark.read.parquet(index_path).count()
+
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 220)) \
+        .withColumn("vec_id", F.col("vec_id") + 10000)
+    b2 = b1.withColumn("vec_id", F.col("vec_id") + 10000)
+    assert S.ivf_index_append(
+        b1, "embedding", "vec_id", index_path, cents, batch_id="b 1") is True
+    assert S.ivf_index_append(
+        b2, "embedding", "vec_id", index_path, cents, batch_id="b_1") is True
+    assert spark.read.parquet(index_path).count() == n0 + b1.count() + b2.count()
+    # and each id individually still dedupes its own replay
+    assert S.ivf_index_append(
+        b1, "embedding", "vec_id", index_path, cents, batch_id="b 1") is False
+
+
+def test_embedding_neardup_autosized_blocks_match_fixed_blocks(spark, sf_dir):
+    """n_blocks=None auto-sizes from a column-pruned count; the result
+    set is identical to any explicit blocking (blocking only partitions
+    the pair space, never changes it)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).where(F.col("vec_id") < 300)
+    auto = {(r["id_a"], r["id_b"], r["cosine"]) for r in D.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45).collect()}
+    fixed = {(r["id_a"], r["id_b"], r["cosine"]) for r in D.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45, n_blocks=5).collect()}
+    assert auto == fixed and len(auto) > 0

@@ -340,3 +340,64 @@ def test_batch_ivf_topk_preserves_string_query_ids(spark, sf_dir, tmp_path):
         assert out.schema["query_id"].dataType == T.StringType()
         assert out.schema["vec_id"].dataType == T.LongType()
         assert out.count() == 0
+
+
+def test_streaming_index_append_exactly_once_and_served(spark, sf_dir, tmp_path):
+    """Streaming IVF maintenance: two micro-batches of new vectors append
+    into the persisted index exactly once each (a full stream REPLAY with
+    a fresh checkpoint re-delivers both batches — the Hadoop-FS batch
+    markers no-op them), and an appended vector is immediately servable
+    as its own top-1 with partition pruning intact."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_persisted,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.ann_bridge import (
+        streaming_index_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    index_path = str(tmp_path / "ivf_stream.parquet")
+    cents = build_ivf_index(base, "embedding", "vec_id", index_path, n_list=8)
+    n_base = spark.read.parquet(index_path).count()
+
+    # two source part-files -> maxFilesPerTrigger=1 gives two micro-batches
+    src = str(tmp_path / "incoming")
+    new.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    new.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        q = streaming_index_append(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            index_path, cents, "embedding", "vec_id",
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    expected = n_base + new.count()
+    assert spark.read.parquet(index_path).count() == expected
+
+    # full replay: new checkpoint re-delivers every batch; deterministic
+    # batch ids + markers must keep the index unchanged
+    run("ckpt2")
+    assert spark.read.parquet(index_path).count() == expected
+
+    q_new = new.limit(1).collect()[0]
+    top = ivf_topk_persisted(
+        spark, index_path, cents, "embedding", "vec_id",
+        list(q_new["embedding"]), k=3, n_probe=3,
+    )
+    rows = top.collect()
+    assert rows[0]["vec_id"] == q_new["vec_id"]
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-6

@@ -246,6 +246,7 @@ def test_global_plan_audit_no_smj_python_only_at_declared_edges(spark):
         "media_frame_counts",    # mapInPandas codec
         "embedding_neardup",     # block-packed BLAS cosine
         "bucketed_neardup_recall",  # exact ground-truth side = same BLAS edge
+        "embedding_neardup_bucketed",  # same declared BLAS gram-matrix edge
     }
     py_offenders, smj_offenders = [], []
     for name, fn in entry.queries().items():
