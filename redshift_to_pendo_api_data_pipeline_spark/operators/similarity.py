@@ -473,6 +473,66 @@ def ivf_index_append(
     return True
 
 
+def ivf_index_compact(
+    spark,
+    index_path: str,
+    out_path: str,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Compact an append-heavy IVF index WITHOUT losing its layout: every
+    streaming/batch append (`ivf_index_append`, `streaming_index_append`)
+    adds one small file per touched list per batch, and small files
+    destroy probe economics (footer overhead + task-per-file scheduling)
+    exactly like any streaming sink. The generic
+    `layout.compact_small_files` is wrong for an index because its flat
+    rewrite drops the partitionBy(__cluster) directory layout the probe's
+    partition pruning lives on.
+
+    One data pass: rows hash-route on __cluster so each list lands whole
+    in one task, the partitioned write emits ONE file per list (the
+    canonical IVF layout; pass max_records_per_file to let Spark split a
+    mega-list). The `_append_*` idempotence markers are carried to the
+    new path through the Hadoop FS, so after the serving pointer swaps
+    (ACTIVATE_VERSION discipline — compaction writes a NEW path, never
+    in-place), an at-least-once replay of an already-applied batch is
+    still a no-op against the compacted index. Returns
+    {files_in, files_out, rows} for the maintenance log."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import _hadoop_fs, fs_touch
+
+    fs, p = _hadoop_fs(spark, index_path)
+
+    def _count_parquet(path_str: str) -> int:
+        f_s, p_s = _hadoop_fs(spark, path_str)
+        it = f_s.listFiles(p_s, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_in = _count_parquet(index_path)
+    df = spark.read.parquet(index_path)
+    n_clusters = df.select("__cluster").distinct().count()
+    w = df.repartition(n_clusters, "__cluster").write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("__cluster").parquet(out_path)
+
+    # carry replay-dedup markers: underscore files are invisible to
+    # readers but load-bearing for ivf_index_append idempotence
+    status = fs.listStatus(p)
+    for s in status:
+        name = s.getPath().getName()
+        if name.startswith("_append_"):
+            fs_touch(spark, f"{out_path}/{name}")
+
+    return {
+        "files_in": int(files_in),
+        "files_out": int(_count_parquet(out_path)),
+        "rows": int(spark.read.parquet(out_path).count()),
+    }
+
+
 def ivf_topk_persisted(
     spark,
     index_path: str,

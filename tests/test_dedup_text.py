@@ -804,3 +804,54 @@ def test_embedding_neardup_autosized_blocks_match_fixed_blocks(spark, sf_dir):
     fixed = {(r["id_a"], r["id_b"], r["cosine"]) for r in D.embedding_neardup_pairs(
         emb, "embedding", "vec_id", threshold=0.45, n_blocks=5).collect()}
     assert auto == fixed and len(auto) > 0
+
+
+def test_ivf_index_compact_preserves_layout_markers_and_results(spark, sf_dir, tmp_path):
+    """After two appends the index holds per-batch small files; compaction
+    must (a) keep every row, (b) emit one file per list, (c) keep probes
+    partition-pruned and row-identical, and (d) carry the _append_*
+    markers so a replay of an applied batch is still a no-op against the
+    compacted path."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") < 300)
+    index_path = str(tmp_path / "ivf_c.parquet")
+    cents = S.build_ivf_index(base, "embedding", "vec_id", index_path, n_list=4)
+
+    b1 = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 330)) \
+        .withColumn("vec_id", F.col("vec_id") + 10000)
+    b2 = emb.where((F.col("vec_id") >= 330) & (F.col("vec_id") < 360)) \
+        .withColumn("vec_id", F.col("vec_id") + 20000)
+    assert S.ivf_index_append(b1, "embedding", "vec_id", index_path, cents, batch_id="c1")
+    assert S.ivf_index_append(b2, "embedding", "vec_id", index_path, cents, batch_id="c2")
+    n_total = spark.read.parquet(index_path).count()
+
+    out_path = str(tmp_path / "ivf_c_v2.parquet")
+    stats = S.ivf_index_compact(spark, index_path, out_path)
+    assert stats["rows"] == n_total
+    assert stats["files_out"] <= 4 < stats["files_in"]  # one file per list
+    for d in os.listdir(out_path):
+        if d.startswith("__cluster="):
+            parts = [f for f in os.listdir(f"{out_path}/{d}") if f.endswith(".parquet")]
+            assert len(parts) == 1, (d, parts)
+
+    # probe the compacted index: identical rows, still partition-pruned
+    q = b1.limit(1).collect()[0]
+    for path in (index_path, out_path):
+        rows = S.ivf_topk_persisted(
+            spark, path, cents, "embedding", "vec_id",
+            list(q["embedding"]), k=5, n_probe=2,
+        ).collect()
+        assert rows[0]["vec_id"] == q["vec_id"]
+        if path == index_path:
+            expected = [(r["vec_id"], r["cosine"]) for r in rows]
+        else:
+            assert [(r["vec_id"], r["cosine"]) for r in rows] == expected
+
+    # replay of an applied batch no-ops against the COMPACTED path
+    assert S.ivf_index_append(
+        b1, "embedding", "vec_id", out_path, cents, batch_id="c1") is False
+    assert spark.read.parquet(out_path).count() == n_total
