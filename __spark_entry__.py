@@ -889,6 +889,46 @@ def q_embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the compression half of the
+    canonical 100 TB IVF-PQ design (similarity.py train_pq_codebooks/
+    pq_encode/pq_adc_topk): vectors collapse to m_sub=4 small ints
+    (staged once per corpus version), the query becomes a m_sub x
+    k_codes FIXED-POINT lookup table, and scoring is a posexplode +
+    broadcast LUT join + map-side-combined integer sum — so the scan
+    side reads codes ~32x smaller than vectors and the whole score is
+    exact integer arithmetic, hash-checkable against a DuckDB twin
+    doing the same join/sum over the SAME staged codes and LUT. The
+    zero-shuffle literal-LUT form (`pq_adc_topk_inline`) is pinned
+    row-identical and Exchange-free in tests; this query uses the
+    staged/join form precisely so the oracle re-derives it."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stage = _stage_dir(sf_dir)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4, k_codes=16,
+                               n_iter=2)
+    stage_parquet(
+        pq_encode(emb, "embedding", "vec_id", books),
+        f"{stage}/pq_codes.parquet",
+    )
+    q = _query_vec(spark, sf_dir)
+    stage_parquet(
+        spark.createDataFrame(pq_adc_lut(books, q),
+                              "sub int, code int, score_fp long"),
+        f"{stage}/pq_lut.parquet",
+    )
+    codes = spark.read.parquet(f"{stage}/pq_codes.parquet")
+    lut = spark.read.parquet(f"{stage}/pq_lut.parquet")
+    return pq_adc_topk(codes, lut, "vec_id", k=20)
+
+
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of both ANN variants against the exact brute-force top-k —
     the oracle hook for the probabilistic ANN paths: each ANN's chosen id
@@ -2462,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
         "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
+        "embedding_ann_pq": q_embedding_ann_pq,
         "bloom_corpus_membership": q_bloom_corpus_membership,
         "retention_cohorts": q_retention_cohorts,
         "windowed_anomalies": q_windowed_anomalies,
@@ -3136,6 +3177,25 @@ def oracle_sql() -> dict[str, str]:
                          e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
             FROM embeddings e JOIN cand USING (vec_id)
             ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 20
+        """,
+        # PQ/ADC: pure integer arithmetic over the staged codes + LUT —
+        # generate_subscripts/unnest zip positionally in DuckDB, giving
+        # the same (sub, code) pairs Spark's posexplode produces
+        "embedding_ann_pq": f"""
+            WITH expl AS (
+              SELECT vec_id,
+                     generate_subscripts(codes, 1) - 1 AS sub,
+                     unnest(codes) AS code
+              FROM read_parquet('{_STAGE}/pq_codes.parquet/*.parquet')
+            )
+            SELECT e.vec_id,
+                   CAST(SUM(l.score_fp) AS BIGINT) AS adc_score
+            FROM expl e
+            JOIN read_parquet('{_STAGE}/pq_lut.parquet/*.parquet') l
+              USING (sub, code)
+            GROUP BY e.vec_id
+            ORDER BY adc_score DESC, e.vec_id ASC
             LIMIT 20
         """,
         # sampling family: md5 emits identical lowercase hex in both

@@ -473,6 +473,155 @@ def ivf_index_append(
     return True
 
 
+# ------------------------------------------------------ product quantization
+#
+# The compression half of the canonical 100 TB ANN design (IVF-PQ): each
+# vector is chopped into m_sub subspaces and every subvector is replaced
+# by the id of its nearest per-subspace codebook entry — dim x 8 bytes
+# becomes m_sub small ints (32-64x smaller), so the scan side of an ANN
+# query reads codes, not vectors. Scoring is ADC (asymmetric distance
+# computation): the QUERY stays exact, and dot(query, vector) is
+# approximated by sum_s dot(query_s, codebook[s][code_s]) — a per-query
+# lookup table of m_sub x k_codes precomputed scores, so scoring a vector
+# is m_sub integer table lookups, no float math per row.
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 3,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m_sub, k_codes, dim/m_sub).
+
+    Reuses the deterministic distributed Lloyd pass of
+    `train_ivf_centroids` (hash-seeded, combiner-side partial sums —
+    driver sees k_codes x sub_dim doubles per pass) once per subspace:
+    m_sub x n_iter corpus passes, paid once per corpus version like the
+    IVF build itself. The subspace slice is a JVM `slice` projection, so
+    each pass scans only the vector column."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_dim = dim // m_sub
+    books = []
+    for s in range(m_sub):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sub"),
+        )
+        books.append(
+            train_ivf_centroids(sliced, "__sub", id_col, n_list=k_codes, n_iter=n_iter)
+        )
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes array<int>): nearest codebook entry per subspace — one
+    BLAS distance matrix per (subspace, Arrow batch); codebooks ride the
+    closure (m_sub x k_codes x sub_dim doubles, broadcast-sized). This is
+    the staged/maintained artifact: at 100 TB the codes relation is what
+    ADC scans, ~dim*8/m_sub times smaller than the vectors."""
+    books = codebooks
+    m_sub, _, sub_dim = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([list(v) for v in vecs], dtype=np.float64).reshape(
+            len(vecs), m_sub, sub_dim
+        )
+        codes = np.empty((len(vecs), m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            d = ((m[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series([list(row) for row in codes])
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_lut(
+    codebooks: np.ndarray, query: list[float], scale: int = 10**6
+) -> list[tuple[int, int, int]]:
+    """Per-query ADC lookup table: (sub, code, score_fp) where score_fp
+    is the FIXED-POINT dot(query_sub, codebook[sub][code]) — integer
+    surfaces so ADC sums are exact, associative, and hash-identical
+    across engines (the repo-wide cross-engine parity rule). m_sub x
+    k_codes rows — driver-computed, broadcast-sized by construction."""
+    m_sub, k_codes, sub_dim = codebooks.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m_sub, sub_dim)
+    rows = []
+    for s in range(m_sub):
+        dots = codebooks[s] @ q[s]
+        for c in range(k_codes):
+            rows.append((s, c, int(round(dots[c] * scale))))
+    return rows
+
+
+def pq_adc_topk(
+    codes_df: DataFrame, lut_df: DataFrame, id_col: str, k: int = 20
+) -> DataFrame:
+    """ADC top-k over a codes relation: posexplode codes to (id, sub,
+    code), broadcast-join the m_sub x k_codes LUT, sum score_fp per id
+    (map-side partial — exploded rows of one vector are co-located, so
+    the exchange carries one row per vector), TakeOrderedAndProject for
+    the top-k. Output (id, adc_score) is all-integer: hash-exact against
+    a SQL twin over the same staged codes+LUT."""
+    expl = codes_df.select(
+        F.col(id_col), F.posexplode("codes").alias("sub", "code")
+    )
+    return (
+        expl.join(F.broadcast(lut_df), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("score_fp").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_adc_topk_inline(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    id_col: str,
+    k: int = 20,
+    scale: int = 10**6,
+) -> DataFrame:
+    """The zero-shuffle, zero-join ADC form: the LUT is inlined as a
+    literal nested array (m_sub x k_codes longs, a few KB of plan), the
+    score is a JVM transform+aggregate fold over the codes column, and
+    the top-k is TakeOrderedAndProject — ONE narrow scan of the codes
+    relation, no Exchange anywhere (plan-asserted in tests). Identical
+    rows to `pq_adc_topk` by construction (same integer LUT)."""
+    rows = pq_adc_lut(codebooks, query, scale)
+    m_sub, k_codes, _ = codebooks.shape
+    by_sub = [[0] * k_codes for _ in range(m_sub)]
+    for s, c, v in rows:
+        by_sub[s][c] = v
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in by_sub]
+    )
+    per_sub = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(
+            F.element_at(lut_lit, (i + F.lit(1)).cast("int")),
+            (c + F.lit(1)).cast("int"),
+        ),
+    )
+    score = F.aggregate(per_sub, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        codes_df.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_index_compact(
     spark,
     index_path: str,

@@ -855,3 +855,66 @@ def test_ivf_index_compact_preserves_layout_markers_and_results(spark, sf_dir, t
     assert S.ivf_index_append(
         b1, "embedding", "vec_id", out_path, cents, batch_id="c1") is False
     assert spark.read.parquet(out_path).count() == n_total
+
+
+def test_pq_adc_inline_matches_join_form_and_is_exchange_free(spark, sf_dir):
+    """The literal-LUT ADC fold must return exactly the staged/join
+    form's rows (same integer LUT -> same sums), with a plan that is ONE
+    narrow scan: no Exchange, no join, top-k via TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = S.train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4,
+                                 k_codes=16, n_iter=2)
+    codes = S.pq_encode(emb, "embedding", "vec_id", books)
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    lut = spark.createDataFrame(S.pq_adc_lut(books, q),
+                                "sub int, code int, score_fp long")
+    joined = [(r["vec_id"], r["adc_score"])
+              for r in S.pq_adc_topk(codes, lut, "vec_id", k=20).collect()]
+    inline_df = S.pq_adc_topk_inline(codes, books, q, "vec_id", k=20)
+    inline = [(r["vec_id"], r["adc_score"]) for r in inline_df.collect()]
+    assert inline == joined and len(joined) == 20
+    # a corpus vector's own codes maximize its own LUT: self-recovery
+    assert joined[0][0] == 0
+
+    # plan shape on the production path (codes read back from parquet,
+    # where an ANN serving job would scan them)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        codes.write.parquet(f"{td}/codes.parquet")
+        staged = spark.read.parquet(f"{td}/codes.parquet")
+        p = S.pq_adc_topk_inline(staged, books, q, "vec_id", k=20) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "TakeOrderedAndProject" in p
+        assert "Join" not in p
+
+
+def test_pq_rerank_recovers_recall_over_raw_adc(spark, sf_dir):
+    """The production IVF-PQ composition: ADC is a coarse integer filter
+    (recall@20 is mediocre on near-orthogonal synthetic vectors by
+    design), so serving re-ranks the ADC top-C with exact cosine —
+    recall@20 after re-ranking top-100 must strictly beat raw ADC and
+    the re-rank must contain the true top-1."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = S.train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4,
+                                 k_codes=16, n_iter=2)
+    codes = S.pq_encode(emb, "embedding", "vec_id", books)
+    q = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    lut = spark.createDataFrame(S.pq_adc_lut(books, q),
+                                "sub int, code int, score_fp long")
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb, "embedding", "vec_id", q, k=20).collect()]
+
+    adc20 = {r["vec_id"] for r in S.pq_adc_topk(codes, lut, "vec_id", k=20).collect()}
+    cand = S.pq_adc_topk(codes, lut, "vec_id", k=100).select("vec_id")
+    rerank = [r["vec_id"] for r in S.brute_force_topk(
+        cand.join(emb, "vec_id"), "embedding", "vec_id", q, k=20).collect()]
+
+    recall_adc = len(adc20 & set(exact)) / 20
+    recall_rr = len(set(rerank) & set(exact)) / 20
+    assert rerank[0] == exact[0] == 7
+    assert recall_rr > recall_adc
