@@ -929,6 +929,64 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, lut, "vec_id", k=20)
 
 
+def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ serving composition — what a 100 TB ANN deployment
+    actually runs per query: (1) coarse-quantizer probe prunes the scan
+    to n_probe list PARTITIONS of the codes relation (which is ~32x
+    smaller than the vectors to begin with), (2) fixed-point ADC ranks
+    every code row in the probed lists via the broadcast LUT — integer
+    arithmetic only, (3) the ADC top-C candidate set is re-ranked with
+    exact cosine for the final top-k. The oracle re-derives ALL THREE
+    stages independently in SQL from the same staged artifacts (pruned
+    hive-partitioned codes, LUT, probe list) — candidate selection is not
+    taken on faith. Simplification vs canonical FAISS IVF-PQ: codes
+    quantize raw vectors, not per-list residuals; residual encoding is
+    the accuracy refinement, the data layout and query shape (the things
+    that matter at 100 TB) are identical."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        nearest_lists,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stage = _stage_dir(sf_dir)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4, k_codes=16,
+                               n_iter=2)
+    centroids = train_ivf_centroids(emb, "embedding", "vec_id", n_list=16,
+                                    n_iter=3)
+    stage_parquet(
+        pq_encode(ivf_assign(emb, "embedding", centroids), "embedding",
+                  "vec_id", books, extra_cols=["__cluster"]),
+        f"{stage}/pq_ivf_codes.parquet",
+        partition_by="__cluster",
+    )
+    q = _query_vec(spark, sf_dir)
+    probes = nearest_lists(centroids, q, n_probe=4)
+    stage_parquet(
+        spark.createDataFrame([(int(c),) for c in probes], "cluster int"),
+        f"{stage}/pq_ivf_probes.parquet",
+    )
+    stage_parquet(
+        spark.createDataFrame(pq_adc_lut(books, q),
+                              "sub int, code int, score_fp long"),
+        f"{stage}/pq_ivf_lut.parquet",
+    )
+    codes = spark.read.parquet(f"{stage}/pq_ivf_codes.parquet").where(
+        F.col("__cluster").isin([int(c) for c in probes])
+    )
+    lut = spark.read.parquet(f"{stage}/pq_ivf_lut.parquet")
+    cand = pq_adc_topk(codes, lut, "vec_id", k=100).select("vec_id")
+    return brute_force_topk(cand.join(emb, "vec_id"), "embedding", "vec_id",
+                            q, k=20)
+
+
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of both ANN variants against the exact brute-force top-k —
     the oracle hook for the probabilistic ANN paths: each ANN's chosen id
@@ -2503,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
         "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
         "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
         "bloom_corpus_membership": q_bloom_corpus_membership,
         "retention_cohorts": q_retention_cohorts,
         "windowed_anomalies": q_windowed_anomalies,
@@ -3196,6 +3255,35 @@ def oracle_sql() -> dict[str, str]:
               USING (sub, code)
             GROUP BY e.vec_id
             ORDER BY adc_score DESC, e.vec_id ASC
+            LIMIT 20
+        """,
+        # full IVF-PQ: the oracle re-derives probe pruning, integer ADC
+        # ranking, and the exact re-rank — all three serving stages
+        "embedding_ann_ivfpq": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            probes AS (SELECT cluster
+                       FROM read_parquet('{_STAGE}/pq_ivf_probes.parquet/*.parquet')),
+            codes AS (SELECT vec_id, codes
+                      FROM read_parquet('{_STAGE}/pq_ivf_codes.parquet/*/*.parquet',
+                                        hive_partitioning = true)
+                      WHERE __cluster IN (SELECT cluster FROM probes)),
+            expl AS (SELECT vec_id,
+                            generate_subscripts(codes, 1) - 1 AS sub,
+                            unnest(codes) AS code
+                     FROM codes),
+            adc AS (SELECT vec_id, SUM(l.score_fp) AS s
+                    FROM expl
+                    JOIN read_parquet('{_STAGE}/pq_ivf_lut.parquet/*.parquet') l
+                      USING (sub, code)
+                    GROUP BY vec_id
+                    ORDER BY s DESC, vec_id ASC
+                    LIMIT 100)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e JOIN adc USING (vec_id)
+            ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 20
         """,
         # sampling family: md5 emits identical lowercase hex in both

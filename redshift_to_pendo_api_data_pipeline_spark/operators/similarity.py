@@ -520,13 +520,19 @@ def train_pq_codebooks(
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, id_col: str, codebooks: np.ndarray
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: np.ndarray,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>): nearest codebook entry per subspace — one
-    BLAS distance matrix per (subspace, Arrow batch); codebooks ride the
-    closure (m_sub x k_codes x sub_dim doubles, broadcast-sized). This is
-    the staged/maintained artifact: at 100 TB the codes relation is what
-    ADC scans, ~dim*8/m_sub times smaller than the vectors."""
+    """(id, codes array<int> [, extra_cols...]): nearest codebook entry
+    per subspace — one BLAS distance matrix per (subspace, Arrow batch);
+    codebooks ride the closure (m_sub x k_codes x sub_dim doubles,
+    broadcast-sized). This is the staged/maintained artifact: at 100 TB
+    the codes relation is what ADC scans, ~dim*8/m_sub times smaller than
+    the vectors. ``extra_cols`` (e.g. the coarse-quantizer ``__cluster``
+    for an IVF-PQ layout) pass through the same single projection."""
     books = codebooks
     m_sub, _, sub_dim = books.shape
 
@@ -543,7 +549,9 @@ def pq_encode(
             codes[:, s] = np.argmin(d, axis=1)
         return pd.Series([list(row) for row in codes])
 
-    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+    cols = [F.col(id_col), _enc(F.col(vec_col)).alias("codes")]
+    cols += [F.col(c) for c in (extra_cols or [])]
+    return df.select(*cols)
 
 
 def pq_adc_lut(

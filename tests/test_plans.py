@@ -267,3 +267,17 @@ def test_retention_cohorts_single_scan(spark):
     p = plan_of("retention_cohorts", spark)
     assert p.count("Scan parquet") == 1
     assert "Window" in p
+
+
+def test_ivfpq_probe_partition_pruned_and_jvm(spark):
+    """IVF-PQ serving plan: the codes scan carries PartitionFilters on
+    __cluster (only probed lists are read), the ADC join broadcasts the
+    LUT, the re-rank join broadcasts the 100-row candidate set — no
+    SortMergeJoin, no Python anywhere (staging happened at plan
+    construction)."""
+    p = plan_of("embedding_ann_ivfpq", spark)
+    assert "PartitionFilters" in p and "__cluster" in p.split("PartitionFilters")[1][:300]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    for node in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in p
