@@ -737,7 +737,11 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return prefix_filtered_jaccard_pairs(docs, "text", "doc_id", "source", 0.5)
+    # stage the SSJoin index once: four plan branches consume it
+    return prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", "source", 0.5,
+        stage_path=f"{_stage_dir(sf_dir)}/ssjoin_words.parquet",
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1354,6 +1358,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = prefix_filtered_jaccard_pairs(
         docs.withColumn("__all", F.lit(1)), "text", "doc_id", "__all",
         threshold=0.8, n=3,
+        stage_path=f"{_stage_dir(sf_dir)}/ssjoin_3grams.parquet",
     )
     lsh = minhash_dedup_pairs_staged(
         docs, "text", "doc_id",

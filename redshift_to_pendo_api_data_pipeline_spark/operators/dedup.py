@@ -774,6 +774,7 @@ def prefix_filtered_jaccard_pairs(
     block_col: str,
     threshold: float = 0.5,
     n: int = 1,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """EXACT set-Jaccard self-join via prefix filtering (the
     SSJoin/PPJoin family) — same output as the blocked all-pairs form,
@@ -799,7 +800,17 @@ def prefix_filtered_jaccard_pairs(
     array_intersect verify on candidates only, with the lossless
     size-band prune (t*|B| <= |A| <= |B|/t) applied before any array
     work. Every stage is linear or candidate-bounded; nothing is
-    quadratic in block size."""
+    quadratic in block size.
+
+    ``stage_path``: the frequency-sorted token-set relation (the SSJoin
+    index) feeds FOUR plan branches (both prefix-index sides + both
+    verify sides) — Spark re-executes the tokenize/df-rank/re-agg
+    subtree per branch, so without staging the expensive part of the
+    pipeline runs 4x. Passing a path materializes it ONCE and the four
+    branches become four scans of a compact parquet (doc, blk, sorted
+    token hashes, size) — the same stage-once/probe-many discipline as
+    the signature families, and the artifact a production SSJoin keeps
+    anyway."""
     words_df = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
@@ -829,6 +840,11 @@ def prefix_filtered_jaccard_pairs(
             F.size("ws").alias("n"),
         )
     )
+    if stage_path is not None:
+        from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+        stage_parquet(per_doc, stage_path)
+        per_doc = df.sparkSession.read.parquet(stage_path)
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     pref = per_doc.select(
         "doc", "blk", "n", F.explode(F.slice("w", 1, prefix_len)).alias("tok")
