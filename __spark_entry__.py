@@ -942,17 +942,25 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic only, (3) the ADC top-C candidate set is re-ranked with
     exact cosine for the final top-k. The oracle re-derives ALL THREE
     stages independently in SQL from the same staged artifacts (pruned
-    hive-partitioned codes, LUT, probe list) — candidate selection is not
-    taken on faith. Simplification vs canonical FAISS IVF-PQ: codes
-    quantize raw vectors, not per-list residuals; residual encoding is
-    the accuracy refinement, the data layout and query shape (the things
-    that matter at 100 TB) are identical."""
+    hive-partitioned codes, LUT + per-list offsets, probe list) —
+    candidate selection is not taken on faith.
+
+    RESIDUAL encoding (canonical FAISS IVF-PQ): codes quantize
+    v - centroid[__cluster], not the raw vector, so the codebook budget
+    describes what the coarse quantizer didn't explain; the score
+    decomposes as dot(q, centroid_c) — one fixed-point scalar per list —
+    plus the residual LUT sum, still exact integer arithmetic
+    end-to-end. The residual relation is staged once so the m_sub x
+    n_iter codebook training passes scan a materialized table instead of
+    re-running the assignment UDF per pass."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
         ivf_assign,
+        ivf_residuals,
+        ivfpq_adc_topk,
         nearest_lists,
         pq_adc_lut,
-        pq_adc_topk,
+        pq_cluster_offsets,
         pq_encode,
         train_ivf_centroids,
         train_pq_codebooks,
@@ -961,13 +969,21 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     stage = _stage_dir(sf_dir)
-    books = train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4, k_codes=16,
-                               n_iter=2)
     centroids = train_ivf_centroids(emb, "embedding", "vec_id", n_list=16,
                                     n_iter=3)
+    assigned = ivf_assign(emb, "embedding", centroids)
     stage_parquet(
-        pq_encode(ivf_assign(emb, "embedding", centroids), "embedding",
-                  "vec_id", books, extra_cols=["__cluster"]),
+        assigned.select(
+            "vec_id", "__cluster",
+            ivf_residuals(assigned, "embedding", centroids).alias("__res"),
+        ),
+        f"{stage}/pq_ivf_residuals.parquet",
+    )
+    res = spark.read.parquet(f"{stage}/pq_ivf_residuals.parquet")
+    books = train_pq_codebooks(res, "__res", "vec_id", m_sub=4, k_codes=16,
+                               n_iter=2)
+    stage_parquet(
+        pq_encode(res, "__res", "vec_id", books, extra_cols=["__cluster"]),
         f"{stage}/pq_ivf_codes.parquet",
         partition_by="__cluster",
     )
@@ -982,11 +998,17 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "sub int, code int, score_fp long"),
         f"{stage}/pq_ivf_lut.parquet",
     )
+    stage_parquet(
+        spark.createDataFrame(pq_cluster_offsets(centroids, q),
+                              "cluster int, offset_fp long"),
+        f"{stage}/pq_ivf_offsets.parquet",
+    )
     codes = spark.read.parquet(f"{stage}/pq_ivf_codes.parquet").where(
         F.col("__cluster").isin([int(c) for c in probes])
     )
     lut = spark.read.parquet(f"{stage}/pq_ivf_lut.parquet")
-    cand = pq_adc_topk(codes, lut, "vec_id", k=100).select("vec_id")
+    offsets = spark.read.parquet(f"{stage}/pq_ivf_offsets.parquet")
+    cand = ivfpq_adc_topk(codes, lut, offsets, "vec_id", k=100).select("vec_id")
     return brute_force_topk(cand.join(emb, "vec_id"), "embedding", "vec_id",
                             q, k=20)
 
@@ -3262,27 +3284,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_score DESC, e.vec_id ASC
             LIMIT 20
         """,
-        # full IVF-PQ: the oracle re-derives probe pruning, integer ADC
-        # ranking, and the exact re-rank — all three serving stages
+        # full IVF-PQ (residual encoding): the oracle re-derives probe
+        # pruning, the integer residual-ADC ranking (per-list offset +
+        # LUT sum), and the exact re-rank — all three serving stages
         "embedding_ann_ivfpq": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id = 0),
             probes AS (SELECT cluster
                        FROM read_parquet('{_STAGE}/pq_ivf_probes.parquet/*.parquet')),
-            codes AS (SELECT vec_id, codes
+            codes AS (SELECT vec_id, codes, __cluster
                       FROM read_parquet('{_STAGE}/pq_ivf_codes.parquet/*/*.parquet',
                                         hive_partitioning = true)
                       WHERE __cluster IN (SELECT cluster FROM probes)),
-            expl AS (SELECT vec_id,
+            expl AS (SELECT vec_id, __cluster,
                             generate_subscripts(codes, 1) - 1 AS sub,
                             unnest(codes) AS code
                      FROM codes),
-            adc AS (SELECT vec_id, SUM(l.score_fp) AS s
-                    FROM expl
+            adc AS (SELECT e.vec_id, SUM(l.score_fp) + MAX(o.offset_fp) AS s
+                    FROM expl e
                     JOIN read_parquet('{_STAGE}/pq_ivf_lut.parquet/*.parquet') l
                       USING (sub, code)
-                    GROUP BY vec_id
-                    ORDER BY s DESC, vec_id ASC
+                    JOIN read_parquet('{_STAGE}/pq_ivf_offsets.parquet/*.parquet') o
+                      ON o.cluster = e.__cluster
+                    GROUP BY e.vec_id
+                    ORDER BY s DESC, e.vec_id ASC
                     LIMIT 100)
             SELECT e.vec_id,
                    round(list_cosine_similarity(

@@ -630,6 +630,68 @@ def pq_adc_topk_inline(
     )
 
 
+def ivf_residuals(assigned: DataFrame, vec_col: str, centroids: np.ndarray):
+    """Column expression: the residual v - centroid[__cluster] — what
+    canonical IVF-PQ quantizes instead of the raw vector (residuals are
+    centered near zero, so the same codebook budget spends its entries
+    on the part of the vector the coarse quantizer didn't explain).
+    Pure JVM: centroids inline as a literal nested array (n_list x dim
+    doubles), the subtraction is one zip_with — no Python, no join."""
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in centroids
+    ])
+    return F.zip_with(
+        F.col(vec_col),
+        F.element_at(cent_lit, (F.col("__cluster") + F.lit(1)).cast("int")),
+        lambda x, c: x - c,
+    )
+
+
+def pq_cluster_offsets(
+    centroids: np.ndarray, query: list[float], scale: int = 10**6
+) -> list[tuple[int, int]]:
+    """Per-list ADC offset for residual encoding: with v = centroid_c +
+    r, dot(q, v) = dot(q, centroid_c) + dot(q, r) — the first term is
+    one FIXED-POINT scalar per list (n_list rows, broadcast-sized), the
+    second is the residual LUT sum. Same integer-exactness contract as
+    pq_adc_lut."""
+    q = np.asarray(query, dtype=np.float64)
+    return [
+        (int(c), int(round(float(centroids[c] @ q) * scale)))
+        for c in range(len(centroids))
+    ]
+
+
+def ivfpq_adc_topk(
+    codes_df: DataFrame,
+    lut_df: DataFrame,
+    offsets_df: DataFrame,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Residual-ADC top-k: codes rows carry (__cluster, codes); score =
+    offset_fp[__cluster] + sum_s LUT[s][code_s], all integer. Both side
+    tables broadcast (m_sub x k_codes and n_list rows); the only
+    exchange is the map-side-combined per-vector sum."""
+    expl = codes_df.select(
+        F.col(id_col), F.col("__cluster"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    return (
+        expl.join(F.broadcast(lut_df), ["sub", "code"])
+        .groupBy(id_col, "__cluster")
+        .agg(F.sum("score_fp").alias("__r"))
+        .join(F.broadcast(offsets_df),
+              F.col("__cluster") == F.col("cluster"))
+        .select(
+            F.col(id_col),
+            (F.col("__r") + F.col("offset_fp")).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_index_compact(
     spark,
     index_path: str,
