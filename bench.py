@@ -271,6 +271,7 @@ def main() -> None:
         "bucketed_neardup_recall", "semantic_dedup",
         "embedding_topk", "embedding_ann_lsh", "embedding_ann_ivf",
         "embedding_ann_ivf_persisted", "embedding_ann_recall",
+        "embedding_ann_pq", "embedding_ann_ivfpq",
         "bpe_merge_pairs", "tfidf_top_terms", "distinctive_terms",
         "text_analysis", "media_decode_stats",
     ]

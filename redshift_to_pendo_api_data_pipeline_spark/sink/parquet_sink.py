@@ -43,15 +43,56 @@ def append_to_version(df: DataFrame, path: str, version: int) -> None:
         .partitionBy("version").parquet(path)
 
 
+def _fs(path: str):
+    """Hadoop FileSystem for ``path`` via the active session — the
+    pointer file must live on whatever scheme backs the table (file://,
+    hdfs://, s3a://); driver-local pathlib would silently scope the
+    ACTIVATE_VERSION contract to the driver's own disk. Falls back to
+    None (pathlib path) only when no session exists (plain-Python
+    tooling against a local table)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, None
+    from redshift_to_pendo_api_data_pipeline_spark.staging import _hadoop_fs
+
+    return _hadoop_fs(spark, path)
+
+
 def activate(path: str, version: int) -> None:
-    """The ACTIVATE_VERSION swap: atomic pointer flip (rename)."""
+    """The ACTIVATE_VERSION swap: atomic pointer flip. Through the
+    Hadoop FS the pointer is one small create-with-overwrite — a single
+    atomic PUT on object stores, close-visible on HDFS; the local
+    fallback keeps the POSIX tmp+rename."""
+    fs, _ = _fs(path)
+    body = json.dumps({"version": version})
+    if fs is not None:
+        from redshift_to_pendo_api_data_pipeline_spark.staging import fs_touch
+
+        fs_touch(SparkSession.getActiveSession(), f"{path}/{_ACTIVE_FILE}", body)
+        return
     p = Path(path) / _ACTIVE_FILE
     tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"version": version}))
+    tmp.write_text(body)
     tmp.replace(p)  # atomic on POSIX
 
 
 def active_version(path: str) -> int | None:
+    fs, _ = _fs(path)
+    if fs is not None:
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        ptr = jvm.org.apache.hadoop.fs.Path(f"{path}/{_ACTIVE_FILE}")
+        pfs = ptr.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not pfs.exists(ptr):
+            return None
+        stream = pfs.open(ptr)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return int(json.loads(text)["version"])
     p = Path(path) / _ACTIVE_FILE
     if not p.exists():
         return None
@@ -68,12 +109,25 @@ def read_active(spark: SparkSession, path: str) -> DataFrame:
 
 
 def vacuum(path: str) -> list[int]:
-    """Drop every deactivated version directory; returns dropped ids."""
+    """Drop every deactivated version directory; returns dropped ids.
+    Listing and deletes go through the Hadoop FS so retention works on
+    the same scheme the table lives on."""
     keep = active_version(path)
     dropped = []
+    fs, root = _fs(path)
+    if fs is not None:
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("version="):
+                continue
+            v = int(name.split("=")[1])
+            if v != keep:
+                fs.delete(status.getPath(), True)
+                dropped.append(v)
+        return sorted(dropped)
     for d in Path(path).glob("version=*"):
         v = int(d.name.split("=")[1])
         if v != keep:
             shutil.rmtree(d)
             dropped.append(v)
-    return dropped
+    return sorted(dropped)

@@ -67,6 +67,27 @@ def fs_touch(spark, path: str, content: str = "committed\n") -> None:
         out.close()
 
 
+def fs_read_text(spark, path: str) -> str:
+    """Read a small marker/pointer file through the Hadoop FS."""
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def fs_delete(spark, path: str) -> bool:
+    """Recursive delete through the Hadoop FS; True if anything was
+    removed."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
+
+
 def stage_parquet(df: DataFrame, path: str, partition_by: str | None = None) -> bool:
     """Write ``df`` to ``path`` as the staged artifact. Returns True if a
     write happened, False when ``SPARK_GRAFT_STAGE_REUSE=1`` and a

@@ -85,9 +85,6 @@ def run_continuous_agg(
     spark = events.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-        from pathlib import Path
-
         # version id == batch id, activation is the commit point: a
         # checkpoint-replayed batch either finds its version already
         # active (fully applied -> no-op) or rebuilds that version from
@@ -99,10 +96,19 @@ def run_continuous_agg(
         v = int(batch_id)
         active = PS.active_version(rollup_path)
 
-        marker = Path(rollup_path) / _CHECKPOINT_MARKER
+        # marker I/O through the Hadoop FS: the ownership contract must
+        # hold on whatever scheme backs the rollup, not just local disk
+        from redshift_to_pendo_api_data_pipeline_spark.staging import (
+            fs_delete,
+            fs_exists,
+            fs_read_text,
+            fs_touch,
+        )
+
+        marker = f"{rollup_path}/{_CHECKPOINT_MARKER}"
         cid = _checkpoint_query_id(checkpoint_dir)
-        if marker.exists():
-            owner = marker.read_text().strip()
+        if fs_exists(spark, marker):
+            owner = fs_read_text(spark, marker).strip()
             if cid is not None and owner != cid:
                 raise RuntimeError(
                     f"rollup at {rollup_path} is owned by checkpoint query "
@@ -119,8 +125,7 @@ def run_continuous_agg(
                     "— batch ids from this checkpoint cannot be compared "
                     "to its versions. Start a new rollup path."
                 )
-            marker.parent.mkdir(parents=True, exist_ok=True)
-            marker.write_text(cid)
+            fs_touch(spark, marker, cid)
 
         if active is not None and active >= v:
             if active > v:
@@ -137,7 +142,7 @@ def run_continuous_agg(
         else:
             cur = PS.read_active(spark, rollup_path).select(*keys, *ROLLUP_COLS)
             merged = _merge(cur, part, keys)
-        shutil.rmtree(Path(rollup_path) / f"version={v}", ignore_errors=True)
+        fs_delete(spark, f"{rollup_path}/version={v}")
         PS.write_versioned(merged, rollup_path, v, mode="append")
         PS.activate(rollup_path, v)
 
