@@ -910,14 +910,15 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_lut,
         pq_adc_topk,
         pq_encode,
-        train_pq_codebooks,
+        staged_pq_codebooks,
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     stage = _stage_dir(sf_dir)
-    books = train_pq_codebooks(emb, "embedding", "vec_id", m_sub=4, k_codes=16,
-                               n_iter=2)
+    books = staged_pq_codebooks(emb, "embedding", "vec_id",
+                                f"{stage}/pq_books.parquet",
+                                m_sub=4, k_codes=16, n_iter=2)
     stage_parquet(
         pq_encode(emb, "embedding", "vec_id", books),
         f"{stage}/pq_codes.parquet",
@@ -962,15 +963,16 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_lut,
         pq_cluster_offsets,
         pq_encode,
-        train_ivf_centroids,
-        train_pq_codebooks,
+        staged_ivf_centroids,
+        staged_pq_codebooks,
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     stage = _stage_dir(sf_dir)
-    centroids = train_ivf_centroids(emb, "embedding", "vec_id", n_list=16,
-                                    n_iter=3)
+    centroids = staged_ivf_centroids(emb, "embedding", "vec_id",
+                                     f"{stage}/pq_ivf_centroids.parquet",
+                                     n_list=16, n_iter=3)
     assigned = ivf_assign(emb, "embedding", centroids)
     stage_parquet(
         assigned.select(
@@ -980,8 +982,9 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{stage}/pq_ivf_residuals.parquet",
     )
     res = spark.read.parquet(f"{stage}/pq_ivf_residuals.parquet")
-    books = train_pq_codebooks(res, "__res", "vec_id", m_sub=4, k_codes=16,
-                               n_iter=2)
+    books = staged_pq_codebooks(res, "__res", "vec_id",
+                                f"{stage}/pq_ivf_books.parquet",
+                                m_sub=4, k_codes=16, n_iter=2)
     stage_parquet(
         pq_encode(res, "__res", "vec_id", books, extra_cols=["__cluster"]),
         f"{stage}/pq_ivf_codes.parquet",

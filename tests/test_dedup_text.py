@@ -918,3 +918,49 @@ def test_pq_rerank_recovers_recall_over_raw_adc(spark, sf_dir):
     recall_rr = len(set(rerank) & set(exact)) / 20
     assert rerank[0] == exact[0] == 7
     assert recall_rr > recall_adc
+
+
+def test_residual_adc_score_matches_reconstruction_dot(spark, sf_dir):
+    """Residual IVF-PQ exactness contract: for every vector, the integer
+    ADC score (per-list offset + residual LUT sum) must equal the
+    fixed-point dot product of the query with the RECONSTRUCTION
+    (centroid + decoded residual) within the rounding budget — each of
+    the m_sub+1 fixed-point terms rounds independently, so the bound is
+    (m_sub+1)/2 units, not approximate-similarity hand-waving."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).where(F.col("vec_id") < 200)
+    cents = S.train_ivf_centroids(emb, "embedding", "vec_id", n_list=8, n_iter=2)
+    assigned = S.ivf_assign(emb, "embedding", cents)
+    res = assigned.select(
+        "vec_id", "__cluster",
+        S.ivf_residuals(assigned, "embedding", cents).alias("__res"),
+    )
+    books = S.train_pq_codebooks(res, "__res", "vec_id", m_sub=4, k_codes=8,
+                                 n_iter=2)
+    codes = S.pq_encode(res, "__res", "vec_id", books,
+                        extra_cols=["__cluster"])
+    q_row = emb.where(F.col("vec_id") == 3).first()
+    q = list(q_row["embedding"])
+    lut = spark.createDataFrame(S.pq_adc_lut(books, q),
+                                "sub int, code int, score_fp long")
+    offs = spark.createDataFrame(S.pq_cluster_offsets(cents, q),
+                                 "cluster int, offset_fp long")
+    got = {r["vec_id"]: r["adc_score"] for r in
+           S.ivfpq_adc_topk(codes, lut, offs, "vec_id", k=200).collect()}
+
+    qv = np.asarray(q)
+    m_sub, _, sub_dim = books.shape
+    scale = 10**6
+    checked = 0
+    for r in codes.collect():
+        recon = np.array(cents[r["__cluster"]], dtype=np.float64).copy()
+        for s, c in enumerate(r["codes"]):
+            recon[s * sub_dim:(s + 1) * sub_dim] += books[s][c]
+        expect = float(qv @ recon) * scale
+        if r["vec_id"] in got:
+            assert abs(got[r["vec_id"]] - expect) <= (m_sub + 1) / 2 + 1e-6
+            checked += 1
+    assert checked == 200
