@@ -934,26 +934,12 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, lut, "vec_id", k=20)
 
 
-def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL IVF-PQ serving composition — what a 100 TB ANN deployment
-    actually runs per query: (1) coarse-quantizer probe prunes the scan
-    to n_probe list PARTITIONS of the codes relation (which is ~32x
-    smaller than the vectors to begin with), (2) fixed-point ADC ranks
-    every code row in the probed lists via the broadcast LUT — integer
-    arithmetic only, (3) the ADC top-C candidate set is re-ranked with
-    exact cosine for the final top-k. The oracle re-derives ALL THREE
-    stages independently in SQL from the same staged artifacts (pruned
-    hive-partitioned codes, LUT + per-list offsets, probe list) —
-    candidate selection is not taken on faith.
-
-    RESIDUAL encoding (canonical FAISS IVF-PQ): codes quantize
-    v - centroid[__cluster], not the raw vector, so the codebook budget
-    describes what the coarse quantizer didn't explain; the score
-    decomposes as dot(q, centroid_c) — one fixed-point scalar per list —
-    plus the residual LUT sum, still exact integer arithmetic
-    end-to-end. The residual relation is staged once so the m_sub x
-    n_iter codebook training passes scan a materialized table instead of
-    re-running the assignment UDF per pass."""
+def _ivfpq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """The IVF-PQ serving pipeline (residual encoding) shared by the
+    certified query and the recall audit: stage quantizer + codebooks +
+    codes + per-query LUT/offsets/probes, then partition-pruned
+    residual-ADC top-100 -> exact re-rank top-k. All stage paths are
+    deterministic, so every caller converges on identical artifacts."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
         ivf_assign,
@@ -1013,11 +999,35 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = spark.read.parquet(f"{stage}/pq_ivf_offsets.parquet")
     cand = ivfpq_adc_topk(codes, lut, offsets, "vec_id", k=100).select("vec_id")
     return brute_force_topk(cand.join(emb, "vec_id"), "embedding", "vec_id",
-                            q, k=20)
+                            q, k=k)
+
+
+def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ serving composition — what a 100 TB ANN deployment
+    actually runs per query: (1) coarse-quantizer probe prunes the scan
+    to n_probe list PARTITIONS of the codes relation (which is ~32x
+    smaller than the vectors to begin with), (2) fixed-point ADC ranks
+    every code row in the probed lists via the broadcast LUT — integer
+    arithmetic only, (3) the ADC top-C candidate set is re-ranked with
+    exact cosine for the final top-k. The oracle re-derives ALL THREE
+    stages independently in SQL from the same staged artifacts (pruned
+    hive-partitioned codes, LUT + per-list offsets, probe list) —
+    candidate selection is not taken on faith.
+
+    RESIDUAL encoding (canonical FAISS IVF-PQ): codes quantize
+    v - centroid[__cluster], not the raw vector, so the codebook budget
+    describes what the coarse quantizer didn't explain; the score
+    decomposes as dot(q, centroid_c) — one fixed-point scalar per list —
+    plus the residual LUT sum, still exact integer arithmetic
+    end-to-end. The residual relation is staged once so the m_sub x
+    n_iter codebook training passes scan a materialized table instead of
+    re-running the assignment UDF per pass."""
+    return _ivfpq_topk(spark, sf_dir, k=20)
 
 
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of both ANN variants against the exact brute-force top-k —
+    """Recall@k of all three ANN variants (hyperplane LSH, IVF, residual
+    IVF-PQ) against the exact brute-force top-k —
     the oracle hook for the probabilistic ANN paths: each ANN's chosen id
     set is staged to the lake, Spark computes recall against its own
     exact top-k, and the DuckDB twin recomputes recall from the staged
@@ -1042,6 +1052,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for algo, topk in (
         ("lsh", lsh_topk(emb, "embedding", "vec_id", q, k=k)),
         ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16, n_probe=4)),
+        ("ivfpq", _ivfpq_topk(spark, sf_dir, k=k)),
     ):
         path = f"{stage}/ann_{algo}_topk.parquet"
         stage_parquet(topk.select("vec_id"), path)
@@ -1051,7 +1062,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(F.lit(algo).alias("algo"), F.lit(k).alias("k"), "n_hits")
         )
-    return out[0].unionByName(out[1])
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3360,6 +3371,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf', 20, CAST(count(*) AS BIGINT)
             FROM ivf JOIN exact USING (vec_id)
+            UNION ALL
+            SELECT 'ivfpq', 20, CAST(count(*) AS BIGINT)
+            FROM read_parquet('{_STAGE}/ann_ivfpq_topk.parquet/*.parquet')
+            JOIN exact USING (vec_id)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE
