@@ -108,6 +108,77 @@ class PilCodec(Codec):
 RealCodec = PilCodec
 
 
+class WavCodec(Codec):
+    """REAL audio codec with zero external dependencies: RIFF/WAVE PCM
+    via the stdlib ``wave`` module — unlike PilCodec this path actually
+    decodes in any Python environment, so the multimodal pipeline has
+    one fully-real codec certified end-to-end (header parse, PCM frame
+    extraction, amplitude stats), not just the FakeCodec stand-in.
+
+    Mapping onto the Codec surface:
+    - decode_stats: n_bytes/digest plus mean/std of the |int16| PCM
+      amplitude (mono-mixed) — the audio analog of pixel stats;
+    - thumbnail(w, h): a w*h-byte waveform envelope (mean |amplitude|
+      per window, scaled to u8) — what a UI renders as the clip preview;
+    - sample_frames(every_n): every n-th 1024-sample PCM chunk as raw
+      bytes — the feature-extraction windowing shape.
+    """
+
+    _CHUNK = 1024
+
+    @staticmethod
+    def _pcm(payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width != 2:
+            raise ValueError(f"WavCodec supports 16-bit PCM, got width {width}")
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        if n_ch > 1:
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+        return samples, rate
+
+    def decode_stats(self, payload: bytes) -> dict:
+        samples, _ = self._pcm(payload)
+        amp = np.abs(samples)
+        return {
+            "n_bytes": len(payload),
+            "mean": float(amp.mean()) if amp.size else 0.0,
+            "std": float(amp.std()) if amp.size else 0.0,
+            "digest": hashlib.md5(payload).hexdigest(),
+        }
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
+        samples, _ = self._pcm(payload)
+        n_out = w * h
+        if samples.size == 0:
+            return bytes(n_out)
+        amp = np.abs(samples)
+        bounds = np.linspace(0, amp.size, n_out + 1).astype(np.int64)
+        env = np.array([
+            amp[a:b].mean() if b > a else 0.0
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ])
+        peak = env.max()
+        if peak > 0:
+            env = env / peak * 255.0
+        return env.astype(np.uint8).tobytes()
+
+    def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
+        samples, _ = self._pcm(payload)
+        pcm = samples.astype("<i2")
+        chunks = [
+            pcm[i : i + self._CHUNK].tobytes()
+            for i in range(0, max(len(pcm), 1), self._CHUNK)
+        ]
+        return chunks[::every_n]
+
+
 def default_codec() -> Codec:
     """The codec the operators use when none is passed: the real Pillow
     path when importable, else the deterministic FakeCodec (with a

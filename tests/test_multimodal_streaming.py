@@ -625,3 +625,62 @@ def test_streaming_funnel_same_timestamp_events_scan_in_funnel_order(spark):
     assert sorted(reaches) == [
         (1, 0, "signup"), (1, 1, "view"), (1, 2, "purchase"),
     ]
+
+
+def test_wav_codec_real_decode_through_spark_pipeline(spark):
+    """WavCodec is the one fully-REAL codec certifiable in this sandbox
+    (stdlib wave, no Pillow/av needed): synthesize 16-bit PCM WAVs,
+    push them through the actual Spark operators (decode_stats /
+    sampled_frames / thumbnails over mapInPandas), and pin the outputs
+    to numpy ground truth computed from the same PCM."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators import multimodal as MM
+
+    def make_wav(freq_hz, n_samples, rate=8000, n_ch=1):
+        t = np.arange(n_samples) / rate
+        pcm = (np.sin(2 * np.pi * freq_hz * t) * 12000).astype("<i2")
+        if n_ch == 2:
+            pcm = np.column_stack([pcm, pcm]).ravel().astype("<i2")
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue(), pcm
+
+    w1, p1 = make_wav(440, 4096)
+    w2, p2 = make_wav(220, 2500)
+    w3, _ = make_wav(330, 1000, n_ch=2)  # stereo: mono-mixed by the codec
+    df = spark.createDataFrame(
+        [(1, bytearray(w1)), (2, bytearray(w2)), (3, bytearray(w3))],
+        "item_id long, payload binary",
+    )
+    media = MM.attach_media(df, "payload", media_type="audio/wav")
+    codec = MM.WavCodec()
+
+    stats = {r["item_id"]: r for r in
+             MM.decode_stats(media, "item_id", codec=codec).collect()}
+    for iid, (wav, pcm) in ((1, (w1, p1)), (2, (w2, p2))):
+        amp = np.abs(pcm.astype(np.float64))
+        assert stats[iid]["n_bytes"] == len(wav)
+        assert abs(stats[iid]["mean"] - amp.mean()) < 1e-6
+        assert abs(stats[iid]["std"] - amp.std()) < 1e-6
+    assert stats[3]["n_bytes"] == len(w3)
+
+    frames = {r["item_id"]: r["n_frames"] for r in
+              MM.sampled_frames(media, "item_id", every_n=2, codec=codec)
+              .groupBy("item_id").agg(F.count(F.lit(1)).alias("n_frames"))
+              .collect()}
+    # 4096 samples -> 4 chunks of 1024 -> every 2nd = 2; 2500 -> 3 -> 2;
+    # stereo 1000 frames mono-mix to 1000 samples -> 1 chunk -> 1
+    assert frames == {1: 2, 2: 2, 3: 1}
+
+    thumb = MM.thumbnails(media, "item_id", w=8, h=4, codec=codec).collect()
+    for r in thumb:
+        assert len(r["thumb"]) == 32  # w*h envelope bytes
+        assert max(r["thumb"]) == 255  # peak-normalized
