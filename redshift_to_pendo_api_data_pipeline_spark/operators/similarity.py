@@ -312,12 +312,20 @@ def ivf_candidates(
     n_list: int = 16,
     n_probe: int = 4,
     n_iter: int = 3,
+    cent_path: str | None = None,
 ) -> DataFrame:
     """IVF candidate set: train the coarse quantizer, keep only rows whose
     cluster is among the query's `n_probe` nearest centroids. The probe
     filter is a literal IN list, so Catalyst folds it into the scan of the
-    assigned relation. Deterministic (hash-seeded k-means) — stageable."""
-    centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
+    assigned relation. Deterministic (hash-seeded k-means) — stageable.
+    ``cent_path`` routes training through the reuse-aware staged sidecar
+    (staged_ivf_centroids) so probe reruns skip the n_iter passes."""
+    if cent_path is not None:
+        centroids = staged_ivf_centroids(df, vec_col, id_col, cent_path,
+                                         n_list=n_list, n_iter=n_iter)
+    else:
+        centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list,
+                                        n_iter=n_iter)
     probes = nearest_lists(centroids, query, n_probe)
     assigned = ivf_assign(df, vec_col, centroids)
     return assigned.where(F.col("__cluster").isin(probes)).select(id_col, vec_col)
@@ -332,6 +340,7 @@ def ivf_topk(
     n_list: int = 16,
     n_probe: int = 4,
     n_iter: int = 3,
+    cent_path: str | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization: train/load
     k-means centroids, keep only rows whose cluster is among the query's
@@ -343,7 +352,8 @@ def ivf_topk(
     pruning, no shuffle, no full pass. Here train+assign+probe run in one
     job at small sf."""
     cands = ivf_candidates(
-        df, vec_col, id_col, query, n_list=n_list, n_probe=n_probe, n_iter=n_iter
+        df, vec_col, id_col, query, n_list=n_list, n_probe=n_probe,
+        n_iter=n_iter, cent_path=cent_path,
     )
     return brute_force_topk(cands, vec_col, id_col, query, k)
 
@@ -884,18 +894,28 @@ def semantic_dedup(
     staged assignment — the DuckDB oracle re-derives kept/dropped from
     the staged parquet independently (cosine rounded to 6dp on both
     engines, same margin discipline as embedding_neardup)."""
-    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+    import os as _os
 
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, stage_parquet
+
+    spark = df.sparkSession
     # One Lloyd iteration by default: the quantizer only PARTITIONS the
     # space — SemDeDup's dedup decisions are exact within whatever
     # partition it lands on, so converged centroids buy balance, not
     # correctness. Each extra iteration is a full-data BLAS pass.
-    cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
-    assigned = ivf_assign(df, vec_col, cents).select(
-        F.col(id_col), F.col(vec_col), F.col("__cluster").alias("cluster")
-    )
-    stage_parquet(assigned, stage_path)
-    spark = df.sparkSession
+    # Reuse-aware END TO END: training is driver-coordinated work that a
+    # skipped stage write never saved — when the staged assignment exists
+    # under reuse, skip the k-means + assign entirely, not just the write.
+    if not (
+        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and fs_exists(spark, f"{stage_path}/_SUCCESS")
+    ):
+        cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list,
+                                    n_iter=n_iter)
+        assigned = ivf_assign(df, vec_col, cents).select(
+            F.col(id_col), F.col(vec_col), F.col("__cluster").alias("cluster")
+        )
+        stage_parquet(assigned, stage_path)
     st = spark.read.parquet(stage_path)
 
     # Within-cluster scoring is one BLAS gram matrix per cluster group
