@@ -2485,6 +2485,53 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (fasttext/CCNet family, DSIR's parametric
+    sibling): a logistic-regression domain discriminator over hashed
+    bag-of-words features, trained full-batch IN SPARK (two linear
+    shuffles per epoch, weights broadcast, no Python), scored as exact
+    integer logits from the staged fixed-point weight table. The target
+    domain is sources src0-src4 vs the rest — the train-a-classifier-
+    to-weight-the-corpus move of GPT-3/CCNet-style curation. Both the
+    hashed feature relation and the weight table are staged; the oracle
+    recomputes every document's logit independently by joining them —
+    the learned artifact is auditable, not a black box. Training is
+    skipped under stage reuse (driver-coordinated epochs; same contract
+    as the quantizer sidecars)."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        score_logreg_fp,
+        train_logreg,
+        weights_fixed_point,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = _stage_dir(sf_dir)
+    feats_path = f"{stage}/clf_features.parquet"
+    w_path = f"{stage}/clf_weights.parquet"
+    if not (
+        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and fs_exists(spark, f"{feats_path}/_SUCCESS")
+        and fs_exists(spark, f"{w_path}/_SUCCESS")
+    ):
+        stage_parquet(hashed_features(docs, "text", "doc_id"), feats_path)
+        labels = docs.select(
+            F.col("doc_id").alias("doc"),
+            F.col("source").isin([f"src{i}" for i in range(5)])
+            .cast("int").alias("y"),
+        )
+        w = train_logreg(spark.read.parquet(feats_path), labels, n_epochs=3)
+        stage_parquet(weights_fixed_point(w), w_path)
+    feats = spark.read.parquet(feats_path)
+    wfp = spark.read.parquet(w_path)
+    return score_logreg_fp(feats, wfp).select(
+        F.col("doc").alias("doc_id"), "logit_fp"
+    )
+
+
 def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores: per-doc sum of integer log-ratio
     surrogates bit_length(c_target+1) - bit_length(c_raw+1) over the
@@ -2643,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_contaminated_spans": q_strip_contaminated_spans,
         "semantic_dedup": q_semantic_dedup,
         "dsir_doc_scores": q_dsir_doc_scores,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "mixture_plan": q_mixture_plan,
         "token_budget_head": q_token_budget_head,
         "pack_sequences": q_pack_sequences,
@@ -2918,6 +2966,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
                    (d.vec_id IS NULL) AS kept
             FROM s LEFT JOIN d ON s.vec_id = d.vec_id
+        """,
+        # learned quality filter: integer logits re-derived from the
+        # staged hashed features x staged fixed-point weight table
+        "quality_classifier_scores": f"""
+            WITH f AS (SELECT doc, feat, tf
+                       FROM read_parquet('{_STAGE}/clf_features.parquet/*.parquet')),
+            w AS (SELECT feat, w_fp
+                  FROM read_parquet('{_STAGE}/clf_weights.parquet/*.parquet'))
+            SELECT f.doc AS doc_id,
+                   CAST(SUM(f.tf * w.w_fp)
+                        + (SELECT w_fp FROM w WHERE feat = -1) AS BIGINT)
+                       AS logit_fp
+            FROM f JOIN w ON w.feat = f.feat AND w.feat <> -1
+            GROUP BY f.doc
         """,
         "dsir_doc_scores": """
             WITH tok0 AS (

@@ -1,0 +1,142 @@
+"""Corpus quality classifier: logistic regression over hashed
+bag-of-words features — the fasttext/CCNet-style "train a domain
+discriminator, score the corpus" filter every large-scale training-data
+pipeline runs (GPT-3's quality filter, CCNet's LM-vs-crawl classifier,
+DSIR's parametric sibling). Complements `lm.dsir_scores` (n-gram
+importance ratios): the classifier LEARNS feature weights instead of
+counting them, and the learned weight table is itself an inspectable,
+stageable artifact.
+
+Everything is JVM column algebra — the full-batch gradient per epoch is
+two linear shuffles (doc-key margin agg, feat-key gradient agg) with the
+current weights broadcast; there is NO Python in the loop and the driver
+never holds the weight vector (it lives as a (feat, w) relation,
+localCheckpoint-ed per epoch like connected_components rounds).
+
+At 100 TB: feature hashing bounds the weight relation at `dim` rows
+(2^15 by default — broadcastable by construction, independent of corpus
+size); each epoch costs two linear passes over the token stream; n_epochs
+is small (the filter needs ranking quality, not convergence); scoring is
+one broadcast join + one map-side-combined sum. Training is full-batch
+gradient descent — deterministic given the partition layout (no RNG, no
+sampling), which is what makes the staged weights a reproducible
+artifact.
+
+Reference scale intent: the pipeline this engine mirrors ships records,
+not models — this family is north-star extension surface, like dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BIAS_FEAT = -1  # the bias term rides the weight table as feature id -1
+
+
+def hashed_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 2**15
+) -> DataFrame:
+    """(doc, feat, tf): hashed bag-of-words — token -> xxhash64 mod dim,
+    term frequency as an exact integer. One explode + one (doc, feat)
+    groupBy; collisions are the standard hashing-trick trade (bounded
+    weight table for a controlled, tiny accuracy cost)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy(
+            "doc", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("feat")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def train_logreg(
+    features: DataFrame,
+    labels: DataFrame,
+    lr: float = 0.5,
+    n_epochs: int = 5,
+) -> DataFrame:
+    """Full-batch logistic regression over (doc, feat, tf) features and
+    (doc, y) labels (y in {0,1}); returns the weight relation
+    (feat, w double) including the BIAS_FEAT row.
+
+    Per epoch: margin_d = b + sum_f tf*w_f (broadcast weights join +
+    doc-key agg), err_d = sigmoid(margin_d) - y_d, grad_f =
+    sum_d err_d * tf_{d,f} / N (feat-key agg), w -= lr * grad. The
+    weight relation is localCheckpoint-ed each epoch so epoch N's plan
+    never replays epochs 1..N-1. Features absent from an epoch's
+    gradient (no occurrences) keep their weight via the left join."""
+    n_docs = labels.count()
+    spark = features.sparkSession
+    lab = labels.select(F.col("doc"), F.col("y").cast("double").alias("y"))
+    weights = spark.createDataFrame([(BIAS_FEAT, 0.0)], "feat int, w double")
+
+    for _ in range(n_epochs):
+        w_b = F.broadcast(weights)
+        margins = (
+            features.join(w_b, "feat")
+            .groupBy("doc")
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("m0"))
+        )
+        bias = weights.where(F.col("feat") == BIAS_FEAT).select("w")
+        scored = (
+            lab.join(margins, "doc", "left")
+            .crossJoin(F.broadcast(bias))  # 1-row scalar
+            .select(
+                "doc",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.coalesce("m0", F.lit(0.0)) + F.col("w"))))
+                 - F.col("y")).alias("err"),
+            )
+        )
+        grads = (
+            features.join(scored, "doc")
+            .groupBy("feat")
+            .agg((F.sum(F.col("tf") * F.col("err")) / F.lit(n_docs)).alias("g"))
+        )
+        bias_grad = scored.agg(
+            (F.sum("err") / F.lit(n_docs)).alias("g")
+        ).select(F.lit(BIAS_FEAT).alias("feat"), "g")
+        all_grads = grads.unionByName(bias_grad)
+        weights = (
+            weights.join(all_grads, "feat", "full")
+            .select(
+                "feat",
+                (F.coalesce("w", F.lit(0.0))
+                 - F.lit(lr) * F.coalesce("g", F.lit(0.0))).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return weights
+
+
+def weights_fixed_point(weights: DataFrame, scale: int = 10**6) -> DataFrame:
+    """(feat, w_fp BIGINT): the stageable serving artifact — fixed-point
+    weights so downstream scores are exact integer arithmetic (the
+    repo-wide cross-engine parity rule)."""
+    return weights.select(
+        "feat", F.round(F.col("w") * scale).cast("long").alias("w_fp")
+    )
+
+
+def score_logreg_fp(features: DataFrame, weights_fp: DataFrame) -> DataFrame:
+    """(doc, logit_fp BIGINT): integer logit per document from the
+    fixed-point weight table — broadcast join + map-side-combined sum +
+    the scalar bias row. Monotone in the probability, so ranking/
+    thresholding needs no sigmoid (and stays hash-exact)."""
+    bias = weights_fp.where(F.col("feat") == BIAS_FEAT).select(
+        F.col("w_fp").alias("b_fp")
+    )
+    return (
+        features.join(F.broadcast(weights_fp.where(F.col("feat") != BIAS_FEAT)),
+                      "feat")
+        .groupBy("doc")
+        .agg(F.sum(F.col("tf") * F.col("w_fp")).alias("s"))
+        .crossJoin(F.broadcast(bias))  # 1-row scalar
+        .select("doc", (F.col("s") + F.col("b_fp")).alias("logit_fp"))
+    )

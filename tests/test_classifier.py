@@ -1,0 +1,64 @@
+"""Quality-classifier family: full-batch JVM logistic regression over
+hashed bag-of-words — the learned corpus filter (fasttext/CCNet/GPT-3
+quality-classifier pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators import classifier as C
+
+
+def _toy_corpus(spark):
+    """Linearly separable corpus: 'alpha'-family docs are the target
+    domain, 'beta'-family are background; shared filler tokens force the
+    model to find the discriminative ones."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick alpha signal shines alpha bright today", 1))
+    for i in range(40, 80):
+        rows.append((i, "the quick beta noise drones beta dull today", 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_logreg_learns_separable_domains_and_scores_integer(spark):
+    docs = _toy_corpus(spark)
+    feats = C.hashed_features(docs, "text", "doc_id")
+    labels = docs.select(F.col("doc_id").alias("doc"), "y")
+    w = C.train_logreg(feats, labels, lr=1.0, n_epochs=8)
+    wfp = C.weights_fixed_point(w)
+    scores = {r["doc"]: r["logit_fp"]
+              for r in C.score_logreg_fp(feats, wfp).collect()}
+    assert len(scores) == 80
+    # perfect separation on a separable corpus: every target doc's
+    # integer logit above every background doc's
+    pos = [scores[i] for i in range(40)]
+    neg = [scores[i] for i in range(40, 80)]
+    assert min(pos) > max(neg)
+    # bias row present and weights all integers
+    feats_w = {r["feat"]: r["w_fp"] for r in wfp.collect()}
+    assert C.BIAS_FEAT in feats_w
+    assert all(isinstance(v, int) for v in feats_w.values())
+
+
+def test_logreg_training_plan_is_jvm_only(spark):
+    """No Python anywhere in the training or scoring plans — the epochs
+    are joins+aggregations, the weight table is broadcast."""
+    docs = _toy_corpus(spark)
+    feats = C.hashed_features(docs, "text", "doc_id")
+    labels = docs.select(F.col("doc_id").alias("doc"), "y")
+    w = C.train_logreg(feats, labels, n_epochs=1)
+    scored = C.score_logreg_fp(feats, C.weights_fixed_point(w))
+    p = scored._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_hashed_features_exact_tf(spark):
+    df = spark.createDataFrame([(1, "a b a  A")], "doc_id long, text string")
+    rows = C.hashed_features(df, "text", "doc_id").collect()
+    # normalize_text lowercases: 'a' x3 + 'b' x1 -> two features
+    tfs = sorted(r["tf"] for r in rows)
+    assert tfs == [1, 3]
