@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
 
@@ -669,4 +670,74 @@ def length_histogram(
             F.col("grp").alias(group_col), "len_bucket", "n_docs",
             "total_tokens",
         )
+    )
+
+
+def bpe_segment_words(df: DataFrame, text_col: str, merges) -> DataFrame:
+    """Apply a trained BPE merge list to the corpus vocabulary: returns
+    the (word, token, k) mapping — each distinct word segmented into its
+    subword tokens under the learned vocab, with per-word multiplicity k
+    (a word can emit the same token twice).
+
+    THE same distinct-word reduction bpe_train rides: segmentation runs
+    once per DISTINCT word (one Arrow-batched pandas UDF over the
+    dictionary — dictionary-sized work, never token-stream-sized, and
+    the ONLY Python in the family), and the corpus applies the mapping
+    by broadcast join (bpe_encode_counts). The merge loop mirrors
+    _bpe_train_local's application exactly — merges in rank order,
+    leftmost-greedy — so segmenting the training corpus reproduces the
+    trainer's final symbol state."""
+    merge_list = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _segment(ws: pd.Series) -> pd.Series:
+        def seg(word):
+            syms = list(word)
+            for a, b in merge_list:
+                if a not in syms:
+                    continue
+                out, i, size = [], 0, len(syms)
+                while i < size:
+                    if i + 1 < size and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return pd.Series([seg(w) for w in ws])
+
+    dict_words = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        dict_words.select("word", F.explode(_segment(F.col("word"))).alias("token"))
+        .groupBy("word", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame, text_col: str, mapping: DataFrame, top_k: int = 50
+) -> DataFrame:
+    """Corpus-wide subword frequencies under a trained BPE tokenizer:
+    explode corpus words (JVM), broadcast-join the staged (word, token,
+    k) mapping, weight by k, top-k tokens. The mapping is
+    vocabulary-sized (broadcastable by Zipf), the corpus side is one
+    linear scan + one map-side-combined groupBy on the subword key —
+    the real-tokenizer token histogram every mixture/budget decision
+    wants instead of the whitespace proxy."""
+    corpus_words = df.select(
+        F.explode(words(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        corpus_words.join(F.broadcast(mapping), "word")
+        .groupBy("token")
+        .agg(F.sum("k").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_k)
     )

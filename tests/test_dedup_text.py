@@ -964,3 +964,27 @@ def test_residual_adc_score_matches_reconstruction_dot(spark, sf_dir):
             assert abs(got[r["vec_id"]] - expect) <= (m_sub + 1) / 2 + 1e-6
             checked += 1
     assert checked == 200
+
+
+def test_bpe_segment_words_reproduces_trainer_state(spark):
+    """Segmenting the training corpus with the learned merge list must
+    reproduce the trainer's final symbol state: train 2 merges on a
+    toy corpus ('lo' then 'lo'+'w' by count-desc/pair-asc), and the
+    staged (word, token, k) mapping + broadcast-join histogram match
+    the hand-derived segmentation."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low lower")],
+        "doc_id long, text string",
+    )
+    merges = TX.bpe_train(docs, "text", n_merges=2)
+    assert merges == [("l", "o"), ("lo", "w")]
+    mapping = {(r["word"], r["token"]): r["k"]
+               for r in TX.bpe_segment_words(docs, "text", merges).collect()}
+    assert mapping[("low", "low")] == 1
+    assert mapping[("lower", "low")] == 1 and mapping[("lower", "e")] == 1
+    assert mapping[("lowest", "s")] == 1 and mapping[("lowest", "t")] == 1
+    counts = {r["token"]: r["n"] for r in TX.bpe_encode_counts(
+        docs, "text", TX.bpe_segment_words(docs, "text", merges)).collect()}
+    # 'low' x3 + 'lower' x2 + 'lowest' x1 -> token 'low' appears 6 times
+    assert counts["low"] == 6
+    assert counts["e"] == 3 and counts["r"] == 2 and counts["t"] == 1
