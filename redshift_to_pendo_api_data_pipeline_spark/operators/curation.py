@@ -141,3 +141,35 @@ def strip_spans_stage(text_col: str, id_col: str, k: int = 5, min_docs: int = 2)
         )
         return out
     return fn
+
+
+def classifier_filter_stage(
+    weights_fp: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_logit_fp: int,
+    dim: int = 2**15,
+):
+    """Learned-quality funnel stage (the GPT-3/CCNet move): keep
+    documents whose integer logit under a TRAINED fixed-point weight
+    table (operators/classifier.py) clears ``min_logit_fp``. The stage
+    re-derives hashed features for the docs flowing through it and
+    scores them with one broadcast join + per-doc sum — rows pass
+    through intact (left_semi against the survivor ids), so the stage
+    composes with the rest of the funnel like any other filter. The
+    threshold is an integer logit on purpose: exact, engine-portable,
+    and monotone in the probability."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        score_logreg_fp,
+    )
+
+    def fn(df: DataFrame) -> DataFrame:
+        feats = hashed_features(df, text_col, id_col, dim=dim)
+        keep = (
+            score_logreg_fp(feats, weights_fp)
+            .where(F.col("logit_fp") >= min_logit_fp)
+            .select(F.col("doc").alias(id_col))
+        )
+        return df.join(F.broadcast(keep), id_col, "left_semi")
+    return fn

@@ -62,3 +62,32 @@ def test_hashed_features_exact_tf(spark):
     # normalize_text lowercases: 'a' x3 + 'b' x1 -> two features
     tfs = sorted(r["tf"] for r in rows)
     assert tfs == [1, 3]
+
+
+def test_classifier_filter_stage_in_funnel(spark):
+    """The learned filter composes into the curation funnel: train on
+    the separable toy corpus, then a funnel of (length, classifier)
+    stages keeps exactly the target-domain docs and reports attrition."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        classifier_filter_stage,
+        min_length_stage,
+        quality_funnel,
+    )
+
+    docs = _toy_corpus(spark).withColumn("n_chars", F.length("text"))
+    feats = C.hashed_features(docs, "text", "doc_id")
+    labels = docs.select(F.col("doc_id").alias("doc"), "y")
+    wfp = C.weights_fixed_point(
+        C.train_logreg(feats, labels, lr=1.0, n_epochs=8))
+
+    report = {r["stage"]: r["n_docs"] for r in quality_funnel(
+        docs,
+        [
+            ("min_length", min_length_stage("n_chars", 10)),
+            ("classifier", classifier_filter_stage(wfp, "text", "doc_id",
+                                                   min_logit_fp=0)),
+        ],
+    ).collect()}
+    assert report["input"] == 80
+    assert report["min_length"] == 80
+    assert report["classifier"] == 40  # exactly the target domain survives
