@@ -272,8 +272,9 @@ def main() -> None:
         "embedding_topk", "embedding_ann_lsh", "embedding_ann_ivf",
         "embedding_ann_ivf_persisted", "embedding_ann_recall",
         "embedding_ann_pq", "embedding_ann_ivfpq",
-        "bpe_merge_pairs", "tfidf_top_terms", "distinctive_terms",
-        "text_analysis", "media_decode_stats",
+        "bpe_merge_pairs", "bpe_token_counts", "tfidf_top_terms",
+        "distinctive_terms", "text_analysis", "media_decode_stats",
+        "quality_classifier_scores",
     ]
     line = dict(full)
     line["queries"] = {n: timings[n] for n in headline if n in timings}

@@ -45,3 +45,51 @@ def monitor_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def score_stream(
+    stream_df,
+    weights_fp_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint: str,
+    on_scores,
+    dim: int = 2**15,
+    trigger_available_now: bool = True,
+):
+    """Streaming half of the learned quality filter: every micro-batch
+    of documents is scored against the STAGED fixed-point weight table
+    (train once per corpus version with classifier.train_logreg, serve
+    forever — the same stage-once/probe-many contract as the ANN
+    indexes). Per trigger: hashed features for the batch only, one
+    broadcast weights join, integer logits to ``on_scores(df, batch_id)``.
+    The weight table reloads per batch from the lake path, so a weight
+    RETRAIN published mid-stream (ACTIVATE_VERSION-style overwrite) is
+    picked up at the next trigger without restarting the query."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        score_logreg_fp,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        weights = spark.read.parquet(weights_fp_path)
+        feats = hashed_features(batch_df, text_col, id_col, dim=dim)
+        scores = score_logreg_fp(feats, weights).select(
+            F.col("doc").alias(id_col), "logit_fp"
+        )
+        on_scores(scores, batch_id)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_process)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -91,3 +91,41 @@ def test_classifier_filter_stage_in_funnel(spark):
     assert report["input"] == 80
     assert report["min_length"] == 80
     assert report["classifier"] == 40  # exactly the target domain survives
+
+
+def test_streaming_scores_match_batch(spark, tmp_path):
+    """Streaming serving pins bit-for-bit to the batch scorer: train on
+    the toy corpus, stage fixed-point weights, stream the same docs in
+    micro-batches — per-doc integer logits must equal the batch path."""
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.quality_monitor import (
+        score_stream,
+    )
+
+    docs = _toy_corpus(spark)
+    feats = C.hashed_features(docs, "text", "doc_id")
+    labels = docs.select(F.col("doc_id").alias("doc"), "y")
+    wfp = C.weights_fixed_point(C.train_logreg(feats, labels, lr=1.0, n_epochs=4))
+    w_path = str(tmp_path / "weights.parquet")
+    wfp.write.parquet(w_path)
+
+    batch_scores = {r["doc"]: r["logit_fp"] for r in
+                    C.score_logreg_fp(feats, spark.read.parquet(w_path)).collect()}
+
+    src = str(tmp_path / "incoming")
+    docs.where(F.col("doc_id") < 40).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") >= 40).coalesce(1).write.mode("append").parquet(src)
+    got = {}
+
+    def on_scores(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = r["logit_fp"]
+
+    q = score_stream(
+        spark.readStream.schema("doc_id long, text string, y int")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        w_path, "text", "doc_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_scores=on_scores,
+    )
+    q.awaitTermination(120)
+    assert got == batch_scores and len(got) == 80
