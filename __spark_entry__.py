@@ -1487,14 +1487,18 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel signup -> view -> click -> purchase
-    (chained conditional-min aggregations, one shuffle row per user per
-    step)."""
+    """Ordered conversion funnel signup -> view -> click -> purchase —
+    the ONE-SCAN form (per-user per-step sorted timestamp arrays, reach
+    chain folded as JVM array algebra): the chained conditional-min form
+    re-scans the fact table per step and replicates the plan
+    quadratically (20 scans / 34 exchanges for 4 steps vs 1 scan here);
+    row-identical to the chained reference, pinned by
+    test_funnel_single_pass_matches_chained."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
-        sequential_funnel,
+        sequential_funnel_single_pass,
     )
     ev = load_table(spark, sf_dir, "events")
-    return sequential_funnel(
+    return sequential_funnel_single_pass(
         ev, "user_id", "event_type", "ts",
         ["signup", "view", "click", "purchase"],
     )

@@ -298,6 +298,67 @@ def sequential_funnel(
     return out
 
 
+def sequential_funnel_single_pass(
+    df: DataFrame, user_col: str, type_col: str, ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Same funnel semantics as sequential_funnel, ONE scan and ONE
+    user-key shuffle: the chained form's plan contains stage i-1 inside
+    stage i, so S steps re-scan the fact table S times and replicate the
+    aggregation subtree quadratically — visible as 20 scans / 34
+    exchanges in the 4-step plan, and at 100 TB that is S reads of the
+    fact table. Here every step-type event flows once into a per-user
+    per-step SORTED timestamp array (collect_list drops the non-matching
+    nulls), and the reach chain folds as JVM array algebra:
+    t_k = array_min(filter(a_k, x >= t_{k-1})). Per-user state is
+    bounded by that user's step events — the documented trade vs the
+    chain's one-row-per-user shuffles; pick by fact-scan cost, which
+    dominates at scale. Output is row-identical to sequential_funnel
+    (pinned by test)."""
+    arrays = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = (
+        df.where(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(*arrays)
+    )
+    reach = F.element_at(F.col("__a0"), 1).alias("__t0")
+    cols = [reach]
+    for i in range(1, len(steps)):
+        prev = F.col(f"__t{i-1}")
+        cols.append(
+            F.when(
+                prev.isNotNull(),
+                F.array_min(F.filter(F.col(f"__a{i}"), lambda x: x >= prev)),
+            ).alias(f"__t{i}")
+        )
+    reached = per_user
+    for i, c in enumerate(cols):
+        reached = reached.withColumn(f"__t{i}", c)
+    agg = reached.agg(*[
+        F.count(F.col(f"__t{i}")).alias(f"__n{i}") for i in range(len(steps))
+    ])
+    # one explode, not a union of per-step selects — a union branch each
+    # re-executes the aggregate subtree (the exact flaw this rewrite
+    # removes from the chained form)
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("step_idx"),
+                    F.lit(s).alias("step"),
+                    F.col(f"__n{i}").alias("n_users"),
+                )
+                for i, s in enumerate(steps)
+            ])
+        ).alias("r")
+    ).select("r.*")
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256,
     stage_map_path: str | None = None,

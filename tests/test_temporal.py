@@ -139,3 +139,23 @@ def test_debounce_lag_is_to_previous_raw_event(spark):
         .select("event_id").toPandas()["event_id"].tolist()
     )
     assert kept == [1]
+
+
+def test_funnel_single_pass_matches_chained(spark, sf_dir):
+    """The one-scan funnel is row-identical to the chained reference on
+    real event data (including a zero-survivor tail step), and its plan
+    scans the fact table once instead of once per step."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+        sequential_funnel_single_pass,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = ["signup", "view", "click", "purchase"]
+    old = sorted(tuple(r) for r in
+                 sequential_funnel(ev, "user_id", "event_type", "ts", steps).collect())
+    new_df = sequential_funnel_single_pass(ev, "user_id", "event_type", "ts", steps)
+    assert sorted(tuple(r) for r in new_df.collect()) == old
+    p = new_df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") <= 2  # one logical scan (+AQE echo)
