@@ -173,3 +173,41 @@ def classifier_filter_stage(
         )
         return df.join(F.broadcast(keep), id_col, "left_semi")
     return fn
+
+
+def quality_funnel_flags(
+    df: DataFrame,
+    stages: Sequence[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """One-scan attrition report for funnels whose stages are row-level
+    flag COLUMNS (length/lang/PII predicates, a precomputed dedup-keep
+    window flag, a classifier-logit threshold): survival chains as
+    s_k = s_{k-1} AND flag_k and every stage count folds into ONE
+    aggregation — S stages cost one scan instead of quality_funnel's S
+    parallel scans (its documented shape). Identical to the sequential
+    form whenever each stage is a pure row predicate; a stage whose flag
+    itself depends on the surviving POPULATION (e.g. min-id-per-digest
+    dedup recomputed after earlier filters) is population-sensitive and
+    belongs in the sequential form — that caveat is the entire trade."""
+    flagged = df
+    surv_cols = []
+    surv = F.lit(True)
+    for i, (_name, flag) in enumerate(stages, start=1):
+        flagged = flagged.withColumn(f"__f{i}", flag)
+        surv = surv & F.col(f"__f{i}")
+        surv_cols.append(F.sum(surv.cast("long")).alias(f"__n{i}"))
+    agg = flagged.agg(F.count(F.lit(1)).alias("__n0"), *surv_cols)
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("stage_idx"), F.lit("input").alias("stage"),
+                         F.col("__n0").alias("n_docs")),
+                *[
+                    F.struct(F.lit(i).alias("stage_idx"),
+                             F.lit(name).alias("stage"),
+                             F.col(f"__n{i}").alias("n_docs"))
+                    for i, (name, _f) in enumerate(stages, start=1)
+                ],
+            )
+        ).alias("r")
+    ).select("r.*")

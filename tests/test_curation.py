@@ -135,3 +135,32 @@ def test_strip_spans_stage_rewrites_not_drops(spark):
         assert w not in out[0] and w not in out[1]
     assert "unique" in out[0] and "other" in out[1]
     assert set(out) == {0, 1, 3}
+
+
+def test_quality_funnel_flags_matches_sequential_on_row_predicates(spark, sf_dir):
+    """The one-scan flags funnel equals the sequential form when every
+    stage is a pure row predicate, and its plan scans the table once."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        quality_funnel,
+        quality_funnel_flags,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text")
+    )
+    seq = sorted(tuple(r) for r in quality_funnel(docs, [
+        ("min_length", lambda d: d.where(F.col("n_chars") >= 30)),
+        ("src_allow", lambda d: d.where(F.col("source") != "src0")),
+        ("no_digits", lambda d: d.where(~F.col("text").rlike(r"\d{6,}"))),
+    ]).collect())
+    flags_df = quality_funnel_flags(docs, [
+        ("min_length", F.col("n_chars") >= 30),
+        ("src_allow", F.col("source") != "src0"),
+        ("no_digits", ~F.col("text").rlike(r"\d{6,}")),
+    ])
+    assert sorted(tuple(r) for r in flags_df.collect()) == seq
+    p = flags_df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") <= 2
