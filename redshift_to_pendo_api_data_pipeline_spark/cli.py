@@ -198,6 +198,19 @@ def cmd_curate(cfg: dict) -> int:
             stages.append(
                 (kind, decontamination_stage(eval_df, text_col, id_col, st.get("n", 8)))
             )
+        elif kind == "classifier":
+            from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+                classifier_filter_stage,
+            )
+
+            wfp = spark.read.parquet(st["weights"])
+            stages.append(
+                (kind, classifier_filter_stage(
+                    wfp, text_col, id_col,
+                    min_logit_fp=int(st.get("min_logit_fp", 0)),
+                    dim=int(st.get("dim", 2**15)),
+                ))
+            )
         else:
             raise SystemExit(f"unknown curation stage {kind!r}")
 
@@ -210,6 +223,57 @@ def cmd_curate(cfg: dict) -> int:
         cur = fn(cur)
     cur.write.mode("overwrite").parquet(cfg["output"])
     print(json.dumps({"attrition": report, "output": cfg["output"]}))
+    return 0
+
+
+def cmd_classify(cfg: dict) -> int:
+    """Train the learned quality filter and publish its fixed-point
+    weight table (the artifact `curate`'s classifier stage and the
+    streaming scorer consume). Config:
+
+        {"input": "/root/testdata/sf0.001", "table": "documents",
+         "text_col": "text", "id_col": "doc_id",
+         "positive_sources": ["src0", "src1"],   # target domain labels
+         "weights_out": "/tmp/clf_weights",
+         "epochs": 3, "lr": 0.5, "dim": 32768,
+         "scores_out": "/tmp/clf_scores"}        # optional
+
+    Prints one JSON line with the label split and weight-table size."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        score_logreg_fp,
+        train_logreg,
+        weights_fixed_point,
+    )
+
+    spark = get_spark(app_name="classify")
+    text_col = cfg.get("text_col", "text")
+    id_col = cfg.get("id_col", "doc_id")
+    df = load_table(spark, cfg["input"], cfg.get("table", "documents"))
+    feats = hashed_features(df, text_col, id_col, dim=int(cfg.get("dim", 2**15)))
+    labels = df.select(
+        F.col(id_col).alias("doc"),
+        F.col("source").isin(list(cfg["positive_sources"])).cast("int").alias("y"),
+    )
+    w = train_logreg(feats, labels, lr=float(cfg.get("lr", 0.5)),
+                     n_epochs=int(cfg.get("epochs", 3)))
+    wfp = weights_fixed_point(w)
+    wfp.write.mode("overwrite").parquet(cfg["weights_out"])
+    n_pos = labels.where("y = 1").count()
+    out = {
+        "weights_out": cfg["weights_out"],
+        "n_weights": spark.read.parquet(cfg["weights_out"]).count(),
+        "n_docs": labels.count(),
+        "n_positive": n_pos,
+    }
+    if cfg.get("scores_out"):
+        score_logreg_fp(feats, spark.read.parquet(cfg["weights_out"])).select(
+            F.col("doc").alias(id_col), "logit_fp"
+        ).write.mode("overwrite").parquet(cfg["scores_out"])
+        out["scores_out"] = cfg["scores_out"]
+    print(json.dumps(out))
     return 0
 
 
@@ -256,6 +320,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-c", "--config", required=True)
     p = sub.add_parser("profile", help="one-pass column profiling report")
     p.add_argument("-c", "--config", required=True)
+    cl = sub.add_parser(
+        "classify", help="train the learned quality filter, publish weights"
+    )
+    cl.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -264,6 +332,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_curate(cfg)
     if args.cmd == "profile":
         return cmd_profile(cfg)
+    if args.cmd == "classify":
+        return cmd_classify(cfg)
     return cmd_sync(cfg, args.state)
 
 

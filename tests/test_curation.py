@@ -164,3 +164,66 @@ def test_quality_funnel_flags_matches_sequential_on_row_predicates(spark, sf_dir
     assert sorted(tuple(r) for r in flags_df.collect()) == seq
     p = flags_df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Scan parquet") <= 2
+
+
+def test_cli_classify_then_curate_with_classifier_stage(spark, tmp_path):
+    """The classify subcommand trains and publishes the fixed-point
+    weight table; a subsequent curate run consumes it as a funnel stage
+    — the full train-once/filter-forever loop through the CLI."""
+    import json as _json
+    import subprocess
+    import sys
+
+    clf_cfg = {
+        "input": "/root/testdata/sf0.001",
+        "table": "documents",
+        "text_col": "text",
+        "id_col": "doc_id",
+        "positive_sources": ["src0", "src1", "src2"],
+        "weights_out": str(tmp_path / "weights"),
+        "epochs": 3,
+        "scores_out": str(tmp_path / "scores"),
+    }
+    p1 = tmp_path / "classify.json"
+    p1.write_text(_json.dumps(clf_cfg))
+    proc = subprocess.run(
+        [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli",
+         "classify", "-c", str(p1)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["n_weights"] > 1 and rep["n_positive"] > 0
+    scores = spark.read.parquet(clf_cfg["scores_out"])
+    assert scores.count() == rep["n_docs"]
+    assert dict(scores.dtypes)["logit_fp"] == "bigint"
+
+    # threshold = median published logit — the top-p% selection a real
+    # pipeline derives from the score distribution, not a magic constant
+    logits = sorted(r["logit_fp"] for r in scores.collect())
+    thr = logits[len(logits) // 2]
+    cur_cfg = {
+        "input": "/root/testdata/sf0.001",
+        "table": "documents",
+        "output": str(tmp_path / "curated"),
+        "text_col": "text",
+        "id_col": "doc_id",
+        "stages": [
+            {"kind": "classifier", "weights": clf_cfg["weights_out"],
+             "min_logit_fp": thr},
+        ],
+    }
+    p2 = tmp_path / "curate2.json"
+    p2.write_text(_json.dumps(cur_cfg))
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli",
+         "curate", "-c", str(p2)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    rep2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+    att = rep2["attrition"]
+    assert 0 < att["classifier"] < att["input"]
+    kept = spark.read.parquet(cur_cfg["output"])
+    n_above = scores.where(f"logit_fp >= {thr}").count()
+    assert kept.count() == att["classifier"] == n_above
