@@ -156,3 +156,41 @@ def test_conformance_flags_any_single_corruption(lines, data):
                                   for l in mutated):
             return
     assert validate_message_stream(mutated) != []
+
+
+def test_funnel_flags_equals_sequential_on_random_predicates(spark):
+    """Property: for ANY chain of row-level predicates, the one-scan
+    flags funnel reports the same attrition as the sequential form —
+    checked over a grid of random threshold chains (deterministic seed,
+    no hypothesis needed for the driver: the predicate space is the
+    random part)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        quality_funnel,
+        quality_funnel_flags,
+    )
+
+    rng = _random.Random(17)
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 1000).alias("a"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 1000).alias("b"),
+    )
+    for _ in range(8):
+        ths = [rng.randint(-1000, 1000) for _ in range(3)]
+        col = [rng.choice(["a", "b"]) for _ in range(3)]
+        op = [rng.choice([">=", "<"]) for _ in range(3)]
+        preds = [
+            F.expr(f"{c} {o} {t}") for c, o, t in zip(col, op, ths)
+        ]
+        seq = sorted(tuple(r) for r in quality_funnel(df, [
+            (f"s{i}", (lambda p: lambda d: d.where(p))(p))
+            for i, p in enumerate(preds)
+        ]).collect())
+        flg = sorted(tuple(r) for r in quality_funnel_flags(df, [
+            (f"s{i}", p) for i, p in enumerate(preds)
+        ]).collect())
+        assert flg == seq, (ths, col, op)
