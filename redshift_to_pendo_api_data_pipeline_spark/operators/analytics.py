@@ -326,7 +326,12 @@ def sequential_funnel_single_pass(
         .groupBy(user_col)
         .agg(*arrays)
     )
-    reach = F.element_at(F.col("__a0"), 1).alias("__t0")
+    # array_min, not element_at(.., 1): a user with a later-step event but
+    # no step-0 event has __a0 = [] (collect_list drops the nulls), and
+    # element_at on an empty array THROWS under Spark 4's default ANSI
+    # mode. array_min of the sorted array is the same first element and
+    # returns NULL on empty — the reach chain then correctly stops.
+    reach = F.array_min(F.col("__a0")).alias("__t0")
     cols = [reach]
     for i in range(1, len(steps)):
         prev = F.col(f"__t{i-1}")

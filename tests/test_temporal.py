@@ -141,6 +141,37 @@ def test_debounce_lag_is_to_previous_raw_event(spark):
     assert kept == [1]
 
 
+def test_funnel_single_pass_user_missing_first_step(spark):
+    """ANSI-mode regression (r6 advice): a user with a later-step event
+    but NO step-0 event gets an empty __a0 array — element_at(__a0, 1)
+    threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI
+    mode. The array_min form returns NULL and the user simply never
+    converts; output must match the chained form."""
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+        sequential_funnel_single_pass,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), "signup"), (1, dt(2024, 1, 1, 10), "view"),
+        # user 2: view + purchase, never signed up -> empty step-0 array
+        (2, dt(2024, 1, 1, 9), "view"), (2, dt(2024, 1, 1, 10), "purchase"),
+        # user 3: purchase only
+        (3, dt(2024, 1, 1, 8), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "view", "purchase"]
+    new = sorted(tuple(r) for r in sequential_funnel_single_pass(
+        ev, "user_id", "event_type", "ts", steps).collect())
+    old = sorted(tuple(r) for r in sequential_funnel(
+        ev, "user_id", "event_type", "ts", steps).collect())
+    assert new == old
+    assert {(r[1], r[2]) for r in new} == {
+        ("signup", 1), ("view", 1), ("purchase", 0)}
+
+
 def test_funnel_single_pass_matches_chained(spark, sf_dir):
     """The one-scan funnel is row-identical to the chained reference on
     real event data (including a zero-survivor tail step), and its plan
