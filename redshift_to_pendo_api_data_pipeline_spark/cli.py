@@ -269,7 +269,13 @@ def cmd_classify(cfg: dict) -> int:
         "n_positive": n_pos,
     }
     if cfg.get("scores_out"):
-        score_logreg_fp(feats, spark.read.parquet(cfg["weights_out"])).select(
+        # score from the full doc universe: feature-less docs (empty /
+        # all-OOV text) surface with a bias-only logit instead of being
+        # silently absent from the published score table
+        score_logreg_fp(
+            feats, spark.read.parquet(cfg["weights_out"]),
+            docs=df.select(F.col(id_col).alias("doc")),
+        ).select(
             F.col("doc").alias(id_col), "logit_fp"
         ).write.mode("overwrite").parquet(cfg["scores_out"])
         out["scores_out"] = cfg["scores_out"]

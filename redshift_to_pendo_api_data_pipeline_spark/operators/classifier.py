@@ -124,19 +124,43 @@ def weights_fixed_point(weights: DataFrame, scale: int = 10**6) -> DataFrame:
     )
 
 
-def score_logreg_fp(features: DataFrame, weights_fp: DataFrame) -> DataFrame:
+def score_logreg_fp(
+    features: DataFrame, weights_fp: DataFrame, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc, logit_fp BIGINT): integer logit per document from the
     fixed-point weight table — broadcast join + map-side-combined sum +
     the scalar bias row. Monotone in the probability, so ranking/
-    thresholding needs no sigmoid (and stays hash-exact)."""
+    thresholding needs no sigmoid (and stays hash-exact).
+
+    ``docs`` (optional, one ``doc`` column — the full document universe):
+    when given, scoring LEFT-joins the per-doc sums onto it, so a
+    document with ZERO in-vocab features — empty/whitespace-only text, or
+    every token hashing to a feature the training corpus never produced —
+    gets a bias-only logit instead of silently emitting no row. Without
+    it the historical inner-join semantics hold: feature-less docs are
+    absent from the output (and any downstream semi-join filter drops
+    them unconditionally, however permissive the threshold)."""
     bias = weights_fp.where(F.col("feat") == BIAS_FEAT).select(
         F.col("w_fp").alias("b_fp")
     )
-    return (
+    summed = (
         features.join(F.broadcast(weights_fp.where(F.col("feat") != BIAS_FEAT)),
                       "feat")
         .groupBy("doc")
         .agg(F.sum(F.col("tf") * F.col("w_fp")).alias("s"))
-        .crossJoin(F.broadcast(bias))  # 1-row scalar
-        .select("doc", (F.col("s") + F.col("b_fp")).alias("logit_fp"))
+    )
+    if docs is not None:
+        # big-big left join (universe x per-doc sums): shuffle_hash, not
+        # SMJ/broadcast — the sums side is already hash-partitioned by
+        # doc from the groupBy, so its exchange is reused
+        summed = docs.select("doc").join(
+            summed.hint("shuffle_hash"), "doc", "left"
+        )
+    return (
+        summed.crossJoin(F.broadcast(bias))  # 1-row scalar
+        .select(
+            "doc",
+            (F.coalesce(F.col("s"), F.lit(0).cast("long"))
+             + F.col("b_fp")).alias("logit_fp"),
+        )
     )

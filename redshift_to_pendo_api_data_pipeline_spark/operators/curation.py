@@ -99,7 +99,12 @@ def neardup_stage(text_col: str, id_col: str, stage_dir: str, threshold: float =
             threshold=threshold,
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        return df.join(F.broadcast(losers), id_col, "left_anti")
+        # shuffle_hash, NOT broadcast: near-dup losers are commonly
+        # 30-50% of a web corpus — an unbounded, corpus-cardinality id
+        # set. A shuffled hash anti-join is the strategy that survives
+        # that at 100 TB (and stays off SortMergeJoin in the plan);
+        # broadcasting it is a driver/executor OOM by construction.
+        return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")
     return fn
 
 
@@ -111,8 +116,11 @@ def decontamination_stage(eval_set: DataFrame, text_col: str, id_col: str, n: in
 
     def fn(df: DataFrame) -> DataFrame:
         hits = benchmark_contamination(df, eval_set, text_col, id_col, n=n)
+        # hits are USUALLY small (eval-set overlaps) but unbounded in
+        # principle — no forced broadcast; the hint keeps the anti-join
+        # a shuffled hash join at any cardinality.
         return df.join(
-            F.broadcast(hits.select(id_col)), id_col, "left_anti"
+            hits.select(id_col).hint("shuffle_hash"), id_col, "left_anti"
         )
     return fn
 
@@ -166,12 +174,23 @@ def classifier_filter_stage(
 
     def fn(df: DataFrame) -> DataFrame:
         feats = hashed_features(df, text_col, id_col, dim=dim)
+        # Score from the full doc universe so a feature-less document
+        # (empty text / all-OOV tokens) gets a bias-only logit and is
+        # judged by the threshold like any other doc, instead of being
+        # dropped by the inner-join scoring path regardless of how
+        # permissive min_logit_fp is.
         keep = (
-            score_logreg_fp(feats, weights_fp)
+            score_logreg_fp(
+                feats, weights_fp,
+                docs=df.select(F.col(id_col).alias("doc")),
+            )
             .where(F.col("logit_fp") >= min_logit_fp)
             .select(F.col("doc").alias(id_col))
         )
-        return df.join(F.broadcast(keep), id_col, "left_semi")
+        # shuffle_hash, NOT broadcast: the keep set is the SURVIVORS — a
+        # quality filter keeps the majority of the corpus, so this id set
+        # is O(corpus) by construction and must never broadcast.
+        return df.join(keep.hint("shuffle_hash"), id_col, "left_semi")
     return fn
 
 

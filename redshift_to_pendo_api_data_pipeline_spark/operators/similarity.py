@@ -382,6 +382,8 @@ def build_ivf_index(
 
     from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, stage_parquet
 
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_delete
+
     spark = df.sparkSession
     cent_path = f"{index_path}__centroids"
     if (
@@ -389,7 +391,14 @@ def build_ivf_index(
         and fs_exists(spark, f"{index_path}/_SUCCESS")
         and fs_exists(spark, f"{cent_path}/_SUCCESS")
     ):
-        return load_ivf_centroids(spark, cent_path)
+        cents = load_ivf_centroids(spark, cent_path)
+        if cents.shape[0] == n_list:
+            return cents
+        # staged geometry differs from the request (n_list changed
+        # between runs): a silent stale load would prune the wrong
+        # partitions — drop the stale artifact and rebuild
+        fs_delete(spark, index_path)
+        fs_delete(spark, cent_path)
 
     centroids = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
     assigned = ivf_assign(df, vec_col, centroids)
@@ -657,14 +666,21 @@ def staged_ivf_centroids(
     exact, not an approximation."""
     import os as _os
 
-    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, stage_parquet
+    from redshift_to_pendo_api_data_pipeline_spark.staging import (
+        fs_delete,
+        fs_exists,
+        stage_parquet,
+    )
 
     spark = df.sparkSession
     if (
         _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
         and fs_exists(spark, f"{path}/_SUCCESS")
     ):
-        return load_ivf_centroids(spark, path)
+        staged = load_ivf_centroids(spark, path)
+        if staged.shape[0] == n_list:
+            return staged
+        fs_delete(spark, path)  # geometry changed: stale sidecar, rebuild
     cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
     stage_parquet(
         spark.createDataFrame(
@@ -691,7 +707,11 @@ def staged_pq_codebooks(
     (sub, code, centroid) table instead."""
     import os as _os
 
-    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists, stage_parquet
+    from redshift_to_pendo_api_data_pipeline_spark.staging import (
+        fs_delete,
+        fs_exists,
+        stage_parquet,
+    )
 
     spark = df.sparkSession
     if (
@@ -701,11 +721,16 @@ def staged_pq_codebooks(
         rows = spark.read.parquet(path).orderBy("sub", "code").collect()
         m = max(r["sub"] for r in rows) + 1
         k = max(r["code"] for r in rows) + 1
-        sub_dim = len(rows[0]["centroid"])
-        books = np.zeros((m, k, sub_dim), dtype=np.float64)
-        for r in rows:
-            books[r["sub"], r["code"]] = np.array(list(r["centroid"]))
-        return books
+        if (m, k) == (m_sub, k_codes):
+            sub_dim = len(rows[0]["centroid"])
+            books = np.zeros((m, k, sub_dim), dtype=np.float64)
+            for r in rows:
+                books[r["sub"], r["code"]] = np.array(list(r["centroid"]))
+            return books
+        # staged geometry != requested (m_sub/k_codes changed between
+        # runs): codes encoded against it would silently decode wrong —
+        # drop and retrain at the requested shape
+        fs_delete(spark, path)
     books = train_pq_codebooks(df, vec_col, id_col, m_sub=m_sub,
                                k_codes=k_codes, n_iter=n_iter)
     stage_parquet(

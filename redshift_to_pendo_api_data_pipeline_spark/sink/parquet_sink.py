@@ -59,16 +59,34 @@ def _fs(path: str):
 
 
 def activate(path: str, version: int) -> None:
-    """The ACTIVATE_VERSION swap: atomic pointer flip. Through the
-    Hadoop FS the pointer is one small create-with-overwrite — a single
-    atomic PUT on object stores, close-visible on HDFS; the local
-    fallback keeps the POSIX tmp+rename."""
+    """The ACTIVATE_VERSION swap: atomic pointer flip. Hadoop FS
+    ``create(overwrite=True)`` is create-then-write-then-close — the
+    pointer is VISIBLE at length 0 before close on local and HDFS
+    schemes, so a concurrent reader could see an empty file. Instead the
+    body lands under a temp name and ``fs.rename()`` flips it over
+    _ACTIVE (rename is atomic on HDFS and POSIX local; on object stores
+    the plain create was already a single PUT, and rename degrades to
+    copy+delete — `active_version` additionally tolerates partial reads
+    as the belt-and-braces for that case). The no-session fallback keeps
+    the POSIX tmp+replace."""
     fs, _ = _fs(path)
     body = json.dumps({"version": version})
     if fs is not None:
         from redshift_to_pendo_api_data_pipeline_spark.staging import fs_touch
 
-        fs_touch(SparkSession.getActiveSession(), f"{path}/{_ACTIVE_FILE}", body)
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        tmp_name = f"{path}/{_ACTIVE_FILE}.tmp.{version}"
+        fs_touch(spark, tmp_name, body)
+        src = jvm.org.apache.hadoop.fs.Path(tmp_name)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{_ACTIVE_FILE}")
+        if not fs.rename(src, dst):
+            # HDFS semantics: rename refuses when dst exists — drop the
+            # old pointer and retry (the unguarded window is between the
+            # delete and the rename; readers retry through it)
+            fs.delete(dst, False)
+            if not fs.rename(src, dst):
+                raise IOError(f"could not activate version pointer at {dst}")
         return
     p = Path(path) / _ACTIVE_FILE
     tmp = p.with_suffix(".tmp")
@@ -76,27 +94,49 @@ def activate(path: str, version: int) -> None:
     tmp.replace(p)  # atomic on POSIX
 
 
-def active_version(path: str) -> int | None:
+def active_version(path: str, retries: int = 5) -> int | None:
+    """Read the active-version pointer. Tolerates the transient states a
+    concurrent `activate` can expose (missing during an HDFS
+    delete+rename window, empty/partial on a non-atomic scheme) by
+    retrying briefly; returns None only when the pointer is genuinely
+    absent after the retry budget."""
+    import time
+
     fs, _ = _fs(path)
-    if fs is not None:
-        spark = SparkSession.getActiveSession()
-        jvm = spark._jvm
-        ptr = jvm.org.apache.hadoop.fs.Path(f"{path}/{_ACTIVE_FILE}")
-        pfs = ptr.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not pfs.exists(ptr):
-            return None
-        stream = pfs.open(ptr)
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(0.05 * attempt)
         try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return int(json.loads(text)["version"])
-    p = Path(path) / _ACTIVE_FILE
-    if not p.exists():
-        return None
-    return int(json.loads(p.read_text())["version"])
+            if fs is not None:
+                spark = SparkSession.getActiveSession()
+                jvm = spark._jvm
+                ptr = jvm.org.apache.hadoop.fs.Path(f"{path}/{_ACTIVE_FILE}")
+                pfs = ptr.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not pfs.exists(ptr):
+                    if last_err is None:
+                        return None  # genuinely absent, not mid-swap
+                    continue  # vanished inside a delete+rename window
+                stream = pfs.open(ptr)
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+            else:
+                p = Path(path) / _ACTIVE_FILE
+                if not p.exists():
+                    if last_err is None:
+                        return None
+                    continue
+                text = p.read_text()
+            return int(json.loads(text)["version"])
+        except (json.JSONDecodeError, ValueError, KeyError) as e:
+            last_err = e  # partial/empty pointer mid-swap: retry
+    if last_err is not None:
+        raise last_err
+    return None
 
 
 def read_active(spark: SparkSession, path: str) -> DataFrame:

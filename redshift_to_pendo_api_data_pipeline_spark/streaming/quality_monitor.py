@@ -80,7 +80,12 @@ def score_stream(
             return
         weights = spark.read.parquet(weights_fp_path)
         feats = hashed_features(batch_df, text_col, id_col, dim=dim)
-        scores = score_logreg_fp(feats, weights).select(
+        # every doc in the batch gets a logit (bias-only when it has no
+        # in-vocab features) — a stream must never silently drop records
+        scores = score_logreg_fp(
+            feats, weights,
+            docs=batch_df.select(F.col(id_col).alias("doc")),
+        ).select(
             F.col("doc").alias(id_col), "logit_fp"
         )
         on_scores(scores, batch_id)

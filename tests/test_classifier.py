@@ -93,6 +93,55 @@ def test_classifier_filter_stage_in_funnel(spark):
     assert report["classifier"] == 40  # exactly the target domain survives
 
 
+def test_featureless_docs_get_bias_only_logit(spark):
+    """r6 advice: a doc with zero in-vocab features (empty/whitespace
+    text, or all tokens unseen in training) must get a bias-only logit
+    when the doc universe is passed — and classifier_filter_stage must
+    judge it by the threshold like any other doc: kept at a permissive
+    threshold, dropped at a strict one. Without ``docs`` the historical
+    inner-join semantics hold (no row emitted)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        classifier_filter_stage,
+    )
+
+    docs = _toy_corpus(spark)
+    feats = C.hashed_features(docs, "text", "doc_id")
+    labels = docs.select(F.col("doc_id").alias("doc"), "y")
+    wfp = C.weights_fixed_point(
+        C.train_logreg(feats, labels, lr=1.0, n_epochs=4))
+    bias = wfp.where(F.col("feat") == C.BIAS_FEAT).first()["w_fp"]
+
+    # universe with one empty-text and one all-OOV doc appended
+    extra = spark.createDataFrame(
+        [(200, "   ", 0), (201, "zzzquux flurble vex", 0)],
+        "doc_id long, text string, y int",
+    )
+    universe = docs.unionByName(extra)
+    all_feats = C.hashed_features(universe, "text", "doc_id")
+
+    # without docs=: feature-less rows are absent (pinned legacy shape)
+    no_universe = {r["doc"] for r in
+                   C.score_logreg_fp(all_feats, wfp).collect()}
+    assert 200 not in no_universe
+
+    scored = {r["doc"]: r["logit_fp"] for r in C.score_logreg_fp(
+        all_feats, wfp,
+        docs=universe.select(F.col("doc_id").alias("doc"))).collect()}
+    assert len(scored) == 82
+    assert scored[200] == bias           # empty text -> bias-only
+    # all-OOV tokens hash to features the training corpus never produced
+    assert scored[201] == bias
+
+    permissive = classifier_filter_stage(
+        wfp, "text", "doc_id", min_logit_fp=min(scored.values()) - 1)
+    strict = classifier_filter_stage(
+        wfp, "text", "doc_id", min_logit_fp=bias + 1)
+    kept_perm = {r["doc_id"] for r in permissive(universe).collect()}
+    kept_strict = {r["doc_id"] for r in strict(universe).collect()}
+    assert {200, 201} <= kept_perm and len(kept_perm) == 82
+    assert 200 not in kept_strict and 201 not in kept_strict
+
+
 def test_streaming_scores_match_batch(spark, tmp_path):
     """Streaming serving pins bit-for-bit to the batch scorer: train on
     the toy corpus, stage fixed-point weights, stream the same docs in

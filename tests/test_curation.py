@@ -166,6 +166,44 @@ def test_quality_funnel_flags_matches_sequential_on_row_predicates(spark, sf_dir
     assert p.count("Scan parquet") <= 2
 
 
+def test_funnel_drop_stages_never_broadcast_unbounded_id_sets(spark, sf_dir):
+    """r6 verdict #1: the loser/hit/keep id sets the drop stages join
+    against are corpus-cardinality (near-dup losers are 30-50% of a web
+    corpus; a quality filter's keep set is the majority by construction)
+    — broadcasting them is an OOM at 100 TB. Each stage's join must plan
+    as a ShuffledHashJoin (the hinted scale-safe strategy), never a
+    SortMergeJoin, and never a broadcast built from the unbounded set."""
+    import tempfile
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        train_logreg,
+        weights_fixed_point,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("source") == "src19")
+    corpus = docs.where(F.col("source") != "src19")
+    feats = hashed_features(corpus, "text", "doc_id")
+    labels = corpus.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("source") == "src0").cast("int").alias("y"),
+    )
+    wfp = weights_fixed_point(train_logreg(feats, labels, n_epochs=1))
+
+    with tempfile.TemporaryDirectory() as td:
+        stages = {
+            "neardup": C.neardup_stage("text", "doc_id", td, threshold=0.8),
+            "decontam": C.decontamination_stage(eval_set, "text", "doc_id", 3),
+            "classifier": C.classifier_filter_stage(wfp, "text", "doc_id",
+                                                    min_logit_fp=0),
+        }
+        for name, stage in stages.items():
+            p = stage(corpus)._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in p, name
+            assert "ShuffledHashJoin" in p, name
+
+
 def test_cli_classify_then_curate_with_classifier_stage(spark, tmp_path):
     """The classify subcommand trains and publishes the fixed-point
     weight table; a subsequent curate run consumes it as a funnel stage

@@ -401,6 +401,46 @@ def test_ivf_persisted_index_partition_pruned_probe(spark, sf_dir, tmp_path):
     assert m and "__cluster" in m.group(1)
 
 
+def test_stage_reuse_rejects_stale_geometry(spark, sf_dir, tmp_path, monkeypatch):
+    """r6 advice: under SPARK_GRAFT_STAGE_REUSE=1 a staged quantizer
+    sidecar whose geometry differs from the caller's request (n_list /
+    m_sub / k_codes changed between runs) must be invalidated and
+    retrained, never silently served stale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_REUSE", "1")
+
+    cpath = str(tmp_path / "cents.parquet")
+    c8 = S.staged_ivf_centroids(emb, "embedding", "vec_id", cpath,
+                                n_list=8, n_iter=1)
+    assert c8.shape[0] == 8
+    c4 = S.staged_ivf_centroids(emb, "embedding", "vec_id", cpath,
+                                n_list=4, n_iter=1)
+    assert c4.shape[0] == 4  # retrained at the requested shape
+    # matching geometry still reuses: exact same table comes back
+    again = S.staged_ivf_centroids(emb, "embedding", "vec_id", cpath,
+                                   n_list=4, n_iter=1)
+    assert (again == c4).all()
+
+    bpath = str(tmp_path / "books.parquet")
+    b = S.staged_pq_codebooks(emb, "embedding", "vec_id", bpath,
+                              m_sub=4, k_codes=16, n_iter=1)
+    assert b.shape[:2] == (4, 16)
+    b2 = S.staged_pq_codebooks(emb, "embedding", "vec_id", bpath,
+                               m_sub=2, k_codes=8, n_iter=1)
+    assert b2.shape[:2] == (2, 8)
+
+    ipath = str(tmp_path / "idx.parquet")
+    S.build_ivf_index(emb, "embedding", "vec_id", ipath, n_list=8)
+    c2 = S.build_ivf_index(emb, "embedding", "vec_id", ipath, n_list=4)
+    assert c2.shape[0] == 4
+    # the index itself was rebuilt at the new layout: max partition id < 4
+    clusters = {r["__cluster"] for r in
+                spark.read.parquet(ipath).select("__cluster").distinct().collect()}
+    assert clusters <= set(range(4))
+
+
 def test_semantic_dedup_drops_lower_id_neighbors(spark, tmp_path):
     import itertools
     import numpy as np

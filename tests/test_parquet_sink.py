@@ -33,6 +33,49 @@ def test_versioned_swap_and_vacuum(spark, sf_dir, tmp_path):
     assert PS.read_active(spark, path).count() == 140
 
 
+def test_activate_pointer_flip_is_tmp_plus_rename(spark, tmp_path):
+    """r6 advice: the Hadoop-FS pointer write must not be a bare
+    create(overwrite) — that is visible at length 0 before close. The
+    swap now lands under a temp name and renames over _ACTIVE: after any
+    number of re-activations exactly one pointer file exists, no temp
+    residue, and the body is complete JSON."""
+    import json
+    import os
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    for v in (1, 2, 3, 2):
+        PS.activate(path, v)
+        assert PS.active_version(path) == v
+    # no temp residue (Hadoop's local FS adds hidden .crc sidecars)
+    visible = [n for n in os.listdir(path) if not n.startswith(".")]
+    assert visible == ["_ACTIVE_VERSION"]
+    assert not [n for n in os.listdir(path) if ".tmp." in n]
+    assert json.loads(open(f"{path}/_ACTIVE_VERSION").read()) == {"version": 2}
+
+
+def test_active_version_tolerates_partial_pointer(spark, tmp_path):
+    """A concurrent reader that catches the pointer mid-swap (empty or
+    truncated body on a scheme without atomic rename) retries instead of
+    crashing in json.loads; a pointer that NEVER becomes valid raises
+    after the retry budget, and a genuinely absent pointer is None
+    immediately."""
+    import json
+
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    (tmp_path / "tbl").mkdir()
+    assert PS.active_version(path) is None  # absent: fast None
+
+    ptr = tmp_path / "tbl" / "_ACTIVE_VERSION"
+    ptr.write_text("")  # the mid-swap zero-length state
+    with pytest.raises(json.JSONDecodeError):
+        PS.active_version(path, retries=2)
+    ptr.write_text('{"version": 9}')
+    assert PS.active_version(path) == 9
+
+
 def test_read_active_prunes_partitions(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     cust = load_table(spark, sf_dir, "customer")
