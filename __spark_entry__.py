@@ -1689,6 +1689,50 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def q_media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode certified cross-engine (round 7): per document,
+    a 16x16 grayscale PNG is synthesized from a pixel formula that is
+    also SQL-expressible — px[i] = (n_chars * (i+1)) % 251 — ENCODED to
+    a genuine PNG stream (chunks, CRCs, zlib) and DECODED back with the
+    stdlib PngCodec (`operators/multimodal.png_encode/png_decode`)
+    inside one mapInPandas stage. The emitted dimensions, pixel sum, and
+    position-weighted pixel sum must hash-match DuckDB computing the
+    same formula directly — one flipped bit anywhere in the chunk walk,
+    inflate, or unfiltering breaks the hash. This is the image analog of
+    the WavCodec certification: the codec boundary is REAL, not a
+    byte-stream stand-in. Declared Python edge (mapInPandas)."""
+    import numpy as np
+    import pandas as pd
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _roundtrip(batches):
+        idx = np.arange(256, dtype=np.int64) + 1
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "sum_px": [], "possum_px": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                arr = ((int(n_chars) * idx) % 251).astype(np.uint8)
+                px = png_decode(png_encode(arr.reshape(16, 16)))
+                flat = px[:, :, 0].reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["height"], out["width"] = (
+                    out["height"] + [px.shape[0]], out["width"] + [px.shape[1]])
+                out["sum_px"].append(int(flat.sum()))
+                out["possum_px"].append(int((flat * idx).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, width int, height int, sum_px long, possum_px long",
+    )
+
+
 # ------------------------------------------------- round-2b widened shapes
 
 def _revenue_dec() -> F.Column:
@@ -2389,6 +2433,79 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user registers per event type
+    (operators/analytics.hyperloglog_registers) — the cardinality sketch
+    completing the family (CMS=frequency, Bloom=membership,
+    MinHash=similarity). The per-distinct-key 48-bit hash words stage to
+    the lake and every downstream step (bucket mod, div, leading-zero
+    rank via bin-string length, max) is integer/string algebra DuckDB
+    re-derives exactly — a sketch with a hash check, not a tolerance
+    check. Scale: one linear pass, the only shuffle carries
+    |event_types| x m partially-maxed register rows."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        hyperloglog_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hyperloglog_registers(
+        ev, "user_id", ["event_type"], m=256,
+        stage_hash_path=f"{_stage_dir(sf_dir)}/hll_user_hashes.parquet",
+    )
+
+
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-algebra sketch (operators/analytics.kmv_sketches +
+    kmv_pair_overlap): for every event-type pair, the union and
+    intersection distinct-USER estimates derived from two k-row sketches
+    — next to the exact twin computed from the key stream. Every
+    estimator is integer division over staged 48-bit hash words (the
+    SAME staged relation the HLL registers read — one word table, two
+    sketch families), so DuckDB re-derives estimates exactly. At 100 TB
+    the exact twin is the expensive side; production reads the sketches."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        kmv_pair_overlap,
+        kmv_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketches(
+        ev, "user_id", "event_type", k=128,
+        stage_hash_path=f"{_stage_dir(sf_dir)}/hll_user_hashes.parquet",
+    )
+    est = kmv_pair_overlap(sk, "event_type", k=128)
+
+    ue = ev.select("event_type", "user_id").distinct()
+    x = ue.select(F.col("event_type").alias("type_a"),
+                  F.col("user_id").alias("u"))
+    y = ue.select(F.col("event_type").alias("type_b"),
+                  F.col("user_id").alias("u"))
+    # the exact-twin audience self-join is corpus-cardinality on both
+    # sides: shuffle_hash is the strategy that survives 100x (never SMJ,
+    # never a broadcast of a distinct-user relation)
+    inter = (
+        x.join(y.hint("shuffle_hash"), "u")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_inter")).alias("exact_union"),
+            "exact_inter",
+        )
+    )
+    return est.join(F.broadcast(exact), ["type_a", "type_b"]).select(
+        "type_a", "type_b", "est_union", "k_inter", "est_inter",
+        "exact_union", "exact_inter",
+    )
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: new batch (source = src0) near-dup'd
     against the existing corpus (every other source) — asymmetric banded
@@ -2692,6 +2809,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # through r3 lead (the driver certifies a prefix of the registry each
     # round), then round-4 additions, then everything already certified.
     return {
+        # round-7 additions lead (the driver certifies a registry prefix
+        # each round — new queries must land in the window)
+        "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
+        "hll_user_registers": q_hll_user_registers,
+        "kmv_audience_overlap": q_kmv_audience_overlap,
         # never driver-certified through r3 — close the official record
         "grouping_sets_orders": q_grouping_sets_orders,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -4236,6 +4358,16 @@ def oracle_sql() -> dict[str, str]:
                              / 2.0) as bigint) AS n_frames
             FROM documents
         """,
+        "media_png_roundtrip_stats": """
+            SELECT d.doc_id,
+                   16 AS width,
+                   16 AS height,
+                   CAST(SUM((d.n_chars * (t.i + 1)) % 251) AS BIGINT) AS sum_px,
+                   CAST(SUM(((d.n_chars * (t.i + 1)) % 251) * (t.i + 1)) AS BIGINT)
+                       AS possum_px
+            FROM documents d, range(256) t(i)
+            GROUP BY d.doc_id
+        """,
         "q7_nation_trade": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
@@ -4524,6 +4656,76 @@ def oracle_sql() -> dict[str, str]:
                       FROM events GROUP BY user_id)
             SELECT e.user_id, exact_n, cms_est
             FROM exact e JOIN est ON e.user_id = est.user_id
+        """,
+        # HLL register table re-derived from the staged 48-bit hash
+        # words: bucket = w mod m, rank = leading zeros of (w div m) + 1
+        # via minimal-binary-string length (bin() identical in both
+        # engines), register = group max — all integer/string algebra.
+        "hll_user_registers": f"""
+            SELECT event_type,
+                   CAST(w % 256 AS INT) AS bucket,
+                   CAST(MAX(CASE WHEN w // 256 = 0 THEN 41
+                            ELSE 41 - length(bin(w // 256)) END) AS INT)
+                       AS register
+            FROM read_parquet('{_STAGE}/hll_user_hashes.parquet/*.parquet')
+            GROUP BY event_type, w % 256
+        """,
+        # KMV estimates re-derived from the SAME staged word relation:
+        # per-type k-smallest sketch (QUALIFY rank), union-top-k per
+        # pair, integer-division estimators; exact twin from the events
+        # key stream.
+        "kmv_audience_overlap": f"""
+            WITH words AS (
+              SELECT event_type, w
+              FROM read_parquet('{_STAGE}/hll_user_hashes.parquet/*.parquet')),
+            sk AS (
+              SELECT event_type, w FROM words
+              QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY w) <= 128),
+            pairs AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM (SELECT DISTINCT event_type FROM sk) a
+              JOIN (SELECT DISTINCT event_type FROM sk) b
+                ON a.event_type < b.event_type),
+            union_words AS (
+              SELECT DISTINCT p.type_a, p.type_b, s.w
+              FROM pairs p JOIN sk s
+                ON s.event_type = p.type_a OR s.event_type = p.type_b),
+            flagged AS (
+              SELECT u.type_a, u.type_b, u.w,
+                     CASE WHEN EXISTS (SELECT 1 FROM sk x
+                                       WHERE x.event_type = u.type_a AND x.w = u.w)
+                           AND EXISTS (SELECT 1 FROM sk y
+                                       WHERE y.event_type = u.type_b AND y.w = u.w)
+                          THEN 1 ELSE 0 END AS hit
+              FROM union_words u),
+            topk AS (
+              SELECT * FROM flagged
+              QUALIFY row_number() OVER (PARTITION BY type_a, type_b ORDER BY w) <= 128),
+            est AS (
+              SELECT type_a, type_b,
+                     CASE WHEN count(*) < 128 THEN count(*)
+                          ELSE (127 * CAST(281474976710656 AS BIGINT)) // max(w)
+                     END AS est_union,
+                     CAST(SUM(hit) AS BIGINT) AS k_inter
+              FROM topk GROUP BY type_a, type_b),
+            ue AS (SELECT DISTINCT event_type, user_id FROM events),
+            inter AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     count(*) AS exact_inter
+              FROM ue x JOIN ue y ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+              GROUP BY x.event_type, y.event_type),
+            sizes AS (SELECT event_type, count(*) AS n FROM ue GROUP BY event_type)
+            SELECT e.type_a, e.type_b,
+                   CAST(e.est_union AS BIGINT) AS est_union,
+                   e.k_inter,
+                   CAST((e.k_inter * e.est_union) // 128 AS BIGINT) AS est_inter,
+                   CAST(sa.n + sb.n - i.exact_inter AS BIGINT) AS exact_union,
+                   CAST(i.exact_inter AS BIGINT) AS exact_inter
+            FROM est e
+            JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+            JOIN sizes sa ON sa.event_type = e.type_a
+            JOIN sizes sb ON sb.event_type = e.type_b
         """,
         # Asymmetric banding between the two staged signature relations
         # (new batch x corpus); same slice-equality banding + exact

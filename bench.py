@@ -102,6 +102,37 @@ def _sink_throughput(spark, data_dir: str) -> dict:
         srv.shutdown()
 
 
+def _calibration(spark, data_dir: str) -> dict:
+    """Fixed host-speed probe (round 7, r6 verdict #5): per-query medians
+    drift up to ~40% between machine sessions (documented in README 3b),
+    which twice made round-over-round deltas unreadable. This pinned
+    scan+agg — DO NOT EDIT; its stability across rounds is its entire
+    value — runs median-of-5 after warm-up and lands in BENCH_full.json
+    as `calibration`, so a cross-round comparison can normalize:
+    query_r7 / query_r6 is only signal beyond (cal_r7 / cal_r6).
+    Shape: one lineitem scan (2 pruned columns), one group key, integer
+    sum — pure scan+shuffle+agg, no Python, no joins, no staging."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{data_dir}/lineitem.parquet")
+    probe = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_fp"),
+    )
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return {
+        "probe": "lineitem_scan_groupby_sum_fixed_v1",
+        "median_of_5_sec": round(samples[2], 4),
+        "min_sec": round(samples[0], 4),
+        "max_sec": round(samples[-1], 4),
+    }
+
+
 def main() -> None:
     data_dir = sf_dir()
     m = re.search(r"sf([\d.]+)", data_dir)
@@ -224,8 +255,14 @@ def main() -> None:
         ),
     }
 
+    calibration = _calibration(spark, data_dir)
+
     full = {
         "metric": "total_query_runtime",
+        # host-speed normalizer: pinned scan+agg probe, stable across
+        # rounds by contract — divide per-query deltas by the
+        # calibration ratio before reading them as regressions
+        "calibration": calibration,
         # steady-state: sum of per-query median-of-3 after warm-up,
         # over ALL registry queries
         "value": total,

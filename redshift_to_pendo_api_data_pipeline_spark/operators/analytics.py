@@ -11,6 +11,8 @@ partial-aggregated map-side before the shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.functions.transforms import fixed_point
@@ -429,6 +431,196 @@ def count_min_sketch(
         .join(exact, key_col)
         .select(key_col, "exact_n", "cms_est")
     )
+
+
+def hyperloglog_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 256,
+    stage_hash_path: str | None = None,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) — the
+    distinct-count sketch that completes the sketch family (count-min =
+    frequency, Bloom = membership, MinHash = similarity, HLL =
+    cardinality), composed from built-ins and fully value-checkable
+    cross-engine like count_min_sketch.
+
+    Registers: h = xxhash64(key) folded to a non-negative 48-bit word w;
+    bucket = w mod m, v = w div m (a (48-log2 m)-bit value), register =
+    max over the group's keys of rank(v) = leading zeros of v + 1
+    (v = 0 -> the maximum rank). Every step is integer/string algebra
+    both engines implement identically (pmod/bin/length), so the staged
+    (group, w) relation lets an independent engine re-derive the exact
+    register table — the sketch is hash-checkable, not
+    tolerance-checked. (`bin` gives the minimal binary string in both
+    Spark and DuckDB; rank = vbits+1-length(bin(v)) with the v=0 case
+    explicit.)
+
+    Scale story — the entire point of HLL at 100 TB: ONE linear pass,
+    register derivation map-side, and the only shuffle carries at most
+    |groups| x m partially-maxed rows (map-side combine); the key stream
+    never shuffles and no distinct-key relation is ever materialized.
+    The exact twin every accuracy audit needs is the expensive side.
+    `stage_hash_path` stages the per-distinct-key hash words for the
+    oracle bridge only — production skips it.
+
+    Estimate: `hll_estimate` (driver-side arithmetic over the collected
+    m-bounded register table) applies the standard bias correction and
+    small-range linear counting; accuracy is pinned by test against the
+    1.04/sqrt(m) theoretical error."""
+    groups = list(group_cols or [])
+    vbits = 48 - int(math.log2(m))
+    w = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(1 << 48))
+    hashed = df.select(*groups, w.alias("w"))
+    if stage_hash_path is not None:
+        from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+        stage_parquet(hashed.distinct(), stage_hash_path)
+        hashed = df.sparkSession.read.parquet(stage_hash_path)
+    v = F.expr(f"w div {m}")
+    rank = F.when(v == F.lit(0), F.lit(vbits + 1)).otherwise(
+        F.lit(vbits + 1) - F.length(F.bin(v))
+    )
+    return (
+        hashed.select(
+            *groups,
+            F.pmod(F.col("w"), F.lit(m)).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def kmv_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    stage_hash_path: str | None = None,
+) -> DataFrame:
+    """K-minimum-values sketch per group (Bar-Yossef et al. 2002): the k
+    SMALLEST distinct 48-bit hash words of the group's keys — the
+    mergeable distinct-count sketch whose union/intersection composition
+    HLL registers don't give you. Returns (group, w) with ≤ k rows per
+    group.
+
+    Exactly integer end-to-end: hash words are pmod(xxhash64, 2^48) and
+    selection is a rank — no floats anywhere, so sketches (and every
+    estimate derived in kmv_pair_overlap) hash-check cross-engine from
+    the staged word relation (shareable with hyperloglog_registers —
+    same (group, w) shape).
+
+    Scale: the rank-≤-k window compiles to WindowGroupLimit (asserted in
+    tests) — each map task forwards at most k rows per group before the
+    group shuffle, so the exchange carries O(groups·k·tasks) sketch rows,
+    never the key stream."""
+    w = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(1 << 48))
+    # staged shape (group_col, w) matches hyperloglog_registers' staging,
+    # so one staged word relation serves both sketch families
+    hashed = df.select(F.col(group_col), w.alias("w")).distinct()
+    if stage_hash_path is not None:
+        from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+        stage_parquet(hashed, stage_hash_path)
+        hashed = df.sparkSession.read.parquet(stage_hash_path)
+    rn = F.row_number().over(Window.partitionBy(group_col).orderBy("w"))
+    return (
+        hashed.withColumn("__rn", rn)
+        .where(F.col("__rn") <= k)
+        .select(group_col, "w")
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame, group_col: str, k: int = 128
+) -> DataFrame:
+    """Pairwise distinct-count set algebra from KMV sketches alone: for
+    every group pair (a < b), the union-cardinality estimate and the
+    intersection estimate — the audience-overlap question ('how many
+    users do these two event types share') answered from two k-row
+    sketches instead of a key-stream join.
+
+    Estimators (all INTEGER division, cross-engine exact given the
+    sketch rows): take the k smallest of sketch_a ∪ sketch_b with u_k =
+    the k-th value; est_union = (k-1)·2^48 div u_k (or the exact union
+    sketch size when it holds fewer than k words — then the sketch IS
+    the set); K∩ = union-top-k words present in BOTH sketches;
+    est_inter = K∩·est_union div k. Work is O(pairs·k): the pair
+    relation never touches the raw keys."""
+    a = sketches.select(
+        F.col(group_col).alias("ga"), F.col("w").alias("w")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"), F.col("w").alias("w")
+    )
+    # (pair, w, in_both): every sketch word of either side, flagged when
+    # both sketches carry it — a full outer join on w within the pair
+    # via union + groupBy (no key-stream involved; O(pairs · k) rows)
+    # every relation below is sketch-bounded (≤ |groups|·k rows), so the
+    # joins hash/broadcast by construction — hinted explicitly because
+    # derived-relation size estimates would otherwise leave the static
+    # plan on SortMergeJoin
+    both = (
+        a.join(b.hint("shuffle_hash"), "w")
+        .where(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", "w", F.lit(1).alias("hit"))
+    )
+    pairs = F.broadcast(
+        a.select(F.col("ga").alias("g1"))
+        .distinct()
+        .join(b.select(F.col("gb").alias("g2")).distinct(),
+              F.col("g1") < F.col("g2"))
+    )
+    union_rows = (
+        pairs.join(a, pairs.g1 == a.ga)
+        .select("g1", "g2", "w")
+        .unionByName(
+            pairs.join(b, pairs.g2 == b.gb).select("g1", "g2", "w"))
+        .distinct()
+        .join(
+            both.select(F.col("ga").alias("g1"), F.col("gb").alias("g2"),
+                        "w", "hit").hint("shuffle_hash"),
+            ["g1", "g2", "w"], "left",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("g1", "g2").orderBy("w"))
+    topk = union_rows.withColumn("__rn", rn).where(F.col("__rn") <= k)
+    M = 1 << 48
+    agg = topk.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("w").alias("u_k"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("k_inter"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"({k - 1} * cast({M} as bigint)) div u_k"))
+    return agg.select(
+        F.col("g1").alias("type_a"),
+        F.col("g2").alias("type_b"),
+        est_union.cast("long").alias("est_union"),
+        F.col("k_inter").cast("long").alias("k_inter"),
+        (F.col("k_inter") * est_union).cast("long").alias("__num"),
+    ).select(
+        "type_a", "type_b", "est_union", "k_inter",
+        F.expr(f"__num div {k}").cast("long").alias("est_inter"),
+    )
+
+
+def hll_estimate(registers: list[int], m: int = 256) -> float:
+    """Cardinality estimate from one group's register list (absent
+    buckets = 0): harmonic-mean raw estimate with the standard
+    small-range linear-counting correction. Driver-side on an m-bounded
+    list by construction."""
+    regs = list(registers) + [0] * (m - len(registers))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = sum(1 for r in regs if r == 0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
 
 
 def retention_cohorts(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:

@@ -11,13 +11,20 @@ resampling, frame extraction) needs libraries this container doesn't ship
 - ``FakeCodec`` — deterministic, dependency-free: derives pseudo pixel
   stats/frames from the bytes themselves. Makes the Spark-side plumbing
   (schemas, batching, partitioning, UDF signatures) fully testable.
-- ``PilCodec`` — the real image path, behind an import guard: construction
-  raises ImportError when Pillow is absent (this container), and the
-  instance is picklable because PIL is imported per call on the executor,
-  never stored. Video/audio would follow the same pattern with av/ffmpeg.
+- ``PilCodec`` — the Pillow-backed image path, behind an import guard:
+  construction raises ImportError when Pillow is absent (this container),
+  and the instance is picklable because PIL is imported per call on the
+  executor, never stored. Video would follow the same pattern with ffmpeg.
+- ``PngCodec`` (round 7) — a REAL image codec with zero external
+  dependencies: full PNG decode (chunk walk + CRC, zlib inflate, all five
+  scanline filters, palette expansion) and a matching encoder, both from
+  the published spec via stdlib zlib. With ``WavCodec`` (audio) this
+  makes both media families real-decode-certified without Pillow.
 - ``default_codec()`` — PilCodec when Pillow is importable, else FakeCodec
   with a one-time warning, so the SAME operator code runs real decodes the
-  moment the dependency appears.
+  moment the dependency appears. (FakeCodec stays the default because the
+  synthetic test payloads are arbitrary bytes, not valid PNG streams;
+  PngCodec is passed explicitly where payloads are real PNGs.)
 
 Batch-shape rule: one Arrow batch in, one pandas DataFrame out, columns
 exactly matching the declared schema. Spark handles partition-level
@@ -177,6 +184,211 @@ class WavCodec(Codec):
             for i in range(0, max(len(pcm), 1), self._CHUNK)
         ]
         return chunks[::every_n]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with zero external dependencies — stdlib ``zlib``
+    and the published PNG spec (RFC 2083 / ISO 15948): chunk walk with
+    CRC verification, IDAT inflate, and all five scanline filters (None/
+    Sub/Up/Average/Paeth) reconstructed exactly. Returns (H, W, C) uint8
+    with C = 1 (gray), 2 (gray+alpha), 3 (RGB from truecolor or PLTE
+    palette), or 4 (RGBA).
+
+    Scope (raises ValueError outside it, never a wrong answer): 8-bit
+    depth, non-interlaced — the overwhelmingly common web encoding;
+    Adam7 and 16-bit are deliberate non-goals for the codec boundary."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"PngCodec supports 8-bit non-interlaced PNG, got depth={depth} "
+            f"interlace={interlace}"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up — no left dependency, fully vectorized
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth carry a left dep
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0  # left (same channel)
+                b = prev[x]                        # up
+                if ftype == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor, per spec
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(height, width, ch)
+    if color_type == 3:  # palette lookup -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib): gray (H,W), RGB (H,W,3) or
+    RGBA (H,W,4) uint8 at 8-bit depth, one filter type for every
+    scanline (0 by default; 1-4 exist so tests can drive each of the
+    decoder's unfilter paths through a true encode->decode roundtrip)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = a.reshape(h, stride).astype(np.int32)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        rec = flat[y]
+        if filter_type == 0:
+            enc = rec
+        elif filter_type == 2:
+            enc = (rec - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                aL = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if filter_type == 1:
+                    enc[x] = (rec[x] - aL) & 0xFF
+                elif filter_type == 3:
+                    enc[x] = (rec[x] - ((aL + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = aL + b - c
+                    pa, pb, pc = abs(p - aL), abs(p - b), abs(p - c)
+                    pred = aL if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (rec[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported filter type {filter_type}")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = rec
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 9)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+class PngCodec(Codec):
+    """REAL image codec with zero external dependencies: PNG via stdlib
+    zlib (png_decode/png_encode above) — the image counterpart of
+    WavCodec, closing the gap where the image path was certified only
+    through the FakeCodec stand-in (Pillow absent in this container).
+
+    Mapping onto the Codec surface:
+    - decode_stats: n_bytes/digest plus mean/std of the LUMA plane
+      (integer ITU-R 601: (299R + 587G + 114B) // 1000, PIL's convert("L")
+      formula) — real pixel statistics from a real decode;
+    - thumbnail(w, h): nearest-neighbor resize of the RGB plane,
+      re-encoded as a real PNG;
+    - sample_frames(every_n): PNG is single-frame — frame 0 is the
+      canonical re-encode, so [canonical] when 0 % every_n == 0."""
+
+    @staticmethod
+    def _luma(px: np.ndarray) -> np.ndarray:
+        if px.shape[2] == 1:
+            return px[:, :, 0].astype(np.int64)
+        if px.shape[2] == 2:  # gray+alpha: luma is the gray channel
+            return px[:, :, 0].astype(np.int64)
+        p = px.astype(np.int64)
+        return (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+
+    @staticmethod
+    def _rgb(px: np.ndarray) -> np.ndarray:
+        if px.shape[2] >= 3:
+            return px[:, :, :3]
+        return np.repeat(px[:, :, :1], 3, axis=2)
+
+    def decode_stats(self, payload: bytes) -> dict:
+        luma = self._luma(png_decode(payload))
+        return {
+            "n_bytes": len(payload),
+            "mean": float(luma.mean()) if luma.size else 0.0,
+            "std": float(luma.std()) if luma.size else 0.0,
+            "digest": hashlib.md5(payload).hexdigest(),
+        }
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:
+        rgb = self._rgb(png_decode(payload))
+        src_h, src_w = rgb.shape[:2]
+        ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+        xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+        return png_encode(rgb[ys][:, xs])
+
+    def sample_frames(self, payload: bytes, every_n: int) -> list[bytes]:
+        frames = [png_encode(self._rgb(png_decode(payload)))]
+        return frames[::every_n]
 
 
 def default_codec() -> Codec:

@@ -180,3 +180,79 @@ def test_ewm_weighted_sum_crafted(spark):
                                        "value", frame=8).collect()}
     # newest weight 2^(m-1): [100]=100; [100,200]=2*200+100; [..,300]=4*300+2*200+100
     assert out == {1: (1, 100), 2: (2, 500), 3: (3, 1700)}
+
+
+def test_hll_registers_accuracy_and_scale_shape(spark):
+    """HLL (round 7): the register-table estimate lands within the
+    theoretical 1.04/sqrt(m) band of the exact distinct count for
+    several true cardinalities, and the plan partial-aggregates the
+    rank max map-side (the shuffle carries at most m register rows per
+    map task, never the key stream) with no Python anywhere."""
+    for n_true in (80, 1000, 20000):
+        df = spark.range(n_true).select(
+            (F.col("id") * 7919 + 13).alias("k"))
+        regs = A.hyperloglog_registers(df, "k", m=256)
+        est = A.hll_estimate([r["register"] for r in regs.collect()], m=256)
+        # 3 sigma + small-range correction slack
+        assert abs(est - n_true) / n_true < 0.25, (n_true, est)
+        p = regs._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_registers_grouped_and_staged_roundtrip(spark, tmp_path):
+    """Grouped registers: each group's sketch is independent (a group
+    whose keys are a subset has component-wise <= registers is NOT
+    generally true, but identical key sets give identical registers);
+    staging the hash words and recomputing from the staged relation is
+    a no-op on the result."""
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(500)] \
+        + [("c", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    direct = A.hyperloglog_registers(df, "k", ["grp"], m=64)
+    got = {(r["grp"], r["bucket"]): r["register"] for r in direct.collect()}
+    # identical key sets -> identical register tables
+    a = {b: r for (g, b), r in got.items() if g == "a"}
+    b = {b: r for (g, b), r in got.items() if g == "b"}
+    assert a == b and len(a) > 0
+    staged = A.hyperloglog_registers(
+        df, "k", ["grp"], m=64,
+        stage_hash_path=str(tmp_path / "hll_words.parquet"))
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, direct.collect()))
+    ests = {g: A.hll_estimate(
+        [r for (gg, _), r in got.items() if gg == g], m=64)
+        for g in ("a", "c")}
+    assert abs(ests["a"] - 500) / 500 < 0.45  # m=64: sigma ~13%
+    assert abs(ests["c"] - 50) / 50 < 0.45
+
+
+def test_kmv_sketch_overlap_estimates_and_plan(spark):
+    """KMV (round 7): crafted overlapping key sets — est_union and
+    est_inter land near the constructed truth (k=128 on ~1-2k distinct:
+    sigma ~ 1/sqrt(k) ~ 9%), exact degenerate case (union fits in k)
+    is EXACT, and the sketch's rank-<=k window compiles to
+    WindowGroupLimit so map tasks forward at most k rows per group."""
+    rows = ([("a", i) for i in range(1500)]
+            + [("b", i) for i in range(1000, 2500)]       # |a ∩ b| = 500
+            + [("c", i) for i in range(5000, 5060)])       # small: exact path
+    df = spark.createDataFrame(rows, "grp string, k long")
+    sk = A.kmv_sketches(df, "k", "grp", k=128)
+    p = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    est = {(r["type_a"], r["type_b"]): r
+           for r in A.kmv_pair_overlap(sk, "grp", k=128).collect()}
+    ab = est[("a", "b")]
+    assert abs(ab["est_union"] - 2500) / 2500 < 0.30
+    assert abs(ab["est_inter"] - 500) / 500 < 0.55  # inter: k_inter/k noise
+    # c vs a: union 1560 estimated, intersection truly zero
+    ac = est[("a", "c")]
+    assert ac["k_inter"] == 0 and ac["est_inter"] == 0
+    # two tiny sets: union sketch holds the whole union -> exact count
+    tiny = spark.createDataFrame(
+        [("x", i) for i in range(40)] + [("y", i) for i in range(20, 70)],
+        "grp string, k long")
+    tsk = A.kmv_sketches(tiny, "k", "grp", k=128)
+    t = A.kmv_pair_overlap(tsk, "grp", k=128).collect()[0]
+    assert t["est_union"] == 70 and t["k_inter"] == 20

@@ -627,6 +627,180 @@ def test_streaming_funnel_same_timestamp_events_scan_in_funnel_order(spark):
     ]
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def test_png_decode_spec_grounded_hand_filtered_scanlines():
+    """Decoder certified AGAINST THE SPEC, independently of the encoder:
+    a 3x3 RGB PNG is built by hand — chunk layout, CRCs, and one
+    scanline per filter type (Sub/Average/Paeth) whose filtered bytes
+    were computed BY HAND from the RFC 2083 formulas and are hard-coded
+    literals here. png_decode must recover the exact pixel matrix."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    raw = np.array([
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[15, 25, 35], [45, 55, 65], [75, 85, 95]],
+        [[200, 100, 50], [25, 250, 125], [0, 255, 128]],
+    ], dtype=np.uint8)
+    # hand-computed filtered scanlines (see docstring):
+    sub = bytes([1, 10, 20, 30, 30, 30, 30, 30, 30, 30])           # row 0
+    avg = bytes([3, 10, 15, 20, 18, 18, 18, 18, 18, 18])           # row 1
+    paeth = bytes([4, 185, 75, 15, 81, 150, 60, 211, 5, 3])        # row 2
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(sub + avg + paeth))
+           + _png_chunk(b"IEND", b""))
+    assert (png_decode(png) == raw).all()
+
+
+def test_png_decode_palette_and_up_filter():
+    """Palette (color type 3) expands through PLTE to RGB; the Up filter
+    reconstructs against the prior scanline (hand-filtered literals)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    # 2x3 palette image, indices: row0 = 0,1,2 ; row1 = 2,1,0
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    row0 = bytes([0, 0, 1, 2])                        # filter None
+    # Up filter: enc = raw - up -> raw1 = [2,1,0], up = [0,1,2]
+    row1 = bytes([2, 2, 0, 254])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", plte)
+           + _png_chunk(b"IDAT", zlib.compress(row0 + row1))
+           + _png_chunk(b"IEND", b""))
+    out = png_decode(png)
+    expect = np.array([
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[0, 0, 255], [0, 255, 0], [255, 0, 0]],
+    ], dtype=np.uint8)
+    assert (out == expect).all()
+
+
+def test_png_roundtrip_all_filters_and_channel_counts():
+    """encode->decode is the identity for gray/RGB/RGBA under every
+    scanline filter type (0-4) — each encoder filter drives the matching
+    decoder unfilter path on data with real left/up dependencies."""
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 3, 4):
+        shape = (5, 4) if ch == 1 else (5, 4, ch)
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8) if ch != 1 \
+            else rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = arr[:, :, None] if ch == 1 else arr
+        for ftype in range(5):
+            got = png_decode(png_encode(arr, filter_type=ftype))
+            assert (got == want).all(), (ch, ftype)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    good = png_encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JFIF" + good)
+    # flip one IDAT byte -> CRC check trips
+    bad = bytearray(good)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+    # 16-bit depth declared unsupported, not silently wrong
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    deep = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        png_decode(deep)
+
+
+def test_png_codec_real_decode_through_spark_pipeline(spark):
+    """PngCodec end-to-end through the actual Spark operators — the
+    image twin of the WavCodec certification: synthesize real PNGs,
+    run decode_stats / thumbnails / sampled_frames over mapInPandas,
+    pin outputs to numpy ground truth from the same pixel matrices."""
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(42)
+    imgs = {
+        1: rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8),
+        3: rng.randint(0, 256, size=(8, 8), dtype=np.uint8),  # gray
+    }
+    payloads = {k: MM.png_encode(v) for k, v in imgs.items()}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "item_id long, payload binary",
+    )
+    media = MM.attach_media(df, "payload", media_type="image/png")
+    codec = MM.PngCodec()
+
+    stats = {r["item_id"]: r for r in
+             MM.decode_stats(media, "item_id", codec=codec).collect()}
+    for iid, arr in imgs.items():
+        if arr.ndim == 3:
+            p = arr.astype(np.int64)
+            luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+        else:
+            luma = arr.astype(np.int64)
+        assert stats[iid]["n_bytes"] == len(payloads[iid])
+        assert abs(stats[iid]["mean"] - luma.mean()) < 1e-9
+        assert abs(stats[iid]["std"] - luma.std()) < 1e-9
+
+    thumbs = {r["item_id"]: bytes(r["thumb"]) for r in
+              MM.thumbnails(media, "item_id", w=4, h=4, codec=codec).collect()}
+    for iid, arr in imgs.items():
+        got = MM.png_decode(thumbs[iid])
+        rgb = arr[:, :, :3] if arr.ndim == 3 else \
+            np.repeat(arr[:, :, None], 3, axis=2)
+        sh, sw = rgb.shape[:2]
+        ys = (np.arange(4) * sh // 4).clip(0, sh - 1)
+        xs = (np.arange(4) * sw // 4).clip(0, sw - 1)
+        assert (got == rgb[ys][:, xs]).all(), iid
+
+    n_frames = {r["item_id"]: r["n"] for r in
+                MM.sampled_frames(media, "item_id", every_n=1, codec=codec)
+                .groupBy("item_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n_frames == {1: 1, 2: 1, 3: 1}  # PNG: single canonical frame
+
+
 def test_wav_codec_real_decode_through_spark_pipeline(spark):
     """WavCodec is the one fully-REAL codec certifiable in this sandbox
     (stdlib wave, no Pillow/av needed): synthesize 16-bit PCM WAVs,
@@ -684,3 +858,67 @@ def test_wav_codec_real_decode_through_spark_pipeline(spark):
     for r in thumb:
         assert len(r["thumb"]) == 32  # w*h envelope bytes
         assert max(r["thumb"]) == 255  # peak-normalized
+
+
+def test_streaming_hll_registers_match_batch_and_tolerate_replay(spark, tmp_path):
+    """Streaming sketch maintenance (round 7): the register rollup after
+    draining N micro-batches equals the batch HLL over all data (max-merge
+    is lossless for registers), the estimate lands in the accuracy band,
+    and a REPLAYED micro-batch leaves the rollup byte-identical — the
+    idempotence sums don't have, which is the entire argument for
+    maintaining sketches instead of raw distinct counts on a stream."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators import analytics as A
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.sketches import (
+        hll_register_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_type", "user_id")
+    src = str(tmp_path / "incoming")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    ev.where(F.col("user_id") % 3 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("user_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("user_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    rollup = str(tmp_path / "hll_rollup")
+    q = hll_register_stream(
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "user_id", ["event_type"], rollup,
+        checkpoint=str(tmp_path / "ckpt"), m=64,
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(map(tuple, PS.read_active(spark, rollup).collect()))
+    batch = sorted(map(tuple,
+                       A.hyperloglog_registers(ev, "user_id",
+                                               ["event_type"], m=64).collect()))
+    assert streamed == batch
+
+    # estimate accuracy per type against the exact distinct count
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    regs: dict = {}
+    for et, _bucket, register in streamed:
+        regs.setdefault(et, []).append(register)
+    for et, rs in regs.items():
+        est = A.hll_estimate(rs, m=64)
+        assert abs(est - exact[et]) / exact[et] < 0.45, (et, est, exact[et])
+
+    # replay: fold an already-applied batch again -> rollup unchanged
+    # (max-merge idempotence, independent of the version guard)
+    active_before = PS.active_version(rollup)
+    first_file_df = spark.read.parquet(src).limit(0).unionByName(
+        ev.where(F.col("user_id") % 3 == 0))
+    merged = (
+        PS.read_active(spark, rollup).select("event_type", "bucket", "register")
+        .unionByName(A.hyperloglog_registers(first_file_df, "user_id",
+                                             ["event_type"], m=64))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert sorted(map(tuple, merged.collect())) == streamed
+    assert PS.active_version(rollup) == active_before
