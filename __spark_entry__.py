@@ -744,6 +744,64 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C = |A∩B|/min(|A|,|B|) >= 0.8
+    within source blocks (dedup.containment_pairs) — the subset/quote
+    detector symmetric Jaccard misses. Candidates via the containment
+    analog of prefix filtering (smaller side's prefix vs full token
+    index); REUSES the same staged SSJoin index as word_jaccard_pairs
+    (stage-once, two exact set-similarity consumers)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", "source", 0.8,
+        stage_path=f"{_stage_dir(sf_dir)}/ssjoin_words.parquet",
+    )
+
+
+def q_version_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots of the versioned lake sink
+    (sink/parquet_sink.version_diff): v1 = the customer table, v2 = a
+    deterministic edit (every custkey%10==0 deleted, %7==0 rebalanced,
+    %13==0 re-inserted under a new key) written through the REAL
+    ACTIVATE_VERSION machinery, then diffed with the partition-pruned
+    full-outer hash-compare. The oracle re-derives the expected
+    INSERT/UPDATE/DELETE set from the source table alone — certifying
+    the sink write path AND the diff operator in one hash."""
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+
+    path = f"{_stage_dir(sf_dir)}/versioned_customers.parquet"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("c_acctbal_fp"),
+    )
+    v2 = (
+        cust.where(F.col("c_custkey") % 10 != 0)
+        .withColumn(
+            "c_acctbal_fp",
+            F.when(F.col("c_custkey") % 7 == 0,
+                   F.col("c_acctbal_fp") + 100)
+            .otherwise(F.col("c_acctbal_fp")),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("new_customer").alias("c_name"),
+                F.lit(0).cast("long").alias("c_acctbal_fp"),
+            )
+        )
+    )
+    PS.write_versioned(cust, path, 1, mode="overwrite")
+    PS.write_versioned(v2, path, 2, mode="append")
+    PS.activate(path, 2)
+    return PS.version_diff(spark, path, "c_custkey", 1, 2)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact form)."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
@@ -1501,6 +1559,22 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequential_funnel_single_pass(
         ev, "user_id", "event_type", "ts",
         ["signup", "view", "click", "purchase"],
+    )
+
+
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with a CONVERSION WINDOW (round 7): each step counts
+    only within 6 hours of the previous reach — 'clicked within 6h of
+    viewing', the form product analytics actually ships. Same one-scan
+    single-pass plan as event_funnel; first-touch semantics pinned equal
+    to the chained form by test."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel_single_pass,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_funnel_single_pass(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "view", "click", "purchase"], within_s=21600,
     )
 
 
@@ -2809,64 +2883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # through r3 lead (the driver certifies a prefix of the registry each
     # round), then round-4 additions, then everything already certified.
     return {
-        # round-7 additions lead (the driver certifies a registry prefix
-        # each round — new queries must land in the window)
+        # Registry order = driver-certification rotation (r7): the 6
+        # round-7 queries lead, then the 76 queries NOT in the r6 driver
+        # window (stalest certification first priority), then the 50
+        # r6-window queries. The driver certifies a 50-query prefix per
+        # round; this ordering keeps the r1-r7 union current.
         "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
         "hll_user_registers": q_hll_user_registers,
         "kmv_audience_overlap": q_kmv_audience_overlap,
-        # never driver-certified through r3 — close the official record
-        "grouping_sets_orders": q_grouping_sets_orders,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
-        "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
-        "embedding_ann_pq": q_embedding_ann_pq,
-        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
-        "bloom_corpus_membership": q_bloom_corpus_membership,
-        "retention_cohorts": q_retention_cohorts,
-        "windowed_anomalies": q_windowed_anomalies,
-        "distinctive_terms": q_distinctive_terms,
-        "column_profile_orders": q_column_profile_orders,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "bpe_token_counts": q_bpe_token_counts,
-        "topic_clusters": q_topic_clusters,
-        "ewm_user_spend": q_ewm_user_spend,
-        "cluster_split": q_cluster_split,
-        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "bigram_surprisal": q_bigram_surprisal,
-        "vocab_coverage": q_vocab_coverage,
-        "source_vocab_profile": q_source_vocab_profile,
-        "data_quality_report": q_data_quality_report,
-        # round-4 additions (no driver verdict yet)
-        "bucketed_neardup_recall": q_bucketed_neardup_recall,
-        "name_editdist_pairs": q_name_editdist_pairs,
-        "pii_rate_by_source": q_pii_rate_by_source,
-        "doc_length_histogram": q_doc_length_histogram,
-        # already driver-certified (r1-r3 union)
-        "ngram_span_coverage": q_ngram_span_coverage,
-        "strip_duplicated_spans": q_strip_duplicated_spans,
-        "strip_contaminated_spans": q_strip_contaminated_spans,
-        "semantic_dedup": q_semantic_dedup,
-        "dsir_doc_scores": q_dsir_doc_scores,
-        "quality_classifier_scores": q_quality_classifier_scores,
-        "mixture_plan": q_mixture_plan,
-        "token_budget_head": q_token_budget_head,
-        "pack_sequences": q_pack_sequences,
-        "shuffled_head": q_shuffled_head,
-        "token_rarity": q_token_rarity,
-        "hourly_gapfill_locf": q_hourly_gapfill_locf,
-        "approx_percentile_check": q_approx_percentile_check,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "unpivot_order_facts": q_unpivot_order_facts,
-        "cdc_merge_customers": q_cdc_merge_customers,
-        "scd2_user_state": q_scd2_user_state,
-        "text_analysis": q_text_analysis,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "media_decode_stats": q_media_decode_stats,
-        "media_frame_counts": q_media_frame_counts,
-        "q7_nation_trade": q7_nation_trade,
-        "q9_product_profit": q9_product_profit,
+        "word_containment_pairs": q_word_containment_pairs,
+        "version_diff_customers": q_version_diff_customers,
+        "event_funnel_windowed": q_event_funnel_windowed,
+        # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
@@ -2943,6 +2971,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "train_eval_split_counts": q_train_eval_split_counts,
         "source_mix_sample": q_source_mix_sample,
+        # --- certified by the r6 driver window ---
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
+        "bloom_corpus_membership": q_bloom_corpus_membership,
+        "retention_cohorts": q_retention_cohorts,
+        "windowed_anomalies": q_windowed_anomalies,
+        "distinctive_terms": q_distinctive_terms,
+        "column_profile_orders": q_column_profile_orders,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "bpe_token_counts": q_bpe_token_counts,
+        "topic_clusters": q_topic_clusters,
+        "ewm_user_spend": q_ewm_user_spend,
+        "cluster_split": q_cluster_split,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "bigram_surprisal": q_bigram_surprisal,
+        "vocab_coverage": q_vocab_coverage,
+        "source_vocab_profile": q_source_vocab_profile,
+        "data_quality_report": q_data_quality_report,
+        "bucketed_neardup_recall": q_bucketed_neardup_recall,
+        "name_editdist_pairs": q_name_editdist_pairs,
+        "pii_rate_by_source": q_pii_rate_by_source,
+        "doc_length_histogram": q_doc_length_histogram,
+        "ngram_span_coverage": q_ngram_span_coverage,
+        "strip_duplicated_spans": q_strip_duplicated_spans,
+        "strip_contaminated_spans": q_strip_contaminated_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_doc_scores": q_dsir_doc_scores,
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "mixture_plan": q_mixture_plan,
+        "token_budget_head": q_token_budget_head,
+        "pack_sequences": q_pack_sequences,
+        "shuffled_head": q_shuffled_head,
+        "token_rarity": q_token_rarity,
+        "hourly_gapfill_locf": q_hourly_gapfill_locf,
+        "approx_percentile_check": q_approx_percentile_check,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "unpivot_order_facts": q_unpivot_order_facts,
+        "cdc_merge_customers": q_cdc_merge_customers,
+        "scd2_user_state": q_scd2_user_state,
+        "text_analysis": q_text_analysis,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "media_decode_stats": q_media_decode_stats,
+        "media_frame_counts": q_media_frame_counts,
+        "q7_nation_trade": q7_nation_trade,
+        "q9_product_profit": q9_product_profit,
     }
 
 
@@ -3646,6 +3725,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         """,
+        "event_funnel_windowed": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+                          AND e.ts <= s0.t + INTERVAL 21600 SECOND
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                          AND e.ts <= s1.t + INTERVAL 21600 SECOND
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                          AND e.ts <= s2.t + INTERVAL 21600 SECOND
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 0 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s0
+            UNION ALL SELECT 1, 'view', count(*) FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,
@@ -3883,6 +3982,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
                         / cast(len(list_distinct(list_concat(a.w, b.w))) as double),
                         6) >= 0.5
+        """,
+        "version_diff_customers": """
+            WITH base AS (
+              SELECT c_custkey, c_name,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS c_acctbal_fp
+              FROM customer)
+            SELECT 'DELETE' AS op, c_custkey,
+                   CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS BIGINT) AS c_acctbal_fp
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 'UPDATE', c_custkey, c_name, c_acctbal_fp + 100
+            FROM base WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 0
+            UNION ALL
+            SELECT 'INSERT', c_custkey + 1000000, 'new_customer',
+                   CAST(0 AS BIGINT)
+            FROM base WHERE c_custkey % 13 = 0
+        """,
+        "word_containment_pairs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> hash(x))) AS w
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(cast(len(list_intersect(a.w, b.w)) as double)
+                         / least(len(a.w), len(b.w)), 6) AS containment
+            FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(cast(len(list_intersect(a.w, b.w)) as double)
+                        / least(len(a.w), len(b.w)), 6) >= 0.8
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

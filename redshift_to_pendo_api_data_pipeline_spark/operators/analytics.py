@@ -264,11 +264,20 @@ def median_and_min_mode(df: DataFrame, key: str, value_int: str) -> DataFrame:
 
 def sequential_funnel(
     df: DataFrame, user_col: str, type_col: str, ts_col: str,
-    steps: list[str],
+    steps: list[str], within_s: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user reaches step i when their first
     qualifying step-i event occurs at-or-after their step-(i-1) reach
     time. Returns (step_idx, step, n_users).
+
+    ``within_s`` (round 7) adds the CONVERSION WINDOW every product
+    funnel eventually needs: step i counts only when it happens within
+    `within_s` seconds of the step-(i-1) reach — 'purchased within an
+    hour of clicking', not 'eventually purchased'. NOTE these are
+    first-touch semantics: the reach time is still the FIRST in-window
+    step-i event after the first step-(i-1) reach; a user whose only
+    conversion path goes through a LATER step-(i-1) occurrence does not
+    count (restart-per-occurrence is a different operator).
 
     One conditional-min aggregation per step, chained by an equi-join on
     the user key: each stage's relation shrinks (funnels only narrow), the
@@ -282,6 +291,11 @@ def sequential_funnel(
         ev = df.where(F.col(type_col) == step)
         if reached is not None:
             ev = ev.join(reached, user_col).where(F.col(ts_col) >= F.col("t_reach"))
+            if within_s is not None:
+                ev = ev.where(
+                    F.col(ts_col)
+                    <= F.col("t_reach") + F.expr(f"INTERVAL {within_s} SECONDS")
+                )
         reached = (
             ev.groupBy(user_col)
             .agg(F.min(ts_col).alias("t"))
@@ -302,7 +316,7 @@ def sequential_funnel(
 
 def sequential_funnel_single_pass(
     df: DataFrame, user_col: str, type_col: str, ts_col: str,
-    steps: list[str],
+    steps: list[str], within_s: int | None = None,
 ) -> DataFrame:
     """Same funnel semantics as sequential_funnel, ONE scan and ONE
     user-key shuffle: the chained form's plan contains stage i-1 inside
@@ -335,12 +349,23 @@ def sequential_funnel_single_pass(
     # returns NULL on empty — the reach chain then correctly stops.
     reach = F.array_min(F.col("__a0")).alias("__t0")
     cols = [reach]
+    def _window_pred(prev):
+        # single-arg lambdas (pyspark derives higher-order-function arity
+        # from the signature, so no default-arg captures)
+        if within_s is None:
+            return lambda x: x >= prev
+        # same first-touch conversion-window semantics as the chained
+        # form (within_s seconds of the previous reach)
+        bound = F.expr(f"INTERVAL {within_s} SECONDS")
+        return lambda x: (x >= prev) & (x <= prev + bound)
+
     for i in range(1, len(steps)):
         prev = F.col(f"__t{i-1}")
+        in_window = _window_pred(prev)
         cols.append(
             F.when(
                 prev.isNotNull(),
-                F.array_min(F.filter(F.col(f"__a{i}"), lambda x: x >= prev)),
+                F.array_min(F.filter(F.col(f"__a{i}"), in_window)),
             ).alias(f"__t{i}")
         )
     reached = per_user

@@ -811,40 +811,7 @@ def prefix_filtered_jaccard_pairs(
     token hashes, size) — the same stage-once/probe-many discipline as
     the signature families, and the artifact a production SSJoin keeps
     anyway."""
-    words_df = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(block_col).alias("blk"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
-    )
-    units = F.col("w") if n == 1 else _grams_from_words(F.col("w"), n)
-    toks = words_df.select(
-        "doc",
-        "blk",
-        F.explode(
-            F.array_distinct(F.transform(units, lambda x: F.xxhash64(x)))
-        ).alias("tok"),
-    )
-    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
-    per_doc = (
-        toks.join(tok_df, "tok")
-        .groupBy("doc", "blk")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df_"), F.col("tok")))
-            ).alias("ws")
-        )
-        .select(
-            "doc",
-            "blk",
-            F.transform("ws", lambda x: x["tok"]).alias("w"),
-            F.size("ws").alias("n"),
-        )
-    )
-    if stage_path is not None:
-        from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
-
-        stage_parquet(per_doc, stage_path)
-        per_doc = df.sparkSession.read.parquet(stage_path)
+    per_doc = _ssjoin_index(df, text_col, id_col, block_col, n, stage_path)
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     pref = per_doc.select(
         "doc", "blk", "n", F.explode(F.slice("w", 1, prefix_len)).alias("tok")
@@ -880,6 +847,123 @@ def prefix_filtered_jaccard_pairs(
         .join(wb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _ssjoin_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int,
+    stage_path: str | None,
+) -> DataFrame:
+    """The SSJoin index relation both exact set-similarity flavors
+    (symmetric Jaccard, asymmetric containment) consume: per doc the
+    frequency-ASCENDING sorted token-hash array + its size — (doc, blk,
+    w, n). One df-count shuffle, one rank join, one per-doc re-agg;
+    staged once when `stage_path` is given (the plan has four+ consumer
+    branches per query, and multiple queries share the artifact)."""
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    units = F.col("w") if n == 1 else _grams_from_words(F.col("w"), n)
+    toks = words_df.select(
+        "doc",
+        "blk",
+        F.explode(
+            F.array_distinct(F.transform(units, lambda x: F.xxhash64(x)))
+        ).alias("tok"),
+    )
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        toks.join(tok_df, "tok")
+        .groupBy("doc", "blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("tok")))
+            ).alias("ws")
+        )
+        .select(
+            "doc",
+            "blk",
+            F.transform("ws", lambda x: x["tok"]).alias("w"),
+            F.size("ws").alias("n"),
+        )
+    )
+    if stage_path is not None:
+        from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+        stage_parquet(per_doc, stage_path)
+        per_doc = df.sparkSession.read.parquet(stage_path)
+    return per_doc
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    n: int = 1,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A,B) = |A∩B| / min(|A|,|B|) —
+    the subset/quote detector symmetric Jaccard structurally misses: a
+    200-word quote inside a 5,000-word page has Jaccard ~0.04 but
+    containment ~1.0. The dedup decision it feeds is 'drop the contained
+    doc, keep the container' (round-7 family extension; Lee et al.'s
+    dedup taxonomy separates exactly these two semantics).
+
+    EXACT via the containment analog of prefix filtering: writing S for
+    the smaller set, C >= t forces |S∩B| >= ceil(t·|S|), so the
+    intersection cannot hide entirely in S's last ceil(t·|S|)-1
+    frequency-ordered positions — S exposes a shared token among its
+    first |S|-ceil(t·|S|)+1 (its prefix). Unlike the symmetric join, the
+    CONTAINER side gets no size band and no prefix (that is the point),
+    so candidates come from prefix(probe) ⋈ full-token index; probing
+    every doc's prefix covers both roles of each pair. Shares the staged
+    SSJoin index relation with prefix_filtered_jaccard_pairs
+    (stage-once, two consumers).
+
+    Returns (id_a < id_b, containment 6dp >= threshold). Scale: prefix
+    length shrinks with t (at t=0.8 only ~20% of each doc's tokens are
+    probed); all stages linear or candidate-bounded, same argument as
+    the symmetric form (SCALE.md)."""
+    per_doc = _ssjoin_index(df, text_col, id_col, block_col, n, stage_path)
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pref = per_doc.select(
+        "doc", "blk", F.explode(F.slice("w", 1, prefix_len)).alias("tok")
+    )
+    full = per_doc.select(
+        "doc", "blk", F.explode("w").alias("tok")
+    )
+    a = pref.select("blk", "tok", F.col("doc").alias("id_a"))
+    b = full.select("blk", "tok", F.col("doc").alias("id_b"))
+    cand = (
+        a.join(b, ["blk", "tok"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    wa = per_doc.select(
+        F.col("doc").alias("id_a"), F.col("w").alias("w_a"), F.col("n").alias("n_a")
+    )
+    wb = per_doc.select(
+        F.col("doc").alias("id_b"), F.col("w").alias("w_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    cont = inter / F.least("n_a", "n_b")
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .where(F.col("containment") >= threshold)
     )
 
 

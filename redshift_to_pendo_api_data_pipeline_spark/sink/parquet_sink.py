@@ -148,6 +148,66 @@ def read_active(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).where(F.col("version") == v).drop("version")
 
 
+def version_diff(
+    spark: SparkSession, path: str, key: str, v_old: int, v_new: int
+) -> DataFrame:
+    """CDC between two versions of a versioned table: (op, key, ...new
+    row columns) with op in INSERT/DELETE/UPDATE — what a downstream
+    consumer replays to move from v_old's snapshot to v_new's without
+    rereading the full table (the ACTIVATE_VERSION swap gives atomic
+    snapshots; this gives the delta between them).
+
+    One full-outer join on the key, both sides partition-pruned to their
+    single version directory. UPDATE detection hashes the non-key
+    columns JVM-side (xxhash64 over a canonical struct) — no column
+    list needed and no row comparison leaves the executors."""
+    base = spark.read.parquet(path)
+    old = base.where(F.col("version") == v_old).drop("version")
+    new = base.where(F.col("version") == v_new).drop("version")
+    cols = [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key).alias("__k"),
+        F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("__h_old"),
+    )
+    n = new.select(
+        F.col(key), F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("__h_new"),
+        *cols,
+    )
+    joined = o.join(n, o["__k"] == n[key], "full")
+    return (
+        joined.select(
+            F.when(F.col("__k").isNull(), F.lit("INSERT"))
+            .when(F.col(key).isNull(), F.lit("DELETE"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("UPDATE"))
+            .alias("op"),
+            F.coalesce(F.col(key), F.col("__k")).alias(key),
+            *cols,
+        )
+        .where(F.col("op").isNotNull())
+    )
+
+
+def compact_active_version(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Small-file compaction for the ACTIVE version — the lake-ops chore
+    an append-heavy INCREMENTAL stream creates (every micro-batch adds
+    files; readers eventually pay per-file open cost). Rewrites the
+    active version's rows into `target_files` files UNDER A NEW VERSION
+    and atomically activates it, so readers never see a half-compacted
+    table and the old layout stays until `vacuum`. Returns the new
+    version id. Row-preservation is the caller-visible contract (pinned
+    by test); at 100 TB run it per partition key instead of whole-table."""
+    v = active_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no active version at {path}")
+    rows = read_active(spark, path).coalesce(target_files)
+    new_v = v + 1
+    write_versioned(rows, path, new_v, mode="append")
+    activate(path, new_v)
+    return new_v
+
+
 def vacuum(path: str) -> list[int]:
     """Drop every deactivated version directory; returns dropped ids.
     Listing and deletes go through the Hadoop FS so retention works on

@@ -1028,3 +1028,51 @@ def test_bpe_segment_words_reproduces_trainer_state(spark):
     # 'low' x3 + 'lower' x2 + 'lowest' x1 -> token 'low' appears 6 times
     assert counts["low"] == 6
     assert counts["e"] == 3 and counts["r"] == 2 and counts["t"] == 1
+
+
+def test_containment_catches_quote_in_doc_jaccard_misses(spark):
+    """The asymmetric detector's reason to exist: a short doc fully
+    quoted inside a long one has tiny Jaccard but containment 1.0 —
+    containment_pairs must find it, the symmetric form must not; and
+    containment equals the naive all-pairs definition on a random-ish
+    fixture (exactness of the prefix-prune)."""
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(45))
+    rows = [
+        (1, long_doc, "s"),
+        (2, quote, "s"),
+        (3, "totally unrelated words here now", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           D.containment_pairs(df, "text", "doc_id", "source", 0.8).collect()}
+    assert got == {(1, 2): 1.0}
+    jac = {(r["id_a"], r["id_b"]) for r in D.prefix_filtered_jaccard_pairs(
+        df, "text", "doc_id", "source", 0.5).collect()}
+    assert (1, 2) not in jac  # jaccard = 5/50 = 0.1: structurally missed
+
+    # exactness vs the naive definition on overlapping vocabulary docs
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows2 = [(i, " ".join(rnd.sample(vocab, rnd.randint(5, 25))), f"b{i % 2}")
+             for i in range(60)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    w = df2.select(
+        "doc_id", "source",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("w"))
+    a = w.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"),
+                 F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"),
+                 F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    cont = F.round(inter / F.least(F.size("wa"), F.size("wb")), 6)
+    naive = sorted(tuple(r) for r in
+                   a.join(b, (F.col("sa") == F.col("sb"))
+                          & (F.col("id_a") < F.col("id_b")))
+                   .select("id_a", "id_b", cont.alias("containment"))
+                   .where(F.col("containment") >= 0.7).collect())
+    fast = sorted(tuple(r) for r in D.containment_pairs(
+        df2, "text", "doc_id", "source", 0.7).collect())
+    assert fast == naive and len(naive) > 0

@@ -84,3 +84,62 @@ def test_read_active_prunes_partitions(spark, sf_dir, tmp_path):
     plan = PS.read_active(spark, path)._jdf.queryExecution().executedPlan().toString()
     # the version predicate must prune at the partition level, not filter rows
     assert "PartitionFilters" in plan and "version" in plan
+
+
+def test_version_diff_classifies_insert_update_delete(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    v1 = cust.limit(100)
+    # v2: drop 10, change 5 balances, add 3 new keys
+    v2 = (
+        v1.where(F.col("c_custkey") > 10)
+        .withColumn("c_acctbal",
+                    F.when(F.col("c_custkey") <= 15,
+                           F.col("c_acctbal") + 1).otherwise(F.col("c_acctbal")))
+        .unionByName(v1.limit(3).select(
+            (F.col("c_custkey") + 900000).alias("c_custkey"),
+            "c_name", "c_acctbal"))
+    )
+    PS.write_versioned(v1, path, 1)
+    PS.write_versioned(v2, path, 2, mode="append")
+    diff = PS.version_diff(spark, path, "c_custkey", 1, 2)
+    by_op = {op: n for op, n in
+             diff.groupBy("op").count().collect()}
+    n_dropped = v1.where(F.col("c_custkey") <= 10).count()
+    n_upd = v1.where((F.col("c_custkey") > 10) & (F.col("c_custkey") <= 15)).count()
+    assert by_op == {"DELETE": n_dropped, "UPDATE": n_upd, "INSERT": 3}
+    # unchanged rows never appear
+    assert diff.count() == n_dropped + n_upd + 3
+    # updates carry the NEW values
+    upd = diff.where("op = 'UPDATE'").first()
+    orig = v1.where(F.col("c_custkey") == upd["c_custkey"]).first()
+    assert float(upd["c_acctbal"]) == float(orig["c_acctbal"]) + 1
+
+
+def test_compact_active_version_preserves_rows_atomically(spark, sf_dir, tmp_path):
+    """Append-heavy table -> one compacted file under a NEW version,
+    atomically activated; rows identical, old version intact until
+    vacuum."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    cust = load_table(spark, sf_dir, "customer").limit(120)
+    PS.write_versioned(cust.limit(40), path, 1)
+    PS.activate(path, 1)
+    # many small appends into the active version (the streaming shape)
+    for lo, hi in ((40, 80), (80, 120)):
+        PS.append_to_version(
+            cust.limit(hi).exceptAll(cust.limit(lo)), path, 1)
+    before = sorted(map(tuple, PS.read_active(spark, path).collect()))
+    n_files_before = len(glob.glob(f"{path}/version=1/*.parquet"))
+    assert n_files_before > 1
+
+    new_v = PS.compact_active_version(spark, path, target_files=1)
+    assert new_v == 2 and PS.active_version(path) == 2
+    after = sorted(map(tuple, PS.read_active(spark, path).collect()))
+    assert after == before
+    assert len(glob.glob(f"{path}/version=2/*.parquet")) == 1
+    # old layout intact for readers mid-swap, reclaimed by vacuum
+    assert len(glob.glob(f"{path}/version=1/*.parquet")) == n_files_before
+    assert PS.vacuum(path) == [1]

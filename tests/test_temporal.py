@@ -172,6 +172,45 @@ def test_funnel_single_pass_user_missing_first_step(spark):
         ("signup", 1), ("view", 1), ("purchase", 0)}
 
 
+def test_funnel_conversion_window_semantics_and_equality(spark):
+    """within_s (round 7): a step converts only inside the window after
+    the previous reach — first-touch semantics (the window anchors at
+    the FIRST previous-step reach, it does not restart at later
+    occurrences); single-pass and chained forms stay row-identical with
+    the window on."""
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel,
+        sequential_funnel_single_pass,
+    )
+
+    rows = [
+        # user 1: view 30 min after signup -> converts in a 1h window
+        (1, dt(2024, 1, 1, 9, 0), "signup"), (1, dt(2024, 1, 1, 9, 30), "view"),
+        # user 2: view 2h after signup -> outside the 1h window
+        (2, dt(2024, 1, 1, 9, 0), "signup"), (2, dt(2024, 1, 1, 11, 0), "view"),
+        # user 3: signs up twice; view is within 1h of the SECOND signup
+        # only -> first-touch anchoring means NO conversion
+        (3, dt(2024, 1, 1, 6, 0), "signup"), (3, dt(2024, 1, 1, 10, 0), "signup"),
+        (3, dt(2024, 1, 1, 10, 30), "view"),
+        # user 4: boundary — exactly at the window edge counts (<=)
+        (4, dt(2024, 1, 1, 9, 0), "signup"), (4, dt(2024, 1, 1, 10, 0), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "view"]
+    sp = sorted(tuple(r) for r in sequential_funnel_single_pass(
+        ev, "user_id", "event_type", "ts", steps, within_s=3600).collect())
+    ch = sorted(tuple(r) for r in sequential_funnel(
+        ev, "user_id", "event_type", "ts", steps, within_s=3600).collect())
+    assert sp == ch
+    assert {(r[1], r[2]) for r in sp} == {("signup", 4), ("view", 2)}
+    # without the window everyone converts
+    nw = sequential_funnel_single_pass(ev, "user_id", "event_type", "ts", steps)
+    assert {(r["step"], r["n_users"]) for r in nw.collect()} == {
+        ("signup", 4), ("view", 4)}
+
+
 def test_funnel_single_pass_matches_chained(spark, sf_dir):
     """The one-scan funnel is row-identical to the chained reference on
     real event data (including a zero-survivor tail step), and its plan
