@@ -1578,6 +1578,65 @@ def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel_any_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-occurrence (any-chain) windowed funnel: a user counts at step
+    k when ANY event chain with 6-hour hops exists — the other standard
+    funnel semantics, catching conversions first-touch anchoring misses.
+    Level k = one as-of join of step-k events against level (k-1)'s
+    qualifying events (analytics.sequential_funnel_per_occurrence);
+    linear, no per-user row explosion."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel_per_occurrence,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_funnel_per_occurrence(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "view", "click", "purchase"], within_s=21600,
+    )
+
+
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id
+    (quality.key_skew_report): the top-20 hottest keys with exact
+    integer basis-point shares — the pre-flight check before shuffling
+    a 100 TB fact table on a key."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        key_skew_report,
+    )
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to the user's
+    most recent click at-or-before it (ties broken by greatest click
+    id) — the marketing-analytics composition of temporal.asof_join.
+    One user-key shuffle, no per-user row explosion; unattributed
+    purchases survive with NULL click columns (left semantics)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "ts",
+        right_vals=["click_id", "click_us"], right_tiebreak="click_id",
+    )
+    return out.select(
+        "purchase_id", "user_id", "click_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signals (dup-word fraction, top-bigram share) —
     the boilerplate/spam detector of the curation funnel."""
@@ -2894,6 +2953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_containment_pairs": q_word_containment_pairs,
         "version_diff_customers": q_version_diff_customers,
         "event_funnel_windowed": q_event_funnel_windowed,
+        "purchase_attribution": q_purchase_attribution,
+        "key_skew_events": q_key_skew_events,
+        "event_funnel_any_chain": q_event_funnel_any_chain,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3724,6 +3786,57 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'view', count(*) FROM s1
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
+        "event_funnel_any_chain": """
+            WITH q0 AS (SELECT user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+            q1 AS (SELECT e.user_id, e.ts FROM events e
+                   WHERE e.event_type = 'view' AND EXISTS (
+                     SELECT 1 FROM q0 WHERE q0.user_id = e.user_id
+                       AND q0.ts <= e.ts
+                       AND e.ts <= q0.ts + INTERVAL 21600 SECOND)),
+            q2 AS (SELECT e.user_id, e.ts FROM events e
+                   WHERE e.event_type = 'click' AND EXISTS (
+                     SELECT 1 FROM q1 WHERE q1.user_id = e.user_id
+                       AND q1.ts <= e.ts
+                       AND e.ts <= q1.ts + INTERVAL 21600 SECOND)),
+            q3 AS (SELECT e.user_id, e.ts FROM events e
+                   WHERE e.event_type = 'purchase' AND EXISTS (
+                     SELECT 1 FROM q2 WHERE q2.user_id = e.user_id
+                       AND q2.ts <= e.ts
+                       AND e.ts <= q2.ts + INTERVAL 21600 SECOND))
+            SELECT 0 AS step_idx, 'signup' AS step,
+                   count(DISTINCT user_id) AS n_users FROM q0
+            UNION ALL SELECT 1, 'view', count(DISTINCT user_id) FROM q1
+            UNION ALL SELECT 2, 'click', count(DISTINCT user_id) FROM q2
+            UNION ALL SELECT 3, 'purchase', count(DISTINCT user_id) FROM q3
+        """,
+        "key_skew_events": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+              FROM events GROUP BY user_id),
+            t AS (SELECT sum(n) AS tot FROM c)
+            SELECT key, n, CAST((n * 10000) // tot AS BIGINT) AS share_bp
+            FROM c, t
+            ORDER BY n DESC, key ASC
+            LIMIT 20
+        """,
+        "purchase_attribution": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                              epoch_us(ts) AS purchase_us
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, event_id AS click_id,
+                         epoch_us(ts) AS click_us
+                  FROM events WHERE event_type = 'click')
+            SELECT purchase_id, user_id, click_id, gap_us FROM (
+              SELECT p.purchase_id, p.user_id, c.click_id,
+                     p.purchase_us - c.click_us AS gap_us,
+                     row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.ts DESC, c.click_id DESC) AS rn
+              FROM p LEFT JOIN c
+                ON p.user_id = c.user_id AND c.ts <= p.ts)
+            WHERE rn = 1
         """,
         "event_funnel_windowed": """
             WITH s0 AS (SELECT user_id, min(ts) AS t FROM events

@@ -312,6 +312,79 @@ def cmd_profile(cfg: dict) -> int:
     return 0
 
 
+def cmd_compact(cfg: dict) -> int:
+    """Lake maintenance on a versioned table: compact the active version
+    into `target_files` files (atomic pointer flip), optionally vacuum
+    deactivated versions. Config:
+
+        {"path": "/lake/tbl", "target_files": 8, "vacuum": true}
+
+    Prints one JSON line: old/new version ids, file counts, dropped
+    versions."""
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+    from redshift_to_pendo_api_data_pipeline_spark.staging import _hadoop_fs
+
+    spark = get_spark(app_name="compact")
+    path = cfg["path"]
+    old_v = PS.active_version(path)
+
+    def _n_files(version: int) -> int:
+        fs, root = _hadoop_fs(spark, f"{path}/version={version}")
+        return sum(
+            1 for s in fs.listStatus(root)
+            if s.getPath().getName().endswith(".parquet")
+        )
+
+    files_before = _n_files(old_v)
+    new_v = PS.compact_active_version(
+        spark, path, target_files=int(cfg.get("target_files", 1))
+    )
+    report = {
+        "path": path,
+        "old_version": old_v,
+        "new_version": new_v,
+        "files_before": files_before,
+        "files_after": _n_files(new_v),
+        "n_rows": PS.read_active(spark, path).count(),
+    }
+    if cfg.get("vacuum"):
+        report["vacuumed_versions"] = PS.vacuum(path)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_diff(cfg: dict) -> int:
+    """CDC between two versions of a versioned table. Config:
+
+        {"path": "/lake/tbl", "key": "id", "v_old": 1, "v_new": 2,
+         "output": "/tmp/delta"}        # output optional
+
+    Writes the INSERT/UPDATE/DELETE delta as parquet when `output` is
+    given; prints one JSON line with per-op counts either way."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+
+    spark = get_spark(app_name="diff")
+    diff = PS.version_diff(
+        spark, cfg["path"], cfg["key"], int(cfg["v_old"]), int(cfg["v_new"])
+    )
+    if cfg.get("output"):
+        diff.write.mode("overwrite").parquet(cfg["output"])
+        diff = spark.read.parquet(cfg["output"])
+    counts = {r["op"]: r["n"] for r in
+              diff.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({
+        "path": cfg["path"], "v_old": int(cfg["v_old"]),
+        "v_new": int(cfg["v_new"]),
+        "inserts": counts.get("INSERT", 0),
+        "updates": counts.get("UPDATE", 0),
+        "deletes": counts.get("DELETE", 0),
+        **({"output": cfg["output"]} if cfg.get("output") else {}),
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -330,6 +403,14 @@ def main(argv: list[str] | None = None) -> int:
         "classify", help="train the learned quality filter, publish weights"
     )
     cl.add_argument("-c", "--config", required=True)
+    co = sub.add_parser(
+        "compact", help="compact the active version of a versioned table"
+    )
+    co.add_argument("-c", "--config", required=True)
+    df_ = sub.add_parser(
+        "diff", help="INSERT/UPDATE/DELETE delta between two table versions"
+    )
+    df_.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -340,6 +421,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_profile(cfg)
     if args.cmd == "classify":
         return cmd_classify(cfg)
+    if args.cmd == "compact":
+        return cmd_compact(cfg)
+    if args.cmd == "diff":
+        return cmd_diff(cfg)
     return cmd_sync(cfg, args.state)
 
 

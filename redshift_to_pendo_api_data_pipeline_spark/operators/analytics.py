@@ -391,6 +391,62 @@ def sequential_funnel_single_pass(
     ).select("r.*")
 
 
+def sequential_funnel_per_occurrence(
+    df: DataFrame, user_col: str, type_col: str, ts_col: str,
+    steps: list[str], within_s: int,
+) -> DataFrame:
+    """ANY-CHAIN windowed funnel (restart-per-occurrence — the other
+    standard product-analytics semantics, complementing the first-touch
+    `within_s` forms): a user counts at step k when SOME chain of events
+    e_0 <= e_1 <= ... <= e_k exists with each e_i within `within_s`
+    seconds of e_{i-1}. First-touch anchors the window at the FIRST
+    previous reach and can miss chains through later occurrences
+    (pinned in test_funnel_conversion_window_semantics); this form
+    cannot.
+
+    Existence folds to an as-of test per level: a step-k event
+    qualifies iff the LATEST qualifying step-(k-1) event at-or-before
+    it is within the window (if any qualifying event is in [t-W, t],
+    the latest one is). So level k = one asof_join of step-k events
+    against level k-1's qualifying events — S user-key shuffles total,
+    NO per-user row explosion (the naive EXISTS join is
+    events-per-user² per level; the as-of window form is linear)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import asof_join
+
+    qualified = df.where(F.col(type_col) == steps[0]).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+    )
+    counts = [
+        qualified.agg(
+            F.lit(0).alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count_distinct("__u").alias("n_users"),
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        cand = df.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        prev = qualified.select("__u", F.col("__ts").alias("__q_ts"))
+        hit = asof_join(cand, prev, "__u", "__ts", "__q_ts", ["__q_ts"])
+        qualified = hit.where(
+            F.col("__q_ts").isNotNull()
+            & (F.col("__ts")
+               <= F.col("__q_ts") + F.expr(f"INTERVAL {within_s} SECONDS"))
+        ).select("__u", "__ts")
+        counts.append(
+            qualified.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count_distinct("__u").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256,
     stage_map_path: str | None = None,

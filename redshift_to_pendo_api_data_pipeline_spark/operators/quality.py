@@ -162,3 +162,34 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.column", "p.n_rows", "p.n_null", "p.n_distinct")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Join-key skew diagnostic (round 7) — the check you run BEFORE
+    shuffling 100 TB on a key: the top_n hottest key values with their
+    row counts and basis-point share of the table. A key whose hottest
+    value holds >1% of a 100 TB table means one reducer gets >1 TB —
+    the signal to salt, AQE-skew-split, or broadcast the other side.
+
+    One map-side-combined groupBy (the only shuffle carries one row per
+    (task, key)), a window-total share in exact integer basis points,
+    and a TakeOrderedAndProject top-n — no global sort, no Python.
+    share_bp uses the table's total rows, computed in the same plan via
+    a window over the grouped relation (one row per DISTINCT key — the
+    bounded relation, never the raw stream)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.withColumn("__tot", F.sum("n").over(Window.partitionBy()))
+        .select(
+            "key", "n",
+            # exact integer basis points (div, not float division+cast:
+            # engines disagree on double->int rounding at boundaries)
+            F.expr("(n * 10000) div __tot").alias("share_bp"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_n)
+    )

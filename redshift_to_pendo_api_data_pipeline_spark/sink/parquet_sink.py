@@ -173,7 +173,10 @@ def version_diff(
         F.col(key), F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("__h_new"),
         *cols,
     )
-    joined = o.join(n, o["__k"] == n[key], "full")
+    # shuffle_hash: both snapshots are table-sized — a full-outer
+    # ShuffledHashJoin (supported since Spark 3.1) beats SMJ's two full
+    # sorts, and neither side may broadcast at scale
+    joined = o.join(n.hint("shuffle_hash"), o["__k"] == n[key], "full")
     return (
         joined.select(
             F.when(F.col("__k").isNull(), F.lit("INSERT"))

@@ -143,3 +143,69 @@ def test_compact_active_version_preserves_rows_atomically(spark, sf_dir, tmp_pat
     # old layout intact for readers mid-swap, reclaimed by vacuum
     assert len(glob.glob(f"{path}/version=1/*.parquet")) == n_files_before
     assert PS.vacuum(path) == [1]
+
+
+def test_version_diff_prunes_both_sides_to_one_partition(spark, sf_dir, tmp_path):
+    """The CDC join must read ONE version directory per side —
+    PartitionFilters on `version`, not a full-table scan + row filter."""
+    path = str(tmp_path / "tbl")
+    cust = load_table(spark, sf_dir, "customer").limit(50)
+    PS.write_versioned(cust, path, 1)
+    PS.write_versioned(cust.limit(30), path, 2, mode="append")
+    plan = PS.version_diff(spark, path, "c_custkey", 1, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len([f for f in filters if "version" in f]) >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cli_compact_and_diff_end_to_end(spark, sf_dir, tmp_path):
+    """The lake-ops subcommands: build a versioned table with small-file
+    appends, `compact` it (JSON report: files collapsed, rows preserved,
+    old version vacuumed), then `diff` two versions (per-op counts +
+    delta parquet)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "tbl")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").limit(100)
+    PS.write_versioned(cust, path, 1)
+    PS.activate(path, 1)
+    PS.append_to_version(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey").limit(130)
+        .exceptAll(cust), path, 1)
+
+    def run(cmd, cfg):
+        p = tmp_path / f"{cmd}.json"
+        p.write_text(_json.dumps(cfg))
+        proc = subprocess.run(
+            [sys.executable, "-m", "redshift_to_pendo_api_data_pipeline_spark.cli",
+             cmd, "-c", str(p)],
+            capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+    rep = run("compact", {"path": path, "target_files": 1, "vacuum": True})
+    assert rep["old_version"] == 1 and rep["new_version"] == 2
+    assert rep["files_after"] == 1 <= rep["files_before"]
+    assert rep["n_rows"] == 130 and rep["vacuumed_versions"] == [1]
+
+    # build a v3 with edits, then diff 2 -> 3 through the CLI
+    v2 = PS.read_active(spark, path)
+    v3 = v2.where(F.col("c_custkey") % 9 != 0)
+    PS.write_versioned(v3, path, 3, mode="append")
+    rep2 = run("diff", {"path": path, "key": "c_custkey",
+                        "v_old": 2, "v_new": 3,
+                        "output": str(tmp_path / "delta")})
+    n_del = v2.where(F.col("c_custkey") % 9 == 0).count()
+    assert rep2 == {"path": path, "v_old": 2, "v_new": 3,
+                    "inserts": 0, "updates": 0, "deletes": n_del,
+                    "output": str(tmp_path / "delta")}
+    delta = spark.read.parquet(str(tmp_path / "delta"))
+    assert delta.where("op = 'DELETE'").count() == n_del

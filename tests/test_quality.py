@@ -59,3 +59,23 @@ def test_profile_columns_counts(spark):
     assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 1
     assert out["k"]["n_distinct"] == 2
     assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+
+
+def test_key_skew_report_values_and_plan(spark):
+    """Crafted skew: hot key holds 60% of rows -> 6000 bp exactly; plan
+    is top-k (TakeOrderedAndProject), and the only global window runs
+    over the DISTINCT-KEY relation, never the raw stream."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        key_skew_report,
+    )
+
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_n=5).collect()
+    assert out[0]["key"] == "hot" and out[0]["n"] == 60
+    assert out[0]["share_bp"] == 6000
+    assert len(out) == 5 and all(r["share_bp"] == 100 for r in out[1:])
+    p = key_skew_report(df, "k", top_n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -211,6 +211,62 @@ def test_funnel_conversion_window_semantics_and_equality(spark):
         ("signup", 4), ("view", 4)}
 
 
+def test_funnel_per_occurrence_catches_chain_first_touch_misses(spark):
+    """Any-chain semantics: user 3 converts through the SECOND signup
+    (first-touch missed it); out-of-window users still don't convert;
+    the brute-force EXISTS definition agrees on a randomized fixture."""
+    import random
+    from datetime import datetime as dt, timedelta
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequential_funnel_per_occurrence,
+        sequential_funnel_single_pass,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 9, 0), "signup"), (1, dt(2024, 1, 1, 9, 30), "view"),
+        (2, dt(2024, 1, 1, 9, 0), "signup"), (2, dt(2024, 1, 1, 11, 0), "view"),
+        (3, dt(2024, 1, 1, 6, 0), "signup"), (3, dt(2024, 1, 1, 10, 0), "signup"),
+        (3, dt(2024, 1, 1, 10, 30), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "view"]
+    po = {(r["step"], r["n_users"]) for r in sequential_funnel_per_occurrence(
+        ev, "user_id", "event_type", "ts", steps, within_s=3600).collect()}
+    assert po == {("signup", 3), ("view", 2)}  # users 1 AND 3 convert
+    ft = {(r["step"], r["n_users"]) for r in sequential_funnel_single_pass(
+        ev, "user_id", "event_type", "ts", steps, within_s=3600).collect()}
+    assert ft == {("signup", 3), ("view", 1)}  # first-touch misses user 3
+
+    # randomized: as-of form == brute-force EXISTS chains (3 steps)
+    rnd = random.Random(5)
+    t0 = dt(2024, 1, 1)
+    rows2 = [(u, t0 + timedelta(minutes=rnd.randint(0, 600)),
+              rnd.choice(["a", "b", "c"]))
+             for u in range(30) for _ in range(rnd.randint(1, 8))]
+    ev2 = spark.createDataFrame(rows2, "user_id long, ts timestamp, event_type string")
+    W = 3600
+    got = {(r["step_idx"], r["n_users"]) for r in
+           sequential_funnel_per_occurrence(
+               ev2, "user_id", "event_type", "ts", ["a", "b", "c"],
+               within_s=W).collect()}
+    by_user: dict = {}
+    for u, ts, et in rows2:
+        by_user.setdefault(u, []).append((ts, et))
+    want = []
+    for i, step in enumerate(["a", "b", "c"]):
+        n = 0
+        for u, evs in by_user.items():
+            qual = [ts for ts, et in evs if et == "a"]
+            for s in ["b", "c"][:i]:
+                qual = [ts for ts, et in evs if et == s and any(
+                    q <= ts <= q + timedelta(seconds=W) for q in qual)]
+            if qual:
+                n += 1
+        want.append((i, n))
+    assert got == set(want)
+
+
 def test_funnel_single_pass_matches_chained(spark, sf_dir):
     """The one-scan funnel is row-identical to the chained reference on
     real event data (including a zero-survivor tail step), and its plan
