@@ -1595,6 +1595,49 @@ def q_event_funnel_any_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (round 7): a per-customer
+    rollup (count/sum/min/max over fixed-point order totals) is moved
+    from snapshot v1 to v2 by re-aggregating ONLY the CDC-touched groups
+    (continuous_agg.refresh_rollup_from_diff over
+    parquet_sink.version_diff include_old) — deletes, in-place updates,
+    AND group-moving updates all exercised. The oracle re-aggregates v2
+    from the source table directly, so the hash certifies
+    incremental == full recompute."""
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.continuous_agg import (
+        _partial,
+        refresh_rollup_from_diff,
+    )
+
+    path = f"{_stage_dir(sf_dir)}/versioned_orders.parquet"
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("val"),
+    )
+    v2 = (
+        v1.where(F.col("o_orderkey") % 10 != 0)
+        .withColumn(
+            "val",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("val") + 100)
+            .otherwise(F.col("val")),
+        )
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.col("o_custkey") + 1)
+            .otherwise(F.col("o_custkey")),
+        )
+    )
+    PS.write_versioned(v1, path, 1, mode="overwrite")
+    PS.write_versioned(v2, path, 2, mode="append")
+    rollup_v1 = _partial(v1, ["o_custkey"], "val")
+    return refresh_rollup_from_diff(
+        spark, path, rollup_v1, ["o_custkey"], "val", "o_orderkey", 1, 2
+    )
+
+
 def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic over events.user_id
     (quality.key_skew_report): the top-20 hottest keys with exact
@@ -2956,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "key_skew_events": q_key_skew_events,
         "event_funnel_any_chain": q_event_funnel_any_chain,
+        "rollup_refresh_orders": q_rollup_refresh_orders,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3786,6 +3830,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'view', count(*) FROM s1
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
+        "rollup_refresh_orders": """
+            WITH v2 AS (
+              SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                          ELSE o_custkey END AS o_custkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN val + 100
+                          ELSE val END AS val
+              FROM (SELECT o_orderkey, o_custkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS val
+                    FROM orders)
+              WHERE o_orderkey % 10 <> 0)
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(val) AS BIGINT) AS sum_value,
+                   MIN(val) AS min_value,
+                   MAX(val) AS max_value
+            FROM v2 GROUP BY o_custkey
         """,
         "event_funnel_any_chain": """
             WITH q0 AS (SELECT user_id, ts FROM events

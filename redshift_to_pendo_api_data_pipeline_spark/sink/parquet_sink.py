@@ -149,13 +149,20 @@ def read_active(spark: SparkSession, path: str) -> DataFrame:
 
 
 def version_diff(
-    spark: SparkSession, path: str, key: str, v_old: int, v_new: int
+    spark: SparkSession, path: str, key: str, v_old: int, v_new: int,
+    include_old: bool = False,
 ) -> DataFrame:
     """CDC between two versions of a versioned table: (op, key, ...new
     row columns) with op in INSERT/DELETE/UPDATE — what a downstream
     consumer replays to move from v_old's snapshot to v_new's without
     rereading the full table (the ACTIVATE_VERSION swap gives atomic
     snapshots; this gives the delta between them).
+
+    ``include_old=True`` additionally carries the OLD row image as
+    ``old_<col>`` columns — required by retraction-aware consumers
+    (materialized-view maintenance must know which group a DELETE/UPDATE
+    left, not only which it entered; see
+    ``continuous_agg.refresh_rollup_from_diff``).
 
     One full-outer join on the key, both sides partition-pruned to their
     single version directory. UPDATE detection hashes the non-key
@@ -168,6 +175,7 @@ def version_diff(
     o = old.select(
         F.col(key).alias("__k"),
         F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("__h_old"),
+        *[F.col(c).alias(f"old_{c}") for c in (cols if include_old else [])],
     )
     n = new.select(
         F.col(key), F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("__h_new"),
@@ -185,6 +193,7 @@ def version_diff(
             .alias("op"),
             F.coalesce(F.col(key), F.col("__k")).alias(key),
             *cols,
+            *[F.col(f"old_{c}") for c in (cols if include_old else [])],
         )
         .where(F.col("op").isNotNull())
     )
