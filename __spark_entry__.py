@@ -1595,6 +1595,20 @@ def q_event_funnel_any_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture plan (T=2, the Pile/ROOTS flattening
+    move): per-source quotas from sqrt-of-token-mass weights —
+    floor∘sqrt over integers is IEEE-correctly-rounded, so the whole
+    plan stays integer-exact cross-engine
+    (sampling.mixture_plan_temperature)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        mixture_plan_temperature,
+    )
+    return mixture_plan_temperature(
+        load_table(spark, sf_dir, "documents"), "text", "source", temperature=2
+    )
+
+
 def q_rollup_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (round 7): a per-customer
     rollup (count/sum/min/max over fixed-point order totals) is moved
@@ -3000,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_events": q_key_skew_events,
         "event_funnel_any_chain": q_event_funnel_any_chain,
         "rollup_refresh_orders": q_rollup_refresh_orders,
+        "mixture_plan_temperature": q_mixture_plan_temperature,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3276,6 +3291,29 @@ def oracle_sql() -> dict[str, str]:
                        AS kept_tokens
             FROM t LEFT JOIN dropped d USING (doc)
             WHERE t.source <> 'src19'
+        """,
+        "mixture_plan_temperature": """
+            WITH ps AS (
+              SELECT source,
+                     CAST(sum(len(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' '))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source),
+            pw AS (
+              SELECT source, tokens,
+                     CAST(floor(sqrt(tokens)) AS BIGINT) AS weight
+              FROM ps),
+            tw AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM pw),
+            caps AS (
+              SELECT pw.source, pw.tokens, pw.weight, tw.W,
+                     (pw.tokens * tw.W) // pw.weight AS cap
+              FROM pw, tw),
+            tm AS (SELECT min(cap) AS T FROM caps)
+            SELECT source, tokens, weight,
+                   CAST((tm.T * weight) // W AS BIGINT) AS take_tokens,
+                   CAST(((tm.T * weight) // W) * 10000 // tokens AS BIGINT)
+                       AS rate_bp
+            FROM caps, tm
         """,
         "mixture_plan": """
             WITH ps AS (

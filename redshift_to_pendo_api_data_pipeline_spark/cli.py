@@ -186,6 +186,19 @@ def cmd_curate(cfg: dict) -> int:
                     stage_dir=st["stage_dir"], threshold=st.get("threshold", 0.8),
                 ))
             )
+        elif kind == "containment":
+            from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+                containment_stage,
+            )
+
+            stages.append(
+                (kind, containment_stage(
+                    text_col, id_col,
+                    block_col=st.get("block_col", "source"),
+                    stage_dir=st["stage_dir"],
+                    threshold=st.get("threshold", 0.8),
+                ))
+            )
         elif kind == "strip_spans":
             stages.append(
                 (kind, strip_spans_stage(

@@ -108,6 +108,53 @@ def neardup_stage(text_col: str, id_col: str, stage_dir: str, threshold: float =
     return fn
 
 
+def containment_stage(
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    stage_dir: str,
+    threshold: float = 0.8,
+):
+    """Drop CONTAINED documents (round 7): for every containment pair
+    (dedup.containment_pairs — the asymmetric subset/quote detector),
+    the document with the SHORTER text drops and the container survives
+    (ties break to the higher id so the outcome is deterministic).
+    Complements neardup_stage: symmetric near-dups drop the higher id of
+    a similar pair; containment drops the quote inside the page. Shares
+    the SSJoin index staging dir with any word-Jaccard consumer."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = containment_pairs(
+            df, text_col, id_col, block_col, threshold,
+            stage_path=f"{stage_dir}/ssjoin_words.parquet",
+        )
+        sizes = df.select(
+            F.col(id_col).alias("__id"), F.length(text_col).alias("__len")
+        )
+        sized = (
+            pairs.join(sizes.withColumnRenamed("__id", "id_a")
+                       .withColumnRenamed("__len", "len_a")
+                       .hint("shuffle_hash"), "id_a")
+            .join(sizes.withColumnRenamed("__id", "id_b")
+                  .withColumnRenamed("__len", "len_b")
+                  .hint("shuffle_hash"), "id_b")
+        )
+        losers = sized.select(
+            F.when(
+                (F.col("len_a") < F.col("len_b"))
+                | ((F.col("len_a") == F.col("len_b"))
+                   & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            ).otherwise(F.col("id_b")).alias(id_col)
+        ).distinct()
+        # corpus-cardinality id set: shuffled anti-join, never broadcast
+        return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")
+    return fn
+
+
 def decontamination_stage(eval_set: DataFrame, text_col: str, id_col: str, n: int):
     """Anti-join against benchmark-overlapping ids."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (

@@ -291,3 +291,62 @@ def mixture_plan(
             F.expr("((T * weight) div W) * 10000 div tokens").alias("rate_bp"),
         )
     )
+
+
+def mixture_plan_temperature(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    temperature: int = 2,
+) -> DataFrame:
+    """Temperature-smoothed mixture planning (round 7) — the Pile/ROOTS
+    move: target weights w_s = tokens_s^(1/temperature), flattening the
+    natural size distribution so small high-quality sources are not
+    drowned by the web crawl (T=1 keeps natural proportions, T→∞ is
+    uniform). Same caps/quota algebra as mixture_plan, with the weight
+    DERIVED from the aggregated per-source token totals instead of
+    caller-supplied.
+
+    ``temperature`` ∈ {1, 2}: T=2 uses floor(sqrt(tokens)) — IEEE 754
+    sqrt is correctly rounded, so floor∘sqrt over integers is bit-exact
+    in every engine and the plan stays hash-checkable; arbitrary real
+    temperatures need pow(), whose cross-engine rounding is NOT
+    guaranteed, so they are refused rather than silently approximate.
+
+    Scale: identical to mixture_plan — one map-side-combined
+    groupBy(source) pass over token counts, scalar broadcasts after."""
+    if temperature not in (1, 2):
+        raise ValueError(
+            "temperature must be 1 (natural) or 2 (sqrt): other exponents "
+            "require pow(), which is not cross-engine exact"
+        )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    w = F.col("tokens") if temperature == 1 else F.floor(F.sqrt("tokens"))
+    weighted = per_source.withColumn("weight", w.cast("long"))
+    w_total = weighted.agg(F.sum("weight").alias("W"))
+    caps = weighted.join(F.broadcast(w_total)).select(
+        "source", "tokens", "weight", "W",
+        F.expr("(tokens * W) div weight").alias("cap"),
+    )
+    t_min = caps.agg(F.min("cap").alias("T"))
+    return (
+        caps.join(F.broadcast(t_min))
+        .select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("weight").cast("long").alias("weight"),
+            F.expr("(T * weight) div W").alias("take_tokens"),
+            F.expr("((T * weight) div W) * 10000 div tokens").alias("rate_bp"),
+        )
+    )

@@ -265,3 +265,22 @@ def test_cli_classify_then_curate_with_classifier_stage(spark, tmp_path):
     kept = spark.read.parquet(cur_cfg["output"])
     n_above = scores.where(f"logit_fp >= {thr}").count()
     assert kept.count() == att["classifier"] == n_above
+
+
+def test_containment_stage_drops_quote_keeps_container(spark, tmp_path):
+    """The containment funnel stage: the short doc fully quoted inside a
+    long one drops, the container and unrelated docs survive; no
+    unbounded broadcast in the plan."""
+    quote = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, quote + " " + " ".join(f"filler{i}" for i in range(40)), "s"),
+        (2, quote, "s"),
+        (3, "totally unrelated words in this one", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    stage = C.containment_stage("text", "doc_id", "source",
+                                stage_dir=str(tmp_path), threshold=0.8)
+    out = stage(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p

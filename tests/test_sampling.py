@@ -95,3 +95,42 @@ def test_cluster_split_no_neardup_straddles(spark):
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
     # both sides populated (eval_rate=0.1 at 500 docs)
     assert {"train", "eval"} == set(split_of.values())
+
+
+def test_mixture_plan_temperature_flattens_and_refuses_inexact(spark):
+    """T=2 boosts small sources: with token masses 6400 vs 100 the
+    natural ratio is 64:1 but sqrt weights make the plan target 80:10 =
+    8:1 — the small source's relative share rises 8x; the binding
+    source samples at ~100% (rate_bp 10000). Non-{1,2} temperatures are
+    refused (pow is not cross-engine exact), and T=1 equals the natural
+    plan."""
+    import pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        mixture_plan,
+        mixture_plan_temperature,
+    )
+
+    rows = [("big", "w " * 64) for _ in range(100)] \
+        + [("small", "w " * 10) for _ in range(10)]
+    df = spark.createDataFrame(
+        [(s, t.strip()) for s, t in rows], "source string, text string")
+    out = {r["source"]: r for r in
+           mixture_plan_temperature(df, "text", "source", 2).collect()}
+    assert out["big"]["tokens"] == 6400 and out["small"]["tokens"] == 100
+    assert out["big"]["weight"] == 80 and out["small"]["weight"] == 10
+    # small is the binding source: it contributes all its tokens
+    assert out["small"]["rate_bp"] == 10000
+    # plan ratio 8:1, vs natural 64:1
+    assert out["big"]["take_tokens"] == 8 * out["small"]["take_tokens"]
+
+    nat = {r["source"]: r for r in
+           mixture_plan_temperature(df, "text", "source", 1).collect()}
+    base = {r["source"]: r for r in mixture_plan(
+        df, "text", "source",
+        F.size(F.split(F.col("text"), " ")) * 0 + 1).collect()}
+    assert nat["big"]["take_tokens"] // nat["small"]["take_tokens"] == 64
+    assert base  # natural-weight twin exists (weights all 1 -> uniform)
+
+    with pytest.raises(ValueError, match="temperature"):
+        mixture_plan_temperature(df, "text", "source", 3)
