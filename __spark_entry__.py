@@ -1595,6 +1595,20 @@ def q_event_funnel_any_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point second-moment matrix of the embedding column
+    (similarity.embedding_moments_fp) — the distributed statistic behind
+    whitening/PCA/OPQ. Integer sums are partition-order-INdependent
+    (float sums are not), so the full matrix hash-checks cross-engine."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        embedding_moments_fp,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_moments_fp(emb, "embedding")
+
+
 def q_mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed mixture plan (T=2, the Pile/ROOTS flattening
     move): per-source quotas from sqrt-of-token-mass weights —
@@ -3015,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_any_chain": q_event_funnel_any_chain,
         "rollup_refresh_orders": q_rollup_refresh_orders,
         "mixture_plan_temperature": q_mixture_plan_temperature,
+        "embedding_moments": q_embedding_moments,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3291,6 +3306,25 @@ def oracle_sql() -> dict[str, str]:
                        AS kept_tokens
             FROM t LEFT JOIN dropped d USING (doc)
             WHERE t.source <> 'src19'
+        """,
+        "embedding_moments": """
+            WITH v AS (
+              SELECT list_transform(embedding::DOUBLE[],
+                         x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            px AS (
+              SELECT ti.i AS i, tj.j AS j,
+                     v.v[ti.i + 1] AS xi, v.v[tj.j + 1] AS xj
+              FROM v,
+                   UNNEST(range(len(v.v))) AS ti(i),
+                   UNNEST(range(len(v.v))) AS tj(j)
+              WHERE tj.j >= ti.i)
+            SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xi) AS BIGINT) AS sum_i,
+                   CAST(sum(xj) AS BIGINT) AS sum_j,
+                   CAST(sum(xi * xj) AS BIGINT) AS sum_ij
+            FROM px GROUP BY i, j
         """,
         "mixture_plan_temperature": """
             WITH ps AS (

@@ -176,6 +176,77 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     )
 
 
+def embedding_moments_fp(
+    df: DataFrame, vec_col: str, scale: int = 10**6
+) -> DataFrame:
+    """EXACT second-moment matrix of an embedding column (round 7) — the
+    distributed statistic behind whitening, PCA, and OPQ rotation
+    training: for every dimension pair i <= j, (n, sum_i, sum_j,
+    sum_ij) as fixed-point BIGINTs, from which covariance is
+    cov_ij = (n·sum_ij - sum_i·sum_j) / (n²·scale²) driver-side (the
+    dim x dim eigen-decomposition is a numpy sidecar, like the k-means
+    quantizer training — driver state is dim²-bounded by construction).
+
+    Exactness is the design point: vectors quantize to `scale`
+    fixed-point ONCE, then every sum is integer — float summation is
+    partition-ORDER-dependent (fp addition doesn't associate), so a
+    double-sum matrix can never hash-check across engines or even
+    across two runs with different partitioning; the integer form is
+    bit-stable everywhere. Bound: |v|<=1-ish embeddings at scale=1e6
+    give per-term ~1e12; 10^6 vectors stay inside BIGINT, beyond that
+    lower `scale` or lift to DECIMAL(38,0).
+
+    Plan: one scan, one self-zip of the posexploded dims per row
+    (i <= j pairs inline via transform on the array — dim²/2 rows per
+    vector map-side), one map-side-combined groupBy((i,j)) — the only
+    shuffle carries dim²/2 partial rows per task. No Python."""
+    v_fp = F.transform(
+        F.col(vec_col), lambda x: F.round(x * scale).cast("long")
+    )
+    pairs = F.flatten(
+        F.transform(
+            v_fp,
+            lambda xi, i: F.transform(
+                # slice is 1-indexed; j runs from i to dim-1 (0-indexed)
+                F.slice(v_fp, i + F.lit(1), F.size(v_fp) - i),
+                lambda xj, dj: F.struct(
+                    i.alias("i"),
+                    (i + dj).alias("j"),
+                    xi.alias("xi"),
+                    xj.alias("xj"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.xi").alias("sum_i"),
+            F.sum("p.xj").alias("sum_j"),
+            F.sum(F.col("p.xi") * F.col("p.xj")).alias("sum_ij"),
+        )
+    )
+
+
+def covariance_from_moments(rows, dim: int, scale: int = 10**6) -> np.ndarray:
+    """Driver-side sidecar: the dim x dim covariance matrix from the
+    collected `embedding_moments_fp` rows (dim²-bounded by construction,
+    like the k-means/PQ codebook sidecars):
+    cov_ij = (n·sum_ij - sum_i·sum_j) / (n² · scale²). Feed to
+    numpy.linalg.eigh for whitening/PCA/OPQ rotations."""
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        n = int(r["n"])
+        c = (n * int(r["sum_ij"]) - int(r["sum_i"]) * int(r["sum_j"])) / (
+            n * n * float(scale) ** 2
+        )
+        cov[i, j] = cov[j, i] = c
+    return cov
+
+
 def vector_mean_udaf():
     """GROUPED_AGG pandas UDAF: element-wise mean of an array column per
     group — the UDAF flavor of the UDF surface (SURVEY.md §2.10). One

@@ -1076,3 +1076,35 @@ def test_containment_catches_quote_in_doc_jaccard_misses(spark):
     fast = sorted(tuple(r) for r in D.containment_pairs(
         df2, "text", "doc_id", "source", 0.7).collect())
     assert fast == naive and len(naive) > 0
+
+
+def test_embedding_moments_exact_and_match_numpy_covariance(spark):
+    """The fixed-point moment matrix reproduces numpy's population
+    covariance to fp-quantization tolerance, is bit-stable across
+    repartitionings (the exactness argument — float sums are not), and
+    the plan is JVM-only with map-side partial aggregation."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(300, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, embedding array<double>",
+    )
+    mom = S.embedding_moments_fp(df, "embedding")
+    rows = mom.collect()
+    assert len(rows) == 8 * 9 // 2
+    cov = S.covariance_from_moments(rows, dim=8)
+    want = np.cov(m, rowvar=False, bias=True)
+    assert np.abs(cov - want).max() < 1e-5  # fp quantization at 1e-6
+
+    # partition-order independence: exact same integers from 1 vs 13
+    # partitions (a float-sum implementation would differ in rounding)
+    again = sorted(map(tuple,
+                       S.embedding_moments_fp(df.repartition(13), "embedding")
+                       .collect()))
+    assert again == sorted(map(tuple, rows))
+
+    p = mom._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
