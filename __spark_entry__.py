@@ -2857,6 +2857,51 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the learned quality filter (round 7): docs
+    bucketed by FIXED-WIDTH integer logit bins (floor-div — map-side,
+    corpus-scale safe; a global ntile would be a full-corpus sort, the
+    classic calibration-curve scale trap), with per-bin positives and
+    exact basis-point positive rate. Reuses the staged
+    features×weights artifacts of quality_classifier_scores — same
+    training, one more consumer; monotone pos_rate across bins is the
+    'did the classifier learn a ranking' audit."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        score_logreg_fp,
+    )
+
+    # run (or reuse) the same staging as quality_classifier_scores
+    q_quality_classifier_scores(spark, sf_dir)
+    stage = _stage_dir(sf_dir)
+    feats = spark.read.parquet(f"{stage}/clf_features.parquet")
+    wfp = spark.read.parquet(f"{stage}/clf_weights.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.col("source").isin([f"src{i}" for i in range(5)])
+        .cast("int").alias("y"),
+    )
+    scored = score_logreg_fp(feats, wfp).join(labels, "doc")
+    width = 500_000  # half a fixed-point logit unit per bin
+    # FLOOR division (negative logits!): Spark's `div` truncates toward
+    # zero while DuckDB's // floors — subtract the non-negative pmod
+    # first so the quotient is exact in both
+    return (
+        scored.groupBy(
+            F.expr(f"(logit_fp - pmod(logit_fp, {width})) div {width}")
+            .cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin", "n", "n_pos",
+            F.expr("(n_pos * 10000) div n").alias("pos_rate_bp"),
+        )
+    )
+
+
 def q_dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores: per-doc sum of integer log-ratio
     surrogates bit_length(c_target+1) - bit_length(c_raw+1) over the
@@ -3030,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh_orders": q_rollup_refresh_orders,
         "mixture_plan_temperature": q_mixture_plan_temperature,
         "embedding_moments": q_embedding_moments,
+        "classifier_calibration": q_classifier_calibration,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3396,6 +3442,33 @@ def oracle_sql() -> dict[str, str]:
                        AS logit_fp
             FROM f JOIN w ON w.feat = f.feat AND w.feat <> -1
             GROUP BY f.doc
+        """,
+        "classifier_calibration": f"""
+            WITH f AS (SELECT doc, feat, tf
+                       FROM read_parquet('{_STAGE}/clf_features.parquet/*.parquet')),
+            w AS (SELECT feat, w_fp
+                  FROM read_parquet('{_STAGE}/clf_weights.parquet/*.parquet')),
+            scores AS (
+              SELECT f.doc,
+                     CAST(SUM(f.tf * w.w_fp)
+                          + (SELECT w_fp FROM w WHERE feat = -1) AS BIGINT)
+                         AS logit_fp
+              FROM f JOIN w ON w.feat = f.feat AND w.feat <> -1
+              GROUP BY f.doc),
+            lab AS (
+              SELECT s.doc, s.logit_fp,
+                     CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+                          THEN 1 ELSE 0 END AS y
+              FROM scores s JOIN documents d ON d.doc_id = s.doc)
+            SELECT CAST((logit_fp - ((logit_fp % 500000 + 500000) % 500000))
+                        // 500000 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST((CAST(sum(y) AS BIGINT) * 10000) // count(*) AS BIGINT)
+                       AS pos_rate_bp
+            FROM lab
+            GROUP BY (logit_fp - ((logit_fp % 500000 + 500000) % 500000))
+                     // 500000
         """,
         "dsir_doc_scores": """
             WITH tok0 AS (

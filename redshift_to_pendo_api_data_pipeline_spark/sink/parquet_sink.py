@@ -145,7 +145,18 @@ def read_active(spark: SparkSession, path: str) -> DataFrame:
     v = active_version(path)
     if v is None:
         raise FileNotFoundError(f"no active version at {path}")
-    return spark.read.parquet(path).where(F.col("version") == v).drop("version")
+    return read_version(spark, path, v)
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time travel: read a SPECIFIC version snapshot (active or not) —
+    any version `vacuum` hasn't reclaimed is a complete, immutable
+    snapshot. Same single-directory partition pruning as read_active."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col("version") == version)
+        .drop("version")
+    )
 
 
 def version_diff(

@@ -28,9 +28,14 @@ def test_versioned_swap_and_vacuum(spark, sf_dir, tmp_path):
     PS.append_to_version(cust.limit(140).exceptAll(cust.limit(120)), path, 2)
     assert PS.read_active(spark, path).count() == 140
 
+    # time travel: any unvacuumed version reads as a complete snapshot
+    assert PS.read_version(spark, path, 1).count() == 50
+    assert PS.read_version(spark, path, 2).count() == 140
+
     # retention: old version dropped, active intact
     assert PS.vacuum(path) == [1]
     assert PS.read_active(spark, path).count() == 140
+    assert PS.read_version(spark, path, 1).count() == 0  # reclaimed
 
 
 def test_activate_pointer_flip_is_tmp_plus_rename(spark, tmp_path):
