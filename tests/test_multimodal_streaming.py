@@ -710,7 +710,7 @@ def test_png_roundtrip_all_filters_and_channel_counts():
     )
 
     rng = np.random.RandomState(7)
-    for ch in (1, 3, 4):
+    for ch in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
         shape = (5, 4) if ch == 1 else (5, 4, ch)
         arr = rng.randint(0, 256, size=shape, dtype=np.uint8) if ch != 1 \
             else rng.randint(0, 256, size=shape).astype(np.uint8)
