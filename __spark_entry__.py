@@ -664,6 +664,89 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplication comes from: verified MinHash near-dup pairs
+    bucketed by unordered source pair — the corpus diagnostic that tells
+    you whether dedup pressure is within-crawl or cross-crawl (drives
+    which sources to dedup against which). Reuses the staged MinHash
+    signature relation (same artifact as minhash_neardup); the matrix is
+    |sources|² rows regardless of corpus size; source hydration is two
+    shuffled joins on pair ids."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_staged(
+        docs, "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.8,
+    )
+    src_a = docs.select(F.col("doc_id").alias("id_a"),
+                        F.col("source").alias("sa"))
+    src_b = docs.select(F.col("doc_id").alias("id_b"),
+                        F.col("source").alias("sb"))
+    return (
+        pairs.join(src_a.hint("shuffle_hash"), "id_a")
+        .join(src_b.hint("shuffle_hash"), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user — the path-analysis staple behind 'where do users go after
+    X'. One lag window per user (event_id tiebreak pins equal
+    timestamps), one map-side-combined groupBy; matrix is
+    |event_types|² rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per signup→purchase converter the
+    first-reach gap, bucketed into fixed 1-hour bins (map-side floor
+    div, scale-safe — the same no-global-sort discipline as the
+    calibration table). Built on the funnel's first-touch reach times:
+    first signup, then first purchase at-or-after it."""
+    ev = load_table(spark, sf_dir, "events")
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s0.hint("shuffle_hash"), "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("t0")).alias("gap_us")
+        )
+    )
+    # gap in micros per converter; bin = hours (floor — gaps are >= 0)
+    return (
+        conv.select(
+            F.expr("gap_us div 3600000000").cast("long").alias("hours_bin")
+        )
+        .groupBy("hours_bin")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user with per-session
     rollups (lag + cumulative-sum composition, one shuffle)."""
@@ -3076,6 +3159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_temperature": q_mixture_plan_temperature,
         "embedding_moments": q_embedding_moments,
         "classifier_calibration": q_classifier_calibration,
+        "event_transition_matrix": q_event_transition_matrix,
+        "conversion_latency_histogram": q_conversion_latency_histogram,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3901,6 +3987,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MINHASH_VERIFIED_CTE.strip()}
             SELECT id_a, id_b, jaccard FROM verified
         """,
+        "cross_source_dup_matrix": f"""
+            WITH {_MINHASH_VERIFIED_CTE.strip()},
+            lab AS (
+              SELECT least(da.source, db.source) AS src_a,
+                     greatest(da.source, db.source) AS src_b
+              FROM verified v
+              JOIN documents da ON da.doc_id = v.id_a
+              JOIN documents db ON db.doc_id = v.id_b)
+            SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY src_a, src_b
+        """,
         "simhash_neardup": f"""
             WITH sigs AS (SELECT doc, sig
                           FROM read_parquet('{_STAGE}/simhash_sigs.parquet/*.parquet')),
@@ -4044,6 +4141,31 @@ def oracle_sql() -> dict[str, str]:
               FROM p LEFT JOIN c
                 ON p.user_id = c.user_id AND c.ts <= p.ts)
             WHERE rn = 1
+        """,
+        "event_transition_matrix": """
+            WITH t AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                         AS from_type,
+                     event_type AS to_type
+              FROM events)
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        "conversion_latency_histogram": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            conv AS (
+              SELECT e.user_id,
+                     min(epoch_us(e.ts) - epoch_us(s0.t0)) AS gap_us
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+                                   AND e.ts >= s0.t0
+              WHERE e.event_type = 'purchase'
+              GROUP BY e.user_id)
+            SELECT CAST(gap_us // 3600000000 AS BIGINT) AS hours_bin,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM conv GROUP BY gap_us // 3600000000
         """,
         "event_funnel_windowed": """
             WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
