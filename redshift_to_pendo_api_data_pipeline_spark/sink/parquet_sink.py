@@ -231,6 +231,33 @@ def compact_active_version(
     return new_v
 
 
+def migrate_layout(
+    spark: SparkSession, old_path: str, new_path: str,
+    partition_cols: list[str],
+) -> int:
+    """Partition-layout EVOLUTION (round 7): copy the ACTIVE snapshot to
+    a NEW table root partitioned by (version, *partition_cols) and
+    activate it there — readers filtering the new columns get
+    directory-level pruning at the new root. A new ROOT, not a new
+    version in place: Spark (correctly) refuses mixed partition-column
+    layouts under one directory tree
+    (CONFLICTING_PARTITION_COLUMN_NAMES), so layout changes are a
+    table-level cutover — exactly the Hive/Delta recreation shape. The
+    old root stays intact and readable for the cutover window; the
+    version pointer at the new root is active before this returns, so
+    switching readers never see a partial table. Returns the version id
+    at the new root (1)."""
+    rows = read_active(spark, old_path)
+    (
+        rows.withColumn("version", F.lit(1))
+        .write.mode("errorifexists")
+        .partitionBy("version", *partition_cols)
+        .parquet(new_path)
+    )
+    activate(new_path, 1)
+    return 1
+
+
 def vacuum(path: str) -> list[int]:
     """Drop every deactivated version directory; returns dropped ids.
     Listing and deletes go through the Hadoop FS so retention works on

@@ -214,3 +214,31 @@ def test_cli_compact_and_diff_end_to_end(spark, sf_dir, tmp_path):
                     "output": str(tmp_path / "delta")}
     delta = spark.read.parquet(str(tmp_path / "delta"))
     assert delta.where("op = 'DELETE'").count() == n_del
+
+
+def test_migrate_layout_prunes_on_new_partition_column(spark, sf_dir, tmp_path):
+    """Layout evolution is a table-level cutover (Spark refuses mixed
+    partition layouts under one root): the active snapshot lands at a
+    new root partitioned by the query column, rows identical, and a
+    filter on that column prunes at the DIRECTORY level in the plan."""
+    import re
+
+    old = str(tmp_path / "flat")
+    new = str(tmp_path / "by_segment")
+    cust = load_table(spark, sf_dir, "customer")
+    PS.write_versioned(cust, old, 1)
+    PS.activate(old, 1)
+
+    assert PS.migrate_layout(spark, old, new, ["c_mktsegment"]) == 1
+    before = sorted(map(tuple, PS.read_active(spark, old).collect()))
+    after = sorted(map(tuple, PS.read_active(spark, new)
+                       .select(*PS.read_active(spark, old).columns).collect()))
+    assert after == before
+
+    plan = (PS.read_active(spark, new)
+            .where(F.col("c_mktsegment") == "BUILDING")
+            ._jdf.queryExecution().executedPlan().toString())
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "c_mktsegment" in m.group(1)
+    # old root untouched and still active there
+    assert PS.active_version(old) == 1
