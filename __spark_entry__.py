@@ -664,6 +664,37 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH near-dup threshold to ship: verified MinHash pairs (same
+    staged signatures, verify floor lowered to 0.5) bucketed into
+    0.05-wide jaccard bins, with the cumulative pairs-at-or-above count
+    per bin — the dedup-rate-vs-threshold curve read before committing
+    a threshold to a corpus build. The cumulative window runs over the
+    ≤ 11-row bin relation (bounded by construction)."""
+    from pyspark.sql import Window
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_staged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_staged(
+        docs, "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet", threshold=0.5,
+    )
+    counts = (
+        pairs.select(F.floor(F.col("jaccard") * 20).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.select(
+        "bin", "n_pairs", F.sum("n_pairs").over(w).alias("n_pairs_ge")
+    )
+
+
 def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE the duplication comes from: verified MinHash near-dup pairs
     bucketed by unordered source pair — the corpus diagnostic that tells
@@ -3162,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": q_event_transition_matrix,
         "conversion_latency_histogram": q_conversion_latency_histogram,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
         # --- not in the r6 driver window (last certified r1-r5) ---
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3986,6 +4018,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": f"""
             WITH {_MINHASH_VERIFIED_CTE.strip()}
             SELECT id_a, id_b, jaccard FROM verified
+        """,
+        # same staged signatures + banding, verify floor at 0.5 (the
+        # CTE's literal 0.8 swapped — signatures are threshold-free)
+        "neardup_threshold_sensitivity": f"""
+            WITH {_MINHASH_VERIFIED_CTE.strip().replace("0.8", "0.5")},
+            bins AS (
+              SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM verified GROUP BY floor(jaccard * 20))
+            SELECT bin, n_pairs,
+                   CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_pairs_ge
+            FROM bins
         """,
         "cross_source_dup_matrix": f"""
             WITH {_MINHASH_VERIFIED_CTE.strip()},

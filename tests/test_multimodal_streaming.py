@@ -922,3 +922,42 @@ def test_streaming_hll_registers_match_batch_and_tolerate_replay(spark, tmp_path
     )
     assert sorted(map(tuple, merged.collect())) == streamed
     assert PS.active_version(rollup) == active_before
+
+
+def test_streaming_kmv_sketches_match_batch(spark, tmp_path):
+    """The streaming KMV rollup equals the batch sketch after draining
+    all micro-batches (min-k-merge is lossless for the k smallest), and
+    pair-overlap estimates computed FROM the streamed rollup equal the
+    batch path's."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators import analytics as A
+    from redshift_to_pendo_api_data_pipeline_spark.sink import parquet_sink as PS
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.sketches import (
+        kmv_sketch_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_type", "user_id")
+    src = str(tmp_path / "incoming")
+    ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    rollup = str(tmp_path / "kmv_rollup")
+    q = kmv_sketch_stream(
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "user_id", "event_type", rollup,
+        checkpoint=str(tmp_path / "ckpt"), k=64,
+    )
+    q.awaitTermination(180)
+
+    streamed = PS.read_active(spark, rollup)
+    batch = A.kmv_sketches(ev, "user_id", "event_type", k=64)
+    assert sorted(map(tuple, streamed.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    est_s = sorted(map(tuple, A.kmv_pair_overlap(
+        streamed, "event_type", k=64).collect()))
+    est_b = sorted(map(tuple, A.kmv_pair_overlap(
+        batch, "event_type", k=64).collect()))
+    assert est_s == est_b and len(est_s) > 0
