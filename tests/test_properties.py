@@ -194,3 +194,50 @@ def test_funnel_flags_equals_sequential_on_random_predicates(spark):
             (f"s{i}", p) for i, p in enumerate(preds)
         ]).collect())
         assert flg == seq, (ths, col, op)
+
+
+# -------------------------------------------- PNG codec (round 7)
+
+import numpy as np
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+    png_decode,
+    png_encode,
+)
+
+
+@given(
+    st.integers(1, 8), st.integers(1, 8),
+    st.sampled_from([1, 2, 3, 4]),       # gray / gray+alpha / RGB / RGBA
+    st.sampled_from([0, 1, 2, 3, 4]),    # every scanline filter
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_roundtrip_is_identity_for_every_shape_and_filter(h, w, ch, ftype, seed):
+    """encode∘decode is the identity for EVERY image shape, channel
+    count, and filter type — not just the fixtures: the filters carry
+    left/up dependencies, so off-by-one reconstruction errors appear as
+    mismatches under random pixels immediately."""
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    src = arr[:, :, 0] if ch == 1 else arr
+    out = png_decode(png_encode(src, filter_type=ftype))
+    assert out.shape == (h, w, ch)
+    assert (out == arr).all()
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=150, deadline=None)
+def test_png_decode_never_accepts_garbage(blob):
+    """Arbitrary non-PNG bytes must raise (bad signature), never decode
+    to pixels — and a valid signature followed by garbage raises from
+    the chunk/CRC layer rather than returning wrong data."""
+    import pytest
+
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        with pytest.raises(ValueError):
+            png_decode(blob)
+    else:  # hypothesis will rarely synthesize the signature; force it too
+        pass
+    with pytest.raises(Exception):
+        png_decode(b"\x89PNG\r\n\x1a\n" + blob)
