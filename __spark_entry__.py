@@ -3167,16 +3167,99 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "text", mapping, top_k=50)
 
 
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence patterns (analytics.
+    sequence_pattern_counts): per user, the chronological event-type
+    symbol string is scanned for NON-OVERLAPPING matches of
+    's[vc]*p' — signup, then purchase, with only views/clicks between
+    (no error, no second signup). Funnel operators count step
+    reachability; this counts occurrences of a session *shape*, with
+    regex quantifiers/alternation for free. Symbols are the types'
+    first characters (unique over this domain: c/e/p/s/v); leftmost
+    greedy matching is identical in Java regex and RE2, so the counts
+    hash-check cross-engine."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        sequence_pattern_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_pattern_counts(
+        ev, "user_id", "ts", "event_id", "event_type", "s[vc]*p"
+    )
+
+
+def q_event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths (analytics.event_path_counts): each
+    user's first 5 events joined '>'-separated, counted across users —
+    the entry-path report. Per-key state is a bounded 5-struct slice;
+    the path count agg is map-side combined over a tiny distinct-path
+    domain."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        event_path_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_path_counts(ev, "user_id", "ts", "event_id", "event_type", 5)
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted mean of `value` per user
+    (temporal.time_weighted_mean — TimescaleDB time_weight('Linear')
+    semantic): integral of the linearly-interpolated series over time,
+    divided by the observed span. Exact BIGINT surfaces (2-dp
+    fixed-point values x integer-ms durations) + one IEEE division."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        time_weighted_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_mean(ev, "user_id", "ts", "event_id", "value")
+
+
+def q_entity_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: typo-class name MATCHING
+    (dedup.editdist_pairs — blocked Levenshtein over the distinct-name
+    dictionary) chained into transitive-closure CLUSTERING
+    (dedup.connected_components — iterative min-label propagation), the
+    canonical record-linkage pipeline (Fellegi-Sunter matching +
+    clustering stage). Output: every distinct part name with its
+    cluster representative (min name reachable via <=2-edit links;
+    singletons represent themselves). The oracle recomputes the
+    closure with a recursive CTE — certifying pair generation AND the
+    iterative clustering against a different fixpoint algorithm."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        editdist_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = editdist_pairs(part, "p_name", max_dist=2)
+    labels = connected_components(pairs, "name_a", "name_b")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    # labels is dictionary-sized but unbounded at corpus scale: pin a
+    # shuffle-HASH join (no sort) rather than broadcast; both sides are
+    # already hash-partitionable on the name key
+    return names.join(
+        labels.hint("shuffle_hash"), names["name"] == labels["node"], "left"
+    ).select(
+        "name", F.coalesce(F.col("cluster_id"), F.col("name")).alias("cluster")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
     # round), then round-4 additions, then everything already certified.
     return {
-        # Registry order = driver-certification rotation (r7): the 6
+        # Registry order = driver-certification rotation (r7): the
         # round-7 queries lead, then the 76 queries NOT in the r6 driver
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "event_pattern_match": q_event_pattern_match,
+        "event_path_counts": q_event_path_counts,
+        "time_weighted_value": q_time_weighted_value,
+        "entity_name_clusters": q_entity_name_clusters,
         "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
         "hll_user_registers": q_hll_user_registers,
         "kmv_audience_overlap": q_kmv_audience_overlap,
@@ -3412,6 +3495,69 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_pattern_match": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(length(seq) AS INT) AS seq_len,
+                   CAST(length(regexp_extract_all(seq, 's[vc]*p')) AS INT)
+                       AS n_matches
+            FROM s
+            WHERE length(regexp_extract_all(seq, 's[vc]*p')) > 0
+        """,
+        "event_path_counts": """
+            WITH p AS (
+              SELECT user_id,
+                     array_to_string(
+                       string_split(
+                         string_agg(event_type, '>' ORDER BY ts, event_id),
+                         '>')[1:5],
+                       '>') AS path
+              FROM events GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+        """,
+        "time_weighted_value": """
+            WITH seg AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     lead(CAST(round(value * 100) AS BIGINT))
+                         OVER w AS vn,
+                     (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000
+                         AS dms
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(sum((v + vn) * dms) AS BIGINT) AS area2_fp,
+                   CAST(sum(dms) AS BIGINT) AS dur_ms,
+                   round(CAST(sum((v + vn) * dms) AS DOUBLE)
+                         / (CAST(sum(dms) AS DOUBLE) * 200.0), 6)
+                       AS tw_mean
+            FROM seg WHERE vn IS NOT NULL
+            GROUP BY user_id HAVING sum(dms) > 0
+        """,
+        "entity_name_clusters": """
+            WITH RECURSIVE dic AS (
+              SELECT DISTINCT p_name AS name FROM part),
+            pairs AS (
+              SELECT a.name AS s, b.name AS d
+              FROM dic a JOIN dic b
+                ON string_split(a.name, ' ')[-1] = string_split(b.name, ' ')[-1]
+               AND a.name < b.name
+               AND abs(length(a.name) - length(b.name)) <= 2
+               AND levenshtein(a.name, b.name) <= 2),
+            edges AS (
+              SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+            reach(node, lab) AS (
+              SELECT name, name FROM dic
+              UNION
+              SELECT r.node, e.d FROM reach r JOIN edges e ON r.lab = e.s)
+            SELECT node AS name, min(lab) AS cluster
+            FROM reach GROUP BY node
+        """,
         "ngram_span_coverage": f"""
             WITH {_POS_GRAMS_CTE.strip()}
             SELECT t.doc AS doc_id,

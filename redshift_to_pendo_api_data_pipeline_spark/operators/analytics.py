@@ -818,3 +818,102 @@ def ewm_weighted_sum(
         F.size(lst).alias("frame_n"),
         num.alias("ewm_num"),
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    pattern: str,
+    symbol=None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per key, lay the event types out as one
+    chronological symbol string and count NON-OVERLAPPING regex matches
+    of ``pattern`` — the sequence-pattern primitive (SQL:2016 row
+    pattern matching / Flink CEP) that funnel counting can't express:
+    funnels ask "did steps happen in order", patterns ask "how many
+    times did this *shape* of session occur", with quantifiers and
+    alternation for free from the regex engine.
+
+    ``symbol`` maps a type to its one-char symbol (default: first
+    character of ``type_col``); matching is leftmost, non-overlapping,
+    greedy — identical semantics in Java regex and RE2, so results
+    hash-check cross-engine for patterns without backreferences.
+
+    Scale: ONE shuffle (hash by key); the sequence materializes as a
+    per-key string whose length is that key's event count — bounded by
+    the per-entity activity, not the corpus (the same per-key-bounded
+    contract as sequential_funnel's collect_list). Sorting is
+    array_sort on (ts, tiebreak, symbol) structs — JVM codegen, no
+    Python anywhere."""
+    sym = symbol if symbol is not None else F.substring(F.col(type_col), 1, 1)
+    seq = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("k"),
+                sym.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        F.col(key_col),
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit(pattern)).alias("n_matches"),
+    ).where(F.col("n_matches") > 0)
+
+
+def event_path_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    depth: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """User-journey paths: each key's first ``depth`` events (by time)
+    joined into a path string, counted across keys — the "top paths"
+    report every product-analytics surface ships (and the reference's
+    event domain implies but cannot compute,
+    tap-redshift/src/sync.py:176 replicates rows 1:1).
+
+    Two shuffles, both keyed small: hash by key to assemble the
+    per-key prefix (array_sort + slice keeps only ``depth`` structs per
+    key), then a map-side-combined count by path string (distinct path
+    cardinality <= |type alphabet|^depth, in practice tiny)."""
+    paths = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("k"),
+                F.col(type_col).alias("e"),
+            ).alias("s"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("s")), 1, depth),
+                    lambda s: s["e"],
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -213,3 +213,73 @@ def debounce_events(
         F.col(ts_col).cast("long") - prev.cast("long") >= gap_s
     )
     return df.withColumn("__keep", keep).where("__keep").drop("__keep")
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted mean of an irregularly sampled series (trapezoidal
+    rule — TimescaleDB's `time_weight('Linear', ...)` semantic): the
+    plain AVG over-weights bursts; weighting each segment by its
+    duration integrates value over TIME, the correct aggregate for
+    gauge-style series (spend rate, queue depth, price) sampled at
+    uneven intervals.
+
+    Per key, events ordered by (ts, tiebreak): segment i contributes
+    (v_i + v_{i+1})/2 * dt_i; the mean is sum(areas)/sum(dt). All
+    arithmetic is EXACT until the final division: values are 2-dp
+    fixed-point (*100 -> bigint), per-segment durations truncate to
+    integer MILLISECONDS (identical floor-div on both engines; ms keeps
+    the doubled-area magnitude, <= 10^5 * dt_ms per segment, inside
+    int64 out to decade-long per-key spans — DECIMAL would be exact too
+    but surfaces as float through pandas and breaks the driver's str()
+    hash). The surfaced mean divides the two exact integers once per
+    key: IEEE-deterministic cross-engine.
+
+    Keys with fewer than two distinct >=1ms-apart timestamps carry no
+    duration and are dropped (documented contract; a gauge with one
+    sample has no time extent). One window shuffle (hash by key, sort
+    by ts) + one groupBy on the same key — AQE coalesces them into a
+    single exchange reuse."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    vfp = F.round(F.col(value_col) * 100).cast("long")
+    tus = F.unix_micros(F.col(ts_col))
+    seg = (
+        df.select(
+            F.col(key_col),
+            vfp.alias("__v"),
+            tus.alias("__t"),
+            F.lead(vfp).over(w).alias("__vn"),
+            F.lead(tus).over(w).alias("__tn"),
+        )
+        .where(F.col("__tn").isNotNull())
+        .select(
+            F.col(key_col),
+            "__v",
+            "__vn",
+            # integer `div`, not `/`+cast: double division loses ulps on
+            # multi-decade microsecond spans; div truncates exactly and
+            # DuckDB's `//` matches it on the (positive) lead-lag gaps
+            F.expr("CAST((__tn - __t) div 1000 AS BIGINT)").alias("__dms"),
+        )
+    )
+    out = seg.groupBy(key_col).agg(
+        F.sum((F.col("__v") + F.col("__vn")) * F.col("__dms")).alias(
+            "area2_fp"
+        ),
+        F.sum("__dms").alias("dur_ms"),
+    )
+    return out.where(F.col("dur_ms") > 0).select(
+        F.col(key_col),
+        F.col("area2_fp").cast("long").alias("area2_fp"),
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+        F.round(
+            F.col("area2_fp").cast("double")
+            / (F.col("dur_ms").cast("double") * 200.0),
+            6,
+        ).alias("tw_mean"),
+    )

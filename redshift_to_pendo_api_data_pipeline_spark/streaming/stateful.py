@@ -335,3 +335,78 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PATTERN_OUT_SCHEMA = "user_id long, new_matches long, total_matches long"
+_PATTERN_STATE_SCHEMA = "tail string, total long"
+
+
+def streaming_pattern_counts(
+    events: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_state: int = 4096,
+) -> DataFrame:
+    """Streaming twin of analytics.sequence_pattern_counts
+    (MATCH_RECOGNIZE-lite / CEP): per user, count NON-OVERLAPPING regex
+    matches over the chronological event-symbol string as it grows
+    across micro-batches — the pattern spanning a batch boundary (a
+    signup in batch 1 whose purchase lands in batch 40) is exactly what
+    a per-batch scan cannot see.
+
+    State per key: the unmatched SUFFIX of the symbol string (finditer
+    consumes through the end of the last completed match; the text
+    after it contains no complete match, so re-scanning tail+next-batch
+    never double-counts) plus the cumulative count — two scalars.  The
+    tail is capped at ``max_state`` symbols (oldest dropped), so state
+    is bounded per key regardless of stream length; a match whose open
+    prefix is older than max_state symbols is missed — the documented
+    bounded-state trade every CEP engine makes.
+
+    Exactness contract: counts equal the batch operator's when (a)
+    events arrive across batches in (ts, tiebreak) order — the same
+    in-order assumption streaming_funnel documents — and (b) the
+    pattern has an unambiguous terminal symbol (e.g. 's[vc]*p'): a
+    pattern whose GREEDY tail could extend into a later batch ('sv*')
+    consumes differently incrementally than globally (same count at the
+    boundary, but a different consumption point). Emits one row per
+    (user, batch) with new matches (append mode, each match counted
+    exactly once)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        tail, total = state.get if state.exists else ("", 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((tail, total))
+            return
+        batch = pd.concat(chunks).sort_values([ts_col, tiebreak_col])
+        seq = tail + "".join(batch[type_col].str[:1].tolist())
+        last_end, new = 0, 0
+        for m in rx.finditer(seq):
+            last_end, new = m.end(), new + 1
+        tail = seq[last_end:][-max_state:]
+        total += new
+        state.update((tail, total))
+        if new:
+            yield pd.DataFrame(
+                [(user, new, total)],
+                columns=["user_id", "new_matches", "total_matches"],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_PATTERN_OUT_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,189 @@
+"""Round-7 additions: sequence pattern counts (MATCH_RECOGNIZE-lite),
+user-journey path counts, trapezoidal time-weighted mean, and the
+entity-resolution cluster chain (editdist pairs -> connected
+components)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+    event_path_counts,
+    sequence_pattern_counts,
+)
+from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    editdist_pairs,
+)
+from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+    time_weighted_mean,
+)
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def test_sequence_pattern_non_overlapping_counts(spark):
+    # user 1: s v c p  s p      -> 2 matches of s[vc]*p
+    # user 2: s e p              -> 0 (error breaks the class)
+    # user 3: p s               -> 0 (wrong order)
+    rows = []
+    for i, t in enumerate(["signup", "view", "click", "purchase", "signup", "purchase"]):
+        rows.append((1, _ts(i), i, t))
+    for i, t in enumerate(["signup", "error", "purchase"]):
+        rows.append((2, _ts(i), 10 + i, t))
+    for i, t in enumerate(["purchase", "signup"]):
+        rows.append((3, _ts(i), 20 + i, t))
+    out = sequence_pattern_counts(
+        _events(spark, rows), "user_id", "ts", "event_id", "event_type",
+        "s[vc]*p",
+    ).collect()
+    assert {(r.user_id, r.n_matches) for r in out} == {(1, 2)}
+    assert out[0].seq_len == 6
+
+
+def test_sequence_pattern_orders_by_tiebreak_on_ts_ties(spark):
+    # same timestamp: event_id breaks the tie -> 's' then 'p' matches
+    rows = [(7, _ts(0), 1, "signup"), (7, _ts(0), 2, "purchase")]
+    out = sequence_pattern_counts(
+        _events(spark, rows), "user_id", "ts", "event_id", "event_type",
+        "s[vc]*p",
+    ).collect()
+    assert [(r.user_id, r.n_matches) for r in out] == [(7, 1)]
+
+
+def test_event_path_counts_depth_slices_and_counts(spark):
+    rows = [
+        (1, _ts(0), 0, "view"), (1, _ts(1), 1, "click"),
+        (2, _ts(0), 2, "view"), (2, _ts(1), 3, "click"),
+        (3, _ts(0), 4, "signup"), (3, _ts(1), 5, "view"),
+        (3, _ts(2), 6, "view"), (3, _ts(3), 7, "view"),
+        (3, _ts(4), 8, "view"), (3, _ts(5), 9, "purchase"),  # 6th dropped
+    ]
+    out = {
+        r.path: r.n_users
+        for r in event_path_counts(
+            _events(spark, rows), "user_id", "ts", "event_id", "event_type", 5
+        ).collect()
+    }
+    assert out == {"view>click": 2, "signup>view>view>view>view": 1}
+
+
+def test_time_weighted_mean_trapezoid_exact(spark):
+    # user 1: v=1.00 at t=0s, v=3.00 at t=10s, v=3.00 at t=20s
+    # segments: (100+300)*10_000ms + (300+300)*10_000ms
+    # area2 = 4_000_000 + 6_000_000 = 10_000_000; dur = 20_000 ms
+    # tw_mean = 1e7 / (2e4 * 200) = 2.5  (vs plain avg 2.3333)
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, 1.0),
+            (1, _ts(10), 2, 3.0),
+            (1, _ts(20), 3, 3.0),
+            (2, _ts(0), 4, 9.9),  # single sample: no duration -> dropped
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = time_weighted_mean(df, "user_id", "ts", "event_id", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.area2_fp, r.dur_ms, r.tw_mean) == (1, 10_000_000, 20_000, 2.5)
+
+
+def test_entity_clusters_transitive_closure(spark):
+    # within the 'wiget' block: 'alue wiget' ~ 'blue wiget' ~ 'blu wiget'
+    # chain (distance 1 each, endpoints at distance 2 > max_dist — only
+    # transitive closure links them); 'blue widget' blocks apart (last
+    # token), 'red gadget' is a singleton
+    df = spark.createDataFrame(
+        [
+            ("blue widget",), ("alue wiget",), ("blue wiget",),
+            ("blu wiget",), ("red gadget",),
+        ],
+        "p_name string",
+    )
+    pairs = editdist_pairs(df, "p_name", max_dist=1)
+    labels = connected_components(pairs, "name_a", "name_b")
+    names = df.select(F.col("p_name").alias("name")).distinct()
+    out = {
+        r.name: r.cluster
+        for r in names.join(labels, names["name"] == labels["node"], "left")
+        .select(
+            "name",
+            F.coalesce(F.col("cluster_id"), F.col("name")).alias("cluster"),
+        )
+        .collect()
+    }
+    assert out == {
+        "blue widget": "blue widget",
+        "alue wiget": "alue wiget",
+        "blue wiget": "alue wiget",
+        "blu wiget": "alue wiget",
+        "red gadget": "red gadget",
+    }
+
+
+def test_streaming_pattern_counts_crosses_batches(spark, tmp_path):
+    """The stateful CEP twin: a match whose 's' lands in batch 1 and 'p'
+    in batch 2 is counted once; totals equal the batch operator on the
+    concatenated stream."""
+    import os
+
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_pattern_counts,
+    )
+
+    rows = [
+        # user 1: s v | c p s p  -> 2 matches, first spans the boundary
+        (1, _ts(0), 0, "signup"), (1, _ts(1), 1, "view"),
+        (1, _ts(100), 2, "click"), (1, _ts(101), 3, "purchase"),
+        (1, _ts(102), 4, "signup"), (1, _ts(103), 5, "purchase"),
+        # user 2: s e | p -> error breaks the class, 0 matches
+        (2, _ts(0), 6, "signup"), (2, _ts(1), 7, "error"),
+        (2, _ts(100), 8, "purchase"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    batch1 = [r for r in rows if r[1] < _ts(50)]
+    batch2 = [r for r in rows if r[1] >= _ts(50)]
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    for root, _, files in os.walk(src):
+        for f in files:
+            os.utime(os.path.join(root, f), (1000000000, 1000000000))
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_pattern_counts(stream, "s[vc]*p")
+
+    emitted = []
+
+    def writer(batch_df, batch_id):
+        emitted.extend(
+            (r["user_id"], r["new_matches"], r["total_matches"])
+            for r in batch_df.collect()
+        )
+
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(writer).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # batch 2 completes the spanning match + one whole match for user 1
+    assert sorted(emitted) == [(1, 2, 2)]
+    # parity with the batch operator over the full event set
+    batch_out = sequence_pattern_counts(
+        _events(spark, [(u, t, e, ty) for (u, t, e, ty) in rows]),
+        "user_id", "ts", "event_id", "event_type", "s[vc]*p",
+    ).collect()
+    assert {(r.user_id, r.n_matches) for r in batch_out} == {(1, 2)}
