@@ -1028,3 +1028,26 @@ def editdist_pairs(
         .where(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def dup_size_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Duplicate-cluster-size histogram: how many exact-duplicate
+    clusters exist at each multiplicity — the corpus diagnostic read
+    BEFORE committing an exact-dedup pass (a corpus whose mass sits in
+    10k-copy boilerplate clusters needs different handling than one of
+    singletons; cf. the cluster-size distributions in Lee et al. 2022's
+    dedup analysis).
+
+    Two map-side-combined shuffles, both tiny on the wire: digests
+    (never text) to count cluster sizes, then sizes to histogram them —
+    the second key's cardinality is O(log corpus) in practice (cluster
+    sizes are heavy-tailed)."""
+    sizes = (
+        df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("__digest")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+    )
+    return sizes.groupBy("dup_count").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("dup_count")).alias("n_docs"),
+    )

@@ -187,3 +187,50 @@ def test_streaming_pattern_counts_crosses_batches(spark, tmp_path):
         "user_id", "ts", "event_id", "event_type", "s[vc]*p",
     ).collect()
     assert {(r.user_id, r.n_matches) for r in batch_out} == {(1, 2)}
+
+
+def test_with_ntile_matches_sql_semantics(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import with_ntile
+
+    # 7 rows, n=3: SQL ntile gives bucket sizes 3,2,2 in order
+    df = spark.createDataFrame([(i,) for i in range(1, 8)], "x long")
+    out = with_ntile(df, [F.col("x").asc()], 3, "b").collect()
+    got = {r.x: r.b for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_rfm_segments_grid(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import rfm_segments
+
+    # 2 customers, n=2: cust 1 is more recent, more frequent, higher spend
+    rows = [
+        (1, dt.date(2024, 3, 1), 10.00),
+        (1, dt.date(2024, 3, 10), 20.00),
+        (2, dt.date(2024, 1, 5), 5.00),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {
+        (r.r, r.f, r.m): (r.n_customers, r.segment_monetary_fp)
+        for r in rfm_segments(
+            orders, "o_custkey", "o_orderdate", "o_totalprice", 2
+        ).collect()
+    }
+    # cust 1: best on all three axes -> (1,1,1); cust 2 -> (2,2,2)
+    assert out == {(1, 1, 1): (1, 3000), (2, 2, 2): (1, 500)}
+
+
+def test_dup_size_histogram_multiplicities(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        dup_size_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("A ",), (" a",), ("b",), ("b",), ("c",)], "t string"
+    )  # normalization folds case/whitespace: a x3, b x2, c x1
+    out = {
+        r.dup_count: (r.n_clusters, r.n_docs)
+        for r in dup_size_histogram(df, "t").collect()
+    }
+    assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
