@@ -957,11 +957,15 @@ def rfm_segments(
     the (r, f, m) segment grid with customer counts and segment spend.
 
     Scale: the orders relation collapses to customer cardinality in ONE
-    map-side-combined groupBy before any ranking; the three ntiles are
-    three range shuffles over the collapsed relation via
-    `with_ntile`/`global_ranks` (no single-reducer window anywhere);
-    the reference date is a 1-row broadcast scalar (Q11 shape). The
-    final grid is bounded at n^3 rows."""
+    map-side-combined groupBy, and the collapsed relation is
+    localCheckpoint-ed BEFORE tiling — each `global_ranks` call plans
+    two consumers (range-partitioned data + per-partition counts), so
+    three chained tiles over a lazy lineage would re-derive the
+    corpus-sized scan+agg up to 16 times (measured in the plan dump);
+    the checkpoint pins the single corpus pass and the six consumers
+    read the customer-sized materialization. The reference date is a
+    1-row broadcast scalar (Q11 shape). The final grid is bounded at
+    n^3 rows."""
     base = orders.groupBy(F.col(cust_col).alias("cust")).agg(
         F.max(date_col).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -970,9 +974,14 @@ def rfm_segments(
         ).alias("monetary_fp"),
     )
     ref = orders.agg(F.max(date_col).alias("__ref"))
-    base = base.crossJoin(F.broadcast(ref)).withColumn(
-        "recency_days", F.datediff("__ref", "__last").cast("int")
-    ).drop("__last", "__ref")
+    base = (
+        base.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.datediff("__ref", "__last").cast("int")
+        )
+        .drop("__last", "__ref")
+        .localCheckpoint()
+    )
     scored = with_ntile(
         base, [F.col("recency_days").asc(), F.col("cust").asc()], n, "r"
     )
