@@ -234,3 +234,87 @@ def test_dup_size_histogram_multiplicities(spark):
         for r in dup_size_histogram(df, "t").collect()
     }
     assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+
+
+def test_pattern_counts_match_python_reference_on_random_streams(spark):
+    """Seeded random event streams: the distributed symbol-string scan
+    equals a pure-Python re.finditer reference on every draw (ordering,
+    tie-break, and non-overlap semantics all exercised at once)."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    types = ["signup", "view", "click", "purchase", "error"]
+    pattern = re.compile("s[vc]*p")
+    for _ in range(8):
+        rows = [
+            (
+                rng.randrange(6),
+                _ts(rng.randrange(30)),  # coarse ts: frequent ties
+                eid,
+                rng.choice(types),
+            )
+            for eid in range(rng.randrange(1, 120))
+        ]
+        expect = {}
+        by_user: dict = {}
+        for u, t, e, ty in rows:
+            by_user.setdefault(u, []).append((t, e, ty[0]))
+        for u, evs in by_user.items():
+            seq = "".join(ch for _, _, ch in sorted(evs))
+            n = len(pattern.findall(seq))
+            if n:
+                expect[u] = (len(seq), n)
+        got = {
+            r.user_id: (r.seq_len, r.n_matches)
+            for r in sequence_pattern_counts(
+                _events(spark, rows), "user_id", "ts", "event_id",
+                "event_type", "s[vc]*p",
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_time_weighted_mean_matches_python_reference_on_random_series(spark):
+    """Seeded random gauge series: exact fixed-point surfaces equal a
+    pure-Python trapezoid fold on every draw (including ts ties, which
+    contribute zero duration under the tiebreak order)."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(6):
+        rows = [
+            (
+                rng.randrange(4),
+                _ts(rng.randrange(0, 3600)),
+                eid,
+                round(rng.uniform(0, 100), 2),
+            )
+            for eid in range(rng.randrange(2, 80))
+        ]
+        expect = {}
+        by_user: dict = {}
+        for u, t, e, v in rows:
+            by_user.setdefault(u, []).append((t, e, round(v * 100)))
+        for u, evs in by_user.items():
+            evs.sort()
+            area2 = dur = 0
+            for (t0, _, v0), (t1, _, v1) in zip(evs, evs[1:]):
+                dms = int((t1 - t0).total_seconds() * 1_000_000) // 1000
+                area2 += (v0 + v1) * dms
+                dur += dms
+            if dur > 0:
+                expect[u] = (area2, dur, round(area2 / (dur * 200.0), 6))
+        got = {
+            r.user_id: (r.area2_fp, r.dur_ms, r.tw_mean)
+            for r in time_weighted_mean(
+                _events2(spark, rows), "user_id", "ts", "event_id", "value"
+            ).collect()
+        }
+        assert got == expect
+
+
+def _events2(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
