@@ -3274,6 +3274,21 @@ def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_size_histogram(load_table(spark, sf_dir, "part"), "p_name")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (sampling.chunk_documents):
+    16-token windows, stride 8 (8-token overlap), last window reaching
+    the tail — the split every pretraining/embedding pipeline applies
+    before packing/encoding. Zero shuffle; chunk count in exact integer
+    arithmetic; the oracle re-derives windows with generate_series +
+    list slicing."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", max_tokens=16, stride=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3284,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "chunk_documents": q_chunk_documents,
         "rfm_segments": q_rfm_segments,
         "dup_size_histogram": q_dup_size_histogram,
         "event_pattern_match": q_event_pattern_match,
@@ -3525,6 +3541,25 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id AS doc,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                      'g')), ' ') AS w
+              FROM documents),
+            c AS (
+              SELECT doc, w, len(w) AS n_tokens,
+                     unnest(range(0,
+                       1 + (greatest(len(w) - 16, 0) + 7) // 8)) AS i
+              FROM t)
+            SELECT doc,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(least(16, n_tokens - i * 8) AS INT) AS chunk_len,
+                   array_to_string(w[(i * 8 + 1):(i * 8 + 16)], ' ')
+                       AS chunk_text
+            FROM c
+        """,
         "rfm_segments": """
             WITH base AS (
               SELECT o_custkey AS cust,

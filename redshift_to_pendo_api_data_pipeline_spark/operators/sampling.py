@@ -350,3 +350,63 @@ def mixture_plan_temperature(
             F.expr("((T * weight) div W) * 10000 div tokens").alias("rate_bp"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window split every
+    pretraining/embedding pipeline applies to documents longer than the
+    model's window (HF `return_overflowing_tokens` semantics): chunk i
+    covers tokens [1 + i*stride, 1 + i*stride + max_tokens), the last
+    chunk is the first one whose window reaches the document's end, so
+    every token is covered and consecutive chunks overlap by
+    (max_tokens - stride) tokens of context.
+
+    n_chunks = 1 + ceil(max(n - max_tokens, 0) / stride), computed in
+    INTEGER arithmetic ((x + stride - 1) div stride — cross-engine
+    exact, no float ceil). One narrow stage: split once (materialized
+    words array), per-row sequence + transform + slice — zero shuffle,
+    zero Python; parallelism is the scan's. Output: (doc, chunk_idx,
+    n_tokens, chunk_len, chunk_text)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select("doc", "__w", F.size("__w").alias("n_tokens"))
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(n_tokens - {int(max_tokens)}, 0) + {int(stride) - 1}) "
+        f"div {int(stride)}"
+    )
+    return (
+        tok.select(
+            "doc",
+            "n_tokens",
+            "__w",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "__i"
+            ),
+        )
+        .select(
+            "doc",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_tokens",
+            F.least(
+                F.lit(max_tokens),
+                F.col("n_tokens") - F.col("chunk_idx") * stride,
+            ).cast("int").alias("chunk_len"),
+            F.array_join(
+                F.slice(
+                    "__w",
+                    F.col("chunk_idx") * stride + 1,
+                    F.lit(max_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

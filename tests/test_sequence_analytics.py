@@ -318,3 +318,27 @@ def _events2(spark, rows):
     return spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_id long, value double"
     )
+
+
+def test_chunk_documents_windows_cover_and_overlap(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(20))  # 20 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", max_tokens=16, stride=8)
+    rows = {(r.doc, r.chunk_idx): r for r in out.collect()}
+    # doc 1: 20 tokens -> ceil((20-16)/8)=1 extra chunk
+    assert {(d, i) for (d, i) in rows} == {(1, 0), (1, 1), (2, 0), (3, 0)}
+    r10, r11 = rows[(1, 0)], rows[(1, 1)]
+    assert r10.chunk_len == 16 and r10.chunk_text.startswith("w0 ")
+    # second window starts at token 9 (stride 8), covers the tail
+    assert r11.chunk_len == 12 and r11.chunk_text.split() == [
+        f"w{i}" for i in range(8, 20)
+    ]
+    # 8-token overlap between consecutive windows
+    assert r10.chunk_text.split()[8:] == r11.chunk_text.split()[:8]
+    assert rows[(2, 0)].chunk_len == 2
+    assert rows[(3, 0)].n_tokens == 1  # split('') -> [''] by contract
