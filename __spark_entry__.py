@@ -3289,6 +3289,52 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "text", "doc_id", max_tokens=16, stride=8)
 
 
+def q_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (rangejoin.interval_overlap_join):
+    pairs of orders by the SAME customer whose 14-day fulfillment
+    windows [orderdate, orderdate+14d] overlap — order-burst detection,
+    the two-sided range-join flavor (concurrency analysis) the
+    point-in-interval queries can't express. Dates convert to integer
+    epoch-days so bins and the overlap filter are exact integer
+    arithmetic; orderkey order emits each unordered pair once. Banded
+    on 32-day bins: both sides explode to covered bins, one hash
+    equi-join on (custkey, bin), first-shared-bin equality dedups with
+    NO distinct."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    lo = F.datediff(F.col("o_orderdate").cast("date"), epoch)
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("uid"),
+        lo.alias("lo"),
+        (lo + 14).alias("hi"),
+    )
+    a = base.select(
+        "custkey",
+        F.col("uid").alias("uid_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = base.select(
+        "custkey",
+        F.col("uid").alias("uid_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
+    out = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bin_width=32, keys=["custkey"],
+    ).where(F.col("uid_a") < F.col("uid_b"))
+    return out.select(
+        "custkey", "uid_a", "uid_b",
+        (
+            F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b") + 1
+        ).alias("overlap_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3299,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "overlapping_order_windows": q_overlapping_order_windows,
         "chunk_documents": q_chunk_documents,
         "rfm_segments": q_rfm_segments,
         "dup_size_histogram": q_dup_size_histogram,
@@ -3541,6 +3588,21 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "overlapping_order_windows": """
+            WITH base AS (
+              SELECT o_custkey AS custkey, o_orderkey AS uid,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS lo,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 14 AS hi
+              FROM orders)
+            SELECT a.custkey, a.uid AS uid_a, b.uid AS uid_b,
+                   CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1
+                        AS BIGINT) AS overlap_days
+            FROM base a JOIN base b
+              ON a.custkey = b.custkey AND a.uid < b.uid
+             AND a.lo <= b.hi AND b.lo <= a.hi
+        """,
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id AS doc,

@@ -91,3 +91,63 @@ def interval_join_banded(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
     )
     return out.drop("__bin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bin_width: float | int,
+    keys: list[str] | None = None,
+    time_valued: bool = False,
+) -> DataFrame:
+    """Interval x interval OVERLAP join ([lo_a,hi_a] ∩ [lo_b,hi_b] ≠ ∅,
+    plus key equality) — the two-sided sibling of the point-in-interval
+    join above, and the primitive behind concurrency analysis (sessions
+    overlapping incidents, shipments sharing transit windows).
+
+    Scale shape: BOTH sides explode into covered fixed-width bins and
+    hash-equi-join on (keys…, bin) — never a theta/nested-loop join. A
+    pair overlapping k shared bins would surface k times; instead of a
+    wide-row distinct, the join keeps only the FIRST shared bin
+    (bin == max(bin(lo_a), bin(lo_b)) — both sides cover it iff they
+    overlap at all, and only one bin satisfies the equality), so matches
+    are exact and unique with zero post-join dedup shuffle.
+
+    Column names must be disjoint across `a` and `b` except for `keys`
+    (pre-alias for self-joins). bin_width is in value units, or
+    MICROSECONDS when time_valued."""
+    keys = keys or []
+    ba = a.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(lo_a), bin_width, time_valued),
+                _bin(F.col(hi_a), bin_width, time_valued),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(lo_b), bin_width, time_valued),
+                _bin(F.col(hi_b), bin_width, time_valued),
+            )
+        ),
+    )
+    out = ba.join(bb, on=[*keys, "__bin"], how="inner").where(
+        (F.col(lo_a) <= F.col(hi_b))
+        & (F.col(lo_b) <= F.col(hi_a))
+        & (
+            F.col("__bin")
+            == F.greatest(
+                _bin(F.col(lo_a), bin_width, time_valued),
+                _bin(F.col(lo_b), bin_width, time_valued),
+            )
+        )
+    )
+    return out.drop("__bin")

@@ -342,3 +342,41 @@ def test_chunk_documents_windows_cover_and_overlap(spark):
     assert r10.chunk_text.split()[8:] == r11.chunk_text.split()[:8]
     assert rows[(2, 0)].chunk_len == 2
     assert rows[(3, 0)].n_tokens == 1  # split('') -> [''] by contract
+
+
+def test_interval_overlap_join_exact_and_dedup_across_bin_widths(spark):
+    """Banded overlap join equals the naive theta join for EVERY bin
+    width, with no duplicate pairs (first-shared-bin equality does the
+    dedup, not a distinct)."""
+    import random
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for uid in range(60):
+        lo = rng.randrange(0, 200)
+        rows.append((uid % 4, uid, lo, lo + rng.randrange(0, 50)))
+    a = spark.createDataFrame(
+        rows, "k long, uid_a long, lo_a long, hi_a long"
+    )
+    b = spark.createDataFrame(
+        rows, "k long, uid_b long, lo_b long, hi_b long"
+    )
+    expect = set()
+    for (k1, u1, l1, h1) in rows:
+        for (k2, u2, l2, h2) in rows:
+            if k1 == k2 and u1 < u2 and l1 <= h2 and l2 <= h1:
+                expect.add((k1, u1, u2))
+    for width in (1, 7, 64, 1000):
+        got = [
+            (r.k, r.uid_a, r.uid_b)
+            for r in interval_overlap_join(
+                a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+                bin_width=width, keys=["k"],
+            ).where(F.col("uid_a") < F.col("uid_b")).collect()
+        ]
+        assert len(got) == len(set(got)), f"dup pairs at width {width}"
+        assert set(got) == expect, f"mismatch at width {width}"
