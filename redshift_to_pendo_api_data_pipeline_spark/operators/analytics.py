@@ -995,3 +995,52 @@ def rfm_segments(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_fp").cast("long").alias("segment_monetary_fp"),
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Median/MAD outlier report per key — the ROBUST sibling of
+    windowed_anomalies' mean/std z-scores: one wild value inflates a
+    std enough to mask itself (masking/breakdown), while the median and
+    the median-absolute-deviation have a 50% breakdown point.
+
+    Everything surfaces as exact integers: values quantize to cents,
+    and both medians carry DOUBLED (×2) so the even-count interpolated
+    midpoint (k + 0.5 on integer inputs) stays integral — med2 = 2·med,
+    mad4 = 2·median(|2v − med2|) = 4·MAD. The outlier rule
+    |v − med| > 1.5·MAD becomes the pure-integer 2·|2v − med2| > 3·mad4.
+    Exact per-key medians via percentile(0.5) — per-key cost bounded by
+    that key's row count (same per-entity contract as the funnels).
+
+    Three shuffles, all on the key: median, MAD (after a key-join that
+    AQE resolves against the collapsed median relation), and the final
+    count."""
+    v = df.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    med = v.groupBy("k").agg(
+        F.round(F.expr("2 * percentile(v, 0.5D)")).cast("long").alias("med2")
+    )
+    dev = v.join(med, "k").select(
+        "k", "v", "med2",
+        F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("k").agg(
+        F.round(F.expr("2 * percentile(dev2, 0.5D)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(mad, "k")
+        .groupBy("k", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("k").alias(key_col), "n", "med2", "mad4", "n_outliers"
+        )
+    )

@@ -1222,3 +1222,74 @@ def bucketed_pairs_from_staged(
     if tables is None or len(tables) > 1:
         pairs = pairs.distinct()
     return pairs
+
+
+def label_centroid_similarity(
+    df: DataFrame, vec_col: str, label_col: str, scale: int = 10**6
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the cluster-separation diagnostic (are my label groups actually
+    distinct in embedding space?) read after clustering/labeling and
+    before using labels as training strata.
+
+    EXACT until the final sqrt: components quantize to `scale`
+    fixed-point once, per-(label, dim) sums are integer (order
+    independent), and the centroid denominators CANCEL in cosine
+    (centroid_a = s_a/n_a, so cos = Σ s_a·s_b / (√Σs_a² · √Σs_b²) — the
+    n's divide out), so no float division happens until the one
+    IEEE-deterministic sqrt/divide per label pair. Sums accumulate as
+    DECIMAL(38,0) (s_d ~ n·scale; products overflow int64 beyond ~10^5
+    vectors/label at scale=1e6).
+
+    Scale shape: one posexplode + groupBy(label, dim) collapses the
+    corpus to |labels|·dim rows; the pair join is bounded by
+    |labels|²·dim — label cardinality, never corpus cardinality."""
+    comp = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * scale).cast("long")).alias("s")
+        )
+    )
+    q = comp.groupBy("label").agg(
+        F.sum(
+            (F.col("s").cast("decimal(38,0)") * F.col("s"))
+        ).alias("qq")
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("dot")
+        )
+    )
+    qa = q.select(F.col("label").alias("label_a"), F.col("qq").alias("qa"))
+    qb = q.select(F.col("label").alias("label_b"), F.col("qq").alias("qb"))
+    return (
+        dots.join(F.broadcast(qa), "label_a")
+        .join(F.broadcast(qb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qa").cast("double"))
+                    * F.sqrt(F.col("qb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

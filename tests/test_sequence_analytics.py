@@ -380,3 +380,44 @@ def test_interval_overlap_join_exact_and_dedup_across_bin_widths(spark):
         ]
         assert len(got) == len(set(got)), f"dup pairs at width {width}"
         assert set(got) == expect, f"mismatch at width {width}"
+
+
+def test_robust_outlier_stats_breakdown_resistance(spark):
+    """A single wild value flags itself under median/MAD (it would
+    inflate a mean/std enough to hide); doubled-median surfaces stay
+    integral on even counts."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        robust_outlier_stats,
+    )
+
+    rows = [(1, float(v)) for v in (10, 10, 11, 9, 10, 1000)] + [
+        (2, 5.0), (2, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {r.user_id: r for r in robust_outlier_stats(df, "user_id", "value").collect()}
+    r1 = out[1]
+    # values (cents): 900,1000,1000,1000,1100,100000 -> median 1000 (med2=2000)
+    # dev2: |2v-2000|*... dev2 = {200,0,0,0,200,198000} -> median(dev2)=100 -> mad4=200
+    assert (r1.n, r1.med2, r1.mad4) == (6, 2000, 200)
+    # outlier rule 2*dev2 > 3*mad4=600: only the 1000.00 event (dev2=198000)
+    assert r1.n_outliers == 1
+    r2 = out[2]  # even count: med = 5.5 -> med2 = 1100 integral
+    assert (r2.med2, r2.n_outliers) == (1100, 0)
+
+
+def test_label_centroid_similarity_identical_and_orthogonal(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    rows = [
+        ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+        ("b", [2.0, 0.0]),              # same direction as a -> cos 1
+        ("c", [0.0, 3.0]),              # orthogonal -> cos 0
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    out = {
+        (r.label_a, r.label_b): r.cosine
+        for r in label_centroid_similarity(df, "embedding", "label").collect()
+    }
+    assert out == {("a", "b"): 1.0, ("a", "c"): 0.0, ("b", "c"): 0.0}
