@@ -3367,6 +3367,33 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outlier_stats(ev, "user_id", "value")
 
 
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-backfill planner: split the event history into 8
+    EQUI-DEPTH time ranges (equal row counts, not equal wall-time — a
+    traffic spike would otherwise starve 7 workers) for parallel
+    historical sync — the planning step in front of the reference's
+    incremental cursor (tap-redshift/src/sync.py bookmark loop, which
+    replays history through ONE cursor). Buckets via the distributed
+    `with_ntile` (range shuffle + broadcast offsets, no single-reducer
+    window); per-bucket (start_us, end_us, n_rows) aggregate map-side
+    combined."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        with_ntile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    tiled = with_ntile(
+        ev, [F.col("ts_us").asc(), F.col("event_id").asc()], 8, "bucket"
+    )
+    return tiled.groupBy("bucket").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3377,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "backfill_plan": q_backfill_plan,
         "robust_outliers": q_robust_outliers,
         "label_centroid_similarity": q_label_centroid_similarity,
         "overlapping_order_windows": q_overlapping_order_windows,
@@ -3622,6 +3650,17 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "backfill_plan": """
+            WITH t AS (
+              SELECT epoch_us(ts) AS ts_us, event_id,
+                     ntile(8) OVER (ORDER BY ts, event_id) AS bucket
+              FROM events)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(min(ts_us) AS BIGINT) AS start_us,
+                   CAST(max(ts_us) AS BIGINT) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM t GROUP BY bucket
+        """,
         "robust_outliers": """
             WITH v AS (
               SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
