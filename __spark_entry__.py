@@ -3394,6 +3394,26 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_topk): for every
+    40th vector as a query, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the contrastive-training negative set. One corpus
+    scan against the broadcast query batch, JVM fold cosine, per-query
+    windowed top-k with deterministic rounded-value + id ranking."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    queries_df = emb.where(F.col("vec_id") % 40 == 0)
+    return hard_negative_topk(
+        queries_df, emb, "embedding", "vec_id", "label", k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3404,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "ann_hard_negatives": q_ann_hard_negatives,
         "backfill_plan": q_backfill_plan,
         "robust_outliers": q_robust_outliers,
         "label_centroid_similarity": q_label_centroid_similarity,
@@ -3650,6 +3671,22 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_hard_negatives": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id % 40 = 0),
+            s AS (
+              SELECT q.vec_id AS qid, q.label AS qlabel,
+                     e.vec_id, e.label,
+                     round(list_cosine_similarity(e.v, q.v), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, q.v), 6)
+                                DESC, e.vec_id ASC) AS rn
+              FROM q JOIN e ON e.label <> q.label)
+            SELECT qid, qlabel, vec_id, label, cosine FROM s WHERE rn <= 5
+        """,
         "backfill_plan": """
             WITH t AS (
               SELECT epoch_us(ts) AS ts_us, event_id,

@@ -21,7 +21,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
@@ -1292,4 +1292,55 @@ def label_centroid_similarity(
                 6,
             ).alias("cosine"),
         )
+    )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label —
+    the negatives that actually teach a metric model (easy random
+    negatives saturate in a few epochs; cf. dense-retrieval hard-negative
+    practice, e.g. DPR/ANCE).
+
+    Exact by construction: the query set broadcasts (bounded by
+    contract — a training batch, not the corpus), each corpus row
+    scores against all queries in ONE scan (JVM zip_with/aggregate fold
+    — sequential left-to-right sum, so the rounded cosine is
+    reproducible in any engine that folds in index order), top-k per
+    query via a window PARTITIONED by query id (parallel across
+    queries; rank on the rounded value + id so ties are deterministic).
+    For corpus-sized query sets, swap the broadcast cross join for the
+    bucketed-LSH candidate path (bucketed_neardup_pairs family)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlabel"),
+        F.col(vec_col).alias("qv"),
+    )
+    joined = corpus.join(
+        F.broadcast(q), F.col(label_col) != F.col("qlabel")
+    ).select(
+        "qid",
+        "qlabel",
+        F.col(id_col),
+        F.col(label_col),
+        F.round(
+            _dot(F.col(vec_col), F.col("qv"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -421,3 +421,24 @@ def test_label_centroid_similarity_identical_and_orthogonal(spark):
         for r in label_centroid_similarity(df, "embedding", "label").collect()
     }
     assert out == {("a", "b"): 1.0, ("a", "c"): 0.0, ("b", "c"): 0.0}
+
+
+def test_hard_negative_topk_excludes_same_label_and_ranks(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [1.0, 0.01]),   # nearest overall but SAME label -> excluded
+        (2, "b", [1.0, 0.1]),    # nearest different-label
+        (3, "b", [0.0, 1.0]),    # far different-label
+        (4, "c", [1.0, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = hard_negative_topk(
+        df.where(F.col("vec_id") == 0), df, "embedding", "vec_id", "label", k=2
+    ).collect()
+    got = [(r.vec_id, r.label) for r in sorted(out, key=lambda r: -r.cosine)]
+    assert got == [(2, "b"), (4, "c")]
+    assert all(r.qid == 0 and r.qlabel == "a" for r in out)
