@@ -3414,6 +3414,153 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (privacy.k_anonymity_report): equivalence
+    classes over the quasi-identifier pair (nation, market segment) on
+    the customer extract, k=5 — the release gate a pipeline shipping
+    user-derived rows to an external API must pass. One groupBy, class
+    table bounded by distinct quasi combinations."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], 5)
+
+
+def q_l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (privacy.l_diversity_report): within each
+    (status, priority) quasi class, how many DISTINCT customers the
+    class contains — a homogeneous class leaks the sensitive value
+    even when k-anonymous. Exact countDistinct, one logical shuffle."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return l_diversity_report(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_custkey", 3
+    )
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori pruned market-basket pairs (basket.frequent_item_pairs):
+    parts co-ordered in >= 3 orders, each self-join side pre-filtered
+    to items in >= 2 baskets — the a-priori property bounds the
+    quadratic basket self-join before it happens. Pair + both item
+    supports (lift/confidence numerators come free)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        frequent_item_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_item_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_pair_support=3, min_item_support=2,
+    )
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (basket.triangle_count) of the co-purchase
+    graph (edges = part pairs co-ordered >= 3 times): degree-oriented
+    wedge enumeration — wedges only open at the LOW-degree endpoint,
+    the bound that survives hub skew at 100 TB — closed by a semi-join
+    against the canonical edge set. One audit row."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        frequent_item_pairs, triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_item_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_pair_support=3, min_item_support=2,
+    )
+    return triangle_count(edges, "item_a", "item_b")
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (analytics.benford_first_digit) on
+    order totals: observed vs log-uniform expected digit shares in
+    integer ppm (expected shares are fixed-point literals; observed
+    uses BIGINT floor-division — no float crosses the hash). <= 9
+    output rows from one shuffle."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        benford_first_digit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_first_digit(orders, "o_totalprice")
+
+
+def q_price_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per priority class
+    (analytics.group_quantiles_disc): the element at rank ceil(q*n) in
+    (price, orderkey) order — an actual data value, bit-identical
+    cross-engine, no percentile_approx sketch error. One grouped
+    window + a map-side rank filter; quantile fan-out via a single
+    explode, not per-quantile re-windows."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        group_quantiles_disc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return group_quantiles_disc(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def q_group_kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free k-fold split (sampling.group_kfold): fold is a pure
+    md5 function of the CUSTOMER key, so all of a customer's orders
+    share a fold (the split discipline that keeps same-user rows out
+    of both train and eval). Certified as per-fold totals: orders,
+    distinct customers, fixed-point revenue."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        group_kfold(orders, "o_custkey", 5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)") * 100
+            ).cast("long").alias("revenue_fp"),
+        )
+    )
+
+
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality screen (text.char_entropy_profile):
+    per-document counts over a fixed 37-symbol alphabet via 37
+    whole-stage-codegen length-replace expressions — NO explode, no
+    shuffle, evaluated at the scan — plus the integer bit-length
+    entropy surrogate (lm.bigram_surprisal's idiom: bitlen replaces
+    libm log so DuckDB reproduces it exactly). Certified per-source as
+    aggregate moments to keep the row count bounded."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        char_entropy_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = char_entropy_profile(docs, "text", "doc_id")
+    src = docs.select(F.col("doc_id").alias("doc"), "source")
+    return (
+        prof.join(src, "doc")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ent_bits_x_n").cast("long").alias("sum_ent_bits_x_n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("distinct_symbols").cast("int").alias("min_distinct"),
+            F.max("top_symbol_count").cast("long").alias("max_top_count"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3424,6 +3571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "k_anonymity_customers": q_k_anonymity_customers,
+        "l_diversity_orders": q_l_diversity_orders,
+        "copurchase_pairs": q_copurchase_pairs,
+        "copurchase_triangles": q_copurchase_triangles,
+        "benford_totalprice": q_benford_totalprice,
+        "price_quantiles_disc": q_price_quantiles_disc,
+        "group_kfold_orders": q_group_kfold_orders,
+        "char_entropy_quality": q_char_entropy_quality,
         "ann_hard_negatives": q_ann_hard_negatives,
         "backfill_plan": q_backfill_plan,
         "robust_outliers": q_robust_outliers,
@@ -3671,6 +3826,203 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-7 session-3 additions: privacy / basket / benford /
+        # quantile / kfold / entropy family
+        "k_anonymity_customers": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT)
+                       AS at_risk
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        "l_diversity_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS sensitive_diversity,
+                   CAST(CASE WHEN count(DISTINCT o_custkey) < 3
+                             THEN 1 ELSE 0 END AS INT) AS leaks
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "copurchase_pairs": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            freq AS (SELECT item, CAST(count(*) AS BIGINT) AS item_support
+                     FROM bi GROUP BY item HAVING count(*) >= 2),
+            pr AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_support
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3)
+            SELECT pr.item_a, pr.item_b, pr.pair_support,
+                   fa.item_support AS support_a,
+                   fb.item_support AS support_b
+            FROM pr JOIN freq fa ON fa.item = pr.item_a
+                    JOIN freq fb ON fb.item = pr.item_b
+        """,
+        "copurchase_triangles": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            pr AS (
+              SELECT a.item AS item_a, b.item AS item_b
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3),
+            nodes AS (SELECT item_a AS nd FROM pr
+                      UNION SELECT item_b FROM pr),
+            tri AS (
+              SELECT count(*) AS t
+              FROM pr e1 JOIN pr e2 ON e2.item_a = e1.item_b
+                   JOIN pr e3 ON e3.item_a = e1.item_a
+                            AND e3.item_b = e2.item_b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_edges,
+                   CAST(t AS BIGINT) AS n_triangles
+            FROM tri
+        """,
+        "benford_totalprice": """
+            WITH d AS (
+              SELECT substr(regexp_replace(
+                       CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2))
+                            AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS dg
+              FROM orders),
+            c AS (SELECT dg, CAST(count(*) AS BIGINT) AS n
+                  FROM d WHERE dg <> '' GROUP BY dg),
+            t AS (SELECT sum(n) AS tot FROM c),
+            e(digit, expected_ppm) AS (VALUES
+              (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+              (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+            SELECT CAST(c.dg AS INT) AS digit, c.n,
+                   CAST((c.n * 1000000) // t.tot AS BIGINT) AS observed_ppm,
+                   CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+                   CAST((c.n * 1000000) // t.tot - e.expected_ppm AS BIGINT)
+                       AS dev_ppm
+            FROM c, t, e WHERE e.digit = CAST(c.dg AS INT)
+        """,
+        "price_quantiles_disc": """
+            WITH r AS (
+              SELECT o_orderpriority AS grp, o_totalprice AS val,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders),
+            q(q_pm) AS (VALUES (250), (500), (750), (900), (990))
+            SELECT r.grp AS o_orderpriority, CAST(q.q_pm AS INT) AS q_pm,
+                   r.val AS q_value, CAST(r.n AS BIGINT) AS n
+            FROM r JOIN q ON r.rnk = (q.q_pm * r.n + 999) // 1000
+        """,
+        "group_kfold_orders": """
+            WITH f AS (
+              SELECT CAST((CAST('0x' || substr(
+                         md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT)
+                       * 5) // 65536 AS INT) AS fold,
+                     o_custkey, o_totalprice
+              FROM orders)
+            SELECT fold, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS revenue_fp
+            FROM f GROUP BY fold
+        """,
+        "char_entropy_quality": """
+            WITH base AS (
+              SELECT source, lower(text) AS s, length(lower(text)) AS n
+              FROM documents),
+            c AS (
+              SELECT source, n,
+                     n - length(replace(s, 'a', '')) AS c0,
+                     n - length(replace(s, 'b', '')) AS c1,
+                     n - length(replace(s, 'c', '')) AS c2,
+                     n - length(replace(s, 'd', '')) AS c3,
+                     n - length(replace(s, 'e', '')) AS c4,
+                     n - length(replace(s, 'f', '')) AS c5,
+                     n - length(replace(s, 'g', '')) AS c6,
+                     n - length(replace(s, 'h', '')) AS c7,
+                     n - length(replace(s, 'i', '')) AS c8,
+                     n - length(replace(s, 'j', '')) AS c9,
+                     n - length(replace(s, 'k', '')) AS c10,
+                     n - length(replace(s, 'l', '')) AS c11,
+                     n - length(replace(s, 'm', '')) AS c12,
+                     n - length(replace(s, 'n', '')) AS c13,
+                     n - length(replace(s, 'o', '')) AS c14,
+                     n - length(replace(s, 'p', '')) AS c15,
+                     n - length(replace(s, 'q', '')) AS c16,
+                     n - length(replace(s, 'r', '')) AS c17,
+                     n - length(replace(s, 's', '')) AS c18,
+                     n - length(replace(s, 't', '')) AS c19,
+                     n - length(replace(s, 'u', '')) AS c20,
+                     n - length(replace(s, 'v', '')) AS c21,
+                     n - length(replace(s, 'w', '')) AS c22,
+                     n - length(replace(s, 'x', '')) AS c23,
+                     n - length(replace(s, 'y', '')) AS c24,
+                     n - length(replace(s, 'z', '')) AS c25,
+                     n - length(replace(s, '0', '')) AS c26,
+                     n - length(replace(s, '1', '')) AS c27,
+                     n - length(replace(s, '2', '')) AS c28,
+                     n - length(replace(s, '3', '')) AS c29,
+                     n - length(replace(s, '4', '')) AS c30,
+                     n - length(replace(s, '5', '')) AS c31,
+                     n - length(replace(s, '6', '')) AS c32,
+                     n - length(replace(s, '7', '')) AS c33,
+                     n - length(replace(s, '8', '')) AS c34,
+                     n - length(replace(s, '9', '')) AS c35,
+                     n - length(replace(s, ' ', '')) AS c36
+              FROM base),
+            c2 AS (
+              SELECT *, n - (c0 + c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9 + c10 + c11 + c12 + c13 + c14 + c15 + c16 + c17 + c18 + c19 + c20 + c21 + c22 + c23 + c24 + c25 + c26 + c27 + c28 + c29 + c30 + c31 + c32 + c33 + c34 + c35 + c36) AS oth FROM c),
+            e AS (
+              SELECT source, n,
+                     (CASE WHEN c0 > 0 THEN c0 * length(bin(n // c0)) ELSE 0 END)
+                     + (CASE WHEN c1 > 0 THEN c1 * length(bin(n // c1)) ELSE 0 END)
+                     + (CASE WHEN c2 > 0 THEN c2 * length(bin(n // c2)) ELSE 0 END)
+                     + (CASE WHEN c3 > 0 THEN c3 * length(bin(n // c3)) ELSE 0 END)
+                     + (CASE WHEN c4 > 0 THEN c4 * length(bin(n // c4)) ELSE 0 END)
+                     + (CASE WHEN c5 > 0 THEN c5 * length(bin(n // c5)) ELSE 0 END)
+                     + (CASE WHEN c6 > 0 THEN c6 * length(bin(n // c6)) ELSE 0 END)
+                     + (CASE WHEN c7 > 0 THEN c7 * length(bin(n // c7)) ELSE 0 END)
+                     + (CASE WHEN c8 > 0 THEN c8 * length(bin(n // c8)) ELSE 0 END)
+                     + (CASE WHEN c9 > 0 THEN c9 * length(bin(n // c9)) ELSE 0 END)
+                     + (CASE WHEN c10 > 0 THEN c10 * length(bin(n // c10)) ELSE 0 END)
+                     + (CASE WHEN c11 > 0 THEN c11 * length(bin(n // c11)) ELSE 0 END)
+                     + (CASE WHEN c12 > 0 THEN c12 * length(bin(n // c12)) ELSE 0 END)
+                     + (CASE WHEN c13 > 0 THEN c13 * length(bin(n // c13)) ELSE 0 END)
+                     + (CASE WHEN c14 > 0 THEN c14 * length(bin(n // c14)) ELSE 0 END)
+                     + (CASE WHEN c15 > 0 THEN c15 * length(bin(n // c15)) ELSE 0 END)
+                     + (CASE WHEN c16 > 0 THEN c16 * length(bin(n // c16)) ELSE 0 END)
+                     + (CASE WHEN c17 > 0 THEN c17 * length(bin(n // c17)) ELSE 0 END)
+                     + (CASE WHEN c18 > 0 THEN c18 * length(bin(n // c18)) ELSE 0 END)
+                     + (CASE WHEN c19 > 0 THEN c19 * length(bin(n // c19)) ELSE 0 END)
+                     + (CASE WHEN c20 > 0 THEN c20 * length(bin(n // c20)) ELSE 0 END)
+                     + (CASE WHEN c21 > 0 THEN c21 * length(bin(n // c21)) ELSE 0 END)
+                     + (CASE WHEN c22 > 0 THEN c22 * length(bin(n // c22)) ELSE 0 END)
+                     + (CASE WHEN c23 > 0 THEN c23 * length(bin(n // c23)) ELSE 0 END)
+                     + (CASE WHEN c24 > 0 THEN c24 * length(bin(n // c24)) ELSE 0 END)
+                     + (CASE WHEN c25 > 0 THEN c25 * length(bin(n // c25)) ELSE 0 END)
+                     + (CASE WHEN c26 > 0 THEN c26 * length(bin(n // c26)) ELSE 0 END)
+                     + (CASE WHEN c27 > 0 THEN c27 * length(bin(n // c27)) ELSE 0 END)
+                     + (CASE WHEN c28 > 0 THEN c28 * length(bin(n // c28)) ELSE 0 END)
+                     + (CASE WHEN c29 > 0 THEN c29 * length(bin(n // c29)) ELSE 0 END)
+                     + (CASE WHEN c30 > 0 THEN c30 * length(bin(n // c30)) ELSE 0 END)
+                     + (CASE WHEN c31 > 0 THEN c31 * length(bin(n // c31)) ELSE 0 END)
+                     + (CASE WHEN c32 > 0 THEN c32 * length(bin(n // c32)) ELSE 0 END)
+                     + (CASE WHEN c33 > 0 THEN c33 * length(bin(n // c33)) ELSE 0 END)
+                     + (CASE WHEN c34 > 0 THEN c34 * length(bin(n // c34)) ELSE 0 END)
+                     + (CASE WHEN c35 > 0 THEN c35 * length(bin(n // c35)) ELSE 0 END)
+                     + (CASE WHEN c36 > 0 THEN c36 * length(bin(n // c36)) ELSE 0 END)
+                     + (CASE WHEN oth > 0 THEN oth * length(bin(n // oth)) ELSE 0 END) AS ent,
+                     (CASE WHEN c0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c5 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c6 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c7 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c8 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c9 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c10 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c11 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c12 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c13 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c14 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c15 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c16 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c17 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c18 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c19 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c20 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c21 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c22 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c23 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c24 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c25 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c26 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c27 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c28 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c29 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c30 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c31 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c32 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c33 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c34 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c35 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c36 > 0 THEN 1 ELSE 0 END) AS distinct_symbols,
+                     greatest(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32, c33, c34, c35, c36, oth) AS top
+              FROM c2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ent) AS BIGINT) AS sum_ent_bits_x_n,
+                   CAST(sum(n) AS BIGINT) AS sum_chars,
+                   CAST(min(distinct_symbols) AS INT) AS min_distinct,
+                   CAST(max(top) AS BIGINT) AS max_top_count
+            FROM e WHERE n > 0 GROUP BY source
+        """,
         "ann_hard_negatives": """
             WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v

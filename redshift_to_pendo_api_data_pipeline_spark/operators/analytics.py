@@ -1044,3 +1044,113 @@ def robust_outlier_stats(
             F.col("k").alias(key_col), "n", "med2", "mad4", "n_outliers"
         )
     )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic anomaly screen for financial/metric columns feeding an
+    analytics export (fabricated or unit-mangled numbers drift from
+    the log-uniform digit law).
+
+    Shape: one projection + one 9-ary groupBy — a single shuffle whose
+    output is at most 9 rows; partial aggregation does all the work
+    map-side. First digit extracted lexically from the DECIMAL(18,2)
+    string form of abs(value) — decimal-to-string is canonical (never
+    scientific notation) and identical across engines, unlike raw
+    double formatting; leading zeros and the point are stripped.
+    Zero/NULL values (and magnitudes that round to 0.00 at the decimal
+    scale) are excluded — Benford is defined on nonzero magnitudes.
+
+    Expected shares are log10(1+1/d) embedded as FIXED-POINT
+    parts-per-million literals (computed once here, not at runtime in
+    either engine) so the comparison column is integer-exact
+    cross-engine. ``dev_ppm`` = observed_ppm - expected_ppm.
+    """
+    # log10(1+1/d) in ppm, d=1..9: 301030, 176091, 124939, 96910,
+    # 79181, 66947, 57992, 51153, 45757 (sums to 1,000,000).
+    expected = {
+        1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+        6: 66947, 7: 57992, 8: 51153, 9: 45757,
+    }
+    digits = df.select(
+        F.substring(
+            F.regexp_replace(
+                F.abs(F.col(value_col)).cast("decimal(18,2)").cast("string"),
+                "[^1-9]", ""),
+            1, 1,
+        ).alias("digit")
+    ).where(F.col("digit") != "")
+    counted = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counted.agg(F.sum("n").alias("__tot"))
+    exp_col = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )[F.col("digit").cast("int")]
+    # integer floor-division for the ppm share: `div` on BIGINTs in
+    # Spark == `//` in DuckDB; a double divide + cast would TRUNCATE in
+    # Spark but ROUND in DuckDB — the classic cross-engine hash trap.
+    obs_ppm = F.expr("n * 1000000L div __tot")
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n",
+            obs_ppm.cast("long").alias("observed_ppm"),
+            exp_col.cast("long").alias("expected_ppm"),
+            (obs_ppm - exp_col).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+def group_quantiles_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    quantiles_pm: list[int] | None = None,
+) -> DataFrame:
+    """EXACT discrete quantiles per group — the element at rank
+    ceil(q*n) in (value, tiebreak) order, one output row per (group,
+    quantile). Discrete (type-1) semantics rather than interpolated:
+    the result is an actual data value, so it is bit-identical
+    cross-engine and meaningful for non-averageable domains.
+
+    Shape: one window (partitioned by group — no global sort), ranks
+    assigned in a single shuffle keyed on the group; the quantile
+    selection is a map-side filter on rank == ceil(q*n), so the
+    full ranked relation never re-shuffles. At 100 TB the cost is one
+    hash partition + per-group sort — the same price as any grouped
+    window; no driver collection, no percentile_approx sketch error.
+
+    ``quantiles_pm`` are per-mille ranks (500 = median); default
+    [250, 500, 750, 900, 990].
+    """
+    qs = quantiles_pm or [250, 500, 750, 900, 990]
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.col(tiebreak_col).alias("tb"),
+    ).withColumn("rnk", F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.col("val").asc(),
+                                          F.col("tb").asc())
+    )).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    # one explode over the (tiny, literal) quantile list, then a
+    # map-side equality filter on rank == ceil(q*n/1000) — the ranked
+    # relation is scanned once, never re-windowed per quantile.
+    # ceil via pure integer arithmetic: floor((q*n + 999) / 1000).
+    return (
+        ranked.withColumn(
+            "q_pm", F.explode(F.array(*[F.lit(q) for q in qs]))
+        )
+        .where(
+            F.col("rnk").cast("long")
+            == F.expr("(q_pm * n + 999L) div 1000L")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("q_pm").cast("int").alias("q_pm"),
+            F.col("val").alias("q_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

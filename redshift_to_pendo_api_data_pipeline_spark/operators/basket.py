@@ -1,0 +1,198 @@
+"""Market-basket co-occurrence mining and graph triangle counting.
+
+The reference pipeline ships product/event rows to a behavioral
+analytics API; the first analysis every such API runs on them is
+"what co-occurs with what" (feature adoption pairs, co-purchased
+parts, co-fired events). This module implements the two classical
+primitives Spark-first:
+
+- :func:`frequent_item_pairs` — A-PRIORI PRUNED pairwise
+  co-occurrence. The naive per-basket self-join is quadratic in basket
+  size and linear in baskets; the a-priori property (a pair can only
+  be frequent if both items are) lets us semi-join each side to the
+  frequent-item set FIRST, which at 100 TB is the difference between
+  joining the full corpus against itself and joining two
+  support-filtered slivers. All JVM: two groupBys + one
+  basket-keyed self-join, no Python, no windows.
+
+- :func:`triangle_count` — triangles in an undirected graph given as
+  an edge list (here: the co-occurrence graph, but any edge table
+  works — near-dup pairs, entity clusters). Uses the canonical
+  orientation trick: orient every edge from the lower-DEGREE endpoint
+  to the higher (tiebreak by id), enumerate wedges from the oriented
+  list, then semi-join wedges against oriented edges. Degree
+  orientation bounds the wedge count by sum(min-degree^2) — the
+  standard bound that keeps skewed hub nodes from exploding the
+  intermediate (a hub of degree d contributes wedges only through its
+  LOW-degree neighbors).
+
+Scale shape: support thresholds bound every intermediate; the only
+unbounded join (basket self-join) is pre-filtered by the a-priori
+semi-joins and optionally by ``max_basket_size`` (a pathological
+billion-item basket is a data bug, not a signal — cap it and report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_items(
+    df: DataFrame, basket_col: str, item_col: str, min_support: int
+) -> DataFrame:
+    """Items appearing in at least ``min_support`` distinct baskets.
+    One groupBy over deduplicated (basket, item) pairs."""
+    return (
+        df.select(F.col(basket_col).alias("basket"),
+                  F.col(item_col).alias("item"))
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_support"))
+        .where(F.col("item_support") >= min_support)
+    )
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int,
+    min_item_support: int | None = None,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Pairs of items co-occurring in >= ``min_pair_support`` baskets,
+    a-priori pruned: each side of the basket self-join is first
+    semi-joined to the frequent-item set (``min_item_support``,
+    defaulting to ``min_pair_support`` — the a-priori bound itself).
+
+    Pairs are canonical ``item_a < item_b`` so each unordered pair
+    counts once. Output: pair, pair_support, and each item's own
+    support (numerators/denominators for lift or confidence downstream,
+    computed here because the joins are already paid for).
+
+    ``max_basket_size`` drops baskets above the cap BEFORE the
+    self-join (quadratic guard); dropped-basket count is the caller's
+    to report (see ``curation`` stage pattern) — here we keep the
+    operator pure.
+    """
+    min_item = min_item_support if min_item_support is not None else min_pair_support
+    pairs_base = (
+        df.select(F.col(basket_col).alias("basket"),
+                  F.col(item_col).alias("item"))
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = (
+            pairs_base.groupBy("basket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= max_basket_size)
+            .select("basket")
+        )
+        pairs_base = pairs_base.join(sizes, "basket", "left_semi")
+    freq = frequent_items(df, basket_col, item_col, min_item)
+    # a-priori prune: only frequent items enter the self-join. The
+    # frequent set is support-bounded but NOT forced-broadcast (same
+    # rule as curation stages) — AQE picks the strategy.
+    pruned = pairs_base.join(freq.select("item"), "item", "left_semi")
+    left = pruned.select("basket", F.col("item").alias("item_a"))
+    right = pruned.select("basket", F.col("item").alias("item_b"))
+    pair_support = (
+        left.join(right.hint("shuffle_hash"), "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .where(F.col("pair_support") >= min_pair_support)
+    )
+    sup_a = freq.select(F.col("item").alias("item_a"),
+                        F.col("item_support").alias("support_a"))
+    sup_b = freq.select(F.col("item").alias("item_b"),
+                        F.col("item_support").alias("support_b"))
+    return (
+        pair_support.join(sup_a, "item_a").join(sup_b, "item_b")
+        .select("item_a", "item_b", "pair_support", "support_a", "support_b")
+    )
+
+
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree-orient an undirected edge list: every edge points from
+    its lower-degree endpoint to the higher (ties broken by node id,
+    so the orientation is a total order and acyclic). Input edges may
+    be in either canonical form; duplicates and self-loops are
+    dropped. Output columns: ``u`` (low side), ``v`` (high side)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # degree hydration: big-big equi-joins — shuffle_hash, not SMJ (the
+    # sort buys nothing; repo-wide join discipline, see SCALE.md).
+    with_deg = canon.join(da.hint("shuffle_hash"), "a").join(
+        db.hint("shuffle_hash"), "b"
+    )
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count of the undirected simple graph.
+
+    Wedge enumeration over the degree-oriented edge list: for each
+    node u, every pair of its out-neighbors (v, w) is a wedge; the
+    wedge closes iff (min(v,w) -> max(v,w)) is itself an oriented
+    edge... but with DEGREE orientation the closing edge can point
+    either way, so the closure probe joins against the CANONICAL
+    (undirected) edge set keyed least/greatest. Each triangle is
+    counted exactly once (it has exactly one wedge at its
+    lowest-orientation-rank vertex).
+
+    Returns one row: n_nodes, n_edges, n_triangles — the audit shape.
+    """
+    oriented = orient_edges(edges, src, dst)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # wedge enumeration + closure probe: both are big-big equi-joins on
+    # hash-partitionable keys — shuffle_hash keeps them sort-free.
+    wedges = (
+        e1.join(e2.hint("shuffle_hash"), "u")
+        .where(F.col("x") < F.col("y"))
+        .select("u", "x", "y")
+    )
+    undirected = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    closed = wedges.join(
+        undirected.select(
+            F.col("x"), F.col("y"), F.lit(1).alias("__hit")
+        ).hint("shuffle_hash"),
+        ["x", "y"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_edges = undirected.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_nodes = (
+        oriented.select(F.col("u").alias("node"))
+        .unionAll(oriented.select(F.col("v").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    # three scalar aggregates -> one row; the cross joins are 1x1x1.
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

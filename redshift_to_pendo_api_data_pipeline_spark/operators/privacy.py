@@ -1,0 +1,129 @@
+"""Privacy auditing for training corpora and served extracts.
+
+A pipeline that ships user-derived rows to an external analytics API
+(the reference's whole purpose — tap-redshift -> target-pendo) needs a
+release gate that answers: *can any row be re-identified from the
+quasi-identifiers we kept?* The classical audit is k-anonymity
+(Sweeney): every combination of quasi-identifier values must be shared
+by at least k rows, else the rare combination pinpoints a person.
+l-diversity strengthens it: within each quasi-identifier class the
+SENSITIVE attribute must take at least l distinct values, else the
+class leaks the sensitive value even when it is large.
+
+Complements the regex-level scrub in ``text.redact_pii`` /
+``text.pii_rate``: those find literal identifiers *inside free text*;
+this module audits the *structured* columns that survive projection.
+
+Scale shape (100 TB): both audits are a single hash-partitioned
+groupBy on the quasi-identifier tuple — one shuffle, partial
+aggregation map-side, output bounded by the number of distinct
+quasi-identifier combinations (tiny by construction: that's what makes
+them quasi-identifiers). No windows, no joins, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Equivalence-class audit: one row per distinct quasi-identifier
+    combination with its class size and whether it violates k.
+
+    NULL quasi values form their own class (groupBy semantics match
+    SQL GROUP BY on both engines). ``at_risk`` marks classes smaller
+    than k — the rows a release would have to suppress or generalize.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *quasi_cols,
+            F.col("class_size").cast("long").alias("class_size"),
+            (F.col("class_size") < k).cast("int").alias("at_risk"),
+        )
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """The one-row go/no-go gate over :func:`k_anonymity_report`:
+    total classes, violating classes, rows at risk, and the minimum
+    class size (the corpus' actual k). Same single shuffle — the
+    summary folds the bounded class table on the driver side of the
+    plan, not by collecting it."""
+    rep = k_anonymity_report(df, quasi_cols, k)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("at_risk").cast("long").alias("violating_classes"),
+        F.sum(
+            F.when(F.col("at_risk") == 1, F.col("class_size")).otherwise(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_threshold: int,
+) -> DataFrame:
+    """Distinct-l-diversity audit: per quasi-identifier class, the
+    class size and the number of DISTINCT sensitive values; classes
+    with fewer than ``l_threshold`` distinct sensitive values leak
+    (homogeneity attack: a k-anonymous class where everyone shares the
+    same diagnosis still reveals the diagnosis).
+
+    countDistinct here is exact (the audit is a gate, not a dashboard)
+    — Spark executes it as a two-phase expand/aggregate, still one
+    logical shuffle keyed on the quasi tuple. NULL sensitive values do
+    not count toward diversity (count(DISTINCT) skips NULLs on both
+    engines)."""
+    if l_threshold < 1:
+        raise ValueError(f"l_threshold must be >= 1, got {l_threshold}")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(F.col(sensitive_col)).cast("long").alias(
+                "sensitive_diversity"
+            ),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "sensitive_diversity",
+            (F.col("sensitive_diversity") < l_threshold).cast("int").alias(
+                "leaks"
+            ),
+        )
+    )
+
+
+def suppression_plan(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Rows that must be SUPPRESSED to make the release k-anonymous:
+    the input filtered to rows whose quasi-identifier class is smaller
+    than k. Shape: the class-size table (bounded) joins back to the
+    corpus — a broadcast-eligible build side ONLY because it is
+    filtered to violators first; the join key is the quasi tuple, and
+    we leave the strategy to AQE rather than forcing broadcast (the
+    violator set is small in healthy corpora but unbounded in
+    principle — same rule as the curation funnel stages)."""
+    violators = (
+        k_anonymity_report(df, quasi_cols, k)
+        .where(F.col("at_risk") == 1)
+        .select(*quasi_cols)
+    )
+    return df.join(violators, on=list(quasi_cols), how="left_semi")

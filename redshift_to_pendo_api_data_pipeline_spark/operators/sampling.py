@@ -410,3 +410,29 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def group_kfold(
+    df: DataFrame, group_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Leakage-free k-fold assignment: every row of a GROUP (user,
+    customer, dedup cluster) lands in the same fold, because the fold
+    is a pure function of the group key — fold = (md5-prefix as int)
+    * k / 65536. Same md5 determinism contract as hash_sample: no RNG,
+    no shuffle to assign (the hash evaluates at the scan), reproducible
+    across engines and runs, and adding rows to a group can never move
+    the group between folds.
+
+    This is THE split discipline for training-data pipelines: a random
+    row-level split leaks near-duplicate / same-user rows across
+    train/eval (see dedup.cluster_split for the cluster-level
+    sibling). Adds a ``fold`` column in [0, k)."""
+    if not 1 <= k <= 65536:
+        raise ValueError(f"k must be in [1, 65536], got {k}")
+    # hex prefix -> int via base conversion (conv in Spark, 0x-cast in
+    # DuckDB); fold = v*k div 65536 is exact integer arithmetic and
+    # gives each fold floor/ceil(65536/k) of the hash space.
+    v = F.conv(hash_bucket(F.col(group_col), salt), 16, 10).cast("long")
+    return df.withColumn(
+        "fold", ((v * k) / 65536).cast("int")
+    )
