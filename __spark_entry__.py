@@ -3561,6 +3561,68 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard (analytics.churn_hazard): the
+    Kaplan-Meier life table in integer-exact form over purchase
+    activity — per 3-day tenure bucket, users still at risk vs last
+    seen there, hazard as ppm BIGINT floor-div. One user-key shuffle +
+    a reverse cumsum over the span-bounded life table."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import churn_hazard
+
+    ev = load_table(spark, sf_dir, "events")
+    return churn_hazard(
+        ev.where(F.col("event_type") == "purchase"), "user_id", "ts", 3
+    )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (analytics.cohort_ltv): customers grouped by
+    first-order month; per (cohort, age-in-months) the period and
+    CUMULATIVE fixed-point revenue — cohort month from a per-user min
+    window (no join-back re-scan), cumsum over the bounded months²
+    matrix. Exact integer month arithmetic."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import cohort_ltv
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (temporal.linear_attribution):
+    every click/view in the 7 days before a purchase shares the credit
+    equally, in integer ppm with the remainder pinned to the most
+    recent touch — per-conversion credit sums to exactly 1,000,000
+    (machine-checked in tests). One shuffle_hash user join + one
+    conversion-partitioned window."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        linear_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase")
+    touch = ev.where(F.col("event_type").isin("click", "view"))
+    return linear_attribution(
+        conv, touch, "user_id", "ts", "ts", "event_id", "event_id",
+        window_days=7,
+    )
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (sampling.curriculum_phases): per source,
+    documents ordered easy->hard by length and cut into 4 phases of
+    equal TOKEN budget (not doc count) — phase from exact integer
+    prefix-weight arithmetic, per-stratum windows only (no global
+    sort)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        curriculum_phases,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_phases(
+        docs, "source", "n_chars", "n_chars", "doc_id", 4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3571,6 +3633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "churn_hazard_purchases": q_churn_hazard,
+        "cohort_ltv_curve": q_cohort_ltv,
+        "linear_attribution_credits": q_linear_attribution,
+        "curriculum_phases_docs": q_curriculum_phases,
         "k_anonymity_customers": q_k_anonymity_customers,
         "l_diversity_orders": q_l_diversity_orders,
         "copurchase_pairs": q_copurchase_pairs,
@@ -3826,6 +3892,99 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "churn_hazard_purchases": """
+            WITH pu AS (
+              SELECT user_id,
+                     date_diff('day', CAST(min(ts) AS DATE),
+                               CAST(max(ts) AS DATE)) // 3 AS tenure
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            life AS (
+              SELECT tenure, CAST(count(*) AS BIGINT) AS n_churned
+              FROM pu GROUP BY tenure)
+            SELECT CAST(tenure AS INT) AS tenure,
+                   CAST(sum(n_churned) OVER (
+                     ORDER BY tenure ASC ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+                   n_churned,
+                   CAST(n_churned * 1000000 // sum(n_churned) OVER (
+                     ORDER BY tenure ASC ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS BIGINT) AS hazard_ppm
+            FROM life
+        """,
+        "cohort_ltv_curve": """
+            WITH base AS (
+              SELECT o_custkey AS u, CAST(o_orderdate AS DATE) AS d,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v_fp
+              FROM orders),
+            ch AS (
+              SELECT *, min(CAST(date_trunc('month', d) AS DATE))
+                          OVER (PARTITION BY u) AS cm
+              FROM base),
+            aged AS (
+              SELECT u, cm,
+                     (year(d) - year(cm)) * 12 + (month(d) - month(cm))
+                         AS age,
+                     v_fp
+              FROM ch),
+            cell AS (
+              SELECT cm, age, CAST(sum(v_fp) AS BIGINT) AS revenue_fp,
+                     CAST(count(DISTINCT u) AS BIGINT) AS active_users
+              FROM aged GROUP BY cm, age)
+            SELECT CAST(cm AS VARCHAR) AS cohort_month,
+                   CAST(age AS INT) AS age_months,
+                   revenue_fp, active_users,
+                   CAST(sum(revenue_fp) OVER (
+                     PARTITION BY cm ORDER BY age ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_revenue_fp
+            FROM cell
+        """,
+        "linear_attribution_credits": """
+            WITH c AS (
+              SELECT user_id AS k, event_id AS conversion_id, ts AS c_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS k, event_id AS touch_id, ts AS t_ts
+              FROM events WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT c.k, c.conversion_id, t.touch_id, t.t_ts
+              FROM c JOIN t ON t.k = c.k
+               AND t.t_ts <= c.c_ts
+               AND t.t_ts >= c.c_ts - INTERVAL 7 DAY),
+            r AS (
+              SELECT k, conversion_id, touch_id,
+                     count(*) OVER (PARTITION BY conversion_id) AS n,
+                     row_number() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY t_ts DESC, touch_id DESC) AS rn
+              FROM j)
+            SELECT k AS user_id, conversion_id, touch_id,
+                   CAST(n AS BIGINT) AS n_touches,
+                   CAST(CASE WHEN rn = 1
+                             THEN 1000000 // n + 1000000 % n
+                             ELSE 1000000 // n END AS BIGINT) AS credit_ppm
+            FROM r
+        """,
+        "curriculum_phases_docs": """
+            WITH base AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(n_chars AS BIGINT) AS w
+              FROM documents),
+            run AS (
+              SELECT source, doc_id, n_chars, w,
+                     sum(w) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(w) OVER (PARTITION BY source) AS tot
+              FROM base)
+            SELECT source, doc_id, n_chars, w AS weight,
+                   CAST((cum - w) * 4 // nullif(tot, 0) AS INT) AS phase
+            FROM run
+        """,
         # round-7 session-3 additions: privacy / basket / benford /
         # quantile / kfold / entropy family
         "k_anonymity_customers": """

@@ -1154,3 +1154,95 @@ def group_quantiles_disc(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def churn_hazard(
+    df: DataFrame, user_col: str, ts_col: str, unit_days: int = 7
+) -> DataFrame:
+    """Discrete-time hazard table (the Kaplan-Meier life table in its
+    integer-exact form): per tenure period t, how many users were still
+    observable at t (at risk) and how many were last seen at t
+    (churned), with the hazard as a ppm BIGINT floor-division. Tenure =
+    (last event - first event) // unit_days per user.
+
+    Shape: one user-key shuffle collapses the event stream to per-user
+    (first, last); the life table groups the per-user relation by
+    tenure (bounded by observation span / unit); the at-risk column is
+    a REVERSE cumulative sum over that bounded table — the window runs
+    over ≤ span/unit rows, never the corpus, so the single-partition
+    window is a non-issue at any scale. Survival products are left to
+    the caller (float fold); the (churned, at_risk) pair is the exact
+    sufficient statistic.
+    """
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    tenure = per_user.select(
+        (F.datediff(F.col("last_ts").cast("date"),
+                    F.col("first_ts").cast("date"))
+         / unit_days).cast("long").alias("tenure")
+    )
+    life = tenure.groupBy("tenure").agg(
+        F.count(F.lit(1)).cast("long").alias("n_churned")
+    )
+    w = Window.orderBy(F.col("tenure").asc()).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    return (
+        life.withColumn("n_at_risk", F.sum("n_churned").over(w).cast("long"))
+        .select(
+            F.col("tenure").cast("int").alias("tenure"),
+            "n_at_risk",
+            "n_churned",
+            F.expr("n_churned * 1000000L div n_at_risk").alias("hazard_ppm"),
+        )
+    )
+
+
+def cohort_ltv(
+    df: DataFrame, user_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-activity
+    month; per (cohort, age-in-months) the period revenue and the
+    CUMULATIVE revenue per cohort — the curve a growth team reads
+    LTV payback off. All money fixed-point (cents BIGINT).
+
+    Shape: one user-key shuffle (cohort month = per-user min window
+    over the user's rows — no re-scan join-back, same discipline as
+    retention_cohorts), one (cohort, age) groupBy, and a cumulative
+    window over the bounded months² matrix. Age is exact integer month
+    arithmetic (year*12+month delta), engine-portable.
+    """
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("date").alias("d"),
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias(
+            "v_fp"
+        ),
+    )
+    cohort_d = F.min(F.date_trunc("month", F.col("d")).cast("date")).over(
+        Window.partitionBy("u")
+    )
+    aged = base.select(
+        F.col("u"),
+        cohort_d.alias("cohort_month"),
+        (
+            (F.year("d") - F.year(cohort_d)) * 12
+            + (F.month("d") - F.month(cohort_d))
+        ).cast("int").alias("age_months"),
+        "v_fp",
+    )
+    per_cell = aged.groupBy("cohort_month", "age_months").agg(
+        F.sum("v_fp").cast("long").alias("revenue_fp"),
+        F.countDistinct("u").cast("long").alias("active_users"),
+    )
+    cum = Window.partitionBy("cohort_month").orderBy(
+        F.col("age_months").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return per_cell.select(
+        F.col("cohort_month").cast("string").alias("cohort_month"),
+        "age_months",
+        "revenue_fp",
+        "active_users",
+        F.sum("revenue_fp").over(cum).cast("long").alias("cum_revenue_fp"),
+    )

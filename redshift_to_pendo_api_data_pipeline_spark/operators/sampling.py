@@ -22,7 +22,7 @@ value-hash-checkable cross-engine, which RNG sampling never is.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # 4 hex chars = 16 bits of the digest: granularity 1/65536 ≈ 0.0015%,
 # plenty for mixing ratios while keeping the threshold a short literal.
@@ -435,4 +435,60 @@ def group_kfold(
     v = F.conv(hash_bucket(F.col(group_col), salt), 16, 10).cast("long")
     return df.withColumn(
         "fold", ((v * k) / 65536).cast("int")
+    )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    stratum_col: str,
+    difficulty_col: str,
+    weight_col: str,
+    id_col: str,
+    n_phases: int,
+) -> DataFrame:
+    """Curriculum assignment: within each stratum (source, language),
+    order documents easy -> hard by ``difficulty_col`` and cut the
+    ordered stream into ``n_phases`` phases of (approximately) equal
+    WEIGHT (token count), not equal document count — phase 0 is the
+    easy warm-up budget, the last phase the hard tail. The curriculum-
+    learning schedule (Bengio et al.) as a deterministic assignment:
+
+        phase = ((cum_weight - w) * n) div total_weight
+
+    where cum_weight is the inclusive running weight in (difficulty,
+    id) order — the EXCLUSIVE prefix decides the phase, so a document
+    lands in the phase where it STARTS, every phase boundary is exact
+    integer arithmetic, and re-runs reproduce bit-identically.
+
+    Shape: per-stratum windows only (running sum + per-stratum total),
+    both partitioned on the stratum — no global window, no shuffle
+    beyond the one stratum-key exchange the windows share.
+    """
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be >= 1, got {n_phases}")
+    w_run = Window.partitionBy(stratum_col).orderBy(
+        F.col(difficulty_col).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(stratum_col)
+    base = df.select(
+        F.col(stratum_col),
+        F.col(id_col),
+        F.col(difficulty_col),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    return (
+        base.withColumn("__cum", F.sum("__w").over(w_run).cast("long"))
+        .withColumn("__tot", F.sum("__w").over(w_all).cast("long"))
+        .select(
+            stratum_col,
+            id_col,
+            difficulty_col,
+            F.col("__w").alias("weight"),
+            # nullif guards the all-zero-weight stratum: ANSI mode makes
+            # a plain div-by-zero THROW; a NULL phase is the honest answer.
+            F.expr(
+                f"CAST((__cum - __w) * {int(n_phases)}L"
+                " div nullif(__tot, 0L) AS INT)"
+            ).alias("phase"),
+        )
     )

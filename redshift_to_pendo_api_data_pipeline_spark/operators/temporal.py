@@ -283,3 +283,77 @@ def time_weighted_mean(
             6,
         ).alias("tw_mean"),
     )
+
+
+def linear_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    conv_ts: str,
+    touch_ts: str,
+    conv_id: str,
+    touch_id: str,
+    window_days: int | None = None,
+) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — the sibling of
+    the last-touch asof_join composition: every touch at-or-before a
+    conversion (optionally within a lookback window) shares the credit
+    equally. Credit is integer ppm with the REMAINDER assigned to the
+    most recent touch, so per-conversion credit sums to exactly
+    1,000,000 — no float leakage, cross-engine exact:
+
+        base = 1_000_000 div n;  latest touch gets base + (1_000_000 mod n)
+
+    Output: one row per (conversion, touch) credit assignment.
+
+    Shape: one user-key equi-join (shuffle_hash — both sides are event
+    streams, never forced broadcast) produces the candidate
+    (conversion x prior touch) relation; per-conversion counts and the
+    latest-touch rank come from ONE window over that relation,
+    partitioned by the conversion id — bounded by that user's touch
+    count, the same per-entity contract as the funnels. A user with T
+    touches and C conversions contributes at most T·C candidate rows
+    — the lookback window is the lever that bounds this at web scale
+    (set it; unbounded lookback is an anti-pattern this operator
+    permits only explicitly as window_days=None).
+    """
+    c = conversions.select(
+        F.col(key).alias("k"),
+        F.col(conv_id).alias("conversion_id"),
+        F.col(conv_ts).alias("c_ts"),
+    )
+    t = touches.select(
+        F.col(key).alias("k"),
+        F.col(touch_id).alias("touch_id"),
+        F.col(touch_ts).alias("t_ts"),
+    )
+    joined = c.join(t.hint("shuffle_hash"), "k").where(
+        F.col("t_ts") <= F.col("c_ts")
+    )
+    if window_days is not None:
+        joined = joined.where(
+            F.col("t_ts") >= F.col("c_ts") - F.expr(
+                f"INTERVAL {int(window_days)} DAYS"
+            )
+        )
+    w = Window.partitionBy("conversion_id")
+    w_rank = w.orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    ranked = joined.select(
+        "k",
+        "conversion_id",
+        "touch_id",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        F.row_number().over(w_rank).alias("__recency"),
+    )
+    base = F.expr("1000000L div n_touches")
+    rem = F.expr("1000000L % n_touches")
+    return ranked.select(
+        F.col("k").alias(key),
+        "conversion_id",
+        "touch_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(F.col("__recency") == 1, base + rem)
+        .otherwise(base)
+        .cast("long")
+        .alias("credit_ppm"),
+    )
