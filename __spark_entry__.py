@@ -3623,6 +3623,78 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity.rrf_fusion) of two exact
+    retrievers over the same query — cosine top-20 and inner-product
+    (MIPS) top-20 — fused as sum(1e6 div (60 + rank)), top-10. The
+    hybrid-retrieval combiner in its integer-exact form: RRF consumes
+    only RANKS, so the ppm form loses nothing and hash-checks
+    cross-engine. The fusion itself runs on 2x20 rows; the heavy
+    lifting stays in the upstream top-k scans."""
+    from pyspark.sql import Window as W
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        dot_to_query,
+        rrf_fusion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = _query_vec(spark, sf_dir)
+    cos = brute_force_topk(emb, "embedding", "vec_id", qv, k=20)
+    # rank windows run over the 20-row top-k relations — bounded by k,
+    # never by the corpus
+    cos_r = cos.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ),
+    )
+    dot = (
+        emb.select(
+            "vec_id",
+            F.round(dot_to_query(F.col("embedding"), qv), 6).alias("dot"),
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(20)
+    )
+    dot_r = dot.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("dot"), F.asc("vec_id"))),
+    )
+    return rrf_fusion([cos_r, dot_r], "vec_id", topn=10)
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width profiling histogram (quality.histogram_fixed): order
+    totals over explicit [0, 600000) bounds in 24 buckets — fixed-point
+    integer bucket arithmetic (cents, BIGINT div), out-of-range mass
+    clamped into the edge buckets, one <= n_bins-key groupBy."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        histogram_fixed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_fixed(orders, "o_totalprice", 0.0, 600000.0, 24)
+
+
+def q_event_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type changepoint (analytics.mean_shift_changepoint):
+    the binary-segmentation mean-shift statistic over the daily count
+    series, integers end-to-end (cross-multiplied numerator, ppm
+    floor-div), argmax split per key with earliest-day tiebreak. The
+    corpus collapses to (key, day) once; all windows run on the
+    span-bounded daily series."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        mean_shift_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mean_shift_changepoint(ev, "event_type", "ts", min_side=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3633,6 +3705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "ann_rank_fusion": q_ann_rank_fusion,
+        "price_histogram": q_price_histogram,
+        "event_changepoints": q_event_changepoints,
         "churn_hazard_purchases": q_churn_hazard,
         "cohort_ltv_curve": q_cohort_ltv,
         "linear_attribution_credits": q_linear_attribution,
@@ -3892,6 +3967,88 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_rank_fusion": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cos AS (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(e.v, q.v), 6)
+                                DESC, vec_id ASC) AS rank
+              FROM e, q
+              ORDER BY round(list_cosine_similarity(e.v, q.v), 6) DESC,
+                       vec_id ASC
+              LIMIT 20),
+            dot AS (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY round(list_dot_product(e.v, q.v), 6)
+                                DESC, vec_id ASC) AS rank
+              FROM e, q
+              ORDER BY round(list_dot_product(e.v, q.v), 6) DESC,
+                       vec_id ASC
+              LIMIT 20),
+            u AS (SELECT * FROM cos UNION ALL SELECT * FROM dot)
+            SELECT vec_id,
+                   CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS fused_ppm,
+                   CAST(count(*) AS INT) AS n_lists,
+                   CAST(min(rank) AS BIGINT) AS best_rank
+            FROM u GROUP BY vec_id
+            ORDER BY fused_ppm DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "price_histogram": """
+            WITH v AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v_fp
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            b AS (
+              SELECT greatest(0, least(23,
+                       (v_fp - 0) * 24 // 60000000)) AS bucket
+              FROM v)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(0 + bucket * 60000000 / 24 AS BIGINT) AS bucket_lo_fp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket
+        """,
+        "event_changepoints": """
+            WITH daily AS (
+              SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, CAST(ts AS DATE)),
+            runs AS (
+              SELECT k, day, n,
+                     sum(n) OVER (PARTITION BY k ORDER BY day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS pre_sum,
+                     count(*) OVER (PARTITION BY k ORDER BY day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS pre_n,
+                     sum(n) OVER (PARTITION BY k) AS tot_sum,
+                     count(*) OVER (PARTITION BY k) AS tot_n
+              FROM daily),
+            scored AS (
+              SELECT k, day, pre_sum, pre_n,
+                     tot_sum - pre_sum AS post_sum,
+                     tot_n - pre_n AS post_n,
+                     abs(pre_sum * (tot_n - pre_n)
+                         - (tot_sum - pre_sum) * pre_n) * 1000000
+                       // (pre_n * (tot_n - pre_n)) AS score_ppm
+              FROM runs
+              WHERE pre_n >= 3 AND tot_n - pre_n >= 3),
+            best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY score_ppm DESC, day ASC) AS rn
+              FROM scored)
+            SELECT k AS event_type, CAST(day AS VARCHAR) AS split_day,
+                   CAST(pre_n AS BIGINT) AS n_pre_days,
+                   CAST(post_n AS BIGINT) AS n_post_days,
+                   CAST(pre_sum AS BIGINT) AS pre_sum,
+                   CAST(post_sum AS BIGINT) AS post_sum,
+                   CAST(score_ppm AS BIGINT) AS score_ppm
+            FROM best WHERE rn = 1
+        """,
         "churn_hazard_purchases": """
             WITH pu AS (
               SELECT user_id,

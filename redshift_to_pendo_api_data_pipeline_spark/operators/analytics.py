@@ -1246,3 +1246,72 @@ def cohort_ltv(
         "active_users",
         F.sum("revenue_fp").over(cum).cast("long").alias("cum_revenue_fp"),
     )
+
+
+def mean_shift_changepoint(
+    df: DataFrame, key_col: str, ts_col: str, min_side: int = 2
+) -> DataFrame:
+    """Single changepoint detection per key over the daily count series
+    — the binary-segmentation statistic (CUSUM's window-expressible
+    sibling): for every candidate split day t, score the mean shift
+
+        |mean(counts <= t) - mean(counts > t)|
+          = |pre_sum·n_post - post_sum·n_pre| / (n_pre·n_post)
+
+    computed entirely in integers (cross-multiplied numerator, ppm
+    floor-division at the end) and pick the argmax split per key
+    (earliest day wins ties). Splits leaving fewer than ``min_side``
+    days on either side are excluded (a 1-day "regime" is noise).
+
+    Shape: the event stream collapses to (key, day, n) in one shuffle
+    — from there EVERYTHING runs on the bounded daily series (≤
+    observation-span rows per key): prefix sums via per-key ordered
+    windows, the argmax via one more per-key window. No joins, no
+    Python, no corpus-sized window.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_run = Window.partitionBy("k").orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("k")
+    scored = (
+        daily.withColumn("pre_sum", F.sum("n").over(w_run).cast("long"))
+        .withColumn("pre_n", F.count(F.lit(1)).over(w_run).cast("long"))
+        .withColumn("tot_sum", F.sum("n").over(w_all).cast("long"))
+        .withColumn("tot_n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("post_sum", F.col("tot_sum") - F.col("pre_sum"))
+        .withColumn("post_n", F.col("tot_n") - F.col("pre_n"))
+        .where(
+            (F.col("pre_n") >= min_side) & (F.col("post_n") >= min_side)
+        )
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                "abs(pre_sum * post_n - post_sum * pre_n) * 1000000L"
+                " div (pre_n * post_n)"
+            ),
+        )
+    )
+    w_best = Window.partitionBy("k").orderBy(
+        F.col("score_ppm").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("day").cast("string").alias("split_day"),
+            F.col("pre_n").alias("n_pre_days"),
+            F.col("post_n").alias("n_post_days"),
+            F.col("pre_sum"),
+            F.col("post_sum"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+    )

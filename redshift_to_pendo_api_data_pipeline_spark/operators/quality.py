@@ -193,3 +193,50 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(top_n)
     )
+
+
+def histogram_fixed(
+    df, value_col: str, lo: float, hi: float, n_bins: int
+):
+    """Equi-width histogram with EXPLICIT bounds — the one-pass
+    profiling histogram (explicit bounds keep it a single scan and make
+    the bucket function a pure literal expression; a min/max-derived
+    histogram is two passes and its bucket edges drift with outliers).
+
+    Bucket arithmetic is fixed-point integer: value and bounds in
+    cents, bucket = (v_fp - lo_fp) * n_bins div (hi_fp - lo_fp),
+    clamped into [0, n_bins-1] so out-of-range values land in the edge
+    buckets (profiling semantics: you want to SEE the mass piling at
+    an edge). NULLs are excluded. One groupBy on a <= n_bins keyspace,
+    fully partial map-side.
+    """
+    from pyspark.sql import functions as F
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    lo_fp = int(round(lo * 100))
+    hi_fp = int(round(hi * 100))
+    v_fp = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    raw = F.expr(
+        f"(__v_fp - {lo_fp}L) * {int(n_bins)}L div {hi_fp - lo_fp}L"
+    )
+    bucket = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(int(n_bins) - 1).cast("long"), raw),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(v_fp.alias("__v_fp"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.lit(lo_fp) + F.col("bucket")
+             * F.lit((hi_fp - lo_fp)) / F.lit(int(n_bins)))
+            .cast("long").alias("bucket_lo_fp"),
+            "n",
+        )
+    )

@@ -1344,3 +1344,58 @@ def hard_negative_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N retriever rankings —
+    the standard hybrid-retrieval combiner (BM25 + dense, cosine + MIPS,
+    multi-probe ANN): fused(d) = sum over lists of 1/(k + rank_i(d)).
+    Expressed in integer ppm (1_000_000 div (k + rank)) so the fused
+    score is cross-engine exact — RRF only consumes RANKS, never raw
+    scores, which is exactly why it tolerates incomparable retrievers
+    and why the integer form loses nothing.
+
+    Inputs are (id, rank) relations (rank 1-based; a missing id simply
+    contributes nothing from that list). Shape: union of the ranked
+    lists (each already top-k bounded) -> one id-key groupBy -> top-n.
+    At serving scale every input is a per-query top-k, so the whole
+    fusion runs on N·k rows — driver-light, shuffle-trivial; the heavy
+    lifting stays in the upstream retrievers.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("long").alias("__rank"),
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    fused = (
+        tagged.groupBy("__id")
+        .agg(
+            F.sum(F.expr(f"1000000L div ({int(k_const)}L + __rank)"))
+            .cast("long")
+            .alias("fused_ppm"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+            F.min("__rank").cast("long").alias("best_rank"),
+        )
+        .orderBy(F.desc("fused_ppm"), F.asc("__id"))
+        .limit(topn)
+    )
+    return fused.select(
+        F.col("__id").alias(id_col), "fused_ppm", "n_lists", "best_rank"
+    )
+
+
+def dot_to_query(vec_col, query: list[float]):
+    """Inner product of each row's vector with a constant query — the
+    MIPS scoring function, same JVM fold as cosine_to_query (no UDF)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return _dot(vec_col, q)

@@ -98,3 +98,40 @@ def score_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def privacy_monitor_stream(
+    stream: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    on_report: Optional[Callable[[DataFrame, int], None]] = None,
+    report_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Streaming k-anonymity gate: each micro-batch is audited with the
+    batch ``privacy.k_anonymity_summary`` (one row per batch: classes,
+    violators, rows at risk, min class size) BEFORE it would be shipped
+    to an external API — the release check the batch audit performs,
+    attached to the live pipe via foreachBatch. Per-batch semantics are
+    deliberate: the gate protects each OUTBOUND batch; cross-batch
+    anonymity of the accumulated sink is the batch audit's job on the
+    landed table (run it on the versioned sink, not the stream).
+
+    Returns the StreamingQuery (caller owns lifecycle)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
+        k_anonymity_summary,
+    )
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        report = k_anonymity_summary(batch_df, quasi_cols, k).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        if report_path is not None:
+            report.write.mode("append").parquet(report_path)
+        if on_report is not None:
+            on_report(report, batch_id)
+
+    writer = stream.writeStream.foreachBatch(_each)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
