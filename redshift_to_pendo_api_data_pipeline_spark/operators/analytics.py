@@ -1315,3 +1315,38 @@ def mean_shift_changepoint(
             F.col("score_ppm").cast("long").alias("score_ppm"),
         )
     )
+
+
+def weekday_seasonality(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Day-of-week activity profile per key with deviation from the
+    uniform share — the seasonality screen behind alerting baselines
+    ("is Tuesday low, or is the pipeline broken?"). Day-of-week is
+    computed PORTABLY from epoch days ((days_since_1970 + 4) mod 7,
+    0=Sunday — 1970-01-01 was a Thursday) instead of engine dayofweek
+    functions, whose 0/1-base and week-start conventions differ.
+
+    Shape: one groupBy on (key, dow) — ≤ 7·|keys| output rows, partial
+    map-side; shares and deviations in BIGINT ppm floor-division
+    against the per-key total (a window over the ≤7-row key group)."""
+    base = df.select(
+        F.col(key_col).alias("k"),
+        ((F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+          + 4) % 7).cast("int").alias("dow"),
+    )
+    counted = base.groupBy("k", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("k")
+    return (
+        counted.withColumn("tot", F.sum("n").over(w).cast("long"))
+        .select(
+            F.col("k").alias(key_col),
+            "dow",
+            "n",
+            F.expr("n * 1000000L div tot").cast("long").alias("share_ppm"),
+            (F.expr("n * 1000000L div tot") - F.lit(142857))
+            .cast("long").alias("dev_ppm"),
+        )
+    )

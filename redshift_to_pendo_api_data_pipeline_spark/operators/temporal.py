@@ -357,3 +357,106 @@ def linear_attribution(
         .cast("long")
         .alias("credit_ppm"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: the EARLIEST right row at-or-after its
+    timestamp — the forward twin of asof_join ("next shipment after the
+    order", "first response after the ticket"). Same union + carry
+    design, mirrored: the window runs from the current row FORWARD and
+    carries the next right values backward with first_value(ignoreNulls)
+    over a (key, ts, side)-ordered frame. One shuffle on `key`, no row
+    explosion under key skew — identical scale contract to asof_join.
+
+    Tie semantics mirror the backward form: a right row at exactly the
+    left timestamp matches (at-or-after); among right rows tied on ts,
+    the row with the SMALLEST `right_tiebreak` wins (the deterministic
+    "first" of the tie)."""
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__l"),
+    )
+    # left rows sort BEFORE right rows at identical ts (side 0 < 1) so an
+    # exactly-equal timestamp is inside the forward frame; among right
+    # rows tied on ts, ascending tiebreak => first_value picks the
+    # smallest one
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.first(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__c_{v}")
+            for v in right_vals
+        ],
+    )
+    return carried.where(F.col("__side") == 0).select(
+        "__l.*", *[F.col(f"__c_{v}").alias(v) for v in right_vals]
+    )
+
+
+def activity_streaks(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Longest consecutive-DAY activity streak per key — the canonical
+    gaps-and-islands: distinct active days per key, island id =
+    day - row_number (consecutive days share it), per-island lengths,
+    then one per-key summary row: active days, number of streaks,
+    longest streak, and the streak containing the key's LAST active day
+    (the "current streak" as of the data's end).
+
+    Shape: distinct (key, day) in one shuffle; the island window and
+    both aggregations stay keyed on the key (the island id only refines
+    it), so everything after the distinct is one exchange's worth of
+    per-key work bounded by that key's active-day count. Date-integer
+    arithmetic only."""
+    days = (
+        df.select(
+            F.col(key_col).alias("k"), F.col(ts_col).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy(F.col("d").asc())
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    per_island = islands.groupBy("k", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("d").alias("last_d"),
+    )
+    return (
+        per_island.groupBy("k")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            # islands are disjoint day ranges, so last_d is unique per
+            # island within a key — max_by is deterministic
+            F.max_by("len", "last_d").cast("long").alias("current_streak"),
+            F.max("last_d").cast("string").alias("last_active_day"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_active_days", "n_streaks", "longest_streak",
+            "current_streak", "last_active_day",
+        )
+    )

@@ -806,3 +806,45 @@ def char_entropy_profile(
         distinct_symbols.cast("int").alias("distinct_symbols"),
         top.cast("long").alias("top_symbol_count"),
     ).where(F.col("n_chars") > 0)
+
+
+def readability_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Flesch-style readability in INTEGER arithmetic — the classic
+    reading-ease screen reformulated so it hash-checks cross-engine
+    (the float Flesch constant stack is libm/ordering-fragile; the
+    milli-unit floor-division form is exact):
+
+        flesch_milli = 206835
+                       - 1015  * n_words        div n_sentences
+                       - 84600 * n_vowel_groups div n_words
+
+    with RE2-safe counting rules shared verbatim by both engines:
+    words = matches of [a-z]+ on lower(text); sentences = matches of
+    [.!?]+ (runs count once; floor 1); vowel groups = matches of
+    [aeiouy]+ (the standard syllable proxy). Zero-word docs are
+    excluded (no readability without words).
+
+    Shape: three regexp_count expressions per row at the scan — no
+    explode, no shuffle, whole-stage codegen."""
+    s = F.lower(F.col(text_col))
+    n_words = F.regexp_count(s, F.lit("[a-z]+"))
+    n_sents = F.greatest(F.lit(1), F.regexp_count(s, F.lit("[.!?]+")))
+    n_vg = F.regexp_count(s, F.lit("[aeiouy]+"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sentences"),
+            n_vg.cast("long").alias("n_vowel_groups"),
+        )
+        .where(F.col("n_words") > 0)
+        .withColumn(
+            "flesch_milli",
+            F.expr(
+                "206835L - 1015L * n_words div n_sentences"
+                " - 84600L * n_vowel_groups div n_words"
+            ).cast("long"),
+        )
+    )
