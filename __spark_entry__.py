@@ -3768,6 +3768,65 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_seasonality(ev, "event_type", "ts")
 
 
+def q_status_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (analytics.scd2_from_changelog):
+    per-customer order-status runs collapsed into validity intervals
+    [valid_from, valid_to) — lag-based change detection + lead-based
+    interval close, two windows sharing one key exchange; current
+    intervals keep NULL valid_to. Timestamps as epoch micros."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        scd2_from_changelog,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_from_changelog(
+        orders, "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
+    )
+
+
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per priority class (analytics.mom_growth):
+    fixed-point monthly revenue, previous month, delta as ppm of the
+    previous (BIGINT div — Spark div and DuckDB // both truncate toward
+    zero, so negative growth hashes identically); NULL on first
+    months."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        mom_growth,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mom_growth(orders, "o_orderpriority", "o_orderdate", "o_totalprice")
+
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl supply-concentration per part
+    (analytics.concentration_hhi): supplier revenue shares in basis
+    points, HHI = sum of squared bps shares — all-BIGINT (shares
+    floor-div once, squares exact), two groupBys sharing the part
+    key."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        concentration_hhi,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return concentration_hhi(li, "l_partkey", "l_suppkey", "l_extendedprice")
+
+
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (sampling.stratified_quota_sample):
+    exactly min(10, |stratum|) docs per source in md5-hash order —
+    deterministic, engine-reproducible, WindowGroupLimit-bounded (map
+    tasks forward <= quota rows per stratum). The eval-set builder."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_quota_sample(docs, "source", "doc_id", 10).select(
+        "source", "doc_id", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3778,6 +3837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "status_history_scd2": q_status_history_scd2,
+        "mom_revenue_growth": q_mom_revenue_growth,
+        "supplier_concentration": q_supplier_concentration,
+        "stratified_quota_docs": q_stratified_quota_sample,
         "activity_streaks_users": q_activity_streaks,
         "next_error_after_purchase": q_next_error_after_purchase,
         "readability_docs": q_readability_docs,
@@ -4044,6 +4107,70 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "status_history_scd2": """
+            WITH o AS (
+              SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS tb,
+                     o_orderstatus AS attr,
+                     lag(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+              FROM orders),
+            ch AS (
+              SELECT k, ts, tb, attr FROM o
+              WHERE rn = 1 OR attr IS DISTINCT FROM prev)
+            SELECT k AS o_custkey, attr AS o_orderstatus,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(lead(ts) OVER (
+                     PARTITION BY k ORDER BY ts ASC, tb ASC))
+                       AS valid_to_us
+            FROM ch
+        """,
+        "mom_revenue_growth": """
+            WITH m AS (
+              SELECT o_orderpriority AS g,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS revenue_fp
+              FROM orders GROUP BY g, mo),
+            l AS (
+              SELECT *, lag(revenue_fp) OVER (
+                PARTITION BY g ORDER BY mo ASC) AS prev_fp
+              FROM m)
+            SELECT g AS o_orderpriority, CAST(mo AS VARCHAR) AS month,
+                   revenue_fp, CAST(prev_fp AS BIGINT) AS prev_fp,
+                   CAST((revenue_fp - prev_fp) * 1000000
+                        // nullif(prev_fp, 0) AS BIGINT) AS growth_ppm
+            FROM l
+        """,
+        "supplier_concentration": """
+            WITH mem AS (
+              SELECT l_partkey AS g, l_suppkey AS mem,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS mv_fp
+              FROM lineitem GROUP BY g, mem),
+            sh AS (
+              SELECT g, mv_fp * 10000 // sum(mv_fp) OVER (PARTITION BY g)
+                         AS share_bps
+              FROM mem)
+            SELECT g AS l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(share_bps * share_bps) AS BIGINT) AS hhi,
+                   CAST(max(share_bps) AS BIGINT) AS top_share_bps
+            FROM sh GROUP BY g
+        """,
+        "stratified_quota_docs": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS rk
+              FROM documents)
+            SELECT source, doc_id, n_chars FROM r WHERE rk <= 10
+        """,
         "activity_streaks_users": """
             WITH days AS (
               SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d

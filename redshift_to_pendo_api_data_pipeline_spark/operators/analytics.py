@@ -1350,3 +1350,133 @@ def weekday_seasonality(
             .cast("long").alias("dev_ppm"),
         )
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame, key_col: str, ts_col: str, attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: per
+    key, collapse consecutive rows with the SAME attribute value into
+    one validity interval [valid_from, valid_to) — the dimension-table
+    build every warehouse ships (dbt snapshots, Delta CDF consumers).
+    valid_to is NULL on each key's current interval.
+
+    Shape: one key shuffle; change detection is lag() over the per-key
+    order, interval close is lead() over the CHANGE rows only — two
+    windows sharing the same partitioning (one exchange), everything
+    bounded per key by that key's row count. Timestamps surfaced as
+    epoch micros; the attribute comparison is null-safe (<=> — a NULL
+    attribute run collapses like any other value).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changes = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(attr_col).alias("attr"),
+        )
+        .withColumn(
+            "__prev",
+            F.lag("attr").over(
+                Window.partitionBy("k").orderBy(
+                    F.col("ts").asc(), F.col("tb").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "__first",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(
+                    F.col("ts").asc(), F.col("tb").asc()
+                )
+            ) == 1,
+        )
+        .where(F.col("__first") | ~F.col("attr").eqNullSafe(F.col("__prev")))
+    )
+    w2 = Window.partitionBy("k").orderBy(F.col("ts").asc(), F.col("tb").asc())
+    return changes.select(
+        F.col("k").alias(key_col),
+        F.col("attr").alias(attr_col),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+    )
+
+
+def mom_growth(
+    df: DataFrame, group_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Month-over-month growth per group: period fixed-point revenue,
+    previous period, and the delta as ppm of the previous period
+    (BIGINT floor-div; NULL on each group's first month). One
+    (group, month) groupBy + one lag window over the bounded months
+    relation."""
+    monthly = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.date_trunc("month", F.col(ts_col)).cast("date").alias("m"),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("g", "m")
+        .agg(F.sum("v_fp").cast("long").alias("revenue_fp"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("m").asc())
+    return (
+        monthly.withColumn(
+            "prev_fp", F.lag("revenue_fp").over(w).cast("long")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("m").cast("string").alias("month"),
+            "revenue_fp",
+            "prev_fp",
+            F.expr(
+                "CAST((revenue_fp - prev_fp) * 1000000L"
+                " div nullif(prev_fp, 0L) AS BIGINT)"
+            ).alias("growth_ppm"),
+        )
+    )
+
+
+def concentration_hhi(
+    df: DataFrame, group_col: str, member_col: str, value_col: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group — the
+    supply-risk / market-concentration screen: per (group, member)
+    value shares in basis points (sum to ~10000), HHI = sum of squared
+    bps shares (10^8 = monopoly; <1500·10^4 ≈ competitive). All BIGINT:
+    shares floor-div once, squares summed exactly — cross-engine exact
+    where the float share-of-squares never is.
+
+    Shape: two groupBys (member collapse, then group fold) sharing the
+    group key; output one row per group. A window computes the group
+    total over the member-collapsed relation (bounded by members per
+    group), not the raw corpus."""
+    member = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(member_col).alias("mem"),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("g", "mem")
+        .agg(F.sum("v_fp").cast("long").alias("mv_fp"))
+    )
+    shared = member.withColumn(
+        "share_bps", F.expr("mv_fp * 10000L div sum(mv_fp) OVER (PARTITION BY g)")
+    )
+    return (
+        shared.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.expr("share_bps * share_bps")).cast("long").alias("hhi"),
+            F.max("share_bps").cast("long").alias("top_share_bps"),
+        )
+        .select(
+            F.col("g").alias(group_col), "n_members", "hhi", "top_share_bps"
+        )
+    )

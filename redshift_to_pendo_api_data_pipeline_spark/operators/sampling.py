@@ -492,3 +492,31 @@ def curriculum_phases(
             ).alias("phase"),
         )
     )
+
+
+def stratified_quota_sample(
+    df: DataFrame, stratum_col: str, id_col: str, quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(quota, |stratum|) rows per stratum, chosen by md5
+    hash order — the eval-set builder: deterministic (same corpus +
+    salt => same sample), reproducible across engines, and balanced by
+    construction where a Bernoulli sample leaves small strata empty
+    and large ones oversized.
+
+    Shape: one window per stratum ranked by (md5(salt||id), id) —
+    the per-stratum sort parallelizes across strata; rank <= quota
+    compiles to WindowGroupLimit, so map tasks forward at most `quota`
+    rows per stratum before the exchange (the same bounded-window
+    contract as the KMV sketches). No RNG, no count pass, no driver."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
