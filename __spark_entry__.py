@@ -3443,21 +3443,36 @@ def q_l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the mined co-purchase edge list once (the stage-once/
+    probe-many pattern every signature family uses): the a-priori pair
+    mining costs several shuffles over lineitem, and BOTH copurchase
+    queries consume the same edges — staging turns the second consumer
+    into a parquet read. The oracle recomputes the pairs independently
+    in SQL, so the staged artifact is certified, not trusted."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        frequent_item_pairs,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    path = f"{_stage_dir(sf_dir)}/copurchase_edges.parquet"
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_item_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_pair_support=3, min_item_support=2,
+    )
+    stage_parquet(edges, path)
+    return spark.read.parquet(path)
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori pruned market-basket pairs (basket.frequent_item_pairs):
     parts co-ordered in >= 3 orders, each self-join side pre-filtered
     to items in >= 2 baskets — the a-priori property bounds the
     quadratic basket self-join before it happens. Pair + both item
-    supports (lift/confidence numerators come free)."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
-        frequent_item_pairs,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return frequent_item_pairs(
-        li, "l_orderkey", "l_partkey",
-        min_pair_support=3, min_item_support=2,
-    )
+    supports (lift/confidence numerators come free). Edge list staged
+    once (shared with copurchase_triangles)."""
+    return _copurchase_edges(spark, sf_dir)
 
 
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3465,16 +3480,14 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (edges = part pairs co-ordered >= 3 times): degree-oriented
     wedge enumeration — wedges only open at the LOW-degree endpoint,
     the bound that survives hub skew at 100 TB — closed by a semi-join
-    against the canonical edge set. One audit row."""
+    against the canonical edge set. One audit row. Consumes the staged
+    edge list (shared with copurchase_pairs) — the mining shuffles are
+    paid once per corpus version, the triangle pass reads parquet."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
-        frequent_item_pairs, triangle_count,
+        triangle_count,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = frequent_item_pairs(
-        li, "l_orderkey", "l_partkey",
-        min_pair_support=3, min_item_support=2,
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return triangle_count(edges, "item_a", "item_b")
 
 
@@ -3827,6 +3840,72 @@ def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact dedup (dedup.exact_dedup_keep_best): within each
+    normalized-name duplicate cluster the highest-retail-price part
+    survives (id tiebreak) — the curation policy that prefers the
+    curated copy over the lexicographically lucky one. One digest-key
+    exchange; shuffle rows carry (digest, id, score), never text."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return exact_dedup_keep_best(part, "p_name", "p_partkey", "p_retailprice")
+
+
+def q_token_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift (text.token_drift_tv): total-variation
+    contributions between two corpus slices (sources 0-4 vs the rest)
+    in integer ppm — the 'what changed in this crawl' report without
+    PSI/KL's libm logs. Both sides counted in ONE conditional-sum pass
+    over a single token explode; top-20 drifting tokens."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        token_drift_tv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return token_drift_tv(docs, "text", side, top_k=20)
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution
+    (temporal.time_decay_attribution): half-life 2 days as integer
+    power-of-two staircase weights (1e6 div 2^(age div hl)), normalized
+    per conversion with the remainder pinned to the most recent touch —
+    credits sum to exactly 1e6. Completes the attribution triple
+    (last-touch asof, linear, time-decay)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        time_decay_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase")
+    touch = ev.where(F.col("event_type").isin("click", "view"))
+    return time_decay_attribution(
+        conv, touch, "user_id", "ts", "ts", "event_id", "event_id",
+        half_life_days=2, window_days=7,
+    )
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-data screen (similarity.label_outlier_screen): each
+    vector's cosine to its OWN label centroid — fixed-point component
+    sums with the centroid denominator cancelled, DECIMAL(38,0)
+    accumulation, one IEEE sqrt/divide per vector. Linear in corpus
+    cells; the component table is |labels|·dim and broadcast."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        label_outlier_screen,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return label_outlier_screen(emb, "embedding", "vec_id", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3837,6 +3916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "dedup_keep_best_parts": q_dedup_keep_best,
+        "token_drift_sources": q_token_drift_sources,
+        "time_decay_credits": q_time_decay_attribution,
+        "label_outliers": q_label_outliers,
         "status_history_scd2": q_status_history_scd2,
         "mom_revenue_growth": q_mom_revenue_growth,
         "supplier_concentration": q_supplier_concentration,
@@ -4107,6 +4190,105 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_keep_best_parts": """
+            WITH d AS (
+              SELECT p_partkey, p_retailprice,
+                     md5(trim(regexp_replace(lower(p_name), '\\s+', ' ',
+                                             'g'))) AS dg
+              FROM part),
+            r AS (
+              SELECT p_partkey, p_retailprice, dg,
+                     row_number() OVER (
+                       PARTITION BY dg
+                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rn,
+                     count(*) OVER (PARTITION BY dg) AS dc
+              FROM d)
+            SELECT p_partkey, CAST(dc AS BIGINT) AS dup_count,
+                   p_retailprice AS best_score
+            FROM r WHERE rn = 1
+        """,
+        "token_drift_sources": """
+            WITH toks AS (
+              SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                          THEN 1 ELSE 0 END AS a,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            pt AS (
+              SELECT t, CAST(sum(a) AS BIGINT) AS n_a,
+                     CAST(sum(1 - a) AS BIGINT) AS n_b
+              FROM toks WHERE t <> '' GROUP BY t),
+            tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM pt)
+            SELECT t AS token, n_a, n_b,
+                   CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb)
+                        AS BIGINT) AS contrib_ppm
+            FROM pt, tot
+            ORDER BY contrib_ppm DESC, token ASC
+            LIMIT 20
+        """,
+        "time_decay_credits": """
+            WITH c AS (
+              SELECT user_id AS k, event_id AS conversion_id, ts AS c_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS k, event_id AS touch_id, ts AS t_ts
+              FROM events WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT c.k, c.conversion_id, t.touch_id, t.t_ts,
+                     1000000 // (CAST(1 AS BIGINT) << CAST(least(
+                       date_diff('day', CAST(t.t_ts AS DATE),
+                                 CAST(c.c_ts AS DATE)) // 2, 62) AS INT))
+                         AS w
+              FROM c JOIN t ON t.k = c.k
+               AND t.t_ts <= c.c_ts
+               AND t.t_ts >= c.c_ts - INTERVAL 7 DAY),
+            r AS (
+              SELECT k, conversion_id, touch_id, w,
+                     sum(w) OVER (PARTITION BY conversion_id) AS sum_w,
+                     row_number() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY t_ts DESC, touch_id DESC) AS rn
+              FROM j),
+            b AS (
+              SELECT *, w * 1000000 // sum_w AS base,
+                     sum(w * 1000000 // sum_w) OVER (
+                       PARTITION BY conversion_id) AS base_sum
+              FROM r)
+            SELECT k AS user_id, conversion_id, touch_id,
+                   CAST(w AS BIGINT) AS weight_ppm,
+                   CAST(CASE WHEN rn = 1
+                             THEN base + (1000000 - base_sum)
+                             ELSE base END AS BIGINT) AS credit_ppm
+            FROM b
+        """,
+        "label_outliers": """
+            WITH comp AS (
+              SELECT label, i - 1 AS dim,
+                     CAST(sum(CAST(round((embedding::DOUBLE[])[i] * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS s
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+              GROUP BY label, i),
+            q AS (
+              SELECT label, sum(CAST(s AS HUGEINT) * s) AS qq
+              FROM comp GROUP BY label),
+            vex AS (
+              SELECT vec_id, label, i - 1 AS dim,
+                     CAST(round((embedding::DOUBLE[])[i] * 1000000)
+                          AS BIGINT) AS v_fp
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+            pv AS (
+              SELECT vec_id, vex.label,
+                     sum(CAST(v_fp AS HUGEINT) * s) AS dot,
+                     sum(CAST(v_fp AS HUGEINT) * v_fp) AS vv
+              FROM vex JOIN comp
+                ON comp.label = vex.label AND comp.dim = vex.dim
+              GROUP BY vec_id, vex.label)
+            SELECT vec_id, pv.label,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(vv AS DOUBLE))
+                            * sqrt(CAST(qq AS DOUBLE))), 6) AS cos_centroid
+            FROM pv JOIN q ON q.label = pv.label
+        """,
         "status_history_scd2": """
             WITH o AS (
               SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS tb,

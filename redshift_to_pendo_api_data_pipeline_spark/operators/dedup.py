@@ -24,7 +24,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
@@ -1050,4 +1050,38 @@ def dup_size_histogram(df: DataFrame, text_col: str) -> DataFrame:
     return sizes.groupBy("dup_count").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("dup_count")).alias("n_docs"),
+    )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup with a KEEP-BEST policy: within each normalized-
+    content duplicate cluster, survive the row with the highest
+    ``score_col`` (quality score, recency, source priority — ties to
+    the smallest id). The curation-grade sibling of exact_dedup's
+    keep-min-id: when a document exists in both a curated source and a
+    crawl, you keep the curated copy, not the lexicographically lucky
+    one.
+
+    Same scale contract: one digest-key exchange; shuffle rows carry
+    (digest, id, score), never the text; the winner comes from a
+    row_number window ordered (score DESC, id ASC) — an explicit total
+    order both engines express identically (a bare max_by is
+    tie-arbitrary) — and the window's rank-1 filter is
+    WindowGroupLimit-bounded map-side."""
+    w = Window.partitionBy("__digest").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        .select("__digest", F.col(id_col), F.col(score_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "dup_count",
+            F.count(F.lit(1)).over(Window.partitionBy("__digest"))
+            .cast("long"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), "dup_count", F.col(score_col).alias("best_score"))
     )

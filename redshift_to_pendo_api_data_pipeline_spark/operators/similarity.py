@@ -1399,3 +1399,65 @@ def dot_to_query(vec_col, query: list[float]):
     MIPS scoring function, same JVM fold as cosine_to_query (no UDF)."""
     q = F.array(*[F.lit(float(v)) for v in query])
     return _dot(vec_col, q)
+
+
+def label_outlier_screen(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-vector cosine to its OWN label centroid — the mislabeled-
+    data screen (a vector far from its label's center is a labeling
+    error candidate; run before trusting labels as training strata).
+    label_centroid_similarity's per-vector sibling, same exactness
+    design: components quantize to `scale` fixed-point ONCE, the
+    centroid denominator CANCELS in cosine (cos(v, s/n) = cos(v, s)),
+    all sums are integer/DECIMAL(38,0) (partition-order independent),
+    and the only float ops are one IEEE sqrt/divide per vector at the
+    end, rounded to 6.
+
+    Shape: one posexplode + groupBy(label, dim) collapses the corpus to
+    the |labels|·dim component table (broadcast by construction); the
+    per-vector pass is one corpus×dim explode joined to that broadcast
+    and re-grouped by vector id — linear in corpus cells, one shuffle
+    keyed on the vector id, no |corpus|×|corpus| anything."""
+    comp = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"))
+    )
+    qq = comp.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("qq")
+    )
+    vex = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("v_fp", F.round(F.col("x") * scale).cast("long"))
+    per_vec = (
+        vex.join(F.broadcast(comp), ["label", "dim"])
+        .groupBy("vid", "label")
+        .agg(
+            F.sum(F.col("v_fp").cast("decimal(38,0)") * F.col("s"))
+            .alias("dot"),
+            F.sum(F.col("v_fp").cast("decimal(38,0)") * F.col("v_fp"))
+            .alias("vv"),
+        )
+    )
+    return (
+        per_vec.join(F.broadcast(qq), "label")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("label").alias(label_col),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vv").cast("double"))
+                    * F.sqrt(F.col("qq").cast("double"))
+                ),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )

@@ -460,3 +460,87 @@ def activity_streaks(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
             "current_streak", "last_active_day",
         )
     )
+
+
+def time_decay_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    conv_ts: str,
+    touch_ts: str,
+    conv_id: str,
+    touch_id: str,
+    half_life_days: int,
+    window_days: int | None = None,
+) -> DataFrame:
+    """Time-decay multi-touch attribution with INTEGER half-life
+    weights: a touch `a` days before the conversion carries raw weight
+
+        w = 1_000_000 div 2^(a div half_life_days)
+
+    (exact powers of two per elapsed half-life — the float exp(-λt)
+    replaced by its staircase, monotone and engine-exact), normalized
+    per conversion to credit_ppm = w * 1e6 div sum(w), remainder to
+    the most recent touch so credits sum to exactly 1,000,000. The
+    third attribution flavor next to last-touch (asof) and linear.
+
+    Same shape as linear_attribution: one shuffle_hash user join, one
+    conversion-partitioned window pass (sum + recency rank), lookback-
+    bounded candidates. Decay exponent capped at 62 (beyond that the
+    weight is 0 anyway and the shift would overflow)."""
+    c = conversions.select(
+        F.col(key).alias("k"),
+        F.col(conv_id).alias("conversion_id"),
+        F.col(conv_ts).alias("c_ts"),
+    )
+    t = touches.select(
+        F.col(key).alias("k"),
+        F.col(touch_id).alias("touch_id"),
+        F.col(touch_ts).alias("t_ts"),
+    )
+    joined = c.join(t.hint("shuffle_hash"), "k").where(
+        F.col("t_ts") <= F.col("c_ts")
+    )
+    if window_days is not None:
+        joined = joined.where(
+            F.col("t_ts") >= F.col("c_ts") - F.expr(
+                f"INTERVAL {int(window_days)} DAYS"
+            )
+        )
+    weighted = joined.select(
+        "k", "conversion_id", "touch_id", "t_ts",
+        F.expr(
+            f"1000000L div shiftleft(1L, CAST("
+            f"least(CAST(datediff(CAST(c_ts AS DATE), CAST(t_ts AS DATE))"
+            f" div {int(half_life_days)} AS BIGINT), 62L) AS INT))"
+        ).alias("w"),
+    )
+    w_sum = Window.partitionBy("conversion_id")
+    w_rank = w_sum.orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    ranked = weighted.select(
+        "k", "conversion_id", "touch_id", "w",
+        F.sum("w").over(w_sum).alias("sum_w"),
+        F.row_number().over(w_rank).alias("__recency"),
+    )
+    base = F.expr("w * 1000000L div sum_w")
+    # the remainder = 1e6 - sum over touches of base; assigning it to
+    # the most recent touch needs the sum of bases, which is another
+    # window — instead compute it as 1e6 - sum(base) via the same
+    # partition window (base is a deterministic per-row expression).
+    ranked = ranked.withColumn("__base", base).withColumn(
+        "__base_sum",
+        F.sum("__base").over(Window.partitionBy("conversion_id")),
+    )
+    return ranked.select(
+        F.col("k").alias(key),
+        "conversion_id",
+        "touch_id",
+        F.col("w").cast("long").alias("weight_ppm"),
+        F.when(
+            F.col("__recency") == 1,
+            F.col("__base") + (F.lit(1000000) - F.col("__base_sum")),
+        )
+        .otherwise(F.col("__base"))
+        .cast("long")
+        .alias("credit_ppm"),
+    )

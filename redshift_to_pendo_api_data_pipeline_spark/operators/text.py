@@ -848,3 +848,58 @@ def readability_scores(
             ).cast("long"),
         )
     )
+
+
+def token_drift_tv(
+    df: DataFrame,
+    text_col: str,
+    side_col,
+    top_k: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices (crawl
+    versions, time halves, sources) as TOTAL-VARIATION distance — the
+    integer-exact drift metric (PSI/KL need logs; TV = half the L1
+    between the distributions loses the libm dependence and keeps the
+    per-token attribution interpretable): per token,
+
+        contrib_ppm = |p_a - p_b| in ppm   (floor-div per side)
+
+    with TV_total = sum(contrib)/2 read off downstream. Emits the
+    ``top_k`` drifting tokens by contribution (ties alphabetical) plus
+    each side's count — the "what changed in this crawl" report.
+
+    ``side_col`` is a boolean Column: True rows form side A. Shape: one
+    token explode (linear in corpus tokens, the same cost as any
+    tokenization pass), one (token) groupBy counting BOTH sides in one
+    conditional-sum pass (the dsir_scores trick — never two scans), a
+    single-row totals aggregate broadcast back, and a top-k. No joins
+    on the token stream."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    toks = df.select(
+        side_col.cast("int").alias("a"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    per_tok = toks.groupBy("t").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("n_b"),
+    )
+    totals = per_tok.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("t").alias("token"),
+            "n_a",
+            "n_b",
+            F.abs(
+                F.expr("n_a * 1000000L div __ta")
+                - F.expr("n_b * 1000000L div __tb")
+            ).cast("long").alias("contrib_ppm"),
+        )
+        .orderBy(F.desc("contrib_ppm"), F.asc("token"))
+        .limit(top_k)
+    )
