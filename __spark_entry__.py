@@ -3906,6 +3906,64 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_outlier_screen(emb, "embedding", "vec_id", "label")
 
 
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification (analytics.abc_analysis): parts ranked
+    by revenue, classes cut at 80%/95% of CUMULATIVE revenue — the
+    distributed cumulative comes from analytics.global_prefix_sum
+    (range shuffle + pid-windows + broadcast offsets), never a
+    single-reducer global window over the catalog. Classes from the
+    exclusive prefix share, all integer ppm."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        abc_analysis,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return abc_analysis(li, "l_partkey", "l_extendedprice")
+
+
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trimmed mean (analytics.trimmed_mean): drop the lowest and
+    highest 5% of orders BY RANK per priority class, fixed-point mean
+    of the survivors — robust location with exact integer semantics
+    (no percentile estimate, no float mean)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        trimmed_mean,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return trimmed_mean(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", 50
+    )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (basket.association_rules) over the
+    staged co-purchase edges: confidence and lift in integer ppm
+    (lift > 1e6 = positive association), top-30 by lift. Runs on the
+    support-bounded edge relation — no new corpus pass beyond the
+    basket count scalar."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    n_baskets = li.select("l_orderkey").distinct().count()
+    return association_rules(edges, n_baskets, top_k=30)
+
+
+def q_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (basket.degree_distribution) of the staged
+    co-purchase graph — hub detection before the triangle pass. Two
+    groupBys over the edge relation."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        degree_distribution,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return degree_distribution(edges, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3916,6 +3974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "abc_parts": q_abc_parts,
+        "trimmed_mean_prices": q_trimmed_mean_prices,
+        "association_rules_parts": q_association_rules,
+        "copurchase_degree_dist": q_copurchase_degree_dist,
         "dedup_keep_best_parts": q_dedup_keep_best,
         "token_drift_sources": q_token_drift_sources,
         "time_decay_credits": q_time_decay_attribution,
@@ -4190,6 +4252,116 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "abc_parts": """
+            WITH items AS (
+              SELECT l_partkey AS item,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev_fp
+              FROM lineitem GROUP BY item),
+            c AS (
+              SELECT *,
+                     sum(rev_fp) OVER (
+                       ORDER BY rev_fp DESC, item ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum_fp,
+                     sum(rev_fp) OVER () AS tot
+              FROM items),
+            cl AS (
+              SELECT CASE
+                       WHEN (cum_fp - rev_fp) * 1000000 // tot < 800000
+                         THEN 'A'
+                       WHEN (cum_fp - rev_fp) * 1000000 // tot < 950000
+                         THEN 'B'
+                       ELSE 'C' END AS abc_class,
+                     rev_fp, tot
+              FROM c)
+            SELECT abc_class, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(rev_fp) AS BIGINT) AS revenue_fp,
+                   CAST(sum(rev_fp) * 1000000 // max(tot) AS BIGINT)
+                       AS revenue_share_ppm
+            FROM cl GROUP BY abc_class
+        """,
+        "trimmed_mean_prices": """
+            WITH r AS (
+              SELECT o_orderpriority AS g,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v_fp,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT) ASC,
+                                o_orderkey ASC) AS rnk,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders),
+            k AS (
+              SELECT * FROM r
+              WHERE rnk > n * 50 // 1000 AND rnk <= n - n * 50 // 1000)
+            SELECT g AS o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(v_fp) // count(*) AS BIGINT) AS trimmed_mean_fp
+            FROM k GROUP BY g
+        """,
+        "association_rules_parts": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            freq AS (SELECT item, CAST(count(*) AS BIGINT) AS item_support
+                     FROM bi GROUP BY item HAVING count(*) >= 2),
+            pr0 AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_support
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3),
+            pr AS (
+              SELECT pr0.item_a, pr0.item_b, pr0.pair_support,
+                     fa.item_support AS support_a,
+                     fb.item_support AS support_b
+              FROM pr0 JOIN freq fa ON fa.item = pr0.item_a
+                       JOIN freq fb ON fb.item = pr0.item_b),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+            rules AS (
+              SELECT item_a AS antecedent, item_b AS consequent,
+                     pair_support, support_a AS sup_ante,
+                     support_b AS sup_cons
+              FROM pr
+              UNION ALL
+              SELECT item_b, item_a, pair_support, support_b, support_a
+              FROM pr)
+            SELECT antecedent, consequent, pair_support,
+                   CAST(pair_support * 1000000 // sup_ante AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(pair_support * nb.n * 1000000
+                        // (sup_ante * sup_cons) AS BIGINT) AS lift_ppm
+            FROM rules, nb
+            ORDER BY lift_ppm DESC, antecedent ASC, consequent ASC
+            LIMIT 30
+        """,
+        "copurchase_degree_dist": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            freq AS (SELECT item, CAST(count(*) AS BIGINT) AS item_support
+                     FROM bi GROUP BY item HAVING count(*) >= 2),
+            pr0 AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_support
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3),
+            pr AS (
+              SELECT pr0.item_a, pr0.item_b, pr0.pair_support,
+                     fa.item_support AS support_a,
+                     fb.item_support AS support_b
+              FROM pr0 JOIN freq fa ON fa.item = pr0.item_a
+                       JOIN freq fb ON fb.item = pr0.item_b),
+            deg AS (
+              SELECT nd, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT item_a AS nd FROM pr
+                    UNION ALL SELECT item_b FROM pr)
+              GROUP BY nd)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
         "dedup_keep_best_parts": """
             WITH d AS (
               SELECT p_partkey, p_retailprice,

@@ -1480,3 +1480,166 @@ def concentration_hhi(
             F.col("g").alias(group_col), "n_members", "hhi", "top_share_bps"
         )
     )
+
+
+def global_prefix_sum(
+    df: DataFrame, sort_cols: list, value_col: str,
+    prefix_name: str = "cum_value", keep_total: bool = False,
+) -> DataFrame:
+    """Distributed GLOBAL running sum over a total order — the prefix-
+    sum sibling of global_ranks, without the single-reducer global
+    window: range-repartition on the sort key (explicit partition count
+    pins the Exchange), per-partition running sums via a window
+    partitioned on the PARTITION ID (each range partition's window runs
+    in its own task — parallel across partitions, ordered within), a
+    bounded per-partition totals aggregate (≤ nparts rows) turned into
+    broadcast start offsets, and prefix = offset[pid] + local running
+    sum. Two exchanges total (the range shuffle + the pid-window
+    re-cluster); the offsets window is nparts-bounded, never
+    data-bounded.
+
+    `sort_cols` must be a total order (unique tiebreak) so the prefix
+    is deterministic wherever the range boundaries fall. `value_col`
+    must already be an exact (integer/decimal) type — a float running
+    sum is partition-order dependent and can never hash cross-engine.
+    """
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranged = (
+        df.repartitionByRange(nparts, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "__local_cum", F.sum(F.col(value_col)).over(w_local)
+    )
+    sums = ranged.groupBy("__pid").agg(
+        F.sum(F.col(value_col)).alias("__psum")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sums.select(
+        "__pid",
+        F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__psum").over(w_all).alias("__total"),
+    )
+    out = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(prefix_name, F.col("__off") + F.col("__local_cum"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+    return out if keep_total else out.drop("__total")
+
+
+def abc_analysis(
+    df: DataFrame, item_col: str, value_col: str,
+    a_ppm: int = 800000, b_ppm: int = 950000,
+) -> DataFrame:
+    """Pareto / ABC classification: items ranked by revenue descending,
+    class A = items inside the first ``a_ppm`` (default 80%) of
+    cumulative revenue, B up to ``b_ppm`` (95%), C the tail — the
+    inventory-policy classic ("which 20% of parts carry 80% of
+    revenue"). Class from the EXCLUSIVE prefix share (an item belongs
+    to the class where its revenue STARTS), all integer ppm.
+
+    Shape: the corpus collapses to one row per item first (item-key
+    groupBy — catalog-bounded, never event-bounded), then
+    global_prefix_sum provides the distributed cumulative — no
+    single-reducer window over the catalog. Output: one summary row
+    per class (n_items, revenue, revenue share)."""
+    items = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.sum(
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        ).cast("long").alias("rev_fp")
+    )
+    cum = global_prefix_sum(
+        items,
+        [F.col("rev_fp").desc(), F.col("item").asc()],
+        "rev_fp",
+        prefix_name="cum_fp",
+        keep_total=True,
+    )
+    classed = cum.withColumn(
+        "abc_class",
+        F.when(
+            F.expr("(cum_fp - rev_fp) * 1000000L div nullif(__total, 0L)") < a_ppm,
+            F.lit("A"),
+        )
+        .when(
+            F.expr("(cum_fp - rev_fp) * 1000000L div nullif(__total, 0L)") < b_ppm,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_fp").cast("long").alias("revenue_fp"),
+            F.max("__total").alias("__t"),
+        )
+        .select(
+            "abc_class",
+            "n_items",
+            "revenue_fp",
+            F.expr("revenue_fp * 1000000L div nullif(__t, 0L)").cast("long").alias(
+                "revenue_share_ppm"
+            ),
+        )
+    )
+
+
+def trimmed_mean(
+    df: DataFrame, group_col: str, value_col: str, tiebreak_col: str,
+    trim_pm: int = 50,
+) -> DataFrame:
+    """Exact trimmed mean per group: drop the lowest and highest
+    ``trim_pm`` per-mille of rows BY RANK (floor(n·trim/1000) rows per
+    side — an explicit count, not a percentile estimate), then the
+    fixed-point mean of the survivors (cents BIGINT floor-div). The
+    robust location estimate that, unlike the median, keeps averaging
+    efficiency — and unlike a float mean, hashes identically on any
+    engine.
+
+    One grouped window (rank over (value, tiebreak)) + one groupBy —
+    the same single-exchange shape as group_quantiles_disc."""
+    if not 0 <= trim_pm < 500:
+        raise ValueError(f"trim_pm must be in [0, 500), got {trim_pm}")
+    v_fp = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ranked = (
+        df.select(
+            F.col(group_col).alias("g"),
+            v_fp.alias("v_fp"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(
+                    F.col("v_fp").asc(), F.col("tb").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+    )
+    kept = ranked.where(
+        (F.col("rnk") > F.expr(f"n * {int(trim_pm)}L div 1000L"))
+        & (F.col("rnk") <= F.col("n") - F.expr(f"n * {int(trim_pm)}L div 1000L"))
+    )
+    return kept.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr("sum(v_fp) div count(1)").cast("long").alias(
+            "trimmed_mean_fp"
+        ),
+    ).select(
+        F.col("g").alias(group_col), "n_total", "n_kept", "trimmed_mean_fp"
+    )

@@ -196,3 +196,78 @@ def triangle_count(
     )
     # three scalar aggregates -> one row; the cross joins are 1x1x1.
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def association_rules(
+    edges: DataFrame, n_baskets: int, top_k: int = 30
+) -> DataFrame:
+    """Directed association rules from a mined pair table
+    (frequent_item_pairs output): both orientations of every pair with
+
+        confidence_ppm = pair_support * 1e6 div support(antecedent)
+        lift_ppm       = pair_support * n_baskets * 1e6
+                           div (support_a * support_b)
+
+    — all BIGINT (lift > 1e6 means positive association), top-k by
+    lift with deterministic tiebreaks. Runs on the (already
+    support-bounded) edge relation: a union + projection + top-k, no
+    new corpus pass; ``n_baskets`` is the one scalar the caller
+    supplies (a count the mining pass already touched)."""
+    fwd = edges.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_support",
+        F.col("support_a").alias("sup_ante"),
+        F.col("support_b").alias("sup_cons"),
+    )
+    rev = edges.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "pair_support",
+        F.col("support_b").alias("sup_ante"),
+        F.col("support_a").alias("sup_cons"),
+    )
+    n = int(n_baskets)
+    return (
+        fwd.unionAll(rev)
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            F.expr("pair_support * 1000000L div sup_ante").cast("long")
+            .alias("confidence_ppm"),
+            F.expr(
+                f"pair_support * {n}L * 1000000L div (sup_ante * sup_cons)"
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(top_k)
+    )
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree histogram of an undirected simple graph — the first
+    diagnostic read off any mined graph (hub detection before the
+    triangle pass, power-law sanity). Canonicalizes/dedups edges, one
+    union + two groupBys: (node degree) then (degree n_nodes)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

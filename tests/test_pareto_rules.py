@@ -1,0 +1,136 @@
+"""Distributed prefix sum, ABC analysis, trimmed mean, association
+rules, degree distribution — python-recompute pinned."""
+
+from __future__ import annotations
+
+import decimal
+import itertools
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+    abc_analysis,
+    global_prefix_sum,
+    trimmed_mean,
+)
+from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+    association_rules,
+    degree_distribution,
+    frequent_item_pairs,
+)
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def _fp(x):
+    return int(decimal.Decimal(str(x)).quantize(decimal.Decimal("0.01")) * 100)
+
+
+def test_global_prefix_sum_matches_sequential(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .alias("v"),
+    )
+    out = {r["o_orderkey"]: r["cum_value"] for r in global_prefix_sum(
+        orders, [F.col("v").desc(), F.col("o_orderkey").asc()], "v"
+    ).collect()}
+    rows = sorted(
+        ((r["o_orderkey"], r["v"]) for r in orders.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    run = 0
+    for k, v in rows:
+        run += v
+        assert out[k] == run
+    assert len(out) == len(rows)
+
+
+def test_global_prefix_sum_no_global_window_over_data(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .alias("v"),
+    )
+    plan = global_prefix_sum(
+        orders, [F.col("v").desc(), F.col("o_orderkey").asc()], "v"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the only partitionBy-less window runs over the nparts-bounded
+    # offsets relation; the data-sized windows are keyed on __pid
+    assert "__pid" in plan
+
+
+def test_abc_analysis_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {r["abc_class"]: r for r in abc_analysis(
+        li, "l_partkey", "l_extendedprice").collect()}
+    rev = defaultdict(int)
+    for r in li.select("l_partkey", "l_extendedprice").collect():
+        rev[r["l_partkey"]] += _fp(r["l_extendedprice"])
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    want = defaultdict(lambda: [0, 0])
+    cum = 0
+    for k, v in items:
+        share = cum * 1000000 // tot
+        cls = "A" if share < 800000 else ("B" if share < 950000 else "C")
+        want[cls][0] += 1
+        want[cls][1] += v
+        cum += v
+    for cls, (n, v) in want.items():
+        assert got[cls]["n_items"] == n
+        assert got[cls]["revenue_fp"] == v
+        assert got[cls]["revenue_share_ppm"] == v * 1000000 // tot
+    assert set(got) == set(want)
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["o_orderpriority"]: r for r in trimmed_mean(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", 50
+    ).collect()}
+    groups = defaultdict(list)
+    for r in orders.collect():
+        groups[r["o_orderpriority"]].append(
+            (_fp(r["o_totalprice"]), r["o_orderkey"])
+        )
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        cut = n * 50 // 1000
+        kept = vals[cut: n - cut]
+        assert got[g]["n_total"] == n
+        assert got[g]["n_kept"] == len(kept)
+        assert got[g]["trimmed_mean_fp"] == sum(v for v, _ in kept) // len(kept)
+    with pytest.raises(ValueError):
+        trimmed_mean(orders, "o_orderpriority", "o_totalprice",
+                     "o_orderkey", 500)
+
+
+def test_association_rules_confidence_and_lift(spark):
+    # 4 baskets: {x,y} x3, {x} x1 -> conf(x->y)=3/4, conf(y->x)=1
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+            (4, "x")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    edges = frequent_item_pairs(df, "b", "i", 1, 1)
+    out = {(r["antecedent"], r["consequent"]): r for r in association_rules(
+        edges, n_baskets=4, top_k=10).collect()}
+    assert out[("x", "y")]["confidence_ppm"] == 750000
+    assert out[("y", "x")]["confidence_ppm"] == 1000000
+    # lift = 3*4/(4*3) = 1.0 exactly
+    assert out[("x", "y")]["lift_ppm"] == 1000000
+    assert out[("y", "x")]["lift_ppm"] == 1000000
+
+
+def test_degree_distribution_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_item_pairs(li, "l_orderkey", "l_partkey", 3, 2)
+    got = {r["degree"]: r["n_nodes"] for r in degree_distribution(
+        edges, "item_a", "item_b").collect()}
+    deg = Counter()
+    for r in edges.collect():
+        deg[r["item_a"]] += 1
+        deg[r["item_b"]] += 1
+    want = Counter(deg.values())
+    assert got == dict(want)
