@@ -3964,6 +3964,37 @@ def q_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(edges, "item_a", "item_b")
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync reconciliation fingerprint (quality.table_fingerprint):
+    row count + order-independent md5-sum checksum + key bounds, one
+    aggregation pass — run on source and sink, equal fingerprints mean
+    equal key multisets; the bounds localize mismatches for bisection.
+    The reference-domain audit (did every tapped row land?) as a
+    single-row relational op."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return table_fingerprint(cust, ["c_custkey", "c_name"])
+
+
+def q_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (quality.contingency_chi2): does
+    order-fulfillment rate (status F) differ by priority class beyond
+    chance — per-cell contributions with obs/expected CROSS-MULTIPLIED
+    in DECIMAL(38,0) and one BIGINT floor-div per cell; no float
+    division anywhere (decimal `/` rounding differs across engines)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        contingency_chi2,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return contingency_chi2(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -3974,6 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "table_fingerprint_customer": q_table_fingerprint,
+        "conversion_chi2": q_conversion_chi2,
         "abc_parts": q_abc_parts,
         "trimmed_mean_prices": q_trimmed_mean_prices,
         "association_rules_parts": q_association_rules,
@@ -4252,6 +4285,42 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "table_fingerprint_customer": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST('0x' || substr(md5(concat_ws('|',
+                       CAST(c_custkey AS VARCHAR), c_name)), 1, 8)
+                       AS BIGINT)) AS BIGINT) AS checksum,
+                   min(CAST(c_custkey AS VARCHAR)) AS min_c_custkey,
+                   max(CAST(c_custkey AS VARCHAR)) AS max_c_custkey,
+                   min(c_name) AS min_c_name,
+                   max(c_name) AS max_c_name
+            FROM customer
+        """,
+        "conversion_chi2": """
+            WITH cells AS (
+              SELECT o_orderpriority AS g,
+                     CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS row_n
+              FROM orders GROUP BY g),
+            tot AS (
+              SELECT sum(pos) AS col_pos, sum(row_n) AS grand FROM cells),
+            s AS (
+              SELECT g, pos, row_n,
+                     CAST(pos AS HUGEINT) * grand
+                       - CAST(row_n AS HUGEINT) * col_pos AS tp,
+                     CAST(row_n - pos AS HUGEINT) * grand
+                       - CAST(row_n AS HUGEINT) * (grand - col_pos) AS tn,
+                     CAST(row_n AS HUGEINT) * col_pos * grand AS dp,
+                     CAST(row_n AS HUGEINT) * (grand - col_pos) * grand
+                         AS dn
+              FROM cells, tot)
+            SELECT g, pos, row_n,
+                   CAST(tp * tp * 1000000 // dp
+                        + tn * tn * 1000000 // dn AS BIGINT)
+                       AS chi2_contrib_fp
+            FROM s
+        """,
         "abc_parts": """
             WITH items AS (
               SELECT l_partkey AS item,

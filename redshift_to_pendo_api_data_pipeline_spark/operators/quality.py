@@ -240,3 +240,100 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+def table_fingerprint(df, key_cols: list[str]):
+    """Order-independent table fingerprint for sync reconciliation —
+    the answer to "did every row land?" after a tap->sink run without
+    hauling either table anywhere: row count + an order-independent
+    content checksum (sum of the md5-derived 32-bit integer of the
+    concatenated key columns, mod-free in BIGINT — sum is commutative,
+    so partitioning/ordering can't change it) + per-key-column min/max
+    BOUNDS. Run the same fingerprint on source and sink; equal rows
+    means equal multiset of keys with overwhelming probability, and the
+    bounds localize a mismatch to a key range for bisection.
+
+    One aggregation pass, no shuffle beyond the final single-row
+    combine; md5 is the repo's cross-engine hash (same hex in DuckDB),
+    so the fingerprint itself is oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    concat = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h32 = F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h32).cast("long").alias("checksum"),
+    ]
+    for c in key_cols:
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"max_{c}"))
+    return df.agg(*aggs)
+
+
+def contingency_chi2(
+    df, group_col: str, flag_col, scale: int = 10**6
+):
+    """Chi-square independence screen for a (group x binary outcome)
+    contingency table in FIXED-POINT arithmetic — "does conversion
+    rate differ by segment, beyond what chance explains":
+
+        chi2_scaled = sum over cells of (obs*G - row*col)^2 * scale
+                        div (row * col * G)
+
+    algebraically chi2 * G * scale with obs/expected cross-multiplied
+    so no float division happens per cell (expected = row*col/G never
+    materializes). Monotone in the true chi-square statistic at fixed
+    G; compare against a threshold calibrated once per G. DECIMAL(38,0)
+    keeps the squared products exact.
+
+    Shape: one groupBy on the group key (2 cells per group), then the
+    bounded cell relation folds to one row.
+    """
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(flag_col.cast("long")).cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("row_n"),
+    )
+    tot = cells.agg(
+        F.sum("pos").cast("long").alias("col_pos"),
+        F.sum("row_n").cast("long").alias("grand"),
+    )
+    with_tot = cells.crossJoin(F.broadcast(tot)).select(
+        "g", "pos", "row_n", "col_pos",
+        (F.col("grand") - F.col("col_pos")).alias("col_neg"),
+        "grand",
+        (F.col("row_n") - F.col("pos")).alias("neg"),
+    )
+    # all products in DECIMAL(38,0) (term² overflows int64), the final
+    # floor-division via `div` (returns BIGINT — the quotient is
+    # bounded by grand·scale, well inside int64; Spark div == DuckDB //
+    # for positives). No decimal `/` anywhere: its rounding scale
+    # differs between engines.
+    staged = with_tot.select(
+        "g", "pos", "row_n",
+        (
+            F.col("pos").cast("decimal(38,0)") * F.col("grand")
+            - F.col("row_n").cast("decimal(38,0)") * F.col("col_pos")
+        ).alias("tp"),
+        (
+            F.col("neg").cast("decimal(38,0)") * F.col("grand")
+            - F.col("row_n").cast("decimal(38,0)") * F.col("col_neg")
+        ).alias("tn"),
+        (
+            F.col("row_n").cast("decimal(38,0)") * F.col("col_pos")
+            * F.col("grand")
+        ).alias("dp"),
+        (
+            F.col("row_n").cast("decimal(38,0)") * F.col("col_neg")
+            * F.col("grand")
+        ).alias("dn"),
+    )
+    contrib = (
+        F.expr(f"CAST(tp * tp * {int(scale)} AS DECIMAL(38,0)) div dp")
+        + F.expr(f"CAST(tn * tn * {int(scale)} AS DECIMAL(38,0)) div dn")
+    )
+    return staged.select(
+        "g", "pos", "row_n", contrib.cast("long").alias("chi2_contrib_fp")
+    )
