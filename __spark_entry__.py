@@ -3995,6 +3995,21 @@ def q_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori depth-3 (basket.frequent_item_triples): part triples
+    co-ordered >= 2 times — candidates generated from the frequent-PAIR
+    lattice ((a,b) joins (a,c), third edge semi-checked) so the 3-way
+    basket join only counts candidate-pruned items. The oracle's plain
+    3-way join is equivalent because triple support >= min implies
+    every pair's support >= min (the a-priori property itself)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        frequent_item_triples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_item_triples(li, "l_orderkey", "l_partkey", 2, 2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4005,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "frequent_triples_parts": q_frequent_triples,
         "table_fingerprint_customer": q_table_fingerprint,
         "conversion_chi2": q_conversion_chi2,
         "abc_parts": q_abc_parts,
@@ -4285,6 +4301,16 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "frequent_triples_parts": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem)
+            SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+                   CAST(count(*) AS BIGINT) AS triple_support
+            FROM bi a
+            JOIN bi b ON b.basket = a.basket AND a.item < b.item
+            JOIN bi c ON c.basket = a.basket AND b.item < c.item
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        """,
         "table_fingerprint_customer": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(CAST('0x' || substr(md5(concat_ws('|',

@@ -398,6 +398,36 @@ def cmd_diff(cfg: dict) -> int:
     return 0
 
 
+
+
+def cmd_reconcile(cfg: dict) -> int:
+    """Source<->sink reconciliation: fingerprint two parquet tables
+    (quality.table_fingerprint — count + order-independent checksum +
+    key bounds) and report whether every row landed. The audit the
+    reference workflow needs after each sync and never had: two
+    aggregation passes, one JSON verdict, no row ever leaves its side.
+
+    Config: {"left": path, "right": path, "keys": [col, ...]}.
+    Exit code 0 on match, 3 on mismatch (scriptable gate)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import table_fingerprint
+
+    spark = get_spark(app_name="reconcile")
+    keys = list(cfg["keys"])
+    sides = {}
+    for side in ("left", "right"):
+        df = spark.read.parquet(cfg[side])
+        sides[side] = table_fingerprint(df, keys).first().asDict()
+    match = (
+        sides["left"]["n_rows"] == sides["right"]["n_rows"]
+        and sides["left"]["checksum"] == sides["right"]["checksum"]
+    )
+    print(json.dumps({
+        "match": match, "keys": keys,
+        "left": sides["left"], "right": sides["right"],
+    }))
+    return 0 if match else 3
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -424,6 +454,10 @@ def main(argv: list[str] | None = None) -> int:
         "diff", help="INSERT/UPDATE/DELETE delta between two table versions"
     )
     df_.add_argument("-c", "--config", required=True)
+    rc = sub.add_parser(
+        "reconcile", help="fingerprint-compare two tables (sync audit)"
+    )
+    rc.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -438,6 +472,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_compact(cfg)
     if args.cmd == "diff":
         return cmd_diff(cfg)
+    if args.cmd == "reconcile":
+        return cmd_reconcile(cfg)
     return cmd_sync(cfg, args.state)
 
 

@@ -271,3 +271,70 @@ def degree_distribution(
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def frequent_item_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_triple_support: int,
+    min_pair_support: int | None = None,
+) -> DataFrame:
+    """Frequent TRIPLES via the a-priori lattice: a triple {a,b,c} can
+    only be frequent if all three of its pairs are, so candidates come
+    from joining the frequent-PAIR relation with itself on the shared
+    first item ((a,b) ⋈ (a,c), b < c) and semi-checking the third edge
+    (b,c) — the depth-3 step of the a-priori algorithm, bounded by the
+    pair relation, never by baskets³. The verified support then comes
+    from one 3-way basket join restricted to candidate triples.
+
+    Shape: pair mining reuses frequent_item_pairs (support-bounded);
+    candidate generation runs entirely on that bounded relation; the
+    counting join is basket-keyed, each side pre-pruned to items that
+    appear in some candidate triple."""
+    min_pair = (
+        min_pair_support if min_pair_support is not None
+        else min_triple_support
+    )
+    pairs = frequent_item_pairs(
+        df, basket_col, item_col, min_pair, min_pair
+    ).select("item_a", "item_b")
+    # candidate triples: (a,b) + (a,c) with b<c, third edge (b,c) present
+    ab = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    ac = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("c"))
+    bc = pairs.select(F.col("item_a").alias("b"), F.col("item_b").alias("c"))
+    cand = (
+        ab.join(ac.hint("shuffle_hash"), "a")
+        .where(F.col("b") < F.col("c"))
+        .join(bc.hint("shuffle_hash"), ["b", "c"], "left_semi")
+    )
+    bi = (
+        df.select(F.col(basket_col).alias("basket"),
+                  F.col(item_col).alias("item"))
+        .distinct()
+    )
+    # prune the basket relation to items appearing in ANY candidate
+    items_in_cand = (
+        cand.select(F.col("a").alias("item"))
+        .unionAll(cand.select(F.col("b").alias("item")))
+        .unionAll(cand.select(F.col("c").alias("item")))
+        .distinct()
+    )
+    pruned = bi.join(items_in_cand.hint("shuffle_hash"), "item", "left_semi")
+    t1 = pruned.select("basket", F.col("item").alias("a"))
+    t2 = pruned.select("basket", F.col("item").alias("b"))
+    t3 = pruned.select("basket", F.col("item").alias("c"))
+    counted = (
+        t1.join(t2.hint("shuffle_hash"), "basket")
+        .where(F.col("a") < F.col("b"))
+        .join(t3.hint("shuffle_hash"), "basket")
+        .where(F.col("b") < F.col("c"))
+        .join(cand.hint("shuffle_hash"), ["a", "b", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("triple_support"))
+        .where(F.col("triple_support") >= min_triple_support)
+    )
+    return counted.select(
+        F.col("a").alias("item_a"), F.col("b").alias("item_b"),
+        F.col("c").alias("item_c"), "triple_support",
+    )

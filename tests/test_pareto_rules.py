@@ -186,3 +186,50 @@ def test_contingency_chi2_matches_scipy_free_python(spark):
     # sanity: both groups contribute equally for a symmetric 2x2
     assert got["a"]["chi2_contrib_fp"] == got["b"]["chi2_contrib_fp"]
     assert got["a"]["chi2_contrib_fp"] > 0
+
+
+def test_frequent_triples_matches_bruteforce(spark, sf_dir):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        frequent_item_triples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["triple_support"]
+        for r in frequent_item_triples(
+            li, "l_orderkey", "l_partkey", 2, 2).collect()
+    }
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    tri = Counter(
+        t
+        for items in baskets.values()
+        for t in itertools.combinations(sorted(items), 3)
+    )
+    want = {t: n for t, n in tri.items() if n >= 2}
+    assert got == want and len(got) > 0
+
+
+def test_cli_reconcile_match_and_mismatch(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_reconcile
+
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.parquet(str(tmp_path / "a"))
+    # same rows, different order/partitioning -> must match
+    cust.orderBy(F.desc("c_name")).repartition(3).write.parquet(
+        str(tmp_path / "b")
+    )
+    cust.where(F.col("c_custkey") != 0).write.parquet(str(tmp_path / "c"))
+    rc = cmd_reconcile(
+        {"left": str(tmp_path / "a"), "right": str(tmp_path / "b"),
+         "keys": ["c_custkey", "c_name"]}
+    )
+    assert rc == 0
+    rc = cmd_reconcile(
+        {"left": str(tmp_path / "a"), "right": str(tmp_path / "c"),
+         "keys": ["c_custkey", "c_name"]}
+    )
+    assert rc == 3
