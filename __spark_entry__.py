@@ -4010,6 +4010,20 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_item_triples(li, "l_orderkey", "l_partkey", 2, 2)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty screen (text.ngram_novelty): per document,
+    the ppm fraction of its distinct word 3-grams occurring in NO other
+    document — templated/syndicated text scores near 0. Distinct
+    (doc, gram) relation -> gram-key counts -> shuffle_hash join back;
+    counts, never text, cross the second exchange."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4020,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "ngram_novelty_docs": q_ngram_novelty,
         "frequent_triples_parts": q_frequent_triples,
         "table_fingerprint_customer": q_table_fingerprint,
         "conversion_chi2": q_conversion_chi2,
@@ -4301,6 +4316,31 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_novelty_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+',
+                                  ' ', 'g')), ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 2)),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                         AS gd
+              FROM t),
+            pg AS (
+              SELECT gd, CAST(count(*) AS BIGINT) AS doc_count
+              FROM g GROUP BY gd)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN pg.doc_count = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique,
+                   CAST(sum(CASE WHEN pg.doc_count = 1 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+            FROM g JOIN pg ON pg.gd = g.gd
+            GROUP BY g.doc_id
+        """,
         "frequent_triples_parts": """
             WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
                                         l_partkey AS item FROM lineitem)

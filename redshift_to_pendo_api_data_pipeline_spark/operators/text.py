@@ -903,3 +903,51 @@ def token_drift_tv(
         .orderBy(F.desc("contrib_ppm"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction (ppm) of a document's
+    distinct word n-grams that occur in NO other document — the inverse
+    of the boilerplate signal (templated/syndicated text scores near 0,
+    original prose near 1e6). The corpus-level quality lens that
+    per-doc repetition stats can't see.
+
+    Shape: the distinct (doc, gram) relation (linear in corpus grams,
+    same cost class as any shingling pass), per-gram doc counts in one
+    gram-key groupBy (counts, never text, cross the second exchange —
+    grams collapse to their counts before rejoining), and a shuffle_hash
+    join back on the gram key with AQE skew-split available (the DSIR
+    big-big join discipline). Everything integer."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        _grams_from_words,
+        normalize_text,
+    )
+
+    words_df = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    grams = words_df.select(
+        "doc", F.explode(_grams_from_words(F.col("w"), n)).alias("g")
+    ).distinct()
+    per_gram = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    joined = grams.join(per_gram.hint("shuffle_hash"), "g")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("doc_count") == 1).cast("long")).cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_unique",
+            F.expr("n_unique * 1000000L div n_grams").cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -165,3 +165,27 @@ def test_weekday_seasonality_matches_python(spark, sf_dir):
         assert g["n"] == n
         assert g["share_ppm"] == n * 1000000 // tots[key[0]]
         assert g["dev_ppm"] == g["share_ppm"] - 142857
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    import re as _re
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r for r in ngram_novelty(
+        docs, "text", "doc_id", 3).collect()}
+    per_doc = {}
+    for r in docs.select("doc_id", "text").collect():
+        w = _re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        k = max(len(w) - 2, 1)
+        grams = {" ".join(w[i:i + 3]) for i in range(k)}
+        per_doc[r["doc_id"]] = grams
+    counts = Counter(g for gs in per_doc.values() for g in gs)
+    for d, gs in per_doc.items():
+        uniq = sum(1 for g in gs if counts[g] == 1)
+        assert got[d]["n_grams"] == len(gs)
+        assert got[d]["n_unique"] == uniq
+        assert got[d]["novelty_ppm"] == uniq * 1000000 // len(gs)
