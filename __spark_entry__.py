@@ -4024,6 +4024,62 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "text", "doc_id", 3)
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAU-waterfall growth accounting (analytics.growth_accounting):
+    per month, actives split into new/retained/resurrected by each
+    customer's previous active month, plus how many of the month's
+    actives lapse after it (last month censored). Exact integer month
+    indices; one user-key shuffle + user-keyed lag/lead windows."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return growth_accounting(orders, "o_custkey", "o_orderdate")
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini revenue-concentration per priority class
+    (analytics.gini_coefficient): the exact discrete Gini in integer
+    ppm — rank-weighted sums in DECIMAL(38,0), one floor-div at the
+    end; members collapse to one row each before any window."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        gini_coefficient,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return gini_coefficient(
+        orders, "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+
+
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted anomaly screen (analytics.seasonal_residuals):
+    each (event_type, day) count vs the type's own day-of-week
+    baseline, residual as cross-multiplied ppm — integers end-to-end,
+    no float rates. The stream collapses to the daily relation once."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        seasonal_residuals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_residuals(ev, "event_type", "ts")
+
+
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix (temporal.session_entry_exit): gap-rule
+    sessions' first and last event types with bounce counts — the
+    landing/exit-page analysis, one user-key exchange end-to-end."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        session_entry_exit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_entry_exit(
+        ev, "user_id", "ts", "event_id", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4034,6 +4090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "growth_accounting_orders": q_growth_accounting,
+        "revenue_gini": q_revenue_gini,
+        "seasonal_residuals_events": q_seasonal_residuals,
+        "session_entry_exit_matrix": q_session_entry_exit,
         "ngram_novelty_docs": q_ngram_novelty,
         "frequent_triples_parts": q_frequent_triples,
         "table_fingerprint_customer": q_table_fingerprint,
@@ -4316,6 +4376,120 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "growth_accounting_orders": """
+            WITH acts AS (
+              SELECT DISTINCT o_custkey AS u,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                          AS INT) AS m
+              FROM orders),
+            lg AS (
+              SELECT u, m,
+                     lag(m) OVER (PARTITION BY u ORDER BY m ASC) AS prev_m,
+                     lead(m) OVER (PARTITION BY u ORDER BY m ASC) AS next_m
+              FROM acts),
+            cl AS (
+              SELECT m,
+                     CASE WHEN prev_m IS NULL THEN 'new'
+                          WHEN prev_m = m - 1 THEN 'retained'
+                          ELSE 'resurrected' END AS cls,
+                     CASE WHEN m = (SELECT max(m) FROM acts)
+                            THEN 'censored'
+                          WHEN next_m IS NULL OR next_m > m + 1
+                            THEN 'churned'
+                          ELSE 'continued' END AS af
+              FROM lg)
+            SELECT m AS month_idx,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_resurrected,
+                   CAST(sum(CASE WHEN af = 'churned' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_churned_after,
+                   CAST(sum(CASE WHEN af = 'censored' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_censored
+            FROM cl GROUP BY m
+        """,
+        "revenue_gini": """
+            WITH mem AS (
+              SELECT o_orderpriority AS g, o_custkey AS mem,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS x
+              FROM orders GROUP BY g, mem),
+            r AS (
+              SELECT g, x,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY x ASC, mem ASC) AS i
+              FROM mem)
+            SELECT g AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(x) AS BIGINT) AS total_fp,
+                   CAST((2 * sum(CAST(i AS HUGEINT) * x)
+                         - (count(*) + 1) * CAST(sum(x) AS HUGEINT))
+                        * 1000000
+                        // (CAST(count(*) AS HUGEINT) * sum(x)) AS BIGINT)
+                       AS gini_ppm
+            FROM r GROUP BY g
+        """,
+        "seasonal_residuals_events": """
+            WITH daily AS (
+              SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST((date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) + 4) % 7 AS INT) AS dow
+              FROM events GROUP BY 1, 2, 4),
+            base AS (
+              SELECT k, dow, CAST(sum(n) AS BIGINT) AS dow_total,
+                     CAST(count(*) AS BIGINT) AS dow_days
+              FROM daily GROUP BY k, dow)
+            SELECT daily.k AS event_type, CAST(daily.day AS VARCHAR) AS day,
+                   daily.dow, daily.n,
+                   CAST((daily.n * base.dow_days - base.dow_total) * 1000000
+                        // base.dow_total AS BIGINT) AS resid_ppm
+            FROM daily JOIN base
+              ON base.k = daily.k AND base.dow = daily.dow
+        """,
+        "session_entry_exit_matrix": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)),
+            sessions AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+              FROM flagged),
+            ranked AS (
+              SELECT user_id, session_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts ASC, event_id ASC) AS ra,
+                     row_number() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts DESC, event_id DESC) AS rd,
+                     count(*) OVER (
+                       PARTITION BY user_id, session_id) AS ns
+              FROM sessions),
+            per_sess AS (
+              SELECT user_id, session_id,
+                     max(CASE WHEN ra = 1 THEN event_type END) AS entry,
+                     max(CASE WHEN rd = 1 THEN event_type END) AS exit,
+                     max(ns) AS n
+              FROM ranked GROUP BY user_id, session_id)
+            SELECT entry, "exit",
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces
+            FROM per_sess GROUP BY entry, "exit"
+        """,
         "ngram_novelty_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -1643,3 +1643,172 @@ def trimmed_mean(
     ).select(
         F.col("g").alias(group_col), "n_total", "n_kept", "trimmed_mean_fp"
     )
+
+
+def growth_accounting(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Monthly growth accounting — the MAU waterfall every growth team
+    reads (new / retained / resurrected, plus how many of the month's
+    actives churn away afterward): per active (user, month), the
+    user's previous active month classifies them
+
+        new         — no previous active month
+        retained    — previous month == this month - 1
+        resurrected — previous month <  this month - 1
+
+    and ``n_churned_after`` counts this month's actives whose NEXT
+    active month is not the immediate successor (they lapse after this
+    month; the last observed month is censored, not churned — it has
+    no successor data — and is counted in ``n_censored``).
+
+    Months as exact integers (year*12+month). Shape: distinct
+    (user, month) in one shuffle; lag/lead windows keyed on the user;
+    final groupBy on the bounded month relation."""
+    acts = (
+        df.select(
+            F.col(user_col).alias("u"),
+            (F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1)
+            .cast("int").alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy(F.col("m").asc())
+    lagged = acts.select(
+        "u", "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.lead("m").over(w).alias("next_m"),
+        F.max("m").over(Window.partitionBy("u")).alias("last_m"),
+    )
+    corpus_last = acts.agg(F.max("m").alias("__corpus_last"))
+    classified = lagged.crossJoin(F.broadcast(corpus_last)).select(
+        "m",
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+        # churned-after: no next month or a gap; the corpus' last month
+        # is censored (nothing after it can be observed)
+        F.when(
+            F.col("m") == F.col("__corpus_last"), F.lit("censored")
+        )
+        .when(
+            F.col("next_m").isNull() | (F.col("next_m") > F.col("m") + 1),
+            F.lit("churned"),
+        )
+        .otherwise(F.lit("continued"))
+        .alias("after"),
+    )
+    return (
+        classified.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("cls") == "new").cast("long")).cast("long")
+            .alias("n_new"),
+            F.sum((F.col("cls") == "retained").cast("long")).cast("long")
+            .alias("n_retained"),
+            F.sum((F.col("cls") == "resurrected").cast("long")).cast("long")
+            .alias("n_resurrected"),
+            F.sum((F.col("after") == "churned").cast("long")).cast("long")
+            .alias("n_churned_after"),
+            F.sum((F.col("after") == "censored").cast("long")).cast("long")
+            .alias("n_censored"),
+        )
+        .select(
+            F.col("m").alias("month_idx"),
+            "n_active", "n_new", "n_retained", "n_resurrected",
+            "n_churned_after", "n_censored",
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, group_col: str, member_col: str, value_col: str
+) -> DataFrame:
+    """Gini inequality coefficient per group in integer ppm — "how
+    concentrated is revenue across customers": with members ranked
+    ascending by value (x_1 <= ... <= x_n),
+
+        gini_ppm = (2*sum(i*x_i) - (n+1)*sum(x)) * 1e6
+                     div (n * sum(x))
+
+    — the exact discrete Gini, all BIGINT (values fixed-point cents;
+    the rank-weighted sum fits DECIMAL(38,0)). Shape: the corpus
+    collapses to one row per (group, member) first; ranks and sums are
+    per-group windows/aggregations over the member-bounded relation."""
+    members = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(member_col).alias("mem"),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("g", "mem")
+        .agg(F.sum("v_fp").cast("long").alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("mem").asc())
+    ranked = members.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_members",
+            F.col("sx").cast("long").alias("total_fp"),
+            F.expr(
+                "CAST((2 * six - (n_members + 1) * sx) * 1000000"
+                " AS DECIMAL(38,0)) div CAST(n_members * sx"
+                " AS DECIMAL(38,0))"
+            ).cast("long").alias("gini_ppm"),
+        )
+    )
+
+
+def seasonal_residuals(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Weekday-adjusted daily anomaly screen: each (key, day)'s count
+    against the key's OWN day-of-week baseline — "is this Tuesday low,
+    or are Tuesdays always low". Expected count for a day =
+    total * share(dow), both integers; the residual is surfaced as
+    ppm of expected (cross-multiplied: resid_ppm =
+    (n*days_of_that_dow - dow_total) * 1e6 div dow_total, which is
+    n/(dow_total/days_of_dow) - 1 in exact arithmetic).
+
+    Shape: the stream collapses to (key, day, n) once; the dow
+    baseline is a second aggregation over that bounded daily relation
+    joined back on (key, dow) — a ≤ 7·|keys| build side the optimizer
+    may broadcast; every number BIGINT."""
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "dow",
+            ((F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+              + 4) % 7).cast("int"),
+        )
+    )
+    baseline = daily.groupBy("k", "dow").agg(
+        F.sum("n").cast("long").alias("dow_total"),
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+    )
+    return (
+        daily.join(baseline, ["k", "dow"])
+        .select(
+            F.col("k").alias(key_col),
+            F.col("day").cast("string").alias("day"),
+            "dow",
+            "n",
+            F.expr(
+                "(n * dow_days - dow_total) * 1000000L div dow_total"
+            ).cast("long").alias("resid_ppm"),
+        )
+    )

@@ -544,3 +544,40 @@ def time_decay_attribution(
         .cast("long")
         .alias("credit_ppm"),
     )
+
+
+def session_entry_exit(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    page_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session entry/exit matrix — "where do sessions start and where
+    do they die": sessions from the gap rule (sessionize), each
+    session's FIRST and LAST event value by the (ts, tiebreak) total
+    order, counted into the |values|² matrix with one-event (bounce)
+    sessions flagged. One user-key exchange end-to-end: sessionize's
+    windows, the per-session min/max structs, and the final bounded
+    groupBy all ride the same key partitioning."""
+    s = sessionize(df, key, ts, tiebreak, gap)
+    per_session = s.groupBy(key, "session_id").agg(
+        F.min(F.struct(F.col(ts), F.col(tiebreak), F.col(page_col)))
+        .alias("__first"),
+        F.max(F.struct(F.col(ts), F.col(tiebreak), F.col(page_col)))
+        .alias("__last"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_session.select(
+            F.col("__first")[page_col].alias("entry"),
+            F.col("__last")[page_col].alias("exit"),
+            (F.col("__n") == 1).cast("int").alias("is_bounce"),
+        )
+        .groupBy("entry", "exit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("is_bounce").cast("long").alias("n_bounces"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Growth accounting, Gini coefficient, seasonal residuals, session
+entry/exit — python-recompute pinned."""
+
+from __future__ import annotations
+
+import decimal
+from collections import Counter, defaultdict
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+    gini_coefficient,
+    growth_accounting,
+    seasonal_residuals,
+)
+from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+    session_entry_exit,
+    sessionize,
+)
+from redshift_to_pendo_api_data_pipeline_spark.sources.tables import load_table
+
+
+def test_growth_accounting_matches_python(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["month_idx"]: r for r in growth_accounting(
+        orders, "o_custkey", "o_orderdate").collect()}
+    months = defaultdict(set)
+    for r in orders.select("o_custkey", "o_orderdate").collect():
+        d = r["o_orderdate"]
+        months[r["o_custkey"]].add(d.year * 12 + d.month - 1)
+    last_m = max(m for ms in months.values() for m in ms)
+    agg = defaultdict(lambda: Counter())
+    for u, ms in months.items():
+        sms = sorted(ms)
+        for i, m in enumerate(sms):
+            prev = sms[i - 1] if i > 0 else None
+            nxt = sms[i + 1] if i + 1 < len(sms) else None
+            agg[m]["n_active"] += 1
+            if prev is None:
+                agg[m]["n_new"] += 1
+            elif prev == m - 1:
+                agg[m]["n_retained"] += 1
+            else:
+                agg[m]["n_resurrected"] += 1
+            if m == last_m:
+                agg[m]["n_censored"] += 1
+            elif nxt is None or nxt > m + 1:
+                agg[m]["n_churned_after"] += 1
+    for m, c in agg.items():
+        g = got[m]
+        for k in ("n_active", "n_new", "n_retained", "n_resurrected",
+                  "n_churned_after", "n_censored"):
+            assert g[k] == c[k], (m, k)
+    # waterfall invariant: the classes partition the actives
+    for r in got.values():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+
+
+def test_gini_known_values(spark):
+    # perfectly equal: gini 0; one-member group: 0; 2-member extreme
+    rows = [("eq", i, 10.0) for i in range(4)] + [
+        ("solo", 1, 7.0),
+        ("ext", 1, 0.0), ("ext", 2, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "mem", "v"])
+    got = {r["g"]: r["gini_ppm"] for r in gini_coefficient(
+        df, "g", "mem", "v").collect()}
+    assert got["eq"] == 0
+    assert got["solo"] == 0
+    # x=(0, 10000): gini = (2*(1*0+2*10000) - 3*10000)/(2*10000) = 0.5
+    assert got["ext"] == 500000
+
+
+def test_gini_matches_python(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["o_orderpriority"]: r for r in gini_coefficient(
+        orders, "o_orderpriority", "o_custkey", "o_totalprice").collect()}
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in orders.collect():
+        rev[r["o_orderpriority"]][r["o_custkey"]] += int(
+            decimal.Decimal(str(r["o_totalprice"])).quantize(
+                decimal.Decimal("0.01")) * 100
+        )
+    for g, members in rev.items():
+        xs = sorted(members.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(xs)
+        sx = sum(v for _, v in xs)
+        six = sum((i + 1) * v for i, (_, v) in enumerate(xs))
+        want = (2 * six - (n + 1) * sx) * 1000000 // (n * sx)
+        assert got[g]["gini_ppm"] == want
+        assert got[g]["n_members"] == n and got[g]["total_fp"] == sx
+
+
+def test_seasonal_residuals_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {(r["event_type"], r["day"]): r for r in seasonal_residuals(
+        ev, "event_type", "ts").collect()}
+    daily = Counter()
+    for r in ev.select("event_type", F.col("ts").cast("date").alias("d")).collect():
+        daily[(r["event_type"], r["d"])] += 1
+    base = defaultdict(lambda: [0, 0])
+    for (k, d), n in daily.items():
+        dow = ((d - date(1970, 1, 1)).days + 4) % 7
+        base[(k, dow)][0] += n
+        base[(k, dow)][1] += 1
+    for (k, d), n in daily.items():
+        dow = ((d - date(1970, 1, 1)).days + 4) % 7
+        tot, days = base[(k, dow)]
+        num = (n * days - tot) * 1000000
+        want = abs(num) // tot * (1 if num >= 0 else -1)
+        g = got[(k, str(d))]
+        assert g["n"] == n and g["resid_ppm"] == want
+    # residuals of a dow-group sum to ~0 (floor-div drift < days)
+    for (k, dow), (tot, days) in base.items():
+        s = sum(
+            got[(k2, d2)]["resid_ppm"]
+            for (k2, d2) in got
+            if k2 == k and got[(k2, d2)]["dow"] == dow
+        )
+        assert abs(s) <= 1000000  # bounded rounding drift
+
+
+def test_session_entry_exit_consistent_with_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = session_entry_exit(ev, "user_id", "ts", "event_id", "event_type")
+    rows = out.collect()
+    s = sessionize(ev, "user_id", "ts", "event_id").select(
+        "user_id", "session_id", "ts", "event_id", "event_type"
+    ).collect()
+    sessions = defaultdict(list)
+    for r in s:
+        sessions[(r["user_id"], r["session_id"])].append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    want = Counter()
+    bounces = Counter()
+    for evs in sessions.values():
+        evs.sort()
+        key = (evs[0][2], evs[-1][2])
+        want[key] += 1
+        if len(evs) == 1:
+            bounces[key] += 1
+    got = {(r["entry"], r["exit"]): r for r in rows}
+    assert {k: r["n_sessions"] for k, r in got.items()} == dict(want)
+    for k, r in got.items():
+        assert r["n_bounces"] == bounces.get(k, 0)
+    # total sessions match
+    assert sum(want.values()) == len(sessions)
