@@ -4080,6 +4080,37 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-lite label margin (similarity.label_margin_screen):
+    per vector, cosine to its own centroid minus best cosine to any
+    OTHER centroid — negative margin = mislabel candidate. Fixed-point
+    component sums with cancelled denominators; the per-vector
+    candidate relation is |labels|-bounded."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        label_margin_screen,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return label_margin_screen(emb, "embedding", "vec_id", "label")
+
+
+def q_event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer lag-1/lag-7 autocorrelation of daily event counts
+    (analytics.daily_autocorrelation): mean-centered products
+    cross-multiplied to n²-scaled integers (DECIMAL(38,0)), one ppm
+    floor-div per lag; gap-aware lag pairing (a missing day breaks the
+    pair, never silently shifts it)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        daily_autocorrelation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_autocorrelation(ev, "event_type", "ts", lags=[1, 7])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4090,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "label_margins": q_label_margins,
+        "event_autocorrelation": q_event_autocorrelation,
         "growth_accounting_orders": q_growth_accounting,
         "revenue_gini": q_revenue_gini,
         "seasonal_residuals_events": q_seasonal_residuals,
@@ -4376,6 +4409,77 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_margins": """
+            WITH comp AS (
+              SELECT label AS clabel, i - 1 AS dim,
+                     CAST(sum(CAST(round((embedding::DOUBLE[])[i] * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS s
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+              GROUP BY label, i),
+            q AS (
+              SELECT clabel, sum(CAST(s AS HUGEINT) * s) AS qq
+              FROM comp GROUP BY clabel),
+            vex AS (
+              SELECT vec_id, label AS own, i - 1 AS dim,
+                     CAST(round((embedding::DOUBLE[])[i] * 1000000)
+                          AS BIGINT) AS v_fp
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+            pp AS (
+              SELECT vec_id, own, comp.clabel,
+                     sum(CAST(v_fp AS HUGEINT) * s) AS dot,
+                     sum(CAST(v_fp AS HUGEINT) * v_fp) AS vv
+              FROM vex JOIN comp ON comp.dim = vex.dim
+              GROUP BY vec_id, own, comp.clabel),
+            sc AS (
+              SELECT vec_id, own, pp.clabel,
+                     round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(vv AS DOUBLE))
+                              * sqrt(CAST(qq AS DOUBLE))), 6) AS cos
+              FROM pp JOIN q ON q.clabel = pp.clabel),
+            o AS (SELECT vec_id, own, cos AS cos_own FROM sc
+                  WHERE clabel = own),
+            b AS (SELECT vec_id, max(cos) AS cos_best_other FROM sc
+                  WHERE clabel <> own GROUP BY vec_id)
+            SELECT o.vec_id, o.own AS label, o.cos_own, b.cos_best_other,
+                   round(o.cos_own - b.cos_best_other, 6) AS margin
+            FROM o JOIN b ON b.vec_id = o.vec_id
+        """,
+        "event_autocorrelation": """
+            WITH daily AS (
+              SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n_ev
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT k, CAST(sum(n_ev) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM daily GROUP BY k),
+            ld AS (
+              SELECT daily.k, day, n_ev,
+                     lead(n_ev, 1) OVER w AS l1,
+                     lead(day, 1) OVER w AS d1,
+                     lead(n_ev, 7) OVER w AS l7,
+                     lead(day, 7) OVER w AS d7,
+                     st.s, st.n
+              FROM daily JOIN st ON st.k = daily.k
+              WINDOW w AS (PARTITION BY daily.k ORDER BY day ASC)),
+            c AS (
+              SELECT k, s, n,
+                     CAST(n AS HUGEINT) * n_ev - s AS c0,
+                     CASE WHEN date_diff('day', day, d1) = 1
+                          THEN CAST(n AS HUGEINT) * l1 - s END AS ck1,
+                     CASE WHEN date_diff('day', day, d7) = 7
+                          THEN CAST(n AS HUGEINT) * l7 - s END AS ck7
+              FROM ld)
+            SELECT k AS event_type,
+                   CAST(max(n) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN ck1 IS NOT NULL THEN c0 * ck1 END)
+                        * 1000000 // nullif(sum(c0 * c0), 0) AS BIGINT)
+                       AS acf1_ppm,
+                   CAST(sum(CASE WHEN ck7 IS NOT NULL THEN c0 * ck7 END)
+                        * 1000000 // nullif(sum(c0 * c0), 0) AS BIGINT)
+                       AS acf7_ppm
+            FROM c GROUP BY k
+        """,
         "growth_accounting_orders": """
             WITH acts AS (
               SELECT DISTINCT o_custkey AS u,

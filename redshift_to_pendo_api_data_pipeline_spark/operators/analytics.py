@@ -1812,3 +1812,88 @@ def seasonal_residuals(
             ).cast("long").alias("resid_ppm"),
         )
     )
+
+
+def daily_autocorrelation(
+    df: DataFrame, key_col: str, ts_col: str, lags: list[int] | None = None
+) -> DataFrame:
+    """Integer-exact lag-k autocorrelation of the daily count series
+    per key — the seasonality detector (lag 7 spikes on weekly rhythm,
+    lag 1 on momentum). With S = sum(x), n = days, the mean-centered
+    products cross-multiply to stay integer:
+
+        num_k = sum_t (n·x_t - S)(n·x_{t+k} - S)     over valid t
+        den   = sum_t (n·x_t - S)²                   over all t
+        acf_ppm = num_k * 1e6 div den
+
+    (biased/unnormalized-lag estimator — the standard plug-in form;
+    DECIMAL(38,0) holds the n²-scaled products exactly). Shape: one
+    (key, day) collapse, lead() windows per key over the span-bounded
+    daily series, everything else bounded aggregation."""
+    lags = lags or [1, 7]
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    )
+    stats = daily.groupBy("k").agg(
+        F.sum("n_ev").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("day").asc())
+    leads = daily.select(
+        "k", "day", "n_ev",
+        *[
+            F.lead("n_ev", k).over(w).alias(f"__lead_{k}")
+            for k in lags
+        ],
+        *[
+            F.lead("day", k).over(w).alias(f"__lead_day_{k}")
+            for k in lags
+        ],
+    )
+    joined = leads.join(stats, "k")
+    centered = joined.select(
+        "k", "day", "s", "n",
+        (F.col("n").cast("decimal(38,0)") * F.col("n_ev") - F.col("s"))
+        .alias("c0"),
+        *[
+            F.when(
+                # the lead row must be exactly k calendar days later —
+                # a gap in the daily series breaks the lag pairing
+                F.datediff(F.col(f"__lead_day_{k}"), F.col("day")) == k,
+                F.col("n").cast("decimal(38,0)") * F.col(f"__lead_{k}")
+                - F.col("s"),
+            ).alias(f"ck_{k}")
+            for k in lags
+        ],
+    )
+    agg_exprs = [
+        F.sum(F.col("c0") * F.col("c0")).alias("den"),
+        F.max("n").alias("n_days"),
+    ]
+    for k in lags:
+        agg_exprs.append(
+            F.sum(
+                F.when(
+                    F.col(f"ck_{k}").isNotNull(),
+                    F.col("c0") * F.col(f"ck_{k}"),
+                )
+            ).alias(f"num_{k}")
+        )
+    folded = centered.groupBy("k").agg(*agg_exprs)
+    out_cols = [
+        F.col("k").alias(key_col),
+        F.col("n_days").cast("long").alias("n_days"),
+    ]
+    for k in lags:
+        out_cols.append(
+            F.expr(
+                f"CAST(num_{k} * 1000000 AS DECIMAL(38,0))"
+                " div CAST(nullif(den, 0) AS DECIMAL(38,0))"
+            ).cast("long").alias(f"acf{k}_ppm")
+        )
+    return folded.select(*out_cols)

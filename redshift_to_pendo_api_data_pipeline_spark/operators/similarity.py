@@ -1461,3 +1461,78 @@ def label_outlier_screen(
             ).alias("cos_centroid"),
         )
     )
+
+
+def label_margin_screen(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Silhouette-lite label-margin screen: per vector, cosine to its
+    OWN label centroid minus the best cosine to any OTHER label's
+    centroid — negative margin = the vector sits closer to another
+    class's center (a stronger mislabel signal than the absolute
+    own-centroid score of label_outlier_screen). Same exactness
+    contract: fixed-point component sums, centroid denominators cancel,
+    DECIMAL(38,0) accumulation, sqrt/divide + round(6) only at the end.
+
+    Shape: the |labels|·dim component table is broadcast; each vector
+    joins ALL |labels| centroids (a bounded |labels|-fold fan-out of
+    the corpus×dim explode — labels are tens, not millions, by the
+    screen's nature), one groupBy per (vector, label), then an argmax
+    window per vector over the |labels|-bounded candidate relation."""
+    comp = (
+        df.select(
+            F.col(label_col).alias("clabel"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("clabel", "dim")
+        .agg(F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"))
+    )
+    qq = comp.groupBy("clabel").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("qq")
+    )
+    vex = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("own"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("v_fp", F.round(F.col("x") * scale).cast("long"))
+    per_pair = (
+        vex.join(F.broadcast(comp), "dim")
+        .groupBy("vid", "own", "clabel")
+        .agg(
+            F.sum(F.col("v_fp").cast("decimal(38,0)") * F.col("s"))
+            .alias("dot"),
+            F.sum(F.col("v_fp").cast("decimal(38,0)") * F.col("v_fp"))
+            .alias("vv"),
+        )
+    )
+    scored = per_pair.join(F.broadcast(qq), "clabel").select(
+        "vid", "own", "clabel",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("vv").cast("double"))
+                * F.sqrt(F.col("qq").cast("double"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    own = scored.where(F.col("clabel") == F.col("own")).select(
+        "vid", F.col("own"), F.col("cos").alias("cos_own")
+    )
+    best_other = (
+        scored.where(F.col("clabel") != F.col("own"))
+        .groupBy("vid")
+        .agg(F.max("cos").alias("cos_best_other"))
+    )
+    return (
+        own.join(best_other.hint("shuffle_hash"), "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("own").alias(label_col),
+            "cos_own",
+            "cos_best_other",
+            F.round(F.col("cos_own") - F.col("cos_best_other"), 6)
+            .alias("margin"),
+        )
+    )

@@ -147,3 +147,99 @@ def test_session_entry_exit_consistent_with_sessionize(spark, sf_dir):
         assert r["n_bounces"] == bounces.get(k, 0)
     # total sessions match
     assert sum(want.values()) == len(sessions)
+
+
+def test_label_margin_screen_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        label_margin_screen,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    got = {r["vec_id"]: r for r in label_margin_screen(
+        emb, "embedding", "vec_id", "label").collect()}
+    rows = emb.collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append(
+            np.round(np.array(r["embedding"]) * 1e6).astype(np.int64)
+        )
+    sums = {
+        lab: np.sum(vs, axis=0).astype(object)
+        for lab, vs in by_label.items()
+    }
+    qq = {lab: int((s * s).sum()) for lab, s in sums.items()}
+    for r in rows[:100]:
+        v = np.round(np.array(r["embedding"]) * 1e6).astype(np.int64).astype(
+            object
+        )
+        vv = int((v * v).sum())
+        cos = {
+            lab: round(int((v * s).sum()) / (vv ** 0.5 * qq[lab] ** 0.5), 6)
+            for lab, s in sums.items()
+        }
+        own = cos[r["label"]]
+        other = max(c for lab, c in cos.items() if lab != r["label"])
+        g = got[r["vec_id"]]
+        assert abs(g["cos_own"] - own) < 1e-9
+        assert abs(g["cos_best_other"] - other) < 1e-9
+        assert abs(g["margin"] - round(own - other, 6)) < 1e-9
+
+
+def test_daily_autocorrelation_known_series(spark):
+    from datetime import date, timedelta
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        daily_autocorrelation,
+    )
+
+    d0 = date(2024, 1, 1)
+    rows = []
+    # alternating 1,3,1,3,... -> strong NEGATIVE lag-1, positive lag-2
+    for i in range(14):
+        rows += [("alt", d0 + timedelta(days=i))] * (1 if i % 2 == 0 else 3)
+    df = spark.createDataFrame(rows, ["k", "d"]).select(
+        "k", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {r["k"]: r for r in daily_autocorrelation(
+        df, "k", "ts", lags=[1, 2]).collect()}
+    # exact python recompute
+    xs = [1 if i % 2 == 0 else 3 for i in range(14)]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    for lag, col in ((1, "acf1_ppm"), (2, "acf2_ppm")):
+        num = sum(c[i] * c[i + lag] for i in range(n - lag)) * 1000000
+        want = abs(num) // den * (1 if num >= 0 else -1)
+        assert out["alt"][col] == want
+    assert out["alt"]["acf1_ppm"] < 0 < out["alt"]["acf2_ppm"]
+
+
+def test_daily_autocorrelation_gap_breaks_pairing(spark):
+    from datetime import date, timedelta
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        daily_autocorrelation,
+    )
+
+    d0 = date(2024, 1, 1)
+    # days 0,1,2 then a gap, then 10,11: lag-1 pairs = (0,1),(1,2),(10,11)
+    days = [0, 1, 2, 10, 11]
+    rows = [("g", d0 + timedelta(days=i)) for i in days for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, ["k", "d"]).select(
+        "k", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = daily_autocorrelation(df, "k", "ts", lags=[1]).first()
+    xs = [i + 1 for i in days]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    # only consecutive-day pairs count
+    pairs = [(0, 1), (1, 2), (3, 4)]
+    num = sum(c[a] * c[b] for a, b in pairs) * 1000000
+    want = abs(num) // den * (1 if num >= 0 else -1)
+    assert out["acf1_ppm"] == want
