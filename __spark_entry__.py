@@ -4111,6 +4111,46 @@ def q_event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_autocorrelation(ev, "event_type", "ts", lags=[1, 7])
 
 
+def q_media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio roundtrip certified cross-engine: per document, 256
+    int16 PCM samples from the SQL-expressible formula
+    s[i] = ((n_chars * (i+1)) % 65536) - 32768 are ENCODED to a genuine
+    RIFF/WAVE stream (multimodal.wav_encode) and DECODED back through
+    WavCodec's PCM reader inside one mapInPandas stage; the emitted
+    sample count, sum, and position-weighted sum hash-match DuckDB
+    computing the formula directly — one mis-parsed header field or
+    frame offset breaks the hash. The audio analog of
+    media_png_roundtrip_stats. Declared Python edge (mapInPandas)."""
+    import numpy as np
+    import pandas as pd
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        WavCodec,
+        wav_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _roundtrip(batches):
+        idx = np.arange(256, dtype=np.int64) + 1
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_s": [], "possum_s": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = (((int(n_chars) * idx) % 65536) - 32768).astype("<i2")
+                pcm, _rate = WavCodec._pcm(wav_encode(s, 16000))
+                dec = pcm.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(int(dec.shape[0]))
+                out["sum_s"].append(int(dec.sum()))
+                out["possum_s"].append(int((dec * idx).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, n_samples long, sum_s long, possum_s long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4121,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
         "label_margins": q_label_margins,
         "event_autocorrelation": q_event_autocorrelation,
         "growth_accounting_orders": q_growth_accounting,
@@ -4409,6 +4450,17 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "media_wav_roundtrip_stats": """
+            WITH s AS (
+              SELECT doc_id, n_chars, i,
+                     (n_chars * i) % 65536 - 32768 AS v
+              FROM documents, UNNEST(range(1, 257)) AS t(i))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_s,
+                   CAST(sum(v * i) AS BIGINT) AS possum_s
+            FROM s GROUP BY doc_id
+        """,
         "label_margins": """
             WITH comp AS (
               SELECT label AS clabel, i - 1 AS dim,

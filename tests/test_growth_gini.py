@@ -243,3 +243,23 @@ def test_daily_autocorrelation_gap_breaks_pairing(spark):
     num = sum(c[a] * c[b] for a, b in pairs) * 1000000
     want = abs(num) // den * (1 if num >= 0 else -1)
     assert out["acf1_ppm"] == want
+
+
+def test_wav_encode_decode_roundtrip_identity(spark):
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        WavCodec,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32767, size=2048, dtype=np.int16)
+    pcm, rate = WavCodec._pcm(wav_encode(s, 22050))
+    assert rate == 22050
+    assert np.array_equal(pcm.astype(np.int16), s)
+    # edge shapes: empty and single-sample clips survive the container
+    for n in (0, 1):
+        short = s[:n]
+        pcm2, _ = WavCodec._pcm(wav_encode(short, 8000))
+        assert np.array_equal(pcm2.astype(np.int16), short)

@@ -245,6 +245,7 @@ def test_global_plan_audit_no_smj_python_only_at_declared_edges(spark):
         "media_decode_stats",    # mapInPandas codec
         "media_frame_counts",    # mapInPandas codec
         "media_png_roundtrip_stats",  # mapInPandas real PNG encode+decode
+        "media_wav_roundtrip_stats",  # mapInPandas real WAV encode+decode
         "embedding_moments",     # int64-matmul BLAS partials (exact)
         "embedding_neardup",     # block-packed BLAS cosine
         "bucketed_neardup_recall",  # exact ground-truth side = same BLAS edge
