@@ -4151,6 +4151,19 @@ def q_media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness screen (analytics.arrival_burstiness):
+    per event type, mean gap and CV² in integer ppm (1e6 ≈ Poisson;
+    above = bursty, below = scheduled) — cross-multiplied µs integers
+    in DECIMAL(38,0), one key shuffle, lag gaps per key."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        arrival_burstiness,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return arrival_burstiness(ev, "event_type", "ts", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4161,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "arrival_burstiness_events": q_arrival_burstiness,
         "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
         "label_margins": q_label_margins,
         "event_autocorrelation": q_event_autocorrelation,
@@ -4450,6 +4464,26 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "arrival_burstiness_events": """
+            WITH g AS (
+              SELECT event_type AS k,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts ASC, event_id ASC) AS g
+              FROM events),
+            gg AS (SELECT k, g FROM g WHERE g IS NOT NULL)
+            SELECT k AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(CAST(g AS HUGEINT)) // count(*) AS BIGINT)
+                       AS mean_gap_us,
+                   CAST((count(*) * sum(CAST(g AS HUGEINT) * g)
+                         - sum(CAST(g AS HUGEINT))
+                           * sum(CAST(g AS HUGEINT))) * 1000000
+                        // nullif(sum(CAST(g AS HUGEINT))
+                                  * sum(CAST(g AS HUGEINT)), 0)
+                        AS BIGINT) AS cv2_ppm
+            FROM gg GROUP BY k
+        """,
         "media_wav_roundtrip_stats": """
             WITH s AS (
               SELECT doc_id, n_chars, i,

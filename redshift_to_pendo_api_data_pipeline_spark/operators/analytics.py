@@ -1897,3 +1897,56 @@ def daily_autocorrelation(
             ).cast("long").alias(f"acf{k}_ppm")
         )
     return folded.select(*out_cols)
+
+
+def arrival_burstiness(
+    df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Inter-arrival burstiness per key: mean gap and the squared
+    coefficient of variation (CV² — 1e6 ≈ Poisson, above = bursty,
+    below = regular/scheduled) in integer ppm. With gaps g_1..g_m,
+    S = sum(g), cross-multiplying kills every float:
+
+        cv2_ppm = (m * sum(g²) - S²) * 1e6  div  S²
+
+    (= var/mean² with the population variance; DECIMAL(38,0) holds the
+    µs-scaled squares exactly). The traffic-shape screen that tells a
+    scheduled batch feed from organic traffic from retry storms.
+
+    Shape: one key shuffle; gaps from lag() over each key's ordered
+    events; one bounded aggregation. Keys with < 2 events drop (no
+    gaps)."""
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").asc(), F.col("tb").asc()
+    )
+    gaps = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        .withColumn(
+            "g",
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    return (
+        gaps.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("g").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+            .alias("sq"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("m").alias("n_gaps"),
+            F.expr("CAST(s div m AS BIGINT)").alias("mean_gap_us"),
+            F.expr(
+                "CAST((m * sq - s * s) * 1000000"
+                " div CAST(nullif(s * s, 0) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cv2_ppm"),
+        )
+    )

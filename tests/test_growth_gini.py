@@ -263,3 +263,55 @@ def test_wav_encode_decode_roundtrip_identity(spark):
         short = s[:n]
         pcm2, _ = WavCodec._pcm(wav_encode(short, 8000))
         assert np.array_equal(pcm2.astype(np.int16), short)
+
+
+def test_arrival_burstiness_matches_python(spark, sf_dir):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        arrival_burstiness,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r["event_type"]: r for r in arrival_burstiness(
+        ev, "event_type", "ts", "event_id").collect()}
+    by_k = defaultdict(list)
+    for r in ev.select("event_type", "ts", "event_id").collect():
+        us = int(r["ts"].timestamp() * 1_000_000)
+        by_k[r["event_type"]].append((us, r["event_id"]))
+    for k, rows in by_k.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        m, s = len(gaps), sum(gaps)
+        sq = sum(g * g for g in gaps)
+        g = got[k]
+        assert g["n_gaps"] == m
+        assert g["mean_gap_us"] == s // m
+        assert g["cv2_ppm"] == (m * sq - s * s) * 1000000 // (s * s)
+
+
+def test_k_core_peels_cascade(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        k_core,
+    )
+
+    # K4 clique {1,2,3,4} + a chain 4-5-6 hanging off it: the 2-core is
+    # exactly the clique (5 drops, THEN 6 cascades — needs >1 round)
+    import itertools as it
+
+    edges = list(it.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in k_core(df, 2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(d == 3 for d in got.values())
+    # 3-core of the same graph is still the clique; 4-core is empty
+    assert {r["node"] for r in k_core(df, 3).collect()} == {1, 2, 3, 4}
+    assert k_core(df, 4).count() == 0
+    # fixpoint property: every member keeps >= k in-core neighbors
+    core2 = {r["node"] for r in k_core(df, 2).collect()}
+    from collections import defaultdict as dd
+
+    adj = dd(set)
+    for a, b in edges:
+        if a in core2 and b in core2:
+            adj[a].add(b)
+            adj[b].add(a)
+    assert all(len(adj[n]) >= 2 for n in core2)
