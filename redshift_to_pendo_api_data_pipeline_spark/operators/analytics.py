@@ -1759,10 +1759,12 @@ def gini_coefficient(
             F.col("g").alias(group_col),
             "n_members",
             F.col("sx").cast("long").alias("total_fp"),
+            # nullif: an all-zero-value group would be an ANSI
+            # div-by-zero crash; NULL Gini is the honest answer
             F.expr(
                 "CAST((2 * six - (n_members + 1) * sx) * 1000000"
-                " AS DECIMAL(38,0)) div CAST(n_members * sx"
-                " AS DECIMAL(38,0))"
+                " AS DECIMAL(38,0)) div nullif(CAST(n_members * sx"
+                " AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))"
             ).cast("long").alias("gini_ppm"),
         )
     )
