@@ -4164,6 +4164,33 @@ def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrival_burstiness(ev, "event_type", "ts", "event_id")
 
 
+def q_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash re-sharding audit (layout.shard_assignment):
+    customers assigned to 8 shards and to the same ring grown to 9 —
+    the (before, after) transition matrix proves the consistent-hash
+    property (only ~1/9 of keys move; modulo hashing would move ~8/9).
+    ZERO-shuffle assignment: the ring is a sorted literal struct array,
+    lookup is filter + array_min per row in codegen; the oracle does
+    the same lookup as a bounded cross join + min_by — a different
+    plan shape certifying the same ring arithmetic."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        shard_assignment,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    s8 = [f"shard{i}" for i in range(8)]
+    a = shard_assignment(cust, "c_custkey", s8, 16)
+    b = shard_assignment(
+        cust, "c_custkey", s8 + ["shard8"], 16, out_col="shard_after"
+    )
+    return (
+        a.select("c_custkey", "shard")
+        .join(b.select("c_custkey", "shard_after"), "c_custkey")
+        .groupBy("shard", "shard_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4174,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
         "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
         "label_margins": q_label_margins,
@@ -4464,6 +4492,301 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "consistent_sharding_moves": """
+            WITH ring8(pos, s) AS (VALUES
+                (36985398, 'shard1'),
+                (74989428, 'shard3'),
+                (98904480, 'shard5'),
+                (142038277, 'shard5'),
+                (169615665, 'shard4'),
+                (171396759, 'shard3'),
+                (200423159, 'shard7'),
+                (200442958, 'shard5'),
+                (202891990, 'shard2'),
+                (224169958, 'shard6'),
+                (279975649, 'shard4'),
+                (312548057, 'shard2'),
+                (323681999, 'shard2'),
+                (324630770, 'shard0'),
+                (375887500, 'shard0'),
+                (381448411, 'shard2'),
+                (452145087, 'shard3'),
+                (467958479, 'shard1'),
+                (490672023, 'shard5'),
+                (495024020, 'shard0'),
+                (533144962, 'shard2'),
+                (568161519, 'shard7'),
+                (574140708, 'shard6'),
+                (581216400, 'shard0'),
+                (621417274, 'shard1'),
+                (673714300, 'shard4'),
+                (709361099, 'shard2'),
+                (721935616, 'shard4'),
+                (740559551, 'shard3'),
+                (747269891, 'shard3'),
+                (774317672, 'shard2'),
+                (791854282, 'shard1'),
+                (848349443, 'shard4'),
+                (852083142, 'shard7'),
+                (874840957, 'shard4'),
+                (891747790, 'shard0'),
+                (966442062, 'shard0'),
+                (973893631, 'shard1'),
+                (974920588, 'shard1'),
+                (1021855182, 'shard6'),
+                (1040023413, 'shard5'),
+                (1044264052, 'shard6'),
+                (1102317896, 'shard7'),
+                (1114906457, 'shard5'),
+                (1117315757, 'shard3'),
+                (1142904292, 'shard4'),
+                (1151336132, 'shard1'),
+                (1152101088, 'shard6'),
+                (1175286581, 'shard5'),
+                (1220634494, 'shard6'),
+                (1225403295, 'shard5'),
+                (1511812036, 'shard2'),
+                (1523675370, 'shard1'),
+                (1569758039, 'shard7'),
+                (1577065832, 'shard1'),
+                (1651237678, 'shard1'),
+                (1653113247, 'shard0'),
+                (1686533033, 'shard0'),
+                (1713508732, 'shard1'),
+                (1722766686, 'shard3'),
+                (1740450445, 'shard7'),
+                (1758167118, 'shard5'),
+                (1829223657, 'shard3'),
+                (1840747828, 'shard7'),
+                (1919197141, 'shard7'),
+                (1993678469, 'shard4'),
+                (1993797461, 'shard4'),
+                (2020946679, 'shard6'),
+                (2069447601, 'shard5'),
+                (2090732373, 'shard3'),
+                (2109476479, 'shard7'),
+                (2124596481, 'shard2'),
+                (2223067596, 'shard3'),
+                (2266704082, 'shard0'),
+                (2271946164, 'shard7'),
+                (2348661140, 'shard1'),
+                (2349626881, 'shard7'),
+                (2350007809, 'shard4'),
+                (2364084678, 'shard3'),
+                (2375724303, 'shard2'),
+                (2394229283, 'shard7'),
+                (2442612027, 'shard2'),
+                (2449324786, 'shard6'),
+                (2480781242, 'shard5'),
+                (2524113721, 'shard0'),
+                (2607700867, 'shard3'),
+                (2735823338, 'shard3'),
+                (2742420698, 'shard1'),
+                (2819863262, 'shard5'),
+                (2820361430, 'shard7'),
+                (2860969490, 'shard2'),
+                (2887092710, 'shard6'),
+                (2913289486, 'shard1'),
+                (3066761362, 'shard5'),
+                (3138555560, 'shard3'),
+                (3141660237, 'shard2'),
+                (3175634820, 'shard6'),
+                (3196531551, 'shard7'),
+                (3214805597, 'shard2'),
+                (3229524930, 'shard4'),
+                (3246540509, 'shard4'),
+                (3255967778, 'shard0'),
+                (3298082616, 'shard6'),
+                (3372723173, 'shard4'),
+                (3473413701, 'shard5'),
+                (3479566406, 'shard4'),
+                (3552292136, 'shard7'),
+                (3584924186, 'shard6'),
+                (3657873378, 'shard1'),
+                (3740374711, 'shard4'),
+                (3746867791, 'shard0'),
+                (3816785111, 'shard5'),
+                (3835299773, 'shard0'),
+                (3864214834, 'shard6'),
+                (3910180632, 'shard6'),
+                (3960125766, 'shard0'),
+                (3961086641, 'shard0'),
+                (4053791382, 'shard5'),
+                (4055142906, 'shard6'),
+                (4059976825, 'shard4'),
+                (4068782268, 'shard2'),
+                (4125160360, 'shard1'),
+                (4165611574, 'shard7'),
+                (4189918438, 'shard3'),
+                (4204172610, 'shard0'),
+                (4216256599, 'shard6'),
+                (4242455607, 'shard2'),
+                (4272782724, 'shard3')),
+            ring9(pos, s) AS (VALUES
+                (36985398, 'shard1'),
+                (74989428, 'shard3'),
+                (98904480, 'shard5'),
+                (142038277, 'shard5'),
+                (158492823, 'shard8'),
+                (169615665, 'shard4'),
+                (171396759, 'shard3'),
+                (200423159, 'shard7'),
+                (200442958, 'shard5'),
+                (202891990, 'shard2'),
+                (224169958, 'shard6'),
+                (279975649, 'shard4'),
+                (312548057, 'shard2'),
+                (323681999, 'shard2'),
+                (324630770, 'shard0'),
+                (375887500, 'shard0'),
+                (381448411, 'shard2'),
+                (452145087, 'shard3'),
+                (467958479, 'shard1'),
+                (490672023, 'shard5'),
+                (495024020, 'shard0'),
+                (533144962, 'shard2'),
+                (568161519, 'shard7'),
+                (574140708, 'shard6'),
+                (581216400, 'shard0'),
+                (621417274, 'shard1'),
+                (668025920, 'shard8'),
+                (673714300, 'shard4'),
+                (709361099, 'shard2'),
+                (721935616, 'shard4'),
+                (740559551, 'shard3'),
+                (747269891, 'shard3'),
+                (774317672, 'shard2'),
+                (791854282, 'shard1'),
+                (848349443, 'shard4'),
+                (852083142, 'shard7'),
+                (874840957, 'shard4'),
+                (891747790, 'shard0'),
+                (966442062, 'shard0'),
+                (973893631, 'shard1'),
+                (974920588, 'shard1'),
+                (1021855182, 'shard6'),
+                (1040023413, 'shard5'),
+                (1044264052, 'shard6'),
+                (1102317896, 'shard7'),
+                (1114906457, 'shard5'),
+                (1117315757, 'shard3'),
+                (1127777399, 'shard8'),
+                (1142904292, 'shard4'),
+                (1151336132, 'shard1'),
+                (1152101088, 'shard6'),
+                (1175286581, 'shard5'),
+                (1220634494, 'shard6'),
+                (1225403295, 'shard5'),
+                (1280738378, 'shard8'),
+                (1511812036, 'shard2'),
+                (1516026311, 'shard8'),
+                (1523675370, 'shard1'),
+                (1569758039, 'shard7'),
+                (1577065832, 'shard1'),
+                (1640214663, 'shard8'),
+                (1651237678, 'shard1'),
+                (1653113247, 'shard0'),
+                (1686533033, 'shard0'),
+                (1702752827, 'shard8'),
+                (1713508732, 'shard1'),
+                (1722766686, 'shard3'),
+                (1740450445, 'shard7'),
+                (1758167118, 'shard5'),
+                (1829223657, 'shard3'),
+                (1840747828, 'shard7'),
+                (1919197141, 'shard7'),
+                (1993678469, 'shard4'),
+                (1993797461, 'shard4'),
+                (2020946679, 'shard6'),
+                (2069447601, 'shard5'),
+                (2090732373, 'shard3'),
+                (2109476479, 'shard7'),
+                (2124596481, 'shard2'),
+                (2223067596, 'shard3'),
+                (2266704082, 'shard0'),
+                (2271946164, 'shard7'),
+                (2348661140, 'shard1'),
+                (2349626881, 'shard7'),
+                (2350007809, 'shard4'),
+                (2364084678, 'shard3'),
+                (2375724303, 'shard2'),
+                (2394229283, 'shard7'),
+                (2442612027, 'shard2'),
+                (2449324786, 'shard6'),
+                (2480781242, 'shard5'),
+                (2524113721, 'shard0'),
+                (2607700867, 'shard3'),
+                (2735823338, 'shard3'),
+                (2742420698, 'shard1'),
+                (2819863262, 'shard5'),
+                (2820361430, 'shard7'),
+                (2860969490, 'shard2'),
+                (2867383218, 'shard8'),
+                (2887092710, 'shard6'),
+                (2913289486, 'shard1'),
+                (3066761362, 'shard5'),
+                (3138555560, 'shard3'),
+                (3141660237, 'shard2'),
+                (3175634820, 'shard6'),
+                (3196531551, 'shard7'),
+                (3214805597, 'shard2'),
+                (3229524930, 'shard4'),
+                (3246540509, 'shard4'),
+                (3255967778, 'shard0'),
+                (3298082616, 'shard6'),
+                (3347044360, 'shard8'),
+                (3372723173, 'shard4'),
+                (3432697000, 'shard8'),
+                (3473413701, 'shard5'),
+                (3479566406, 'shard4'),
+                (3552292136, 'shard7'),
+                (3584924186, 'shard6'),
+                (3657873378, 'shard1'),
+                (3740374711, 'shard4'),
+                (3746867791, 'shard0'),
+                (3760183417, 'shard8'),
+                (3816785111, 'shard5'),
+                (3835299773, 'shard0'),
+                (3864214834, 'shard6'),
+                (3910180632, 'shard6'),
+                (3958173759, 'shard8'),
+                (3960125766, 'shard0'),
+                (3961086641, 'shard0'),
+                (4010200808, 'shard8'),
+                (4030219097, 'shard8'),
+                (4053791382, 'shard5'),
+                (4055142906, 'shard6'),
+                (4059976825, 'shard4'),
+                (4068782268, 'shard2'),
+                (4125160360, 'shard1'),
+                (4154756587, 'shard8'),
+                (4165611574, 'shard7'),
+                (4189918438, 'shard3'),
+                (4204172610, 'shard0'),
+                (4216256599, 'shard6'),
+                (4242455607, 'shard2'),
+                (4272782724, 'shard3'),
+                (4292695077, 'shard8')),
+            k AS (
+              SELECT c_custkey,
+                     CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                         1, 8) AS BIGINT) AS h
+              FROM customer),
+            a AS (
+              SELECT c_custkey,
+                     coalesce(min_by(s, pos) FILTER (WHERE pos >= h),
+                              'shard1') AS shard
+              FROM k CROSS JOIN ring8 GROUP BY c_custkey, h),
+            b AS (
+              SELECT c_custkey,
+                     coalesce(min_by(s, pos) FILTER (WHERE pos >= h),
+                              'shard1') AS shard_after
+              FROM k CROSS JOIN ring9 GROUP BY c_custkey, h)
+            SELECT a.shard, b.shard_after,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM a JOIN b ON b.c_custkey = a.c_custkey
+            GROUP BY a.shard, b.shard_after
+        """,
         "arrival_burstiness_events": """
             WITH g AS (
               SELECT event_type AS k,

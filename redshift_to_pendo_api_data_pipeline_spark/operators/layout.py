@@ -154,3 +154,56 @@ def compact_small_files(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
     return {"files_in": n_files_in, "bytes_in": int(bytes_in), "files_out": int(n_out)}
+
+
+def consistent_ring(shards: list[str], n_virtual: int = 16) -> list[tuple[int, str]]:
+    """The hash ring: n_virtual positions per shard at
+    md5(shard + '#' + replica) 32-bit prefix points, sorted. Driver-side
+    literal — the ring is configuration, not data."""
+    import hashlib
+
+    ring = []
+    for s in shards:
+        for r in range(n_virtual):
+            pos = int(
+                hashlib.md5(f"{s}#{r}".encode()).hexdigest()[:8], 16
+            )
+            ring.append((pos, s))
+    ring.sort()
+    return ring
+
+
+def shard_assignment(
+    df, key_col: str, shards: list[str], n_virtual: int = 16,
+    out_col: str = "shard",
+):
+    """Consistent-hash shard assignment — the re-sharding-safe
+    partitioner: a key goes to the first ring position clockwise from
+    md5(key)'s 32-bit point. Adding or removing a shard moves only
+    ~1/n of the keys (the property modulo-hashing lacks: `hash % n`
+    reshuffles EVERYTHING when n changes — the difference between a
+    trickle and a full-corpus migration when the sink scales out).
+
+    Shape: ZERO shuffle, zero joins — the ring is a sorted literal
+    struct array baked into the plan (|shards|·n_virtual entries, pure
+    configuration), the lookup is filter + array_min over it per row,
+    whole-stage codegen. The oracle does the same lookup as a bounded
+    cross join + min_by, certifying the ring arithmetic from a
+    different plan shape."""
+    from pyspark.sql import functions as F
+
+    ring = consistent_ring(shards, n_virtual)
+    ring_arr = F.array(*[
+        F.struct(F.lit(pos).alias("pos"), F.lit(s).alias("s"))
+        for pos, s in ring
+    ])
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    clockwise = F.filter(ring_arr, lambda x: x["pos"] >= h)
+    # array_min on structs orders by (pos, s) — min pos wins; wrap to
+    # the ring's global minimum when nothing is clockwise
+    assigned = F.coalesce(
+        F.array_min(clockwise)["s"], F.lit(ring[0][1])
+    )
+    return df.withColumn(out_col, assigned)

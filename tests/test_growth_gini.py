@@ -315,3 +315,34 @@ def test_k_core_peels_cascade(spark):
             adj[a].add(b)
             adj[b].add(a)
     assert all(len(adj[n]) >= 2 for n in core2)
+
+
+def test_consistent_sharding_minimal_movement(spark, sf_dir):
+    import hashlib
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        consistent_ring,
+        shard_assignment,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    s8 = [f"shard{i}" for i in range(8)]
+    a = {r["c_custkey"]: r["shard"] for r in shard_assignment(
+        cust, "c_custkey", s8, 16).select("c_custkey", "shard").collect()}
+    b = {r["c_custkey"]: r["shard"] for r in shard_assignment(
+        cust, "c_custkey", s8 + ["shard8"], 16).select(
+        "c_custkey", "shard").collect()}
+    # python recompute of the ring lookup
+    ring = consistent_ring(s8, 16)
+    for k, s in list(a.items())[:50]:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        cw = [x for x in ring if x[0] >= h]
+        want = (cw[0] if cw else ring[0])[1]
+        assert s == want
+    # the consistent-hash property: movers only move TO the new shard,
+    # and nothing rebalances between old shards
+    movers = {k for k in a if a[k] != b[k]}
+    assert all(b[k] == "shard8" for k in movers)
+    # movement is ~1/9, not ~8/9 (modulo hashing); generous bound 3x
+    assert len(movers) <= 3 * len(a) // 9
+    assert len(movers) > 0
