@@ -4191,6 +4191,145 @@ def q_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift — the basket operators applied to TEXT
+    (baskets = documents, items = distinct tokens): a-priori pruned
+    token pairs co-occurring in >= 150 docs, scored as directed rules
+    with integer-ppm confidence/lift (the PMI-style collocation signal
+    without logs). One operator family, two domains — the registry's
+    operator-reuse proof."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        association_rules,
+        frequent_item_pairs,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("b"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    edges = frequent_item_pairs(
+        toks, "b", "t", min_pair_support=150, min_item_support=150
+    )
+    n_docs = docs.count()
+    return association_rules(edges, n_docs, top_k=30)
+
+
+def q_doc_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates over documents
+    (operators/linkage.sorted_neighborhood_pairs): records sorted by a
+    64-char normalized-text prefix key, all pairs within a rank window
+    of 4, verified with a BOUNDED prefix edit distance (levenshtein on
+    the 64-char keys, <= 20) — the Hernández–Stolfo blocking strategy
+    that catches typo-class near-dups hash blocking misses. The global
+    rank is the distributed range-partitioned form (no single-reducer
+    window); candidates are n·window, never n²."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 64).alias("key"),
+    )
+    pairs = sorted_neighborhood_pairs(keyed, "doc_id", "key", window=4)
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("key_a", "key_b").cast("long")
+        )
+        .where(F.col("dist") <= 20)
+        .select("id_a", "id_b", "rank_gap", "dist")
+    )
+
+
+def q_part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage over the part master
+    (operators/linkage.linkage_scores): candidates blocked on p_brand
+    (the reference's synced entity tables carry exactly this shape —
+    tap-redshift discover.py:20-54 enumerates them, then linkage is the
+    first curation ask), scored with integer agree/disagree weights on
+    three fields: name edit distance <= 3 (+18/−10), type equality
+    (+12/−8), size within 1 (+6/−4). Pairs scoring >= 20 (name AND type
+    must agree) surface with the per-field agreement bitmask."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        linkage_scores,
+    )
+
+    parts = load_table(spark, sf_dir, "part")
+    a = parts.select(
+        F.col("p_partkey").alias("k_a"), F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"), F.col("p_size").alias("size_a"),
+        F.col("p_brand").alias("__blk"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("k_b"), F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"), F.col("p_size").alias("size_b"),
+        F.col("p_brand").alias("__blk"),
+    )
+    cand = a.join(b.hint("shuffle_hash"), "__blk").where(
+        F.col("k_a") < F.col("k_b")
+    )
+    scored = linkage_scores(
+        cand,
+        [
+            ("name_sim", F.levenshtein("name_a", "name_b") <= 3, 18, -10),
+            ("type_eq", F.col("type_a") == F.col("type_b"), 12, -8),
+            ("size_near", F.abs(F.col("size_a") - F.col("size_b")) <= 1, 6, -4),
+        ],
+    )
+    return scored.where(F.col("link_score") >= 20).select(
+        "k_a", "k_b", "link_score", "agree_mask"
+    )
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining across the full synced schema
+    (operators/linkage.inclusion_dependencies): the FK-discovery
+    complement of the reference's PK scan (tap-redshift reads DECLARED
+    constraints from information_schema; real warehouses declare none,
+    so migration tooling mines them). Ten candidates — the seven true
+    TPC-H-ish FKs, one cross-domain link (events.user_id → customers),
+    one reversed edge and one junk pair — each reported with distinct
+    child values, violation count, and containment ppm."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        inclusion_dependencies,
+    )
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["customer", "orders", "lineitem", "part", "supplier",
+                  "nation", "region", "events"]
+    }
+    cands = [
+        ("orders.o_custkey", t["orders"], "o_custkey",
+         "customer.c_custkey", t["customer"], "c_custkey"),
+        ("lineitem.l_orderkey", t["lineitem"], "l_orderkey",
+         "orders.o_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey", t["lineitem"], "l_partkey",
+         "part.p_partkey", t["part"], "p_partkey"),
+        ("lineitem.l_suppkey", t["lineitem"], "l_suppkey",
+         "supplier.s_suppkey", t["supplier"], "s_suppkey"),
+        ("customer.c_nationkey", t["customer"], "c_nationkey",
+         "nation.n_nationkey", t["nation"], "n_nationkey"),
+        ("supplier.s_nationkey", t["supplier"], "s_nationkey",
+         "nation.n_nationkey", t["nation"], "n_nationkey"),
+        ("nation.n_regionkey", t["nation"], "n_regionkey",
+         "region.r_regionkey", t["region"], "r_regionkey"),
+        ("events.user_id", t["events"], "user_id",
+         "customer.c_custkey", t["customer"], "c_custkey"),
+        ("customer.c_custkey", t["customer"], "c_custkey",
+         "orders.o_custkey", t["orders"], "o_custkey"),
+        ("part.p_size", t["part"], "p_size",
+         "nation.n_nationkey", t["nation"], "n_nationkey"),
+    ]
+    return inclusion_dependencies(cands)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4201,6 +4340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
+        "part_record_linkage": q_part_record_linkage,
+        "fk_discovery": q_fk_discovery,
+        "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
         "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
@@ -4492,6 +4635,152 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_sorted_neighborhood": """
+            WITH k AS (
+              SELECT doc_id,
+                     substr(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g')), 1, 64) AS key
+              FROM documents),
+            r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rn
+              FROM k),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+                     CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+              FROM r a JOIN r b
+                ON b.rn > a.rn AND b.rn <= a.rn + 4)
+            SELECT id_a, id_b, rank_gap, dist FROM p WHERE dist <= 20
+        """,
+        "part_record_linkage": """
+            WITH s AS (
+              SELECT p_partkey AS k, p_name AS n, p_type AS t,
+                     p_size AS z, p_brand AS b
+              FROM part),
+            pr AS (
+              SELECT x.k AS k_a, y.k AS k_b,
+                     (levenshtein(x.n, y.n) <= 3) AS r0,
+                     (x.t = y.t) AS r1,
+                     (abs(x.z - y.z) <= 1) AS r2
+              FROM s x JOIN s y ON x.b = y.b AND x.k < y.k)
+            SELECT k_a, k_b,
+                   CAST((CASE WHEN r0 THEN 18 ELSE -10 END)
+                      + (CASE WHEN r1 THEN 12 ELSE -8 END)
+                      + (CASE WHEN r2 THEN 6 ELSE -4 END) AS BIGINT)
+                       AS link_score,
+                   CAST((CASE WHEN r0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r1 THEN 2 ELSE 0 END)
+                      + (CASE WHEN r2 THEN 4 ELSE 0 END) AS BIGINT)
+                       AS agree_mask
+            FROM pr
+            WHERE (CASE WHEN r0 THEN 18 ELSE -10 END)
+                + (CASE WHEN r1 THEN 12 ELSE -8 END)
+                + (CASE WHEN r2 THEN 6 ELSE -4 END) >= 20
+        """,
+        "fk_discovery": """
+            WITH cand(child_ref, parent_ref) AS (VALUES
+              ('orders.o_custkey', 'customer.c_custkey'),
+              ('lineitem.l_orderkey', 'orders.o_orderkey'),
+              ('lineitem.l_partkey', 'part.p_partkey'),
+              ('lineitem.l_suppkey', 'supplier.s_suppkey'),
+              ('customer.c_nationkey', 'nation.n_nationkey'),
+              ('supplier.s_nationkey', 'nation.n_nationkey'),
+              ('nation.n_regionkey', 'region.r_regionkey'),
+              ('events.user_id', 'customer.c_custkey'),
+              ('customer.c_custkey', 'orders.o_custkey'),
+              ('part.p_size', 'nation.n_nationkey')),
+            vals AS (
+              SELECT 'orders.o_custkey' AS ref,
+                     CAST(o_custkey AS VARCHAR) AS v FROM orders
+              UNION ALL SELECT 'lineitem.l_orderkey',
+                     CAST(l_orderkey AS VARCHAR) FROM lineitem
+              UNION ALL SELECT 'lineitem.l_partkey',
+                     CAST(l_partkey AS VARCHAR) FROM lineitem
+              UNION ALL SELECT 'lineitem.l_suppkey',
+                     CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION ALL SELECT 'customer.c_nationkey',
+                     CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION ALL SELECT 'supplier.s_nationkey',
+                     CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION ALL SELECT 'nation.n_regionkey',
+                     CAST(n_regionkey AS VARCHAR) FROM nation
+              UNION ALL SELECT 'events.user_id',
+                     CAST(user_id AS VARCHAR) FROM events
+              UNION ALL SELECT 'customer.c_custkey',
+                     CAST(c_custkey AS VARCHAR) FROM customer
+              UNION ALL SELECT 'part.p_size',
+                     CAST(p_size AS VARCHAR) FROM part
+              UNION ALL SELECT 'orders.o_custkey#p',
+                     CAST(o_custkey AS VARCHAR) FROM orders
+              UNION ALL SELECT 'customer.c_custkey#p',
+                     CAST(c_custkey AS VARCHAR) FROM customer
+              UNION ALL SELECT 'orders.o_orderkey#p',
+                     CAST(o_orderkey AS VARCHAR) FROM orders
+              UNION ALL SELECT 'part.p_partkey#p',
+                     CAST(p_partkey AS VARCHAR) FROM part
+              UNION ALL SELECT 'supplier.s_suppkey#p',
+                     CAST(s_suppkey AS VARCHAR) FROM supplier
+              UNION ALL SELECT 'nation.n_nationkey#p',
+                     CAST(n_nationkey AS VARCHAR) FROM nation
+              UNION ALL SELECT 'region.r_regionkey#p',
+                     CAST(r_regionkey AS VARCHAR) FROM region),
+            dvals AS (
+              SELECT DISTINCT ref, v FROM vals WHERE v IS NOT NULL),
+            checked AS (
+              SELECT c.child_ref, c.parent_ref,
+                     CAST(count(*) AS BIGINT) AS n_child_distinct,
+                     CAST(sum(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violations
+              FROM cand c
+              JOIN dvals ch ON ch.ref = c.child_ref
+              LEFT JOIN dvals p
+                ON p.ref = c.parent_ref || '#p' AND p.v = ch.v
+              GROUP BY 1, 2)
+            SELECT child_ref, parent_ref, n_child_distinct, n_violations,
+                   CAST((n_child_distinct - n_violations) * 1000000
+                        // n_child_distinct AS BIGINT) AS containment_ppm
+            FROM checked
+        """,
+        "token_cooccurrence_lift": """
+            WITH bi AS (
+              SELECT DISTINCT doc_id AS basket,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS item
+              FROM documents),
+            bi2 AS (SELECT basket, item FROM bi WHERE item <> ''),
+            freq AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS item_support
+              FROM bi2 GROUP BY item HAVING count(*) >= 150),
+            pr0 AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_support
+              FROM bi2 a JOIN bi2 b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING count(*) >= 150),
+            pr AS (
+              SELECT pr0.*, fa.item_support AS support_a,
+                     fb.item_support AS support_b
+              FROM pr0 JOIN freq fa ON fa.item = pr0.item_a
+                       JOIN freq fb ON fb.item = pr0.item_b),
+            nb AS (SELECT count(*) AS n FROM documents),
+            rules AS (
+              SELECT item_a AS antecedent, item_b AS consequent,
+                     pair_support, support_a AS sup_ante,
+                     support_b AS sup_cons
+              FROM pr
+              UNION ALL
+              SELECT item_b, item_a, pair_support, support_b, support_a
+              FROM pr)
+            SELECT antecedent, consequent, pair_support,
+                   CAST(pair_support * 1000000 // sup_ante AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(pair_support * nb.n * 1000000
+                        // (sup_ante * sup_cons) AS BIGINT) AS lift_ppm
+            FROM rules, nb
+            ORDER BY lift_ppm DESC, antecedent ASC, consequent ASC
+            LIMIT 30
+        """,
         "consistent_sharding_moves": """
             WITH ring8(pos, s) AS (VALUES
                 (36985398, 'shard1'),

@@ -1,0 +1,242 @@
+"""Record linkage: sorted-neighborhood candidates, Fellegi–Sunter-style
+multi-field scoring, and inclusion-dependency (FK) discovery.
+
+Provenance: the reference pipeline's discovery pass enumerates tables,
+columns and PRIMARY keys from the warehouse catalog (tap-redshift
+``discover.py:20-54``) and ships entity rows downstream. This module
+adds the two follow-on questions every synced entity corpus raises
+that the catalog cannot answer:
+
+- *which rows are the same real-world thing* — record linkage. The
+  dedup family already covers single-field fuzzy match
+  (``dedup.editdist_pairs``) and token/vector similarity; here we add
+  the two classical multi-record primitives it lacks:
+
+  - :func:`sorted_neighborhood_pairs` — the Hernández–Stolfo sorted
+    neighborhood method: order records by a blocking KEY and emit all
+    pairs within a rank window. Complements hash blocking (a typo in
+    the block key breaks hash blocking entirely; under SNM the records
+    still sort adjacently). Built on ``analytics.global_ranks`` — the
+    distributed range-partitioned ranking, NOT a single-reducer global
+    window — so candidate generation is one range shuffle plus one
+    integer equi-join of size n·window.
+
+  - :func:`linkage_scores` — Fellegi–Sunter scoring over a candidate
+    pair relation: per-field agree/disagree integer weights (log-odds
+    scaled by the caller; integers so scores hash cross-engine), one
+    score column plus an agreement bitmask for downstream calibration.
+    Pure column algebra — no shuffle beyond what the candidate
+    generator already paid.
+
+- *which columns reference which* — inclusion-dependency discovery
+  (:func:`inclusion_dependencies`): the FK-detection complement of the
+  reference's PK scan (``tap-redshift/src/discover.py`` reads
+  ``information_schema`` constraints; warehouses routinely DECLARE no
+  FKs, so at migration time you must MINE them). For each candidate
+  (child column → parent column): distinct child values, violation
+  count, containment ppm.
+
+Scale shapes: SNM is linear (n·window candidate rows; the rank join is
+an integer equi-join, shuffle_hash — never SMJ, never a broadcast of a
+corpus-sized side). Inclusion-dependency checks collapse both sides to
+distinct VALUE dictionaries before the join — the join is
+dictionary-sized, not row-sized, and the left join against the
+deduplicated parent side cannot fan out. Candidate lists are
+config-bounded (schema-sized), so the per-candidate loop is a bounded
+plan union, not a data-driven driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import global_ranks
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int,
+) -> DataFrame:
+    """Candidate pairs within ``window`` positions of each other in the
+    global ``(key, id)`` sort order — the sorted neighborhood method.
+
+    Output: ``id_a, id_b, key_a, key_b, rank_gap`` (1 ≤ rank_gap ≤
+    window). ``id_a`` is the earlier record in sort order; each
+    unordered pair appears once. Verification (edit distance, token
+    overlap, field scoring) is the caller's compose step — this
+    operator only bounds the quadratic.
+
+    The global rank comes from ``global_ranks`` (range repartition +
+    per-partition offsets, deterministic given the total order
+    ``(key, id)``); the window join materializes each record ``window``
+    times with rank+k probes — n·window rows joined back on the integer
+    rank, an equi-join AQE can hash either way (hinted shuffle_hash:
+    both sides are corpus-sized).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ranked = global_ranks(
+        df.select(F.col(id_col), F.col(key_col)),
+        [key_col, id_col],
+        rank_name="__rank",
+    )
+    probes = (
+        ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.col(key_col).alias("key_a"),
+            F.col("__rank").alias("__ra"),
+        )
+        .withColumn(
+            "rank_gap",
+            F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)])),
+        )
+        .withColumn("__rb", F.col("__ra") + F.col("rank_gap"))
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("key_b"),
+        F.col("__rank").alias("__rb"),
+    )
+    return probes.join(right.hint("shuffle_hash"), "__rb").select(
+        "id_a", "id_b", "key_a", "key_b",
+        F.col("rank_gap").cast("long").alias("rank_gap"),
+    )
+
+
+def linkage_scores(
+    pairs: DataFrame,
+    rules: list[tuple[str, Column, int, int]],
+) -> DataFrame:
+    """Fellegi–Sunter-style composite score over a candidate pair
+    relation: for each rule ``(name, agree_predicate, w_agree,
+    w_disagree)`` the pair earns ``w_agree`` when the predicate holds
+    and ``w_disagree`` (typically negative) when it does not; the
+    weights are caller-scaled integer log-odds, so the resulting
+    ``link_score`` is exact cross-engine.
+
+    Adds ``link_score`` (BIGINT sum) and ``agree_mask`` (bit i set ⇔
+    rule i agreed, in list order) — the mask feeds match-weight
+    calibration (per-pattern frequency counts) without re-evaluating
+    predicates. Pure projection: whatever shuffle produced ``pairs`` is
+    the only shuffle."""
+    if not rules:
+        raise ValueError("at least one rule required")
+    if len(rules) > 63:
+        raise ValueError("agree_mask is a 64-bit integer: at most 63 rules")
+    score = None
+    mask = None
+    for i, (_, pred, w_agree, w_disagree) in enumerate(rules):
+        term = F.when(pred, F.lit(int(w_agree))).otherwise(
+            F.lit(int(w_disagree))
+        )
+        bit = F.when(pred, F.lit(1 << i)).otherwise(F.lit(0))
+        score = term if score is None else score + term
+        mask = bit if mask is None else mask + bit
+    return pairs.withColumn("link_score", score.cast("long")).withColumn(
+        "agree_mask", mask.cast("long")
+    )
+
+
+def inclusion_dependencies(
+    candidates: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency report for a config-bounded candidate list
+    ``(child_ref, child_df, child_col, parent_ref, parent_df,
+    parent_col)``: one row per candidate with
+
+        n_child_distinct  distinct non-null child values
+        n_violations      child values absent from the parent column
+        containment_ppm   (contained · 1e6) div distinct  (0 when the
+                          child column is empty)
+
+    ``containment_ppm == 1_000_000`` is a mined FK; high-but-partial
+    values flag orphaned rows (the data-quality reading). Both sides
+    collapse to distinct value dictionaries BEFORE the join, so each
+    check joins dictionaries, not row streams; the parent side is
+    deduplicated so the left join cannot fan out. The union is
+    plan-level (one job, candidate-list-bounded branches)."""
+    if not candidates:
+        raise ValueError("at least one candidate required")
+    out = None
+    for child_ref, cdf, ccol, parent_ref, pdf, pcol in candidates:
+        child_vals = (
+            cdf.select(F.col(ccol).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+        )
+        parent_vals = (
+            pdf.select(F.col(pcol).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        # dictionary×dictionary equi-join: shuffle_hash (both sides can
+        # be key-cardinality at 100 TB — no forced broadcast, no SMJ)
+        joined = child_vals.join(
+            parent_vals.hint("shuffle_hash"), "__v", "left"
+        )
+        row = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(child_ref).alias("child_ref"),
+            F.lit(parent_ref).alias("parent_ref"),
+            "n_child_distinct",
+            "n_violations",
+            F.when(F.col("n_child_distinct") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(n_child_distinct - n_violations) * 1000000L"
+                    " div n_child_distinct"
+                )
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship merge — the last step of the linkage arc (block →
+    score → cluster → MERGE): one canonical "golden" record per linkage
+    cluster, each field resolved INDEPENDENTLY to its modal value within
+    the cluster (count desc, value asc tiebreak — deterministic, and the
+    asc tiebreak makes the merge reproducible across runs, the MDM
+    survivorship contract).
+
+    Output: ``cluster_col``, ``n_members``, and one column per requested
+    field carrying the surviving value. Per-field cost: one
+    (cluster, value) groupBy + a cluster-partitioned window (mode
+    selection runs inside each cluster's partition — clusters are
+    small by construction, so no skewed window) + one cluster-keyed
+    join back; the loop is schema-bounded, never data-bounded. Joins
+    between cluster-cardinality relations are shuffle_hash (a cluster
+    relation is corpus-sized at 100 TB — no broadcast)."""
+    if not fields:
+        raise ValueError("at least one field required")
+    out = df.groupBy(F.col(cluster_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    for field in fields:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("__cnt"), F.asc(field)
+        )
+        modal = (
+            df.groupBy(F.col(cluster_col), F.col(field))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(cluster_col, field)
+        )
+        out = out.join(modal.hint("shuffle_hash"), cluster_col)
+    return out
