@@ -4330,6 +4330,324 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_dependencies(cands)
 
 
+def q_part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge closing the linkage arc (block → score →
+    cluster → merge, operators/linkage.golden_records): the
+    Fellegi–Sunter pairs at score >= 20 become clusters via iterative
+    min-label connected components, unmatched parts stay singleton
+    clusters, and each cluster resolves to ONE golden record — every
+    field independently taking its modal value (count desc, value asc
+    tiebreak). Returns multi-member clusters only (the merge report)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        golden_records,
+    )
+
+    pairs = q_part_record_linkage(spark, sf_dir)
+    cc = connected_components(pairs, id_a="k_a", id_b="k_b")
+    parts = load_table(spark, sf_dir, "part")
+    members = parts.join(
+        cc.withColumnRenamed("node", "p_partkey").hint("shuffle_hash"),
+        "p_partkey",
+        "left",
+    ).select(
+        F.coalesce(F.col("cluster_id"), F.col("p_partkey")).alias("cluster"),
+        "p_name", "p_type", "p_size", "p_brand",
+    )
+    return (
+        golden_records(members, "cluster", ["p_name", "p_type", "p_size", "p_brand"])
+        .where(F.col("n_members") >= 2)
+        .select(
+            "cluster", "n_members", "p_name", "p_type",
+            F.col("p_size").cast("long").alias("p_size"), "p_brand",
+        )
+    )
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the customer×part implicit-
+    feedback matrix (operators/sampling.negative_samples): positives =
+    parts a customer actually ordered (orders ⋈ lineitem), negatives =
+    5 md5-indexed non-interacted parts per customer, reproducible
+    across engines and reruns (no RNG). The contrastive-training data
+    generator every recsys/two-tower pipeline needs at corpus scale."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    positives = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey").hint("shuffle_hash"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+    )
+    return negative_samples(
+        positives, "custkey", "partkey", part, "p_partkey", k=5
+    )
+
+
+def _ndcg_weights(k: int = 20, scale: int = 1_000_000) -> list[int]:
+    """Integer rank discounts floor(scale/log2(r+1)) for r=1..k —
+    computed ONCE in Python and embedded as literals in both the Spark
+    plan and the DuckDB oracle, so neither engine ever evaluates a
+    log."""
+    import math
+
+    return [int(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the learned quality filter via the Mann–Whitney
+    rank statistic (operators/classifier.exact_auc): tie-aware integer
+    rank algebra over the per-distinct-logit relation — the
+    threshold-free companion of classifier_calibration, answering 'did
+    the classifier learn a RANKING' in one number. Reuses the staged
+    features×weights artifacts (same training, one more consumer)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        exact_auc,
+        score_logreg_fp,
+    )
+
+    # run (or reuse) the same staging as quality_classifier_scores
+    q_quality_classifier_scores(spark, sf_dir)
+    stage = _stage_dir(sf_dir)
+    feats = spark.read.parquet(f"{stage}/clf_features.parquet")
+    wfp = spark.read.parquet(f"{stage}/clf_weights.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.col("source").isin([f"src{i}" for i in range(5)])
+        .cast("int").alias("y"),
+    )
+    scored = score_logreg_fp(feats, wfp).join(labels, "doc")
+    return exact_auc(scored, "logit_fp", "y")
+
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality profile of the lineitem×lineitem
+    part-key self-join (operators/skew.join_size_profile) — the
+    'predict the explosion before paying for it' planning diagnostic:
+    sum(f(k)^2) join rows, the dominant key, and its skew share in ppm,
+    all from two per-key count passes; the profiled join itself never
+    runs."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.skew import (
+        join_size_profile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_size_profile(li, "l_partkey", li, "l_partkey")
+
+
+def q_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware ANN audit (operators/similarity.ranking_metrics):
+    MRR and integer-weighted NDCG@20 of all three ANN variants against
+    the exact top-20 — set-level recall (embedding_ann_recall) can't
+    distinguish 'found the best neighbor first' from 'found it at rank
+    19'. Each ANN's RANKED list is staged; the oracle recomputes the
+    exact ground truth independently and applies the identical integer
+    rank discounts (floor(1e6/log2(r+1)), precomputed constants — no
+    log evaluates in either engine)."""
+    from pyspark.sql import Window
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        ranking_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    k = 20
+    weights = _ndcg_weights(k)
+    stage = _stage_dir(sf_dir)
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=k).select(
+        "vec_id"
+    )
+    # rank assignment windows run over k-row relations (post-limit) —
+    # bounded by contract, same exception class as the sketch sidecars
+    w_rank = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    out = []
+    for algo, topk in (
+        ("lsh", lsh_topk(emb, "embedding", "vec_id", q, k=k)),
+        ("ivf", ivf_topk(emb, "embedding", "vec_id", q, k=k, n_list=16,
+                         n_probe=4,
+                         cent_path=f"{stage}/ivf_rank_centroids.parquet")),
+        ("ivfpq", _ivfpq_topk(spark, sf_dir, k=k)),
+    ):
+        ranked = topk.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        ).select("vec_id", "rank")
+        path = f"{stage}/ann_{algo}_rank.parquet"
+        stage_parquet(ranked, path)
+        staged = spark.read.parquet(path)
+        out.append(
+            ranking_metrics(staged, exact, "vec_id", "rank", weights)
+            .select(
+                F.lit(algo).alias("algo"), F.lit(k).alias("k"),
+                "n_hits", "first_hit_rank", "dcg", "rr_scaled",
+                "ndcg_scaled",
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+def q_candidate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key mining over orders (operators/linkage.
+    candidate_keys): every single column and column pair scored by
+    distinct-tuple count in ONE scan (a single agg — Catalyst Expand —
+    not a scan per combo), uniqueness in ppm, is_key flag. The
+    discovery-side complement of the reference's declared-PK catalog
+    scan (tap-redshift/src/discover.py) — a warehouse with no declared
+    constraints gets its keys mined."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        candidate_keys,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return candidate_keys(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the mined co-purchase
+    graph (operators/basket.pagerank_fixed): 3 iterations, damping
+    0.85, total mass 1e12 ppt — every arithmetic step integer
+    floor-div, so the centrality ranking hash-checks cross-engine with
+    the oracle unrolling the same 3 iterations as chained CTEs over
+    the SAME staged edge parquet. Top-30 hub parts by rank."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        pagerank_fixed,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    pr = pagerank_fixed(edges, "item_a", "item_b", n_iter=3)
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(30)
+        .select(F.col("node").alias("part"),
+                F.col("rank").alias("rank_ppt"))
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at 25/50/75/100% corpus prefixes
+    (operators/text.vocab_growth): each token maps ONCE to the rank of
+    its first document, so every cutoff is a conditional count over the
+    vocabulary relation — cutoffs never add corpus passes. The
+    'will the tokenizer vocabulary fit at 100x' scaling read."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "text", "doc_id")
+
+
+def q_zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency head (operators/text.zipf_token_ranks):
+    top-50 tokens with rank·frequency products — the boilerplate-
+    dominance smell test read next to the duplicate-shingle rate."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        zipf_token_ranks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_token_ranks(docs, "text", top_k=50)
+
+
+def q_embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA served at corpus scale (operators/similarity.train_pca_fp +
+    pca_project_fp): train driver-side on the exact integer moment
+    sidecar (one distributed pass; eigh on the dim²-bounded
+    covariance), stage sign-canonicalized fixed-point components+mean,
+    then project EVERY embedding with zero shuffles — map-side
+    zip_with/aggregate integer dot products against component literals.
+    The oracle re-derives every projection from the staged components
+    and the raw embeddings with the identical round-half-away fixed-
+    pointing — the trained artifact is auditable, not a black box."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        pca_project_fp,
+        train_pca_fp,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stage = _stage_dir(sf_dir)
+    comp_path = f"{stage}/pca_components.parquet"
+    mean_path = f"{stage}/pca_mean.parquet"
+    if not (
+        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and fs_exists(spark, f"{comp_path}/_SUCCESS")
+        and fs_exists(spark, f"{mean_path}/_SUCCESS")
+    ):
+        comps, mean = train_pca_fp(emb, "embedding", k=3)
+        stage_parquet(
+            spark.createDataFrame(
+                [(pc, d, c) for pc, comp in enumerate(comps)
+                 for d, c in enumerate(comp)],
+                "pc int, d int, comp_fp long",
+            ),
+            comp_path,
+        )
+        stage_parquet(
+            spark.createDataFrame(
+                [(d, m) for d, m in enumerate(mean)],
+                "d int, mean_fp long",
+            ),
+            mean_path,
+        )
+    comp_rows = spark.read.parquet(comp_path).collect()
+    mean_rows = spark.read.parquet(mean_path).collect()
+    k = 1 + max(r["pc"] for r in comp_rows)
+    dim = len(mean_rows)
+    comps = [[0] * dim for _ in range(k)]
+    for r in comp_rows:
+        comps[r["pc"]][r["d"]] = int(r["comp_fp"])
+    mean = [0] * dim
+    for r in mean_rows:
+        mean[r["d"]] = int(r["mean_fp"])
+    return pca_project_fp(emb, "embedding", "vec_id", comps, mean)
+
+
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio quality screen (operators/text.
+    compression_stats_staged + compression_quality): the Gopher
+    'highly compressible = repetitive boilerplate' signal. zlib runs
+    once in a declared Arrow edge and stages (doc, n_raw, n_comp);
+    the screen itself is a pure-JVM join+groupBy over the staged
+    relation, and the oracle re-derives the per-source report from the
+    same staged artifact — the codec is test-pinned, the arithmetic is
+    hash-certified."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        compression_quality,
+        compression_stats_staged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = compression_stats_staged(
+        docs, "text", "doc_id",
+        f"{_stage_dir(sf_dir)}/compress_stats.parquet",
+    )
+    return compression_quality(stats, docs, "doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4343,6 +4661,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
         "part_record_linkage": q_part_record_linkage,
         "fk_discovery": q_fk_discovery,
+        "part_golden_records": q_part_golden_records,
+        "negative_samples_parts": q_negative_samples,
+        "classifier_auc": q_classifier_auc,
+        "join_size_lineitem_partkey": q_join_size_profile,
+        "ann_ranking_quality": q_ann_ranking_quality,
+        "candidate_keys_orders": q_candidate_keys_orders,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "vocab_growth_docs": q_vocab_growth,
+        "zipf_token_ranks": q_zipf_token_ranks,
+        "embedding_pca_projection": q_embedding_pca_projection,
+        "compression_quality_sources": q_compression_quality,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -4552,6 +4881,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the correctness gate runs at (other SFs stage under their own basename,
 # so a bench run never clobbers the oracle's inputs).
 _STAGE = "/tmp/spark_graft_stage/sf0.01"
+_NDCG_VALUES = ", ".join(
+    f"({r}, {w})" for r, w in enumerate(_ndcg_weights(20), start=1)
+)
+_NDCG_IDCG = sum(_ndcg_weights(20))
+
+
+def _ck_oracle(table: str, cols: list[str]) -> str:
+    """Candidate-key oracle: one UNION ALL branch per combo, mirroring
+    candidate_keys' combo enumeration (sorted singles then sorted
+    pairs)."""
+    ordered = sorted(cols)
+    combos = [(c,) for c in ordered] + [
+        (a, b) for i, a in enumerate(ordered) for b in ordered[i + 1:]
+    ]
+    parts = []
+    for combo in combos:
+        name = "+".join(combo)
+        expr = (
+            f"count(DISTINCT {combo[0]})"
+            if len(combo) == 1
+            else f"count(DISTINCT ({combo[0]}, {combo[1]}))"
+        )
+        parts.append(
+            f"""SELECT '{name}' AS candidate,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST({expr} AS BIGINT) AS n_distinct,
+                   CAST({expr} * 1000000 // count(*) AS BIGINT)
+                       AS uniqueness_ppm,
+                   ({expr} = count(*)) AS is_key
+            FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)
 
 # Distinct word-3-gram shingle set per document — the DuckDB twin of
 # operators/dedup.shingle_sets(n=3, distinct=True).
@@ -4741,6 +5102,352 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "compression_quality_sources": f"""
+            WITH s AS (SELECT doc, n_raw, n_comp FROM read_parquet(
+                           '{_STAGE}/compress_stats.parquet/*.parquet')),
+            j AS (
+              SELECT d.source, s.n_raw, s.n_comp,
+                     CASE WHEN s.n_raw = 0 THEN NULL
+                          ELSE s.n_comp * 1000000 // s.n_raw END AS r
+              FROM s JOIN documents d ON d.doc_id = s.doc)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_raw) AS BIGINT) AS raw_bytes,
+                   CAST(sum(n_comp) AS BIGINT) AS comp_bytes,
+                   CAST(CASE WHEN sum(n_raw) = 0 THEN NULL
+                        ELSE sum(n_comp) * 1000000 // sum(n_raw) END
+                        AS BIGINT) AS mean_ratio_ppm,
+                   CAST(sum(CASE WHEN r < 400000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repetitive
+            FROM j GROUP BY source
+        """,
+        "embedding_pca_projection": f"""
+            WITH vv AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                         x -> CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
+                              AS BIGINT)) AS v
+              FROM embeddings),
+            ex AS (
+              SELECT vec_id, ti.i AS d, vv.v[ti.i + 1] AS x
+              FROM vv, UNNEST(range(len(vv.v))) AS ti(i)),
+            mn AS (SELECT d, mean_fp FROM read_parquet(
+                       '{_STAGE}/pca_mean.parquet/*.parquet')),
+            cp AS (SELECT pc, d, comp_fp FROM read_parquet(
+                       '{_STAGE}/pca_components.parquet/*.parquet')),
+            cen AS (
+              SELECT e.vec_id, e.d, e.x - m.mean_fp AS c
+              FROM ex e JOIN mn m ON m.d = e.d)
+            SELECT c.vec_id, CAST(p.pc AS BIGINT) AS pc,
+                   CAST(sum(c.c * p.comp_fp) AS BIGINT) AS proj_fp2
+            FROM cen c JOIN cp p ON p.d = c.d
+            GROUP BY c.vec_id, p.pc
+        """,
+        "vocab_growth_docs": """
+            WITH r AS (
+              SELECT doc_id, text,
+                     row_number() OVER (ORDER BY doc_id) AS rn
+              FROM documents),
+            n AS (SELECT count(*) AS c FROM documents),
+            tok AS (
+              SELECT rn,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS t
+              FROM r),
+            tok2 AS (SELECT rn, t FROM tok WHERE t <> ''),
+            firsts AS (SELECT t, min(rn) AS m FROM tok2 GROUP BY t),
+            dcounts AS (SELECT rn, count(*) AS tc FROM tok2 GROUP BY rn),
+            cuts AS (
+              SELECT pct, (SELECT c FROM n) * pct // 100 AS cr
+              FROM (SELECT unnest([25, 50, 75, 100]) AS pct)),
+            vocab AS (
+              SELECT c.pct, c.cr,
+                     CAST(sum(CASE WHEN f.m <= c.cr THEN 1 ELSE 0 END)
+                          AS BIGINT) AS vocab_size
+              FROM cuts c, firsts f GROUP BY c.pct, c.cr),
+            occ AS (
+              SELECT c.pct,
+                     CAST(coalesce(sum(CASE WHEN d.rn <= c.cr
+                                       THEN d.tc END), 0) AS BIGINT)
+                         AS n_occurrences
+              FROM cuts c, dcounts d GROUP BY c.pct)
+            SELECT CAST(v.pct AS BIGINT) AS pct,
+                   CAST(v.cr AS BIGINT) AS cutoff_docs,
+                   o.n_occurrences, v.vocab_size
+            FROM vocab v JOIN occ o ON o.pct = v.pct
+        """,
+        "zipf_token_ranks": """
+            WITH tok AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            counts AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS freq
+              FROM tok WHERE t <> '' GROUP BY t
+              ORDER BY freq DESC, t ASC LIMIT 50),
+            ranked AS (
+              SELECT t, freq,
+                     row_number() OVER (ORDER BY freq DESC, t ASC)
+                         AS rank
+              FROM counts)
+            SELECT CAST(rank AS BIGINT) AS rank, t AS token, freq,
+                   CAST(rank * freq AS BIGINT) AS rank_freq
+            FROM ranked
+        """,
+        "candidate_keys_orders": _ck_oracle(
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ),
+        "pagerank_copurchase": f"""
+            WITH e0 AS (SELECT item_a AS a, item_b AS b
+                        FROM read_parquet(
+                          '{_STAGE}/copurchase_edges.parquet/*.parquet')),
+            canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                      FROM e0 WHERE a <> b),
+            ed AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+            nodes AS (SELECT DISTINCT u AS node FROM ed),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            params AS (SELECT (1000000000000 // n) AS init,
+                              (1000000000000 // n) * 150000 // 1000000
+                                  AS base
+                       FROM nn),
+            deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS dg
+                    FROM ed GROUP BY u),
+            r0 AS (SELECT node, (SELECT init FROM params) AS r FROM nodes),
+            c1 AS (SELECT e.v AS node, sum(r0.r // d.dg) AS s
+                   FROM ed e JOIN r0 ON r0.node = e.u
+                        JOIN deg d ON d.node = e.u
+                   GROUP BY e.v),
+            r1 AS (SELECT nd.node,
+                          (SELECT base FROM params)
+                          + 850000 * coalesce(c1.s, 0) // 1000000 AS r
+                   FROM nodes nd LEFT JOIN c1 ON c1.node = nd.node),
+            c2 AS (SELECT e.v AS node, sum(r1.r // d.dg) AS s
+                   FROM ed e JOIN r1 ON r1.node = e.u
+                        JOIN deg d ON d.node = e.u
+                   GROUP BY e.v),
+            r2 AS (SELECT nd.node,
+                          (SELECT base FROM params)
+                          + 850000 * coalesce(c2.s, 0) // 1000000 AS r
+                   FROM nodes nd LEFT JOIN c2 ON c2.node = nd.node),
+            c3 AS (SELECT e.v AS node, sum(r2.r // d.dg) AS s
+                   FROM ed e JOIN r2 ON r2.node = e.u
+                        JOIN deg d ON d.node = e.u
+                   GROUP BY e.v),
+            r3 AS (SELECT nd.node,
+                          (SELECT base FROM params)
+                          + 850000 * coalesce(c3.s, 0) // 1000000 AS r
+                   FROM nodes nd LEFT JOIN c3 ON c3.node = nd.node)
+            SELECT node AS part, CAST(r AS BIGINT) AS rank_ppt
+            FROM r3 ORDER BY r DESC, node ASC LIMIT 30
+        """,
+        "classifier_auc": f"""
+            WITH f AS (SELECT doc, feat, tf
+                       FROM read_parquet('{_STAGE}/clf_features.parquet/*.parquet')),
+            w AS (SELECT feat, w_fp
+                  FROM read_parquet('{_STAGE}/clf_weights.parquet/*.parquet')),
+            scores AS (
+              SELECT f.doc,
+                     CAST(SUM(f.tf * w.w_fp)
+                          + (SELECT w_fp FROM w WHERE feat = -1) AS BIGINT)
+                         AS logit_fp
+              FROM f JOIN w ON w.feat = f.feat AND w.feat <> -1
+              GROUP BY f.doc),
+            lab AS (
+              SELECT s.logit_fp,
+                     CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+                          THEN 1 ELSE 0 END AS y
+              FROM scores s JOIN documents d ON d.doc_id = s.doc),
+            g AS (SELECT logit_fp AS s, count(*) AS c, sum(y) AS cp
+                  FROM lab GROUP BY logit_fp),
+            o AS (SELECT c, cp,
+                         coalesce(sum(c) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS bef
+                  FROM g),
+            t AS (SELECT sum(cp * (2 * bef + c + 1)) AS r2,
+                         sum(cp) AS np, sum(c) AS nt
+                  FROM o)
+            SELECT CAST(np AS BIGINT) AS n_pos,
+                   CAST(nt - np AS BIGINT) AS n_neg,
+                   CAST((r2 - np * (np + 1)) * 1000000
+                        // (2 * np * (nt - np)) AS BIGINT) AS auc_ppm
+            FROM t
+        """,
+        "join_size_lineitem_partkey": """
+            WITH fa AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM lineitem),
+            sh AS (SELECT k, c * c AS prod FROM fa),
+            top AS (SELECT CAST(k AS VARCHAR) AS top_key,
+                           CAST(prod AS BIGINT) AS max_key_rows
+                    FROM sh ORDER BY prod DESC, k ASC LIMIT 1),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+                         CAST(sum(prod) AS BIGINT) AS join_rows
+                  FROM sh),
+            ka AS (SELECT CAST(count(*) AS BIGINT) AS nk FROM fa)
+            SELECT tot.nr AS n_left_rows, tot.nr AS n_right_rows,
+                   ka.nk AS n_left_keys, ka.nk AS n_right_keys,
+                   s.n_shared_keys, s.join_rows, top.max_key_rows,
+                   top.top_key,
+                   CAST(top.max_key_rows * 1000000 // s.join_rows
+                        AS BIGINT) AS skew_ppm
+            FROM tot, ka, s, top
+        """,
+        "ann_ranking_quality": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id = 0),
+            exact AS (
+              SELECT vec_id FROM embeddings
+              ORDER BY round(list_cosine_similarity(
+                            embedding::DOUBLE[], (SELECT v FROM q)), 6) DESC,
+                       vec_id ASC
+              LIMIT 20),
+            wt(r, dw) AS (VALUES {_NDCG_VALUES}),
+            lsh AS (SELECT vec_id, rank
+                    FROM read_parquet('{_STAGE}/ann_lsh_rank.parquet/*.parquet')),
+            ivf AS (SELECT vec_id, rank
+                    FROM read_parquet('{_STAGE}/ann_ivf_rank.parquet/*.parquet')),
+            ivfpq AS (SELECT vec_id, rank
+                    FROM read_parquet('{_STAGE}/ann_ivfpq_rank.parquet/*.parquet')),
+            m_lsh AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST(coalesce(min(lsh.rank), 0) AS BIGINT)
+                         AS first_hit_rank,
+                     CAST(coalesce(sum(dw), 0) AS BIGINT) AS dcg
+              FROM lsh JOIN exact USING (vec_id)
+              JOIN wt ON wt.r = lsh.rank),
+            m_ivf AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST(coalesce(min(ivf.rank), 0) AS BIGINT)
+                         AS first_hit_rank,
+                     CAST(coalesce(sum(dw), 0) AS BIGINT) AS dcg
+              FROM ivf JOIN exact USING (vec_id)
+              JOIN wt ON wt.r = ivf.rank),
+            m_ivfpq AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST(coalesce(min(ivfpq.rank), 0) AS BIGINT)
+                         AS first_hit_rank,
+                     CAST(coalesce(sum(dw), 0) AS BIGINT) AS dcg
+              FROM ivfpq JOIN exact USING (vec_id)
+              JOIN wt ON wt.r = ivfpq.rank)
+            SELECT 'lsh' AS algo, 20 AS k, n_hits, first_hit_rank, dcg,
+                   CAST(CASE WHEN first_hit_rank = 0 THEN 0
+                        ELSE 1000000 // first_hit_rank END AS BIGINT)
+                       AS rr_scaled,
+                   CAST(dcg * 1000000 // {_NDCG_IDCG} AS BIGINT)
+                       AS ndcg_scaled
+            FROM m_lsh
+            UNION ALL
+            SELECT 'ivf', 20, n_hits, first_hit_rank, dcg,
+                   CAST(CASE WHEN first_hit_rank = 0 THEN 0
+                        ELSE 1000000 // first_hit_rank END AS BIGINT),
+                   CAST(dcg * 1000000 // {_NDCG_IDCG} AS BIGINT)
+            FROM m_ivf
+            UNION ALL
+            SELECT 'ivfpq', 20, n_hits, first_hit_rank, dcg,
+                   CAST(CASE WHEN first_hit_rank = 0 THEN 0
+                        ELSE 1000000 // first_hit_rank END AS BIGINT),
+                   CAST(dcg * 1000000 // {_NDCG_IDCG} AS BIGINT)
+            FROM m_ivfpq
+        """,
+        "part_golden_records": """
+            WITH RECURSIVE
+            s AS (
+              SELECT p_partkey AS k, p_name AS n, p_type AS t,
+                     p_size AS z, p_brand AS b
+              FROM part),
+            pr AS (
+              SELECT x.k AS k_a, y.k AS k_b
+              FROM s x JOIN s y ON x.b = y.b AND x.k < y.k
+              WHERE (CASE WHEN levenshtein(x.n, y.n) <= 3
+                          THEN 18 ELSE -10 END)
+                  + (CASE WHEN x.t = y.t THEN 12 ELSE -8 END)
+                  + (CASE WHEN abs(x.z - y.z) <= 1 THEN 6 ELSE -4 END)
+                    >= 20),
+            edges AS (SELECT k_a AS src, k_b AS dst FROM pr
+                      UNION SELECT k_b, k_a FROM pr),
+            walk AS (
+              SELECT src AS start, src AS reach FROM edges
+              UNION
+              SELECT wk.start, e.dst FROM walk wk
+              JOIN edges e ON wk.reach = e.src),
+            cc AS (SELECT start AS k, min(reach) AS cluster
+                   FROM walk GROUP BY start),
+            members AS (
+              SELECT coalesce(cc.cluster, s.k) AS cluster,
+                     s.n, s.t, s.z, s.b
+              FROM s LEFT JOIN cc ON cc.k = s.k),
+            m_n AS (SELECT cluster, n FROM (
+                SELECT cluster, n, row_number() OVER (
+                  PARTITION BY cluster
+                  ORDER BY count(*) DESC, n ASC) AS rn
+                FROM members GROUP BY cluster, n) WHERE rn = 1),
+            m_t AS (SELECT cluster, t FROM (
+                SELECT cluster, t, row_number() OVER (
+                  PARTITION BY cluster
+                  ORDER BY count(*) DESC, t ASC) AS rn
+                FROM members GROUP BY cluster, t) WHERE rn = 1),
+            m_z AS (SELECT cluster, z FROM (
+                SELECT cluster, z, row_number() OVER (
+                  PARTITION BY cluster
+                  ORDER BY count(*) DESC, z ASC) AS rn
+                FROM members GROUP BY cluster, z) WHERE rn = 1),
+            m_b AS (SELECT cluster, b FROM (
+                SELECT cluster, b, row_number() OVER (
+                  PARTITION BY cluster
+                  ORDER BY count(*) DESC, b ASC) AS rn
+                FROM members GROUP BY cluster, b) WHERE rn = 1),
+            agg AS (SELECT cluster,
+                           CAST(count(*) AS BIGINT) AS n_members
+                    FROM members GROUP BY cluster)
+            SELECT a.cluster, a.n_members, m_n.n AS p_name,
+                   m_t.t AS p_type, CAST(m_z.z AS BIGINT) AS p_size,
+                   m_b.b AS p_brand
+            FROM agg a
+            JOIN m_n USING (cluster) JOIN m_t USING (cluster)
+            JOIN m_z USING (cluster) JOIN m_b USING (cluster)
+            WHERE a.n_members >= 2
+        """,
+        "negative_samples_parts": """
+            WITH pos AS (
+              SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey),
+            users AS (SELECT DISTINCT u FROM pos),
+            items AS (
+              SELECT p_partkey,
+                     row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+              FROM (SELECT DISTINCT p_partkey FROM part)),
+            n AS (SELECT count(*) AS c FROM
+                  (SELECT DISTINCT p_partkey FROM part)),
+            cand AS (
+              SELECT u, j,
+                     CAST('0x' || substr(md5('neg' || CAST(u AS VARCHAR)
+                       || '-' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT c FROM n) AS idx
+              FROM users,
+                   (SELECT unnest(generate_series(1, 20)) AS j)),
+            hits AS (
+              SELECT c.u, c.j, i.p_partkey AS item
+              FROM cand c JOIN items i USING (idx)),
+            neg AS (
+              SELECT u, item, min(j) AS draw
+              FROM hits h
+              WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.u = h.u AND p.i = h.item)
+              GROUP BY u, item),
+            ranked AS (
+              SELECT u, item, draw,
+                     row_number() OVER (PARTITION BY u ORDER BY draw)
+                       AS rank
+              FROM neg)
+            SELECT u AS custkey, item AS partkey,
+                   CAST(draw AS BIGINT) AS draw,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "token_cooccurrence_lift": """
             WITH bi AS (

@@ -428,6 +428,45 @@ def cmd_reconcile(cfg: dict) -> int:
     return 0 if match else 3
 
 
+def cmd_mine(cfg: dict) -> int:
+    """Constraint mining over synced parquet tables: candidate keys
+    (single + pair uniqueness, linkage.candidate_keys — one scan per
+    table via a multi-count-distinct agg) and inclusion dependencies
+    (linkage.inclusion_dependencies — mined FKs with containment ppm).
+    The discovery step the reference reads from information_schema
+    (tap-redshift/src/discover.py) but a constraint-free warehouse
+    cannot provide — so we mine it from the data itself.
+
+    Config: {"tables": {name: parquet_path, ...},
+             "key_columns": {table: [col, ...], ...},        # optional
+             "fk_candidates": [["tbl.col", "tbl.col"], ...]}  # optional
+    Emits one JSON report; exit 0."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        candidate_keys,
+        inclusion_dependencies,
+    )
+
+    spark = get_spark(app_name="mine")
+    tables = {n: spark.read.parquet(p) for n, p in cfg["tables"].items()}
+    report: dict = {}
+    for tname, cols in cfg.get("key_columns", {}).items():
+        rows = candidate_keys(tables[tname], list(cols)).collect()
+        report.setdefault("candidate_keys", {})[tname] = [
+            r.asDict() for r in rows
+        ]
+    cands = []
+    for child, parent in cfg.get("fk_candidates", []):
+        ct, cc = child.split(".", 1)
+        pt, pc = parent.split(".", 1)
+        cands.append((child, tables[ct], cc, parent, tables[pt], pc))
+    if cands:
+        report["inclusion_dependencies"] = [
+            r.asDict() for r in inclusion_dependencies(cands).collect()
+        ]
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -458,6 +497,10 @@ def main(argv: list[str] | None = None) -> int:
         "reconcile", help="fingerprint-compare two tables (sync audit)"
     )
     rc.add_argument("-c", "--config", required=True)
+    mn = sub.add_parser(
+        "mine", help="mine candidate keys + inclusion deps (FKs)"
+    )
+    mn.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -474,6 +517,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_diff(cfg)
     if args.cmd == "reconcile":
         return cmd_reconcile(cfg)
+    if args.cmd == "mine":
+        return cmd_mine(cfg)
     return cmd_sync(cfg, args.state)
 
 

@@ -395,3 +395,83 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
     return final_deg
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping_ppm: int = 850_000,
+    mass: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED simple graph in pure
+    integer arithmetic — the graph-centrality read on any mined edge
+    list (co-purchase hubs, near-dup ring centers), exact cross-engine
+    because nothing ever becomes a float: total mass is ``mass``
+    (parts-per-trillion units), every node starts at mass div N, and
+
+        rank'(v) = base + damping_ppm * sum_{u~v} (rank(u) div deg(u))
+                   div 1e6,
+        base     = (mass div N) * (1e6 - damping_ppm) div 1e6
+
+    (integer floor-div everywhere; all terms non-negative, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree). Undirected
+    edges mean every node has degree >= 1 — no dangling-mass term. A
+    FIXED iteration count (not convergence detection) keeps the result
+    a deterministic function of the graph, unrollable as k chained
+    CTEs by an independent engine.
+
+    Shape per iteration: one nodes-sized projection (per-node share =
+    rank div degree), one edge join + dst-keyed groupBy (THE PageRank
+    shuffle), one left join back to the node relation; localCheckpoint
+    truncates lineage (the connected-components discipline). All joins
+    shuffle_hash: node and edge relations are corpus-sized.
+
+    Returns (node, rank) — rank in ppt of total mass."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nodes = directed.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = directed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    base = (mass // n) * (1_000_000 - damping_ppm) // 1_000_000
+    ranks = nodes.withColumn("rank", F.lit(mass // n).cast("long"))
+    for _ in range(n_iter):
+        shares = ranks.join(deg.hint("shuffle_hash"), "node").select(
+            F.col("node").alias("u"),
+            F.expr("rank div __deg").alias("__share"),
+        )
+        contrib = (
+            directed.join(shares.hint("shuffle_hash"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("__share").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_ppm}L * coalesce(__s, 0L) div 1000000L"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

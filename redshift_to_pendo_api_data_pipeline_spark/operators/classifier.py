@@ -164,3 +164,61 @@ def score_logreg_fp(
              + F.col("b_fp")).alias("logit_fp"),
         )
     )
+
+
+def exact_auc(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann–Whitney rank statistic — the
+    threshold-free companion of the calibration table: with ascending
+    ranks r_i over all scores (ties -> average rank),
+
+        AUC = (sum of positive ranks - n_pos*(n_pos+1)/2) / (n_pos*n_neg)
+
+    computed entirely in integers: scores collapse to per-distinct-value
+    groups (count, positives), the cumulative count BEFORE each group
+    comes from ``global_prefix_sum`` over the score-cardinality relation
+    (range-partitioned — no single-reducer corpus sort), and each
+    group's DOUBLED average rank is ``2*before + count + 1`` (doubling
+    keeps the half-integer average exact). One output row:
+    n_pos, n_neg, auc_ppm = (2*R_pos - n_pos*(n_pos+1)) * 1e6
+    div (2*n_pos*n_neg).
+
+    Scale: the corpus pass is one groupBy on the score; everything after
+    is bounded by score cardinality. No floats anywhere, so the metric
+    hash-checks cross-engine."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_prefix_sum,
+    )
+
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__cp"),
+    )
+    cum = global_prefix_sum(g, ["__s"], "__c", prefix_name="__cum")
+    terms = cum.select(
+        "__c", "__cp",
+        (F.lit(2) * (F.col("__cum") - F.col("__c"))
+         + F.col("__c") + F.lit(1)).alias("__avg2"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("__cp") * F.col("__avg2")).cast("long").alias("__r2"),
+        F.sum("__cp").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__cp")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        # one-class input has no ranking to score: NULL, not a crash
+        # (ANSI div-by-zero guard)
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.expr(
+                "(__r2 - n_pos * (n_pos + 1)) * 1000000L"
+                " div (2 * n_pos * n_neg)"
+            )
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -202,6 +202,65 @@ def inclusion_dependencies(
     return out
 
 
+def candidate_keys(
+    df: DataFrame, cols: list[str], max_width: int = 2
+) -> DataFrame:
+    """Candidate-key mining — the PK-DISCOVERY complement of the
+    reference's declared-PK scan (tap-redshift reads
+    ``information_schema`` key constraints; a warehouse with no
+    declared keys needs them mined, same motivation as
+    :func:`inclusion_dependencies`): for every single column and (with
+    ``max_width=2``) column pair, the distinct-tuple count and
+    uniqueness ratio; ``uniqueness_ppm == 1_000_000`` is a candidate
+    key.
+
+    ONE corpus pass: all combos evaluate as count-distinct aggregates
+    in a single ``agg`` (Catalyst plans one scan with an Expand — cost
+    scales with combo count per row, not scans per combo), then the
+    one wide row melts to a row per combo via ``stack``. Combo count
+    is schema-bounded (C(w,1)+C(w,2)), never data-bounded.
+
+    Null caveat: single-column counts ignore NULLs (SQL COUNT DISTINCT
+    semantics in both engines); pair counts use struct tuples, which
+    count a tuple containing a NULL — document columns are expected
+    null-free for exact key claims."""
+    if not cols:
+        raise ValueError("at least one column required")
+    if max_width not in (1, 2):
+        raise ValueError(f"max_width must be 1 or 2, got {max_width}")
+    ordered = sorted(cols)
+    combos: list[tuple[str, ...]] = [(c,) for c in ordered]
+    if max_width == 2:
+        combos += [
+            (a, b) for i, a in enumerate(ordered) for b in ordered[i + 1:]
+        ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, combo in enumerate(combos):
+        expr = (
+            F.countDistinct(F.col(combo[0]))
+            if len(combo) == 1
+            else F.countDistinct(F.struct(*[F.col(c) for c in combo]))
+        )
+        aggs.append(expr.cast("long").alias(f"__c{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{'+'.join(combo)}', __c{i}" for i, combo in enumerate(combos)
+    )
+    melted = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(combos)}, {stack_args}) AS (candidate, n_distinct)"
+        ),
+    )
+    return melted.select(
+        "candidate", "n_rows", "n_distinct",
+        F.when(F.col("n_rows") == 0, F.lit(0))
+        .otherwise(F.expr("n_distinct * 1000000L div n_rows"))
+        .cast("long").alias("uniqueness_ppm"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )
+
+
 def golden_records(
     df: DataFrame,
     cluster_col: str,

@@ -520,3 +520,98 @@ def stratified_quota_sample(
         .where(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    items: DataFrame,
+    item_id_col: str,
+    k: int,
+    oversample: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the contrastive complement of similarity.hard_negative_mining's
+    embedding-based negatives): for every user in ``positives``, ``k``
+    items they did NOT interact with, drawn pseudo-randomly but
+    REPRODUCIBLY — draw j's candidate is the item whose dense index is
+    md5(salt||user||'-'||j)'s first 32 bits mod |items|, so the sample
+    is a pure function of (corpus, salt): same inputs => same
+    negatives on every engine and every rerun, the property an RNG
+    (and Spark's per-partition rand()) cannot give.
+
+    Shape: the item dictionary gets a dense 0..n-1 index via
+    ``global_ranks`` (range-partitioned, no single-reducer window);
+    each user explodes into k·oversample draws (a LINEAR candidate
+    relation); candidates join the dictionary on the integer index,
+    anti-join the positives (both shuffle_hash — user-item relations
+    are corpus-sized at scale, never broadcast), collapse duplicate
+    hits to their first draw, and a per-user window keeps the first
+    ``k`` surviving draws. Oversampling covers draws lost to
+    collisions/positives; with item sets >> per-user history the
+    default 4x makes a short fill vanishingly rare (and a short fill
+    is visible in the output, not silent: fewer than k rows for that
+    user).
+
+    Output: user, item (negative), ``draw`` (the j that found it),
+    ``rank`` (1..k by draw order)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    dict_items = items.select(F.col(item_id_col).alias("__item")).distinct()
+    n_items = dict_items.count()
+    if n_items == 0:
+        raise ValueError("items relation is empty")
+    idx_items = global_ranks(dict_items, ["__item"], rank_name="__r").select(
+        (F.col("__r") - 1).alias("__idx"), "__item"
+    )
+    users = positives.select(F.col(user_col).alias("__u")).distinct()
+    draws = users.withColumn(
+        "__j",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, k * oversample + 1)])
+        ),
+    )
+    hex8 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("__u").cast("string"),
+                F.lit("-"),
+                F.col("__j").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    cand = draws.withColumn(
+        "__idx",
+        F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(n_items)),
+    )
+    pos = positives.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__item")
+    ).distinct()
+    surviving = (
+        cand.join(idx_items.hint("shuffle_hash"), "__idx")
+        .join(pos.hint("shuffle_hash"), ["__u", "__item"], "left_anti")
+        .groupBy("__u", "__item")
+        .agg(F.min("__j").alias("draw"))
+    )
+    w = Window.partitionBy("__u").orderBy("draw")
+    return (
+        surviving.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__u").alias(user_col),
+            F.col("__item").alias(item_col),
+            F.col("draw").cast("long").alias("draw"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

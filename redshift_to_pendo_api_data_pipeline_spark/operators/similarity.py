@@ -1536,3 +1536,170 @@ def label_margin_screen(
             .alias("margin"),
         )
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    rank_col: str,
+    weights: list[int],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Order-aware retrieval quality — MRR and DCG/NDCG@k — for a
+    system's RANKED id list against a ground-truth id set, completing
+    the ANN audit beyond set-level recall (recall can't see that the
+    true best neighbor came back at rank 19).
+
+    ``weights[r-1]`` is the integer discount for rank r (caller
+    precomputes e.g. floor(scale/log2(r+1)) — the log never evaluates
+    inside either engine, so the metric stays integer-exact
+    cross-engine). IDCG is the weight sum (ground truth ≥ k items by
+    contract). Output one row: n_hits, first_hit_rank (0 when no hit),
+    rr_scaled = scale div first_hit_rank, dcg (sum of hit weights),
+    ndcg_scaled = dcg·scale div IDCG.
+
+    Shape: one semi-join of the k-row ranked list against the truth set
+    plus a scalar aggregate — both k-bounded; rows with rank outside
+    1..k are rejected (element_at under ANSI would throw)."""
+    k = len(weights)
+    if k == 0:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    idcg = int(sum(weights))
+    hits = (
+        ranked.where(
+            (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+        )
+        .join(truth.select(id_col).distinct(), id_col, "left_semi")
+    )
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.coalesce(F.min(rank_col), F.lit(0)).cast("long")
+        .alias("first_hit_rank"),
+        F.coalesce(
+            F.sum(F.element_at(warr, F.col(rank_col).cast("int"))),
+            F.lit(0),
+        ).cast("long").alias("dcg"),
+    )
+    return agg.select(
+        "n_hits", "first_hit_rank", "dcg",
+        F.when(F.col("first_hit_rank") == 0, F.lit(0))
+        .otherwise(F.expr(f"{int(scale)}L div first_hit_rank"))
+        .cast("long").alias("rr_scaled"),
+        F.expr(f"dcg * {int(scale)}L div {idcg}L")
+        .cast("long").alias("ndcg_scaled"),
+    )
+
+
+def _fp_vec(vec_col: str, scale: int):
+    """Fixed-point a double array with round-half-away-from-zero —
+    the same rounding contract as embedding_moments_fp (sign·floor
+    (abs+0.5) == SQL round()), expressed as JVM array algebra."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: (
+            F.signum(x) * F.floor(F.abs(x) * F.lit(float(scale)) + F.lit(0.5))
+        ).cast("long"),
+    )
+
+
+def pca_project_fp(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    components_fp: list[list[int]],
+    mean_fp: list[int],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Serve a trained PCA: project every embedding onto fixed-point
+    principal components — the dimensionality-reduction sibling of the
+    PQ/IVF serving paths (train driver-side on the dim²-bounded moment
+    sidecar, serve distributed in exact integer arithmetic).
+
+    ``components_fp`` (k × dim) and ``mean_fp`` (dim) are
+    driver-trained integer sidecars (from ``embedding_moments_fp`` →
+    ``covariance_from_moments`` → eigh, fixed-pointed and staged so an
+    independent engine can re-derive every projection). Projection is
+    pure map-side array algebra — fixed-point the vector
+    (round-half-away, the moments contract), subtract the mean, dot
+    each component via zip_with+aggregate — ZERO shuffles, zero
+    Python: the 100 TB projection job is a single narrow scan. Output
+    long-form (id, pc, proj_fp2) with proj in scale² units (no
+    division — integer division of signed sums is where engines
+    diverge, so we don't).
+
+    Overflow bound: |centered| ≲ 2·scale, |comp| ≤ scale ⇒ per-term
+    ≤ 2·scale², times dim — at scale 1e6, dim ≤ ~4000 stays in
+    BIGINT."""
+    k = len(components_fp)
+    if k == 0:
+        raise ValueError("at least one component required")
+    dim = len(mean_fp)
+    if any(len(c) != dim for c in components_fp):
+        raise ValueError("component/mean dimension mismatch")
+    mean_arr = F.array(*[F.lit(int(m)) for m in mean_fp])
+    centered = F.zip_with(
+        _fp_vec(vec_col, scale), mean_arr, lambda x, m: x - m
+    )
+    base = df.select(F.col(id_col), centered.alias("__c"))
+
+    def _dot(comp: list[int]):
+        comp_arr = F.array(*[F.lit(int(c)) for c in comp])
+        return F.aggregate(
+            F.zip_with(F.col("__c"), comp_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # all k dots in ONE projection, exploded row-side: one corpus scan
+    # total (a per-component union would re-scan k times)
+    kv = F.array(*[
+        F.struct(
+            F.lit(pc).cast("long").alias("pc"),
+            _dot(comp).cast("long").alias("proj_fp2"),
+        )
+        for pc, comp in enumerate(components_fp)
+    ])
+    return base.select(F.col(id_col), F.explode(kv).alias("__kv")).select(
+        F.col(id_col),
+        F.col("__kv.pc").alias("pc"),
+        F.col("__kv.proj_fp2").alias("proj_fp2"),
+    )
+
+
+def train_pca_fp(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    scale: int = 10**6,
+) -> tuple[list[list[int]], list[int]]:
+    """Driver-side PCA training sidecar: exact integer moments
+    (one distributed pass, `embedding_moments_fp`) → covariance →
+    numpy eigh → top-k components by eigenvalue, each sign-canonicalized
+    (its largest-|entry| made positive — eigh's sign is arbitrary, the
+    canonical form makes training reproducible) and fixed-pointed.
+    Returns (components_fp k×dim, mean_fp dim) — dim²-bounded driver
+    state, the same contract as the k-means/PQ codebook sidecars."""
+    rows = df.select(vec_col).limit(1).collect()
+    if not rows:
+        raise ValueError("empty input")
+    dim = len(rows[0][0])
+    moments = embedding_moments_fp(df, vec_col, scale=scale).collect()
+    n = int(moments[0]["n"]) if moments else 0
+    if n == 0:
+        raise ValueError("empty input")
+    cov = covariance_from_moments(moments, dim, scale=scale)
+    sums = {int(r["i"]): int(r["sum_i"]) for r in moments}
+    mean_fp = [sums[d] // n for d in range(dim)]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(
+            [int(np.sign(x) * np.floor(abs(x) * scale + 0.5)) for x in v]
+        )
+    return comps, mean_fp

@@ -76,3 +76,64 @@ def salted_join(
     )
     out = big_s.join(small_r, on=[key, "__salt"], how="inner").drop("__salt")
     return out
+
+
+def join_size_profile(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str,
+) -> DataFrame:
+    """EXACT join-cardinality profile BEFORE paying for the join — the
+    planning diagnostic that decides salting/bucketing at 100 TB: for an
+    equi-join on k, output rows are sum_k f_left(k)*f_right(k), a number
+    two cheap per-key count aggregations fully determine. A key whose
+    single product dominates the sum is the skew key AQE's runtime stats
+    would only discover mid-shuffle; this sees it for the cost of two
+    linear passes plus a key-cardinality join.
+
+    One summary row: row counts, key cardinalities, shared keys, the
+    exact join output size, the largest single-key contribution and its
+    key (min key on ties — deterministic), and the skew share in ppm
+    (max contribution / join rows; 1e6 = the whole join is one key).
+
+    Shape: two groupBys (map-side combined), one key-dictionary inner
+    join (shuffle_hash — dictionaries are key-cardinality, unbounded at
+    scale, never broadcast), and a scalar aggregate. The candidate join
+    itself is never executed."""
+    fa = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__fa")
+    )
+    fb = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__fb")
+    )
+    shared = fa.join(fb.hint("shuffle_hash"), "__k").select(
+        "__k", (F.col("__fa") * F.col("__fb")).alias("__prod")
+    )
+    tot_a = left.agg(F.count(F.lit(1)).cast("long").alias("n_left_rows"))
+    tot_b = right.agg(F.count(F.lit(1)).cast("long").alias("n_right_rows"))
+    keys_a = fa.agg(F.count(F.lit(1)).cast("long").alias("n_left_keys"))
+    keys_b = fb.agg(F.count(F.lit(1)).cast("long").alias("n_right_keys"))
+    top = shared.orderBy(F.desc("__prod"), F.asc("__k")).limit(1).select(
+        F.col("__k").cast("string").alias("top_key"),
+        F.col("__prod").alias("max_key_rows"),
+    )
+    sums = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+        F.coalesce(F.sum("__prod"), F.lit(0)).cast("long")
+        .alias("join_rows"),
+    )
+    # five bounded scalars -> one row (1x1 cross joins, the audit shape)
+    return (
+        tot_a.crossJoin(tot_b).crossJoin(keys_a).crossJoin(keys_b)
+        .crossJoin(sums).join(top, F.lit(True), "left")
+        .select(
+            "n_left_rows", "n_right_rows", "n_left_keys", "n_right_keys",
+            "n_shared_keys", "join_rows",
+            F.coalesce("max_key_rows", F.lit(0)).cast("long")
+            .alias("max_key_rows"),
+            "top_key",
+            F.when(F.col("join_rows") == 0, F.lit(0))
+            .otherwise(
+                F.expr("coalesce(max_key_rows, 0L) * 1000000L div join_rows")
+            )
+            .cast("long").alias("skew_ppm"),
+        )
+    )

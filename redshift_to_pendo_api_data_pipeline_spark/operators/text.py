@@ -951,3 +951,187 @@ def ngram_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    cutoffs_pct: list[int] | None = None,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve — the 'will my vocabulary fit'
+    scaling diagnostic every tokenizer/embedding-table decision needs
+    BEFORE committing to a corpus 100x this size: distinct-token count
+    and token-occurrence count at corpus prefixes (deterministic doc-id
+    order), e.g. 25/50/75/100%.
+
+    THE scale trick is the min-first-appearance inversion: instead of
+    re-scanning the corpus per cutoff (the naive curve), each token
+    maps once to the RANK OF ITS FIRST DOC (one explode + one token
+    groupBy), and every cutoff's vocabulary is then a conditional count
+    over the vocabulary-sized relation — cutoff count grows the
+    conditional-sum width, never the number of corpus passes. Doc ranks
+    come from ``global_ranks`` (range-partitioned, no single-reducer
+    window). Occurrence counts ride a per-doc count relation the same
+    way.
+
+    Output: (pct, cutoff_docs, n_occurrences, vocab_size) per cutoff."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+
+    cuts = sorted(cutoffs_pct or [25, 50, 75, 100])
+    if not cuts or cuts[0] < 1 or cuts[-1] > 100:
+        raise ValueError(f"cutoffs_pct must be within 1..100, got {cuts}")
+    n = df.count()
+    ranked = global_ranks(
+        df.select(F.col(id_col), F.col(text_col)), [id_col],
+        rank_name="__rn",
+    )
+    toks = ranked.select(
+        "__rn",
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    first_seen = toks.groupBy("t").agg(F.min("__rn").alias("__m"))
+    doc_counts = toks.groupBy("__rn").agg(
+        F.count(F.lit(1)).cast("long").alias("__tc")
+    )
+    rows = None
+    for pct in cuts:
+        cr = n * pct // 100
+        vocab = first_seen.agg(
+            F.sum(F.when(F.col("__m") <= cr, 1).otherwise(0))
+            .cast("long").alias("vocab_size")
+        )
+        occ = doc_counts.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__rn") <= cr, F.col("__tc"))), F.lit(0)
+            ).cast("long").alias("n_occurrences")
+        )
+        row = (
+            occ.crossJoin(vocab)  # 1x1
+            .select(
+                F.lit(pct).cast("long").alias("pct"),
+                F.lit(cr).cast("long").alias("cutoff_docs"),
+                "n_occurrences", "vocab_size",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def zipf_token_ranks(
+    df: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """Zipf rank–frequency head of the corpus: top-k tokens by
+    frequency (count desc, token asc — deterministic), each with its
+    rank and the rank·frequency product (Zipf's law says the product is
+    roughly constant; a head whose product decays steeply flags
+    boilerplate dominance, a known dedup smell). One explode + one
+    token-key groupBy + TakeOrderedAndProject(top_k) — the rank window
+    runs over the k-row result, bounded by contract."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("t"))
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank", F.col("t").alias("token"), "freq",
+        (F.col("rank") * F.col("freq")).cast("long").alias("rank_freq"),
+    )
+
+
+def compression_stats_staged(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression size — the classic repetition /
+    boilerplate quality signal (Gopher's 'highly compressible document'
+    screen, Rae et al. 2021 §A1.1): near-duplicate boilerplate and
+    keyword-stuffed spam compress far below natural prose. Compression
+    runs in ONE Arrow-batched pass (a declared Python edge — a DEFLATE
+    codec is not expressible in JVM column algebra) and the (doc,
+    n_raw, n_comp) relation is STAGED to the lake, so every downstream
+    screen is a pure-JVM scan of the staged parquet, the codec cost is
+    paid once per corpus version, and an independent engine can audit
+    the screen arithmetic from the staged artifact (the WavCodec
+    contract: the codec itself is pinned by roundtrip/monotonicity
+    unit tests).
+
+    n_raw/n_comp are UTF-8 byte counts at a FIXED zlib level — the
+    ratio is a pure function of (text, level) for a given zlib, and
+    the staged relation freezes it."""
+    import zlib
+
+    lvl = int(level)
+
+    def _compress(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf[text_col].astype(str)]
+            yield pd.DataFrame({
+                "doc": pdf[id_col],
+                "n_raw": [len(b) for b in raw],
+                "n_comp": [len(zlib.compress(b, lvl)) for b in raw],
+            })
+
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    stats = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _compress, schema="doc long, n_raw long, n_comp long"
+    )
+    stage_parquet(stats, path)
+    return df.sparkSession.read.parquet(path)
+
+
+def compression_quality(
+    stats: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    repetitive_below_ppm: int = 400_000,
+) -> DataFrame:
+    """Per-group compression-quality report over a staged
+    compression-stats relation: document counts, exact byte totals,
+    the group's aggregate compression ratio in ppm (sum-over-sum — an
+    exact integer, not a mean of per-doc floats), and how many
+    documents fall under the 'repetitive' threshold. One join + one
+    groupBy; empty documents (n_raw = 0) are counted but excluded from
+    ratio arithmetic (guard, not a crash)."""
+    j = stats.join(
+        docs.select(F.col(id_col).alias("doc"), F.col(group_col)),
+        "doc",
+    ).withColumn(
+        "__r",
+        F.when(F.col("n_raw") == 0, F.lit(None)).otherwise(
+            F.expr("n_comp * 1000000L div n_raw")
+        ),
+    )
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_raw").cast("long").alias("raw_bytes"),
+        F.sum("n_comp").cast("long").alias("comp_bytes"),
+        # a group of only-empty docs has no ratio: NULL, not an ANSI
+        # div-by-zero crash
+        F.expr(
+            "CASE WHEN sum(n_raw) = 0 THEN NULL"
+            " ELSE sum(n_comp) * 1000000L div sum(n_raw) END"
+        ).cast("long").alias("mean_ratio_ppm"),
+        F.sum(
+            F.when(F.col("__r") < repetitive_below_ppm, 1).otherwise(0)
+        ).cast("long").alias("n_repetitive"),
+    )

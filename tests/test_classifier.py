@@ -178,3 +178,31 @@ def test_streaming_scores_match_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch_scores and len(got) == 80
+
+
+def test_exact_auc_perfect_and_tied(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import exact_auc
+
+    # perfect separation -> AUC 1.0
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["s", "y"]
+    )
+    row = exact_auc(perfect, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_ppm"]) == (2, 2, 1_000_000)
+    # all scores tied -> AUC exactly 0.5 (tie-averaged ranks)
+    tied = spark.createDataFrame(
+        [(7, 0), (7, 1), (7, 0), (7, 1)], ["s", "y"]
+    )
+    assert exact_auc(tied, "s", "y").collect()[0]["auc_ppm"] == 500_000
+    # hand case: scores 1,2,3,4 labels 0,1,0,1 -> pairs won 3/4
+    hand = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 1)], ["s", "y"]
+    )
+    assert exact_auc(hand, "s", "y").collect()[0]["auc_ppm"] == 750_000
+
+
+def test_exact_auc_one_class_is_null(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import exact_auc
+
+    onec = spark.createDataFrame([(1, 1), (2, 1)], ["s", "y"])
+    assert exact_auc(onec, "s", "y").collect()[0]["auc_ppm"] is None

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+    golden_records,
     inclusion_dependencies,
     linkage_scores,
     sorted_neighborhood_pairs,
@@ -120,3 +121,79 @@ def test_inclusion_dependencies_multi_candidates_one_row_each(spark):
 def test_inclusion_dependencies_validation():
     with pytest.raises(ValueError, match="candidate"):
         inclusion_dependencies([])
+
+
+def test_golden_records_modal_and_tiebreak(spark):
+    rows = [
+        # cluster 1: name modal 'acme' (2 vs 1); size ties 1-1-1 -> min 3
+        (1, "acme", 3), (1, "acme", 9), (1, "acm", 7),
+        # cluster 2: singleton passes through
+        (2, "solo", 5),
+    ]
+    df = spark.createDataFrame(rows, ["cluster", "name", "size"])
+    got = {
+        (r["cluster"], r["n_members"], r["name"], r["size"])
+        for r in golden_records(df, "cluster", ["name", "size"]).collect()
+    }
+    assert got == {(1, 3, "acme", 3), (2, 1, "solo", 5)}
+
+
+def test_golden_records_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["cluster", "name"])
+    with pytest.raises(ValueError, match="field"):
+        golden_records(df, "cluster", [])
+
+
+def test_candidate_keys_singles_and_pairs(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 10), (4, "b", 20)],
+        ["pk", "grp", "val"],
+    )
+    rows = {r["candidate"]: r for r in candidate_keys(
+        df, ["pk", "grp", "val"]).collect()}
+    assert len(rows) == 3 + 3
+    assert rows["pk"]["is_key"] and rows["pk"]["uniqueness_ppm"] == 1_000_000
+    assert not rows["grp"]["is_key"] and rows["grp"]["n_distinct"] == 2
+    assert rows["grp+val"]["n_distinct"] == 3  # (a,10),(b,10),(b,20)
+    assert not rows["grp+val"]["is_key"]
+    assert rows["grp+pk"]["is_key"]  # pk alone unique -> any pair with it
+
+
+def test_candidate_keys_validation(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ValueError, match="column"):
+        candidate_keys(df, [])
+    with pytest.raises(ValueError, match="max_width"):
+        candidate_keys(df, ["a"], max_width=3)
+
+
+def test_cli_mine_end_to_end(spark, capsys):
+    import json
+
+    from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_mine
+
+    sf = "/root/testdata/sf0.001"
+    rc = cmd_mine({
+        "tables": {
+            "orders": f"{sf}/orders.parquet",
+            "customer": f"{sf}/customer.parquet",
+        },
+        "key_columns": {"orders": ["o_orderkey", "o_custkey"]},
+        "fk_candidates": [["orders.o_custkey", "customer.c_custkey"]],
+    })
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    keys = {r["candidate"]: r for r in report["candidate_keys"]["orders"]}
+    assert keys["o_orderkey"]["is_key"] is True
+    assert keys["o_custkey"]["is_key"] is False
+    fk = report["inclusion_dependencies"][0]
+    assert fk["child_ref"] == "orders.o_custkey"
+    assert fk["containment_ppm"] == 1_000_000

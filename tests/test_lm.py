@@ -401,3 +401,74 @@ def test_streaming_index_append_exactly_once_and_served(spark, sf_dir, tmp_path)
     rows = top.collect()
     assert rows[0]["vec_id"] == q_new["vec_id"]
     assert abs(rows[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_vocab_growth_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d e"), (4, "a")],
+        ["doc_id", "text"],
+    )
+    rows = {r["pct"]: r for r in vocab_growth(
+        docs, "text", "doc_id", cutoffs_pct=[50, 100]).collect()}
+    # 50% -> first 2 docs: occurrences 4, vocab {a,b,c}=3
+    assert rows[50]["cutoff_docs"] == 2
+    assert rows[50]["n_occurrences"] == 4
+    assert rows[50]["vocab_size"] == 3
+    # 100% -> 8 occurrences, vocab {a..e}=5
+    assert rows[100]["n_occurrences"] == 8
+    assert rows[100]["vocab_size"] == 5
+    # vocabulary growth is monotone by construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cutoffs_pct"):
+        vocab_growth(docs, "text", "doc_id", cutoffs_pct=[0, 50])
+
+
+def test_zipf_token_ranks_order_and_product(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        zipf_token_ranks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x y w")], ["doc_id", "text"]
+    )
+    rows = zipf_token_ranks(docs, "text", top_k=3).collect()
+    assert [(r["rank"], r["token"], r["freq"]) for r in rows] == [
+        (1, "x", 4), (2, "y", 3), (3, "w", 1)  # w before z on tie
+    ]
+    assert all(r["rank_freq"] == r["rank"] * r["freq"] for r in rows)
+
+
+def test_compression_screen_pins_codec_and_arithmetic(spark, tmp_path):
+    import zlib
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        compression_quality,
+        compression_stats_staged,
+    )
+
+    rep = "spam spam spam spam spam " * 40        # highly compressible
+    nat = "the quick brown fox jumps over xyzw "  # less so
+    docs = spark.createDataFrame(
+        [(1, rep, "a"), (2, nat * 5, "a"), (3, "", "b")],
+        ["doc_id", "text", "source"],
+    )
+    stats = compression_stats_staged(
+        docs, "text", "doc_id", f"{tmp_path}/cstats.parquet"
+    )
+    got = {r["doc"]: r for r in stats.collect()}
+    # codec pin: staged lengths equal a direct zlib call, roundtrip safe
+    assert got[1]["n_comp"] == len(zlib.compress(rep.encode(), 6))
+    assert zlib.decompress(zlib.compress(rep.encode(), 6)).decode() == rep
+    # monotonicity: repetitive text compresses far better than prose
+    r1 = got[1]["n_comp"] * 1_000_000 // got[1]["n_raw"]
+    r2 = got[2]["n_comp"] * 1_000_000 // got[2]["n_raw"]
+    assert r1 < r2
+    report = {r["source"]: r for r in compression_quality(
+        stats, docs, "doc_id", "source").collect()}
+    assert report["a"]["n_docs"] == 2
+    assert report["a"]["n_repetitive"] >= 1  # the spam doc
+    # empty doc: counted, never a div-by-zero
+    assert report["b"]["n_docs"] == 1

@@ -292,3 +292,52 @@ def test_char_entropy_degenerate_text_scores_low(spark):
     assert rows[1]["ent_bits_x_n"] == rows[1]["n_chars"]
     assert rows[1]["distinct_symbols"] == 1
     assert rows[2]["ent_bits_x_n"] > 2 * rows[2]["n_chars"]
+
+
+def _pagerank_ref(edges, n_iter=3, damping_ppm=850_000, mass=10**12):
+    """Pure-Python mirror of pagerank_fixed's integer recurrence."""
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = (mass // n) * (1_000_000 - damping_ppm) // 1_000_000
+    r = {v: mass // n for v in adj}
+    for _ in range(n_iter):
+        share = {v: r[v] // len(adj[v]) for v in adj}
+        r = {
+            v: base
+            + damping_ppm * sum(share[u] for u in adj[v]) // 1_000_000
+            for v in adj
+        }
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        pagerank_fixed,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 3),
+             (2, 1), (7, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(df, n_iter=3).collect()
+    }
+    assert got == _pagerank_ref(edges)
+    # the hub (node 3, degree 5) outranks every leaf
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_validation(spark):
+    import pytest as _pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        pagerank_fixed,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="n_iter"):
+        pagerank_fixed(df, n_iter=0)

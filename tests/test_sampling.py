@@ -1,5 +1,6 @@
 """Deterministic sampling / data-mixing operators."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators import sampling as SA
@@ -134,3 +135,51 @@ def test_mixture_plan_temperature_flattens_and_refuses_inexact(spark):
 
     with pytest.raises(ValueError, match="temperature"):
         mixture_plan_temperature(df, "text", "source", 3)
+
+
+def test_negative_samples_disjoint_deterministic(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    positives = spark.createDataFrame(
+        [(u, i) for u in range(1, 6) for i in range(u, u + 3)],
+        ["user", "item"],
+    )
+    items = spark.createDataFrame([(i,) for i in range(30)], ["item_id"])
+    out1 = negative_samples(
+        positives, "user", "item", items, "item_id", k=4
+    ).collect()
+    # never a positive, at most k per user, ranks are 1..k by draw order
+    pos = {(r["user"], r["item"]) for r in positives.collect()}
+    by_user = {}
+    for r in out1:
+        assert (r["user"], r["item"]) not in pos
+        by_user.setdefault(r["user"], []).append((r["rank"], r["draw"]))
+    for u, rows in by_user.items():
+        rows.sort()
+        assert len(rows) <= 4
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        draws = [d for _, d in rows]
+        assert draws == sorted(draws)
+    # determinism: a second invocation returns the identical relation
+    out2 = negative_samples(
+        positives, "user", "item", items, "item_id", k=4
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_negative_samples_validation(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    positives = spark.createDataFrame([(1, 2)], ["user", "item"])
+    items = spark.createDataFrame([(1,)], ["item_id"])
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(positives, "user", "item", items, "item_id", k=0)
+    empty_items = spark.createDataFrame([], "item_id: int")
+    with pytest.raises(ValueError, match="empty"):
+        negative_samples(
+            positives, "user", "item", empty_items, "item_id", k=1
+        )

@@ -125,3 +125,39 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_size_profile_exact(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.skew import (
+        join_size_profile,
+    )
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("b",), ("d",)], ["k"]
+    )
+    row = join_size_profile(left, "k", right, "k").collect()[0]
+    # a: 2*1=2, b: 1*3=3 -> join_rows 5, top key b
+    assert row["n_left_rows"] == 4 and row["n_right_rows"] == 5
+    assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+    assert row["n_shared_keys"] == 2
+    assert row["join_rows"] == 5
+    assert row["max_key_rows"] == 3 and row["top_key"] == "b"
+    assert row["skew_ppm"] == 3 * 1_000_000 // 5
+    # verify against the actually-executed join
+    assert left.join(right, "k").count() == row["join_rows"]
+
+
+def test_join_size_profile_disjoint(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.skew import (
+        join_size_profile,
+    )
+
+    left = spark.createDataFrame([("a",)], ["k"])
+    right = spark.createDataFrame([("z",)], ["k"])
+    row = join_size_profile(left, "k", right, "k").collect()[0]
+    assert row["join_rows"] == 0 and row["n_shared_keys"] == 0
+    assert row["max_key_rows"] == 0 and row["skew_ppm"] == 0
+    assert row["top_key"] is None

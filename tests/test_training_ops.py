@@ -107,3 +107,88 @@ def test_gapfill_fills_and_carries(spark):
     assert rows[("k2", "2024-01-01 00:00:00")] == (0, None)  # before first obs
     assert rows[("k2", "2024-01-01 01:00:00")] == (1, 500)
     assert rows[("k2", "2024-01-01 03:00:00")] == (0, 500)
+
+
+def test_ranking_metrics_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["id", "rank"]
+    )
+    truth = spark.createDataFrame([(20,), (30,), (99,)], ["id"])
+    weights = [100, 63, 50]
+    row = ranking_metrics(
+        ranked, truth, "id", "rank", weights, scale=1_000_000
+    ).collect()[0]
+    assert row["n_hits"] == 2
+    assert row["first_hit_rank"] == 2
+    assert row["dcg"] == 63 + 50
+    assert row["rr_scaled"] == 1_000_000 // 2
+    assert row["ndcg_scaled"] == 113 * 1_000_000 // (100 + 63 + 50)
+
+
+def test_ranking_metrics_no_hits_and_bounds(spark):
+    import pytest as _pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame([(1, 1), (2, 99)], ["id", "rank"])
+    truth = spark.createDataFrame([(2,)], ["id"])  # only the out-of-bounds row
+    row = ranking_metrics(
+        ranked, truth, "id", "rank", [100, 50]
+    ).collect()[0]
+    # rank 99 is outside 1..k -> filtered, so no hits, all zeros
+    assert (row["n_hits"], row["first_hit_rank"], row["dcg"],
+            row["rr_scaled"], row["ndcg_scaled"]) == (0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="weights"):
+        ranking_metrics(ranked, truth, "id", "rank", [])
+
+
+def test_pca_train_and_project(spark):
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        pca_project_fp,
+        train_pca_fp,
+    )
+
+    # anisotropic cloud: x-spread 10x the y-spread, z noise tiny
+    rng = np.random.RandomState(7)
+    pts = np.stack([
+        rng.randn(200) * 1.0, rng.randn(200) * 0.1, rng.randn(200) * 0.01,
+    ], axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, v array<double>",
+    )
+    comps, mean = train_pca_fp(df, "v", k=2)
+    assert len(comps) == 2 and len(comps[0]) == 3 and len(mean) == 3
+    # first component points along x (sign-canonicalized positive)
+    assert abs(comps[0][0]) > 900_000 and comps[0][0] > 0
+    proj = pca_project_fp(df, "v", "id", comps, mean).collect()
+    by_pc = {}
+    for r in proj:
+        by_pc.setdefault(r["pc"], []).append(r["proj_fp2"])
+    # variance ordering: pc0 spread dominates pc1
+    assert np.std(by_pc[0]) > 3 * np.std(by_pc[1])
+    # determinism: retraining yields identical integer artifacts
+    comps2, mean2 = train_pca_fp(df, "v", k=2)
+    assert comps2 == comps and mean2 == mean
+
+
+def test_pca_project_validation(spark):
+    import pytest as _pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        pca_project_fp,
+    )
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="component"):
+        pca_project_fp(df, "v", "id", [], [0, 0])
+    with _pytest.raises(ValueError, match="mismatch"):
+        pca_project_fp(df, "v", "id", [[1, 2, 3]], [0, 0])
