@@ -4648,6 +4648,64 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_quality(stats, docs, "doc_id", "source")
 
 
+def q_part_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match refinement of the Fellegi–Sunter pairs
+    (operators/linkage.mutual_best_match): a pair survives only when
+    each side is the other's single best partner — the high-precision
+    ER filter that kills transitive chains before clustering. Same
+    scored candidates as part_record_linkage, one window + one
+    best-relation self-join."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    pairs = q_part_record_linkage(spark, sf_dir)
+    return mutual_best_match(pairs, "k_a", "k_b", "link_score")
+
+
+def q_event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length histogram of per-user event streams
+    (operators/temporal.run_length_encode): consecutive identical
+    event types collapse to runs; the (event_type, run_len → n_runs)
+    histogram is the rage-click / retry-storm / duplicate-beacon
+    diagnostic. One key exchange shared by both windows and the
+    collapse."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        run_length_encode,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    runs = run_length_encode(
+        ev, "user_id", "event_type", ["ts", "event_id"]
+    )
+    return runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
+
+
+_WEAK_RULES = {
+    "compute": ["join", "agg", "hash", "sort", "group"],
+    "storage": ["table", "column", "scan", "row"],
+    "streaming": ["stream", "window", "batch"],
+}
+
+
+def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeling (operators/classifier.weak_label):
+    keyword labeling functions vote per document with distinct-hit
+    counts; argmax with deterministic tiebreaks, explicit abstain rows
+    — the Snorkel-style bootstrap that feeds train_logreg an auditable
+    label column instead of a manual pass. Rule table broadcast (the
+    one legitimately config-bounded broadcast); one explode + one
+    count + one per-doc argmax window."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        weak_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weak_label(docs, "text", "doc_id", _WEAK_RULES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4672,6 +4730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_token_ranks": q_zipf_token_ranks,
         "embedding_pca_projection": q_embedding_pca_projection,
         "compression_quality_sources": q_compression_quality,
+        "part_mutual_best_match": q_part_mutual_best_match,
+        "event_run_lengths": q_event_run_lengths,
+        "weak_labels_docs": q_weak_labels,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5102,6 +5163,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "weak_labels_docs": f"""
+            WITH kw(label, t) AS (VALUES {", ".join(
+                f"('{label}', '{kw}')"
+                for label in sorted(_WEAK_RULES)
+                for kw in sorted(set(_WEAK_RULES[label]))
+            )}),
+            toks AS (
+              SELECT DISTINCT doc_id AS doc,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            toks2 AS (SELECT doc, t FROM toks WHERE t <> ''),
+            votes AS (
+              SELECT doc, label, CAST(count(*) AS BIGINT) AS n
+              FROM toks2 JOIN kw USING (t) GROUP BY doc, label),
+            top AS (
+              SELECT doc, label, n,
+                     count(*) OVER (PARTITION BY doc) AS nl,
+                     row_number() OVER (PARTITION BY doc
+                       ORDER BY n DESC, label ASC) AS rn
+              FROM votes)
+            SELECT d.doc_id, coalesce(t.label, '__abstain') AS label,
+                   CAST(coalesce(t.n, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(t.nl, 0) AS BIGINT) AS n_labels_hit
+            FROM documents d
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+              ON t.doc = d.doc_id
+        """,
+        "part_mutual_best_match": """
+            WITH s AS (
+              SELECT p_partkey AS k, p_name AS n, p_type AS t,
+                     p_size AS z, p_brand AS b
+              FROM part),
+            pr AS (
+              SELECT x.k AS k_a, y.k AS k_b,
+                     (CASE WHEN levenshtein(x.n, y.n) <= 3
+                           THEN 18 ELSE -10 END)
+                   + (CASE WHEN x.t = y.t THEN 12 ELSE -8 END)
+                   + (CASE WHEN abs(x.z - y.z) <= 1 THEN 6 ELSE -4 END)
+                       AS score
+              FROM s x JOIN s y ON x.b = y.b AND x.k < y.k),
+            scored AS (SELECT k_a, k_b, score FROM pr WHERE score >= 20),
+            dirr AS (
+              SELECT k_a AS x, k_b AS y, score AS sc FROM scored
+              UNION ALL SELECT k_b, k_a, score FROM scored),
+            best AS (
+              SELECT x, y, sc FROM (
+                SELECT x, y, sc, row_number() OVER (
+                  PARTITION BY x ORDER BY sc DESC, y ASC) AS rn
+                FROM dirr) WHERE rn = 1)
+            SELECT b.x AS k_a, b.y AS k_b, CAST(b.sc AS BIGINT)
+                       AS link_score
+            FROM best b JOIN best b2 ON b2.x = b.y AND b2.y = b.x
+            WHERE b.x < b.y
+        """,
+        "event_run_lengths": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS nw
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT user_id, event_type,
+                     sum(nw) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS run
+              FROM o),
+            runs AS (
+              SELECT user_id, run, event_type,
+                     CAST(count(*) AS BIGINT) AS run_len
+              FROM r GROUP BY user_id, run, event_type)
+            SELECT event_type, run_len,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY event_type, run_len
         """,
         "compression_quality_sources": f"""
             WITH s AS (SELECT doc, n_raw, n_comp FROM read_parquet(

@@ -28,7 +28,7 @@ not models — this family is north-star extension surface, like dedup/ANN.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 BIAS_FEAT = -1  # the bias term rides the weight table as feature id -1
 
@@ -221,4 +221,83 @@ def exact_auc(
         )
         .cast("long")
         .alias("auc_ppm"),
+    )
+
+
+def weak_label(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rules: dict[str, list[str]],
+    abstain_label: str = "__abstain",
+) -> DataFrame:
+    """Weak-supervision labeling at corpus scale (the Snorkel-style
+    labeling-function pattern, keyword flavor): each label owns a
+    keyword list; a document votes for every label whose keywords it
+    contains, and takes the label with the most DISTINCT keyword hits
+    (ties -> label asc; zero hits -> ``abstain_label``). The cheap way
+    to bootstrap training labels for `train_logreg` over an unlabeled
+    corpus — and because it's deterministic relational algebra, the
+    labels are reproducible and auditable, unlike a human-in-the-loop
+    pass.
+
+    Shape: one explode to DISTINCT (doc, token) (multiplicity must not
+    double-vote), one join against the config-bounded keyword relation
+    (broadcast — it's rule-sized by construction, the one legitimately
+    bounded broadcast), one (doc, label) count, one doc-partitioned
+    argmax window, and a left join back to the doc universe so
+    abstainers are explicit rows, not silent drops (the
+    score_logreg_fp featureless-doc lesson, pinned there in round 7).
+
+    Output: (id, label, n_hits, n_labels_hit)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    if not rules:
+        raise ValueError("at least one rule required")
+    spark = df.sparkSession
+    kw_rows = [
+        (label, kw) for label in sorted(rules) for kw in sorted(set(rules[label]))
+    ]
+    if not kw_rows:
+        raise ValueError("rules contain no keywords")
+    keywords = spark.createDataFrame(kw_rows, "label string, t string")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    votes = (
+        toks.join(F.broadcast(keywords), "t")
+        .groupBy("__doc", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.desc("n_hits"), F.asc("label")
+    )
+    per_doc = (
+        votes.withColumn("__nl", F.count(F.lit(1)).over(
+            Window.partitionBy("__doc")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__doc", "label", "n_hits",
+            F.col("__nl").cast("long").alias("n_labels_hit"),
+        )
+    )
+    universe = df.select(F.col(id_col).alias("__doc"))
+    return universe.join(
+        per_doc.hint("shuffle_hash"), "__doc", "left"
+    ).select(
+        F.col("__doc").alias(id_col),
+        F.coalesce(F.col("label"), F.lit(abstain_label)).alias("label"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_labels_hit"), F.lit(0)).cast("long")
+        .alias("n_labels_hit"),
     )

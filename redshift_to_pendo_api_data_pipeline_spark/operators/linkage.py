@@ -299,3 +299,51 @@ def golden_records(
         )
         out = out.join(modal.hint("shuffle_hash"), cluster_col)
     return out
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "link_score",
+) -> DataFrame:
+    """Reciprocal-best-match refinement of a scored candidate pair
+    relation — the high-precision ER filter: keep a pair only when
+    each side is the OTHER's single best-scoring partner (score desc,
+    partner-id asc tiebreak — deterministic). A record engaged to a
+    better partner elsewhere drops out, which is what kills the
+    transitive mega-cluster chains a plain threshold lets through.
+
+    Shape: symmetrize the pair relation (each undirected pair becomes
+    two directed rows), one node-partitioned window picks every node's
+    best partner (rank<=1 compiles to the same WindowGroupLimit
+    contract as the sketch top-ks — map tasks forward one row per
+    node), then the mutual check is a self-join of the BEST relation
+    on the reversed pair (best-cardinality, shuffle_hash). Output:
+    (id_a < id_b, score)."""
+    directed = pairs.select(
+        F.col(id_a).alias("x"), F.col(id_b).alias("y"),
+        F.col(score_col).alias("s"),
+    ).unionByName(
+        pairs.select(
+            F.col(id_b).alias("x"), F.col(id_a).alias("y"),
+            F.col(score_col).alias("s"),
+        )
+    )
+    w = Window.partitionBy("x").orderBy(F.desc("s"), F.asc("y"))
+    best = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("x", "y", "s")
+    )
+    rev = best.select(
+        F.col("y").alias("x"), F.col("x").alias("y")
+    )
+    return (
+        best.join(rev.hint("shuffle_hash"), ["x", "y"], "left_semi")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias(id_a), F.col("y").alias(id_b),
+            F.col("s").alias(score_col),
+        )
+    )

@@ -581,3 +581,46 @@ def session_entry_exit(
             F.sum("is_bounce").cast("long").alias("n_bounces"),
         )
     )
+
+
+def run_length_encode(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Run-length encoding of a per-key ordered value sequence — the
+    session-compression primitive behind repeated-action diagnostics
+    (rage-clicks, retry storms, duplicate-beacon bursts): consecutive
+    identical values collapse to one row with a run length.
+
+    Classic gaps-and-islands: one key-partitioned window computes the
+    change flag (lag != value), a running sum of flags numbers the
+    runs, and one groupBy collapses them. Both windows and the groupBy
+    share the key partitioning — ONE exchange total, per-key state
+    bounded by that key's rows (the sessionize contract). `order_cols`
+    must totally order each key's rows (include a unique tiebreak) or
+    run boundaries are nondeterministic.
+
+    Output: (key, run_id 1.., value, run_len)."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.lag(F.col(value_col)).over(w).isNull()
+            | (F.lag(F.col(value_col)).over(w) != F.col(value_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy(
+        F.col(key_col),
+        F.col("__run").cast("long").alias("run_id"),
+        F.col(value_col),
+    ).agg(F.count(F.lit(1)).cast("long").alias("run_len"))

@@ -206,3 +206,42 @@ def test_exact_auc_one_class_is_null(spark):
 
     onec = spark.createDataFrame([(1, 1), (2, 1)], ["s", "y"])
     assert exact_auc(onec, "s", "y").collect()[0]["auc_ppm"] is None
+
+
+def test_weak_label_votes_tiebreak_abstain(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        weak_label,
+    )
+
+    rules = {"x": ["apple", "pear"], "y": ["pear", "plum", "kiwi"]}
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple pear"),   # x: 2 distinct, y: 1 -> x
+            (2, "pear plum"),          # x: 1, y: 2 -> y
+            (3, "pear kiwi apple plum"),  # x: 2, y: 3 -> y
+            (4, "nothing matches"),    # abstain
+            (5, "pear"),               # tie 1-1 -> label asc -> x
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["label"], r["n_hits"], r["n_labels_hit"])
+        for r in weak_label(docs, "text", "doc_id", rules).collect()
+    }
+    assert got[1] == ("x", 2, 2)
+    assert got[2] == ("y", 2, 2)
+    assert got[3] == ("y", 3, 2)
+    assert got[4] == ("__abstain", 0, 0)
+    assert got[5] == ("x", 1, 2)
+
+
+def test_weak_label_validation(spark):
+    import pytest as _pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        weak_label,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="rule"):
+        weak_label(docs, "text", "doc_id", {})

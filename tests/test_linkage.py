@@ -197,3 +197,35 @@ def test_cli_mine_end_to_end(spark, capsys):
     fk = report["inclusion_dependencies"][0]
     assert fk["child_ref"] == "orders.o_custkey"
     assert fk["containment_ppm"] == 1_000_000
+
+
+def test_mutual_best_match_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    # 1-2 score 10 (mutual best); 2-3 score 5 (3's best is 2, but 2's
+    # best is 1 -> dropped); 4-5 score 7 mutual
+    pairs = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 5), (4, 5, 7)],
+        ["id_a", "id_b", "link_score"],
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["link_score"])
+        for r in mutual_best_match(pairs).collect()
+    }
+    assert got == {(1, 2, 10), (4, 5, 7)}
+
+
+def test_mutual_best_match_tiebreak(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    # node 1 ties between 2 and 3 -> lower partner id (2) wins; 2's
+    # best is 1 -> (1,2) mutual; 3 left engaged to 1 one-sidedly
+    pairs = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 9)], ["id_a", "id_b", "link_score"]
+    )
+    got = {(r["id_a"], r["id_b"]) for r in mutual_best_match(pairs).collect()}
+    assert got == {(1, 2)}

@@ -285,3 +285,23 @@ def test_funnel_single_pass_matches_chained(spark, sf_dir):
     assert sorted(tuple(r) for r in new_df.collect()) == old
     p = new_df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Scan parquet") <= 2  # one logical scan (+AQE echo)
+
+
+def test_run_length_encode_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        run_length_encode,
+    )
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"), ("u1", 4, "a"),
+        ("u2", 1, "c"), ("u2", 2, "c"), ("u2", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    got = {
+        (r["k"], r["run_id"], r["v"], r["run_len"])
+        for r in run_length_encode(df, "k", "v", ["seq"]).collect()
+    }
+    assert got == {
+        ("u1", 1, "a", 2), ("u1", 2, "b", 1), ("u1", 3, "a", 1),
+        ("u2", 1, "c", 3),
+    }
