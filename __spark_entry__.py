@@ -4706,6 +4706,32 @@ def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weak_label(docs, "text", "doc_id", _WEAK_RULES)
 
 
+def q_price_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price-elasticity slope (operators/analytics.
+    grouped_ols_slope): exact integer least squares with floored-mean
+    centering — the overflow-safe form whose centered sums are
+    n·variance-sized (the raw normal-equation cross terms need 38
+    digits at corpus scale). Quantity-vs-price slope per brand in ppm;
+    degenerate brands surface NULL, not a crash."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        grouped_ols_slope,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(
+        part.select("p_partkey", "p_brand").hint("shuffle_hash"),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x_fp"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y_fp"),
+    )
+    return grouped_ols_slope(base, ["p_brand"], "x_fp", "y_fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4733,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_mutual_best_match": q_part_mutual_best_match,
         "event_run_lengths": q_event_run_lengths,
         "weak_labels_docs": q_weak_labels,
+        "price_qty_slope_brand": q_price_qty_slope,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5163,6 +5190,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "price_qty_slope_brand": """
+            WITH base AS (
+              SELECT p.p_brand,
+                     CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS x,
+                     CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            m AS (
+              SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) // count(*) AS BIGINT) AS mx,
+                     CAST(sum(y) // count(*) AS BIGINT) AS my
+              FROM base GROUP BY p_brand),
+            c AS (
+              SELECT b.p_brand, m.n,
+                     (b.x - m.mx) AS cx, (b.y - m.my) AS cy
+              FROM base b JOIN m USING (p_brand)),
+            s AS (
+              SELECT p_brand, max(n) AS n,
+                     CAST(sum(cx * cy) AS BIGINT) AS sxy,
+                     CAST(sum(cx * cx) AS BIGINT) AS sxx
+              FROM c GROUP BY p_brand)
+            SELECT p_brand, n, sxy, sxx,
+                   CAST(CASE WHEN sxx = 0 THEN NULL
+                        ELSE sxy * 1000000 // sxx END AS BIGINT)
+                       AS slope_ppm
+            FROM s
         """,
         "weak_labels_docs": f"""
             WITH kw(label, t) AS (VALUES {", ".join(

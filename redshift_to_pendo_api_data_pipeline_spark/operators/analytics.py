@@ -1952,3 +1952,53 @@ def arrival_burstiness(
             ).alias("cv2_ppm"),
         )
     )
+
+
+def grouped_ols_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    x_fp: str,
+    y_fp: str,
+) -> DataFrame:
+    """Per-group least-squares slope in EXACT integer arithmetic — the
+    elasticity/trend primitive (price-vs-quantity per brand, spend-vs-
+    tenure per segment) that usually arrives as a float regression and
+    therefore never hash-checks. Inputs are fixed-point BIGINT columns;
+    the slope uses FLOORED-MEAN centering: m_x = Σx div n (exact — sums
+    of non-negative fixed-point values; for signed x both engines
+    truncate identically), then
+
+        S_xy = Σ (x - m_x)(y - m_y),   S_xx = Σ (x - m_x)²,
+        slope_ppm = S_xy · 1e6 div S_xx   (both engines truncate
+                    toward zero — identical on negatives)
+
+    Centering is the OVERFLOW move: raw n·Σx² - (Σx)² needs ~38 digits
+    at corpus scale, while centered sums are n·variance-sized and stay
+    comfortably in BIGINT. The floored mean differs from the rational
+    mean by < 1 fixed-point unit — documented, deterministic, and
+    identical cross-engine (textbook OLS to within quantization).
+
+    Shape: one groupBy for means, one shuffle_hash join back (same
+    group key — the exchange is reused), one groupBy for centered
+    products. Degenerate groups (S_xx = 0: constant x) surface NULL
+    slope, not a crash."""
+    gcols = [F.col(c) for c in group_cols]
+    means = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.expr(f"sum({x_fp}) div count(1)").cast("long").alias("__mx"),
+        F.expr(f"sum({y_fp}) div count(1)").cast("long").alias("__my"),
+    )
+    joined = df.join(means.hint("shuffle_hash"), group_cols)
+    cx = F.col(x_fp) - F.col("__mx")
+    cy = F.col(y_fp) - F.col("__my")
+    agg = joined.groupBy(*gcols).agg(
+        F.max("__n").alias("n"),
+        F.sum(cx * cy).cast("long").alias("sxy"),
+        F.sum(cx * cx).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        *group_cols, "n", "sxy", "sxx",
+        F.when(F.col("sxx") == 0, F.lit(None))
+        .otherwise(F.expr("sxy * 1000000L div sxx"))
+        .cast("long").alias("slope_ppm"),
+    )

@@ -256,3 +256,33 @@ def test_kmv_sketch_overlap_estimates_and_plan(spark):
     tsk = A.kmv_sketches(tiny, "k", "grp", k=128)
     t = A.kmv_pair_overlap(tsk, "grp", k=128).collect()[0]
     assert t["est_union"] == 70 and t["k_inter"] == 20
+
+
+def test_grouped_ols_slope_matches_reference(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        grouped_ols_slope,
+    )
+
+    # y = 3x + noise-free  -> slope exactly 3e6 ppm after centering
+    rows = [("g", x, 3 * x) for x in [100, 200, 300, 400]]
+    # constant-x group -> NULL slope
+    rows += [("h", 500, y) for y in [1, 2, 3]]
+    df = spark.createDataFrame(rows, ["g", "x_fp", "y_fp"])
+    got = {r["g"]: r for r in grouped_ols_slope(
+        df, ["g"], "x_fp", "y_fp").collect()}
+    assert got["g"]["slope_ppm"] == 3_000_000
+    assert got["g"]["n"] == 4
+    assert got["h"]["slope_ppm"] is None and got["h"]["sxx"] == 0
+
+    # floored-mean reference on an uneven group, negative slope
+    rows2 = [("k", x, 1000 - 2 * x) for x in [10, 25, 31]]
+    df2 = spark.createDataFrame(rows2, ["g", "x_fp", "y_fp"])
+    xs = [10, 25, 31]
+    ys = [1000 - 2 * x for x in xs]
+    mx, my = sum(xs) // 3, sum(ys) // 3
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    expect = int(sxy * 1_000_000 / sxx)  # truncation toward zero
+    row = grouped_ols_slope(df2, ["g"], "x_fp", "y_fp").collect()[0]
+    assert row["sxy"] == sxy and row["sxx"] == sxx
+    assert row["slope_ppm"] == expect
