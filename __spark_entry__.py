@@ -4247,19 +4247,18 @@ def q_doc_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter record linkage over the part master
-    (operators/linkage.linkage_scores): candidates blocked on p_brand
-    (the reference's synced entity tables carry exactly this shape —
-    tap-redshift discover.py:20-54 enumerates them, then linkage is the
-    first curation ask), scored with integer agree/disagree weights on
-    three fields: name edit distance <= 3 (+18/−10), type equality
-    (+12/−8), size within 1 (+6/−4). Pairs scoring >= 20 (name AND type
-    must agree) surface with the per-field agreement bitmask."""
+def _linkage_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the FS-scored part pairs once (stage-once/probe-many, the
+    copurchase-edges pattern): three consumers (the pair query, the
+    mutual-best-match refinement, the golden-record merge) read the
+    parquet instead of re-running the blocked quadratic + 8M
+    levenshteins each. The oracle recomputes the pairs independently
+    in SQL, so the staged artifact is certified, not trusted."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
         linkage_scores,
     )
 
+    path = f"{_stage_dir(sf_dir)}/linkage_pairs.parquet"
     parts = load_table(spark, sf_dir, "part")
     a = parts.select(
         F.col("p_partkey").alias("k_a"), F.col("p_name").alias("name_a"),
@@ -4282,9 +4281,27 @@ def q_part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("size_near", F.abs(F.col("size_a") - F.col("size_b")) <= 1, 6, -4),
         ],
     )
-    return scored.where(F.col("link_score") >= 20).select(
-        "k_a", "k_b", "link_score", "agree_mask"
+    stage_parquet(
+        scored.where(F.col("link_score") >= 20).select(
+            "k_a", "k_b", "link_score", "agree_mask"
+        ),
+        path,
     )
+    return spark.read.parquet(path)
+
+
+def q_part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage over the part master
+    (operators/linkage.linkage_scores): candidates blocked on p_brand
+    (the reference's synced entity tables carry exactly this shape —
+    tap-redshift discover.py:20-54 enumerates them, then linkage is the
+    first curation ask), scored with integer agree/disagree weights on
+    three fields: name edit distance <= 3 (+18/−10), type equality
+    (+12/−8), size within 1 (+6/−4). Pairs scoring >= 20 (name AND type
+    must agree) surface with the per-field agreement bitmask. The
+    scored relation stages once; the mutual-best-match and
+    golden-record queries consume the same parquet."""
+    return _linkage_pairs_staged(spark, sf_dir)
 
 
 def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4732,6 +4749,23 @@ def q_price_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ols_slope(base, ["p_brand"], "x_fp", "y_fp")
 
 
+def q_incremental_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest fuzzy linkage (operators/dedup.
+    incremental_editdist_pairs): the newest part-key slice fuzzy-
+    matches against the standing catalog — dictionaries collapse
+    first, the corpus never self-joins (the candidates_between_
+    signatures asymmetry, edit-distance flavor). The per-ingest ER
+    step a live sync pipeline runs on every batch."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        incremental_editdist_pairs,
+    )
+
+    parts = load_table(spark, sf_dir, "part")
+    new = parts.where(F.col("p_partkey") >= 1900)
+    corpus = parts.where(F.col("p_partkey") < 1900)
+    return incremental_editdist_pairs(new, corpus, "p_name", max_dist=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4760,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_run_lengths": q_event_run_lengths,
         "weak_labels_docs": q_weak_labels,
         "price_qty_slope_brand": q_price_qty_slope,
+        "incremental_name_linkage": q_incremental_name_linkage,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5190,6 +5225,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "incremental_name_linkage": """
+            WITH nd AS (
+              SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_new
+              FROM part WHERE p_partkey >= 1900 GROUP BY p_name),
+            cd AS (
+              SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_corpus
+              FROM part WHERE p_partkey < 1900 GROUP BY p_name),
+            n2 AS (SELECT name AS name_new, n_new,
+                          string_split(name, ' ')[-1] AS blk
+                   FROM nd),
+            c2 AS (SELECT name AS name_corpus, n_corpus,
+                          string_split(name, ' ')[-1] AS blk
+                   FROM cd),
+            j AS (
+              SELECT name_new, name_corpus, n_new, n_corpus
+              FROM n2 JOIN c2 USING (blk)
+              WHERE abs(length(name_new) - length(name_corpus)) <= 2)
+            SELECT name_new, name_corpus,
+                   CAST(levenshtein(name_new, name_corpus) AS BIGINT)
+                       AS dist,
+                   n_new, n_corpus
+            FROM j WHERE levenshtein(name_new, name_corpus) <= 2
         """,
         "price_qty_slope_brand": """
             WITH base AS (

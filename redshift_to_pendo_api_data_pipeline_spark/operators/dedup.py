@@ -1085,3 +1085,58 @@ def exact_dedup_keep_best(
         .where(F.col("__rn") == 1)
         .select(F.col(id_col), "dup_count", F.col(score_col).alias("best_score"))
     )
+
+
+def incremental_editdist_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block=None,
+) -> DataFrame:
+    """Asymmetric NEW-BATCH × CORPUS edit-distance linkage — the
+    incremental-ingest shape of ``editdist_pairs`` (same asymmetry as
+    ``candidates_between_signatures`` for MinHash): each ingest batch
+    fuzzy-matches against the standing corpus without the corpus ever
+    self-joining, so the per-ingest cost is |new-dict| · block-width,
+    amortizing to zero as the corpus grows.
+
+    Both sides collapse to their DISTINCT-value dictionaries first
+    (the editdist_pairs scale move), block on ``block`` (default: last
+    whitespace token), length-prefilter, then verify with JVM
+    levenshtein. Output: (name_new, name_corpus, dist, n_new,
+    n_corpus) — all corpus-side candidates per new name, the merge
+    decision is the caller's."""
+    blk = (
+        block
+        if block is not None
+        else F.element_at(F.split(F.col("name"), " "), -1)
+    )
+    new_dic = (
+        new_df.groupBy(F.col(col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .select(
+            F.col("name").alias("name_new"),
+            "n_new",
+            blk.alias("__blk"),
+        )
+    )
+    corpus_dic = (
+        corpus_df.groupBy(F.col(col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+        .select(
+            F.col("name").alias("name_corpus"),
+            "n_corpus",
+            blk.alias("__blk"),
+        )
+    )
+    return (
+        new_dic.join(corpus_dic.hint("shuffle_hash"), "__blk")
+        .where(
+            F.abs(F.length("name_new") - F.length("name_corpus"))
+            <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("name_new", "name_corpus"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_new", "name_corpus", "dist", "n_new", "n_corpus")
+    )

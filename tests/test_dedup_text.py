@@ -1108,3 +1108,30 @@ def test_embedding_moments_exact_and_match_numpy_covariance(spark):
     p = mom._jdf.queryExecution().executedPlan().toString()
     assert "partial" in p  # partials combine before the (i,j) exchange
     assert "MapInPandas" in p  # the declared int64-matmul BLAS edge
+
+
+def test_incremental_editdist_pairs_asymmetric(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        incremental_editdist_pairs,
+    )
+
+    new = spark.createDataFrame(
+        [("red bolt",), ("red bolt",), ("blue gear",)], ["name"]
+    )
+    corpus = spark.createDataFrame(
+        [("rad bolt",), ("red bolt",), ("green widget",), ("blue hinge",)],
+        ["name"],
+    )
+    got = {
+        (r["name_new"], r["name_corpus"], r["dist"], r["n_new"],
+         r["n_corpus"])
+        for r in incremental_editdist_pairs(
+            new, corpus, "name", max_dist=2).collect()
+    }
+    # same block 'bolt': red bolt matches itself (0) and rad bolt (1);
+    # blue gear has no corpus 'gear' block partner; widget/hinge blocks
+    # never meet the new batch
+    assert got == {
+        ("red bolt", "rad bolt", 1, 2, 1),
+        ("red bolt", "red bolt", 0, 2, 1),
+    }

@@ -229,3 +229,48 @@ def test_mutual_best_match_tiebreak(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in mutual_best_match(pairs).collect()}
     assert got == {(1, 2)}
+
+
+def test_streaming_linkage_bridge_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        incremental_editdist_pairs,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.linkage_bridge import (
+        streaming_linkage_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [("rad bolt",), ("red bolt",), ("red bolt",), ("blue hinge",)],
+        ["name"],
+    )
+    new_rows = spark.createDataFrame(
+        [(1, "red bolt"), (2, "blue gear")], ["rid", "name"]
+    )
+    src = f"{tmp_path}/src"
+    new_rows.write.parquet(src)
+    stream = spark.readStream.schema("rid long, name string").parquet(src)
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend(
+            (r["name_new"], r["name_corpus"], r["dist"], r["n_corpus"])
+            for r in pairs.collect()
+        )
+
+    q = streaming_linkage_against_corpus(
+        stream, corpus, "name",
+        stage_dict=f"{tmp_path}/dict.parquet",
+        checkpoint=f"{tmp_path}/ckpt",
+        on_pairs=sink,
+    )
+    q.awaitTermination(120)
+    # pinned against the batch twin (corpus-side counts rehydrated)
+    batch = {
+        (r["name_new"], r["name_corpus"], r["dist"], r["n_corpus"])
+        for r in incremental_editdist_pairs(
+            new_rows, corpus, "name", max_dist=2).collect()
+    }
+    assert set(got) == batch
+    assert ("red bolt", "red bolt", 0, 2) in batch
