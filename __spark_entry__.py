@@ -4766,6 +4766,105 @@ def q_incremental_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_editdist_pairs(new, corpus, "p_name", max_dist=2)
 
 
+def q_copurchase_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop blast radius from low-key seed parts over the staged
+    co-purchase graph (operators/basket.k_hop_reachability): frontier
+    BFS with anti-joined visited set — every node labeled with its
+    MINIMUM hop distance, fixed k so the oracle unrolls the same three
+    frontier expansions as chained CTEs. The fraud-ring/contamination
+    expansion primitive."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        k_hop_reachability,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("item_a").alias("node")).unionAll(
+        edges.select(F.col("item_b").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.col("node") <= 500)
+    return k_hop_reachability(edges, seeds, k=3, src="item_a", dst="item_b")
+
+
+def q_related_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-3 related items by lift (operators/basket.
+    related_items) — the 'customers also bought' SERVING table over the
+    staged co-purchase edges; WindowGroupLimit bounds output at
+    |items|·k. association_rules' global top-k is the diagnostic view;
+    this is the artifact a recommender actually ships."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        related_items,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    n_baskets = li.select("l_orderkey").distinct().count()
+    return related_items(edges, n_baskets, per_item_k=3)
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup GROUPS as dedup_clusters, computed by the
+    O(log²)-round large-star/small-star contraction (operators/dedup.
+    connected_components_star) instead of O(diameter) min-label
+    propagation — the CC algorithm that survives chain-shaped graphs
+    (entity-resolution chains, citation paths) where propagation's
+    round count is the component diameter. Same staged pair graph,
+    same recursive-CTE oracle: two independent algorithms, one
+    hash-certified answer."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        minhash_dedup_pairs_staged,
+    )
+
+    pairs = minhash_dedup_pairs_staged(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/minhash_sigs.parquet",
+        threshold=0.8,
+    )
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/size Pareto front of the part catalog (operators/
+    analytics.skyline_2d): cheapest-for-its-size parts no other part
+    dominates. The O(n²) keyless dominance anti-join becomes one range
+    shuffle + an exclusive distributed running max
+    (global_prefix_max_excl) — exact, linear, no single-reducer
+    window; the oracle runs the NOT EXISTS dominance definition
+    directly."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    parts = load_table(spark, sf_dir, "part")
+    base = parts.select(
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(base, "price_fp", "p_size")
+
+
+def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution
+    (temporal.u_shaped_attribution): first and last touch take 40%
+    each, middles split the rest, rounding remainder pinned to the
+    last touch — per-conversion credits sum to exactly 1e6. Completes
+    the attribution set: last-touch / linear / time-decay /
+    position-based."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase")
+    touch = ev.where(F.col("event_type").isin("click", "view"))
+    return u_shaped_attribution(
+        conv, touch, "user_id", "ts", "ts", "event_id", "event_id",
+        window_days=7,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4795,6 +4894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weak_labels_docs": q_weak_labels,
         "price_qty_slope_brand": q_price_qty_slope,
         "incremental_name_linkage": q_incremental_name_linkage,
+        "copurchase_blast_radius": q_copurchase_blast_radius,
+        "related_items_parts": q_related_items,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "part_skyline": q_part_skyline,
+        "u_shaped_credits": q_u_shaped_attribution,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5225,6 +5329,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "u_shaped_credits": """
+            WITH c AS (
+              SELECT user_id AS k, event_id AS conversion_id, ts AS c_ts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS k, event_id AS touch_id, ts AS t_ts
+              FROM events WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT c.k, c.conversion_id, t.touch_id, t.t_ts
+              FROM c JOIN t ON t.k = c.k
+               AND t.t_ts <= c.c_ts
+               AND t.t_ts >= c.c_ts - INTERVAL 7 DAY),
+            r AS (
+              SELECT k, conversion_id, touch_id,
+                     count(*) OVER (PARTITION BY conversion_id) AS n,
+                     row_number() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY t_ts DESC, touch_id DESC) AS rn
+              FROM j)
+            SELECT k AS user_id, conversion_id, touch_id,
+                   CAST(n AS BIGINT) AS n_touches,
+                   CAST(CASE
+                     WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN rn = 1 THEN 400000 + (200000 % (n - 2))
+                     WHEN rn = n THEN 400000
+                     ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+            FROM r
+        """,
+        "part_skyline": """
+            WITH pts AS (
+              SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS price_fp,
+                     CAST(p_size AS BIGINT) AS p_size,
+                     CAST(count(*) AS BIGINT) AS n_points
+              FROM part GROUP BY 1, 2)
+            SELECT p.price_fp, p.p_size, p.n_points
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.price_fp <= p.price_fp AND q.p_size >= p.p_size
+                AND (q.price_fp < p.price_fp OR q.p_size > p.p_size))
+        """,
+        "copurchase_blast_radius": f"""
+            WITH e0 AS (SELECT item_a AS a, item_b AS b
+                        FROM read_parquet(
+                          '{_STAGE}/copurchase_edges.parquet/*.parquet')),
+            canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                      FROM e0 WHERE a <> b),
+            ed AS (SELECT a AS u, b AS v FROM canon
+                   UNION ALL SELECT b, a FROM canon),
+            nodes AS (SELECT DISTINCT u AS node FROM ed),
+            v0 AS (SELECT node FROM nodes WHERE node <= 500),
+            f1 AS (SELECT DISTINCT e.v AS node FROM ed e
+                   JOIN v0 ON v0.node = e.u
+                   WHERE e.v NOT IN (SELECT node FROM v0)),
+            vis1 AS (SELECT node FROM v0 UNION ALL SELECT node FROM f1),
+            f2 AS (SELECT DISTINCT e.v AS node FROM ed e
+                   JOIN f1 ON f1.node = e.u
+                   WHERE e.v NOT IN (SELECT node FROM vis1)),
+            vis2 AS (SELECT node FROM vis1 UNION ALL SELECT node FROM f2),
+            f3 AS (SELECT DISTINCT e.v AS node FROM ed e
+                   JOIN f2 ON f2.node = e.u
+                   WHERE e.v NOT IN (SELECT node FROM vis2))
+            SELECT node, CAST(0 AS BIGINT) AS dist FROM v0
+            UNION ALL SELECT node, 1 FROM f1
+            UNION ALL SELECT node, 2 FROM f2
+            UNION ALL SELECT node, 3 FROM f3
+        """,
+        "related_items_parts": f"""
+            WITH e AS (SELECT item_a, item_b, pair_support,
+                              support_a, support_b
+                       FROM read_parquet(
+                         '{_STAGE}/copurchase_edges.parquet/*.parquet')),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+            ru AS (
+              SELECT item_a AS antecedent, item_b AS consequent,
+                     pair_support, support_a AS sup_ante,
+                     support_b AS sup_cons
+              FROM e
+              UNION ALL
+              SELECT item_b, item_a, pair_support, support_b, support_a
+              FROM e),
+            sc AS (
+              SELECT antecedent, consequent, pair_support,
+                     CAST(pair_support * 1000000 // sup_ante AS BIGINT)
+                         AS confidence_ppm,
+                     CAST(pair_support * nb.n * 1000000
+                          // (sup_ante * sup_cons) AS BIGINT) AS lift_ppm
+              FROM ru, nb)
+            SELECT antecedent, consequent, pair_support, confidence_ppm,
+                   lift_ppm, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY antecedent
+                ORDER BY lift_ppm DESC, consequent ASC) AS rank
+              FROM sc)
+            WHERE rank <= 3
         """,
         "incremental_name_linkage": """
             WITH nd AS (
@@ -7920,6 +8122,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN exact USING (vec_id)
         """,
         "dedup_clusters": f"""
+            WITH RECURSIVE
+            {_MINHASH_VERIFIED_CTE.strip()},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk AS (
+              SELECT src AS start, src AS reach FROM edges
+              UNION
+              SELECT wk.start, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src)
+            SELECT start AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY start
+        """,
+        # same ground truth, second algorithm: the star-contraction CC
+        # must land on the identical component labeling
+        "dedup_clusters_star": f"""
             WITH RECURSIVE
             {_MINHASH_VERIFIED_CTE.strip()},
             edges AS (SELECT id_a AS src, id_b AS dst FROM verified

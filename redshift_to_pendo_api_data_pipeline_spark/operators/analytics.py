@@ -2002,3 +2002,77 @@ def grouped_ols_slope(
         .otherwise(F.expr("sxy * 1000000L div sxx"))
         .cast("long").alias("slope_ppm"),
     )
+
+
+def global_prefix_max_excl(
+    df: DataFrame, sort_cols: list, value_col: str,
+    out_name: str = "prev_max",
+) -> DataFrame:
+    """Distributed EXCLUSIVE global running maximum over a total order
+    — the max sibling of ``global_prefix_sum``, same two-exchange
+    shape: range-repartition on the sort key, per-partition exclusive
+    running max via a PID-partitioned window (parallel across range
+    partitions), per-partition maxima collapse to a ≤ nparts offsets
+    relation whose own exclusive prefix max broadcasts back, and
+    ``prev_max = greatest(partition_prefix_max, local_running_max)``
+    (greatest skips NULLs; the global first row gets NULL — no
+    predecessor). ``sort_cols`` must be a total order."""
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranged = (
+        df.repartitionByRange(nparts, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lmax", F.max(F.col(value_col)).over(w_local))
+    pmax = ranged.groupBy("__pid").agg(
+        F.max(F.col(value_col)).alias("__pmax")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pmax.select(
+        "__pid", F.max("__pmax").over(w_off).alias("__omax")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_name, F.greatest("__omax", "__lmax"))
+        .drop("__pid", "__lmax", "__omax")
+    )
+
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str,
+    minimize_x: bool = True, maximize_y: bool = True,
+) -> DataFrame:
+    """2-D skyline / Pareto front — the classic multi-criteria operator
+    ('cheapest for its size'): points no other point dominates
+    (x no worse AND y no worse AND strictly better in one). The naive
+    form is an O(n²) dominance anti-join with NO equi-key (a scale
+    dead end); the sort formulation is exact and LINEAR after one
+    range shuffle: orient so smaller x and larger y are better, dedupe
+    exact coordinate pairs (keeping multiplicity), order by
+    (x asc, y desc), and a point is on the front iff the EXCLUSIVE
+    running maximum of y before it is < its own y — every prior point
+    has better-or-equal x, so any ≥ y there dominates. The running max
+    is ``global_prefix_max_excl`` (two exchanges, no single-reducer
+    window). Output: (x, y, n_points) front rows in original units."""
+    sx = F.col(x_col) if minimize_x else -F.col(x_col)
+    sy = F.col(y_col) if maximize_y else -F.col(y_col)
+    pts = df.groupBy(
+        sx.alias("__x"), sy.alias("__y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    ranked = global_prefix_max_excl(
+        pts, [F.col("__x").asc(), F.col("__y").desc()], "__y",
+        out_name="__pm",
+    )
+    front = ranked.where(
+        F.col("__pm").isNull() | (F.col("__pm") < F.col("__y"))
+    )
+    ox = F.col("__x") if minimize_x else -F.col("__x")
+    oy = F.col("__y") if maximize_y else -F.col("__y")
+    return front.select(
+        ox.alias(x_col), oy.alias(y_col), "n_points"
+    )

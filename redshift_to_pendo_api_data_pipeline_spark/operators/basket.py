@@ -475,3 +475,110 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def k_hop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Shortest-hop distance (<= k) from a seed set over an undirected
+    simple graph — the blast-radius primitive (fraud-ring expansion
+    from flagged accounts, contamination spread from known-bad
+    documents): every node within k hops of ANY seed, labeled with its
+    minimum hop distance.
+
+    Frontier BFS: per round, the frontier joins the edge list (dst
+    groupBy dedups), an anti-join against the visited set keeps only
+    NEW nodes (so each node is labeled with its first — minimal —
+    distance and no node is ever expanded twice), and localCheckpoint
+    truncates lineage (the connected-components discipline). Exactly k
+    rounds, each 2 shuffle_hash joins + a distinct — cost is
+    O(k · frontier-edges), never O(k · |E|) once frontiers stop
+    growing. A FIXED k keeps the result unrollable as chained CTEs by
+    an independent engine (the pagerank_fixed contract).
+
+    Returns (node, dist) with dist in 0..k; seeds are dist 0."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    visited = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint()
+    frontier = visited.select("node")
+    for r in range(1, k + 1):
+        expanded = (
+            directed.join(
+                frontier.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u",
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = expanded.join(
+            visited.select("node").hint("shuffle_hash"), "node", "left_anti"
+        ).withColumn("dist", F.lit(r).cast("long")).localCheckpoint()
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new.select("node")
+    return visited
+
+
+def related_items(
+    edges: DataFrame, n_baskets: int, per_item_k: int = 3
+) -> DataFrame:
+    """Per-item top-k related items by lift — the SERVING artifact of
+    market-basket mining (the 'customers also bought' table), where
+    `association_rules`' global top-k is the diagnostic view: both
+    orientations of every mined pair, integer-ppm confidence/lift, and
+    an antecedent-partitioned rank keeping each item's k best
+    consequents (lift desc, consequent asc — deterministic).
+
+    Runs entirely on the support-bounded edge relation; the rank<=k
+    window compiles to WindowGroupLimit (map tasks forward at most k
+    rows per antecedent before the exchange — the sketch-family
+    contract), so output is |items|·k, never |pairs|."""
+    from pyspark.sql import Window
+
+    fwd = edges.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_support",
+        F.col("support_a").alias("sup_ante"),
+        F.col("support_b").alias("sup_cons"),
+    )
+    rev = edges.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "pair_support",
+        F.col("support_b").alias("sup_ante"),
+        F.col("support_a").alias("sup_cons"),
+    )
+    n = int(n_baskets)
+    scored = fwd.unionAll(rev).select(
+        "antecedent", "consequent", "pair_support",
+        F.expr("pair_support * 1000000L div sup_ante").cast("long")
+        .alias("confidence_ppm"),
+        F.expr(
+            f"pair_support * {n}L * 1000000L div (sup_ante * sup_cons)"
+        ).cast("long").alias("lift_ppm"),
+    )
+    w = Window.partitionBy("antecedent").orderBy(
+        F.desc("lift_ppm"), F.asc("consequent")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= per_item_k)
+    )

@@ -1140,3 +1140,97 @@ def incremental_editdist_pairs(
         .where(F.col("dist") <= max_dist)
         .select("name_new", "name_corpus", "dist", "n_new", "n_corpus")
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond') —
+    the scale-alternative to ``connected_components``' min-label
+    propagation: label propagation needs O(graph diameter) rounds
+    (fine for dense near-dup clusters, diameter 2–3; fatal for chain-
+    shaped graphs — a path of 1M nodes is 1M rounds), while the star
+    operations contract every component to a star rooted at its
+    minimum in O(log²) rounds regardless of diameter.
+
+    Per round (each one groupBy + a projection):
+      large-star: every node attaches its STRICTLY-GREATER neighbors
+        to min(N(u) ∪ {u});
+      small-star: every node attaches its ≤ neighbors (and itself) to
+        the minimum of that set.
+    Both preserve connectivity and strictly shrink a potential
+    function, so the edge relation reaches a fixpoint (a forest of
+    stars); convergence is detected by an exact anti-join emptiness
+    check (count equality alone can miss a same-size rewiring), and
+    ``localCheckpoint`` truncates lineage per round. Output matches
+    ``connected_components``: (node, cluster_id = component minimum) —
+    property-tested equal on random graphs.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # ---- large-star: (v, m_u) for v in N(u), v > u
+        bid = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = bid.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least("__mv", "u").alias("m")
+        )
+        large = (
+            bid.join(m.hint("shuffle_hash"), "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("a"),
+                F.greatest("v", "m").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: group u over its <= neighbors; attach them
+        # (and u) to the minimum of the group
+        bid2 = large.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionAll(large.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        lesser = bid2.where(F.col("v") < F.col("u"))
+        ms = lesser.groupBy("u").agg(F.min("v").alias("m"))
+        attach_leaves = (
+            lesser.join(ms.hint("shuffle_hash"), "u")
+            .select(
+                F.least("v", "m").alias("a"),
+                F.greatest("v", "m").alias("b"),
+            )
+        )
+        attach_self = ms.select(
+            F.col("m").alias("a"), F.col("u").alias("b")
+        )
+        nxt = (
+            attach_leaves.unionByName(attach_self)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
+            or e.join(nxt, ["a", "b"], "left_anti").limit(1).count() > 0
+        )
+        e = nxt
+        if not changed:
+            break
+    labels_nonroot = e.select(
+        F.col("b").alias("node"), F.col("a").alias("cluster_id")
+    )
+    labels_root = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return labels_nonroot.unionByName(labels_root).groupBy("node").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )

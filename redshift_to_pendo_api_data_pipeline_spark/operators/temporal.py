@@ -624,3 +624,80 @@ def run_length_encode(
         F.col("__run").cast("long").alias("run_id"),
         F.col(value_col),
     ).agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+
+
+def u_shaped_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    conv_ts: str,
+    touch_ts: str,
+    conv_id: str,
+    touch_id: str,
+    window_days: int | None = None,
+    endpoint_ppm: int = 400_000,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — completes
+    the attribution set (last-touch asof / linear / time-decay): the
+    FIRST and LAST touch each take ``endpoint_ppm`` (default 40%), the
+    middles split the remainder equally. All integer ppm with the
+    rounding remainder pinned to the last touch, so per-conversion
+    credit sums to exactly 1,000,000 (the linear_attribution
+    contract):
+
+        n == 1: 1,000,000
+        n == 2: 500,000 each
+        n >= 3: first/last endpoint_ppm; middles share
+                (1e6 - 2·endpoint_ppm); last absorbs the mod.
+
+    Same candidate shape as linear_attribution: one user-key
+    shuffle_hash join, ONE conversion-partitioned window for count +
+    recency rank (first = rank n, last = rank 1); per-conversion state
+    bounded by that user's touches, lookback window as the scale
+    lever."""
+    if not 0 < endpoint_ppm <= 500_000:
+        raise ValueError(f"endpoint_ppm must be in (0, 500000], got {endpoint_ppm}")
+    c = conversions.select(
+        F.col(key).alias("k"),
+        F.col(conv_id).alias("conversion_id"),
+        F.col(conv_ts).alias("c_ts"),
+    )
+    t = touches.select(
+        F.col(key).alias("k"),
+        F.col(touch_id).alias("touch_id"),
+        F.col(touch_ts).alias("t_ts"),
+    )
+    joined = c.join(t.hint("shuffle_hash"), "k").where(
+        F.col("t_ts") <= F.col("c_ts")
+    )
+    if window_days is not None:
+        joined = joined.where(
+            F.col("t_ts") >= F.col("c_ts") - F.expr(
+                f"INTERVAL {int(window_days)} DAYS"
+            )
+        )
+    w = Window.partitionBy("conversion_id")
+    w_rank = w.orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    ranked = joined.select(
+        "k", "conversion_id", "touch_id",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        F.row_number().over(w_rank).alias("__recency"),
+    )
+    ep = int(endpoint_ppm)
+    mid_pool = 1_000_000 - 2 * ep
+    mid_base = F.expr(f"{mid_pool}L div (n_touches - 2)")
+    mid_rem = F.expr(f"{mid_pool}L % (n_touches - 2)")
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1_000_000))
+        .when(F.col("n_touches") == 2, F.lit(500_000))
+        .when(F.col("__recency") == 1, F.lit(ep) + mid_rem)     # last
+        .when(F.col("__recency") == F.col("n_touches"), F.lit(ep))  # first
+        .otherwise(mid_base)
+    )
+    return ranked.select(
+        F.col("k").alias(key),
+        "conversion_id",
+        "touch_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_ppm"),
+    )

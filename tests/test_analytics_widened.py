@@ -286,3 +286,59 @@ def test_grouped_ols_slope_matches_reference(spark):
     row = grouped_ols_slope(df2, ["g"], "x_fp", "y_fp").collect()[0]
     assert row["sxy"] == sxy and row["sxx"] == sxx
     assert row["slope_ppm"] == expect
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import random
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    rng = random.Random(5)
+    pts = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+
+    def brute(points):
+        from collections import Counter
+
+        cnt = Counter(points)
+        front = set()
+        for p in cnt:
+            dominated = any(
+                q[0] <= p[0] and q[1] >= p[1] and q != p
+                for q in cnt
+            )
+            if not dominated:
+                front.add((p[0], p[1], cnt[p]))
+        return front
+
+    got = {
+        (r["x"], r["y"], r["n_points"])
+        for r in skyline_2d(df, "x", "y").collect()
+    }
+    assert got == brute(pts)
+
+
+def test_skyline_2d_orientations(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 5), (3, 3), (5, 6)], ["x", "y"]
+    )
+    # maximize both: front = points not dominated by (>= , >=)
+    got = {
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            df, "x", "y", minimize_x=False, maximize_y=True).collect()
+    }
+    assert got == {(5, 6)}
+    # minimize both
+    got2 = {
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            df, "x", "y", minimize_x=True, maximize_y=False).collect()
+    }
+    assert got2 == {(1, 1)}

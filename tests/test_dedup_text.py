@@ -1135,3 +1135,48 @@ def test_incremental_editdist_pairs_asymmetric(spark):
         ("red bolt", "rad bolt", 1, 2, 1),
         ("red bolt", "red bolt", 0, 2, 1),
     }
+
+
+def test_star_cc_equals_label_propagation_on_random_graphs(spark):
+    import random
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(0, 1)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        lp = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        star = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == lp, f"trial {trial}: {sorted(star ^ lp)[:6]}"
+
+
+def test_star_cc_long_chain_converges(spark):
+    # a 60-node path: diameter 59 — label propagation's worst case is
+    # exactly what the star contraction exists for
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_star(df, max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 61

@@ -341,3 +341,44 @@ def test_pagerank_validation(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with _pytest.raises(ValueError, match="n_iter"):
         pagerank_fixed(df, n_iter=0)
+
+
+def test_k_hop_reachability_min_dist(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        k_hop_reachability,
+    )
+
+    # path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1 via shortcut, 5=2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (6, 7)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["dist"] for r in k_hop_reachability(
+        edges, seeds, k=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # 6,7 unreachable -> absent; k bounds the expansion
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_hop_reachability(edges, seeds, k=0)
+
+
+def test_related_items_per_item_topk(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        related_items,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 6, 10, 12), ("a", "c", 8, 10, 8), ("b", "c", 4, 12, 8)],
+        ["item_a", "item_b", "pair_support", "support_a", "support_b"],
+    )
+    out = related_items(edges, n_baskets=100, per_item_k=1).collect()
+    by_ante = {r["antecedent"]: r for r in out}
+    # every item surfaces with exactly its single best consequent
+    assert set(by_ante) == {"a", "b", "c"}
+    # a: lift(b)=6*100e6/(10*12)=50e6? -> 6*100*1e6//120 = 5_000_000;
+    #    lift(c)=8*100*1e6//80 = 10_000_000 -> c wins
+    assert by_ante["a"]["consequent"] == "c"
+    assert by_ante["a"]["lift_ppm"] == 10_000_000
+    assert all(r["rank"] == 1 for r in out)

@@ -305,3 +305,49 @@ def test_run_length_encode_hand_case(spark):
         ("u1", 1, "a", 2), ("u1", 2, "b", 1), ("u1", 3, "a", 1),
         ("u2", 1, "c", 3),
     }
+
+
+def test_u_shaped_attribution_positions_and_sum(spark):
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
+
+    def ts(d, h):
+        return dt(2024, 1, d, h)
+
+    touches = spark.createDataFrame(
+        [("u", f"t{i}", ts(1, i)) for i in range(1, 6)],  # 5 touches
+        ["user", "tid", "tts"],
+    )
+    conv = spark.createDataFrame(
+        [("u", "c1", ts(1, 10))], ["user", "cid", "cts"]
+    )
+    rows = u_shaped_attribution(
+        conv, touches, "user", "cts", "tts", "cid", "tid"
+    ).collect()
+    by_tid = {r["touch_id"]: r["credit_ppm"] for r in rows}
+    # first t1 -> 400000, last t5 -> 400000 + (200000 % 3),
+    # middles t2..t4 -> 200000 div 3
+    assert by_tid["t1"] == 400_000
+    assert by_tid["t5"] == 400_000 + 200_000 % 3
+    assert by_tid["t2"] == by_tid["t3"] == by_tid["t4"] == 200_000 // 3
+    assert sum(by_tid.values()) == 1_000_000
+
+    # one- and two-touch conversions
+    conv2 = spark.createDataFrame(
+        [("v", "c2", ts(1, 10))], ["user", "cid", "cts"]
+    )
+    t1 = spark.createDataFrame([("v", "x1", ts(1, 1))],
+                               ["user", "tid", "tts"])
+    single = u_shaped_attribution(
+        conv2, t1, "user", "cts", "tts", "cid", "tid").collect()
+    assert single[0]["credit_ppm"] == 1_000_000
+    t2 = spark.createDataFrame(
+        [("v", "x1", ts(1, 1)), ("v", "x2", ts(1, 2))],
+        ["user", "tid", "tts"],
+    )
+    pair = u_shaped_attribution(
+        conv2, t2, "user", "cts", "tts", "cid", "tid").collect()
+    assert {r["credit_ppm"] for r in pair} == {500_000}
