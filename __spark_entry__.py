@@ -4865,6 +4865,66 @@ def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per active day
+    (operators/analytics.rolling_active_users): the contribution
+    inversion — each (user, day) activity explodes to the 7 window-end
+    days it serves, so every day's trailing distinct count comes from
+    ONE explode + distinct + count instead of a per-day range
+    self-join. Integer epoch days, ppm stickiness."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+def q_funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-condition funnel (operators/analytics.
+    funnel_with_exclusion): click → purchase with NO error strictly
+    between — the 'clean conversion' question a plain step chain
+    cannot ask. One user-key scan collecting first-A + sorted B/E
+    arrays; interval exclusion checked row-side with ANSI-safe
+    array_min/filter."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        funnel_with_exclusion,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_with_exclusion(
+        ev, "user_id", "ts", "event_type", "click", "purchase", "error"
+    )
+
+
+def q_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-open orders (operators/analytics.
+    interval_concurrency_peak): order lifetime = [orderdate, last
+    shipdate + 1) in epoch days; the sweep-line +1/−1 endpoint stream
+    runs through the distributed prefix sum (one range shuffle, no
+    single-reducer window), exclusive-end tie semantics (a close frees
+    before a same-day open). The capacity-planning read."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        interval_concurrency_peak,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    ship = li.groupBy("l_orderkey").agg(
+        (F.max(F.datediff(F.col("l_shipdate").cast("date"), epoch)) + 1)
+        .cast("long").alias("end_d")
+    )
+    intervals = orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        .cast("long").alias("start_d"),
+    ).join(ship, orders.o_orderkey == ship.l_orderkey)
+    return interval_concurrency_peak(
+        intervals, "o_orderkey", "start_d", "end_d"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4899,6 +4959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "part_skyline": q_part_skyline,
         "u_shaped_credits": q_u_shaped_attribution,
+        "rolling_active_users": q_rolling_active_users,
+        "funnel_clean_conversions": q_funnel_with_exclusion,
+        "order_concurrency_peak": q_order_concurrency,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5329,6 +5392,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "order_concurrency_peak": """
+            WITH iv AS (
+              SELECT o.o_orderkey AS id,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o.o_orderdate AS DATE)) AS s,
+                     max(date_diff('day', DATE '1970-01-01',
+                               CAST(l.l_shipdate AS DATE))) + 1 AS e
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey, o.o_orderdate),
+            v AS (SELECT * FROM iv WHERE e > s),
+            ep AS (
+              SELECT s AS t, 1 AS delta, id FROM v
+              UNION ALL SELECT e, -1, id FROM v),
+            c AS (
+              SELECT t, delta, id,
+                     sum(delta) OVER (ORDER BY t, delta, id
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM ep),
+            pk AS (SELECT max(run) AS p FROM c),
+            f AS (SELECT min(t) AS ft FROM c, pk WHERE c.run = pk.p)
+            SELECT CAST((SELECT count(*) FROM iv) AS BIGINT)
+                       AS n_intervals,
+                   CAST((SELECT count(*) FROM iv)
+                        - (SELECT count(*) FROM v) AS BIGINT)
+                       AS n_dropped,
+                   CAST((SELECT p FROM pk) AS BIGINT)
+                       AS peak_concurrency,
+                   CAST((SELECT ft FROM f) AS BIGINT) AS first_peak_t
+        """,
+        "rolling_active_users": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS d
+              FROM events),
+            dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                    FROM act GROUP BY d),
+            contrib AS (
+              SELECT DISTINCT u, d + k AS wd
+              FROM act, (SELECT unnest(generate_series(0, 6)) AS k)),
+            wau AS (SELECT wd, CAST(count(*) AS BIGINT) AS wau
+                    FROM contrib GROUP BY wd)
+            SELECT CAST(dau.d AS BIGINT) AS day_n, dau.dau, wau.wau,
+                   CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+                       AS stickiness_ppm
+            FROM dau JOIN wau ON wau.wd = dau.d
+        """,
+        "funnel_clean_conversions": """
+            WITH a AS (
+              SELECT user_id AS u, min(ts) AS ta
+              FROM events WHERE event_type = 'click' GROUP BY user_id),
+            b AS (
+              SELECT e.user_id AS u, min(e.ts) AS tb
+              FROM events e JOIN a ON a.u = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= a.ta
+              GROUP BY e.user_id),
+            x AS (
+              SELECT b.u FROM b JOIN a USING (u)
+              WHERE EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.user_id = b.u AND e.event_type = 'error'
+                  AND e.ts > a.ta AND e.ts < b.tb))
+            SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_step_a,
+                   CAST((SELECT count(*) FROM b) AS BIGINT)
+                       AS n_converted,
+                   CAST((SELECT count(*) FROM b)
+                        - (SELECT count(*) FROM x) AS BIGINT) AS n_clean,
+                   CAST(((SELECT count(*) FROM b)
+                         - (SELECT count(*) FROM x)) * 1000000
+                        // (SELECT count(*) FROM a) AS BIGINT)
+                       AS clean_rate_ppm
         """,
         "u_shaped_credits": """
             WITH c AS (

@@ -2076,3 +2076,187 @@ def skyline_2d(
     return front.select(
         ox.alias(x_col), oy.alias(y_col), "n_points"
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per active day — the
+    product-analytics headline metric family. The naive trailing
+    window is a per-day DISTINCT over a range self-join (quadratic in
+    days × activity); the scale form INVERTS it: each distinct
+    (user, day) activity CONTRIBUTES to the ``window_days`` window-end
+    days it falls inside, so one explode (×window, a constant) + one
+    distinct + one count computes every day's trailing distinct count
+    in linear passes — no self-join, no per-day re-scan.
+
+    Day arithmetic is integer epoch days (cross-engine portable);
+    output rows only for days with activity: (day_n, dau, wau,
+    stickiness_ppm = dau·1e6 div wau). wau >= dau > 0 by construction,
+    so the division is safe."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day_n = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    activity = df.select(
+        F.col(user_col).alias("u"), day_n.alias("d")
+    ).distinct()
+    dau = activity.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = (
+        activity.withColumn(
+            "__k",
+            F.explode(F.array(*[F.lit(k) for k in range(window_days)])),
+        )
+        .select("u", (F.col("d") + F.col("__k")).alias("wd"))
+        .distinct()
+    )
+    wau = contrib.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(
+            wau.withColumnRenamed("wd", "d").hint("shuffle_hash"), "d"
+        )
+        .select(
+            F.col("d").alias("day_n"), "dau", "wau",
+            F.expr("dau * 1000000L div wau").cast("long")
+            .alias("stickiness_ppm"),
+        )
+    )
+
+
+def funnel_with_exclusion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    excluded: str,
+) -> DataFrame:
+    """Negative-condition funnel — 'did A then B WITHOUT E between'
+    (checkout completed without an error, upgrade without a support
+    ticket): first-touch semantics (first A, first B at-or-after it),
+    conversion is CLEAN iff no excluded event falls STRICTLY between
+    them. The exclusion makes this inexpressible as a plain step chain
+    — it needs the between-interval check.
+
+    One-scan form (the sequential_funnel_single_pass shape): one
+    user-key aggregation collects first-A plus sorted B/E timestamp
+    arrays; first-B-after-A is array_min over a filter (NULL on empty
+    — the ANSI-safe idiom), the exclusion check is one more filter
+    over the E array inside the same row. Per-user state bounded by
+    that user's B/E events; the final count is a singleton aggregate.
+    Output one row: n_step_a, n_converted, n_clean, clean_rate_ppm
+    (clean div step-A users)."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("y"),
+    )
+    per_user = ev.groupBy("u").agg(
+        F.min(F.when(F.col("y") == step_a, F.col("t"))).alias("ta"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("y") == step_b, F.col("t")))
+        ).alias("barr"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("y") == excluded, F.col("t")))
+        ).alias("xarr"),
+    )
+    tb = F.array_min(
+        F.filter(F.col("barr"), lambda t: t >= F.col("ta"))
+    )
+    flagged = per_user.select(
+        "u", "ta", tb.alias("tb"), "xarr"
+    ).withColumn(
+        "blocked",
+        F.when(
+            F.col("tb").isNotNull(),
+            F.size(
+                F.filter(
+                    F.col("xarr"),
+                    lambda e: (e > F.col("ta")) & (e < F.col("tb")),
+                )
+            )
+            > 0,
+        ),
+    )
+    agg = flagged.agg(
+        F.sum(F.when(F.col("ta").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_step_a"),
+        F.sum(F.when(F.col("tb").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_converted"),
+        F.sum(
+            F.when(
+                F.col("tb").isNotNull() & ~F.coalesce("blocked", F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_clean"),
+    )
+    return agg.select(
+        "n_step_a", "n_converted", "n_clean",
+        F.when(F.col("n_step_a") == 0, F.lit(0))
+        .otherwise(F.expr("n_clean * 1000000L div n_step_a"))
+        .cast("long").alias("clean_rate_ppm"),
+    )
+
+
+def interval_concurrency_peak(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrency of half-open integer intervals [start, end) —
+    the sweep-line classic (max simultaneous open orders / sessions /
+    connections) made distributed: every interval emits (+1 at start,
+    −1 at end) endpoint deltas, the EXCLUSIVE-end convention means a
+    close at t frees capacity before an open at t (delta −1 sorts
+    before +1), and the global running sum over the endpoint stream is
+    ``global_prefix_sum`` — one range shuffle, no single-reducer
+    window. Peak = max running sum; reported at the FIRST time it is
+    reached (min t, then min id — deterministic).
+
+    Intervals with end <= start are dropped as degenerate (a data bug
+    surfaced in n_dropped, not silently counted). Output one row:
+    n_intervals, n_dropped, peak_concurrency, first_peak_t."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    )
+    valid = base.where(F.col("__e") > F.col("__s"))
+    n_all = base.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    n_ok = valid.agg(F.count(F.lit(1)).cast("long").alias("__n_ok"))
+    endpoints = valid.select(
+        F.col("__s").alias("t"), F.lit(1).alias("delta"), "__id"
+    ).unionByName(
+        valid.select(
+            F.col("__e").alias("t"), F.lit(-1).alias("delta"), "__id"
+        )
+    )
+    cum = global_prefix_sum(
+        endpoints, ["t", "delta", "__id"], "delta",
+        prefix_name="__running",
+    )
+    peak = cum.agg(F.max("__running").cast("long").alias("peak_concurrency"))
+    first = (
+        cum.join(F.broadcast(peak), F.col("__running") == F.col("peak_concurrency"))
+        .agg(F.min(F.struct("t", "__id")).alias("__at"))
+        .select(F.col("__at.t").cast("long").alias("first_peak_t"))
+    )
+    return (
+        n_all.crossJoin(n_ok).crossJoin(peak).crossJoin(first)  # 1x1x1x1
+        .select(
+            "n_intervals",
+            (F.col("n_intervals") - F.col("__n_ok")).cast("long")
+            .alias("n_dropped"),
+            "peak_concurrency", "first_peak_t",
+        )
+    )

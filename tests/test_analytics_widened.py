@@ -342,3 +342,81 @@ def test_skyline_2d_orientations(spark):
             df, "x", "y", minimize_x=True, maximize_y=False).collect()
     }
     assert got2 == {(1, 1)}
+
+
+def test_rolling_active_users_hand_case(spark):
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    rows = [
+        ("a", dt(2024, 1, 1)), ("a", dt(2024, 1, 1)),  # dup same day
+        ("b", dt(2024, 1, 1)),
+        ("a", dt(2024, 1, 3)),
+        ("c", dt(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts"])
+    got = {r["day_n"]: (r["dau"], r["wau"], r["stickiness_ppm"])
+           for r in rolling_active_users(df, "user", "ts", 7).collect()}
+    d1 = (dt(2024, 1, 1) - dt(1970, 1, 1)).days
+    # day1: dau 2 (a,b), wau 2; day3: dau 1, wau 2 (a,b still in window)
+    assert got[d1] == (2, 2, 1_000_000)
+    assert got[d1 + 2] == (1, 2, 500_000)
+    # day9: a@3 is 6 days back -> inside the 7-day trailing window
+    assert got[d1 + 8] == (1, 2, 500_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(df, "user", "ts", 0)
+
+
+def test_funnel_with_exclusion_semantics(spark):
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        funnel_with_exclusion,
+    )
+
+    def r(u, h, y):
+        return (u, dt(2024, 1, 1, h), y)
+
+    rows = [
+        # u1: clean A->B
+        r("u1", 1, "A"), r("u1", 3, "B"),
+        # u2: A -> E -> B (blocked)
+        r("u2", 1, "A"), r("u2", 2, "E"), r("u2", 3, "B"),
+        # u3: E before A then B (clean — exclusion only between)
+        r("u3", 1, "E"), r("u3", 2, "A"), r("u3", 4, "B"),
+        # u4: A, no B
+        r("u4", 1, "A"),
+        # u5: B before A only -> not converted
+        r("u5", 1, "B"), r("u5", 2, "A"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "y"])
+    row = funnel_with_exclusion(
+        df, "user", "ts", "y", "A", "B", "E").collect()[0]
+    assert row["n_step_a"] == 5
+    assert row["n_converted"] == 3  # u1, u2, u3
+    assert row["n_clean"] == 2      # u1, u3
+    assert row["clean_rate_ppm"] == 2 * 1_000_000 // 5
+
+
+def test_interval_concurrency_peak_sweep(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        interval_concurrency_peak,
+    )
+
+    rows = [
+        (1, 0, 10), (2, 5, 15), (3, 9, 12),   # overlap 9..10 -> 3 open
+        (4, 10, 11),                          # opens AT 10 as 1 closes
+        (5, 20, 20),                          # degenerate, dropped
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "e"])
+    row = interval_concurrency_peak(df, "id", "s", "e").collect()[0]
+    assert row["n_intervals"] == 5 and row["n_dropped"] == 1
+    # [0,10),[5,15),[9,12) all open at t=9; at t=10 interval 1 closes
+    # BEFORE 4 opens (exclusive end), so peak stays 3, first at t=9
+    assert row["peak_concurrency"] == 3
+    assert row["first_peak_t"] == 9
