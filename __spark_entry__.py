@@ -4925,6 +4925,44 @@ def q_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recognized revenue (operators/analytics.
+    amortize_over_days): each order's total spreads evenly over its
+    [orderdate, last shipdate] service window in exact integer cents —
+    last day absorbs the remainder, so the monthly roll-up re-sums to
+    total booked revenue to the cent. Fan-out bounded by the max ship
+    lag (a business constant), never the corpus."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        amortize_over_days,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max(F.datediff(F.col("l_shipdate").cast("date"), epoch))
+        .cast("long").alias("end_d")
+    )
+    iv = orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        .cast("long").alias("start_d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("amount_fp"),
+    ).join(ship, orders.o_orderkey == ship.l_orderkey)
+    daily = amortize_over_days(
+        iv, "o_orderkey", "start_d", "end_d", "amount_fp"
+    )
+    month_date = F.date_add(epoch, F.col("day_n").cast("int"))
+    return daily.groupBy(
+        (F.year(month_date) * 100 + F.month(month_date))
+        .cast("long").alias("month_key")
+    ).agg(
+        F.sum("daily_fp").cast("long").alias("recognized_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_order_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -4962,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "funnel_clean_conversions": q_funnel_with_exclusion,
         "order_concurrency_peak": q_order_concurrency,
+        "revenue_recognition_monthly": q_revenue_recognition,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
@@ -5392,6 +5431,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_child_distinct - n_violations) * 1000000
                         // n_child_distinct AS BIGINT) AS containment_ppm
             FROM checked
+        """,
+        "revenue_recognition_monthly": """
+            WITH iv AS (
+              SELECT o.o_orderkey AS id,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o.o_orderdate AS DATE)) AS s,
+                     max(date_diff('day', DATE '1970-01-01',
+                               CAST(l.l_shipdate AS DATE))) AS e,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS a
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice),
+            v AS (SELECT * FROM iv WHERE e >= s),
+            daily AS (
+              SELECT id, d AS day_n,
+                     CASE WHEN d = e THEN a // (e - s + 1) + a % (e - s + 1)
+                          ELSE a // (e - s + 1) END AS daily_fp
+              FROM v, unnest(generate_series(v.s, v.e)) AS t(d))
+            SELECT CAST(year(DATE '1970-01-01' + CAST(day_n AS INT)) * 100
+                        + month(DATE '1970-01-01' + CAST(day_n AS INT))
+                        AS BIGINT) AS month_key,
+                   CAST(sum(daily_fp) AS BIGINT) AS recognized_fp,
+                   CAST(count(*) AS BIGINT) AS n_order_days
+            FROM daily GROUP BY 1
         """,
         "order_concurrency_peak": """
             WITH iv AS (

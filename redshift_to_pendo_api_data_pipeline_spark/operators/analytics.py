@@ -2260,3 +2260,44 @@ def interval_concurrency_peak(
             "peak_concurrency", "first_peak_t",
         )
     )
+
+
+def amortize_over_days(
+    df: DataFrame,
+    id_col: str,
+    start_day: str,
+    end_day: str,
+    amount_fp: str,
+) -> DataFrame:
+    """Straight-line amortization of an integer fixed-point amount over
+    an INCLUSIVE day range [start, end] — the revenue-recognition /
+    cost-allocation primitive: each day carries amount div n_days, the
+    LAST day absorbs the remainder, so per-id daily amounts sum to the
+    amount EXACTLY (the attribution-remainder contract).
+
+    Shape: one `sequence` + explode per row — the fan-out is bounded by
+    the maximum range length (a business constant: contract terms,
+    ship-lag caps), never by the corpus; everything else is map-side
+    arithmetic. Degenerate ranges (end < start) are dropped; surface
+    them upstream with a quality check, not here. Output: (id, day_n,
+    daily_fp)."""
+    valid = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_day).cast("long").alias("__s"),
+        F.col(end_day).cast("long").alias("__e"),
+        F.col(amount_fp).cast("long").alias("__a"),
+    ).where(F.col("__e") >= F.col("__s"))
+    n_days = F.col("__e") - F.col("__s") + 1
+    exploded = valid.withColumn(
+        "day_n", F.explode(F.sequence(F.col("__s"), F.col("__e")))
+    )
+    base = F.expr("__a div (__e - __s + 1)")
+    rem = F.expr("__a % (__e - __s + 1)")
+    return exploded.select(
+        F.col("__id").alias(id_col),
+        F.col("day_n").cast("long").alias("day_n"),
+        F.when(F.col("day_n") == F.col("__e"), base + rem)
+        .otherwise(base)
+        .cast("long")
+        .alias("daily_fp"),
+    )

@@ -420,3 +420,25 @@ def test_interval_concurrency_peak_sweep(spark):
     # BEFORE 4 opens (exclusive end), so peak stays 3, first at t=9
     assert row["peak_concurrency"] == 3
     assert row["first_peak_t"] == 9
+
+
+def test_amortize_over_days_exact_sum(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        amortize_over_days,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 12, 1000), (2, 5, 5, 777), (3, 9, 7, 500)],
+        ["id", "s", "e", "a"],
+    )
+    rows = amortize_over_days(df, "id", "s", "e", "a").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["day_n"]] = r["daily_fp"]
+    # 1000 over 3 days: 333/333/334 (last absorbs remainder)
+    assert by_id[1] == {10: 333, 11: 333, 12: 334}
+    assert sum(by_id[1].values()) == 1000
+    # single-day range carries everything
+    assert by_id[2] == {5: 777}
+    # degenerate range dropped entirely
+    assert 3 not in by_id
