@@ -4933,7 +4933,7 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     total booked revenue to the cent. Fan-out bounded by the max ship
     lag (a business constant), never the corpus."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
-        amortize_over_days,
+        amortize_monthly,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -4950,17 +4950,116 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").alias("amount_fp"),
     ).join(ship, orders.o_orderkey == ship.l_orderkey)
-    daily = amortize_over_days(
+    # month-level amortization: algebraically equal to the day-level
+    # explode rolled up by month (property-tested), ~30x less fan-out —
+    # 5.0s -> sub-second at sf0.1. n_order_days comes from the same
+    # month-overlap arithmetic, no day rows ever materialize.
+    monthly = amortize_monthly(
         iv, "o_orderkey", "start_d", "end_d", "amount_fp"
     )
-    month_date = F.date_add(epoch, F.col("day_n").cast("int"))
-    return daily.groupBy(
-        (F.year(month_date) * 100 + F.month(month_date))
-        .cast("long").alias("month_key")
-    ).agg(
-        F.sum("daily_fp").cast("long").alias("recognized_fp"),
-        F.count(F.lit(1)).cast("long").alias("n_order_days"),
+    return monthly.groupBy("month_key").agg(
+        F.sum("month_fp").cast("long").alias("recognized_fp"),
+        F.sum("n_days").cast("long").alias("n_order_days"),
     )
+
+
+def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 4-term query
+    (operators/text.bm25_scores): per-term partials rounded to
+    micro-units then summed as BIGINT, so the cross-term sum is
+    order-independent and hash-stable."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, ["join", "vector", "spark", "window"], top_k=20
+    )
+
+
+def q_woe_iv_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard of order price
+    deciles against the urgent-priority label
+    (operators/analytics.woe_iv_bins)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        woe_iv_bins,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("__y"),
+    )
+    return woe_iv_bins(o, "o_totalprice", "__y", "o_orderkey", n_bins=10)
+
+
+def q_cuped_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced per-arm spend readout
+    (operators/analytics.cuped_adjusted_means): pre-period spend
+    (< 1996-01-01) is the covariate for post-period spend; arms are
+    custkey parity; all surfaces exact integer ppm."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        cuped_adjusted_means,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cut = F.lit("1996-01-01").cast("date")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate").cast("date") < cut, cents).otherwise(0)
+        ).cast("long").alias("pre_fp"),
+        F.sum(
+            F.when(F.col("o_orderdate").cast("date") >= cut, cents).otherwise(0)
+        ).cast("long").alias("post_fp"),
+    ).withColumn("arm", (F.col("o_custkey") % 2).cast("long"))
+    return cuped_adjusted_means(per, "o_custkey", "pre_fp", "post_fp", "arm")
+
+
+def q_nb_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes source routing
+    (operators/classifier.naive_bayes_classify): train on doc_id % 5
+    != 0 with class = source, score the held-out fifth; integer
+    micro-unit log-space scores, OOV floors, empty docs kept."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        naive_bayes_classify,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    score = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(
+        train, score, text_col="text", id_col="doc_id", class_col="source"
+    )
+
+
+def q_embedding_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation ablation
+    (operators/similarity.dim_truncation_recall): overlap@10 between
+    full-64-dim and first-32-dim exact cosine top-10, per probe query
+    (vec_id % 16 == 0)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dim_truncation_recall(
+        emb, emb.where(F.col("vec_id") % 16 == 0), keep_dims=32, k=10
+    )
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table
+    (operators/sampling.kcenter_select): 8 maximally-spread exemplars,
+    k linear passes, one collected row per pass (bounded by
+    contract)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        kcenter_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, "embedding", "vec_id", k=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4973,6 +5072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "bm25_ranking": q_bm25_ranking,
+        "woe_iv_price_deciles": q_woe_iv_price,
+        "cuped_adjusted_spend": q_cuped_spend,
+        "nb_source_classify": q_nb_source_classify,
+        "embedding_dim_recall": q_embedding_dim_recall,
+        "kcenter_coreset": q_kcenter_coreset,
         "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
         "part_record_linkage": q_part_record_linkage,
         "fk_discovery": q_fk_discovery,
@@ -5325,6 +5430,225 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_ranking": """
+            WITH t AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            tt AS (SELECT doc, term FROM t WHERE term <> ''),
+            dl AS (SELECT doc, count(*) AS dl FROM tt GROUP BY doc),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) AS total_len FROM dl),
+            tf AS (SELECT doc, term, count(*) AS tf FROM tt
+                   WHERE term IN ('join', 'vector', 'spark', 'window')
+                   GROUP BY doc, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            p AS (
+              SELECT tf.doc,
+                     CAST(round(
+                       ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * dl.dl * s.n_docs / s.total_len)))
+                       * 1000000.0) AS BIGINT) AS pm
+              FROM tf JOIN dfr USING (term) JOIN dl USING (doc), s)
+            SELECT doc AS doc_id, CAST(sum(pm) AS BIGINT) AS bm25_micro
+            FROM p GROUP BY doc
+            ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "woe_iv_price_deciles": """
+            WITH b AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+                     ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
+              FROM orders),
+            pb AS (SELECT bin, count(*) AS n, sum(y) AS n_bad,
+                          count(*) - sum(y) AS n_good
+                   FROM b GROUP BY bin),
+            t AS (SELECT CAST(sum(n_good) AS DOUBLE) AS tg,
+                         CAST(sum(n_bad) AS DOUBLE) AS tb FROM pb)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n_good AS BIGINT) AS n_good,
+                   CAST(n_bad AS BIGINT) AS n_bad,
+                   round(ln((n_good / tg) / (n_bad / tb)), 6) AS woe,
+                   round((n_good / tg - n_bad / tb)
+                         * ln((n_good / tg) / (n_bad / tb)), 6) AS iv_part
+            FROM pb, t
+        """,
+        "cuped_adjusted_spend": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+                              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS HUGEINT) AS x,
+                     CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS HUGEINT) AS y,
+                     o_custkey % 2 AS arm
+              FROM orders GROUP BY o_custkey),
+            g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx FROM per),
+            gg AS (SELECT n, sx, sy,
+                          n * sxy - sx * sy AS num,
+                          n * sxx - sx * sx AS den FROM g),
+            a AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n_arm,
+                         sum(x) AS sx_arm, sum(y) AS sy_arm
+                  FROM per GROUP BY arm)
+            SELECT CAST(arm AS BIGINT) AS arm,
+                   CAST(n_arm AS BIGINT) AS n_units,
+                   CAST(sx_arm * 1000000 // n_arm AS BIGINT) AS mean_pre_ppm,
+                   CAST(sy_arm * 1000000 // n_arm AS BIGINT) AS mean_post_ppm,
+                   CAST(num * 1000000 // den AS BIGINT) AS theta_ppm,
+                   CAST((sy_arm * 1000000 // n_arm)
+                        - ((num * 1000000 // den)
+                           * ((sx_arm * 1000000 // n_arm) - (sx * 1000000 // n))
+                           // 1000000) AS BIGINT) AS adjusted_post_ppm
+            FROM a, gg
+        """,
+        "nb_source_classify": """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            sc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            ttok AS (
+              SELECT doc_id AS doc, source AS cls,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM train),
+            tt AS (SELECT doc, cls, tok FROM ttok WHERE tok <> ''),
+            ct AS (SELECT cls, tok, count(*) AS c FROM tt GROUP BY cls, tok),
+            cls_tot AS (SELECT cls, sum(c) AS tot FROM ct GROUP BY cls),
+            vn AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM ct),
+            ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+            priors AS (
+              SELECT source AS cls,
+                     CAST(round(ln(count(*) / (SELECT n FROM ntr)) * 1000000.0) AS BIGINT) AS prior_micro
+              FROM train GROUP BY source),
+            weights AS (
+              SELECT ct.cls, ct.tok,
+                     CAST(round(ln((ct.c + 1.0) / (cls_tot.tot + (SELECT v FROM vn))) * 1000000.0) AS BIGINT) AS lw_micro
+              FROM ct JOIN cls_tot USING (cls)),
+            floors AS (
+              SELECT cls,
+                     CAST(round(ln(1.0 / (tot + (SELECT v FROM vn))) * 1000000.0) AS BIGINT) AS floor_micro
+              FROM cls_tot),
+            stok0 AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM sc),
+            stok AS (SELECT doc, tok FROM stok0 WHERE tok <> ''),
+            scored AS (
+              SELECT s.doc, f.cls,
+                     CAST(sum(coalesce(w.lw_micro, f.floor_micro)) AS BIGINT) AS ll_micro
+              FROM stok s CROSS JOIN floors f
+              LEFT JOIN weights w ON w.cls = f.cls AND w.tok = s.tok
+              GROUP BY s.doc, f.cls),
+            alldc AS (SELECT d.doc_id AS doc, p.cls, p.prior_micro
+                      FROM sc d CROSS JOIN priors p),
+            full0 AS (
+              SELECT a.doc, a.cls,
+                     CAST(coalesce(s.ll_micro, 0) + a.prior_micro AS BIGINT) AS score_micro
+              FROM alldc a LEFT JOIN scored s ON s.doc = a.doc AND s.cls = a.cls),
+            rk AS (SELECT doc, cls, score_micro,
+                          row_number() OVER (PARTITION BY doc
+                                             ORDER BY score_micro DESC, cls ASC) AS rn
+                   FROM full0)
+            SELECT doc AS doc_id, cls AS pred_source, score_micro
+            FROM rk WHERE rn = 1
+        """,
+        "embedding_dim_recall": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 16 = 0),
+            p AS (
+              SELECT q.qid, e.vec_id AS cid,
+                     round(list_cosine_similarity(e.v, q.qv), 6) AS cf,
+                     round(list_cosine_similarity(e.v[1:32], q.qv[1:32]), 6) AS ch
+              FROM e, q WHERE e.vec_id <> q.qid),
+            r AS (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cf DESC, cid ASC) AS rf,
+                     row_number() OVER (PARTITION BY qid ORDER BY ch DESC, cid ASC) AS rh
+              FROM p),
+            o AS (
+              SELECT f.qid, count(*) AS n
+              FROM (SELECT qid, cid FROM r WHERE rf <= 10) f
+              JOIN (SELECT qid, cid FROM r WHERE rh <= 10) h USING (qid, cid)
+              GROUP BY f.qid)
+            SELECT CAST(q.qid AS BIGINT) AS vec_id,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+                   CAST(coalesce(o.n, 0) * 1000 // 10 AS BIGINT) AS recall_pm
+            FROM q LEFT JOIN o ON q.qid = o.qid
+        """,
+        "kcenter_coreset": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(list_distance(e.v, CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[])) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c1 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(list_distance(e.v, (SELECT v FROM c0)) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c2 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c3 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1)), list_distance(e.v, (SELECT v FROM c2))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c4 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1)), list_distance(e.v, (SELECT v FROM c2)), list_distance(e.v, (SELECT v FROM c3))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2 UNION ALL SELECT vec_id FROM c3)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c5 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1)), list_distance(e.v, (SELECT v FROM c2)), list_distance(e.v, (SELECT v FROM c3)), list_distance(e.v, (SELECT v FROM c4))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2 UNION ALL SELECT vec_id FROM c3 UNION ALL SELECT vec_id FROM c4)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c6 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1)), list_distance(e.v, (SELECT v FROM c2)), list_distance(e.v, (SELECT v FROM c3)), list_distance(e.v, (SELECT v FROM c4)), list_distance(e.v, (SELECT v FROM c5))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2 UNION ALL SELECT vec_id FROM c3 UNION ALL SELECT vec_id FROM c4 UNION ALL SELECT vec_id FROM c5)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1),
+            c7 AS (
+                  SELECT e.vec_id, e.v,
+                         CAST(round(least(list_distance(e.v, (SELECT v FROM c0)), list_distance(e.v, (SELECT v FROM c1)), list_distance(e.v, (SELECT v FROM c2)), list_distance(e.v, (SELECT v FROM c3)), list_distance(e.v, (SELECT v FROM c4)), list_distance(e.v, (SELECT v FROM c5)), list_distance(e.v, (SELECT v FROM c6))) * 1000000.0) AS BIGINT) AS d
+                  FROM e
+                  WHERE e.vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2 UNION ALL SELECT vec_id FROM c3 UNION ALL SELECT vec_id FROM c4 UNION ALL SELECT vec_id FROM c5 UNION ALL SELECT vec_id FROM c6)
+                  ORDER BY d DESC, e.vec_id ASC LIMIT 1)
+            SELECT CAST(0 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c4
+            UNION ALL
+            SELECT CAST(5 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c5
+            UNION ALL
+            SELECT CAST(6 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c6
+            UNION ALL
+            SELECT CAST(7 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+                   d AS dist_micro FROM c7
+        """,
         "doc_sorted_neighborhood": """
             WITH k AS (
               SELECT doc_id,

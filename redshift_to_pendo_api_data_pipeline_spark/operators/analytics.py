@@ -2301,3 +2301,202 @@ def amortize_over_days(
         .cast("long")
         .alias("daily_fp"),
     )
+
+
+def woe_iv_bins(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard binning — the
+    credit-risk feature-screening classic: equal-frequency bins over a
+    numeric driver, per-bin WOE = ln((good_share)/(bad_share)) and its
+    IV contribution (share_good - share_bad) * WOE.
+
+    Determinism: the ntile order is (value, id) — the unique id
+    tie-break makes bin assignment identical cross-engine. WOE/IV stay
+    float (a single ln + one product, identical libm both sides) and
+    surface rounded to 6; counts surface as exact BIGINTs. ntile is a
+    global window: acceptable ONLY because a scorecard bins ONE
+    feature at a time and the window input is the (unit, value, label)
+    triple — for a 100 TB corpus, bin on pre-aggregated per-unit
+    values (bounded by |units|), or swap ntile for approx-quantile
+    cut points; this operator is the exact-audit form.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    binned = df.select(
+        F.col(value_col),
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("__y"),
+    ).withColumn("bin", F.ntile(n_bins).over(w))
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_bad"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).withColumn("n_good", (F.col("n") - F.col("n_bad")).cast("long"))
+    tot = per_bin.agg(
+        F.sum("n_good").cast("double").alias("tot_good"),
+        F.sum("n_bad").cast("double").alias("tot_bad"),
+    )
+    out = per_bin.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n", "n_good", "n_bad",
+        F.round(
+            F.log(
+                (F.col("n_good") / F.col("tot_good"))
+                / (F.col("n_bad") / F.col("tot_bad"))
+            ),
+            6,
+        ).alias("woe"),
+        F.round(
+            (
+                F.col("n_good") / F.col("tot_good")
+                - F.col("n_bad") / F.col("tot_bad")
+            )
+            * F.log(
+                (F.col("n_good") / F.col("tot_good"))
+                / (F.col("n_bad") / F.col("tot_bad"))
+            ),
+            6,
+        ).alias("iv_part"),
+    )
+    return out
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    unit_col: str,
+    pre_col: str,
+    post_col: str,
+    arm_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    adjusted post-period metric per arm, using the pre-period metric as
+    the control covariate — adjusted = mean(y|arm) - theta * (mean(x|arm)
+    - mean(x)), theta = cov(x,y)/var(x) pooled across arms.
+
+    EXACT integer arithmetic end to end: theta's numerator/denominator
+    are the classic n*Sxy - Sx*Sy / n*Sxx - Sx^2 integer forms held in
+    DECIMAL(38,0), surfaced as theta_ppm via integer div (truncation
+    toward zero — identical in Spark `div` and DuckDB `//`); per-arm
+    means surface in ppm of the input unit. One pass for the global
+    moments (6 sums), one groupBy(arm) — both map-side combined; the
+    1-row moment relation is a broadcast scalar.
+
+    Inputs are per-UNIT aggregates (the caller reduces raw events to
+    (unit, pre, post) first), so every shuffle here is bounded by
+    |units|, never raw event volume.
+    """
+    base = df.select(
+        F.col(unit_col).alias("u"),
+        F.col(pre_col).cast("decimal(38,0)").alias("x"),
+        F.col(post_col).cast("decimal(38,0)").alias("y"),
+        F.col(arm_col).alias("arm"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    ).select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)").alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)").alias("den"),
+    )
+    arms = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    theta_ppm = F.expr("num * 1000000 div den").cast("long")
+    mean_x_arm_ppm = F.expr("sx_arm * 1000000 div n_arm").cast("long")
+    mean_y_arm_ppm = F.expr("sy_arm * 1000000 div n_arm").cast("long")
+    return j.select(
+        F.col("arm"),
+        F.col("n_arm").cast("long").alias("n_units"),
+        mean_x_arm_ppm.alias("mean_pre_ppm"),
+        mean_y_arm_ppm.alias("mean_post_ppm"),
+        theta_ppm.alias("theta_ppm"),
+        (
+            mean_y_arm_ppm
+            # theta_ppm * ppm-scale mean gap can pass 2^63: hold the
+            # product in DECIMAL(38,0); both div's truncate toward zero
+            # exactly like the oracle's HUGEINT //
+            - F.expr(
+                "CAST(num * 1000000 div den AS DECIMAL(38,0))"
+                " * CAST((sx_arm * 1000000 div n_arm)"
+                "        - (sx * 1000000 div n) AS DECIMAL(38,0))"
+                " div 1000000"
+            ).cast("long")
+        ).cast("long").alias("adjusted_post_ppm"),
+    )
+
+
+def amortize_monthly(
+    df: DataFrame,
+    id_col: str,
+    start_day: str,
+    end_day: str,
+    amount_fp: str,
+) -> DataFrame:
+    """Calendar-month rollup of straight-line amortization, computed
+    WITHOUT the day-level explode: algebraically identical to
+    `amortize_over_days` summed by month (same integer base/remainder
+    contract — last day absorbs `amount % n_days`), but the fan-out is
+    one row per COVERED MONTH (~n_days/30), a ~30x smaller explode.
+    Per-month total = daily_base * overlap_days (+ remainder if the
+    range ends in that month) — pure JVM date arithmetic, no UDF.
+    Output: (id, month_key yyyymm, month_fp, n_days) where n_days is
+    the covered-day count inside that month (sums to the range length)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    valid = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_day).cast("long").alias("__s"),
+        F.col(end_day).cast("long").alias("__e"),
+        F.col(amount_fp).cast("long").alias("__a"),
+    ).where(F.col("__e") >= F.col("__s"))
+    v = valid.select(
+        "__id", "__a",
+        (F.col("__e") - F.col("__s") + 1).alias("__n"),
+        F.date_add(epoch, F.col("__s").cast("int")).alias("__sd"),
+        F.date_add(epoch, F.col("__e").cast("int")).alias("__ed"),
+    ).withColumn("__m0", F.trunc(F.col("__sd"), "MM"))
+    exploded = v.withColumn(
+        "__i",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.months_between(
+                    F.trunc(F.col("__ed"), "MM"), F.col("__m0")
+                ).cast("int"),
+            )
+        ),
+    ).withColumn("__ms", F.add_months(F.col("__m0"), F.col("__i")))
+    ov_start = F.greatest(F.col("__sd"), F.col("__ms"))
+    ov_end = F.least(F.col("__ed"), F.last_day(F.col("__ms")))
+    overlap = (F.datediff(ov_end, ov_start) + 1).cast("long")
+    base = F.expr("__a div __n")
+    rem = F.expr("__a % __n")
+    return exploded.select(
+        F.col("__id").alias(id_col),
+        (F.year(F.col("__ms")) * 100 + F.month(F.col("__ms")))
+        .cast("long").alias("month_key"),
+        (
+            base * overlap
+            + F.when(
+                (F.col("__ed") >= F.col("__ms"))
+                & (F.col("__ed") <= F.last_day(F.col("__ms"))),
+                rem,
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("month_fp"),
+        overlap.alias("n_days"),
+    )

@@ -615,3 +615,70 @@ def negative_samples(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> "DataFrame":
+    """Greedy k-center (farthest-point / Gonzalez) coreset selection
+    over an embedding column — the diversity-maximizing data-selection
+    primitive (pick k maximally spread exemplars; 2-approximation to
+    the optimal covering radius).
+
+    Distributed shape: k LINEAR passes. Each pass scores every vector's
+    Euclidean distance to the ≤k already-chosen centers as one JVM
+    expression (zip_with/aggregate folds — no UDF, no shuffle beyond
+    the top-1 TakeOrdered), takes the argmax of the ROUNDED min
+    distance (micro-units; ties by id — deterministic cross-engine),
+    and collects exactly ONE row (bounded by contract: k rows total
+    ever reach the driver). The seed step is distance-to-origin (max
+    norm). No quadratic pair materialization at any point; corpus is
+    never collected.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import _dot
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+
+    def dist_to(center_vec: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        sq = F.zip_with(F.col("__v"), c, lambda p, q: (p - q) * (p - q))
+        return F.sqrt(
+            F.aggregate(sq, F.lit(0.0).cast("double"), lambda a, v: a + v)
+        )
+
+    dim = len(base.select("__v").first()["__v"])
+    chosen: list[tuple] = []  # (step, id, dist_micro, vector)
+    for step in range(k):
+        if step == 0:
+            score = dist_to([0.0] * dim)
+        elif step == 1:
+            score = dist_to(chosen[0][3])
+        else:
+            score = F.least(*[dist_to(vec) for (_, _, _, vec) in chosen])
+        cand = (
+            base.where(
+                ~F.col("__id").isin([cid for (_, cid, _, _) in chosen])
+                if chosen
+                else F.lit(True)
+            )
+            .select(
+                "__id",
+                F.round(score * F.lit(1e6), 0).cast("long").alias("__d"),
+                "__v",
+            )
+            .orderBy(F.desc("__d"), F.asc("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((step, cand["__id"], cand["__d"], cand["__v"]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(s), int(i), int(d)) for (s, i, d, _) in chosen],
+        schema="step long, vec_id long, dist_micro long",
+    )

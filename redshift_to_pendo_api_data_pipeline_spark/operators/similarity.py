@@ -1703,3 +1703,81 @@ def train_pca_fp(
             [int(np.sign(x) * np.floor(abs(x) * scale + 0.5)) for x in v]
         )
     return comps, mean_fp
+
+
+def dim_truncation_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_dims: int = 32,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation: for each query
+    vector, exact cosine top-k under the FULL embedding vs under its
+    first `keep_dims` coordinates, reported as overlap@k — the
+    measurement behind 'can we serve ANN from a truncated index and
+    re-rank with full vectors?'.
+
+    Shape: the query relation is bounded by contract (a sampled probe
+    set, never the corpus) and broadcasts; the corpus streams past it
+    once — both rankings come from ONE pair scan with two
+    query-partitioned windows (same partition key, so a single
+    shuffle), never a global sort. Ranking ties break on rounded
+    cosine then id, identical cross-engine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                _dot(
+                    F.slice(F.col("cv"), 1, keep_dims),
+                    F.slice(F.col("qv"), 1, keep_dims),
+                )
+                / (
+                    _norm(F.slice(F.col("cv"), 1, keep_dims))
+                    * _norm(F.slice(F.col("qv"), 1, keep_dims))
+                ),
+                6,
+            ).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("cid"))
+    wh = Window.partitionBy("qid").orderBy(F.desc("cos_half"), F.asc("cid"))
+    ranked = pairs.select(
+        "qid", "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    top_full = ranked.where(F.col("rf") <= k).select("qid", "cid")
+    top_half = ranked.where(F.col("rh") <= k).select("qid", "cid")
+    # both top-k relations are |queries| x k rows — bounded by contract,
+    # broadcastable at any corpus size
+    overlap = (
+        top_full.join(F.broadcast(top_half), ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select("qid")
+        .join(F.broadcast(overlap), "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) * 1000 / F.lit(k))
+            .cast("long").alias("recall_pm"),
+        )
+    )

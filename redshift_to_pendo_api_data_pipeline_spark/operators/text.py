@@ -1135,3 +1135,86 @@ def compression_quality(
             F.when(F.col("__r") < repetitive_below_ppm, 1).otherwise(0)
         ).cast("long").alias("n_repetitive"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a FIXED query term
+    set — the retrieval scorer behind search-based data curation
+    (select-by-query, topicality filters), one step past tf-idf: term
+    frequency saturates at k1 and long documents are penalized toward
+    the corpus mean length by b.
+
+    Exact-integer surface: each per-term partial score is rounded to
+    micro-units FIRST (idf and the saturation fraction are the only
+    float steps, identical libm on both engines), then summed as
+    BIGINT — the cross-term sum is order-independent, so the value
+    hash survives Spark's nondeterministic partial-agg order.
+
+    Shuffle shape: one token explode -> per-doc length agg (doc key),
+    the query-term tf agg reuses the same relation filtered to the
+    (constant-size) query vocabulary, df per term is a query-sized
+    relation, and the corpus scalars (N, total length) are a 1-row
+    broadcast. Final top-k compiles to TakeOrderedAndProject — no
+    global window, no full sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_len"),
+    )
+    qset = [t.lower() for t in query_terms]
+    tf = (
+        toks.where(F.col("term").isin(qset))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # scalars and the query-sized df relation broadcast by construction
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__sat",
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+                )
+            ),
+        )
+        .withColumn(
+            "__part_micro",
+            F.round(F.col("__idf") * F.col("__sat") * F.lit(1e6), 0).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum("__part_micro").cast("long").alias("bm25_micro"))
+        .select(F.col("doc").alias(id_col), "bm25_micro")
+        .orderBy(F.desc("bm25_micro"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -442,3 +442,42 @@ def test_amortize_over_days_exact_sum(spark):
     assert by_id[2] == {5: 777}
     # degenerate range dropped entirely
     assert 3 not in by_id
+
+
+def test_amortize_monthly_equals_daily_rollup(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        amortize_monthly,
+        amortize_over_days,
+    )
+
+    # ranges crossing 0, 1, and 3 month boundaries + a degenerate one
+    rows = [
+        (1, 10, 12, 1000),       # within one month
+        (2, 25, 35, 7777),       # crosses Jan->Feb 1970
+        (3, 20, 130, 999999),    # spans 4 months
+        (4, 9, 7, 5),            # degenerate, dropped by both
+        (5, 58, 59, 101),        # ends on month boundary
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "e", "a"])
+    daily = amortize_over_days(df, "id", "s", "e", "a")
+    epoch = F.lit("1970-01-01").cast("date")
+    md = F.date_add(epoch, F.col("day_n").cast("int"))
+    daily_rolled = {
+        (r["id"], r["mk"]): (r["fp"], r["nd"])
+        for r in daily.groupBy(
+            "id", (F.year(md) * 100 + F.month(md)).cast("long").alias("mk")
+        )
+        .agg(
+            F.sum("daily_fp").cast("long").alias("fp"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        .collect()
+    }
+    monthly = {
+        (r["id"], r["month_key"]): (r["month_fp"], r["n_days"])
+        for r in amortize_monthly(df, "id", "s", "e", "a").collect()
+    }
+    assert monthly == daily_rolled
+    assert sum(fp for (i, _), (fp, _) in monthly.items() if i == 3) == 999999
