@@ -5062,6 +5062,95 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, "embedding", "vec_id", k=8)
 
 
+def q_shapley_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form Shapley channel attribution
+    (operators/analytics.shapley_channel_credits): 4 touch channels
+    (click/error/signup/view), conversion = any purchase; v(S) =
+    conversion ppm among users whose exact channel set is S; one
+    corpus-scale user agg, then enum-bounded subset algebra in exact
+    BIGINT."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        shapley_channel_credits,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return shapley_channel_credits(
+        ev, "user_id", "event_type", "conv",
+        ["click", "error", "signup", "view"],
+    )
+
+
+def q_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous 3-round label-propagation communities over the
+    staged co-purchase graph (operators/basket.lpa_communities):
+    most-frequent-neighbor vote, min-label ties — deterministic, so
+    the oracle unrolls the same 3 rounds as chained CTEs over
+    independently recomputed pairs."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        lpa_communities,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return lpa_communities(edges, "item_a", "item_b", n_iter=3)
+
+
+def q_customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime curve
+    (operators/temporal.kaplan_meier): duration = days between first
+    and last order; churn event if the last order predates the
+    observation end by > 365 days, else censored."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        kaplan_meier,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    endd = per.agg(F.max("l").alias("endd"))
+    du = per.crossJoin(F.broadcast(endd)).select(
+        F.datediff(F.col("l"), F.col("f")).cast("long").alias("dur"),
+        (F.datediff(F.col("endd"), F.col("l")) > 365)
+        .cast("int").alias("ev"),
+    )
+    return kaplan_meier(du, "dur", "ev")
+
+
+def q_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR deletion-cascade pre-flight audit
+    (operators/privacy.deletion_cascade_audit): subjects = custkey %
+    97 == 3; per-table row-loss counts via broadcast left_semi —
+    customer directly, orders by FK, lineitem through the
+    orders cascade."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
+        deletion_cascade_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subs = cust.where(F.col("c_custkey") % 97 == 3)
+    li_c = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey")
+    return deletion_cascade_audit(
+        subs,
+        [
+            ("customer", cust, "c_custkey"),
+            ("orders", orders, "o_custkey"),
+            ("lineitem", li_c, "o_custkey"),
+        ],
+        "c_custkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5072,6 +5161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "shapley_channel_credits": q_shapley_credits,
+        "lpa_copurchase_communities": q_lpa_copurchase,
+        "customer_survival_km": q_customer_survival,
+        "deletion_cascade_audit": q_deletion_cascade,
         "bm25_ranking": q_bm25_ranking,
         "woe_iv_price_deciles": q_woe_iv_price,
         "cuped_adjusted_spend": q_cuped_spend,
@@ -5430,6 +5523,137 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shapley_channel_credits": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+                   + max(CASE WHEN event_type = 'error'  THEN 2 ELSE 0 END)
+                   + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+                   + max(CASE WHEN event_type = 'view'   THEN 8 ELSE 0 END) AS mask,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY user_id),
+            pm AS (SELECT mask, count(*) AS n_users, sum(conv) AS n_conv
+                   FROM pu GROUP BY mask),
+            v AS (
+              SELECT t.mask,
+                     CASE WHEN t.mask = 0 OR pm.n_users IS NULL THEN 0
+                          ELSE CAST(pm.n_conv AS HUGEINT) * 1000000 // pm.n_users
+                     END AS v_ppm
+              FROM range(16) t(mask) LEFT JOIN pm ON pm.mask = t.mask),
+            ch(channel, bit) AS (
+              VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+            pairs AS (
+              SELECT ch.channel, s.mask AS s_mask, s.v_ppm AS v_s,
+                     (s.mask | ch.bit) AS si_mask,
+                     CASE bit_count(s.mask)
+                          WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                          ELSE 6 END AS w
+              FROM ch, v s WHERE (s.mask & ch.bit) = 0),
+            sc AS (
+              SELECT p.channel,
+                     CAST(sum(p.w * (vi.v_ppm - p.v_s)) AS BIGINT) AS phi_scaled
+              FROM pairs p JOIN v vi ON vi.mask = p.si_mask
+              GROUP BY p.channel)
+            SELECT channel, phi_scaled,
+                   CAST(CAST(phi_scaled AS HUGEINT) // 24 AS BIGINT) AS phi_ppm
+            FROM sc
+        """,
+        "lpa_copurchase_communities": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            pr AS (
+              SELECT a.item AS item_a, b.item AS item_b
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3),
+            e AS (SELECT item_a AS a, item_b AS b FROM pr
+                  UNION ALL SELECT item_b, item_a FROM pr),
+            l0 AS (SELECT node, node AS lab FROM
+                   (SELECT DISTINCT a AS node FROM e) t),
+            v1 AS (
+              SELECT e.a AS node, l.lab, count(*) AS c
+              FROM e JOIN l0 l ON l.node = e.b GROUP BY e.a, l.lab),
+            l1 AS (
+              SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v1) WHERE rn = 1),
+            v2 AS (
+              SELECT e.a AS node, l.lab, count(*) AS c
+              FROM e JOIN l1 l ON l.node = e.b GROUP BY e.a, l.lab),
+            l2 AS (
+              SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v2) WHERE rn = 1),
+            v3 AS (
+              SELECT e.a AS node, l.lab, count(*) AS c
+              FROM e JOIN l2 l ON l.node = e.b GROUP BY e.a, l.lab),
+            l3 AS (
+              SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v3) WHERE rn = 1)
+            SELECT lab AS community,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(min(node) AS BIGINT) AS min_node,
+                   CAST(max(node) AS BIGINT) AS max_node
+            FROM l3 GROUP BY lab
+        """,
+        "customer_survival_km": """
+            WITH per AS (
+              SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+                     max(CAST(o_orderdate AS DATE)) AS l
+              FROM orders GROUP BY o_custkey),
+            g AS (SELECT max(l) AS endd FROM per),
+            du AS (
+              SELECT date_diff('day', f, l) AS t,
+                     CASE WHEN date_diff('day', l, (SELECT endd FROM g)) > 365
+                          THEN 1 ELSE 0 END AS e
+              FROM per),
+            pt AS (SELECT t, count(*) AS n_total, sum(e) AS d
+                   FROM du GROUP BY t),
+            r AS (
+              SELECT t, d,
+                     (SELECT sum(n_total) FROM pt)
+                     - coalesce(sum(n_total) OVER (ORDER BY t ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+              FROM pt),
+            ev AS (SELECT * FROM r WHERE d > 0),
+            s AS (
+              SELECT t, d, n_risk,
+                     max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS dead,
+                     sum(CASE WHEN d < n_risk THEN ln(1.0 - d / n_risk)
+                              ELSE 0.0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS lsum
+              FROM ev)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(d AS BIGINT) AS n_events,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(lsum), 6) END AS survival
+            FROM s
+        """,
+        "deletion_cascade_audit": """
+            WITH subs AS (SELECT c_custkey FROM customer
+                          WHERE c_custkey % 97 = 3)
+            SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+            FROM customer WHERE c_custkey IN (SELECT c_custkey FROM subs)
+            UNION ALL
+            SELECT 'orders', CAST(count(*) AS BIGINT)
+            FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subs)
+            UNION ALL
+            SELECT 'lineitem', CAST(count(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey IN (SELECT c_custkey FROM subs)
+        """,
         "bm25_ranking": """
             WITH t AS (
               SELECT doc_id AS doc,

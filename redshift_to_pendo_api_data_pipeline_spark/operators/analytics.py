@@ -2500,3 +2500,105 @@ def amortize_monthly(
         ).cast("long").alias("month_fp"),
         overlap.alias("n_days"),
     )
+
+
+def shapley_channel_credits(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conv_col: str,
+    channels: list[str],
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution over a bounded channel
+    enum — the coalition-game answer to 'which touchpoints actually
+    drive conversion', computed in closed form (no sampling) because
+    marketing channel sets are enum-sized (n ≤ ~10, 2^n masks).
+
+    Value function: v(S) = conversion rate (integer ppm, truncating
+    div) among users whose touched-channel set is EXACTLY S; v = 0 for
+    the empty set and for unobserved sets. Shapley credit for channel
+    i is sum over masks S not containing i of |S|!(n-1-|S|)! *
+    (v(S+i) - v(S)), surfaced both raw (exact integer, x n! ppm) and
+    as phi_ppm = scaled div n!.
+
+    Scale shape: ONE corpus-scale aggregation (per-user channel
+    bitmask + converted flag — map-side combined), then a per-mask
+    count agg whose output is ≤ 2^n rows; the subset-pair Shapley sum
+    runs on broadcast-sized relations by construction. The factorial
+    weights and the full mask enumeration are driver literals (bounded
+    by contract). Everything after the user agg is exact BIGINT."""
+    n = len(channels)
+    bit = {c: 1 << i for i, c in enumerate(sorted(channels))}
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(
+            F.when(F.col(conv_col) == 1, 1).otherwise(0)
+        ).alias("__conv_n"),
+        *[
+            F.max(
+                F.when(F.col(channel_col) == c, F.lit(b)).otherwise(0)
+            ).alias(f"__b{b}")
+            for c, b in bit.items()
+        ],
+    )
+    mask_expr = None
+    for b in bit.values():
+        col = F.col(f"__b{b}")
+        mask_expr = col if mask_expr is None else mask_expr + col
+    users = per_user.select(
+        mask_expr.cast("int").alias("mask"),
+        F.when(F.col("__conv_n") > 0, 1).otherwise(0).alias("conv"),
+    )
+    per_mask = users.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    spark = df.sparkSession
+    all_masks = spark.range(1 << n).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        all_masks.join(per_mask, "mask", "left")
+        .select(
+            "mask",
+            F.when(
+                (F.col("mask") == 0) | F.col("n_users").isNull(), F.lit(0)
+            )
+            .otherwise(F.expr("n_conv * 1000000L div n_users"))
+            .cast("long")
+            .alias("v_ppm"),
+        )
+    )
+    import math
+
+    fact = [math.factorial(i) for i in range(n + 1)]
+    chan_rows = [(c, b) for c, b in bit.items()]
+    chans = spark.createDataFrame(chan_rows, schema="channel string, bit int")
+    # S ranges over masks NOT containing the channel bit; weight w(|S|)
+    pairs = (
+        chans.crossJoin(v.withColumnRenamed("mask", "s_mask")
+                        .withColumnRenamed("v_ppm", "v_s"))
+        .where(F.expr("(s_mask & bit) = 0"))
+        .withColumn("si_mask", F.expr("s_mask | bit"))
+    )
+    vi = v.select(
+        F.col("mask").alias("si_mask"), F.col("v_ppm").alias("v_si")
+    )
+    popcnt = F.expr("bit_count(s_mask)")
+    weight = F.lit(0).cast("long")
+    for s in range(n):
+        weight = F.when(popcnt == s, F.lit(fact[s] * fact[n - 1 - s])).otherwise(
+            weight
+        )
+    scored = (
+        pairs.join(F.broadcast(vi), "si_mask")
+        .withColumn("w", weight.cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_si") - F.col("v_s")))
+            .cast("long")
+            .alias("phi_scaled")
+        )
+    )
+    return scored.select(
+        "channel",
+        "phi_scaled",
+        F.expr(f"phi_scaled div {fact[n]}").cast("long").alias("phi_ppm"),
+    )

@@ -582,3 +582,52 @@ def related_items(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= per_item_k)
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src: str = "item_a",
+    dst: str = "item_b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (fixed n_iter rounds) over an
+    undirected simple graph — the linear-time community detector next
+    to connected components: each round every node adopts the MOST
+    FREQUENT label among its neighbors (ties -> smallest label), all
+    nodes updating simultaneously. Fully deterministic: integer
+    labels, count-desc/label-asc vote, fixed round count — so the
+    result hash-checks cross-engine against an oracle unrolling the
+    same rounds as chained CTEs.
+
+    Scale shape per round: one edge⋈labels join (shuffle on the node
+    key) + one (node, label) count agg + a node-partitioned window for
+    the vote — O(E) per round, O(n_iter · E) total, no quadratic
+    blowup; labels relation stays |V| rows. Output: per surviving
+    community, its label, size, and member id range."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iter):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "lab"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

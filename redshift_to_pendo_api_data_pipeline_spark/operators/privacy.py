@@ -127,3 +127,34 @@ def suppression_plan(
         .select(*quasi_cols)
     )
     return df.join(violators, on=list(quasi_cols), how="left_semi")
+
+
+def deletion_cascade_audit(
+    subjects: DataFrame,
+    cascades: list[tuple[str, DataFrame, str]],
+    subject_key: str,
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given the data subjects to
+    erase, count the rows each downstream table would lose — the
+    pre-flight report a GDPR/CCPA deletion pipeline emits before it
+    mutates anything. `cascades` is [(table_name, df, fk_col), ...];
+    a cascade through an intermediate table (orders -> lineitem) is
+    expressed by passing the already-semi-joined child relation.
+
+    Shape: the subject-id relation is the SMALL side by construction
+    (a deletion request batch), so every count is a broadcast
+    left_semi join against the fact table — no fact-side shuffle at
+    all; each table contributes one map-side-combined count. Results
+    union into one (table_name, n_rows) report row per table."""
+    ids = subjects.select(F.col(subject_key).alias("__sid")).distinct()
+    out = None
+    for name, df, fk in cascades:
+        cnt = (
+            df.join(
+                F.broadcast(ids), df[fk] == ids["__sid"], "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), "n_rows")
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    return out

@@ -701,3 +701,66 @@ def u_shaped_attribution(
         F.col("n_touches").cast("long").alias("n_touches"),
         credit.cast("long").alias("credit_ppm"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, event) pairs — the
+    censoring-aware churn/lifetime estimator: at each distinct event
+    time t, S(t) = prod_{u<=t} (1 - d_u / n_u) with n_u = units still
+    at risk (duration >= u) and d_u = events at u; censored units
+    leave the risk set without an event.
+
+    Shape: ONE groupBy(duration) collapses the corpus to <= |distinct
+    durations| rows (bounded by the observation window in days — a
+    contract constant, so the two cumulative windows after it are
+    bounded-input global windows, the documented exception family).
+    The survival product is computed as exp(sum(ln(1 - d/n))) over the
+    ordered window — a single ln/exp pair per step, identical libm
+    cross-engine, surfaced at round-6 like the tf-idf family. Counts
+    stay exact BIGINT."""
+    per_t = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("e").alias("d"),
+    )
+    w_risk = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grand = per_t.agg(F.sum("n_total").cast("long").alias("__grand"))
+    curve = (
+        per_t.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "n_risk",
+            (F.col("__grand") - F.coalesce(F.sum("n_total").over(w_risk), F.lit(0)))
+            .cast("long"),
+        )
+        .where(F.col("d") > 0)
+    )
+    # survival over EVENT times only (censoring-only times don't change S)
+    w_ev = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # d == n_risk (the whole remaining risk set dies at t) is a legal
+    # input but ln(0) is engine-divergent (DuckDB raises): route it
+    # through an explicit zero flag — S is exactly 0 from then on.
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_ev)
+    return curve.select(
+        "t",
+        F.col("d").cast("long").alias("n_events"),
+        "n_risk",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(ln_term).over(w_ev)), 6))
+        .alias("survival"),
+    )
