@@ -2602,3 +2602,235 @@ def shapley_channel_credits(
         "phi_scaled",
         F.expr(f"phi_scaled div {fact[n]}").cast("long").alias("phi_ppm"),
     )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    ts_col: str,
+    order_col: str,
+    conv_value: str,
+    n_steps: int = 6,
+) -> DataFrame:
+    """Markov-chain data-driven attribution (removal effects): build
+    the first-order journey chain start -> channels -> {conv, drop},
+    compute the k-step conversion-reach probability from `start`, and
+    credit each channel by how much that probability FALLS when the
+    channel's node is removed (transitions into it reroute to drop,
+    transitions out of it disappear) — the standard alternative to
+    rule-based attribution models.
+
+    EXACT integer pipeline: reach probabilities live in ppm with
+    truncating div at every step (p_{k+1}(s) = sum_t cnt(s,t)*p_k(t)
+    div out(s)), so the result is bit-reproducible and the oracle can
+    unroll the SAME n_steps iterations per chain variant as chained
+    CTEs. Paths truncate at the FIRST conversion event; (ts, order)
+    tuple ordering pins equal timestamps.
+
+    Scale shape: ONE corpus-scale pass builds per-user transitions
+    (user-partitioned window + map-side-combined (src,dst) count); the
+    transition matrix is |channels+2|² rows — enum-bounded BY
+    CONTRACT — and is collected to the driver where the (channels+1)
+    chain evaluations run in exact arbitrary-precision integers.
+    Nothing corpus-sized ever reaches the driver."""
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(channel_col).alias("c"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+    )
+    firstconv = ev.where(F.col("c") == conv_value).groupBy("u").agg(
+        F.min(F.struct("ts", "oid")).alias("__fc")
+    )
+    pre = (
+        ev.join(firstconv, "u", "left")
+        .where(
+            F.col("__fc").isNull()
+            | (F.struct("ts", "oid") < F.col("__fc"))
+        )
+        .where(F.col("c") != conv_value)
+        .withColumn("__conv", F.col("__fc").isNotNull())
+    )
+    w = Window.partitionBy("u").orderBy("ts", "oid")
+    seq = pre.select(
+        "u", "c", "__conv",
+        F.lag("c").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("n"),
+    )
+    inner = seq.select(
+        F.coalesce(F.col("prev"), F.lit("start")).alias("src"),
+        F.col("c").alias("dst"),
+    )
+    ends = seq.where(F.col("rn") == F.col("n")).select(
+        F.col("c").alias("src"),
+        F.when(F.col("__conv"), F.lit("conv")).otherwise(F.lit("drop")).alias("dst"),
+    )
+    # converting users with NO pre-conversion events: start -> conv
+    bare = firstconv.join(
+        pre.select("u").distinct(), "u", "left_anti"
+    ).select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    trans = (
+        inner.unionByName(ends).unionByName(bare)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # enum-bounded by contract: |channels + 2|^2 rows max
+    rows = [(r["src"], r["dst"], r["cnt"]) for r in trans.collect()]
+
+    def reach_ppm(tr: list[tuple], steps: int) -> int:
+        out: dict[str, int] = {}
+        for s, _, c in tr:
+            out[s] = out.get(s, 0) + c
+        p = {"conv": 1_000_000, "drop": 0}
+        states = {s for s, _, _ in tr} | {d for _, d, _ in tr}
+        cur = {s: p.get(s, 0) for s in states}
+        for _ in range(steps):
+            nxt = {}
+            for s in states:
+                if s == "conv":
+                    nxt[s] = 1_000_000
+                elif s == "drop":
+                    nxt[s] = 0
+                else:
+                    num = sum(c * cur.get(d, 0) for (x, d, c) in tr if x == s)
+                    nxt[s] = num // out[s] if out.get(s) else 0
+            cur = nxt
+        return cur.get("start", 0)
+
+    def removed(tr: list[tuple], ch: str) -> list[tuple]:
+        red: dict[tuple, int] = {}
+        for s, d, c in tr:
+            if s == ch:
+                continue
+            d2 = "drop" if d == ch else d
+            red[(s, d2)] = red.get((s, d2), 0) + c
+        return [(s, d, c) for (s, d), c in red.items()]
+
+    base = reach_ppm(rows, n_steps)
+    channels = sorted(
+        {s for s, _, _ in rows} - {"start", "conv", "drop"}
+    )
+    # clamped at 0: ppm truncation can make a removal microscopically
+    # "help"; negative effects would also split floor-vs-truncate
+    # division semantics cross-engine
+    effects = {
+        ch: max(0, base - reach_ppm(removed(rows, ch), n_steps))
+        for ch in channels
+    }
+    tot = sum(effects.values())
+    spark = df.sparkSession
+    out_rows = [
+        (
+            ch,
+            int(base),
+            int(effects[ch]),
+            int(effects[ch] * 1_000_000 // tot) if tot > 0 else 0,
+        )
+        for ch in channels
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        schema="channel string, base_reach_ppm long, "
+               "removal_effect_ppm long, credit_ppm long",
+    )
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Forecast-quality backtest of the seasonal-naive model (predict
+    value[t-season]) against the naive benchmark (predict value[t-1]) —
+    MASE, the scale-free standard for 'is there real weekly structure
+    worth modeling': mase_ppm < 1e6 means seasonality beats persistence.
+
+    Input is the PRE-AGGREGATED per-(group, day) series, so every
+    window here is bounded by the observation span (a contract
+    constant), partitioned by group — never corpus-scale, never
+    global. Absolute errors sum as exact BIGINTs; the final ratio is
+    one truncating div."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(day_col))
+    lagged = df.select(
+        F.col(group_col),
+        F.col(day_col),
+        F.col(value_col).cast("long").alias("__v"),
+    ).select(
+        F.col(group_col),
+        "__v",
+        F.lag("__v", season).over(w).alias("__fs"),
+        F.lag("__v", 1).over(w).alias("__f1"),
+    ).where(F.col("__fs").isNotNull() & F.col("__f1").isNotNull())
+    return lagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("__v") - F.col("__fs"))).cast("long")
+        .alias("sae_seasonal"),
+        F.sum(F.abs(F.col("__v") - F.col("__f1"))).cast("long")
+        .alias("sae_naive"),
+    ).withColumn(
+        "mase_ppm",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.expr("sae_seasonal * 1000000L div sae_naive"),
+        ).cast("long"),
+    )
+
+
+def loo_group_slope_influence(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Leave-one-group-out influence on the global OLS slope — data
+    valuation via sufficient statistics: because the slope is a pure
+    function of (n, Sx, Sy, Sxy, Sxx), the slope WITHOUT any group is
+    the global sums minus that group's sums — |groups| exact
+    re-evaluations from ONE corpus pass, not |groups| refits.
+
+    All moments held in DECIMAL(38,0); slopes surface as ppm with
+    truncating div (matching the oracle's HUGEINT //). Output per
+    group: its share, the slope without it, and the signed influence
+    delta vs the global slope."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("decimal(38,0)").alias("x"),
+        F.col(y_col).cast("decimal(38,0)").alias("y"),
+    )
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum("x").alias("sx_g"),
+        F.sum("y").alias("sy_g"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy_g"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx_g"),
+    )
+    glob = per_g.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.sum("sx_g").alias("sx"),
+        F.sum("sy_g").alias("sy"),
+        F.sum("sxy_g").alias("sxy"),
+        F.sum("sxx_g").alias("sxx"),
+    )
+    j = per_g.crossJoin(F.broadcast(glob))
+    slope_glob = F.expr(
+        "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+    ).cast("long")
+    slope_wo = F.expr(
+        "((n - n_g) * (sxy - sxy_g) - (sx - sx_g) * (sy - sy_g)) * 1000000"
+        " div ((n - n_g) * (sxx - sxx_g) - (sx - sx_g) * (sx - sx_g))"
+    ).cast("long")
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n_g").cast("long").alias("n_rows"),
+        slope_glob.alias("slope_global_ppm"),
+        slope_wo.alias("slope_without_ppm"),
+        (slope_wo - slope_glob).cast("long").alias("influence_ppm"),
+    )

@@ -417,3 +417,83 @@ def naive_bayes_classify(
             "score_micro",
         )
     )
+
+
+def gini_split_scan(
+    df: DataFrame,
+    value_fp: str,
+    label_col: str,
+    n_bins: int = 64,
+    top_k: int = 5,
+) -> DataFrame:
+    """Decision-stump split finding — the inner loop of distributed
+    tree training: equal-width candidate thresholds over an integer
+    fixed-point feature, weighted Gini impurity of the induced
+    left/right partition per candidate, best-k splits out.
+
+    Exact integer end to end: binning is pure integer arithmetic on
+    the fixed-point feature (no float boundaries to disagree on),
+    per-bin label counts are one map-side-combined agg to ≤ n_bins
+    rows, the prefix scan runs on that bounded relation, and Gini in
+    ppm is (pos²+neg²) algebra in DECIMAL(38,0) with truncating div —
+    bit-identical to the oracle's HUGEINT form. One corpus pass,
+    everything after is enum-sized."""
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(F.col(value_fp)).cast("long").alias("__lo"),
+        F.max(F.col(value_fp)).cast("long").alias("__hi"),
+    )
+    binned = (
+        df.select(
+            F.col(value_fp).cast("long").alias("__v"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(__v - __lo) * {n_bins} div (__hi - __lo + 1)"),
+            ).cast("int").alias("bin"),
+            "__y",
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("__y").alias("pos_b"),
+    )
+    w = Window.orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").cast("decimal(38,0)").alias("n"),
+        F.sum("pos_b").cast("decimal(38,0)").alias("pos"),
+    )
+    cum = (
+        per_bin.select(
+            "bin",
+            F.sum("n_b").over(w).cast("decimal(38,0)").alias("n_l"),
+            F.sum("pos_b").over(w).cast("decimal(38,0)").alias("pos_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_l") < F.col("n"))  # right side must be non-empty
+    )
+    expr = (
+        "CAST((n_l * (1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))"
+        " * 1000000 div (n_l * n_l))"
+        " + (n - n_l) * (1000000 - ((pos - pos_l) * (pos - pos_l)"
+        " + ((n - n_l) - (pos - pos_l)) * ((n - n_l) - (pos - pos_l)))"
+        " * 1000000 div ((n - n_l) * (n - n_l)))) AS DECIMAL(38,0)) div n"
+    )
+    return (
+        cum.select(
+            F.col("bin").cast("long").alias("split_bin"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("pos_l").cast("long").alias("pos_left"),
+            (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
+            (F.col("pos") - F.col("pos_l")).cast("long").alias("pos_right"),
+            F.expr(expr).cast("long").alias("weighted_gini_ppm"),
+        )
+        .orderBy(F.asc("weighted_gini_ppm"), F.asc("split_bin"))
+        .limit(top_k)
+    )
