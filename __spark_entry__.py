@@ -4177,16 +4177,26 @@ def q_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_assignment,
     )
 
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        ring_point,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     s8 = [f"shard{i}" for i in range(8)]
-    a = shard_assignment(cust, "c_custkey", s8, 16)
-    b = shard_assignment(
-        cust, "c_custkey", s8 + ["shard8"], 16, out_col="shard_after"
+    # both ring lookups are withColumn expressions: chain them on the
+    # SAME row with the md5 ring point computed ONCE — one scan, zero
+    # joins, one hash (the previous form self-joined the corpus on
+    # c_custkey AND paid the md5/conv twice; hash-identical result)
+    pointed = cust.select("c_custkey").withColumn(
+        "__pt", ring_point("c_custkey")
+    )
+    a = shard_assignment(pointed, "c_custkey", s8, 16, point_col="__pt")
+    ab = shard_assignment(
+        a, "c_custkey", s8 + ["shard8"], 16,
+        out_col="shard_after", point_col="__pt",
     )
     return (
-        a.select("c_custkey", "shard")
-        .join(b.select("c_custkey", "shard_after"), "c_custkey")
-        .groupBy("shard", "shard_after")
+        ab.groupBy("shard", "shard_after")
         .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     )
 
@@ -5223,6 +5233,79 @@ def q_loo_brand_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loo_group_slope_influence(base, "p_brand", "x_fp", "y_fp")
 
 
+def q_conformal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal residual bound for the global price-vs-
+    quantity OLS fit (operators/analytics.conformal_residual_bound):
+    exact rational residuals, qhat via the distributed global_ranks
+    order statistic, coverage audited in the same pass."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        conformal_residual_bound,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long").alias("rid"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x_fp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y_fp"),
+    )
+    return conformal_residual_bound(li, "x_fp", "y_fp", "rid", coverage_pm=900)
+
+
+def q_wilson_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm user-conversion Wilson 95% interval
+    (operators/analytics.wilson_ci_by_group): arms = user parity,
+    success = any purchase; exact counts + one sqrt at round-6."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        wilson_ci_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("arm"), "converted"
+    )
+    return wilson_ci_by_group(per_user, "arm", "converted", z=1.96)
+
+
+def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers
+    (operators/similarity.mahalanobis_outliers): fixed-point
+    quantization, dim-bounded moment relation, exact BIGINT scores,
+    top-20."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mahalanobis_outliers(emb, "embedding", "vec_id", top_k=20)
+
+
+def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit across the schema's FK
+    relationships (operators/quality.orphan_audit): one left_anti per
+    relationship against the parent's distinct-key dictionary."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        orphan_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return orphan_audit([
+        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5233,6 +5316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "conformal_price_interval": q_conformal_price,
+        "wilson_conversion_ci": q_wilson_conversion,
+        "embedding_mahalanobis": q_embedding_mahalanobis,
+        "orphan_integrity_audit": q_orphan_audit,
         "markov_removal_attribution": q_markov_attribution,
         "seasonal_mase_events": q_seasonal_mase,
         "gini_price_stump": q_gini_price_stump,
@@ -5599,6 +5686,129 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conformal_price_interval": """
+            WITH base AS (
+              SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+                     CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS HUGEINT) AS x,
+                     CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS HUGEINT) AS y
+              FROM lineitem),
+            mom AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM base),
+            mm AS (
+              SELECT n, sx, sy,
+                     n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS den
+              FROM mom),
+            r AS (
+              SELECT rid,
+                     abs(den * n * y - (den * sy - num * sx + n * num * x))
+                       AS rs
+              FROM base, mm),
+            kk AS (SELECT CAST(n AS BIGINT) AS n_rows,
+                          CAST(((900 * (n + 1)) + 999) // 1000 AS BIGINT) AS k,
+                          den * n AS unit
+                   FROM mm),
+            rk AS (SELECT rs, row_number() OVER (ORDER BY rs ASC, rid ASC)
+                             AS rnk
+                   FROM r),
+            q AS (SELECT rk.rs AS qrs, kk.n_rows, kk.k, kk.unit
+                  FROM rk JOIN kk ON rk.rnk = kk.k)
+            SELECT q.n_rows, q.k,
+                   CAST(q.qrs // q.unit AS BIGINT) AS qhat_fp,
+                   CAST(CAST((SELECT count(*) FROM r WHERE r.rs <= q.qrs)
+                        AS HUGEINT) * 1000 // q.n_rows AS BIGINT)
+                     AS coverage_pm
+            FROM q
+        """,
+        "wilson_conversion_ci": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+              FROM events GROUP BY user_id),
+            agg AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                     count(*) AS n, sum(converted) AS k
+              FROM pu GROUP BY 1)
+            SELECT arm, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                   round(((k / n + (1.96 * 1.96) / (2.0 * n))
+                          / (1.0 + (1.96 * 1.96) / n))
+                         - (1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + (1.96 * 1.96) / (4.0 * n * n))
+                            / (1.0 + (1.96 * 1.96) / n)), 6) AS ci_lo,
+                   round(((k / n + (1.96 * 1.96) / (2.0 * n))
+                          / (1.0 + (1.96 * 1.96) / n))
+                         + (1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + (1.96 * 1.96) / (4.0 * n * n))
+                            / (1.0 + (1.96 * 1.96) / n)), 6) AS ci_hi
+            FROM agg
+        """,
+        "embedding_mahalanobis": """
+            WITH fp AS (
+              SELECT e.vec_id AS vid, t.d,
+                     CAST(round((e.embedding::DOUBLE[])[t.d] * 1000000)
+                          AS BIGINT) AS x
+              FROM embeddings e, range(1, 65) t(d)),
+            stats AS (
+              SELECT d,
+                     CAST(sum(CAST(x AS HUGEINT))
+                          // count(*) AS BIGINT) AS mu,
+                     greatest(CAST((count(*) * sum(CAST(x AS HUGEINT)
+                                                   * CAST(x AS HUGEINT))
+                                    - sum(CAST(x AS HUGEINT))
+                                      * sum(CAST(x AS HUGEINT)))
+                                   // (CAST(count(*) AS HUGEINT)
+                                       * count(*)) AS BIGINT),
+                              1) AS var_fp
+              FROM fp GROUP BY d),
+            z AS (
+              SELECT fp.vid,
+                     CAST(CAST(fp.x - s.mu AS HUGEINT) * (fp.x - s.mu)
+                          // s.var_fp AS BIGINT) AS z2
+              FROM fp JOIN stats s ON s.d = fp.d)
+            SELECT CAST(vid AS BIGINT) AS vec_id,
+                   CAST(sum(z2) AS BIGINT) AS maha_score
+            FROM z GROUP BY vid
+            ORDER BY maha_score DESC, vec_id ASC LIMIT 20
+        """,
+        "orphan_integrity_audit": """
+            SELECT 'lineitem->orders' AS relationship,
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                     AS n_child_rows,
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_fk,
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN
+                               (SELECT o_orderkey FROM orders)) AS BIGINT)
+                     AS n_orphans
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey IS NOT NULL
+                      AND l_partkey NOT IN (SELECT p_partkey FROM part))
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey IS NOT NULL
+                      AND c_nationkey NOT IN
+                          (SELECT n_nationkey FROM nation))
+        """,
         "markov_removal_attribution": """
             WITH             ev AS (SELECT user_id AS u, event_type AS c, ts,
                           event_id AS oid FROM events),

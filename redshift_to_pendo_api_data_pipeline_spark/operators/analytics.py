@@ -2834,3 +2834,129 @@ def loo_group_slope_influence(
         slope_wo.alias("slope_without_ppm"),
         (slope_wo - slope_glob).cast("long").alias("influence_ppm"),
     )
+
+
+def conformal_residual_bound(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    coverage_pm: int = 900,
+) -> DataFrame:
+    """Split-conformal prediction bound for the global OLS fit y ~ x —
+    the distribution-free ML-ops answer to 'how wrong can this model
+    be, with 90% guarantee': qhat = the ceil((n+1)*coverage)-th
+    smallest absolute residual; |y - yhat| <= qhat holds for at least
+    `coverage` of exchangeable future rows.
+
+    EXACT arithmetic throughout: with slope num/den and intercept
+    (den*Sy - num*Sx)/(den*n) as integer rationals, the scaled
+    residual r_i = |den*n*y_i - (den*Sy - num*Sx + n*num*x_i)| is an
+    exact DECIMAL(38,0) (valid while den*n*|y| < 1e38 — cent-scaled
+    features to ~1e7 rows per the raw-normal-equation bound; beyond
+    that, center first). The order statistic comes from
+    `global_ranks` — the range-partitioned distributed ranking, NO
+    single-reducer sort — and qhat surfaces back in y units via
+    truncating div. One corpus pass for moments, one range shuffle
+    for the rank, one broadcast-scalar pass for the coverage audit."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("decimal(38,0)").alias("x"),
+        F.col(y_col).cast("decimal(38,0)").alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    ).select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)").alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)").alias("den"),
+    )
+    resid = base.crossJoin(F.broadcast(mom)).select(
+        "__id",
+        F.abs(
+            F.col("den") * F.col("n") * F.col("y")
+            - (
+                F.col("den") * F.col("sy")
+                - F.col("num") * F.col("sx")
+                + F.col("n") * F.col("num") * F.col("x")
+            )
+        ).cast("decimal(38,0)").alias("rs"),
+    )
+    ranked = global_ranks(resid, [F.asc("rs"), F.asc("__id")], "rk")
+    k_expr = F.expr(
+        f"CAST((({coverage_pm} * (n + 1)) + 999) div 1000 AS BIGINT)"
+    )
+    krow = mom.select(
+        F.col("n").cast("long").alias("n_rows"),
+        k_expr.alias("k"),
+        (F.col("den") * F.col("n")).cast("decimal(38,0)").alias("unit"),
+    )
+    qhat = (
+        ranked.join(F.broadcast(krow), ranked["rk"] == krow["k"])
+        .select(
+            "n_rows", "k",
+            F.expr("rs div unit").cast("long").alias("qhat_fp"),
+            F.col("rs").alias("__q"),
+        )
+    )
+    # coverage audit: exact share of rows with residual <= qhat
+    return (
+        resid.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("k").alias("k"),
+            F.first("qhat_fp").alias("qhat_fp"),
+            F.sum(F.when(F.col("rs") <= F.col("__q"), 1).otherwise(0))
+            .cast("long").alias("n_within"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("k").cast("long").alias("k"),
+            "qhat_fp",
+            F.expr("n_within * 1000 div n_rows").cast("long")
+            .alias("coverage_pm"),
+        )
+    )
+
+
+def wilson_ci_by_group(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the experiment-readout companion that behaves at small n and
+    p near 0/1 where the normal approximation fails. One map-side
+    combined (group) agg; the interval itself is scalar float algebra
+    (one sqrt, identical libm), surfaced at round-6 with exact BIGINT
+    counts alongside."""
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("int")).alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    z2 = z * z
+    denom = F.lit(1.0) + F.lit(z2) / F.col("n")
+    center = (p + F.lit(z2) / (F.lit(2.0) * F.col("n"))) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / F.col("n")
+            + F.lit(z2) / (F.lit(4.0) * F.col("n") * F.col("n"))
+        )
+        / denom
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )

@@ -173,9 +173,21 @@ def consistent_ring(shards: list[str], n_virtual: int = 16) -> list[tuple[int, s
     return ring
 
 
+def ring_point(key_col: str):
+    """The 32-bit consistent-hash ring point of a key: first 8 hex chars
+    of md5 (mirrored exactly by the oracle). Exposed separately so a
+    query assigning the SAME keys against several ring generations
+    computes the (comparatively expensive) md5/conv once."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def shard_assignment(
     df, key_col: str, shards: list[str], n_virtual: int = 16,
-    out_col: str = "shard",
+    out_col: str = "shard", point_col: str | None = None,
 ):
     """Consistent-hash shard assignment — the re-sharding-safe
     partitioner: a key goes to the first ring position clockwise from
@@ -193,17 +205,29 @@ def shard_assignment(
     from pyspark.sql import functions as F
 
     ring = consistent_ring(shards, n_virtual)
-    ring_arr = F.array(*[
-        F.struct(F.lit(pos).alias("pos"), F.lit(s).alias("s"))
-        for pos, s in ring
-    ])
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    clockwise = F.filter(ring_arr, lambda x: x["pos"] >= h)
-    # array_min on structs orders by (pos, s) — min pos wins; wrap to
-    # the ring's global minimum when nothing is clockwise
-    assigned = F.coalesce(
-        F.array_min(clockwise)["s"], F.lit(ring[0][1])
+    h = F.col(point_col) if point_col else ring_point(key_col)
+    # the ring as DATA, not plan: the sorted ring becomes disjoint
+    # half-open ownership intervals [lo, hi] -> shard (the wrap
+    # interval routes h > max(pos) back to the ring's global minimum),
+    # and the lookup is a broadcast interval join — O(|ring|) per row
+    # in the JVM like any lookup must be, but the expression tree
+    # stays key-sized (a |ring|-literal CaseWhen/array ladder made
+    # Catalyst analysis itself the bottleneck: 2x the query's runtime
+    # at 15k keys). Duplicate ring positions yield empty intervals,
+    # reproducing array_min's (pos, s) tie order exactly.
+    spark = df.sparkSession
+    intervals = []
+    prev = -1
+    for pos, s in ring:
+        if pos > prev:
+            intervals.append((prev + 1, pos, s))
+        prev = max(prev, pos)
+    intervals.append((prev + 1, (1 << 32) - 1, ring[0][1]))
+    ring_df = spark.createDataFrame(
+        intervals, schema="lo long, hi long, s string"
     )
-    return df.withColumn(out_col, assigned)
+    joined = df.withColumn("__h", h).join(
+        F.broadcast(ring_df),
+        (F.col("__h") >= F.col("lo")) & (F.col("__h") <= F.col("hi")),
+    )
+    return joined.withColumn(out_col, F.col("s")).drop("lo", "hi", "s", "__h")

@@ -337,3 +337,42 @@ def contingency_chi2(
     return staged.select(
         "g", "pos", "row_n", contrib.cast("long").alias("chi2_contrib_fp")
     )
+
+
+def orphan_audit(
+    relations: list[tuple[str, "DataFrame", str, "DataFrame", str]],
+) -> "DataFrame":
+    """Referential-integrity orphan audit across declared FK
+    relationships: for each (name, child, fk_col, parent, pk_col),
+    count child rows whose FK value has no parent row — the
+    'did the pipeline drop parents before children' data-contract
+    check, one report row per relationship.
+
+    Shape: each relationship is one left_anti join on the FK key; the
+    parent side collapses to its DISTINCT key dictionary first (a
+    dimension-sized relation), so AQE broadcasts it where it fits and
+    the child never shuffles more than once. NULL FKs are counted
+    separately (a NULL is 'unknown', not 'orphaned')."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        nn = child.where(F.col(fk).isNotNull())
+        row = (
+            nn.join(keys, nn[fk] == keys["__pk"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .crossJoin(
+                child.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                    F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                    .cast("long").alias("n_null_fk"),
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows", "n_null_fk", "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

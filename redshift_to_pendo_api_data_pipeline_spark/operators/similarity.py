@@ -1781,3 +1781,66 @@ def dim_truncation_recall(
             .cast("long").alias("recall_pm"),
         )
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+    top_k: int = 20,
+) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers — the multivariate
+    'far from the corpus distribution' read (batch-effect detection,
+    junk-embedding screening): score_i = sum_d (x_id - mu_d)^2 /
+    var_d, with per-dimension moments from the whole corpus.
+
+    EXACT integer pipeline: coordinates quantize ONCE to fixed point
+    (deterministic — float sums would inherit partial-agg order), the
+    per-dimension moment relation is dim-bounded (posexplode +
+    (dim)-key agg, map-side combined), means/variances are integer
+    ratios with truncating div, and the per-vector score is a BIGINT
+    sum — so the outlier ranking hash-checks cross-engine. Two corpus
+    passes (moments, scores), both linear; the dim-stats relation
+    broadcasts by construction."""
+    fp = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "v"),
+    ).select(
+        "vid",
+        (F.col("d") + 1).alias("d"),
+        # quantize through DOUBLE explicitly: a float32 * int product
+        # rounds differently from the oracle's DOUBLE path
+        F.round(F.col("v").cast("double") * scale, 0).cast("long").alias("x"),
+    )
+    stats = fp.groupBy("d").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("sxx"),
+    ).select(
+        "d",
+        F.expr("sx * 1 div n").cast("long").alias("mu"),
+        # population variance in fp^2 units; floor at 1 so a constant
+        # dimension contributes (x - mu)^2 rather than dividing by 0
+        F.greatest(
+            F.expr("(n * sxx - sx * sx) div (n * n)").cast("long"),
+            F.lit(1),
+        ).alias("var_fp"),
+    )
+    scored = (
+        fp.join(F.broadcast(stats), "d")
+        .select(
+            "vid",
+            F.expr(
+                "CAST((x - mu) AS DECIMAL(38,0)) * (x - mu) div var_fp"
+            ).cast("long").alias("z2"),
+        )
+        .groupBy("vid")
+        .agg(F.sum("z2").cast("long").alias("maha_score"))
+    )
+    return (
+        scored.select(F.col("vid").alias(id_col), "maha_score")
+        .orderBy(F.desc("maha_score"), F.asc(id_col))
+        .limit(top_k)
+    )
