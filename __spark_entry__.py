@@ -5306,6 +5306,88 @@ def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender hit-rate@3 (operators/basket.hitrate_at_k):
+    lift table mined from the 80% train baskets, evaluated on the
+    held-out fifth — does 'customers also bought' predict unseen
+    co-purchases."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        hitrate_at_k,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    train = li.where(F.col("basket") % 5 != 0)
+    test = li.where(F.col("basket") % 5 == 0)
+    return hitrate_at_k(train, test, "basket", "item", per_item_k=3)
+
+
+def q_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order next-event prediction accuracy
+    (operators/analytics.next_event_accuracy): argmax-successor model
+    from 80% of users, top-1 accuracy + coverage on the held-out
+    fifth's transitions."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        next_event_accuracy,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    train = ev.where(F.col("user_id") % 5 != 0)
+    test = ev.where(F.col("user_id") % 5 == 0)
+    return next_event_accuracy(
+        train, test, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def q_did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences revenue readout
+    (operators/analytics.did_estimate): treated = low-key nations,
+    post = orders from 1995 on; 2x2 cell means in exact ppm."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        did_estimate,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(
+        c.select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        (F.col("c_nationkey") < 12).cast("int").alias("treated"),
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        .cast("int").alias("post"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("rev_fp"),
+    )
+    return did_estimate(base, "treated", "post", "rev_fp")
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order-price deciles (integer
+    equal-width bins) and order priority
+    (operators/analytics.mutual_information_binned): per-cell
+    micro-nat terms summed as BIGINT — order-independent."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        mutual_information_binned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("v"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    mm = o.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(mm)).select(
+        F.least(F.lit(9), F.expr("(v - lo) * 10 div (hi - lo + 1)"))
+        .cast("int").alias("price_bin"),
+        "prio",
+    )
+    return mutual_information_binned(binned, "price_bin", "prio")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5316,6 +5398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "recsys_hitrate_at3": q_recsys_hitrate,
+        "next_event_accuracy": q_next_event_accuracy,
+        "did_revenue_estimate": q_did_revenue,
+        "mi_price_priority": q_mutual_information,
         "conformal_price_interval": q_conformal_price,
         "wilson_conversion_ci": q_wilson_conversion,
         "embedding_mahalanobis": q_embedding_mahalanobis,
@@ -5686,6 +5772,155 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "recsys_hitrate_at3": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                        l_partkey AS item FROM lineitem),
+            tr AS (SELECT * FROM bi WHERE basket % 5 <> 0),
+            te AS (SELECT * FROM bi WHERE basket % 5 = 0),
+            freq AS (SELECT item, count(*) AS item_support
+                     FROM tr GROUP BY item HAVING count(*) >= 2),
+            pr AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     count(*) AS pair_support
+              FROM tr a JOIN tr b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item HAVING count(*) >= 3),
+            e AS (
+              SELECT pr.item_a, pr.item_b, pr.pair_support,
+                     fa.item_support AS support_a,
+                     fb.item_support AS support_b
+              FROM pr JOIN freq fa ON fa.item = pr.item_a
+                      JOIN freq fb ON fb.item = pr.item_b),
+            nb AS (SELECT count(DISTINCT basket) AS n FROM tr),
+            ru AS (
+              SELECT item_a AS antecedent, item_b AS consequent,
+                     pair_support, support_a AS sup_ante,
+                     support_b AS sup_cons
+              FROM e
+              UNION ALL
+              SELECT item_b, item_a, pair_support, support_b, support_a
+              FROM e),
+            sc AS (
+              SELECT antecedent, consequent,
+                     CAST(pair_support * nb.n * 1000000
+                          // (sup_ante * sup_cons) AS BIGINT) AS lift_ppm
+              FROM ru, nb),
+            recs AS (
+              SELECT antecedent, consequent FROM (
+                SELECT *, row_number() OVER (PARTITION BY antecedent
+                  ORDER BY lift_ppm DESC, consequent ASC) AS rank
+                FROM sc) WHERE rank <= 3),
+            sizes AS (SELECT basket, count(*) AS sz FROM te GROUP BY basket),
+            elig AS (SELECT basket FROM sizes WHERE sz >= 2),
+            preds AS (
+              SELECT te.basket AS b, r.consequent AS i2
+              FROM te JOIN recs r ON te.item = r.antecedent),
+            hits AS (
+              SELECT DISTINCT p.b FROM preds p
+              JOIN te ON te.basket = p.b AND te.item = p.i2
+              WHERE p.b IN (SELECT basket FROM elig))
+            SELECT CAST((SELECT count(*) FROM elig) AS BIGINT)
+                     AS n_test_baskets,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(count(*) * 1000
+                        // greatest((SELECT count(*) FROM elig), 1)
+                        AS BIGINT) AS hitrate_pm
+            FROM hits
+        """,
+        "next_event_accuracy": """
+            WITH trn AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS src,
+                     event_type AS dst
+              FROM events WHERE user_id % 5 <> 0),
+            tc AS (SELECT src, dst, count(*) AS c FROM trn
+                   WHERE src IS NOT NULL GROUP BY src, dst),
+            model AS (
+              SELECT src, dst AS pred FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                         ORDER BY c DESC, dst ASC) AS rn
+                FROM tc) WHERE rn = 1),
+            tst AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS src,
+                     event_type AS dst
+              FROM events WHERE user_id % 5 = 0),
+            tt AS (
+              SELECT t.dst, m.pred FROM tst t
+              LEFT JOIN model m ON m.src = t.src
+              WHERE t.src IS NOT NULL),
+            agg AS (
+              SELECT count(*) AS n_test,
+                     sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_covered,
+                     sum(CASE WHEN pred = dst THEN 1 ELSE 0 END)
+                       AS n_correct
+              FROM tt)
+            SELECT CAST(n_test AS BIGINT) AS n_test,
+                   CAST(n_covered AS BIGINT) AS n_covered,
+                   CAST(n_correct AS BIGINT) AS n_correct,
+                   CAST(n_covered * 1000 // n_test AS BIGINT)
+                     AS coverage_pm,
+                   CAST(CASE WHEN n_covered > 0
+                        THEN n_correct * 1000 // n_covered END AS BIGINT)
+                     AS accuracy_pm
+            FROM agg
+        """,
+        "did_revenue_estimate": """
+            WITH base AS (
+              SELECT CASE WHEN c.c_nationkey < 12 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN CAST(o.o_orderdate AS DATE)
+                               >= DATE '1995-01-01' THEN 1 ELSE 0 END AS p,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS HUGEINT) AS v
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            cells AS (
+              SELECT t, p, count(*) AS n,
+                     CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS m
+              FROM base GROUP BY t, p)
+            SELECT
+              CAST(sum(CASE WHEN t=0 AND p=0 THEN n END) AS BIGINT) AS n00,
+              CAST(sum(CASE WHEN t=0 AND p=1 THEN n END) AS BIGINT) AS n01,
+              CAST(sum(CASE WHEN t=1 AND p=0 THEN n END) AS BIGINT) AS n10,
+              CAST(sum(CASE WHEN t=1 AND p=1 THEN n END) AS BIGINT) AS n11,
+              CAST(sum(CASE WHEN t=0 AND p=0 THEN m END) AS BIGINT) AS m00,
+              CAST(sum(CASE WHEN t=0 AND p=1 THEN m END) AS BIGINT) AS m01,
+              CAST(sum(CASE WHEN t=1 AND p=0 THEN m END) AS BIGINT) AS m10,
+              CAST(sum(CASE WHEN t=1 AND p=1 THEN m END) AS BIGINT) AS m11,
+              CAST((sum(CASE WHEN t=1 AND p=1 THEN m END)
+                    - sum(CASE WHEN t=1 AND p=0 THEN m END))
+                   - (sum(CASE WHEN t=0 AND p=1 THEN m END)
+                      - sum(CASE WHEN t=0 AND p=0 THEN m END))
+                   AS BIGINT) AS did_ppm
+            FROM cells
+        """,
+        "mi_price_priority": """
+            WITH o0 AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v,
+                     o_orderpriority AS prio
+              FROM orders),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM o0),
+            binned AS (
+              SELECT least(9, (v - lo) * 10 // (hi - lo + 1)) AS a,
+                     prio AS b
+              FROM o0, mm),
+            cells AS (SELECT a, b, count(*) AS n_ab FROM binned GROUP BY a, b),
+            ma AS (SELECT a, sum(n_ab) AS n_a FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(n_ab) AS n_b FROM cells GROUP BY b),
+            tot AS (SELECT sum(n_ab) AS n FROM cells),
+            terms AS (
+              SELECT CAST(round(
+                       (CAST(c.n_ab AS DOUBLE) / t.n)
+                       * ln((CAST(c.n_ab AS DOUBLE) * t.n)
+                            / (CAST(ma.n_a AS DOUBLE) * mb.n_b))
+                       * 1000000.0) AS BIGINT) AS term_micro
+              FROM cells c JOIN ma USING (a) JOIN mb USING (b), tot t)
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(term_micro) AS BIGINT) AS mi_micro_nats
+            FROM terms
+        """,
         "conformal_price_interval": """
             WITH base AS (
               SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,

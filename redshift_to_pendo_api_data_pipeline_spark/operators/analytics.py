@@ -2960,3 +2960,145 @@ def wilson_ci_by_group(
         F.round(center - half, 6).alias("ci_lo"),
         F.round(center + half, 6).alias("ci_hi"),
     )
+
+
+def next_event_accuracy(
+    train: DataFrame,
+    test: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-order sequence-model evaluation: learn argmax next-event
+    per current event from TRAIN user journeys (most frequent
+    successor, ties -> smallest type), measure top-1 accuracy on TEST
+    journeys' transitions. The baseline every fancier sequence model
+    must beat — and a drift alarm when production accuracy moves.
+
+    One lag window per relation, two map-side-combined counts; the
+    learned (src -> predicted dst) table is enum-bounded and
+    broadcasts. Test transitions with a train-unseen src count as
+    uncovered (reported, not silently correct/incorrect). Exact
+    BIGINT counts + truncating-div rates."""
+    from pyspark.sql import Window
+
+    def transitions(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+        return df.select(
+            F.lag(type_col).over(w).alias("src"),
+            F.col(type_col).alias("dst"),
+        ).where(F.col("src").isNotNull())
+
+    tr_counts = transitions(train).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_rank = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    model = (
+        tr_counts.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    tt = transitions(test).join(F.broadcast(model), "src", "left")
+    return tt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_covered"),
+        F.sum(F.when(F.col("pred") == F.col("dst"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+    ).select(
+        "n_test", "n_covered", "n_correct",
+        F.expr("n_covered * 1000 div n_test").cast("long")
+        .alias("coverage_pm"),
+        F.when(
+            F.col("n_covered") > 0,
+            F.expr("n_correct * 1000 div n_covered"),
+        ).cast("long").alias("accuracy_pm"),
+    )
+
+
+def did_estimate(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_fp: str,
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2x2 (treated, post)
+    design — the workhorse causal readout for staggered feature
+    launches: DiD = (treated_post - treated_pre) - (control_post -
+    control_pre), on per-cell means.
+
+    One map-side-combined 4-cell aggregation; means surface in exact
+    ppm (truncating div), and the estimate is pure subtraction of the
+    already-truncated cell means — deterministic cross-engine. Output
+    is one row: the four cell means, their counts, and did_ppm."""
+    cells = df.groupBy(
+        F.col(treated_col).cast("int").alias("t"),
+        F.col(post_col).cast("int").alias("p"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_fp).cast("decimal(38,0)")).alias("s"),
+    ).select(
+        "t", "p", "n",
+        F.expr("s * 1000000 div n").cast("long").alias("m"),
+    )
+    pivoted = cells.groupBy().agg(
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), F.col("n"))).alias("n00"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), F.col("n"))).alias("n01"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), F.col("n"))).alias("n10"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), F.col("n"))).alias("n11"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), F.col("m"))).alias("m00"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), F.col("m"))).alias("m01"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), F.col("m"))).alias("m10"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), F.col("m"))).alias("m11"),
+    )
+    return pivoted.select(
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n00", "n01", "n10", "n11", "m00", "m01", "m10", "m11")],
+        ((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")))
+        .cast("long").alias("did_ppm"),
+    )
+
+
+def mutual_information_binned(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information between two bounded-cardinality columns —
+    the feature-selection screen (how much does knowing A tell you
+    about B), in nats. Inputs are ALREADY-DISCRETIZED columns (bins /
+    enums), so the contingency relation is cell-bounded by contract.
+
+    Hash-stable float pattern (the BM25 lesson): each cell's
+    (p_ab)·ln(p_ab/(p_a·p_b)) term is rounded to micro-nats FIRST and
+    the cross-cell sum runs as exact BIGINT — order-independent where
+    a double sum is not. Marginals ride along via two more
+    cell-bounded aggs; products go through DOUBLE before dividing, so
+    no integer overflow at corpus scale."""
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").alias("n"))
+    terms = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_ab").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("n_ab").cast("double") * F.col("n"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("term_micro")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("term_micro").cast("long").alias("mi_micro_nats"),
+    )

@@ -631,3 +631,63 @@ def lpa_communities(
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+def hitrate_at_k(
+    train_baskets: DataFrame,
+    test_baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    per_item_k: int = 3,
+    min_pair_support: int = 3,
+    min_item_support: int = 2,
+) -> DataFrame:
+    """Offline recommender evaluation: mine the 'customers also
+    bought' serving table from TRAIN baskets only, then measure the
+    hit rate on held-out TEST baskets — a basket counts as a hit when
+    any of its items' top-k recommendations contains another item of
+    the same basket. The honest check that the mined lift table
+    predicts unseen co-purchases rather than memorizing them.
+
+    Shape: mining/ranking inherit the a-priori + WindowGroupLimit
+    bounds (output |items|·k); the evaluation is two joins of the
+    (basket, item) test relation against the item-keyed rec table —
+    linear, shuffle on the item key then the basket key. Output is a
+    single exact-count row."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    edges = frequent_item_pairs(
+        train_baskets, basket_col, item_col,
+        min_pair_support=min_pair_support,
+        min_item_support=min_item_support,
+    )
+    n_train = train_baskets.select(basket_col).distinct().count()
+    recs = related_items(edges, n_train, per_item_k=per_item_k).select(
+        "antecedent", "consequent"
+    )
+    ti = test_baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = ti.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    eligible = sizes.where(F.col("sz") >= 2).select("b")
+    preds = ti.join(recs, ti["i"] == recs["antecedent"]).select(
+        "b", F.col("consequent").alias("i2")
+    )
+    hits = (
+        preds.join(
+            ti.select("b", F.col("i").alias("i2")), ["b", "i2"], "left_semi"
+        )
+        .select("b").distinct()
+        .join(eligible, "b", "left_semi")
+    )
+    n_elig = eligible.count()
+    return hits.agg(
+        F.lit(n_elig).cast("long").alias("n_test_baskets"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    ).select(
+        "n_test_baskets", "n_hits",
+        # truncating div (never float-then-cast: Spark casts truncate,
+        # DuckDB casts ROUND — they disagree on x.5)
+        F.expr(f"n_hits * 1000L div {max(n_elig, 1)}").cast("long")
+        .alias("hitrate_pm"),
+    )
