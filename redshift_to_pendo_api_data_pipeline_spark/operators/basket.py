@@ -691,3 +691,74 @@ def hitrate_at_k(
         F.expr(f"n_hits * 1000L div {max(n_elig, 1)}").cast("long")
         .alias("hitrate_pm"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "item_a",
+    dst: str = "item_b",
+    n_iter: int = 3,
+    damping_ppm: int = 850_000,
+    mass: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Personalized PageRank — `pagerank_fixed`'s query-biased sibling:
+    teleport mass returns to the SEED set instead of everywhere, so
+    rank measures relevance TO the seeds (the 'more like these'
+    graph expansion behind seed-based data selection). Same exact
+    integer contract: fixed iterations, floor-div, ppt mass units —
+    unrollable as chained CTEs by an independent engine.
+
+    Per iteration: nodes-sized share projection, one edge join +
+    dst-keyed agg, a left join back (shuffle_hash, corpus-sized
+    relations), localCheckpoint lineage truncation. The seed set is an
+    enum-bounded literal by contract."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nodes = directed.select(F.col("u").alias("node")).distinct()
+    deg = directed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    n_seeds = len(seeds)
+    is_seed = F.col("node").isin([int(s) for s in seeds])
+    seed_base = (mass // n_seeds) * (1_000_000 - damping_ppm) // 1_000_000
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(is_seed, F.lit(mass // n_seeds)).otherwise(F.lit(0))
+        .cast("long"),
+    )
+    for _ in range(n_iter):
+        shares = ranks.join(deg.hint("shuffle_hash"), "node").select(
+            F.col("node").alias("u"),
+            F.expr("rank div __deg").cast("long").alias("share"),
+        )
+        inflow = (
+            directed.join(shares.hint("shuffle_hash"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(seed_base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"{damping_ppm}L * coalesce(inflow, 0L) div 1000000"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

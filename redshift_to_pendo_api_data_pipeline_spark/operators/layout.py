@@ -231,3 +231,33 @@ def shard_assignment(
         (F.col("__h") >= F.col("lo")) & (F.col("__h") <= F.col("hi")),
     )
     return joined.withColumn(out_col, F.col("s")).drop("lo", "hi", "s", "__h")
+
+
+def minmax_overlap_depth(
+    df,
+    bucket_col: str,
+    key_col: str,
+):
+    """Clustering-depth audit for min-max (zone-map) pruning: collapse
+    each storage bucket (file / rowgroup stand-in) to its [min, max]
+    key envelope and sweep-line the envelopes — the peak overlap IS
+    the number of files a point lookup must open after pruning.
+    Depth 1 = perfectly clustered; depth ≈ n_buckets = the key is
+    scattered and min-max pruning is useless for it.
+
+    One map-side-combined (bucket) agg collapses the corpus to
+    |buckets| envelopes; the sweep reuses `interval_concurrency_peak`
+    (distributed prefix-sum, no single-reducer window). Envelopes use
+    the half-open [min, max+1) convention so touching-at-a-point
+    buckets don't count as overlapping."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        interval_concurrency_peak,
+    )
+
+    env = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.min(key_col).cast("long").alias("lo"),
+        (F.max(key_col).cast("long") + 1).alias("hi"),
+    )
+    return interval_concurrency_peak(env, "bucket", "lo", "hi")

@@ -158,3 +158,75 @@ def deletion_cascade_audit(
         )
         out = cnt if out is None else out.unionByName(cnt)
     return out
+
+
+def t_closeness_emd(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sensitive_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """t-closeness audit — the third leg of the k-anonymity /
+    l-diversity privacy trio: per quasi-identifier group, the Earth
+    Mover's Distance between the group's ORDERED sensitive-attribute
+    distribution and the global one (ordinal EMD = mean |cumulative
+    difference|, normalized to [0,1] by m-1 steps).
+
+    EXACT rational arithmetic: the per-step difference is held over
+    the common denominator n_g·n (D_k = sum_{j<=k} (n_gj·n −
+    n_j·n_g), a DECIMAL(38,0)), so emd_ppm = sum|D_k| · 1e6 div
+    ((m−1)·n_g·n) is bit-reproducible. Everything past the one
+    (group, sensitive) count agg runs on cell-bounded relations; the
+    cumulative walks an ordered window partitioned by group over ≤m
+    rows each."""
+    from pyspark.sql import Window
+
+    oc = order_col or sensitive_col
+    cells = df.groupBy(
+        *[F.col(c) for c in group_cols],
+        F.col(sensitive_col).alias("__s"),
+        F.col(oc).alias("__o") if oc != sensitive_col else F.col(
+            sensitive_col
+        ).alias("__o"),
+    ).agg(F.count(F.lit(1)).alias("n_gs"))
+    # complete the grid: every group x every sensitive value (absent
+    # cells count 0 — EMD needs the full ordered support)
+    groups = cells.groupBy(*group_cols).agg(
+        F.sum("n_gs").cast("decimal(38,0)").alias("n_g")
+    )
+    svals = cells.select("__s", "__o").distinct()
+    sglob = cells.groupBy("__s").agg(
+        F.sum("n_gs").cast("decimal(38,0)").alias("n_s")
+    )
+    tot = cells.agg(
+        F.sum("n_gs").cast("decimal(38,0)").alias("n"),
+        F.countDistinct("__s").alias("m"),
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(svals))
+        .join(cells.drop("__o"), [*group_cols, "__s"], "left")
+        .join(F.broadcast(sglob), "__s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *group_cols, "__o", "n_g", "n", "m",
+            (
+                F.coalesce(F.col("n_gs"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("n")
+                - F.col("n_s") * F.col("n_g")
+            ).cast("decimal(38,0)").alias("d"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("__o")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = grid.withColumn(
+        "cum_d", F.sum("d").over(w).cast("decimal(38,0)")
+    )
+    return stepped.groupBy(*group_cols).agg(
+        F.first("n_g").cast("long").alias("n_group"),
+        F.expr(
+            "CAST(sum(abs(cum_d)) AS DECIMAL(38,0))"
+            " * 1000000 div (CAST((first(m) - 1) AS DECIMAL(38,0))"
+            " * first(n_g) * first(n))"
+        ).cast("long").alias("emd_ppm"),
+    )
