@@ -3102,3 +3102,61 @@ def mutual_information_binned(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("term_micro").cast("long").alias("mi_micro_nats"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    slack_num: int = 1,
+    slack_den: int = 8,
+    h_num: int = 4,
+) -> DataFrame:
+    """One-sided CUSUM control chart over per-(group, t) series — the
+    SPC drift detector: S_t = max(0, S_{t-1} + (x_t - target - k)),
+    alarm when S_t > h. The recursion LOOKS sequential, but CUSUM has
+    the classic prefix closed form S_t = P_t - min_{j<=t} P_j with
+    P_t = sum of deviations — two cumulative windows, no iteration,
+    no UDF.
+
+    EXACT integers: target = per-group mean (truncating div),
+    allowance k = target * slack_num div slack_den, threshold
+    h = h_num * k (integer multiples — the practical tuning); every
+    P_t and S_t is a BIGINT. Windows partition by group over the
+    span-bounded series relation (inputs are pre-aggregated by
+    contract). Output: per (group, t), S_t and the alarm flag."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    stats = base.groupBy("g").agg(
+        F.expr("sum(x) div count(1)").cast("long").alias("target")
+    ).select(
+        "g", "target",
+        F.expr(f"target * {slack_num} div {slack_den}")
+        .cast("long").alias("k"),
+    )
+    w_cum = Window.partitionBy("g").orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        base.join(F.broadcast(stats), "g")
+        .withColumn("__dev", F.col("x") - F.col("target") - F.col("k"))
+        .withColumn("__p", F.sum("__dev").over(w_cum).cast("long"))
+        .withColumn(
+            "__minp",
+            F.least(F.min("__p").over(w_cum), F.lit(0).cast("long")),
+        )
+    )
+    return stepped.select(
+        F.col("g").alias(group_col),
+        "t",
+        (F.col("__p") - F.col("__minp")).cast("long").alias("s"),
+        F.when(
+            (F.col("__p") - F.col("__minp")) > F.col("k") * h_num, 1
+        ).otherwise(0).cast("int").alias("alarm"),
+    )

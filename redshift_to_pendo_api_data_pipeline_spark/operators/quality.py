@@ -376,3 +376,54 @@ def orphan_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def corr_matrix_pearson(
+    df: "DataFrame",
+    cols: list[str],
+) -> "DataFrame":
+    """Pairwise Pearson correlation across a column list from ONE
+    corpus pass: a single aggregation computes every column's sum,
+    sum-of-squares and every pair's cross-product as exact
+    DECIMAL(38,0) sufficient statistics; r itself is the one float
+    step — num / sqrt(den_a * den_b) evaluated in DOUBLE on both
+    engines with identical association, surfaced at round-6 (the
+    tf-idf float discipline; an all-integer r^2 would need ~2x38
+    digits and is infeasible in either engine's fixed decimal).
+
+    Column pairs are enum-bounded by contract, so the post-agg pair
+    expansion is driver-built column algebra over a 1-row relation —
+    no second pass, no per-pair scans."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        *[F.col(c).cast("decimal(19,0)").alias(c) for c in cols]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("decimal(38,0)").alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("decimal(38,0)")
+                .alias(f"sp_{a}_{b}")
+            )
+    mom = base.agg(*aggs)
+    rows = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            den_a = f"CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+            den_b = f"CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)"
+            row = mom.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(
+                    f"round({num} / sqrt({den_a} * {den_b}), 6)"
+                ).alias("pearson_r"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -682,3 +682,70 @@ def kcenter_select(
         [(int(s), int(i), int(d)) for (s, i, d, _) in chosen],
         schema="step long, vec_id long, dist_micro long",
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum h gets
+    budget · (N_h·σ_h) / Σ(N_j·σ_j) — variance-proportional sampling,
+    the design that minimizes the estimator's variance for a fixed
+    budget (vs proportional allocation that over-samples homogeneous
+    strata).
+
+    Integer pipeline: per-stratum population variance is the exact
+    rational (n·Sxx − Sx²)/n² truncated to fixed point, σ_h is its
+    floor-isqrt (floor(sqrt(x)) — IEEE sqrt is correctly rounded, so
+    the floor agrees cross-engine for x < 2^52), and seats assign by
+    the largest-remainder method (quota div + ranked remainders, ties
+    by stratum asc) so allocations sum to the budget EXACTLY. One
+    corpus pass; everything after runs on the strata-bounded
+    relation."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(stratum_col).alias("h")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_h"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col(value_col).cast("decimal(38,0)")
+            * F.col(value_col).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+    ).select(
+        "h",
+        F.col("n_h").cast("long").alias("n_pop"),
+        # weight_h = N_h * floor(sqrt(var_h)), var in value^2 units
+        (
+            F.col("n_h").cast("long")
+            * F.floor(
+                F.sqrt(
+                    F.expr("(n_h * sxx - sx * sx) div (n_h * n_h)")
+                    .cast("double")
+                )
+            ).cast("long")
+        ).cast("long").alias("w_h"),
+    )
+    tot = per.agg(F.sum("w_h").cast("long").alias("w_tot"))
+    quota = per.crossJoin(F.broadcast(tot)).select(
+        "h", "n_pop", "w_h",
+        F.expr(f"w_h * {budget} div w_tot").cast("long").alias("base_n"),
+        F.expr(f"(w_h * {budget}) % w_tot").cast("long").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(budget) - F.sum("base_n")).cast("long").alias("extra")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("h"))
+    return (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("h").alias(stratum_col),
+            "n_pop", "w_h",
+            (
+                F.col("base_n")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            ).cast("long").alias("n_alloc"),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Unit tests for round-7 session-6 batch 7: CUSUM closed form,
+Pearson matrix, Neyman allocation."""
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import cusum_alarms
+from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+    corr_matrix_pearson,
+)
+from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+    neyman_allocation,
+)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    # flat series with a level shift at t>=10: CUSUM must rise after the
+    # shift and match the direct recursion exactly
+    vals = [100] * 10 + [160] * 5
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(vals)], ["g", "t", "x"]
+    )
+    out = {r["t"]: r for r in cusum_alarms(df, "g", "t", "x").collect()}
+    # recursion reference: target = sum div n, k = target div 8
+    target = sum(vals) // len(vals)
+    k = target // 8
+    s = 0
+    for t, v in enumerate(vals):
+        s = max(0, s + (v - target - k))
+        assert out[t]["s"] == s, (t, out[t]["s"], s)
+        assert out[t]["alarm"] == (1 if s > 4 * k else 0)
+    assert out[14]["alarm"] == 1  # shift detected
+    assert out[9]["alarm"] == 0   # quiet before the shift
+
+
+def test_pearson_matrix_known_correlations(spark):
+    # y = 2x exactly (r = 1), z anti-correlated with x (r = -1)
+    rows = [(x, 2 * x, 100 - x) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = {(r["col_a"], r["col_b"]): r["pearson_r"]
+           for r in corr_matrix_pearson(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert len(out) == 3
+
+
+def test_neyman_allocation_variance_proportional(spark):
+    # stratum A: high variance; stratum B: constant (sigma 0) -> B gets 0
+    rows = [("A", v) for v in (0, 100) * 25] + [("B", 50)] * 50
+    df = spark.createDataFrame(rows, ["h", "v"])
+    out = {r["h"]: r for r in
+           neyman_allocation(df, "h", "v", budget=100).collect()}
+    assert out["B"]["w_h"] == 0 and out["B"]["n_alloc"] == 0
+    assert out["A"]["n_alloc"] == 100
+    # allocations always sum to the budget exactly (largest remainder)
+    assert sum(r["n_alloc"] for r in out.values()) == 100
