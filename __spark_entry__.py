@@ -5502,6 +5502,76 @@ def q_neyman_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(docs, "source", "n_chars", budget=10000)
 
 
+def q_hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE (operators/analytics.hll_merge_estimate):
+    per-type register tables union by per-bucket max into ONE global
+    distinct-user estimate — cardinality rolls up without revisiting
+    keys; exact-integer raw estimator, exact distinct + signed error
+    alongside (self-auditing)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        hll_merge_estimate,
+        hyperloglog_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hyperloglog_registers(
+        ev, "user_id", ["event_type"], m=256,
+        stage_hash_path=f"{_stage_dir(sf_dir)}/hll_user_hashes.parquet",
+    )
+    est = hll_merge_estimate(regs, merge_over=["event_type"], m=256)
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_zero_buckets", "est_distinct", "exact_distinct",
+        F.expr(
+            "(est_distinct - exact_distinct) * 1000000 div exact_distinct"
+        ).cast("long").alias("err_ppm"),
+    )
+
+
+def q_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only JOIN-view maintenance (streaming/continuous_agg.
+    append_join_view): the pre-1996 order x customer view is STAGED to
+    the lake once; the refresh joins ONLY the post-1996 delta and
+    unions — old rows never re-join. Output re-aggregates per nation,
+    and the oracle recomputes the FULL join from source, certifying
+    staged + delta == full."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.continuous_agg import (
+        append_join_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("val"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    cut = F.lit("1996-01-01").cast("date")
+    path = f"{_stage_dir(sf_dir)}/joinview_orders_v1.parquet"
+    v1 = o.where(F.col("od") < cut).join(c, ["o_custkey"]).select(
+        "o_orderkey", "c_nationkey", "val"
+    )
+    stage_parquet(v1, path)
+    delta = o.where(F.col("od") >= cut).select("o_orderkey", "o_custkey", "val")
+    refreshed = append_join_view(
+        spark.read.parquet(path),
+        delta,
+        c,
+        ["o_custkey"],
+    )
+    return refreshed.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("val").cast("long").alias("rev_fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5512,6 +5582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "hll_union_types": q_hll_union_types,
+        "join_view_refresh": q_join_view_refresh,
         "cusum_event_drift": q_cusum_events,
         "corr_matrix_lineitem": q_corr_lineitem,
         "neyman_allocation_sources": q_neyman_sources,
@@ -5892,6 +5964,49 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_union_types": f"""
+            WITH regs AS (
+              SELECT event_type,
+                     CAST(w % 256 AS INT) AS bucket,
+                     CAST(MAX(CASE WHEN w // 256 = 0 THEN 41
+                              ELSE 41 - length(bin(w // 256)) END) AS INT)
+                         AS register
+              FROM read_parquet('{_STAGE}/hll_user_hashes.parquet/*.parquet')
+              GROUP BY event_type, w % 256),
+            merged AS (SELECT bucket, max(register) AS M
+                       FROM regs GROUP BY bucket),
+            s AS (SELECT count(*) AS n_present,
+                         CAST(sum(CAST(1 AS HUGEINT) << (41 - M))
+                              AS HUGEINT) AS s_present
+                  FROM merged),
+            est AS (
+              SELECT CAST(256 - n_present AS BIGINT) AS n_zero_buckets,
+                     CAST(CAST(718272 AS HUGEINT) * 256 * 256
+                          * (CAST(1 AS HUGEINT) << 41)
+                          // (s_present
+                              + CAST(256 - n_present AS HUGEINT)
+                                * (CAST(1 AS HUGEINT) << 41))
+                          // 1000000 AS BIGINT) AS est_distinct
+              FROM s),
+            ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                            AS exact_distinct FROM events)
+            SELECT e.n_zero_buckets, e.est_distinct, x.exact_distinct,
+                   CAST(CAST((e.est_distinct - x.exact_distinct)
+                        AS HUGEINT) * 1000000 // x.exact_distinct
+                        AS BIGINT) AS err_ppm
+            FROM est e, ex x
+        """,
+        "join_view_refresh": """
+            WITH j AS (
+              SELECT o.o_orderkey, c.c_nationkey,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS val
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(val) AS BIGINT) AS rev_fp
+            FROM j GROUP BY c_nationkey
+        """,
         "cusum_event_drift": """
             WITH daily AS (
               SELECT event_type AS g,

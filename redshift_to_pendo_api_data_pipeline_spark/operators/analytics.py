@@ -3160,3 +3160,53 @@ def cusum_alarms(
             (F.col("__p") - F.col("__minp")) > F.col("k") * h_num, 1
         ).otherwise(0).cast("int").alias("alarm"),
     )
+
+
+def hll_merge_estimate(
+    registers: DataFrame,
+    merge_over: list[str],
+    group_cols: list[str] | None = None,
+    m: int = 256,
+    alpha_ppm: int = 718272,
+) -> DataFrame:
+    """HyperLogLog register MERGE + raw estimate — the property that
+    makes HLL the 100 TB distinct-count answer: registers built per
+    slice (type, day, shard...) union by per-bucket MAX, so
+    cardinality rolls up WITHOUT revisiting keys. `merge_over` names
+    the slice columns to merge away; `group_cols` what survives.
+
+    EXACT integer estimate: the harmonic denominator is held in
+    2^(vbits+1) units (S = sum over ALL m buckets of 2^(rank_max - M),
+    absent buckets at M = 0), so est = alpha_ppm·m²·2^rank_max div S
+    div 1e6 is pure DECIMAL(38,0) algebra — no pow(2.0, -x) float to
+    drift. alpha_ppm is the standard 0.7213/(1 + 1.079/m) constant as
+    a ppm literal (both engines use the identical integer). The raw
+    estimator (no small-range linear counting) — n_zero_buckets rides
+    along so consumers can see when the correction regime applies.
+
+    Shape: one (group, bucket) max agg over the register relation
+    (≤ |slices|·m rows in, |groups|·m out), then a |groups|-row
+    estimate. Nothing touches the original key stream."""
+    groups = list(group_cols or [])
+    vbits_rank = 41  # rank_max for the 48-bit word / m=256 layout
+    merged = registers.groupBy(*groups, "bucket").agg(
+        F.max("register").alias("M")
+    )
+    per_group = merged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {vbits_rank} - M)"))
+        .cast("decimal(38,0)").alias("s_present"),
+    )
+    est_expr = (
+        f"CAST({alpha_ppm} AS DECIMAL(38,0)) * {m} * {m}"
+        f" * CAST(shiftleft(1L, {vbits_rank}) AS DECIMAL(38,0))"
+        f" div (s_present"
+        f"      + CAST(({m} - n_present) AS DECIMAL(38,0))"
+        f"        * CAST(shiftleft(1L, {vbits_rank}) AS DECIMAL(38,0)))"
+        f" div 1000000"
+    )
+    return per_group.select(
+        *groups,
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_buckets"),
+        F.expr(est_expr).cast("long").alias("est_distinct"),
+    )

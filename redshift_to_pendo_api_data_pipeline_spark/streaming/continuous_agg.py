@@ -206,3 +206,27 @@ def refresh_rollup_from_diff(
     )
     kept = rollup.join(affected.hint("shuffle_hash"), keys, "left_anti")
     return kept.unionByName(recomputed)
+
+
+def append_join_view(
+    old_view: DataFrame,
+    delta_fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental JOIN-view maintenance, append-only case: the
+    refreshed view is the STAGED previous materialization unioned with
+    only the delta's join — dV = ΔF ⋈ D; old fact rows are never
+    re-joined or re-shuffled (the entire point at 100 TB, where the
+    view body dwarfs any day's delta). Dimension updates or fact
+    deletes need the diff-based path (`refresh_rollup_from_diff` /
+    CDC merge) — this operator is the fast path for the dominant
+    append workload, and composes with them.
+
+    The delta join inherits whatever strategy fits (broadcast for
+    enum dims via AQE); the union is metadata-only. The joined delta
+    projects down to the view's schema, so join keys the view doesn't
+    materialize don't break the union."""
+    return old_view.unionByName(
+        delta_fact.join(dim, keys).select(*old_view.columns)
+    )

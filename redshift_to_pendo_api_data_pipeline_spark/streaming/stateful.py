@@ -410,3 +410,66 @@ def streaming_pattern_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_OUT_SCHEMA = "g string, t long, s long, alarm int"
+_CUSUM_STATE_SCHEMA = "p long, minp long"
+
+
+def streaming_cusum(
+    points: DataFrame,
+    group_col: str = "g",
+    t_col: str = "t",
+    value_col: str = "x",
+    target_col: str = "target",
+    k_col: str = "k",
+    h_mult: int = 4,
+) -> DataFrame:
+    """Streaming twin of analytics.cusum_alarms: the one-sided CUSUM
+    recursion S_t = max(0, S_{t-1} + (x - target - k)) run against a
+    FIXED reference (target/k ride each row as columns — the control-
+    chart deployment shape: the reference is trained offline, the
+    chart monitors live), with the (P, minP) pair riding the state
+    store so the chart survives micro-batch boundaries.
+
+    State per key: exactly two longs, independent of stream length.
+    Within a batch the recursion is the same prefix closed form the
+    batch operator uses — cumsum + running minimum, vectorized, no
+    per-row Python. Bit-equal to the batch twin on in-order arrival
+    (pinned by test)."""
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        p0, minp0 = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((p0, minp0))
+            return
+        batch = pd.concat(chunks).sort_values(t_col)
+        x = batch[value_col].to_numpy().astype("int64")
+        target = batch[target_col].to_numpy().astype("int64")
+        k = batch[k_col].to_numpy().astype("int64")
+        p = p0 + np.cumsum(x - target - k)
+        minp = np.minimum.accumulate(np.minimum(p, minp0))
+        s = p - minp
+        alarm = (s > h_mult * k).astype("int32")
+        state.update((int(p[-1]), int(minp[-1])))
+        yield pd.DataFrame(
+            {
+                "g": g,
+                "t": batch[t_col].to_numpy().astype("int64"),
+                "s": s,
+                "alarm": alarm,
+            }
+        )
+
+    return points.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -52,3 +52,43 @@ def test_neyman_allocation_variance_proportional(spark):
     assert out["A"]["n_alloc"] == 100
     # allocations always sum to the budget exactly (largest remainder)
     assert sum(r["n_alloc"] for r in out.values()) == 100
+
+
+def test_hll_merge_estimate_accuracy(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        hll_merge_estimate,
+        hyperloglog_registers,
+    )
+
+    # 6000 distinct keys split over 3 slices with overlap: the merged
+    # estimate must track the TRUE union (not the sum of slices)
+    rows = [(f"s{i % 3}", k) for i in range(3) for k in range(2000 * i, 2000 * i + 4000)]
+    df = spark.createDataFrame(rows, ["slice", "key"])
+    true_union = df.select("key").distinct().count()
+    regs = hyperloglog_registers(df, "key", ["slice"], m=256)
+    out = hll_merge_estimate(regs, merge_over=["slice"], m=256).collect()[0]
+    # HLL theoretical std error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(out["est_distinct"] - true_union) < 0.2 * true_union
+    # merged estimate must be far below the 12000-row slice total
+    assert out["est_distinct"] < 9000
+
+
+def test_append_join_view_equals_full_join(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.continuous_agg import (
+        append_join_view,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(12)], ["fid", "k", "v"]
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    old = fact.where(F.col("fid") < 8).join(dim, ["k"]).select(
+        "fid", "name", "v"
+    )
+    delta = fact.where(F.col("fid") >= 8)
+    refreshed = append_join_view(old, delta, dim, ["k"])
+    full = fact.join(dim, ["k"]).select("fid", "name", "v")
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -961,3 +961,57 @@ def test_streaming_kmv_sketches_match_batch(spark, tmp_path):
     est_b = sorted(map(tuple, A.kmv_pair_overlap(
         batch, "event_type", k=64).collect()))
     assert est_s == est_b and len(est_s) > 0
+
+
+def test_streaming_cusum_matches_batch_twin(spark):
+    """The stateful CUSUM chart agrees bit-for-bit with the batch
+    prefix-closed-form operator across a micro-batch boundary — the
+    (P, minP) pair must survive the trigger."""
+    import os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        cusum_alarms,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_cusum,
+    )
+
+    vals = [100] * 10 + [160] * 5
+    batch_df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(vals)], "g string, t long, x long"
+    )
+    want = {r["t"]: (r["s"], r["alarm"]) for r in
+            cusum_alarms(batch_df, "g", "t", "x").collect()}
+
+    # the batch operator derives target/k from the whole series; feed the
+    # same reference to the stream (control-chart deployment shape)
+    target = sum(vals) // len(vals)
+    k = target // 8
+    rows = [("g", t, v, target, k) for t, v in enumerate(vals)]
+    schema = "g string, t long, x long, target long, k long"
+    b1, b2 = rows[:8], rows[8:]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_cusum(stream)
+        got = {}
+
+        def writer(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r["t"]] = (r["s"], r["alarm"])
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    assert got == want
+    assert got[14][1] == 1  # the level shift alarms in batch 2
