@@ -5572,6 +5572,140 @@ def q_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mannwhitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum screen (operators/stats.mann_whitney_u):
+    do URGENT and LOW orders draw from the same price distribution —
+    doubled midranks keep ties integral, distinct-value prefix sums
+    via global_prefix_sum (no single-reducer window), one sqrt at the
+    end for the tie-corrected z."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+    )
+    return mann_whitney_u(base, "grp", "price_fp")
+
+
+def q_ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift screen (operators/stats.
+    ks_two_sample): document-length ECDFs of the src0-src9 source
+    cohort vs src10-src19 — cross-multiplied integer ECDF distance,
+    one packed prefix pass over the distinct-length relation."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.length("source") <= 4).cast("long").alias("grp"),
+        F.col("n_chars").cast("long").alias("len_v"),
+    )
+    return ks_two_sample(base, "grp", "len_v")
+
+
+def q_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 per-nation fulfillment
+    screens (operators/stats.bh_fdr): each nation's order-status chi2
+    (quality.contingency_chi2, exact integers) converts to a fixed-
+    point p-value through the Chebyshev tail bound p <= 1/z^2 — an
+    exact integer division, no erf/exp float tail anywhere — then the
+    step-up frontier is the exact comparison p_fp*m <= alpha_fp*rank.
+    The ranking window is bounded by the TEST count (25 nations), not
+    by data."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        contingency_chi2,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import bh_fdr
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    base = orders.select("o_custkey", "o_orderstatus").join(cust, "o_custkey")
+    chi2 = contingency_chi2(
+        base, "nation", F.col("o_orderstatus") == "F"
+    )
+    scale = 10**6
+    with_p = chi2.select(
+        F.col("g").alias("nation"),
+        F.least(
+            F.lit(scale).cast("long"),
+            F.expr(
+                "CAST(CAST(%d AS DECIMAL(38,0)) * %d "
+                "div greatest(chi2_contrib_fp, 1) AS BIGINT)"
+                % (scale, scale)
+            ),
+        ).alias("p_fp"),
+    )
+    return bh_fdr(with_p, "nation", "p_fp", alpha_fp=50000, scale=scale)
+
+
+def q_bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap of mean document length
+    (operators/stats.poisson_bootstrap_weights + bootstrap_mean_ci):
+    64 replicates ride one scan as map-side hash-drawn Poisson(1)
+    weights (the coordination-free distributed bootstrap), each
+    replicate mean an exact integer div, nearest-rank 2.5/97.5
+    percentile CI over the 64-row replicate relation. The weight draws
+    stage to the lake so the oracle resamples IDENTICALLY."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        bootstrap_mean_ci,
+        poisson_bootstrap_weights,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("len_v")
+    )
+    n_reps = 64
+    w = poisson_bootstrap_weights(docs, "doc_id", n_reps=n_reps, seed=41)
+    path = f"{_stage_dir(sf_dir)}/bootstrap_doclen_w64.parquet"
+    stage_parquet(w, path)
+    staged = spark.read.parquet(path)
+    return bootstrap_mean_ci(
+        docs, staged, "doc_id", "len_v", n_reps=n_reps
+    )
+
+
+def q_ra_links_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (basket.
+    resource_allocation_links) over the staged co-purchase graph:
+    which part pairs are NOT yet co-ordered but share many co-purchase
+    neighbors — the 'customers also bought' candidate generator.
+    Exact-integer RA index (scale div deg per wedge; Adamic-Adar's
+    1/ln would put a libm log in the hash), adjacency excluded via
+    left_anti, top-20 by TakeOrderedAndProject."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        resource_allocation_links,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return resource_allocation_links(edges, "item_a", "item_b", top_k=20)
+
+
+def q_clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients (basket.
+    clustering_coefficients) of the co-purchase graph — how clique-like
+    each part's neighborhood is (the community-structure screen read
+    next to the triangle census). Degree-oriented wedges (hub-skew
+    bound), per-corner triangle credits via a 3-row explode, cc in
+    exact fixed point: 2*scale*T div (deg*(deg-1))."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        clustering_coefficients,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return clustering_coefficients(edges, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5582,6 +5716,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "ra_links_parts": q_ra_links_parts,
+        "clustering_coeff_parts": q_clustering_coeff_parts,
+        "mannwhitney_price_priority": q_mannwhitney_price,
+        "ks_doclen_sources": q_ks_doclen_sources,
+        "bh_fdr_nations": q_bh_fdr_nations,
+        "bootstrap_doclen_ci": q_bootstrap_doclen_ci,
         "hll_union_types": q_hll_union_types,
         "join_view_refresh": q_join_view_refresh,
         "cusum_event_drift": q_cusum_events,
@@ -5964,6 +6104,244 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ra_links_parts": f"""
+            WITH canon AS (
+              SELECT DISTINCT least(item_a, item_b) AS a,
+                              greatest(item_a, item_b) AS b
+              FROM read_parquet(
+                '{_STAGE}/copurchase_edges.parquet/*.parquet')
+              WHERE item_a <> item_b),
+            adj AS (
+              SELECT a AS z, b AS n FROM canon
+              UNION ALL
+              SELECT b AS z, a AS n FROM canon),
+            deg AS (
+              SELECT z, CAST(count(*) AS BIGINT) AS deg
+              FROM adj GROUP BY z),
+            wed AS (
+              SELECT l.n AS x, r.n AS y,
+                     CAST(1000000 // d.deg AS BIGINT) AS w
+              FROM adj l
+              JOIN adj r ON r.z = l.z AND l.n < r.n
+              JOIN deg d ON d.z = l.z),
+            sc AS (
+              SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                     CAST(sum(w) AS BIGINT) AS ra_fp
+              FROM wed GROUP BY x, y),
+            cand AS (
+              SELECT * FROM sc
+              WHERE NOT EXISTS (SELECT 1 FROM canon c
+                                WHERE c.a = sc.x AND c.b = sc.y))
+            SELECT CAST(x AS BIGINT) AS item_x,
+                   CAST(y AS BIGINT) AS item_y, cn, ra_fp
+            FROM cand
+            ORDER BY ra_fp DESC, item_x, item_y
+            LIMIT 20
+        """,
+        "clustering_coeff_parts": f"""
+            WITH canon AS (
+              SELECT DISTINCT least(item_a, item_b) AS a,
+                              greatest(item_a, item_b) AS b
+              FROM read_parquet(
+                '{_STAGE}/copurchase_edges.parquet/*.parquet')
+              WHERE item_a <> item_b),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM canon
+                    UNION ALL SELECT b FROM canon)
+              GROUP BY node),
+            ori AS (
+              SELECT CASE WHEN da.deg < db.deg
+                               OR (da.deg = db.deg AND a < b)
+                          THEN a ELSE b END AS u,
+                     CASE WHEN da.deg < db.deg
+                               OR (da.deg = db.deg AND a < b)
+                          THEN b ELSE a END AS v
+              FROM canon
+              JOIN deg da ON da.node = a
+              JOIN deg db ON db.node = b),
+            wed AS (
+              SELECT e1.u, e1.v AS x, e2.v AS y
+              FROM ori e1 JOIN ori e2 ON e2.u = e1.u AND e1.v < e2.v),
+            tri AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (
+                SELECT u AS node FROM wed
+                WHERE EXISTS (SELECT 1 FROM canon c
+                              WHERE c.a = least(wed.x, wed.y)
+                                AND c.b = greatest(wed.x, wed.y))
+                UNION ALL
+                SELECT x FROM wed
+                WHERE EXISTS (SELECT 1 FROM canon c
+                              WHERE c.a = least(wed.x, wed.y)
+                                AND c.b = greatest(wed.x, wed.y))
+                UNION ALL
+                SELECT y FROM wed
+                WHERE EXISTS (SELECT 1 FROM canon c
+                              WHERE c.a = least(wed.x, wed.y)
+                                AND c.b = greatest(wed.x, wed.y)))
+              GROUP BY node)
+            SELECT CAST(d.node AS BIGINT) AS node, d.deg,
+                   CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST(2 * 1000000 * coalesce(t.n_tri, 0)
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_fp
+            FROM deg d LEFT JOIN tri t ON t.node = d.node
+            WHERE d.deg >= 2
+        """,
+        "mannwhitney_price_priority": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS g,
+                     CAST(cast(o_totalprice as decimal(18,2)) * 100
+                          AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            pv AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(g) AS BIGINT) AS n1v
+              FROM base GROUP BY v),
+            cum AS (
+              SELECT v, cnt, n1v,
+                     sum(cnt) OVER (ORDER BY v) AS cumc
+              FROM pv),
+            fold AS (
+              SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                     CAST(sum(cnt - n1v) AS BIGINT) AS n2,
+                     sum(CAST(n1v AS HUGEINT)
+                         * (2 * (cumc - cnt) + cnt + 1)) AS r2,
+                     CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                          AS HUGEINT) AS tie_cubes
+              FROM cum)
+            SELECT n1, n2,
+                   CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                        AS BIGINT) AS u2,
+                   CAST(tie_cubes AS BIGINT) AS tie_cubes,
+                   round((CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                               AS DOUBLE)
+                          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                         / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                / 3.0
+                                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                                   - CAST(tie_cubes AS DOUBLE)
+                                     / (CAST(n1 + n2 AS DOUBLE)
+                                        * (CAST(n1 + n2 AS DOUBLE)
+                                           - 1.0)))),
+                         6) AS z_fp
+            FROM fold
+        """,
+        "ks_doclen_sources": """
+            WITH base AS (
+              SELECT CASE WHEN length(source) <= 4 THEN 1 ELSE 0 END AS g,
+                     CAST(n_chars AS BIGINT) AS v
+              FROM documents),
+            pv AS (
+              SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                     CAST(sum(1 - g) AS BIGINT) AS c2
+              FROM base GROUP BY v),
+            cum AS (
+              SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+                     sum(c2) OVER (ORDER BY v) AS cum2
+              FROM pv),
+            tot AS (
+              SELECT CAST(max(cum1) AS BIGINT) AS n1,
+                     CAST(max(cum2) AS BIGINT) AS n2
+              FROM cum)
+            SELECT n1, n2,
+                   CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                                - CAST(cum2 AS HUGEINT) * n1))
+                        AS BIGINT) AS d_num,
+                   CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                                - CAST(cum2 AS HUGEINT) * n1))
+                        * 1000000
+                        // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_fp
+            FROM cum, tot GROUP BY n1, n2
+        """,
+        "bh_fdr_nations": """
+            WITH base AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS fulfilled
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            cells AS (
+              SELECT g, CAST(sum(fulfilled) AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS row_n
+              FROM base GROUP BY g),
+            tot AS (
+              SELECT sum(pos) AS col_pos, sum(row_n) AS grand FROM cells),
+            chi AS (
+              SELECT g,
+                     CAST((CAST(pos AS HUGEINT) * grand
+                           - CAST(row_n AS HUGEINT) * col_pos)
+                          * (CAST(pos AS HUGEINT) * grand
+                             - CAST(row_n AS HUGEINT) * col_pos)
+                          * 1000000
+                          // (CAST(row_n AS HUGEINT) * col_pos * grand)
+                          + (CAST(row_n - pos AS HUGEINT) * grand
+                             - CAST(row_n AS HUGEINT)
+                               * (grand - col_pos))
+                            * (CAST(row_n - pos AS HUGEINT) * grand
+                               - CAST(row_n AS HUGEINT)
+                                 * (grand - col_pos))
+                            * 1000000
+                          // (CAST(row_n AS HUGEINT) * (grand - col_pos)
+                              * grand)
+                          AS BIGINT) AS chi2_fp
+              FROM cells, tot),
+            withp AS (
+              SELECT g AS nation,
+                     least(CAST(1000000 AS BIGINT),
+                           CAST(CAST(1000000 AS HUGEINT) * 1000000
+                                // greatest(chi2_fp, 1) AS BIGINT))
+                         AS p_fp
+              FROM chi),
+            ranked AS (
+              SELECT nation, p_fp,
+                     CAST(row_number() OVER (ORDER BY p_fp, nation)
+                          AS BIGINT) AS p_rank,
+                     CAST(count(*) OVER () AS BIGINT) AS m
+              FROM withp),
+            frontier AS (
+              SELECT coalesce(max(CASE WHEN CAST(p_fp AS HUGEINT) * m
+                                            <= 50000 * p_rank
+                                       THEN p_rank END), 0) AS fr
+              FROM ranked)
+            SELECT nation, p_fp, p_rank,
+                   CAST(CASE WHEN p_rank <= fr THEN 1 ELSE 0 END
+                        AS INT) AS rejected
+            FROM ranked, frontier
+        """,
+        "bootstrap_doclen_ci": f"""
+            WITH w AS (
+              SELECT doc_id, rep, CAST(w AS BIGINT) AS w
+              FROM read_parquet(
+                '{_STAGE}/bootstrap_doclen_w64.parquet/*.parquet')),
+            reps AS (
+              SELECT rep,
+                     CAST(CAST(1000000 AS HUGEINT)
+                          * sum(CAST(w.w AS HUGEINT) * d.n_chars)
+                          // sum(CAST(w.w AS HUGEINT)) AS BIGINT)
+                         AS mean_fp
+              FROM w JOIN documents d USING (doc_id)
+              GROUP BY rep),
+            ranked AS (
+              SELECT mean_fp,
+                     row_number() OVER (ORDER BY mean_fp, rep) AS r
+              FROM reps),
+            ci AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_reps,
+                     CAST(max(CASE WHEN r = 2 THEN mean_fp END)
+                          AS BIGINT) AS ci_lo_fp,
+                     CAST(max(CASE WHEN r = 63 THEN mean_fp END)
+                          AS BIGINT) AS ci_hi_fp
+              FROM ranked),
+            full_m AS (
+              SELECT CAST(CAST(1000000 AS HUGEINT)
+                          * sum(CAST(n_chars AS HUGEINT))
+                          // count(*) AS BIGINT) AS mean_fp
+              FROM documents)
+            SELECT n_reps, full_m.mean_fp AS mean_fp, ci_lo_fp, ci_hi_fp
+            FROM ci, full_m
+        """,
         "hll_union_types": f"""
             WITH regs AS (
               SELECT event_type,

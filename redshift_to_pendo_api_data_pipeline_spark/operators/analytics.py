@@ -147,14 +147,25 @@ def global_ranks(df: DataFrame, sort_cols: list, rank_name: str = "__rank",
     turn those into cumulative start offsets, and broadcast-join the
     offsets back:  ``rank = offset[partition] + local_position + 1``.
 
-    The range Exchange is computed once and reused (ReusedExchange) by
-    the counts branch and the output branch, so total data movement is
-    the one range shuffle any global sort needs. The only
-    partitionBy-less window runs over the offsets relation, which is
-    bounded by ``spark.sql.shuffle.partitions`` (same bounded-combiner
-    pattern as IVF k-means training) — never by the data. `sort_cols`
-    must be a total order (include a unique tiebreak) so ranks are
-    deterministic regardless of where range boundaries fall."""
+    The ranged relation is pinned with an EAGER ``localCheckpoint``
+    before fan-out: the counts branch and the output branch both key on
+    ``spark_partition_id``, and without the pin each branch can
+    materialize the range Exchange independently (exchange reuse is an
+    optimization, not a contract). Each materialization re-SAMPLES the
+    range boundaries, and the sample depends on upstream shuffle-fetch
+    order — nondeterministic at runtime — so the two branches can
+    disagree about which rows partition p holds, silently corrupting
+    every rank after the first boundary (caught round 7 by a
+    run-to-run flap in `mann_whitney_u`; the same dual-consumption
+    shape lives here and in `global_prefix_max_excl`). The checkpoint
+    materializes the sorted relation once — the same order of cost as
+    the sort spill it sits next to — and both branches read identical
+    blocks. The only partitionBy-less window runs over the offsets
+    relation, which is bounded by ``spark.sql.shuffle.partitions``
+    (same bounded-combiner pattern as IVF k-means training) — never by
+    the data. `sort_cols` must be a total order (include a unique
+    tiebreak) so ranks are deterministic regardless of where range
+    boundaries fall."""
     spark = df.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     ranged = (
@@ -165,7 +176,7 @@ def global_ranks(df: DataFrame, sort_cols: list, rank_name: str = "__rank",
             "__local",
             F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
         )
-    )
+    ).localCheckpoint(eager=True)
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__pid").rowsBetween(
@@ -1505,10 +1516,17 @@ def global_prefix_sum(
     """
     spark = df.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    # Eager localCheckpoint: both the window branch and the totals
+    # branch key on spark_partition_id; without the pin each branch can
+    # re-materialize the range Exchange with independently re-SAMPLED
+    # boundaries (sampling reads upstream shuffle output whose fetch
+    # order is nondeterministic), making the two branches disagree
+    # about partition membership — see global_ranks for the full
+    # account (caught round 7 via mann_whitney_u flapping).
     ranged = (
         df.repartitionByRange(nparts, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)
@@ -2019,10 +2037,17 @@ def global_prefix_max_excl(
     predecessor). ``sort_cols`` must be a total order."""
     spark = df.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    # Eager localCheckpoint: both the window branch and the totals
+    # branch key on spark_partition_id; without the pin each branch can
+    # re-materialize the range Exchange with independently re-SAMPLED
+    # boundaries (sampling reads upstream shuffle output whose fetch
+    # order is nondeterministic), making the two branches disagree
+    # about partition membership — see global_ranks for the full
+    # account (caught round 7 via mann_whitney_u flapping).
     ranged = (
         df.repartitionByRange(nparts, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)

@@ -1,0 +1,295 @@
+"""Distribution-comparison statistics at corpus scale.
+
+Rank/ECDF two-sample tests, multiple-testing control, and the
+distributed (Poisson) bootstrap — the screens a data-pipeline team runs
+before trusting that two sources, two arms, or two snapshots "look the
+same". Everything is exact-integer up to the final (optional) z score:
+
+- Mann-Whitney / Wilcoxon rank-sum via DOUBLED midranks so ties never
+  leave the integers (midrank with ties is a half-integer; 2*midrank
+  is not).
+- Two-sample Kolmogorov-Smirnov via cross-multiplied ECDFs
+  (cum1*n2 - cum2*n1, never a float division per value).
+- Benjamini-Hochberg step-up over fixed-point p-values (integer
+  compare p_fp * m <= alpha_fp * rank).
+- Poisson bootstrap: the classic distributed bootstrap (per-row
+  multinomial weights are not partition-computable; independent
+  Poisson(1) weights are, and B replicates ride one scan).
+
+Scale shape: both tests collapse the data to the DISTINCT-VALUE
+relation first (one groupBy on the value), then take prefix sums via
+``analytics.global_prefix_sum`` — range-repartitioned, two exchanges,
+no single-reducer global window. The bootstrap is one map-side weight
+draw + one B-bounded aggregate.
+
+Reference parity: the reference pipeline has no statistics layer;
+these extend the engine for training-data curation (source drift,
+A/B screens at extraction boundaries). Fixed-point conventions follow
+`quality.contingency_chi2` (`quality.py:274`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+    global_prefix_sum,
+)
+
+# Poisson(1) CDF thresholds scaled to 2^20 (floor(cdf * 2^20)): a
+# uniform 20-bit hash draw u maps to weight w = #{thresholds <= u},
+# giving P(w=k) = e^-1/k! exactly to 2^-20. Truncated at 8 (tail mass
+# < 2^-19): the bias on a mean estimate is orders below the CI width.
+_POISSON1_CDF_2_20 = [385749, 771499, 964373, 1028665, 1044738,
+                      1047952, 1048488, 1048565]
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney rank-sum test, exact integers, one row.
+
+    ``group_col`` must be 0/1 (the two samples); ``value_col`` an
+    integer-comparable column. Returns
+    ``(n1, n2, u2, tie_cubes, z_fp)`` where ``u2 = 2*U1`` (doubled so
+    tied midranks stay integral), ``tie_cubes = sum(t^3 - t)`` over
+    tied groups, and ``z_fp`` the normal-approximation z with tie
+    correction, rounded at 1e-6 (one sqrt — IEEE-exact, so it hashes
+    cross-engine like `wilson_ci_by_group`).
+
+    Shape: groupBy(value) collapses the data to the distinct-value
+    relation; `global_prefix_sum` (2 exchanges, no global window) gives
+    cnt_less per value; one bounded fold produces the statistic. With
+    doubled ranks: dr(v) = 2*cnt_less(v) + cnt(v) + 1 and
+    2*R1 = sum(n1_v * dr(v)); U1 = R1 - n1(n1+1)/2 so
+    u2 = 2*R1 - n1*(n1+1).
+    """
+    per_value = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum(F.col(group_col).cast("long")).cast("long").alias("__n1v"),
+    )
+    with_cum = global_prefix_sum(per_value, ["__v"], "__cnt",
+                                 prefix_name="__cum")
+    folded = with_cum.agg(
+        F.sum("__n1v").cast("long").alias("n1"),
+        F.sum(F.col("__cnt") - F.col("__n1v")).cast("long").alias("n2"),
+        F.sum(
+            F.col("__n1v").cast("decimal(38,0)")
+            * (2 * (F.col("__cum") - F.col("__cnt"))
+               + F.col("__cnt") + 1)
+        ).alias("__2r1"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)") * F.col("__cnt")
+            * F.col("__cnt") - F.col("__cnt")
+        ).cast("decimal(38,0)").alias("tie_cubes"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u2 = (F.col("__2r1")
+          - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1))
+    # z = (U1 - n1 n2 / 2) / sqrt(n1 n2 / 12 * ((n+1) - tie/(n(n-1))))
+    # evaluated as doubles only here, at the end, on already-exact
+    # integer sufficient statistics; doubled numerator halves fold in.
+    mean2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    var4 = (
+        mean2 / 3.0
+        * ((n.cast("double") + 1.0)
+           - F.col("tie_cubes").cast("double")
+           / (n.cast("double") * (n.cast("double") - 1.0)))
+    )
+    z = (u2.cast("double") - mean2) / F.sqrt(var4)
+    return folded.select(
+        "n1", "n2",
+        u2.cast("long").alias("u2"),
+        F.col("tie_cubes").cast("long").alias("tie_cubes"),
+        F.round(z, 6).alias("z_fp"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 10**6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic, exact integers.
+
+    D = max over values of |F1(v) - F2(v)|, computed as the integer
+    max of |cum1*n2 - cum2*n1| (cross-multiplied — no per-value float
+    division) and reported both raw (``d_num``) and as
+    ``d_fp = d_num * scale div (n1*n2)``.
+
+    One prefix pass covers BOTH cumulative counts: the per-value
+    (cnt1, cnt2) pair packs into a single long ``cnt1 * 2^31 + cnt2``
+    (each cumulative count is bounded by the sample size < 2^31), the
+    prefix sum distributes over the packing, and div/mod unpack —
+    halving the exchanges vs two prefix passes.
+    """
+    pack = F.lit(1 << 31)
+    per_value = df.groupBy(F.col(value_col).alias("__v")).agg(
+        (F.sum(F.col(group_col).cast("long")) * pack
+         + F.sum(F.lit(1) - F.col(group_col).cast("long"))
+         ).cast("long").alias("__packed"),
+    )
+    with_cum = global_prefix_sum(per_value, ["__v"], "__packed",
+                                 prefix_name="__cumpk")
+    unpacked = with_cum.select(
+        F.expr("__cumpk div %d" % (1 << 31)).alias("__cum1"),
+        F.expr("__cumpk %% %d" % (1 << 31)).alias("__cum2"),
+    )
+    # max|cum1*n2 - cum2*n1| needs n1, n2 first: broadcast the 1-row
+    # totals back over the distinct-value relation (scalar crossJoin,
+    # same shape as contingency_chi2's grand-total hydration).
+    totals = unpacked.agg(
+        F.max("__cum1").cast("long").alias("n1"),
+        F.max("__cum2").cast("long").alias("n2"),
+    )
+    d = unpacked.crossJoin(F.broadcast(totals)).agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("__cum1").cast("decimal(38,0)") * F.col("n2")
+                  - F.col("__cum2").cast("decimal(38,0)") * F.col("n1"))
+        ).alias("d_num"),
+    )
+    return d.select(
+        "n1", "n2",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(
+            "CAST(CAST(d_num AS DECIMAL(38,0)) * %d "
+            "div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)" % int(scale)
+        ).alias("d_fp"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame, key_col: str, p_fp_col: str,
+    alpha_fp: int = 50000, scale: int = 10**6,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up over fixed-point p-values.
+
+    Tests ranked ascending by (p_fp, key); the BH frontier is the
+    largest rank i with p_(i) <= alpha * i / m, evaluated as the exact
+    integer comparison ``p_fp * m <= alpha_fp * i`` (both sides at the
+    same ``scale``); every test at rank <= frontier is rejected.
+
+    The ranking window is M-BOUNDED — m is the number of TESTS (one
+    per segment/hypothesis), not the number of rows the tests were
+    computed from, so the single-partition window is bounded by
+    construction (same contract as `neyman_allocation`'s seat window).
+    """
+    m_tot = df.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    w = Window.orderBy(F.col(p_fp_col).asc(), F.col(key_col).asc())
+    ranked = (
+        df.crossJoin(F.broadcast(m_tot))
+        .withColumn("__rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__hit",
+            (F.col(p_fp_col).cast("decimal(38,0)") * F.col("__m")
+             <= F.lit(int(alpha_fp)).cast("decimal(38,0)")
+             * F.col("__rank")).cast("int"),
+        )
+    )
+    frontier = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__hit") == 1, F.col("__rank"))), F.lit(0)
+        ).cast("long").alias("__frontier")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(frontier))
+        .select(
+            F.col(key_col),
+            F.col(p_fp_col),
+            F.col("__rank").alias("p_rank"),
+            (F.col("__rank") <= F.col("__frontier"))
+            .cast("int").alias("rejected"),
+        )
+    )
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame, id_col: str, n_reps: int, seed: int = 41,
+) -> DataFrame:
+    """Per-(row, replicate) Poisson(1) bootstrap weights, map-side.
+
+    The distributed bootstrap: exact multinomial resampling needs the
+    global row count per draw, but independent Poisson(1) weights give
+    each replicate a resample whose composition converges to the
+    multinomial one (sum of weights concentrates at n) and are
+    computable per-row from a hash — no coordination, no second scan.
+    Emits ``(id, rep, w)`` with w > 0 only (zero-weight rows carry
+    nothing through the weighted aggregate and are dropped early —
+    ~37% of the exploded relation never shuffles).
+
+    Weight draw: u = 20 low bits of xxhash64(id, rep, seed); w =
+    #{cdf thresholds <= u} with Poisson(1) CDF thresholds at 2^-20
+    resolution (`_POISSON1_CDF_2_20`).
+    """
+    u = F.pmod(
+        F.xxhash64(F.col(id_col), F.col("rep"), F.lit(int(seed))),
+        F.lit(1 << 20),
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in _POISSON1_CDF_2_20
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_reps)))
+            ).alias("rep"),
+        )
+        .withColumn("w", w.cast("long"))
+        .where(F.col("w") > 0)
+    )
+
+
+def bootstrap_mean_ci(
+    values: DataFrame, weights: DataFrame, id_col: str, value_col: str,
+    n_reps: int, lo_ppm: int = 25000, hi_ppm: int = 975000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Percentile-bootstrap CI of the mean from staged Poisson weights.
+
+    ``weights`` is the (id, rep, w) relation (usually staged so the
+    oracle reads the identical draws). Each replicate's weighted mean
+    is the exact integer ``scale * sum(w*x) div sum(w)``; the CI is
+    the nearest-rank [lo_ppm, hi_ppm] percentile pair over the
+    B-bounded replicate-mean relation (B rows — the ranking window is
+    bounded by the replicate count, never by data).
+
+    One hash-join of weights to values (both sides big: shuffle on
+    id), one B-bounded aggregate keyed by rep with map-side combine,
+    one B-row fold. Returns a single row
+    ``(n_reps, mean_fp, ci_lo_fp, ci_hi_fp)`` with the full-sample
+    mean alongside the interval.
+    """
+    joined = weights.join(
+        values.select(F.col(id_col), F.col(value_col).alias("__x")),
+        id_col,
+    )
+    rep_means = joined.groupBy("rep").agg(
+        F.expr(
+            "CAST(CAST(%d AS DECIMAL(38,0)) * sum(CAST(w AS DECIMAL(38,0))"
+            " * __x) div sum(CAST(w AS DECIMAL(38,0))) AS BIGINT)"
+            % int(scale)
+        ).alias("__mean_fp")
+    )
+    b = int(n_reps)
+    lo_rank = max(1, -(-b * int(lo_ppm) // 10**6))   # ceil nearest-rank
+    hi_rank = max(1, -(-b * int(hi_ppm) // 10**6))
+    w_rank = Window.orderBy(F.col("__mean_fp").asc(), F.col("rep").asc())
+    ranked = rep_means.withColumn("__r", F.row_number().over(w_rank))
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__mean_fp")))
+        .cast("long").alias("ci_lo_fp"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__mean_fp")))
+        .cast("long").alias("ci_hi_fp"),
+    )
+    full = values.agg(
+        F.expr(
+            "CAST(CAST(%d AS DECIMAL(38,0)) * sum(CAST(%s AS"
+            " DECIMAL(38,0))) div count(*) AS BIGINT)"
+            % (int(scale), value_col)
+        ).alias("mean_fp")
+    )
+    return ci.crossJoin(F.broadcast(full)).select(
+        "n_reps", "mean_fp", "ci_lo_fp", "ci_hi_fp"
+    )

@@ -1,0 +1,70 @@
+"""Link prediction + clustering coefficients (operators/basket.py r7).
+
+Brute-force-pinned on hand graphs, including duplicate/self-loop edge
+hygiene and the hub cap.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+    clustering_coefficients,
+    resource_allocation_links,
+)
+
+
+def _brute_ra(edge_set, scale=10**6):
+    nodes = sorted({n for e in edge_set for n in e})
+    adj = {n: {b if a == n else a for a, b in edge_set if n in (a, b)}
+           for n in nodes}
+    out = {}
+    for x, y in combinations(nodes, 2):
+        if (x, y) in edge_set:
+            continue
+        common = adj[x] & adj[y]
+        if common:
+            out[(x, y)] = (len(common),
+                           sum(scale // len(adj[z]) for z in common))
+    return out
+
+
+def test_ra_matches_brute_force(spark):
+    # path + square: 1-2, 2-3, 3-4, 4-1, 2-4 plus pendant 5-1
+    edges = {(1, 2), (2, 3), (3, 4), (1, 4), (2, 4), (1, 5)}
+    # feed duplicates, reversed edges, and a self-loop — must be ignored
+    rows = [(a, b) for a, b in edges] + [(2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {(r.item_x, r.item_y): (r.cn, r.ra_fp)
+           for r in resource_allocation_links(df, "src", "dst").collect()}
+    assert got == _brute_ra(edges)
+
+
+def test_ra_hub_cap_drops_hub_centers(spark):
+    # star: hub 1 connects 2..6; every leaf pair shares only the hub.
+    rows = [(1, k) for k in range(2, 7)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    full = resource_allocation_links(df, "src", "dst").collect()
+    assert len(full) == 10  # C(5,2) leaf pairs, each via the hub
+    capped = resource_allocation_links(df, "src", "dst", max_deg=3).collect()
+    assert capped == []  # hub (deg 5) excluded as a wedge center
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    # triangle 1-2-3 plus pendant 4-1:
+    # cc(1) = 2*1/(3*2) = 1/3; cc(2) = cc(3) = 1; 4 has deg 1 (absent)
+    rows = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: (r.deg, r.n_tri, r.cc_fp)
+           for r in clustering_coefficients(df, "src", "dst").collect()}
+    assert got == {1: (3, 1, 333333), 2: (2, 1, 1000000),
+                   3: (2, 1, 1000000)}
+
+
+def test_clustering_coefficients_triangle_free(spark):
+    # square: every node deg 2, zero triangles, cc = 0 everywhere
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = clustering_coefficients(df, "src", "dst").collect()
+    assert len(got) == 4
+    assert all(r.n_tri == 0 and r.cc_fp == 0 for r in got)

@@ -1,0 +1,156 @@
+"""Distribution-comparison statistics (operators/stats.py).
+
+Hand-computed fixtures for Mann-Whitney (doubled midranks, tie
+correction), KS (cross-multiplied ECDF distance), Benjamini-Hochberg
+(exact integer frontier), and the Poisson bootstrap (deterministic
+hash draws, CI sanity) — plus a determinism regression for the
+range-partitioned prefix operators the tests ride on (the round-7
+dual-consumption bug: two consumers of an unpinned range exchange can
+re-sample different boundaries).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+    bh_fdr,
+    bootstrap_mean_ci,
+    ks_two_sample,
+    mann_whitney_u,
+    poisson_bootstrap_weights,
+)
+
+
+def test_mann_whitney_hand_computed(spark):
+    # group1 = [1, 2, 2], group0 = [2, 3]; midranks: 1->1, 2->3, 3->5
+    # R1 = 1 + 3 + 3 = 7 -> u2 = 2*R1 - n1(n1+1) = 14 - 12 = 2
+    # ties: one group of 3 -> tie_cubes = 27 - 3 = 24
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (0, 2), (0, 3)], "g long, v long"
+    )
+    row = mann_whitney_u(df, "g", "v").collect()[0]
+    assert (row.n1, row.n2, row.u2, row.tie_cubes) == (3, 2, 2, 24)
+
+
+def test_mann_whitney_no_ties_symmetry(spark):
+    # disjoint supports: group1 all below group0 -> U1 = 0 -> u2 = 0
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (0, 10), (0, 11)], "g long, v long"
+    )
+    row = mann_whitney_u(df, "g", "v").collect()[0]
+    assert row.u2 == 0 and row.tie_cubes == 0
+    # and reversed: group1 all ABOVE -> U1 = n1*n2 -> u2 = 2*n1*n2
+    df2 = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 10), (1, 11)], "g long, v long"
+    )
+    assert ks_two_sample(df2, "g", "v").collect()[0].d_fp == 10**6
+    assert mann_whitney_u(df2, "g", "v").collect()[0].u2 == 2 * 2 * 2
+
+
+def test_ks_hand_computed(spark):
+    # g1 = [1, 2], g0 = [2, 3]: at v=1 |1*2 - 0*2| = 2 (D = 1/2)
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (0, 2), (0, 3)], "g long, v long"
+    )
+    row = ks_two_sample(df, "g", "v").collect()[0]
+    assert (row.n1, row.n2, row.d_num) == (2, 2, 2)
+    assert row.d_fp == 500000
+
+
+def test_ks_identical_distributions_zero(spark):
+    rows = [(g, v) for g in (0, 1) for v in (5, 7, 7, 9)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    assert ks_two_sample(df, "g", "v").collect()[0].d_num == 0
+
+
+def test_bh_fdr_frontier_exact(spark):
+    # m=4, alpha=0.05: p=(0.01, 0.02, 0.04, 0.9) ->
+    # thresholds alpha*i/m = (0.0125, 0.025, 0.0375, 0.05):
+    # ranks 1,2 pass; rank 3 fails (0.04 > 0.0375); frontier = 2.
+    df = spark.createDataFrame(
+        [("a", 10000), ("b", 20000), ("c", 40000), ("d", 900000)],
+        "k string, p_fp long",
+    )
+    out = {r.k: r.rejected for r in bh_fdr(df, "k", "p_fp").collect()}
+    assert out == {"a": 1, "b": 1, "c": 0, "d": 0}
+
+
+def test_bh_fdr_step_up_rescues_earlier_rank(spark):
+    # step-up: rank 1 fails its own threshold but a LATER rank passes,
+    # so everything at or below that rank is rejected.
+    # m=2, alpha_fp=500000 (0.5): p=(0.3, 0.5); thresholds (0.25, 0.5):
+    # rank1 0.3 > 0.25 but rank2 0.5 <= 0.5 -> both rejected.
+    df = spark.createDataFrame(
+        [("a", 300000), ("b", 500000)], "k string, p_fp long"
+    )
+    out = {
+        r.k: r.rejected
+        for r in bh_fdr(df, "k", "p_fp", alpha_fp=500000).collect()
+    }
+    assert out == {"a": 1, "b": 1}
+
+
+def test_poisson_weights_deterministic_and_positive(spark):
+    ids = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    w1 = poisson_bootstrap_weights(ids, "doc_id", n_reps=8, seed=7)
+    w2 = poisson_bootstrap_weights(ids, "doc_id", n_reps=8, seed=7)
+    rows1 = sorted(map(tuple, w1.collect()))
+    rows2 = sorted(map(tuple, w2.collect()))
+    assert rows1 == rows2
+    ws = [w for _, _, w in rows1]
+    assert all(1 <= w <= 8 for w in ws)
+    # mean weight over kept rows ~ 1/(1-e^-1) ~ 1.58; loose sanity band
+    kept_mean = sum(ws) / len(ws)
+    assert 1.3 < kept_mean < 1.9
+    # ~63.2% of (id, rep) draws survive the w>0 filter
+    assert 0.55 < len(ws) / (300 * 8) < 0.72
+
+
+def test_bootstrap_ci_brackets_full_mean(spark):
+    vals = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 10).cast("long").alias("x"),
+    )
+    w = poisson_bootstrap_weights(vals, "doc_id", n_reps=32, seed=3)
+    row = bootstrap_mean_ci(vals, w, "doc_id", "x", n_reps=32).collect()[0]
+    assert row.n_reps == 32
+    assert row.ci_lo_fp < row.ci_hi_fp
+    assert row.ci_lo_fp <= row.mean_fp <= row.ci_hi_fp
+
+
+@pytest.mark.parametrize("op", ["sum", "rank", "max"])
+def test_prefix_ops_deterministic_across_runs(spark, op):
+    """Round-7 regression: the range exchange feeding two
+    pid-keyed consumers must be pinned (localCheckpoint) — unpinned,
+    each consumer can re-sample different range boundaries and the
+    broadcast offsets silently misalign. Hash-shuffled input + 3 runs
+    flushes the flap out."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_prefix_max_excl,
+        global_prefix_sum,
+        global_ranks,
+    )
+
+    base = (
+        spark.range(0, 4000)
+        .select((F.xxhash64("id") % 1000).alias("v"), "id")
+        .repartition(7, "id")
+    )
+    outs = []
+    for _ in range(3):
+        if op == "sum":
+            out = global_prefix_sum(base, ["v", "id"], "id", "cum")
+            outs.append(sorted((r.v, r.id, r.cum) for r in out.collect()))
+        elif op == "rank":
+            out = global_ranks(base, ["v", "id"], rank_name="rk")
+            outs.append(sorted((r.v, r.id, r.rk) for r in out.collect()))
+        else:
+            out = global_prefix_max_excl(base, ["v", "id"], "id", "pm")
+            outs.append(sorted((r.v, r.id, r.pm) for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    if op == "sum":
+        # and the prefix itself is right: last cum == sum of all values
+        total = sum(r.id for r in base.collect())
+        assert max(c for _, _, c in outs[0]) == total
