@@ -5706,6 +5706,87 @@ def q_clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficients(edges, "item_a", "item_b")
 
 
+def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision census (operators/classifier.
+    feature_hash_collision_audit): how many of a candidate dim=64
+    buckets hold k distinct corpus tokens — the audit read before
+    shrinking `hashed_features`' dim (the histogram tail is the
+    token-merging risk made visible). The distinct (token, bucket)
+    relation stages so the oracle certifies the census from identical
+    draws (xxhash64 is Spark-side only); a k=0 row closes the census
+    to exactly dim buckets."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        feature_hash_collision_audit,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    dim = 64
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "").distinct()
+    tok_feat = toks.select(
+        "tok", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("feat")
+    )
+    path = f"{_stage_dir(sf_dir)}/feature_hash_tokfeat_d64.parquet"
+    stage_parquet(tok_feat, path)
+    return feature_hash_collision_audit(spark.read.parquet(path), dim=dim)
+
+
+def q_event_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing histogram (operators/temporal.
+    lateness_histogram): lateness of each event vs the running max
+    event time in ARRIVAL order (event_id = the append-log order) —
+    the tail mass at each bucket is the drop rate a
+    `withWatermark(delay)` of that size would pay. Running max via
+    `global_prefix_max_excl` (range shuffle, offsets broadcast,
+    checkpoint-pinned); 15-minute buckets capped at 48."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).select(
+        # the synthetic stream is perfectly ts-ordered by event_id, so a
+        # DETERMINISTIC modular transport delay (0..600 s keyed on
+        # event_id — same arithmetic on the oracle side, no hash)
+        # simulates the out-of-order arrival a real ingest log shows;
+        # event_id stays as the unique arrival tiebreak.
+        (F.col("ts_us")
+         + (F.col("event_id") % 601) * 1_000_000).alias("arr_us"),
+        "event_id", "ts_us",
+    )
+    return lateness_histogram(
+        ev, ["arr_us", "event_id"], "ts_us",
+        bucket_us=60_000_000, max_buckets=12,
+    )
+
+
+def q_quantile_normalized_doclen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source quantile normalization (operators/stats.
+    quantile_normalize) of document lengths: each doc's length maps to
+    the POOLED length distribution's value at the doc's within-source
+    percentile, so every source ends up with the same marginal — the
+    score-alignment step before thresholding differently-calibrated
+    sources. Exact integer rank mapping; pooled ranks via
+    `global_ranks`."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("len_v")
+    )
+    return quantile_normalize(docs, "source", "len_v", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5716,6 +5797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "feature_hash_collisions": q_feature_hash_collisions,
+        "event_lateness_histogram": q_event_lateness_histogram,
+        "quantile_normalized_doclen": q_quantile_normalized_doclen,
         "ra_links_parts": q_ra_links_parts,
         "clustering_coeff_parts": q_clustering_coeff_parts,
         "mannwhitney_price_priority": q_mannwhitney_price,
@@ -6104,6 +6188,75 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "feature_hash_collisions": f"""
+            WITH tf AS (
+              SELECT tok, feat
+              FROM read_parquet(
+                '{_STAGE}/feature_hash_tokfeat_d64.parquet/*.parquet')),
+            pb AS (
+              SELECT feat, CAST(count(DISTINCT tok) AS BIGINT) AS k
+              FROM tf GROUP BY feat),
+            hist AS (
+              SELECT k AS tokens_in_bucket,
+                     CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(k) AS BIGINT) AS n_tokens
+              FROM pb GROUP BY k),
+            occ AS (SELECT CAST(count(*) AS BIGINT) AS o FROM pb)
+            SELECT * FROM hist
+            UNION ALL
+            SELECT CAST(0 AS BIGINT), CAST(64 - o AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM occ
+        """,
+        "event_lateness_histogram": """
+            WITH base AS (
+              SELECT event_id, epoch_us(ts) AS ts_us,
+                     epoch_us(ts) + (event_id % 601) * 1000000 AS arr_us
+              FROM events),
+            late AS (
+              SELECT greatest(
+                       0,
+                       coalesce(
+                         max(ts_us) OVER (
+                           ORDER BY arr_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) - ts_us,
+                         0)) AS late_us
+              FROM base),
+            bucketed AS (
+              SELECT least(12, late_us // 60000000) AS bucket, late_us
+              FROM late)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(bucket * 60000000 AS BIGINT) AS lateness_lo_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(late_us) AS BIGINT) AS max_lateness_us
+            FROM bucketed GROUP BY bucket
+        """,
+        "quantile_normalized_doclen": """
+            WITH ranked AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS len_v,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                     CAST(count(*) OVER (PARTITION BY source)
+                          AS BIGINT) AS ng
+              FROM documents),
+            pooled AS (
+              SELECT CAST(n_chars AS BIGINT) AS pv,
+                     CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS gr
+              FROM documents),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            idxed AS (
+              SELECT doc_id, source, len_v,
+                     least(n, greatest(
+                       1,
+                       CAST((CAST(2 * r - 1 AS HUGEINT) * n + 2 * ng - 1)
+                            // (2 * ng) AS BIGINT))) AS idx
+              FROM ranked, tot)
+            SELECT i.doc_id, i.source, i.len_v, p.pv AS qn_value
+            FROM idxed i JOIN pooled p ON p.gr = i.idx
+        """,
         "ra_links_parts": f"""
             WITH canon AS (
               SELECT DISTINCT least(item_a, item_b) AS a,

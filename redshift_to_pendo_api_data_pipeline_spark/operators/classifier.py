@@ -497,3 +497,38 @@ def gini_split_scan(
         .orderBy(F.asc("weighted_gini_ppm"), F.asc("split_bin"))
         .limit(top_k)
     )
+
+
+def feature_hash_collision_audit(
+    tok_feat: DataFrame, dim: int
+) -> DataFrame:
+    """Collision histogram for the hashing trick: how many hash buckets
+    hold k distinct tokens, for each k — the audit read before trusting
+    `hashed_features`' dim (too small a dim silently merges unrelated
+    tokens into one weight; the histogram's tail IS that risk, made
+    visible). Input is the staged distinct (tok, feat) relation (staged
+    so the cross-engine oracle certifies the histogram arithmetic from
+    the same draws — xxhash64 exists only on the Spark side).
+
+    Returns (tokens_in_bucket, n_buckets, n_tokens) plus a k=0 row for
+    empty buckets (dim - occupied, closing the census so the rows sum
+    to ``dim`` buckets and all tokens). Two bounded aggregations: the
+    per-bucket distinct count is dim-bounded, the histogram is
+    max-collision-bounded.
+    """
+    per_bucket = tok_feat.groupBy("feat").agg(
+        F.count_distinct("tok").cast("long").alias("k")
+    )
+    hist = per_bucket.groupBy(F.col("k").alias("tokens_in_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("k").cast("long").alias("n_tokens"),
+    )
+    occupied = per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    empty = occupied.select(
+        F.lit(0).cast("long").alias("tokens_in_bucket"),
+        (F.lit(int(dim)) - F.col("occ")).cast("long").alias("n_buckets"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+    return hist.unionAll(empty)

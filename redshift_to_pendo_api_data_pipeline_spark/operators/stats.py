@@ -293,3 +293,63 @@ def bootstrap_mean_ci(
     return ci.crossJoin(F.broadcast(full)).select(
         "n_reps", "mean_fp", "ci_lo_fp", "ci_hi_fp"
     )
+
+
+def quantile_normalize(
+    df: DataFrame, group_col: str, value_col: str, id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: each row's value is
+    replaced by the POOLED distribution's value at the row's
+    within-group percentile — after which every group has (up to rank
+    granularity) the same marginal distribution. The cross-source
+    score-alignment step before comparing or thresholding quality
+    scores mined from differently-calibrated sources (the genomics
+    microarray technique, applied to corpus curation).
+
+    Exact integer mapping: within-group rank r of n_g maps to pooled
+    index ceil((r - 1/2)/n_g * N) — computed as
+    ``((2r-1)*N + 2n_g - 1) div (2n_g)``, clamped to [1, N] — and a
+    hash join on the index fetches the pooled value. Within-group
+    ranks are partitioned windows (per-group, parallel); the pooled
+    rank comes from `global_ranks` (range shuffle, offsets broadcast,
+    no single-reducer window). Output: (id, group, value, qn_value).
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+
+    w_g = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col),
+        F.row_number().over(w_g).cast("long").alias("__r"),
+    )
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    )
+    pooled = global_ranks(
+        df.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__pi")),
+        ["__pv", "__pi"], rank_name="__gr", keep_total=True,
+    ).select("__gr", "__pv", F.col("__total").alias("__n"))
+    n_tot = pooled.agg(F.max("__n").cast("long").alias("__n"))
+    with_idx = ranked.join(F.broadcast(sizes), group_col).crossJoin(
+        F.broadcast(n_tot)
+    ).select(
+        id_col, group_col, value_col,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.col("__n"),
+                F.expr(
+                    "CAST(CAST(2 * __r - 1 AS DECIMAL(38,0)) * __n"
+                    " + 2 * __ng - 1 AS DECIMAL(38,0)) div (2 * __ng)"
+                ).cast("long"),
+            ),
+        ).alias("__idx"),
+    )
+    return with_idx.join(
+        pooled.select(F.col("__gr").alias("__idx"),
+                      F.col("__pv").alias("qn_value")).hint("shuffle_hash"),
+        "__idx",
+    ).select(id_col, group_col, value_col, "qn_value")

@@ -764,3 +764,63 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.sum(ln_term).over(w_ev)), 6))
         .alias("survival"),
     )
+
+
+def lateness_histogram(
+    df: DataFrame, arrival_cols: list, event_us_col: str,
+    bucket_us: int = 3_600_000_000, max_buckets: int = 48,
+) -> DataFrame:
+    """Out-of-orderness histogram — the measurement a Structured
+    Streaming watermark delay is SIZED from: for each record, lateness
+    = (max event time seen so far in ARRIVAL order) − (its own event
+    time); a `withWatermark(delay)` drops exactly the records whose
+    lateness exceeds delay, so the histogram's tail mass IS the
+    expected drop rate at each candidate delay.
+
+    ``arrival_cols`` is the ingestion TOTAL order (an append-log
+    offset plus a unique tiebreak — ties would make the exclusive
+    prefix max order-dependent); ``event_us_col`` the event time in
+    epoch micros (exact long). The
+    running max over arrival order comes from `global_prefix_max_excl`
+    (range shuffle + pid re-cluster, offsets bounded — and pinned
+    against the round-7 dual-consumption nondeterminism). Buckets are
+    fixed-width, capped at ``max_buckets`` (the overflow bucket closes
+    the census), so the output is ≤ max_buckets+1 rows with exact
+    counts.
+
+    Returns (bucket, lateness_lo_us, n_events, max_lateness_us).
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_prefix_max_excl,
+    )
+
+    with_prev = global_prefix_max_excl(
+        df.select(
+            *[F.col(c) for c in arrival_cols],
+            F.col(event_us_col).alias("__ts"),
+        ),
+        list(arrival_cols), "__ts", out_name="__prev_max",
+    )
+    late = with_prev.select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("__prev_max") - F.col("__ts"), F.lit(0)),
+        ).alias("__late_us")
+    )
+    bucket = F.least(
+        F.lit(int(max_buckets)).cast("long"),
+        F.expr(f"__late_us div {int(bucket_us)}").cast("long"),
+    )
+    return (
+        late.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__late_us").cast("long").alias("max_lateness_us"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * int(bucket_us)).cast("long")
+            .alias("lateness_lo_us"),
+            "n_events", "max_lateness_us",
+        )
+    )

@@ -154,3 +154,74 @@ def test_prefix_ops_deterministic_across_runs(spark, op):
         # and the prefix itself is right: last cum == sum of all values
         total = sum(r.id for r in base.collect())
         assert max(c for _, _, c in outs[0]) == total
+
+
+def test_lateness_histogram_hand_computed(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+
+    # arrival order a=1..5; event times: 10, 30, 20, 60, 25 (us)
+    # prev-max:              -, 10, 30, 30, 60 -> lateness 0,0,10,0,35
+    rows = [(1, 10), (2, 30), (3, 20), (4, 60), (5, 25)]
+    df = spark.createDataFrame(rows, "arr long, ts_us long")
+    out = {r.bucket: (r.n_events, r.max_lateness_us)
+           for r in lateness_histogram(
+               df, ["arr"], "ts_us", bucket_us=20, max_buckets=3
+           ).collect()}
+    # lateness 0,0,0,10,35 -> buckets: 0 (x3 zeros), 0 (10//20=0), 1 (35//20=1)
+    assert out == {0: (4, 10), 1: (1, 35)}
+
+
+def test_lateness_histogram_overflow_bucket_caps(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+
+    rows = [(1, 1000), (2, 0)]  # lateness 0, then 1000
+    df = spark.createDataFrame(rows, "arr long, ts_us long")
+    out = {r.bucket: r.n_events
+           for r in lateness_histogram(
+               df, ["arr"], "ts_us", bucket_us=10, max_buckets=5
+           ).collect()}
+    assert out == {0: 1, 5: 1}  # 1000//10=100 capped to the 5 bucket
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    # two equally-sized groups with shifted distributions: after QN the
+    # sorted qn_value multisets of both groups must be identical.
+    rows = [("a", i, i * 10) for i in range(1, 21)] + [
+        ("b", 100 + i, i * 10 + 500) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.qn_value)
+    assert sorted(by_g["a"]) == sorted(by_g["b"])
+    # qn values come from the pooled distribution
+    pooled = sorted(v for _, _, v in rows)
+    assert set(by_g["a"]) <= set(pooled)
+
+
+def test_feature_hash_census_closes(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        feature_hash_collision_audit,
+    )
+
+    dim = 16
+    toks = spark.range(0, 100).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("tok")
+    )
+    tf = toks.select(
+        "tok", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("feat")
+    )
+    rows = feature_hash_collision_audit(tf, dim=dim).collect()
+    assert sum(r.n_buckets for r in rows) == dim
+    assert sum(r.n_tokens for r in rows) == 100
+    assert any(r.tokens_in_bucket > 1 for r in rows)  # 100 tokens, 16 buckets
