@@ -5787,6 +5787,78 @@ def q_quantile_normalized_doclen(
     return quantile_normalize(docs, "source", "len_v", "doc_id")
 
 
+def q_ipw_return_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-IPW treatment effect (analytics.ipw_effect_stratified)
+    on observational lineitem data: does a deep discount (>= 5%) change
+    the return rate, stratified by part brand (the confounder proxy) —
+    propensity per stratum is the exact rational nt/n so every IPW
+    weight is integer arithmetic; positivity-violating strata dropped
+    and counted."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        ipw_effect_stratified,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = li.select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") >= 0.05)
+        .cast("long").alias("treated"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    return ipw_effect_stratified(base, "p_brand", "treated", "returned")
+
+
+def q_revenue_drawdown_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue max drawdown (analytics.
+    max_drawdown_by_group): largest drop from the running revenue peak
+    and the earliest month it happened — partitioned windows only,
+    revenue in exact cents."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        max_drawdown_by_group,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    monthly = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy(
+            "nation",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long").alias("yyyymm"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).cast("long").alias("rev_fp")
+        )
+    )
+    return max_drawdown_by_group(monthly, "nation", "yyyymm", "rev_fp")
+
+
+def q_engagement_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 / power-user curve (analytics.engagement_curve): per month,
+    how many users were active on exactly k days — the engagement-depth
+    histogram product teams read before retention work. Two map-side
+    combined aggregations."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        engagement_curve,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return engagement_curve(
+        ev, "user_id",
+        F.to_date("ts"),
+        (F.year("ts") * 100 + F.month("ts")).cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5797,6 +5869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "ipw_return_effect": q_ipw_return_effect,
+        "revenue_drawdown_nation": q_revenue_drawdown_nation,
+        "engagement_curve_monthly": q_engagement_curve,
         "feature_hash_collisions": q_feature_hash_collisions,
         "event_lateness_histogram": q_event_lateness_histogram,
         "quantile_normalized_doclen": q_quantile_normalized_doclen,
@@ -6188,6 +6263,79 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ipw_return_effect": """
+            WITH base AS (
+              SELECT p.p_brand AS s,
+                     CASE WHEN CAST(l_discount AS DECIMAL(18,4)) >= 0.05
+                          THEN 1 ELSE 0 END AS t,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            cells AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+                     CAST(sum(t) AS BIGINT) AS nt,
+                     CAST(sum(t * y) AS BIGINT) AS yt,
+                     CAST(sum((1 - t) * y) AS BIGINT) AS yc
+              FROM base GROUP BY s),
+            c2 AS (SELECT *, n_s - nt AS nc FROM cells),
+            fold AS (
+              SELECT CAST(sum(CASE WHEN nt > 0 AND nc > 0
+                                   THEN n_s END) AS BIGINT) AS n_used,
+                     CAST(sum(CASE WHEN nt > 0 AND nc > 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_strata_used,
+                     CAST(sum(CASE WHEN nt > 0 AND nc > 0
+                                   THEN 0 ELSE 1 END) AS BIGINT)
+                         AS n_strata_dropped,
+                     sum(CASE WHEN nt > 0 AND nc > 0
+                              THEN CAST(yt AS HUGEINT) * n_s * 1000000
+                                   // nt END) AS w1,
+                     sum(CASE WHEN nt > 0 AND nc > 0
+                              THEN CAST(yc AS HUGEINT) * n_s * 1000000
+                                   // nc END) AS w0
+              FROM c2)
+            SELECT n_used, n_strata_used, n_strata_dropped,
+                   CAST(w1 // n_used AS BIGINT) AS mu1_fp,
+                   CAST(w0 // n_used AS BIGINT) AS mu0_fp,
+                   CAST(w1 // n_used - w0 // n_used AS BIGINT) AS ate_fp
+            FROM fold
+        """,
+        "revenue_drawdown_nation": """
+            WITH monthly AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+                     CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                          AS BIGINT) AS yyyymm,
+                     CAST(sum(CAST(cast(o_totalprice as decimal(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev_fp
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2),
+            dd AS (
+              SELECT nation, yyyymm, rev_fp,
+                     max(rev_fp) OVER (
+                       PARTITION BY nation ORDER BY yyyymm
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS peak_value
+              FROM monthly),
+            ranked AS (
+              SELECT nation, yyyymm, rev_fp, peak_value,
+                     CAST(peak_value - rev_fp AS BIGINT) AS drawdown,
+                     row_number() OVER (
+                       PARTITION BY nation
+                       ORDER BY peak_value - rev_fp DESC, yyyymm) AS rn
+              FROM dd)
+            SELECT nation, yyyymm, rev_fp, peak_value, drawdown
+            FROM ranked WHERE rn = 1
+        """,
+        "engagement_curve_monthly": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(year(ts) * 100 + month(ts) AS BIGINT) AS m,
+                     CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                         AS active_days
+              FROM events GROUP BY user_id, 2)
+            SELECT m AS month, active_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY 1, 2
+        """,
         "feature_hash_collisions": f"""
             WITH tf AS (
               SELECT tok, feat

@@ -3235,3 +3235,133 @@ def hll_merge_estimate(
         (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_buckets"),
         F.expr(est_expr).cast("long").alias("est_distinct"),
     )
+
+
+def ipw_effect_stratified(
+    df: DataFrame, stratum_col: str, treated_col: str, outcome_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    STRATIFIED propensity model — the observational-data sibling of
+    `did_estimate`/`cuped_adjusted_means`: within each stratum the
+    propensity is the exact rational p_s = nt_s/n_s, so the IPW terms
+    collapse to integer arithmetic (y/p_s = y*n_s div nt_s — no float
+    propensity ever materializes):
+
+        mu1 = (1/N) * sum_s( sum_y_treated_s * n_s div nt_s )
+        mu0 = (1/N) * sum_s( sum_y_control_s * n_s div nc_s )
+        ate = mu1 - mu0
+
+    Strata violating positivity (no treated or no control rows — the
+    weights would be infinite) are DROPPED and counted, the standard
+    trimming. Returns one row: (n_used, n_strata_used,
+    n_strata_dropped, mu1_fp, mu0_fp, ate_fp).
+
+    Shape: one stratum-key groupBy (map-side combined, stratum
+    cardinality rows), one bounded fold. ``treated_col``/
+    ``outcome_col`` must be 0/1 integers.
+    """
+    cells = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(F.col(treated_col).cast("long")).cast("long").alias("nt"),
+        F.sum(
+            (F.col(treated_col).cast("long")
+             * F.col(outcome_col).cast("long"))
+        ).cast("long").alias("yt"),
+        F.sum(
+            ((1 - F.col(treated_col).cast("long"))
+             * F.col(outcome_col).cast("long"))
+        ).cast("long").alias("yc"),
+    ).withColumn("nc", F.col("n_s") - F.col("nt"))
+    ok = (F.col("nt") > 0) & (F.col("nc") > 0)
+    folded = cells.agg(
+        F.sum(F.when(ok, F.col("n_s"))).cast("long").alias("n_used"),
+        F.sum(ok.cast("long")).cast("long").alias("n_strata_used"),
+        F.sum((~ok).cast("long")).cast("long").alias("n_strata_dropped"),
+        F.sum(
+            F.when(ok, F.expr(
+                f"CAST(CAST(yt AS DECIMAL(38,0)) * n_s * {int(scale)}"
+                " AS DECIMAL(38,0)) div nt"))
+        ).cast("decimal(38,0)").alias("__w1"),
+        F.sum(
+            F.when(ok, F.expr(
+                f"CAST(CAST(yc AS DECIMAL(38,0)) * n_s * {int(scale)}"
+                " AS DECIMAL(38,0)) div nc"))
+        ).cast("decimal(38,0)").alias("__w0"),
+    )
+    return folded.select(
+        "n_used", "n_strata_used", "n_strata_dropped",
+        F.expr("CAST(__w1 div n_used AS BIGINT)").alias("mu1_fp"),
+        F.expr("CAST(__w0 div n_used AS BIGINT)").alias("mu0_fp"),
+        F.expr(
+            "CAST(__w1 div n_used AS BIGINT)"
+            " - CAST(__w0 div n_used AS BIGINT)"
+        ).cast("long").alias("ate_fp"),
+    )
+
+
+def max_drawdown_by_group(
+    df: DataFrame, group_col: str, period_col: str, value_col: str,
+) -> DataFrame:
+    """Per-group maximum drawdown of a period series: the largest drop
+    from a running peak — the 'how bad did it get vs the best we ever
+    were' revenue-health metric (finance's drawdown applied to any
+    grouped time series). For each group: peak_t = max(value) over
+    periods <= t, dd_t = peak_t - value_t, and the output row is the
+    group's max dd with the EARLIEST period achieving it (row_number
+    tiebreak — deterministic cross-engine where max_by is not).
+
+    Returns (group, period, peak_value, value, drawdown) — one row per
+    group. All windows are PARTITIONED by the group (parallel, bounded
+    by each group's period count); inputs must be exact integers.
+    """
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(period_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_dd = df.select(
+        F.col(group_col), F.col(period_col), F.col(value_col),
+        F.max(F.col(value_col)).over(w_run).alias("peak_value"),
+    ).withColumn(
+        "drawdown", F.col("peak_value") - F.col(value_col)
+    )
+    w_pick = Window.partitionBy(group_col).orderBy(
+        F.col("drawdown").desc(), F.col(period_col).asc()
+    )
+    return (
+        with_dd.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def engagement_curve(
+    df: DataFrame, user_col: str, day_col, month_col,
+) -> DataFrame:
+    """The L28/power-user curve: for each calendar month, the histogram
+    of per-user active-day counts — the canonical engagement-depth
+    read (a hump near the top = habit; mass at 1 = drive-by traffic).
+    ``day_col``/``month_col`` are column expressions (day + month
+    derived from the same timestamp).
+
+    Two aggregations, both map-side combined: (user, month) distinct
+    active days — the only data-sized shuffle — then the
+    (month, n_days)-bounded histogram. Returns
+    (month, active_days, n_users).
+    """
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            day_col.alias("__d"),
+            month_col.alias("__m"),
+        )
+        .groupBy("__u", "__m")
+        .agg(F.count_distinct("__d").cast("long").alias("active_days"))
+    )
+    return (
+        per_user.groupBy(
+            F.col("__m").alias("month"), F.col("active_days")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -225,3 +225,62 @@ def test_feature_hash_census_closes(spark):
     assert sum(r.n_buckets for r in rows) == dim
     assert sum(r.n_tokens for r in rows) == 100
     assert any(r.tokens_in_bucket > 1 for r in rows)  # 100 tokens, 16 buckets
+
+
+def test_ipw_effect_hand_computed(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        ipw_effect_stratified,
+    )
+
+    # stratum A: 2 treated (y=1,0), 2 control (y=0,0): p=1/2
+    #   w1 = 1*4/2 = 2 ; w0 = 0
+    # stratum B: 1 treated (y=1), 3 control (y=1,1,0): p=1/4
+    #   w1 = 1*4/1 = 4 ; w0 = 2*4/3 = 8/3
+    # stratum C: all treated -> dropped (positivity)
+    rows = [("A", 1, 1), ("A", 1, 0), ("A", 0, 0), ("A", 0, 0),
+            ("B", 1, 1), ("B", 0, 1), ("B", 0, 1), ("B", 0, 0),
+            ("C", 1, 1), ("C", 1, 0)]
+    df = spark.createDataFrame(rows, "s string, t long, y long")
+    r = ipw_effect_stratified(df, "s", "t", "y").collect()[0]
+    assert (r.n_used, r.n_strata_used, r.n_strata_dropped) == (8, 2, 1)
+    # mu1 = (2+4)*1e6/8 = 750000 ; mu0 = floor(8/3*1e6)/8 = 2666666/8
+    assert r.mu1_fp == 750000
+    assert r.mu0_fp == 2666666 // 8
+    assert r.ate_fp == r.mu1_fp - r.mu0_fp
+
+
+def test_max_drawdown_hand_computed(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        max_drawdown_by_group,
+    )
+
+    # g1 series: 10, 7, 12, 4, 9 -> peaks 10,10,12,12,12
+    # drawdowns: 0, 3, 0, 8, 3 -> max 8 at period 4
+    # g2 monotone rising -> drawdown 0 everywhere, earliest period wins
+    rows = [("g1", 1, 10), ("g1", 2, 7), ("g1", 3, 12),
+            ("g1", 4, 4), ("g1", 5, 9),
+            ("g2", 1, 5), ("g2", 2, 6)]
+    df = spark.createDataFrame(rows, "g string, p long, v long")
+    out = {r.g: (r.p, r.peak_value, r.v, r.drawdown)
+           for r in max_drawdown_by_group(df, "g", "p", "v").collect()}
+    assert out["g1"] == (4, 12, 4, 8)
+    assert out["g2"] == (1, 5, 5, 0)
+
+
+def test_engagement_curve_counts_distinct_days(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        engagement_curve,
+    )
+
+    # user 1: 2 distinct days in month 202401 (one day repeated);
+    # user 2: 1 day; month 202402: user 1 one day.
+    rows = [(1, "2024-01-01"), (1, "2024-01-01"), (1, "2024-01-05"),
+            (2, "2024-01-03"), (1, "2024-02-02")]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.to_date("d").alias("d"),
+        (F.year("d") * 100 + F.month("d")).cast("long").alias("m"),
+    )
+    out = {(r.month, r.active_days): r.n_users
+           for r in engagement_curve(df, "u", F.col("d"),
+                                     F.col("m")).collect()}
+    assert out == {(202401, 2): 1, (202401, 1): 1, (202402, 1): 1}
