@@ -5859,6 +5859,28 @@ def q_engagement_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (similarity.binary_quantized_topk) —
+    the zero-training compression tier beside LSH/IVF/PQ: sign-bit
+    signatures (1 bit/dim, 32 dims per BIGINT word), Hamming top-100
+    by bit_count(XOR), exact cosine re-rank to top-20. NO staging
+    needed: the signature is seedless deterministic arithmetic, so the
+    DuckDB twin re-derives sigs, Hamming pool AND re-rank from the raw
+    vectors — the only ANN variant whose entire path is
+    oracle-recomputable from scratch."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        binary_quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    return binary_quantized_topk(
+        emb, "embedding", "vec_id", q, dim=64, k=20, rerank=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5869,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "embedding_ann_bq": q_embedding_ann_bq,
         "ipw_return_effect": q_ipw_return_effect,
         "revenue_drawdown_nation": q_revenue_drawdown_nation,
         "engagement_curve_monthly": q_engagement_curve,
@@ -6263,6 +6286,36 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_ann_bq": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS (
+              SELECT vec_id, v,
+                     CAST(list_sum(list_transform(range(0, 32), b ->
+                       CASE WHEN v[b + 1] > 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+                       AS BIGINT) AS w0,
+                     CAST(list_sum(list_transform(range(0, 32), b ->
+                       CASE WHEN v[b + 33] > 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+                       AS BIGINT) AS w1
+              FROM emb),
+            qsig AS (SELECT w0 AS q0, w1 AS q1 FROM sig WHERE vec_id = 0),
+            pool AS (
+              SELECT s.vec_id, s.v,
+                     bit_count(xor(s.w0, q.q0))
+                       + bit_count(xor(s.w1, q.q1)) AS ham
+              FROM sig s, qsig q
+              ORDER BY ham, s.vec_id
+              LIMIT 100),
+            q AS (SELECT v FROM emb WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, (SELECT v FROM q)), 6)
+                       AS cosine
+            FROM pool
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 20
+        """,
         "ipw_return_effect": """
             WITH base AS (
               SELECT p.p_brand AS s,

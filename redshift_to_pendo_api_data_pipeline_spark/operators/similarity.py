@@ -1844,3 +1844,74 @@ def mahalanobis_outliers(
         .orderBy(F.desc("maha_score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def binary_sign_sigs(
+    df: DataFrame, vec_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """Binary (sign-bit) quantization of raw embedding dimensions —
+    the vector-DB "BQ" compression tier (1 bit/dim = 32x smaller than
+    float32; Hamming distance approximates angular distance for
+    roughly-centered embeddings): bit i = 1 iff v[i] > 0, packed 32
+    dims per BIGINT word (32 not 64, so no sign-bit edge case in
+    either engine's shift). Pure deterministic arithmetic — unlike the
+    hyperplane-LSH signature there is no projection and no seed, so a
+    cross-engine oracle re-derives the signatures from the raw
+    vectors. Emits (id, vec passthrough, sig_w0..sig_w{n-1}).
+    """
+    n_words = (int(dim) + 31) // 32
+    sig_cols = []
+    for w in range(n_words):
+        sig_cols.append(F.expr(
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> "
+            "acc + CASE WHEN %d + b + 1 <= %d AND "
+            "try_element_at(%s, %d + b + 1) > 0D "
+            "THEN shiftleft(CAST(1 AS BIGINT), b) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            % (w * 32, int(dim), vec_col, w * 32)
+        ).alias(f"sig_w{w}"))
+    return df.select(F.col(id_col), F.col(vec_col), *sig_cols)
+
+
+def binary_sign_query_sig(query: list, dim: int) -> list:
+    """Driver-side signature of the (constant) query vector — the same
+    32-dims-per-word packing as `binary_sign_sigs`."""
+    n_words = (int(dim) + 31) // 32
+    words = [0] * n_words
+    for i, v in enumerate(query[:dim]):
+        if float(v) > 0.0:
+            words[i // 32] += 1 << (i % 32)
+    return words
+
+
+def binary_quantized_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list,
+    dim: int, k: int = 20, rerank: int = 100,
+) -> DataFrame:
+    """ANN via binary quantization + exact re-rank — the serving
+    composition every BQ-tier vector store runs: Hamming distance over
+    the 1-bit signatures (bit_count of XOR per word — integer, exact,
+    32x less data scanned than the float vectors) selects a
+    ``rerank``-sized candidate pool, then exact cosine re-ranks the
+    pool to the final top-``k``. Complements the LSH (projection
+    buckets), IVF (partition pruning) and PQ (codebook ADC) tiers:
+    BQ is the zero-training tier — no seed, no codebook, no index
+    build, just a map-side signature column.
+
+    Both stages are TakeOrderedAndProject (never a global sort); the
+    re-rank scans only ``rerank`` rows. Deterministic ties by id.
+    """
+    sigs = binary_sign_sigs(df, vec_col, id_col, dim)
+    q_words = binary_sign_query_sig(query, dim)
+    ham = None
+    for w, qw in enumerate(q_words):
+        term = F.expr(
+            "bit_count(sig_w%d ^ CAST(%d AS BIGINT))" % (w, qw)
+        )
+        ham = term if ham is None else ham + term
+    cands = (
+        sigs.withColumn("__ham", ham.cast("long"))
+        .orderBy(F.asc("__ham"), F.asc(id_col))
+        .limit(int(rerank))
+    )
+    return brute_force_topk(cands, vec_col, id_col, query, k=k)

@@ -68,3 +68,52 @@ def test_clustering_coefficients_triangle_free(spark):
     got = clustering_coefficients(df, "src", "dst").collect()
     assert len(got) == 4
     assert all(r.n_tri == 0 and r.cc_fp == 0 for r in got)
+
+
+def test_binary_sign_sig_packing(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        binary_sign_query_sig,
+        binary_sign_sigs,
+    )
+
+    # dims 1 and 34 positive -> w0 bit 0, w1 bit 1
+    vec = [0.0] * 64
+    vec[0] = 1.5
+    vec[33] = 0.2
+    vec[2] = -3.0
+    df = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<double>")
+    r = binary_sign_sigs(df, "embedding", "vec_id", 64).collect()[0]
+    assert (r.sig_w0, r.sig_w1) == (1, 2)
+    # driver-side query packing must agree exactly
+    assert binary_sign_query_sig(vec, 64) == [1, 2]
+
+
+def test_binary_quantized_topk_recall_on_clusters(spark):
+    import math
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        binary_quantized_topk,
+        brute_force_topk,
+    )
+
+    # two well-separated sign patterns + noise: BQ must recover most of
+    # the exact top-10 (same-cluster vectors share the query's sign bits)
+    import random
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [base * (1.0 + 0.1 * rng.random()) for _ in range(64)]
+        # flip a few dims as noise
+        for _ in range(5):
+            vec[rng.randrange(64)] *= -1
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = {r.vec_id for r in
+             brute_force_topk(df, "embedding", "vec_id", q, k=10).collect()}
+    bq = {r.vec_id for r in
+          binary_quantized_topk(df, "embedding", "vec_id", q,
+                                dim=64, k=10, rerank=40).collect()}
+    assert len(exact & bq) >= 8
