@@ -5881,6 +5881,49 @@ def q_embedding_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pettitt_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint (analytics.pettitt_changepoint)
+    over each event type's daily count series — the outlier-robust
+    complement to the CUSUM drift chart: only ranks enter, doubled
+    midranks keep the statistic integral, partitioned windows only."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("day_n"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    return pettitt_changepoint(daily, "event_type", "day_n", "n_ev")
+
+
+def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (classifier.target_encode_loo) of
+    part brand against the return flag — the leak-free categorical
+    feature transform: each lineitem's brand becomes the return rate
+    of OTHER lines of that brand, exact integer arithmetic, singleton
+    categories falling back to the LOO global mean."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        target_encode_loo,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("long").alias("line_id"),
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    return target_encode_loo(
+        base, "p_brand", "returned", ["line_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5891,6 +5934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "pettitt_event_changepoints": q_pettitt_event_types,
+        "target_encode_brand_returns": q_target_encode_brand,
         "embedding_ann_bq": q_embedding_ann_bq,
         "ipw_return_effect": q_ipw_return_effect,
         "revenue_drawdown_nation": q_revenue_drawdown_nation,
@@ -6286,6 +6331,68 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pettitt_event_changepoints": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS day_n,
+                     CAST(count(*) AS BIGINT) AS n_ev
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, day_n,
+                     CAST(2 * coalesce(count(*) OVER (
+                              PARTITION BY event_type ORDER BY n_ev
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                          + count(*) OVER (PARTITION BY event_type, n_ev)
+                          + 1 AS BIGINT) AS dr
+              FROM daily),
+            with_u AS (
+              SELECT event_type, day_n,
+                     sum(dr) OVER (PARTITION BY event_type ORDER BY day_n
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                       - row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day_n)
+                         * (count(*) OVER (PARTITION BY event_type) + 1)
+                         AS u,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM ranked),
+            picked AS (
+              SELECT event_type, n, u, day_n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY abs(u) DESC, day_n)
+                         AS rn
+              FROM with_u)
+            SELECT event_type, n, CAST(abs(u) AS BIGINT) AS k_stat,
+                   day_n AS t_at_k, CAST(u AS BIGINT) AS u_at_k
+            FROM picked WHERE rn = 1
+        """,
+        "target_encode_brand_returns": """
+            WITH base AS (
+              SELECT CAST(l.l_orderkey * 100 + l.l_linenumber AS BIGINT)
+                         AS line_id,
+                     p.p_brand AS c,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            sums AS (
+              SELECT c, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(count(*) AS BIGINT) AS nc
+              FROM base GROUP BY c),
+            tot AS (
+              SELECT CAST(sum(y) AS BIGINT) AS st,
+                     CAST(count(*) AS BIGINT) AS nt
+              FROM base)
+            SELECT b.line_id, b.c AS category, CAST(b.y AS BIGINT) AS y,
+                   CAST(CASE WHEN s.nc > 1
+                             THEN CAST(s.sy - b.y AS HUGEINT) * 1000000
+                                  // (s.nc - 1)
+                             ELSE CAST(t.st - b.y AS HUGEINT) * 1000000
+                                  // (t.nt - 1) END AS BIGINT) AS enc_fp
+            FROM base b JOIN sums s ON s.c = b.c, tot t
+        """,
         "embedding_ann_bq": """
             WITH emb AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -3365,3 +3365,68 @@ def engagement_curve(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame, group_col: str, t_col: str, value_col: str,
+) -> DataFrame:
+    """Pettitt (1979) rank-based changepoint test per group — the
+    nonparametric sibling of `mean_shift_changepoint`/`cusum_alarms`:
+    insensitive to outliers and to the magnitude scale because only
+    RANKS enter. Statistic: U_t = 2*sum_{i<=t} r_i - t*(n+1) with
+    midranks r; K = max_t |U_t| and the changepoint is the earliest t
+    attaining K. DOUBLED midranks (dr = 2*cnt_less + cnt_eq + 1, the
+    `mann_whitney_u` device) keep everything integral:
+    U2_t = sum_{i<=t} dr_i - t*(n+1) is exactly U_t since
+    sum dr = 2*sum r.
+
+    All windows are PARTITIONED by the group (parallel, bounded by the
+    per-group series length — the same contract as every per-entity
+    window in the repo): cnt_less via a RANGE frame on the value,
+    prefix sums and the argmax pick via ROWS frames on t. Returns one
+    row per group: (group, n, k_stat, t_at_k, u_at_k) — sign of
+    u_at_k gives the shift direction.
+
+    ``value_col`` must be integer-typed (RANGE frame + exact ranks);
+    ``t_col`` a unique time index within each group.
+    """
+    g = F.col(group_col)
+    w_less = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy(group_col, value_col)
+    ranked = df.select(
+        g, F.col(t_col), F.col(value_col),
+        (2 * F.coalesce(F.count(F.lit(1)).over(w_less), F.lit(0))
+         + F.count(F.lit(1)).over(w_eq) + 1).cast("long").alias("__dr"),
+    )
+    w_pre = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(t_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    with_u = ranked.select(
+        g, F.col(t_col),
+        (F.sum("__dr").over(w_pre)
+         - F.row_number().over(
+             Window.partitionBy(group_col).orderBy(F.col(t_col)))
+         .cast("long")
+         * (F.count(F.lit(1)).over(w_all) + 1)).alias("__u"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    w_pick = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("__u")).desc(), F.col(t_col).asc()
+    )
+    return (
+        with_u.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            g, "n",
+            F.abs(F.col("__u")).cast("long").alias("k_stat"),
+            F.col(t_col).alias("t_at_k"),
+            F.col("__u").cast("long").alias("u_at_k"),
+        )
+    )

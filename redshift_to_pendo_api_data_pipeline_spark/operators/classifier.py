@@ -532,3 +532,60 @@ def feature_hash_collision_audit(
         F.lit(0).cast("long").alias("n_tokens"),
     )
     return hist.unionAll(empty)
+
+
+def target_encode_loo(
+    df: DataFrame, cat_col: str, target_col: str, id_cols: list,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Leave-one-out target encoding — the high-cardinality categorical
+    feature transform (each row's category is replaced by the mean
+    target of OTHER rows in that category, so the row's own label
+    never leaks into its own feature):
+
+        enc_i = (sum_y_cat - y_i) * scale div (n_cat - 1)
+
+    Singleton categories (n_cat = 1) have no "other rows" and fall
+    back to the leave-one-out GLOBAL mean ((sum_all - y_i) div (N-1))
+    — deterministic, documented, and still leak-free.
+
+    Shape: one category groupBy (map-side combined, category-cardinality
+    rows) hydrated back with a broadcast-or-shuffle join sized by the
+    category relation, one scalar crossJoin for the global fold. All
+    exact integers. Returns id_cols + (category, y, enc_fp).
+    """
+    sums = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.sum(F.col(target_col).cast("long")).cast("long").alias("__sy"),
+        F.count(F.lit(1)).cast("long").alias("__nc"),
+    )
+    tot = df.agg(
+        F.sum(F.col(target_col).cast("long")).cast("long").alias("__st"),
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+    )
+    base = (
+        df.select(
+            *[F.col(c) for c in id_cols],
+            F.col(cat_col).alias("__c"),
+            F.col(target_col).cast("long").alias("y"),
+        )
+        .join(sums.hint("shuffle_hash"), "__c")
+        .crossJoin(F.broadcast(tot))
+    )
+    enc = F.when(
+        F.col("__nc") > 1,
+        F.expr(
+            f"CAST(CAST(__sy - y AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div (__nc - 1)"
+        ),
+    ).otherwise(
+        F.expr(
+            f"CAST(CAST(__st - y AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div (__nt - 1)"
+        )
+    )
+    return base.select(
+        *[F.col(c) for c in id_cols],
+        F.col("__c").alias("category"),
+        "y",
+        enc.cast("long").alias("enc_fp"),
+    )

@@ -284,3 +284,51 @@ def test_engagement_curve_counts_distinct_days(spark):
            for r in engagement_curve(df, "u", F.col("d"),
                                      F.col("m")).collect()}
     assert out == {(202401, 2): 1, (202401, 1): 1, (202402, 1): 1}
+
+
+def test_pettitt_detects_level_shift(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    # g1: clean level shift at t=10 (values 1..10 low, 11..20 high)
+    rows = [("g1", t, 5 if t <= 10 else 50) for t in range(1, 21)]
+    # g2: constant series -> all ranks tied, U_t = 0 everywhere
+    rows += [("g2", t, 7) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {r.g: (r.n, r.k_stat, r.t_at_k) for r in
+           pettitt_changepoint(df, "g", "t", "v").collect()}
+    # hand: for t<=10, each low point has dr = 2*0+10+1 = 11 (10-way tie)
+    # U_t = 11t - 21t = -10t -> |U_10| = 100 = K, attained at t=10
+    assert out["g1"] == (20, 100, 10)
+    assert out["g2"][1] == 0  # no signal in a constant series
+
+
+def test_pettitt_direction_sign(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    up = [("u", t, t) for t in range(1, 9)]       # rising series: u < 0
+    down = [("d", t, 100 - t) for t in range(1, 9)]  # falling: u > 0
+    df = spark.createDataFrame(up + down, "g string, t long, v long")
+    out = {r.g: r.u_at_k for r in
+           pettitt_changepoint(df, "g", "t", "v").collect()}
+    assert out["u"] < 0 and out["d"] > 0
+
+
+def test_target_encode_loo_leak_free(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        target_encode_loo,
+    )
+
+    # cat A: y = 1,1,0 -> LOO: (2-1)/2, (2-1)/2, (2-0)/2
+    # cat B singleton y=1 -> global fallback (3-1)/(4-1)... wait N=4:
+    #   st=3, enc = (3-1)*1e6 // 3 = 666666
+    rows = [(1, "A", 1), (2, "A", 1), (3, "A", 0), (4, "B", 1)]
+    df = spark.createDataFrame(rows, "rid long, c string, y long")
+    out = {r.rid: r.enc_fp for r in
+           target_encode_loo(df, "c", "y", ["rid"]).collect()}
+    assert out[1] == 500000 and out[2] == 500000
+    assert out[3] == 1000000
+    assert out[4] == (3 - 1) * 10**6 // 3
