@@ -5924,6 +5924,46 @@ def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isotonic_return_by_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form isotonic regression (classifier.isotonic_fit_binned)
+    of return rate on discount level: PAVA's minimax formula
+    iso(k) = max_{i<=k} min_{j>=k} mean(i..j) evaluated over the
+    11-bin discount relation — no iterative sweep, deterministic
+    fixed-point pooled means, B^3-bounded expansion by contract. The
+    monotone fit is what a calibration consumer reads where raw binned
+    rates zigzag."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        isotonic_fit_binned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.groupBy(
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").alias("disc_bp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long").alias("pos"),
+    )
+    return isotonic_fit_binned(binned, "disc_bp", "n", "pos")
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text.rake_keywords, Rose et al. 2010):
+    corpus top-20 candidate phrases — maximal stopword-free token
+    runs scored by summed word degree/frequency ratios, segmentation
+    on the token relation (per-doc windows), exact fixed-point
+    scores."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", "doc_id", top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5934,6 +5974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "rake_keywords_corpus": q_rake_keywords,
+        "isotonic_return_by_discount": q_isotonic_return_by_discount,
         "pettitt_event_changepoints": q_pettitt_event_types,
         "target_encode_brand_returns": q_target_encode_brand,
         "embedding_ann_bq": q_embedding_ann_bq,
@@ -6331,6 +6373,103 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rake_keywords_corpus": """
+            WITH docs_w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            tok AS (
+              SELECT doc_id, s['pos'] AS pos, s['word'] AS word
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) + 1),
+                         b -> {'pos': b, 'word': w[b]})) AS s
+                FROM docs_w)
+              WHERE s['word'] <> ''),
+            marked AS (
+              SELECT doc_id, pos, word,
+                     CASE WHEN word IN ('a','the','and','of','to',
+                                        'in','is','on','for')
+                          THEN 1 ELSE 0 END AS is_stop
+              FROM tok),
+            runs AS (
+              SELECT doc_id, pos, word,
+                     sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS pid
+              FROM marked
+              QUALIFY is_stop = 0),
+            phrases AS (
+              SELECT doc_id, pid,
+                     string_agg(word, ' ' ORDER BY pos) AS phrase,
+                     CAST(count(*) AS BIGINT) AS n_words
+              FROM runs GROUP BY doc_id, pid
+              HAVING count(*) <= 4),
+            occw AS (
+              SELECT phrase, n_words, unnest(string_split(phrase, ' '))
+                         AS word
+              FROM phrases),
+            ws AS (
+              SELECT word,
+                     CAST(CAST(sum(n_words) AS HUGEINT) * 1000000
+                          // count(*) AS BIGINT) AS wscore
+              FROM occw GROUP BY word),
+            ps AS (
+              SELECT o.phrase, o.n_words,
+                     CAST(sum(w.wscore) AS BIGINT) AS tot
+              FROM occw o JOIN ws w ON w.word = o.word
+              GROUP BY o.phrase, o.n_words),
+            oc AS (
+              SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM phrases GROUP BY phrase)
+            SELECT p.phrase, p.n_words, oc.n_occurrences,
+                   CAST(p.tot // oc.n_occurrences AS BIGINT) AS score_fp
+            FROM ps p JOIN oc ON oc.phrase = p.phrase
+            ORDER BY score_fp DESC, p.phrase
+            LIMIT 20
+        """,
+        "isotonic_return_by_discount": """
+            WITH binned AS (
+              SELECT CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                          AS BIGINT) AS disc_bp,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS pos
+              FROM lineitem GROUP BY 1),
+            b AS (
+              SELECT disc_bp, n, pos,
+                     CAST(row_number() OVER (ORDER BY disc_bp)
+                          AS BIGINT) AS ix
+              FROM binned),
+            pref AS (
+              SELECT ix, n, pos,
+                     sum(n) OVER (ORDER BY ix
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cn,
+                     sum(pos) OVER (ORDER BY ix
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cp
+              FROM b),
+            pairs AS (
+              SELECT l.ix AS i, h.ix AS j,
+                     CAST(CAST(h.cp - (l.cp - l.pos) AS HUGEINT)
+                          * 1000000
+                          // (h.cn - (l.cn - l.n)) AS BIGINT) AS m
+              FROM pref l JOIN pref h ON l.ix <= h.ix),
+            triples AS (
+              SELECT i, j, m, unnest(range(i, j + 1)) AS k FROM pairs),
+            inner_min AS (
+              SELECT i, k, min(m) AS im FROM triples GROUP BY i, k),
+            iso AS (
+              SELECT k AS ix, CAST(max(im) AS BIGINT) AS iso_fp
+              FROM inner_min GROUP BY k)
+            SELECT b.disc_bp, b.n, b.pos,
+                   CAST(CAST(b.pos AS HUGEINT) * 1000000 // b.n
+                        AS BIGINT) AS rate_fp,
+                   iso.iso_fp
+            FROM b JOIN iso ON iso.ix = b.ix
+        """,
         "pettitt_event_changepoints": """
             WITH daily AS (
               SELECT event_type,

@@ -589,3 +589,87 @@ def target_encode_loo(
         "y",
         enc.cast("long").alias("enc_fp"),
     )
+
+
+def isotonic_fit_binned(
+    binned: DataFrame, bin_col: str, n_col: str, pos_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression over an ORDERED,
+    BOUNDED bin relation — true isotonic calibration where
+    `calibration_table`'s raw binned rates can zigzag. Instead of the
+    iterative pool-adjacent-violators sweep (not expressible as a
+    cross-engine plan), this uses PAVA's minimax CLOSED FORM:
+
+        iso(k) = max_{i<=k} min_{j>=k} mean(y over bins i..j)
+
+    with bin-range means in fixed point (scale*sum_pos div sum_n — the
+    floor rounding is applied identically by both engines, so the fit
+    is deterministic and hash-exact; it deviates from the real-valued
+    PAVA fit by < 1/scale per pooled mean, which calibration reads
+    cannot see).
+
+    BOUNDEDNESS CONTRACT: the input is one row per bin (B rows, B
+    fixed by the binning — same contract as `bh_fdr`'s test relation),
+    so the (i,k,j) triple expansion is <= B^3/6 rows — a constant,
+    never data-sized. The data-sized work (binning + counting) happens
+    BEFORE this operator in an ordinary map-side-combined groupBy.
+
+    Returns (bin, n, pos, rate_fp, iso_fp) with iso_fp nondecreasing.
+    """
+    b = binned.select(
+        F.col(bin_col).alias("__b"),
+        F.col(n_col).cast("long").alias("__n"),
+        F.col(pos_col).cast("long").alias("__p"),
+        # densified consecutive index — bins need not be contiguous
+        # integers; the sequence() expansion below requires density
+        F.row_number().over(Window.orderBy(F.col(bin_col)))
+        .cast("long").alias("__ix"),
+    )
+    w = Window.orderBy("__ix").rowsBetween(Window.unboundedPreceding, 0)
+    pref = b.select(
+        "__ix", "__n", "__p",
+        F.sum("__n").over(w).alias("__cn"),
+        F.sum("__p").over(w).alias("__cp"),
+    )
+    lo = pref.select(
+        F.col("__ix").alias("__i"),
+        (F.col("__cn") - F.col("__n")).alias("__cn_lo"),
+        (F.col("__cp") - F.col("__p")).alias("__cp_lo"),
+    )
+    hi = pref.select(
+        F.col("__ix").alias("__j"), F.col("__cn").alias("__cn_hi"),
+        F.col("__cp").alias("__cp_hi"),
+    )
+    # all-pairs over the B-bounded bin relation, then k in [i, j]
+    # exploded inline — B^3-bounded by contract, broadcast-joined.
+    pairs = lo.join(hi, F.col("__i") <= F.col("__j")).select(
+        "__i", "__j",
+        F.expr(
+            f"CAST(CAST(__cp_hi - __cp_lo AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div (__cn_hi - __cn_lo)"
+        ).cast("long").alias("__m"),
+    )
+    triples = pairs.select(
+        "__i", "__j", "__m",
+        F.explode(F.expr("sequence(__i, __j)")).alias("__k"),
+    )
+    inner = triples.groupBy("__i", "__k").agg(
+        F.min("__m").alias("__inner_min")
+    )
+    iso = inner.groupBy(F.col("__k").alias("__ix")).agg(
+        F.max("__inner_min").cast("long").alias("iso_fp")
+    )
+    return (
+        b.join(iso.hint("shuffle_hash"), "__ix")
+        .select(
+            F.col("__b").alias(bin_col),
+            F.col("__n").alias(n_col),
+            F.col("__p").alias(pos_col),
+            F.expr(
+                f"CAST(CAST(__p AS DECIMAL(38,0)) * {int(scale)}"
+                " AS DECIMAL(38,0)) div __n"
+            ).cast("long").alias("rate_fp"),
+            "iso_fp",
+        )
+    )

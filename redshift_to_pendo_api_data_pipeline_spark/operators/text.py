@@ -12,7 +12,7 @@ exactly mirrorable in ANSI SQL for the DuckDB oracle:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
@@ -1217,4 +1217,104 @@ def bm25_scores(
         .select(F.col("doc").alias(id_col), "bm25_micro")
         .orderBy(F.desc("bm25_micro"), F.asc(id_col))
         .limit(top_k)
+    )
+
+
+RAKE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for")
+
+
+def rake_keywords(
+    df: DataFrame, text_col: str, id_col: str,
+    stopwords: tuple = RAKE_STOPWORDS, top_k: int = 20,
+    max_words: int = 4, scale: int = 10**6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores deg(w)/freq(w) where deg(w) = sum of phrase lengths over
+    the word's occurrences (its co-occurrence degree including
+    itself); a phrase scores the sum of its words' scores. Fixed
+    point: score(w)_fp = scale*deg div freq, summed per phrase —
+    exact integers, deterministic ties by phrase text.
+
+    Phrase segmentation is done on the TOKEN relation, not with regex
+    gymnastics: tokens get positions (posexplode), stop tokens become
+    run delimiters, and the phrase id is the running stop count — a
+    per-doc window (bounded by that doc's token count, the repo-wide
+    per-entity window contract). Consecutive stopwords and
+    leading/trailing stopwords fall out naturally, where a
+    replace-then-split regex mangles overlapping matches.
+
+    Returns the corpus top-``top_k``:
+    (phrase, n_words, n_occurrences, score_fp).
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("__pos", "__w"),
+    ).where(F.col("__w") != "")
+    marked = toks.withColumn(
+        "__is_stop", F.array_contains(stop_arr, F.col("__w")).cast("int")
+    )
+    w_run = (
+        Window.partitionBy("__doc")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = marked.withColumn(
+        "__phrase_id", F.sum("__is_stop").over(w_run)
+    ).where(F.col("__is_stop") == 0)
+    phrases = (
+        runs.groupBy("__doc", "__phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__w"))),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") <= int(max_words))
+    )
+    occ_words = phrases.select(
+        "phrase", "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("__w"),
+    )
+    word_stats = occ_words.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("n_words").cast("long").alias("__deg"),
+    ).select(
+        "__w",
+        F.expr(
+            f"CAST(CAST(__deg AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div __freq"
+        ).cast("long").alias("__wscore"),
+    )
+    phrase_scores = (
+        occ_words.join(word_stats.hint("shuffle_hash"), "__w")
+        .groupBy("phrase", "n_words")
+        .agg(F.sum("__wscore").cast("long").alias("__tot"))
+    )
+    # __tot sums over every occurrence of every word: per-occurrence
+    # phrase score is __tot / n_occurrences; recover occurrence count
+    # from the phrase relation and divide exactly.
+    occ_counts = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return (
+        phrase_scores.join(occ_counts.hint("shuffle_hash"), "phrase")
+        .select(
+            "phrase", "n_words", "n_occurrences",
+            F.expr("CAST(__tot div n_occurrences AS BIGINT)")
+            .alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("phrase"))
+        .limit(int(top_k))
     )

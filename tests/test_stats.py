@@ -332,3 +332,71 @@ def test_target_encode_loo_leak_free(spark):
     assert out[1] == 500000 and out[2] == 500000
     assert out[3] == 1000000
     assert out[4] == (3 - 1) * 10**6 // 3
+
+
+def test_isotonic_matches_pava_on_zigzag(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        isotonic_fit_binned,
+    )
+
+    # zigzag rates: 0.2, 0.6, 0.4, 0.8 with equal n -> PAVA pools bins
+    # 2 and 3 into 0.5; fit = 0.2, 0.5, 0.5, 0.8
+    rows = [(10, 10, 2), (20, 10, 6), (30, 10, 4), (40, 10, 8)]
+    df = spark.createDataFrame(rows, "b long, n long, pos long")
+    out = {r.b: r.iso_fp for r in
+           isotonic_fit_binned(df, "b", "n", "pos").collect()}
+    assert out == {10: 200000, 20: 500000, 30: 500000, 40: 800000}
+
+
+def test_isotonic_monotone_and_identity_on_sorted(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        isotonic_fit_binned,
+    )
+
+    # already-monotone input -> fit == raw rates; always nondecreasing
+    rows = [(1, 10, 1), (2, 10, 3), (3, 10, 7), (4, 10, 9)]
+    df = spark.createDataFrame(rows, "b long, n long, pos long")
+    got = sorted((r.b, r.rate_fp, r.iso_fp) for r in
+                 isotonic_fit_binned(df, "b", "n", "pos").collect())
+    assert all(r == i for _, r, i in got)
+    isos = [i for _, _, i in got]
+    assert isos == sorted(isos)
+
+
+def test_rake_hand_computed(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    # one doc: "deep learning is fun the deep net"
+    # phrases: "deep learning", "fun", "deep net"
+    # freq: deep 2, learning 1, fun 1, net 1
+    # deg:  deep 2+2=4, learning 2, fun 1, net 2
+    # scores(x1e6): deep 2e6, learning 2e6, fun 1e6, net 2e6
+    # phrase scores: "deep learning" 4e6, "deep net" 4e6, "fun" 1e6
+    df = spark.createDataFrame(
+        [(1, "deep learning is fun the deep net")], "doc_id long, text string"
+    )
+    out = {r.phrase: (r.n_words, r.n_occurrences, r.score_fp)
+           for r in rake_keywords(df, "text", "doc_id").collect()}
+    assert out == {
+        "deep learning": (2, 1, 4_000_000),
+        "deep net": (2, 1, 4_000_000),
+        "fun": (1, 1, 1_000_000),
+    }
+
+
+def test_rake_consecutive_and_edge_stopwords(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    # consecutive stopwords + stopwords at both edges must not create
+    # empty phrases (the regex-replace approach fails exactly here)
+    df = spark.createDataFrame(
+        [(1, "the a spark engine of the a fast scan the")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, "text", "doc_id").collect()
+    assert sorted(r.phrase for r in out) == ["fast scan", "spark engine"]
+    assert all(r.n_words == 2 for r in out)
