@@ -5964,6 +5964,41 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(docs, "text", "doc_id", top_k=20)
 
 
+def q_blocking_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (linkage.blocking_quality): reduction
+    ratio + pair completeness of a date-sorted-neighborhood blocker
+    (window 3) against the same-customer-same-day duplicate-submission
+    ground truth — the metric pair every linkage blocker is judged by
+    before production. Composes `sorted_neighborhood_pairs` with an
+    exact truth join; one audit row."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        blocking_quality,
+        sorted_neighborhood_pairs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        .cast("long").alias("day_n"),
+    )
+    cand = sorted_neighborhood_pairs(
+        base, "o_orderkey", "day_n", window=3
+    )
+    t1 = base.select(
+        F.col("o_orderkey").alias("id_a"), "o_custkey", "day_n"
+    )
+    t2 = base.select(
+        F.col("o_orderkey").alias("id_b"), "o_custkey", "day_n"
+    )
+    truth = t1.join(
+        t2.hint("shuffle_hash"), ["o_custkey", "day_n"]
+    ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    n = base.count()
+    return blocking_quality(cand, truth, n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -5974,6 +6009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "blocking_quality_orders": q_blocking_quality_orders,
         "rake_keywords_corpus": q_rake_keywords,
         "isotonic_return_by_discount": q_isotonic_return_by_discount,
         "pettitt_event_changepoints": q_pettitt_event_types,
@@ -6373,6 +6409,49 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "blocking_quality_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                          AS BIGINT) AS dn
+              FROM orders),
+            ranked AS (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY dn, o_orderkey) AS r
+              FROM o),
+            cand AS (
+              SELECT DISTINCT least(a.o_orderkey, b.o_orderkey) AS pa,
+                              greatest(a.o_orderkey, b.o_orderkey) AS pb
+              FROM ranked a JOIN ranked b
+                ON b.r > a.r AND b.r <= a.r + 3),
+            truth AS (
+              SELECT DISTINCT least(a.o_orderkey, b.o_orderkey) AS pa,
+                              greatest(a.o_orderkey, b.o_orderkey) AS pb
+              FROM o a JOIN o b
+                ON a.o_custkey = b.o_custkey AND a.dn = b.dn
+                   AND a.o_orderkey < b.o_orderkey),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+            cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+                   FROM cand),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+            ca AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_caught
+              FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                            WHERE c.pa = t.pa AND c.pb = t.pb))
+            SELECT nn.n AS n_records,
+                   CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n_possible,
+                   cc.n_candidates, tt.n_true, ca.n_caught,
+                   CAST(1000000 - CAST(cc.n_candidates AS HUGEINT)
+                        * 1000000 // (nn.n * (nn.n - 1) // 2)
+                        AS BIGINT) AS reduction_ratio_fp,
+                   CAST(CASE WHEN tt.n_true > 0
+                             THEN CAST(ca.n_caught AS HUGEINT) * 1000000
+                                  // tt.n_true END AS BIGINT)
+                       AS pair_completeness_fp
+            FROM nn, cc, tt, ca
+        """,
         "rake_keywords_corpus": """
             WITH docs_w AS (
               SELECT doc_id,

@@ -347,3 +347,64 @@ def mutual_best_match(
             F.col("s").alias(score_col),
         )
     )
+
+
+def blocking_quality(
+    cand_pairs: DataFrame, true_pairs: DataFrame, n_records: int,
+    a_col: str = "id_a", b_col: str = "id_b", scale: int = 10**6,
+) -> DataFrame:
+    """Blocking-quality audit — the two standard record-linkage
+    blocking metrics, computed BEFORE trusting a blocker in
+    production:
+
+    - reduction ratio  RR = 1 - |candidates| / C(n,2)   (how much of
+      the quadratic the blocker pruned), and
+    - pair completeness PC = |candidates ∩ true| / |true|  (how many
+      real matches survived the pruning — blocking RECALL).
+
+    A good blocker has both near 1; the audit makes the trade
+    explicit. Both pair relations are canonicalized (a < b, distinct)
+    before comparison, so the caller's orientation conventions don't
+    matter; the intersection is one left_semi join on the pair key.
+    Exact fixed point: RR_fp = scale - scale*cand div possible,
+    PC_fp = scale*caught div true (NULL when there are no true pairs).
+
+    Returns one row: (n_records, n_possible, n_candidates, n_true,
+    n_caught, reduction_ratio_fp, pair_completeness_fp).
+    """
+    def canon(df):
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("__a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("__b"),
+        ).where(F.col("__a") != F.col("__b")).distinct()
+
+    cand = canon(cand_pairs)
+    true = canon(true_pairs)
+    caught = true.join(cand.hint("shuffle_hash"), ["__a", "__b"],
+                       "left_semi")
+    counts = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(F.broadcast(
+            true.agg(F.count(F.lit(1)).cast("long").alias("n_true"))))
+        .crossJoin(F.broadcast(
+            caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))))
+    )
+    n = int(n_records)
+    possible = n * (n - 1) // 2
+    return counts.select(
+        F.lit(n).cast("long").alias("n_records"),
+        F.lit(possible).cast("long").alias("n_possible"),
+        "n_candidates", "n_true", "n_caught",
+        (F.lit(int(scale))
+         - F.expr(
+             f"CAST(CAST(n_candidates AS DECIMAL(38,0)) * {int(scale)}"
+             f" AS DECIMAL(38,0)) div {possible}"
+         )).cast("long").alias("reduction_ratio_fp"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr(
+                f"CAST(CAST(n_caught AS DECIMAL(38,0)) * {int(scale)}"
+                " AS DECIMAL(38,0)) div n_true"
+            ),
+        ).cast("long").alias("pair_completeness_fp"),
+    )

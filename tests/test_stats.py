@@ -400,3 +400,35 @@ def test_rake_consecutive_and_edge_stopwords(spark):
     out = rake_keywords(df, "text", "doc_id").collect()
     assert sorted(r.phrase for r in out) == ["fast scan", "spark engine"]
     assert all(r.n_words == 2 for r in out)
+
+
+def test_blocking_quality_hand_computed(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        blocking_quality,
+    )
+
+    # 5 records -> 10 possible pairs; candidates = 4 (incl. a reversed
+    # duplicate + self pair that must canonicalize away); truth = 3,
+    # of which 2 caught.
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (3, 4), (1, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (3, 4), (2, 5)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, truth, 5).collect()[0]
+    assert (r.n_records, r.n_possible) == (5, 10)
+    assert (r.n_candidates, r.n_true, r.n_caught) == (3, 3, 2)
+    assert r.reduction_ratio_fp == 10**6 - 3 * 10**6 // 10
+    assert r.pair_completeness_fp == 2 * 10**6 // 3
+
+
+def test_blocking_quality_no_truth_pairs_null_pc(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        blocking_quality,
+    )
+
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    truth = cand.where("id_a > 99")  # empty
+    r = blocking_quality(cand, truth, 3).collect()[0]
+    assert r.n_true == 0 and r.pair_completeness_fp is None
