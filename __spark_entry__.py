@@ -5999,6 +5999,45 @@ def q_blocking_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(cand, truth, n)
 
 
+def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sample (sampling.
+    pps_systematic_sample): 50 documents drawn proportional to length
+    — the survey design for 'sample tokens, not documents'; heavy docs
+    carry multiplicity, stride points laid over the cumulative-weight
+    axis from one prefix pass."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return pps_systematic_sample(docs, "doc_id", "n_chars", k=50)
+
+
+def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quantiles (sampling.
+    weighted_quantiles_exact): the smallest price whose cumulative
+    QUANTITY reaches ceil(q*W) — percentile_disc generalized to
+    weighted rows, one distributed prefix pass, no single-reducer
+    percentile."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        weighted_quantiles_exact,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("long").alias("line_id"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles_exact(
+        li, "price_fp", "qty", "line_id",
+        qs_ppm=[250000, 500000, 750000, 900000],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6009,6 +6048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "pps_sample_docs": q_pps_sample_docs,
+        "weighted_price_quantiles": q_weighted_quantiles_price,
         "blocking_quality_orders": q_blocking_quality_orders,
         "rake_keywords_corpus": q_rake_keywords,
         "isotonic_return_by_discount": q_isotonic_return_by_discount,
@@ -6409,6 +6450,53 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pps_sample_docs": """
+            WITH base AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+              FROM documents WHERE n_chars > 0),
+            cum AS (
+              SELECT doc_id, w,
+                     sum(w) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS c,
+                     sum(w) OVER () AS tot
+              FROM base),
+            sel AS (
+              SELECT doc_id, w,
+                     CAST((c + (tot // 50) - (tot // 50) // 2 - 1)
+                          // (tot // 50)
+                          - (c - w + (tot // 50) - (tot // 50) // 2 - 1)
+                          // (tot // 50) AS BIGINT) AS m
+              FROM cum)
+            SELECT doc_id, w AS n_chars, m AS multiplicity
+            FROM sel WHERE m > 0
+        """,
+        "weighted_price_quantiles": """
+            WITH base AS (
+              SELECT CAST(cast(l_extendedprice as decimal(18,2)) * 100
+                          AS BIGINT) AS v,
+                     CAST(l_orderkey * 100 + l_linenumber AS BIGINT)
+                         AS line_id,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem WHERE l_quantity > 0),
+            cum AS (
+              SELECT v,
+                     sum(w) OVER (ORDER BY v, line_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS c,
+                     sum(w) OVER () AS tot
+              FROM base),
+            qs AS (SELECT unnest([250000, 500000, 750000, 900000])
+                       AS q_ppm),
+            hit AS (
+              SELECT q.q_ppm, c.v
+              FROM cum c, qs q
+              WHERE c.c >= (CAST(q.q_ppm AS HUGEINT) * c.tot + 999999)
+                           // 1000000)
+            SELECT CAST(q_ppm AS INT) AS q_ppm,
+                   CAST(min(v) AS BIGINT) AS value
+            FROM hit GROUP BY q_ppm
+        """,
         "blocking_quality_orders": """
             WITH o AS (
               SELECT o_orderkey, o_custkey,

@@ -749,3 +749,93 @@ def neyman_allocation(
             ).cast("long").alias("n_alloc"),
         )
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    survey-statistics PPS design, fully DETERMINISTIC (fixed centered
+    offset, no RNG): lay k equally-spaced points over the cumulative
+    weight axis (stride S = W div k, offset S div 2) and select the
+    item whose cumulative interval contains each point. Items heavier
+    than the stride are selected with multiplicity — the PPS
+    contract, reported in ``multiplicity`` rather than silently
+    capped.
+
+    Selection count per item is a difference of point-counting
+    functions on the cumulative weight: m_i = f(C_i) - f(C_{i-1})
+    with f(C) = (C + S - offset - 1) div S = #points strictly below C
+    (operands kept non-negative so Spark's and DuckDB's
+    truncate-toward-zero division agree with floor). Cumulative
+    weights come from `global_prefix_sum` over the (id) total order —
+    range shuffle + bounded offsets, checkpoint-pinned. Output:
+    (id, weight, multiplicity > 0 rows only); achieved size
+    sum(multiplicity) is k or k±1 from stride flooring.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_prefix_sum,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(F.col("__w") > 0)
+    cum = global_prefix_sum(base, ["__id"], "__w", prefix_name="__c",
+                            keep_total=True)
+    stride = F.expr("__total div %d" % int(k))
+    # f(C) with integer-only ops: offset = S div 2 folded inline:
+    # (C + S - S div 2 - 1) div S
+    f_hi = F.expr("(__c + __s - __s div 2 - 1) div __s")
+    f_lo = F.expr("(__c - __w + __s - __s div 2 - 1) div __s")
+    return (
+        cum.withColumn("__s", stride.cast("long"))
+        .withColumn("__m", (f_hi - f_lo).cast("long"))
+        .where(F.col("__m") > 0)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__w").alias(weight_col),
+            F.col("__m").alias("multiplicity"),
+        )
+    )
+
+
+def weighted_quantiles_exact(
+    df: DataFrame, value_col: str, weight_col: str, id_col: str,
+    qs_ppm: list,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles: the smallest value v whose cumulative
+    weight reaches ceil(q*W) — `percentile_disc` generalized to
+    weighted rows, computed distributively (no single-reducer
+    percentile): one prefix pass over the (value, id) total order,
+    then each requested quantile is a bounded filter+min fold. The
+    quantile list is a literal broadcast (bounded by contract).
+
+    Returns (q_ppm, value) — one row per requested quantile.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_prefix_sum,
+    )
+
+    base = df.select(
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(F.col("__w") > 0)
+    cum = global_prefix_sum(base, ["__v", "__id"], "__w",
+                            prefix_name="__c", keep_total=True)
+    qs = F.array(*[F.lit(int(q)) for q in qs_ppm])
+    exploded = cum.select(
+        "__v", "__c", "__total", F.explode(qs).alias("q_ppm")
+    )
+    # target = ceil(q * W / 1e6), integer form (q*W + 1e6 - 1) div 1e6
+    hit = exploded.where(
+        F.col("__c")
+        >= F.expr(
+            "CAST(CAST(q_ppm AS DECIMAL(38,0)) * __total + 999999"
+            " AS DECIMAL(38,0)) div 1000000"
+        )
+    )
+    return hit.groupBy("q_ppm").agg(
+        F.min("__v").cast("long").alias("value")
+    )

@@ -432,3 +432,50 @@ def test_blocking_quality_no_truth_pairs_null_pc(spark):
     truth = cand.where("id_a > 99")  # empty
     r = blocking_quality(cand, truth, 3).collect()[0]
     assert r.n_true == 0 and r.pair_completeness_fp is None
+
+
+def test_pps_systematic_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    # W = 100, k = 4 -> stride 25, offset 12: points 12, 37, 62, 87
+    # cum intervals: a:[0,10) b:[10,20) c:[20,60) d:[60,100)
+    # hits: a none... point 12 in b; 37 in c; 62, 87 in d
+    rows = [("a", 10), ("b", 10), ("c", 40), ("d", 40)]
+    df = spark.createDataFrame(rows, "doc string, w long")
+    out = {r.doc: r.multiplicity for r in
+           pps_systematic_sample(df, "doc", "w", k=4).collect()}
+    assert out == {"b": 1, "c": 1, "d": 2}
+
+
+def test_pps_total_multiplicity_near_k(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).cast("long").alias("w"),
+    )
+    out = pps_systematic_sample(df, "doc_id", "w", k=50).collect()
+    tot = sum(r.multiplicity for r in out)
+    assert 49 <= tot <= 51  # stride flooring slack
+
+
+def test_weighted_quantiles_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        weighted_quantiles_exact,
+    )
+
+    # values 1..4 with weights 1, 1, 6, 2 (W=10):
+    # q=0.5 -> target 5 -> value 3 (cum: 1,2,8,10)
+    # q=0.1 -> target 1 -> value 1 ; q=0.9 -> target 9 -> value 4
+    rows = [(1, 101, 1), (2, 102, 1), (3, 103, 6), (4, 104, 2)]
+    df = spark.createDataFrame(rows, "v long, rid long, w long")
+    out = {r.q_ppm: r.value for r in
+           weighted_quantiles_exact(
+               df, "v", "w", "rid",
+               qs_ppm=[100000, 500000, 900000]).collect()}
+    assert out == {100000: 1, 500000: 3, 900000: 4}
