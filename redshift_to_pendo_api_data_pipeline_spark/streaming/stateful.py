@@ -473,3 +473,70 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_LATENESS_OUT_SCHEMA = "g string, arr long, late_us long"
+_LATENESS_STATE_SCHEMA = "max_ts long"
+
+
+def streaming_lateness(
+    events: DataFrame,
+    group_col: str = "g",
+    arrival_col: str = "arr",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming twin of temporal.lateness_histogram's per-record
+    lateness: out-of-orderness measured LIVE, per key — the monitor
+    that tells you whether the watermark delay you sized offline still
+    covers production arrival skew. Lateness of a record = (max event
+    time seen earlier in arrival order) − (its own event time),
+    clamped at 0.
+
+    State per key: ONE long (the running max event time), independent
+    of stream length. Within a micro-batch the exclusive running max
+    is vectorized (sort by arrival, shifted cummax seeded from state);
+    across batches the state seeds the next batch — bit-equal to the
+    batch operator when arrival order = (batch, in-batch arrival),
+    pinned by test. Emits (g, arr, late_us); bucketing/aggregation is
+    the caller's compose step (same split as batch: measure rowside,
+    histogram in a bounded agg).
+    """
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        (max0,) = state.get if state.exists else (np.iinfo("int64").min,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists:
+                state.update((max0,))
+            return
+        batch = pd.concat(chunks).sort_values(arrival_col)
+        ts = batch[ts_col].to_numpy().astype("int64")
+        cm = np.maximum.accumulate(ts)
+        # exclusive prefix max seeded by carried state; the stream's
+        # first-ever record has no predecessor — seed with its own ts
+        # (lateness 0, the batch operator's NULL-coalesce), NOT the
+        # int64-min sentinel (prev - ts would wrap)
+        prev = np.empty_like(cm)
+        prev[0] = ts[0] if max0 == np.iinfo("int64").min else max0
+        prev[1:] = np.maximum(cm[:-1], prev[0])
+        late = np.maximum(prev - ts, 0)
+        state.update((int(cm[-1]) if max0 == np.iinfo("int64").min
+                      else int(max(cm[-1], max0)),))
+        yield pd.DataFrame(
+            {
+                "g": g,
+                "arr": batch[arrival_col].to_numpy().astype("int64"),
+                "late_us": late,
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=_LATENESS_OUT_SCHEMA,
+        stateStructType=_LATENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

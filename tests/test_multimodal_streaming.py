@@ -1015,3 +1015,61 @@ def test_streaming_cusum_matches_batch_twin(spark):
 
     assert got == want
     assert got[14][1] == 1  # the level shift alarms in batch 2
+
+
+def test_streaming_lateness_matches_batch_twin(spark):
+    """The stateful lateness monitor agrees with the batch
+    lateness_histogram's per-record lateness across a micro-batch
+    boundary — the running-max state must survive the trigger."""
+    import os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.stateful import (
+        streaming_lateness,
+    )
+
+    # arrival 0..9 with out-of-order event times incl. a regression
+    # that straddles the batch boundary (arrival 7 carries ts 40 < the
+    # max 90 seen in batch 1)
+    ts = [10, 50, 30, 90, 70, 20, 80, 40, 95, 60]
+    rows = [("g", a, t) for a, t in enumerate(ts)]
+    schema = "g string, arr long, ts_us long"
+    batch_df = spark.createDataFrame(rows, schema)
+    want_hist = {
+        (r.bucket): r.n_events
+        for r in lateness_histogram(
+            batch_df, ["arr"], "ts_us", bucket_us=20, max_buckets=5
+        ).collect()
+    }
+    b1, b2 = rows[:6], rows[6:]
+    got = {}
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000000, 1000000000))
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_lateness(stream)
+
+        def writer(bdf, batch_id):
+            for r in bdf.collect():
+                got[r["arr"]] = r["late_us"]
+
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(writer).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # per-record lateness from the stream, bucketed like the batch twin
+    import collections
+    hist = collections.Counter(min(5, late // 20) for late in got.values())
+    assert dict(hist) == want_hist
+    # the cross-boundary regression: arrival 7 (ts 40) is 50 late vs
+    # the batch-1 max 90 — provable only if state crossed the trigger
+    assert got[7] == 50
