@@ -6038,6 +6038,48 @@ def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_mmd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD drift matrix (similarity.linear_mmd_by_group)
+    between label cohorts of the embedding table: MMD^2 with the
+    linear kernel collapses to ||mu_a - mu_b||^2 — exact integers from
+    per-element quantization (floats never sum), the corpus collapsing
+    to a |groups|x dim moment relation before any pairing."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        linear_mmd_by_group,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (F.col("vec_id") % 4).cast("long").alias("cohort"),
+    )
+    return linear_mmd_by_group(emb, "embedding", "cohort", dim=64)
+
+
+def q_lift_table_brand_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (classifier.lift_table) of the LOO
+    brand-encoding score against actual returns — the acceptance
+    report for any propensity score: per-decile response rate +
+    cumulative lift over base rate, distributed ntile (no
+    single-reducer window), exact integers."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        lift_table,
+        target_encode_loo,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("long").alias("line_id"),
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    scored = target_encode_loo(base, "p_brand", "returned", ["line_id"])
+    return lift_table(scored, "enc_fp", "y", "line_id", n_buckets=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6048,6 +6090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "embedding_mmd_cohorts": q_embedding_mmd_sources,
+        "lift_table_brand_score": q_lift_table_brand_score,
         "pps_sample_docs": q_pps_sample_docs,
         "weighted_price_quantiles": q_weighted_quantiles_price,
         "blocking_quality_orders": q_blocking_quality_orders,
@@ -6450,6 +6494,84 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_mmd_cohorts": """
+            WITH fp AS (
+              SELECT CAST(vec_id % 4 AS BIGINT) AS g, t.d,
+                     CAST(round((embedding::DOUBLE[])[t.d] * 1000000)
+                          AS BIGINT) AS x
+              FROM embeddings, range(1, 65) t(d)),
+            mu AS (
+              SELECT g, d,
+                     CAST(CAST(sum(x) AS HUGEINT) // count(*)
+                          AS BIGINT) AS mu
+              FROM fp GROUP BY g, d),
+            pairs AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     CAST(a.mu - b.mu AS HUGEINT) AS diff
+              FROM mu a JOIN mu b ON b.d = a.d AND a.g < b.g)
+            SELECT group_a, group_b,
+                   CAST(sum(diff * diff) // 1000000 AS BIGINT)
+                       AS mmd2_fp
+            FROM pairs GROUP BY group_a, group_b
+        """,
+        "lift_table_brand_score": """
+            WITH base AS (
+              SELECT CAST(l.l_orderkey * 100 + l.l_linenumber AS BIGINT)
+                         AS line_id,
+                     p.p_brand AS c,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            sums AS (
+              SELECT c, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(count(*) AS BIGINT) AS nc
+              FROM base GROUP BY c),
+            tot AS (
+              SELECT CAST(sum(y) AS BIGINT) AS st,
+                     CAST(count(*) AS BIGINT) AS nt
+              FROM base),
+            scored AS (
+              SELECT b.line_id, b.y,
+                     CAST(CASE WHEN s.nc > 1
+                               THEN CAST(s.sy - b.y AS HUGEINT) * 1000000
+                                    // (s.nc - 1)
+                               ELSE CAST(t.st - b.y AS HUGEINT) * 1000000
+                                    // (t.nt - 1) END AS BIGINT)
+                         AS enc_fp
+              FROM base b JOIN sums s ON s.c = b.c, tot t),
+            ranked AS (
+              SELECT y,
+                     CAST(row_number() OVER (ORDER BY enc_fp DESC,
+                                             line_id) AS BIGINT) AS r,
+                     CAST(count(*) OVER () AS BIGINT) AS tt
+              FROM scored),
+            bucketed AS (
+              SELECT y,
+                     CASE WHEN r <= (tt % 10) * ((tt // 10) + 1)
+                          THEN (r - 1) // ((tt // 10) + 1) + 1
+                          ELSE (tt % 10)
+                               + (r - 1 - (tt % 10) * ((tt // 10) + 1))
+                                 // (tt // 10) + 1 END AS bucket
+              FROM ranked),
+            per AS (
+              SELECT CAST(bucket AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM bucketed GROUP BY bucket)
+            SELECT bucket, n, pos,
+                   CAST(CAST(pos AS HUGEINT) * 1000000 // n AS BIGINT)
+                       AS rate_fp,
+                   CAST(CAST(sum(pos) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS HUGEINT)
+                        * 1000000 * sum(n) OVER ()
+                        // (CAST(sum(n) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS HUGEINT)
+                            * sum(pos) OVER ()) AS BIGINT)
+                       AS cum_lift_fp
+            FROM per
+        """,
         "pps_sample_docs": """
             WITH base AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS w

@@ -673,3 +673,71 @@ def isotonic_fit_binned(
             "iso_fp",
         )
     )
+
+
+def lift_table(
+    df: DataFrame, score_col: str, outcome_col: str, tiebreak: str,
+    n_buckets: int = 10, scale: int = 10**6,
+) -> DataFrame:
+    """Decile lift table — the standard scoring-model acceptance
+    report (churn/propensity/quality models alike): rank by score
+    descending, cut into ``n_buckets`` equal-frequency buckets, and
+    report each bucket's response rate plus the CUMULATIVE lift over
+    the base rate (top-k deciles' rate / overall rate). A useful model
+    concentrates responders in the first rows of the table.
+
+    Ranking rides `global_ranks` (range shuffle + broadcast offsets —
+    no single-reducer ntile window); bucket assignment is the exact
+    ntile arithmetic of `ntile_buckets`; the cumulative pass is a
+    window over the N_BUCKETS-bounded relation. Exact integers:
+    rate_fp = scale*pos div n;
+    cum_lift_fp = scale*cum_pos*total_n div (cum_n*total_pos).
+
+    Returns (bucket, n, pos, rate_fp, cum_lift_fp).
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+
+    n = int(n_buckets)
+    ranked = global_ranks(
+        df.select(
+            F.col(score_col), F.col(tiebreak),
+            F.col(outcome_col).cast("long").alias("__y"),
+        ),
+        [F.col(score_col).desc(), F.col(tiebreak).asc()],
+        keep_total=True,
+    )
+    bucket = F.expr(
+        f"CASE WHEN __rank <= (__total % {n}) * ((__total div {n}) + 1) "
+        f"THEN (__rank - 1) div ((__total div {n}) + 1) + 1 "
+        f"ELSE (__total % {n}) "
+        f"  + (__rank - 1 - (__total % {n}) * ((__total div {n}) + 1)) "
+        f"    div (__total div {n}) + 1 END"
+    )
+    per = (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("pos"),
+        )
+    )
+    # cumulative + total folds are SQL windows over the N_BUCKETS-
+    # bounded relation (<= n rows by construction)
+    return per.select(
+        "bucket", "n", "pos",
+        F.expr(
+            f"CAST(CAST(pos AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div n"
+        ).cast("long").alias("rate_fp"),
+        F.expr(
+            f"CAST(CAST(sum(pos) OVER (ORDER BY bucket"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" AS DECIMAL(38,0)) * {int(scale)}"
+            f" * sum(n) OVER ()"
+            f" div (CAST(sum(n) OVER (ORDER BY bucket"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" AS DECIMAL(38,0)) * sum(pos) OVER ()) AS BIGINT)"
+        ).alias("cum_lift_fp"),
+    )

@@ -1915,3 +1915,60 @@ def binary_quantized_topk(
         .limit(int(rerank))
     )
     return brute_force_topk(cands, vec_col, id_col, query, k=k)
+
+
+def linear_mmd_by_group(
+    df: DataFrame, vec_col: str, group_col: str, dim: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between every group pair
+    — the embedding-drift screen (Gretton et al.'s MMD with k(x,y) =
+    x·y, for which MMD^2 collapses to ||mu_a - mu_b||^2): did source
+    A's embedding distribution move away from source B's, in one
+    number per pair. Exact fixed point: per-dim means quantized at
+    ``scale`` (sum*scale div n — floor applied identically by both
+    engines), then an exact integer sum of squared differences.
+
+    Shape: one posexplode + (group, dim) groupBy collapses the corpus
+    to a |groups|*dim moment relation (bounded, broadcastable); the
+    pair expansion is a self-join of that bounded relation — never
+    data-sized. Returns (group_a, group_b, mmd2_fp) for a < b, where
+    mmd2_fp = sum_d (mu_a_fp - mu_b_fp)^2 div scale.
+    """
+    moments = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+        )
+        # quantize BEFORE the sum: a float sum is partition-order
+        # dependent and can never hash cross-engine; the integer sum
+        # of per-element round(x*scale) is exact and associative
+        .select(
+            "__g", "__d",
+            F.expr(f"CAST(round(__x * {int(scale)}) AS BIGINT)")
+            .alias("__x_fp"),
+        )
+        .groupBy("__g", "__d")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(__x_fp) AS DECIMAL(38,0))"
+                " div count(*) AS BIGINT)"
+            ).alias("__mu_fp")
+        )
+    )
+    a = moments.select(
+        F.col("__g").alias("group_a"), "__d",
+        F.col("__mu_fp").alias("__ma"),
+    )
+    b = moments.select(
+        F.col("__g").alias("group_b"), "__d",
+        F.col("__mu_fp").alias("__mb"),
+    )
+    pairs = a.join(b, "__d").where(F.col("group_a") < F.col("group_b"))
+    return pairs.groupBy("group_a", "group_b").agg(
+        F.expr(
+            f"CAST(CAST(sum(CAST(__ma - __mb AS DECIMAL(38,0))"
+            f" * (__ma - __mb)) AS DECIMAL(38,0)) div {int(scale)}"
+            " AS BIGINT)"
+        ).alias("mmd2_fp")
+    )

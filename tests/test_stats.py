@@ -479,3 +479,40 @@ def test_weighted_quantiles_hand_case(spark):
                df, "v", "w", "rid",
                qs_ppm=[100000, 500000, 900000]).collect()}
     assert out == {100000: 1, 500000: 3, 900000: 4}
+
+
+def test_linear_mmd_zero_for_identical_groups(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        linear_mmd_by_group,
+    )
+
+    # same vectors in both groups -> identical means -> MMD^2 = 0;
+    # a third shifted group must be strictly positive vs both
+    v1, v2 = [1.0, -2.0, 3.0], [0.5, 0.5, 0.5]
+    rows = ([("a", v1), ("a", v2), ("b", v1), ("b", v2)]
+            + [("c", [x + 10.0 for x in v1]), ("c", [x + 10.0 for x in v2])])
+    df = spark.createDataFrame(rows, "g string, vec array<double>")
+    out = {(r.group_a, r.group_b): r.mmd2_fp
+           for r in linear_mmd_by_group(df, "vec", "g", dim=3).collect()}
+    assert out[("a", "b")] == 0
+    assert out[("a", "c")] > 0 and out[("b", "c")] > 0
+    # shift of +10 in 3 dims -> ||diff||^2 = 3 * (10^6*10)^2 / 1e6 = 3e8
+    assert out[("a", "c")] == 3 * (10 * 10**6) ** 2 // 10**6
+
+
+def test_lift_table_perfect_score_concentrates(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        lift_table,
+    )
+
+    # 100 rows, 20 responders, score == outcome*1000 (perfect model),
+    # 10 buckets of 10: buckets 1-2 all positive, rest zero.
+    rows = [(i, 1000 if i < 20 else 0, 1 if i < 20 else 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, score long, y long")
+    out = {r.bucket: (r.n, r.pos, r.rate_fp, r.cum_lift_fp)
+           for r in lift_table(df, "score", "y", "rid").collect()}
+    assert out[1] == (10, 10, 10**6, 5 * 10**6)   # lift 5x (base 20%)
+    assert out[2][1] == 10 and out[2][3] == 5 * 10**6
+    assert out[3][1] == 0
+    assert out[10][3] == 10**6  # full population lift == 1
