@@ -6080,6 +6080,38 @@ def q_lift_table_brand_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift_table(scored, "enc_fp", "y", "line_id", n_buckets=10)
 
 
+def q_overdispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion screen (quality.overdispersion_screen) over
+    per-type daily event counts — the 'is this Poisson' check run
+    before anomaly thresholds assume var == mean; exact cross-
+    multiplied sufficient statistics, one combiner groupBy."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        overdispersion_screen,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("day_n"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    return overdispersion_screen(daily, "event_type", "n_ev")
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (basket.degree_assortativity, Newman 2002)
+    of the co-purchase graph: Pearson correlation of endpoint degrees
+    over both edge orientations — exact integer sufficient statistics,
+    one audit row; the topology read before picking a graph-join
+    partitioning strategy."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        degree_assortativity,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return degree_assortativity(edges, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6090,6 +6122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "overdispersion_events": q_overdispersion_events,
+        "degree_assortativity_parts": q_degree_assortativity,
         "embedding_mmd_cohorts": q_embedding_mmd_sources,
         "lift_table_brand_score": q_lift_table_brand_score,
         "pps_sample_docs": q_pps_sample_docs,
@@ -6494,6 +6528,60 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "overdispersion_events": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type AS g,
+                     CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(x) AS HUGEINT) AS s,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+              FROM daily GROUP BY 1)
+            SELECT g, n_obs,
+                   CAST(s * 1000000 // n_obs AS BIGINT) AS mean_fp,
+                   CAST(CASE WHEN n_obs > 1 AND s > 0
+                             THEN (n_obs * q - s * s) * 1000000
+                                  // (s * (n_obs - 1)) END AS BIGINT)
+                       AS dispersion_fp
+            FROM agg
+        """,
+        "degree_assortativity_parts": f"""
+            WITH canon AS (
+              SELECT DISTINCT least(item_a, item_b) AS a,
+                              greatest(item_a, item_b) AS b
+              FROM read_parquet(
+                '{_STAGE}/copurchase_edges.parquet/*.parquet')
+              WHERE item_a <> item_b),
+            adj AS (
+              SELECT a AS u, b AS v FROM canon
+              UNION ALL SELECT b, a FROM canon),
+            deg AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM adj GROUP BY u),
+            hyd AS (
+              SELECT du.deg AS du, dv.deg AS dv
+              FROM adj
+              JOIN deg du ON du.node = adj.u
+              JOIN deg dv ON dv.node = adj.v),
+            fold AS (
+              SELECT CAST(count(*) AS HUGEINT) AS m,
+                     CAST(sum(du) AS HUGEINT) AS sx,
+                     CAST(sum(CAST(du AS HUGEINT) * du) AS HUGEINT)
+                         AS sxx,
+                     CAST(sum(CAST(du AS HUGEINT) * dv) AS HUGEINT)
+                         AS sxy
+              FROM hyd)
+            SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN m * sxx - sx * sx <> 0
+                             THEN (m * sxy - sx * sx) * 1000000
+                                  // (m * sxx - sx * sx) END AS BIGINT)
+                       AS r_fp
+            FROM fold
+        """,
         "embedding_mmd_cohorts": """
             WITH fp AS (
               SELECT CAST(vec_id % 4 AS BIGINT) AS g, t.d,

@@ -885,3 +885,68 @@ def clustering_coefficients(
             ).alias("cc_fp"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    edges — positive = hubs link to hubs (social-style), negative =
+    hubs link to leaves (dependency/star-style). The one-number
+    topology read before choosing a partitioning strategy for graph
+    joins (disassortative graphs hub-skew worse).
+
+    Each undirected edge contributes BOTH orientations (the standard
+    symmetric estimator), so the sufficient statistics are exact
+    integers over the 2|E|-row orientation relation: with m = 2|E|,
+    Sx = sum deg_u, Sxx = sum deg_u^2, Sxy = sum deg_u*deg_v (Sx ==
+    Sy by symmetry),
+
+        r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2)
+
+    surfaced as r_fp = scale*(m*Sxy - Sx^2) div (m*Sxx - Sx^2). One
+    degree groupBy + two degree hydrations (shuffle_hash) + one fold.
+    Returns one row (n_edges, r_fp); NULL r_fp for degree-regular
+    graphs (denominator 0).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    hydrated = adj.join(du.hint("shuffle_hash"), "u").join(
+        dv.hint("shuffle_hash"), "v"
+    )
+    folded = hydrated.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(F.col("du")).cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("du"))
+        .alias("__sxx"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("dv"))
+        .alias("__sxy"),
+    )
+    den = F.expr("__m * __sxx - __sx * __sx")
+    return folded.select(
+        F.expr("__m div 2").cast("long").alias("n_edges"),
+        F.when(
+            den != 0,
+            F.expr(
+                f"CAST((__m * __sxy - __sx * __sx) * {int(scale)}"
+                " AS DECIMAL(38,0))"
+                " div (__m * __sxx - __sx * __sx)"
+            ),
+        ).cast("long").alias("r_fp"),
+    )

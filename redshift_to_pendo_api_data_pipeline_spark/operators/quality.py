@@ -427,3 +427,50 @@ def corr_matrix_pearson(
             )
             rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def overdispersion_screen(
+    df, group_col: str, count_col: str, scale: int = 10**6,
+):
+    """Index-of-dispersion screen per group: var/mean of a count
+    series in fixed point — the 'is this actually Poisson' check run
+    BEFORE anomaly thresholds assume variance == mean (ratio >> 1 =
+    overdispersed/bursty: thresholds must widen; ~1 = Poisson-like).
+
+    Exact integer sufficient statistics (same device as
+    `corr_matrix_pearson`): with n, S = sum x, Q = sum x^2 per group,
+
+        dispersion_fp = scale * (n*Q - S^2) div (S * (n-1))
+
+    which is (sample variance / mean) * scale, cross-multiplied so no
+    intermediate float or division-before-multiplication loss.
+    Groups with n < 2 or S = 0 are emitted with NULL dispersion. One
+    map-side-combined groupBy.
+
+    Returns (group, n_obs, mean_fp, dispersion_fp).
+    """
+    from pyspark.sql import functions as F
+
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(count_col).cast("long")).cast("long").alias("__s"),
+        F.sum(
+            F.col(count_col).cast("decimal(38,0)") * F.col(count_col)
+        ).alias("__q"),
+    )
+    return g.select(
+        "g", "n_obs",
+        F.expr(
+            f"CAST(CAST(__s AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div n_obs"
+        ).cast("long").alias("mean_fp"),
+        F.when(
+            (F.col("n_obs") > 1) & (F.col("__s") > 0),
+            F.expr(
+                f"CAST((n_obs * CAST(__q AS DECIMAL(38,0))"
+                f" - CAST(__s AS DECIMAL(38,0)) * __s) * {int(scale)}"
+                " AS DECIMAL(38,0))"
+                " div (CAST(__s AS DECIMAL(38,0)) * (n_obs - 1))"
+            ),
+        ).cast("long").alias("dispersion_fp"),
+    )

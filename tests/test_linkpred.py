@@ -117,3 +117,45 @@ def test_binary_quantized_topk_recall_on_clusters(spark):
           binary_quantized_topk(df, "embedding", "vec_id", q,
                                 dim=64, k=10, rerank=40).collect()}
     assert len(exact & bq) >= 8
+
+
+def test_degree_assortativity_star_is_negative_one(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        degree_assortativity,
+    )
+
+    # star graph: every edge joins the hub (deg 4) to a leaf (deg 1)
+    # -> perfectly disassortative, r = -1
+    rows = [(0, k) for k in range(1, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    r = degree_assortativity(df, "src", "dst").collect()[0]
+    assert r.n_edges == 4
+    assert r.r_fp == -(10**6)
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.basket import (
+        degree_assortativity,
+    )
+
+    # cycle: all degrees equal -> zero variance -> r undefined (NULL)
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    r = degree_assortativity(df, "src", "dst").collect()[0]
+    assert r.r_fp is None
+
+
+def test_overdispersion_constant_series_zero(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        overdispersion_screen,
+    )
+
+    rows = [("a", 5), ("a", 5), ("a", 5),
+            ("b", 1), ("b", 9), ("b", 5),   # var 16, mean 5 -> 3.2
+            ("c", 7)]                        # n=1 -> NULL
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: (r.n_obs, r.mean_fp, r.dispersion_fp)
+           for r in overdispersion_screen(df, "g", "x").collect()}
+    assert out["a"] == (3, 5_000_000, 0)
+    assert out["b"] == (3, 5_000_000, 3_200_000)
+    assert out["c"][2] is None
