@@ -6112,6 +6112,33 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "item_a", "item_b")
 
 
+def q_phonetic_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (Soundex) blocking for record linkage (dedup.
+    editdist_pairs_from_dict): the sounds-alike blocker that catches
+    typo classes a token or trailing-word blocker misses — block key =
+    soundex(head token) of the DISTINCT part-name dictionary
+    (JVM-built-in, codegen), pairs verified by Levenshtein <= 3 within
+    blocks. Soundex exists only Spark-side, so the keyed dictionary
+    STAGES to the lake and the oracle re-derives pairing + distances
+    from the identical staged relation."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        editdist_pairs_from_dict,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    part = load_table(spark, sf_dir, "part")
+    dic = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "name", "n",
+        F.soundex(F.element_at(F.split(F.col("name"), " "), 1))
+        .alias("__blk"),
+    )
+    path = f"{_stage_dir(sf_dir)}/phonetic_name_blocks.parquet"
+    stage_parquet(dic, path)
+    return editdist_pairs_from_dict(spark.read.parquet(path), max_dist=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6122,6 +6149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
         "overdispersion_events": q_overdispersion_events,
         "degree_assortativity_parts": q_degree_assortativity,
         "embedding_mmd_cohorts": q_embedding_mmd_sources,
@@ -6528,6 +6556,19 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "phonetic_linkage_pairs": f"""
+            WITH dic AS (
+              SELECT name, n, __blk
+              FROM read_parquet(
+                '{_STAGE}/phonetic_name_blocks.parquet/*.parquet'))
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM dic a JOIN dic b
+              ON b.__blk = a.__blk AND a.name < b.name
+            WHERE abs(length(a.name) - length(b.name)) <= 3
+              AND levenshtein(a.name, b.name) <= 3
+        """,
         "overdispersion_events": """
             WITH daily AS (
               SELECT event_type,

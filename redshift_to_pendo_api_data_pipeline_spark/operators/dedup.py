@@ -1010,6 +1010,17 @@ def editdist_pairs(
         else F.element_at(F.split(F.col("name"), " "), -1)
     )
     dic = dic.select("name", "n", blk.alias("__blk"))
+    return editdist_pairs_from_dict(dic, max_dist)
+
+
+def editdist_pairs_from_dict(dic: DataFrame, max_dist: int = 2) -> DataFrame:
+    """The pairing half of `editdist_pairs`, over an ALREADY-BUILT
+    (name, n, __blk) dictionary — split out so a blocker whose key only
+    exists on the Spark side (e.g. `F.soundex`, absent from DuckDB) can
+    STAGE the keyed dictionary to the lake and the oracle certifies
+    everything downstream of the key from the identical staged relation
+    (the HLL staged-hash trust model). Same per-block self-join, length
+    prefilter, and JVM levenshtein as the parent."""
     a = dic.select(
         F.col("name").alias("name_a"), F.col("n").alias("n_a"), "__blk"
     )

@@ -159,3 +159,30 @@ def test_overdispersion_constant_series_zero(spark):
     assert out["a"] == (3, 5_000_000, 0)
     assert out["b"] == (3, 5_000_000, 3_200_000)
     assert out["c"][2] is None
+
+
+def test_phonetic_dict_pairing_stage_contract(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        editdist_pairs,
+        editdist_pairs_from_dict,
+    )
+
+    # "smith"/"smyth"/"smithe" soundex-block together (S530); "jones"
+    # lands elsewhere — phonetic blocking catches the vowel-swap typo
+    # a trailing-token blocker would miss on single-token names
+    rows = [("smith",), ("smyth",), ("smithe",), ("jones",), ("smith",)]
+    df = spark.createDataFrame(rows, "name string")
+    dic = df.groupBy("name").agg(F.count(F.lit(1)).alias("n")).select(
+        "name", "n", F.soundex("name").alias("__blk")
+    )
+    got = {(r.name_a, r.name_b): r.dist
+           for r in editdist_pairs_from_dict(dic, max_dist=2).collect()}
+    assert got == {("smith", "smithe"): 1, ("smith", "smyth"): 1,
+                   ("smithe", "smyth"): 2}
+    # and the parent operator still delegates identically (trailing-
+    # token blocker on two-token names)
+    rows2 = [("blue widget",), ("blue wiget",)]
+    df2 = spark.createDataFrame(rows2, "name string")
+    out2 = editdist_pairs(df2, "name", max_dist=2).collect()
+    assert len(out2) == 0  # different trailing tokens -> blocked apart
