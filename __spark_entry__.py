@@ -6139,6 +6139,27 @@ def q_phonetic_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_pairs_from_dict(spark.read.parquet(path), max_dist=3)
 
 
+def q_file_row_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-file row-skew audit (layout.file_row_skew): lineitem
+    is staged range-partitioned on l_linenumber — a deliberately
+    SKEWED 4-file layout (line numbers are heavy-tailed) standing in
+    for a production table after uneven ingest — then the audit counts
+    rows per backing file via input_file_name(). Only counts surface
+    (paths differ across engines); the oracle re-audits the same
+    staged directory via read_parquet(filename=true)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        file_row_skew,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    path = f"{_stage_dir(sf_dir)}/lineitem_skewed_files.parquet"
+    stage_parquet(li.repartitionByRange(4, "l_linenumber"), path)
+    return file_row_skew(spark.read.parquet(path))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6149,6 +6170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "file_row_skew_lineitem": q_file_row_skew,
         "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
         "overdispersion_events": q_overdispersion_events,
         "degree_assortativity_parts": q_degree_assortativity,
@@ -6556,6 +6578,24 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "file_row_skew_lineitem": f"""
+            WITH per AS (
+              SELECT filename, CAST(count(*) AS BIGINT) AS rows_f
+              FROM read_parquet(
+                '{_STAGE}/lineitem_skewed_files.parquet/*.parquet',
+                filename=true)
+              GROUP BY filename),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(rows_f) AS BIGINT) AS total_rows,
+                     CAST(min(rows_f) AS BIGINT) AS min_file_rows,
+                     CAST(max(rows_f) AS BIGINT) AS max_file_rows
+              FROM per)
+            SELECT n_files, total_rows, min_file_rows, max_file_rows,
+                   CAST(CAST(max_file_rows AS HUGEINT) * 1000000
+                        // (total_rows // n_files) AS BIGINT) AS skew_fp
+            FROM agg
+        """,
         "phonetic_linkage_pairs": f"""
             WITH dic AS (
               SELECT name, n, __blk

@@ -261,3 +261,36 @@ def minmax_overlap_depth(
         (F.max(key_col).cast("long") + 1).alias("hi"),
     )
     return interval_concurrency_peak(env, "bucket", "lo", "hi")
+
+
+def file_row_skew(df: DataFrame) -> DataFrame:
+    """Physical-layout skew audit over the files backing a scan — the
+    small-files / straggler screen read before (and after) compaction:
+    rows per physical file via ``input_file_name()`` (evaluated
+    map-side in the scan, zero extra I/O), collapsed to one audit row
+
+        (n_files, total_rows, min_file_rows, max_file_rows,
+         skew_fp = max * scale div mean)
+
+    skew_fp >> scale means one file dominates a partition's work (a
+    straggler at 1000 executors); a huge n_files with tiny mean is the
+    small-files tax `compact_small_files` exists to pay down. File
+    NAMES never leave the aggregation (they differ across engines and
+    schemes); only counts surface, so the audit hash-checks
+    cross-engine against DuckDB's filename-grouped twin.
+    """
+    per = df.groupBy(F.input_file_name().alias("__f")).agg(
+        F.count(F.lit(1)).cast("long").alias("__rows")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("__rows").cast("long").alias("total_rows"),
+        F.min("__rows").cast("long").alias("min_file_rows"),
+        F.max("__rows").cast("long").alias("max_file_rows"),
+    ).select(
+        "n_files", "total_rows", "min_file_rows", "max_file_rows",
+        F.expr(
+            "CAST(CAST(max_file_rows AS DECIMAL(38,0)) * 1000000"
+            " AS DECIMAL(38,0)) div (total_rows div n_files)"
+        ).cast("long").alias("skew_fp"),
+    )

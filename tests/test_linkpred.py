@@ -186,3 +186,21 @@ def test_phonetic_dict_pairing_stage_contract(spark):
     df2 = spark.createDataFrame(rows2, "name string")
     out2 = editdist_pairs(df2, "name", max_dist=2).collect()
     assert len(out2) == 0  # different trailing tokens -> blocked apart
+
+
+def test_file_row_skew_counts_physical_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.layout import (
+        file_row_skew,
+    )
+
+    # 3-file layout with known sizes 10 / 30 / 60 (one append per file
+    # — range-sampled repartition may merge small ranges)
+    p = str(tmp_path / "t.parquet")
+    for lo, hi in [(0, 10), (10, 40), (40, 100)]:
+        spark.range(lo, hi).coalesce(1).write.mode("append").parquet(p)
+    r = file_row_skew(spark.read.parquet(p)).collect()[0]
+    assert r.n_files == 3 and r.total_rows == 100
+    assert (r.min_file_rows, r.max_file_rows) == (10, 60)
+    # mean = 100 div 3 = 33 -> skew = 60*1e6 div 33
+    assert r.skew_fp == 60 * 10**6 // 33
