@@ -6160,6 +6160,44 @@ def q_file_row_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_row_skew(spark.read.parquet(path))
 
 
+def q_eb_shrunk_brand_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates (stats.
+    eb_shrunk_rates): small brands' raw rates swing wildly — a
+    200-observation Beta prior pulls each toward the global rate until
+    the brand earns its evidence; exact rational arithmetic
+    cross-multiplied, no float rate anywhere."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        eb_shrunk_rates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = li.select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    return eb_shrunk_rates(base, "p_brand", "returned", pseudo_n=200)
+
+
+def q_trend_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (stats.cochran_armitage_trend): does
+    the return rate RISE with discount level — the directional 1-df
+    upgrade of the chi-square screen; bin scores = discount basis
+    points, exact integer sufficient statistics, one IEEE sqrt."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cochran_armitage_trend,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").alias("disc_bp"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    )
+    return cochran_armitage_trend(li, "disc_bp", "returned")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6170,6 +6208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
+        "trend_test_discount": q_trend_test_discount,
         "file_row_skew_lineitem": q_file_row_skew,
         "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
         "overdispersion_events": q_overdispersion_events,
@@ -6578,6 +6618,61 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "eb_shrunk_brand_rates": """
+            WITH base AS (
+              SELECT p.p_brand AS g,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            cells AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM base GROUP BY g),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(pos) AS BIGINT) AS rr
+              FROM cells)
+            SELECT g, n, pos,
+                   CAST(CAST(pos AS HUGEINT) * 1000000 // n AS BIGINT)
+                       AS raw_fp,
+                   CAST((CAST(pos AS HUGEINT) * nn + 200 * rr) * 1000000
+                        // (CAST(nn AS HUGEINT) * (n + 200)) AS BIGINT)
+                       AS shrunk_fp
+            FROM cells, tot
+        """,
+        "trend_test_discount": """
+            WITH base AS (
+              SELECT CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                          AS BIGINT) AS s,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem),
+            cells AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS r
+              FROM base GROUP BY s),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                     CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(r) AS BIGINT) AS rr,
+                     CAST(sum(CAST(s AS HUGEINT) * r) AS HUGEINT) AS sr,
+                     CAST(sum(CAST(s AS HUGEINT) * n) AS HUGEINT) AS sn,
+                     CAST(sum(CAST(s AS HUGEINT) * s * n) AS HUGEINT)
+                         AS ssn
+              FROM cells)
+            SELECT n_bins, nn AS n_total, rr AS pos_total,
+                   CAST(CAST(nn AS HUGEINT) * sr - sn * rr AS BIGINT)
+                       AS t_num,
+                   round(CAST(CAST(nn AS HUGEINT) * sr - sn * rr
+                              AS DOUBLE)
+                         / sqrt(CAST(rr AS DOUBLE)
+                                * CAST(nn - rr AS DOUBLE)
+                                / CAST(nn AS DOUBLE)
+                                * CAST(CAST(nn AS HUGEINT) * ssn
+                                       - sn * sn AS DOUBLE)), 6)
+                       AS z_fp
+            FROM fold
+        """,
         "file_row_skew_lineitem": f"""
             WITH per AS (
               SELECT filename, CAST(count(*) AS BIGINT) AS rows_f

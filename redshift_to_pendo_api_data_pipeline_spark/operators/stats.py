@@ -353,3 +353,106 @@ def quantile_normalize(
                       F.col("__pv").alias("qn_value")).hint("shuffle_hash"),
         "__idx",
     ).select(id_col, group_col, value_col, "qn_value")
+
+
+def eb_shrunk_rates(
+    df: DataFrame, group_col: str, flag_col: str, pseudo_n: int = 200,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Empirical-Bayes (Beta-prior) shrinkage of per-group rates — the
+    small-sample fix for ranking groups by a rate: raw rates from tiny
+    groups swing to 0%/100% and dominate leaderboards; shrinking each
+    toward the GLOBAL rate with a ``pseudo_n``-strength prior
+
+        shrunk = (pos + m * global_rate) / (n + m)
+               = (pos*N + m*R) / (N * (n + m))        [exact rational]
+
+    keeps the estimate honest until the group earns its evidence
+    (m = pseudo_n observations' worth of prior). The fixed-point form
+    is the right-hand rational cross-multiplied, one floor-div, no
+    float rate anywhere.
+
+    One group-key combiner aggregate + one scalar crossJoin. Returns
+    (group, n, pos, raw_fp, shrunk_fp).
+    """
+    cells = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("pos"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("pos").cast("long").alias("__rr"),
+    )
+    m = int(pseudo_n)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "g", "n", "pos",
+        F.expr(
+            f"CAST(CAST(pos AS DECIMAL(38,0)) * {int(scale)}"
+            " AS DECIMAL(38,0)) div n"
+        ).cast("long").alias("raw_fp"),
+        F.expr(
+            f"CAST((CAST(pos AS DECIMAL(38,0)) * __nn + {m} * __rr)"
+            f" * {int(scale)} AS DECIMAL(38,0))"
+            f" div (CAST(__nn AS DECIMAL(38,0)) * (n + {m}))"
+        ).cast("long").alias("shrunk_fp"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame, score_col: str, flag_col: str,
+) -> DataFrame:
+    """Cochran-Armitage test for TREND in rates across ordered groups
+    — the directional upgrade of the chi-square screen: 'does the
+    return rate RISE with discount level', one tail, one degree of
+    freedom. With bin scores s_i, sizes n_i, successes r_i, totals
+    (N, R):
+
+        T   = sum s_i * r_i - (sum s_i * n_i) * R / N
+        Var = (R/N)(1 - R/N) * [sum s_i^2 n_i - (sum s_i n_i)^2 / N]
+
+    Both are assembled from exact integer sufficient statistics
+    cross-multiplied by N (t_num = N*sum(s r) - sum(s n)*R etc.), and
+    the single z = T/sqrt(Var) evaluates in doubles at the very end —
+    deterministic (one IEEE sqrt, round 1e-6). Returns one row
+    (n_bins, n_total, pos_total, t_num, z_fp) where t_num = N*T.
+
+    Shape: one score-key combiner aggregate (bin-bounded) + one fold.
+    """
+    cells = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("r"),
+    )
+    folded = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("r").cast("long").alias("__rr"),
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("r")).alias("__sr"),
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("n")).alias("__sn"),
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s") * F.col("n")
+        ).alias("__ssn"),
+    )
+    t_num = F.expr("CAST(__nn AS DECIMAL(38,0)) * __sr - __sn * __rr")
+    # Var * N^3 = R*(N-R) * (N*ssn - sn^2)  — z = T/sqrt(Var) and
+    # T = t_num/N, so z = t_num / sqrt(N * R*(N-R) * (N*ssn - sn^2) / N^2)
+    # ... assembled in doubles from the exact integer pieces below.
+    var_core = F.expr(
+        "CAST(CAST(__nn AS DECIMAL(38,0)) * __ssn - __sn * __sn"
+        " AS DECIMAL(38,0))"
+    )
+    z = (
+        t_num.cast("double")
+        / F.sqrt(
+            F.col("__rr").cast("double")
+            * (F.col("__nn") - F.col("__rr")).cast("double")
+            / F.col("__nn").cast("double")
+            * var_core.cast("double")
+        )
+    )
+    return folded.select(
+        "n_bins",
+        F.col("__nn").alias("n_total"),
+        F.col("__rr").alias("pos_total"),
+        t_num.cast("long").alias("t_num"),
+        F.round(z, 6).alias("z_fp"),
+    )

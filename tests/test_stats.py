@@ -516,3 +516,40 @@ def test_lift_table_perfect_score_concentrates(spark):
     assert out[2][1] == 10 and out[2][3] == 5 * 10**6
     assert out[3][1] == 0
     assert out[10][3] == 10**6  # full population lift == 1
+
+
+def test_eb_shrinkage_pulls_small_groups_to_global(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        eb_shrunk_rates,
+    )
+
+    # global rate 50%; tiny group "t" is 1/1 = 100% raw, big group
+    # "b" is 499/999. With m=10: t shrinks hard, b barely moves.
+    rows = [("t", 1)] + [("b", 1)] * 499 + [("b", 0)] * 500
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = {r.g: (r.raw_fp, r.shrunk_fp)
+           for r in eb_shrunk_rates(df, "g", "y", pseudo_n=10).collect()}
+    assert out["t"][0] == 10**6
+    # t shrunk: (1*1000 + 10*500)*1e6 // (1000*11) = 6000*1e6//11000
+    assert out["t"][1] == 6000 * 10**6 // 11000
+    assert abs(out["b"][1] - out["b"][0]) < 2000  # big group barely moves
+    assert out["t"][1] < out["t"][0]  # pulled toward 50%
+
+
+def test_cochran_armitage_detects_direction(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cochran_armitage_trend,
+    )
+
+    # rates rise with score: s=0 -> 10%, s=1 -> 50%, s=2 -> 90%
+    rows = ([(0, 1)] * 10 + [(0, 0)] * 90
+            + [(1, 1)] * 50 + [(1, 0)] * 50
+            + [(2, 1)] * 90 + [(2, 0)] * 10)
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = cochran_armitage_trend(df, "s", "y").collect()[0]
+    assert r.n_bins == 3 and r.n_total == 300 and r.pos_total == 150
+    assert r.t_num > 0 and r.z_fp > 5  # strongly positive trend
+    # reversed direction flips the sign
+    df2 = df.selectExpr("CAST(2 - s AS LONG) AS s", "y")
+    r2 = cochran_armitage_trend(df2, "s", "y").collect()[0]
+    assert r2.t_num == -r.t_num and abs(r2.z_fp + r.z_fp) < 1e-9
