@@ -6198,6 +6198,24 @@ def q_trend_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_armitage_trend(li, "disc_bp", "returned")
 
 
+def q_oph_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash near-dup pairs (dedup.
+    oph_dedup_pairs_staged, Li et al. 2012 + rotation densification):
+    ONE hash per shingle instead of k=48 — the cheap-signature
+    production path; banding, exact-Jaccard verify, and the staged-
+    signature oracle trust model are all shared with the classic
+    `minhash_neardup`."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        oph_dedup_pairs_staged,
+    )
+
+    return oph_dedup_pairs_staged(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        stage_path=f"{_stage_dir(sf_dir)}/oph_minhash_sigs.parquet",
+        threshold=0.8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6208,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "oph_minhash_neardup": q_oph_minhash_neardup,
         "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
         "trend_test_discount": q_trend_test_discount,
         "file_row_skew_lineitem": q_file_row_skew,
@@ -6618,6 +6637,11 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "oph_minhash_neardup": f"""
+            WITH {_MINHASH_VERIFIED_CTE.strip().replace(
+                "minhash_sigs.parquet", "oph_minhash_sigs.parquet")}
+            SELECT id_a, id_b, jaccard FROM verified
+        """,
         "eb_shrunk_brand_rates": """
             WITH base AS (
               SELECT p.p_brand AS g,

@@ -1245,3 +1245,74 @@ def connected_components_star(
     return labels_nonroot.unionByName(labels_root).groupBy("node").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+
+
+def oph_minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, k: int = 48, seed: int = 7, rot_c: int = 1_000_003,
+) -> DataFrame:
+    """One-Permutation Hashing MinHash signatures (Li, Owen & Zhang
+    2012) with rotation densification (Shrivastava & Li 2014): ONE
+    xxhash64 per shingle instead of k — the hash bill of the signature
+    pass drops k-fold (at 100 TB the shingle stream dominates
+    signature cost, so this is the cheap-signature production path;
+    classic k-hash `minhash_signatures` remains the reference).
+
+    Mechanics: the single 62-bit hash u splits into a bin (u mod k —
+    which signature slot this shingle competes for) and a value
+    (u div k — rank within the permutation); per-doc per-bin min gives
+    k slots, and EMPTY bins (docs with < k shingles leave gaps)
+    densify by borrowing the nearest non-empty slot to the right
+    (cyclically), offset by t*rot_c per step so borrowed values don't
+    spuriously collide across bins.
+
+    Shape: one shingle explode, one (doc)-key combiner aggregate with
+    k conditional mins (identical shuffle to the classic path), then
+    the k^2-bounded densification runs rowside in codegen. Output
+    (doc, sig array<long>) — drop-in for `candidates_from_signatures`.
+    """
+    exploded = exploded_shingles(df, text_col, id_col, n=n)
+    prepared = exploded.select(
+        "doc",
+        F.xxhash64(F.lit(int(seed)), F.col("sh"))
+        .bitwiseAND(F.lit((1 << 62) - 1)).alias("__u"),
+    ).select(
+        "doc",
+        F.pmod(F.col("__u"), F.lit(int(k))).cast("int").alias("__bin"),
+        F.expr(f"__u div {int(k)}").cast("long").alias("__val"),
+    )
+    mins = [
+        F.min(F.when(F.col("__bin") == i, F.col("__val"))).alias(f"m{i}")
+        for i in range(int(k))
+    ]
+    agg = prepared.groupBy("doc").agg(*mins)
+    raw = F.array(*[F.col(f"m{i}") for i in range(int(k))])
+    dens = F.expr(
+        f"transform(sequence(0, {int(k) - 1}), i -> "
+        f"aggregate(sequence(0, {int(k) - 1}), CAST(NULL AS BIGINT), "
+        f"(acc, t) -> coalesce(acc, "
+        f"try_element_at(__raw, pmod(i + t, {int(k)}) + 1)"
+        f" + t * CAST({int(rot_c)} AS BIGINT))))"
+    )
+    return (
+        agg.withColumn("__raw", raw)
+        .select("doc", dens.alias("sig"))
+    )
+
+
+def oph_dedup_pairs_staged(
+    df: DataFrame, text_col: str, id_col: str, stage_path: str,
+    threshold: float = 0.8, n: int = 3, k: int = 48, bands: int = 8,
+) -> DataFrame:
+    """`minhash_dedup_pairs_staged` with OPH signatures: stage the
+    densified one-permutation signatures, band them with the SAME
+    `candidates_from_signatures`, verify with exact n-gram Jaccard —
+    only the signature builder changed, everything downstream
+    (banding algebra, verify, oracle trust model) is shared."""
+    stage_parquet(
+        oph_minhash_signatures(df, text_col, id_col, n=n, k=k), stage_path
+    )
+    sigs = df.sparkSession.read.parquet(stage_path)
+    cands = candidates_from_signatures(sigs, k=k, bands=bands)
+    verified = ngram_jaccard(cands, df, text_col, id_col, n=n)
+    return verified.where(F.col("jaccard") >= threshold)

@@ -204,3 +204,57 @@ def test_file_row_skew_counts_physical_files(spark, tmp_path):
     assert (r.min_file_rows, r.max_file_rows) == (10, 60)
     # mean = 100 div 3 = 33 -> skew = 60*1e6 div 33
     assert r.skew_fp == 60 * 10**6 // 33
+
+
+def test_oph_signature_dense_for_short_docs(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        oph_minhash_signatures,
+    )
+
+    # a 5-word doc has ~3 shingles << k=16 bins: most bins empty, and
+    # rotation densification must fill every slot (no NULLs)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    sig = oph_minhash_signatures(df, "text", "doc_id", k=16).collect()[0].sig
+    assert len(sig) == 16
+    assert all(v is not None for v in sig)
+    # identical docs -> identical signatures (determinism)
+    df2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    sig2 = oph_minhash_signatures(df2, "text", "doc_id", k=16).collect()[0].sig
+    assert sig == sig2
+
+
+def test_oph_recall_against_classic_minhash(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        oph_minhash_signatures,
+        candidates_from_signatures,
+    )
+
+    # 30 base docs, each with a near-duplicate (one word changed):
+    # both signature families band into candidates; OPH must recover
+    # a comparable share of the 30 true pairs
+    base = [
+        " ".join(f"tok{i}w{j}" for j in range(30)) for i in range(30)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        words = t.split()
+        words[15] = "CHANGED"
+        rows.append((2 * i + 1, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {(2 * i, 2 * i + 1) for i in range(30)}
+
+    classic = candidates_from_signatures(
+        minhash_signatures(df, "text", "doc_id"), k=48, bands=8)
+    oph = candidates_from_signatures(
+        oph_minhash_signatures(df, "text", "doc_id"), k=48, bands=8)
+    c_hits = {(r.id_a, r.id_b) for r in classic.collect()} & truth
+    o_hits = {(r.id_a, r.id_b) for r in oph.collect()} & truth
+    assert len(c_hits) >= 25          # classic catches nearly all
+    assert len(o_hits) >= len(c_hits) - 5  # OPH within 5 pairs of classic
