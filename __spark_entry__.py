@@ -6216,6 +6216,24 @@ def q_oph_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (stats.spearman_rho) of lineitem
+    price vs quantity — the outlier-proof monotonic-association
+    screen beside the Pearson matrix; doubled midranks keep the
+    sufficient statistics exactly integral under ties, one sqrt at
+    the end."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        spearman_rho,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return spearman_rho(li, "price_fp", "qty")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6226,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "spearman_price_qty": q_spearman_price_qty,
         "oph_minhash_neardup": q_oph_minhash_neardup,
         "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
         "trend_test_discount": q_trend_test_discount,
@@ -6637,6 +6656,48 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spearman_price_qty": """
+            WITH base AS (
+              SELECT CAST(cast(l_extendedprice as decimal(18,2)) * 100
+                          AS BIGINT) AS x,
+                     CAST(l_quantity AS BIGINT) AS y
+              FROM lineitem),
+            rx AS (
+              SELECT v AS x, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)
+                         AS drx
+              FROM (SELECT v, cnt,
+                           sum(cnt) OVER (ORDER BY v) AS cum
+                    FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+                          FROM base GROUP BY x))),
+            ry AS (
+              SELECT v AS y, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)
+                         AS dry
+              FROM (SELECT v, cnt,
+                           sum(cnt) OVER (ORDER BY v) AS cum
+                    FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+                          FROM base GROUP BY y))),
+            ranked AS (
+              SELECT rx.drx, ry.dry
+              FROM base JOIN rx ON rx.x = base.x
+                        JOIN ry ON ry.y = base.y),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(drx) AS HUGEINT) AS sx,
+                     CAST(sum(dry) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(drx AS HUGEINT) * drx) AS HUGEINT)
+                         AS sxx,
+                     CAST(sum(CAST(dry AS HUGEINT) * dry) AS HUGEINT)
+                         AS syy,
+                     CAST(sum(CAST(drx AS HUGEINT) * dry) AS HUGEINT)
+                         AS sxy
+              FROM ranked)
+            SELECT n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS rho_fp
+            FROM fold
+        """,
         "oph_minhash_neardup": f"""
             WITH {_MINHASH_VERIFIED_CTE.strip().replace(
                 "minhash_sigs.parquet", "oph_minhash_sigs.parquet")}

@@ -456,3 +456,68 @@ def cochran_armitage_trend(
         t_num.cast("long").alias("t_num"),
         F.round(z, 6).alias("z_fp"),
     )
+
+
+def spearman_rho(
+    df: DataFrame, x_col: str, y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson over midranks, the
+    outlier-proof monotonic-association screen. DOUBLED midranks (the
+    `mann_whitney_u` device) keep every sufficient statistic exactly
+    integral even under heavy ties; the single sqrt-and-divide
+    evaluates in doubles at the very end (IEEE-deterministic, round
+    1e-6).
+
+    Shape: each variable collapses to its DISTINCT-VALUE relation
+    (combiner groupBy), takes a prefix pass (`global_prefix_sum`,
+    checkpoint-pinned) to derive the doubled midrank per value, and
+    joins back value->rank (big-big on the value key, shuffle_hash —
+    the dictionary side is distinct-value-sized). One fold computes
+
+        rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    over the doubled ranks (the doubling cancels). Returns one row
+    (n, rho_fp).
+    """
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        per_v = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
+        cum = global_prefix_sum(per_v, ["__v"], "__cnt",
+                                prefix_name="__cum")
+        return cum.select(
+            F.col("__v").alias(col),
+            (2 * (F.col("__cum") - F.col("__cnt"))
+             + F.col("__cnt") + 1).cast("long").alias(out),
+        )
+
+    rx = doubled_ranks(x_col, "__rx")
+    ry = doubled_ranks(y_col, "__ry")
+    ranked = (
+        df.select(x_col, y_col)
+        .join(rx.hint("shuffle_hash"), x_col)
+        .join(ry.hint("shuffle_hash"), y_col)
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__ry").cast("decimal(38,0)").alias("__sy"),
+        F.sum(F.col("__rx").cast("decimal(38,0)") * F.col("__rx"))
+        .alias("__sxx"),
+        F.sum(F.col("__ry").cast("decimal(38,0)") * F.col("__ry"))
+        .alias("__syy"),
+        F.sum(F.col("__rx").cast("decimal(38,0)") * F.col("__ry"))
+        .alias("__sxy"),
+    )
+    num = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy"
+    ).cast("double")
+    den = F.sqrt(
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx"
+               " AS DOUBLE)")
+        * F.expr("CAST(CAST(n AS DECIMAL(38,0)) * __syy - __sy * __sy"
+                 " AS DOUBLE)")
+    )
+    return folded.select(
+        "n", F.round(num / den, 6).alias("rho_fp")
+    )

@@ -553,3 +553,24 @@ def test_cochran_armitage_detects_direction(spark):
     df2 = df.selectExpr("CAST(2 - s AS LONG) AS s", "y")
     r2 = cochran_armitage_trend(df2, "s", "y").collect()[0]
     assert r2.t_num == -r.t_num and abs(r2.z_fp + r.z_fp) < 1e-9
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        spearman_rho,
+    )
+
+    # perfectly monotone (nonlinear!) relation -> rho = 1 exactly
+    rows = [(i, i * i * i) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r.n == 29 and abs(r.rho_fp - 1.0) < 1e-9
+    # reversed -> -1
+    df2 = spark.createDataFrame([(i, -i * i * i) for i in range(1, 30)],
+                                "x long, y long")
+    assert abs(spearman_rho(df2, "x", "y").collect()[0].rho_fp + 1.0) < 1e-9
+    # hand case with ties: x=(1,2,2,3), y=(10,20,20,40) -> rho = 1
+    df3 = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], "x long, y long"
+    )
+    assert abs(spearman_rho(df3, "x", "y").collect()[0].rho_fp - 1.0) < 1e-9
