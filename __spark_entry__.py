@@ -6234,6 +6234,31 @@ def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_rho(li, "price_fp", "qty")
 
 
+def q_group_sequential_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor (stats.group_sequential_monitor):
+    yearly interim looks at the fulfillment-rate difference between
+    customer-parity arms, cumulative two-proportion z vs an
+    O'Brien-Fleming-SHAPE boundary c*sqrt(K/k) (c = 2.0 fixed-point
+    literals; alpha calibration of c is an offline table decision) —
+    first crossing flagged as the stop."""
+    import math
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        group_sequential_monitor,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("filled"),
+    )
+    k_looks = 7  # 1992..1998
+    bounds = [int(2.0 * math.sqrt(k_looks / k) * 10**6)
+              for k in range(1, k_looks + 1)]
+    return group_sequential_monitor(base, "yr", "arm", "filled", bounds)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6244,6 +6269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "group_sequential_orders": q_group_sequential_orders,
         "spearman_price_qty": q_spearman_price_qty,
         "oph_minhash_neardup": q_oph_minhash_neardup,
         "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
@@ -6656,6 +6682,58 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "group_sequential_orders": """
+            WITH base AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     CAST(o_custkey % 2 AS INT) AS arm,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS f
+              FROM orders),
+            cells AS (
+              SELECT yr, arm, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(f) AS BIGINT) AS x
+              FROM base GROUP BY 1, 2),
+            cum AS (
+              SELECT yr, arm,
+                     CAST(sum(n) OVER (PARTITION BY arm ORDER BY yr)
+                          AS BIGINT) AS cn,
+                     CAST(sum(x) OVER (PARTITION BY arm ORDER BY yr)
+                          AS BIGINT) AS cx
+              FROM cells),
+            looks AS (
+              SELECT a1.yr, a1.cn AS n1, a1.cx AS x1,
+                     a0.cn AS n0, a0.cx AS x0
+              FROM cum a1 JOIN cum a0
+                ON a0.yr = a1.yr AND a1.arm = 1 AND a0.arm = 0),
+            idx AS (
+              SELECT *, row_number() OVER (ORDER BY yr) AS k FROM looks),
+            wz AS (
+              SELECT yr AS look, n1, x1, n0, x0,
+                     round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                            - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                           / sqrt((CAST(x1 + x0 AS DOUBLE)
+                                   / CAST(n1 + n0 AS DOUBLE))
+                                  * (1.0 - CAST(x1 + x0 AS DOUBLE)
+                                           / CAST(n1 + n0 AS DOUBLE))
+                                  * (1.0 / CAST(n1 AS DOUBLE)
+                                     + 1.0 / CAST(n0 AS DOUBLE))), 6)
+                         AS z_fp,
+                     CAST(CASE k WHEN 1 THEN 5291502 WHEN 2 THEN 3741657 WHEN 3 THEN 3055050 WHEN 4 THEN 2645751 WHEN 5 THEN 2366431 WHEN 6 THEN 2160246 WHEN 7 THEN 2000000 END AS BIGINT) AS boundary_fp
+              FROM idx),
+            wc AS (
+              SELECT *, CASE WHEN abs(z_fp) * 1000000 >= boundary_fp
+                             THEN 1 ELSE 0 END AS crossed
+              FROM wz)
+            SELECT look, n1, x1, n0, x0, z_fp, boundary_fp,
+                   CAST(crossed AS INT) AS crossed,
+                   CAST(CASE WHEN crossed = 1
+                             AND coalesce(max(crossed) OVER (
+                                   ORDER BY look
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) = 0
+                        THEN 1 ELSE 0 END AS INT) AS stopped
+            FROM wc
+        """,
         "spearman_price_qty": """
             WITH base AS (
               SELECT CAST(cast(l_extendedprice as decimal(18,2)) * 100

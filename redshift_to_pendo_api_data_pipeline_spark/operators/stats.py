@@ -521,3 +521,87 @@ def spearman_rho(
     return folded.select(
         "n", F.round(num / den, 6).alias("rho_fp")
     )
+
+
+def group_sequential_monitor(
+    df: DataFrame, look_col: str, arm_col: str, flag_col: str,
+    boundaries_fp: list,
+) -> DataFrame:
+    """Group-sequential A/B monitoring: at each interim LOOK, the
+    cumulative two-proportion z compares against that look's spending
+    boundary; the first crossing stops the experiment. The boundary
+    SHAPE is the caller's (O'Brien-Fleming-style c*sqrt(K/k) passed as
+    fixed-point literals — the alpha calibration of c is an offline
+    table lookup, Jennison & Turnbull's tables, deliberately not
+    recomputed here).
+
+    Pooled two-proportion z at look k over cumulative counts
+    (n1,x1,n0,x0):
+
+        z = (x1/n1 - x0/n0) / sqrt(p(1-p)(1/n1 + 1/n0)),  p = (x1+x0)/N
+
+    Cumulative counts come from a LOOK-BOUNDED window over the per-
+    (look, arm) cell relation (one combiner groupBy of the data; the
+    window runs over <= 2K rows). z evaluates in doubles on exact
+    integer counts — one sqrt per look, round 1e-6. Returns per look:
+    (look, n1, x1, n0, x0, z_fp, boundary_fp, crossed, stopped) where
+    `stopped` marks the FIRST crossing look (decision point).
+    """
+    cells = df.groupBy(
+        F.col(look_col).alias("look"),
+        F.col(arm_col).cast("int").alias("__arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("__x"),
+    )
+    w = Window.partitionBy("__arm").orderBy("look").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "look", "__arm",
+        F.sum("__n").over(w).alias("__cn"),
+        F.sum("__x").over(w).alias("__cx"),
+    )
+    a1 = cum.where(F.col("__arm") == 1).select(
+        "look", F.col("__cn").alias("n1"), F.col("__cx").alias("x1")
+    )
+    a0 = cum.where(F.col("__arm") == 0).select(
+        "look", F.col("__cn").alias("n0"), F.col("__cx").alias("x0")
+    )
+    looks = a1.join(a0, "look")
+    b_entries = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(len(boundaries_fp))]),
+        F.array(*[F.lit(int(b)) for b in boundaries_fp]),
+    )
+    w_idx = Window.orderBy("look")  # look-bounded (<= K rows)
+    idxed = looks.withColumn(
+        "__k", F.row_number().over(w_idx)
+    ).withColumn("boundary_fp", F.try_element_at(b_entries, F.col("__k")))
+    p = (F.col("x1") + F.col("x0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+    z = (
+        F.col("x1").cast("double") / F.col("n1").cast("double")
+        - F.col("x0").cast("double") / F.col("n0").cast("double")
+    ) / F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n1").cast("double")
+           + F.lit(1.0) / F.col("n0").cast("double"))
+    )
+    with_z = idxed.withColumn("z_fp", F.round(z, 6)).withColumn(
+        "crossed",
+        (F.abs(F.col("z_fp")) * 1000000 >= F.col("boundary_fp"))
+        .cast("int"),
+    )
+    w_first = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return with_z.withColumn(
+        "stopped",
+        ((F.col("crossed") == 1)
+         & (F.coalesce(F.max("crossed").over(w_first), F.lit(0)) == 0))
+        .cast("int"),
+    ).select(
+        "look", "n1", "x1", "n0", "x0", "z_fp", "boundary_fp",
+        "crossed", "stopped",
+    )

@@ -574,3 +574,49 @@ def test_spearman_perfect_monotone_and_ties(spark):
         [(1, 10), (2, 20), (2, 20), (3, 40)], "x long, y long"
     )
     assert abs(spearman_rho(df3, "x", "y").collect()[0].rho_fp - 1.0) < 1e-9
+
+
+def test_group_sequential_stops_at_first_crossing(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        group_sequential_monitor,
+    )
+
+    # look 1: arms identical (no signal); look 2 adds a huge effect.
+    rows = ([(1, 1, 1)] * 50 + [(1, 1, 0)] * 50
+            + [(1, 0, 1)] * 50 + [(1, 0, 0)] * 50
+            + [(2, 1, 1)] * 90 + [(2, 1, 0)] * 10
+            + [(2, 0, 1)] * 10 + [(2, 0, 0)] * 90)
+    df = spark.createDataFrame(rows, "look long, arm int, y long")
+    out = {r.look: (r.z_fp, r.crossed, r.stopped) for r in
+           group_sequential_monitor(
+               df, "look", "arm", "y",
+               boundaries_fp=[3_000_000, 2_000_000]).collect()}
+    z1, c1, s1 = out[1]
+    z2, c2, s2 = out[2]
+    assert abs(z1) < 0.5 and c1 == 0 and s1 == 0
+    assert z2 > 2.0 and c2 == 1 and s2 == 1
+    # cumulative counts: look 2 row carries both looks' denominators
+    r2 = [r for r in group_sequential_monitor(
+        df, "look", "arm", "y",
+        boundaries_fp=[3_000_000, 2_000_000]).collect() if r.look == 2][0]
+    assert r2.n1 == 200 and r2.n0 == 200
+
+
+def test_group_sequential_stop_flag_only_first(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        group_sequential_monitor,
+    )
+
+    # effect present from look 1 on: both looks cross, only the FIRST
+    # is the stop decision
+    rows = ([(1, 1, 1)] * 95 + [(1, 1, 0)] * 5
+            + [(1, 0, 1)] * 5 + [(1, 0, 0)] * 95
+            + [(2, 1, 1)] * 95 + [(2, 1, 0)] * 5
+            + [(2, 0, 1)] * 5 + [(2, 0, 0)] * 95)
+    df = spark.createDataFrame(rows, "look long, arm int, y long")
+    out = {r.look: (r.crossed, r.stopped) for r in
+           group_sequential_monitor(
+               df, "look", "arm", "y",
+               boundaries_fp=[3_000_000, 2_000_000]).collect()}
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
