@@ -6259,6 +6259,48 @@ def q_group_sequential_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sequential_monitor(base, "yr", "arm", "filled", bounds)
 
 
+def q_cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix (quality.cramers_v_matrix) over
+    the categorical columns of the order domain — which encodings are
+    redundant, read before feature selection; exact cross-multiplied
+    chi2 per pair, one sqrt per pair."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        cramers_v_matrix,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = o.join(F.broadcast(c), "o_custkey").select(
+        "o_orderpriority", "o_orderstatus", "c_mktsegment"
+    )
+    return cramers_v_matrix(base, [
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderpriority", "c_mktsegment"),
+        ("o_orderstatus", "c_mktsegment"),
+    ])
+
+
+def q_partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation (quality.partial_corr): price vs quantity
+    with discount held fixed — the confounder screen after the raw
+    Pearson matrix; one pass of exact integer sufficient statistics,
+    the r-combination evaluated in doubles at the end."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        partial_corr,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").alias("disc_fp"),
+    )
+    return partial_corr(li, "price_fp", "qty", "disc_fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6269,6 +6311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "cramers_v_orders": q_cramers_v_orders,
+        "partial_corr_lineitem": q_partial_corr_lineitem,
         "group_sequential_orders": q_group_sequential_orders,
         "spearman_price_qty": q_spearman_price_qty,
         "oph_minhash_neardup": q_oph_minhash_neardup,
@@ -6682,6 +6726,102 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cramers_v_orders": """
+            WITH base AS (
+              SELECT o.o_orderpriority, o.o_orderstatus, c.c_mktsegment
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            pairs AS (
+              SELECT 'o_orderpriority' AS col_a,
+                     'o_orderstatus' AS col_b,
+                     o_orderpriority AS a, o_orderstatus AS b FROM base
+              UNION ALL
+              SELECT 'o_orderpriority', 'c_mktsegment',
+                     o_orderpriority, c_mktsegment FROM base
+              UNION ALL
+              SELECT 'o_orderstatus', 'c_mktsegment',
+                     o_orderstatus, c_mktsegment FROM base),
+            cells AS (
+              SELECT col_a, col_b, a, b,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM pairs GROUP BY 1, 2, 3, 4),
+            ra AS (SELECT col_a, col_b, a,
+                          CAST(sum(o) AS BIGINT) AS ram
+                   FROM cells GROUP BY 1, 2, 3),
+            cb AS (SELECT col_a, col_b, b,
+                          CAST(sum(o) AS BIGINT) AS cbm
+                   FROM cells GROUP BY 1, 2, 3),
+            tot AS (SELECT col_a, col_b,
+                           CAST(sum(o) AS BIGINT) AS n,
+                           CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                           CAST(count(DISTINCT b) AS BIGINT) AS kb
+                    FROM cells GROUP BY 1, 2),
+            hyd AS (
+              SELECT c.col_a, c.col_b, c.o, r.ram, m.cbm, t.n,
+                     least(t.ka, t.kb) AS klo
+              FROM cells c
+              JOIN ra r ON r.col_a = c.col_a AND r.col_b = c.col_b
+                        AND r.a = c.a
+              JOIN cb m ON m.col_a = c.col_a AND m.col_b = c.col_b
+                        AND m.b = c.b
+              JOIN tot t ON t.col_a = c.col_a AND t.col_b = c.col_b),
+            fold AS (
+              SELECT col_a, col_b, max(n) AS n,
+                     max(klo) AS n_lo_card,
+                     CAST(sum(CAST(o AS HUGEINT) * o * n * 1000000
+                              // (CAST(ram AS HUGEINT) * cbm))
+                          - CAST(max(n) AS HUGEINT) * 1000000
+                          AS BIGINT) AS chi2_fp
+              FROM hyd GROUP BY col_a, col_b)
+            SELECT col_a, col_b, n, n_lo_card, chi2_fp,
+                   round(sqrt(CAST(chi2_fp AS DOUBLE) / 1000000.0
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n_lo_card AS DOUBLE) - 1.0))),
+                         6) AS v_fp
+            FROM fold
+        """,
+        "partial_corr_lineitem": """
+            WITH base AS (
+              SELECT CAST(cast(l_extendedprice as decimal(18,2)) * 100
+                          AS BIGINT) AS x,
+                     CAST(l_quantity AS BIGINT) AS y,
+                     CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                          AS BIGINT) AS z
+              FROM lineitem),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(z) AS HUGEINT) AS sz,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                     CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+                     CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+              FROM base),
+            rs AS (
+              SELECT n,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                         AS rxy,
+                     CAST(n * sxz - sx * sz AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * szz - sz * sz AS DOUBLE))
+                         AS rxz,
+                     CAST(n * syz - sy * sz AS DOUBLE)
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                              * CAST(n * szz - sz * sz AS DOUBLE))
+                         AS ryz
+              FROM fold)
+            SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+                   round(ryz, 6) AS r_yz,
+                   round((rxy - rxz * ryz)
+                         / sqrt((1.0 - rxz * rxz)
+                                * (1.0 - ryz * ryz)), 6)
+                       AS r_xy_given_z
+            FROM rs
+        """,
         "group_sequential_orders": """
             WITH base AS (
               SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -7532,6 +7672,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
                         AS BIGINT) AS u2,
                    CAST(tie_cubes AS BIGINT) AS tie_cubes,
+                   CAST((r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                         - CAST(n1 AS HUGEINT) * n2) * 1000000
+                        // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+                       AS cliffs_delta_fp,
                    round((CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
                                AS DOUBLE)
                           - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))

@@ -474,3 +474,134 @@ def overdispersion_screen(
             ),
         ).cast("long").alias("dispersion_fp"),
     )
+
+
+def cramers_v_matrix(
+    df, col_pairs: list, scale: int = 10**6
+):
+    """Cramér's V association matrix over categorical column PAIRS —
+    the profiling step after `profile_columns`: which categorical
+    columns carry the same information (V near 1 = redundant encode,
+    near 0 = independent), read before feature selection or
+    denormalization decisions.
+
+    Per pair: the contingency cells (bounded by the cardinality
+    product), marginals broadcast back, chi2 assembled with the
+    cross-multiplied exact-integer device of `contingency_chi2`
+    generalized to r x c:
+
+        chi2_fp = sum (o*N - r*c)^2 * scale div (r*c*N)
+
+    and V = sqrt(chi2 / (N*(min(R,C)-1))) with the one sqrt at the
+    end. Returns (col_a, col_b, n, n_lo_card, chi2_fp, v_fp) — one
+    row per pair, unioned across the bounded pair list.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for ca, cb in col_pairs:
+        cells = df.groupBy(
+            F.col(ca).alias("__a"), F.col(cb).alias("__b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        ra = cells.groupBy("__a").agg(
+            F.sum("__o").cast("long").alias("__ra"))
+        cbm = cells.groupBy("__b").agg(
+            F.sum("__o").cast("long").alias("__cb"))
+        tot = cells.agg(
+            F.sum("__o").cast("long").alias("__n"),
+            F.count_distinct("__a").cast("long").alias("__ka"),
+            F.count_distinct("__b").cast("long").alias("__kb"),
+        )
+        hyd = (
+            cells.join(F.broadcast(ra), "__a")
+            .join(F.broadcast(cbm), "__b")
+            .crossJoin(F.broadcast(tot))
+        )
+        # chi2 = sum o^2/e - N (the sum-over-PRESENT-cells identity:
+        # zero cells contribute nothing to sum o^2/e, so the groupBy's
+        # missing zero cells are correct by construction — the naive
+        # (o*N - r*c)^2 form silently undercounts them)
+        contrib = F.expr(
+            f"CAST(CAST(__o AS DECIMAL(38,0)) * __o * __n * {int(scale)}"
+            " AS DECIMAL(38,0))"
+            " div (CAST(__ra AS DECIMAL(38,0)) * __cb)"
+        )
+        folded = hyd.agg(
+            F.max("__n").alias("n"),
+            F.max(F.least(F.col("__ka"), F.col("__kb")))
+            .alias("n_lo_card"),
+            (F.sum(contrib)
+             - F.max("__n").cast("decimal(38,0)") * int(scale))
+            .cast("long").alias("chi2_fp"),
+        )
+        outs.append(folded.select(
+            F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_lo_card").cast("long").alias("n_lo_card"),
+            "chi2_fp",
+            F.round(
+                F.sqrt(
+                    F.col("chi2_fp").cast("double") / float(scale)
+                    / (F.col("n").cast("double")
+                       * (F.col("n_lo_card").cast("double") - 1.0))
+                ), 6
+            ).alias("v_fp"),
+        ))
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def partial_corr(
+    df, x_col: str, y_col: str, z_col: str, scale: int = 10**6
+):
+    """First-order partial correlation r_xy.z — 'does x relate to y
+    once z is held fixed': the confounder screen run after the raw
+    Pearson matrix flags a pair. All three pairwise correlations
+    assemble from ONE pass of exact integer sufficient statistics
+    (the `corr_matrix_pearson` device), then
+
+        r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+
+    evaluates in doubles on those exact sums (deterministic: products
+    and sqrts of identical doubles). Inputs must be pre-quantized
+    integer columns. Returns one row
+    (n, r_xy, r_xz, r_yz, r_xy_given_z) — all rounded 1e-6.
+    """
+    from pyspark.sql import functions as F
+
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    folded = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(x_col)).alias("sx"), F.sum(d(y_col)).alias("sy"),
+        F.sum(d(z_col)).alias("sz"),
+        F.sum(d(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(d(y_col) * F.col(y_col)).alias("syy"),
+        F.sum(d(z_col) * F.col(z_col)).alias("szz"),
+        F.sum(d(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(d(x_col) * F.col(z_col)).alias("sxz"),
+        F.sum(d(y_col) * F.col(z_col)).alias("syz"),
+    )
+
+    def r(sab, sa, sb, saa, sbb):
+        num = F.expr(f"CAST(CAST(n AS DECIMAL(38,0)) * {sab}"
+                     f" - {sa} * {sb} AS DOUBLE)")
+        da = F.expr(f"CAST(CAST(n AS DECIMAL(38,0)) * {saa}"
+                    f" - {sa} * {sa} AS DOUBLE)")
+        db = F.expr(f"CAST(CAST(n AS DECIMAL(38,0)) * {sbb}"
+                    f" - {sb} * {sb} AS DOUBLE)")
+        return num / F.sqrt(da * db)
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    part = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return folded.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(part, 6).alias("r_xy_given_z"),
+    )

@@ -85,8 +85,12 @@ def mann_whitney_u(
         ).cast("decimal(38,0)").alias("tie_cubes"),
     )
     n = F.col("n1") + F.col("n2")
-    u2 = (F.col("__2r1")
-          - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1))
+    folded = folded.withColumn(
+        "u2_d",
+        F.col("__2r1") - F.col("n1").cast("decimal(38,0)")
+        * (F.col("n1") + 1),
+    )
+    u2 = F.col("u2_d")
     # z = (U1 - n1 n2 / 2) / sqrt(n1 n2 / 12 * ((n+1) - tie/(n(n-1))))
     # evaluated as doubles only here, at the end, on already-exact
     # integer sufficient statistics; doubled numerator halves fold in.
@@ -103,6 +107,14 @@ def mann_whitney_u(
         u2.cast("long").alias("u2"),
         F.col("tie_cubes").cast("long").alias("tie_cubes"),
         F.round(z, 6).alias("z_fp"),
+        # Cliff's delta — the ordinal effect size the U statistic
+        # already contains: delta = 2*U1/(n1*n2) - 1 = (u2 - n1*n2)
+        # div-scaled; +1 = group1 stochastically dominates, 0 = none.
+        F.expr(
+            "CAST((CAST(u2_d AS DECIMAL(38,0)) - CAST(n1 AS"
+            " DECIMAL(38,0)) * n2) * 1000000 AS DECIMAL(38,0))"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+        ).cast("long").alias("cliffs_delta_fp"),
     )
 
 

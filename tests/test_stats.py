@@ -620,3 +620,37 @@ def test_group_sequential_stop_flag_only_first(spark):
                boundaries_fp=[3_000_000, 2_000_000]).collect()}
     assert out[1] == (1, 1)
     assert out[2] == (1, 0)
+
+
+def test_cramers_v_identical_and_independent(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        cramers_v_matrix,
+    )
+
+    # col b == col a (perfect association, V = 1); col c independent
+    # coin (V ~ 0 on a balanced 2x2)
+    rows = [(x, x, y) for x in ("p", "q") for y in ("u", "v")
+            for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {(r.col_a, r.col_b): r.v_fp for r in
+           cramers_v_matrix(df, [("a", "b"), ("a", "c")]).collect()}
+    assert abs(out[("a", "b")] - 1.0) < 1e-4
+    assert out[("a", "c")] < 1e-4
+
+
+def test_partial_corr_removes_common_driver(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.quality import (
+        partial_corr,
+    )
+
+    # x and y both driven by z (plus independent-ish residuals):
+    # raw r_xy is high, partial r_xy.z collapses toward 0
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("z"),
+        ((F.col("id") % 97) * 10 + F.col("id") % 7).alias("x"),
+        ((F.col("id") % 97) * 10 + F.col("id") % 11).alias("y"),
+    )
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.r_xy > 0.99
+    assert abs(r.r_xy_given_z) < 0.35  # confounder explained the link
