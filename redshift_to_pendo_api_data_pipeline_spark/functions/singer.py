@@ -311,3 +311,48 @@ def validate_message_stream(lines: list[str]) -> list[str]:
     if lines and last_type != "STATE":
         violations.append("stream does not end with a STATE flush")
     return violations
+
+
+def format_metric_line(
+    kind: str, metric: str, value: int | float, tags: dict | None = None,
+) -> str:
+    """Singer-spec METRIC log line — the wire format the reference's
+    `singer.metrics` helpers print (tap-redshift/src/sync.py:178
+    wraps extraction in `metrics.record_counter`, messages.py:335 in
+    `metrics.job_timer`; the library emits
+    ``INFO METRIC: {"type": ..., "metric": ..., "value": ...,
+    "tags": {...}}`` on stderr for harnesses to scrape). Kinds:
+    ``counter`` (record_count) and ``timer`` (job durations).
+
+    Key order and separators are pinned (sort_keys, compact commas)
+    so test assertions and downstream scrapers see one stable shape.
+    """
+    if kind not in ("counter", "timer"):
+        raise ValueError(f"unknown metric kind: {kind!r}")
+    body = json.dumps(
+        {"type": kind, "metric": metric, "value": value,
+         "tags": tags or {}},
+        sort_keys=True, separators=(", ", ": "),
+    )
+    return f"INFO METRIC: {body}"
+
+
+def sync_metric_lines(result) -> list[str]:
+    """METRIC lines for a finished sync (plans/sync.SyncResult):
+    the reference emits a record_count counter tagged with the
+    table's coordinates plus a sync_table job timer; here both derive
+    from the Observation-collected counters (zero extra passes)."""
+    tags = {"table": result.stream}
+    out = [
+        format_metric_line(
+            "counter", "record_count", int(result.record_count), tags
+        )
+    ]
+    if result.metrics and "elapsed_s" in result.metrics:
+        out.append(
+            format_metric_line(
+                "timer", "sync_table",
+                result.metrics["elapsed_s"], tags,
+            )
+        )
+    return out

@@ -366,3 +366,32 @@ def test_column_specs_carry_char_max_length():
     assert specs["name"].char_max_length == 64
     assert specs["id"].char_max_length is None
     assert specs["id"].is_primary_key
+
+
+def test_singer_metric_lines_format():
+    from redshift_to_pendo_api_data_pipeline_spark.functions.singer import (
+        format_metric_line,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.plans.sync import SyncResult
+
+    line = format_metric_line("counter", "record_count", 42, {"table": "t"})
+    assert line == ('INFO METRIC: {"metric": "record_count", '
+                    '"tags": {"table": "t"}, "type": "counter", '
+                    '"value": 42}')
+    import json as _json
+    parsed = _json.loads(line.split("METRIC: ", 1)[1])
+    assert parsed["type"] == "counter" and parsed["value"] == 42
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        format_metric_line("gauge", "x", 1)
+
+    from redshift_to_pendo_api_data_pipeline_spark.functions.singer import (
+        sync_metric_lines,
+    )
+    r = SyncResult(stream="orders", record_count=7, bookmark=None,
+                   version=1, metrics={"elapsed_s": 1.5})
+    lines = sync_metric_lines(r)
+    assert len(lines) == 2
+    assert '"metric": "record_count"' in lines[0]
+    assert '"metric": "sync_table"' in lines[1]
