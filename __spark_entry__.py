@@ -6301,6 +6301,41 @@ def q_partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_corr(li, "price_fp", "qty", "disc_fp")
 
 
+def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank survival test (temporal.logrank_test): do
+    BUILDING-segment customers churn on a different clock than the
+    rest — the hypothesis test beside the Kaplan-Meier curve; per-time
+    terms quantized then summed as integers (float term sums are
+    partition-order dependent), at-risk counts on the dense time x
+    group grid."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        logrank_test,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("grp"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    endd = per.agg(F.max("l").alias("endd"))
+    du = (
+        per.crossJoin(F.broadcast(endd))
+        .join(F.broadcast(cust), "o_custkey")
+        .select(
+            F.datediff(F.col("l"), F.col("f")).cast("long").alias("dur"),
+            (F.datediff(F.col("endd"), F.col("l")) > 365)
+            .cast("int").alias("ev"),
+            "grp",
+        )
+    )
+    return logrank_test(du, "dur", "ev", "grp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6311,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "logrank_segments": q_logrank_segments,
         "cramers_v_orders": q_cramers_v_orders,
         "partial_corr_lineitem": q_partial_corr_lineitem,
         "group_sequential_orders": q_group_sequential_orders,
@@ -6726,6 +6762,65 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "logrank_segments": """
+            WITH per AS (
+              SELECT o_custkey,
+                     min(CAST(o_orderdate AS DATE)) AS f,
+                     max(CAST(o_orderdate AS DATE)) AS l
+              FROM orders GROUP BY 1),
+            endd AS (SELECT max(l) AS e FROM per),
+            du AS (
+              SELECT CAST(date_diff('day', per.f, per.l) AS BIGINT)
+                         AS dur,
+                     CASE WHEN date_diff('day', per.l, endd.e) > 365
+                          THEN 1 ELSE 0 END AS ev,
+                     CASE WHEN c.c_mktsegment = 'BUILDING'
+                          THEN 1 ELSE 0 END AS g
+              FROM per
+              CROSS JOIN endd
+              JOIN customer c ON c.c_custkey = per.o_custkey),
+            cells AS (
+              SELECT dur AS t, g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(ev) AS BIGINT) AS d
+              FROM du GROUP BY 1, 2),
+            grid AS (SELECT DISTINCT t FROM cells),
+            gg AS (SELECT t, 0 AS g FROM grid
+                   UNION ALL SELECT t, 1 FROM grid),
+            dense AS (
+              SELECT gg.t, gg.g, coalesce(c.n, 0) AS n,
+                     coalesce(c.d, 0) AS d
+              FROM gg LEFT JOIN cells c
+                ON c.t = gg.t AND c.g = gg.g),
+            atr AS (
+              SELECT t, g, d,
+                     sum(n) OVER (PARTITION BY g ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS atr
+              FROM dense),
+            tt AS (
+              SELECT a1.t, a1.d AS d1, a1.atr AS n1,
+                     a0.d AS d0, a0.atr AS n0
+              FROM atr a1 JOIN atr a0
+                ON a0.t = a1.t AND a1.g = 1 AND a0.g = 0),
+            tm AS (
+              SELECT *, d1 + d0 AS dt, n1 + n0 AS nt
+              FROM tt WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_times,
+                     CAST(sum(CAST(d1 AS HUGEINT) * 1000000
+                              - CAST(dt AS HUGEINT) * n1 * 1000000
+                                // nt) AS BIGINT) AS u_fp,
+                     CAST(sum(CAST(dt AS HUGEINT) * n1 * n0 * (nt - dt)
+                              * 1000000
+                              // (CAST(nt AS HUGEINT) * nt * (nt - 1)))
+                          AS BIGINT) AS v_fp
+              FROM tm)
+            SELECT n_times, u_fp, v_fp,
+                   round(CAST(u_fp AS DOUBLE)
+                         / sqrt(CAST(v_fp AS DOUBLE) * 1000000.0), 6)
+                       AS z_fp
+            FROM fold
+        """,
         "cramers_v_orders": """
             WITH base AS (
               SELECT o.o_orderpriority, o.o_orderstatus, c.c_mktsegment

@@ -824,3 +824,98 @@ def lateness_histogram(
             "n_events", "max_lateness_us",
         )
     )
+
+
+def logrank_test(
+    df: DataFrame, dur_col: str, event_col: str, group_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Two-group log-rank test — 'do these survival curves differ':
+    the hypothesis test beside `kaplan_meier`'s curve. At each event
+    time t with d_t total events, n_t at risk and n1_t at risk in
+    group 1:
+
+        U  = sum( d1_t - d_t*n1_t/n_t )
+        V  = sum( d_t*(n1_t/n_t)*(1-n1_t/n_t)*(n_t-d_t)/(n_t-1) )
+        z  = U / sqrt(V)
+
+    Exactness contract: each per-time term is quantized at ``scale``
+    with integer floor-division (two divs per term), then SUMMED AS
+    INTEGERS — a float per-term sum would be partition-order
+    dependent and could never hash cross-engine; the quantization
+    bias is < n_times/scale, invisible at screen precision. The at-
+    risk counts come from reverse cumulative sums over the distinct-
+    time relation (ordered window per group over time-cardinality
+    rows — bounded by the distinct duration count, the same contract
+    as the KM curve itself).
+
+    ``group_col`` must be 0/1. Returns one row:
+    (n_times, u_fp, v_fp, z_fp).
+    """
+    cells = df.groupBy(
+        F.col(dur_col).alias("__t"),
+        F.col(group_col).cast("int").alias("__g"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("__d"),
+    )
+    # at-risk must be evaluated on the DENSE (time x group) grid: a
+    # time present only in group 0 still has group-1 subjects at risk
+    # (everyone with duration >= t) — a sparse per-group cumsum with
+    # absent times coalesced to 0 silently undercounts them. Densify
+    # (distinct times x {0,1}, still distinct-duration bounded), THEN
+    # reverse-cumulate.
+    grid = (
+        cells.select("__t").distinct()
+        .select("__t", F.explode(F.array(F.lit(0), F.lit(1)))
+                .alias("__g"))
+    )
+    dense = grid.join(
+        cells.hint("shuffle_hash"), ["__t", "__g"], "left"
+    ).select(
+        "__t", "__g",
+        F.coalesce("__n", F.lit(0)).alias("__n"),
+        F.coalesce("__d", F.lit(0)).alias("__d"),
+    )
+    w_rev = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = dense.select(
+        "__t", "__g", "__d",
+        F.sum("__n").over(w_rev).alias("__atr"),
+    )
+    g1 = at_risk.where(F.col("__g") == 1).select(
+        "__t", F.col("__d").alias("d1"), F.col("__atr").alias("n1"),
+    )
+    g0 = at_risk.where(F.col("__g") == 0).select(
+        "__t", F.col("__d").alias("d0"), F.col("__atr").alias("n0"),
+    )
+    times = (
+        g1.join(g0.hint("shuffle_hash"), "__t")
+        .withColumn("dt", F.col("d1") + F.col("d0"))
+        .withColumn("nt", F.col("n1") + F.col("n0"))
+        .where((F.col("dt") > 0) & (F.col("nt") > 1))
+    )
+    u_term = F.expr(
+        f"CAST(d1 AS DECIMAL(38,0)) * {int(scale)}"
+        f" - CAST(CAST(dt AS DECIMAL(38,0)) * n1 * {int(scale)}"
+        " AS DECIMAL(38,0)) div nt"
+    )
+    v_term = F.expr(
+        f"CAST(CAST(dt AS DECIMAL(38,0)) * n1 * n0 * (nt - dt)"
+        f" * {int(scale)} AS DECIMAL(38,0))"
+        " div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))"
+    )
+    folded = times.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum(u_term).cast("long").alias("u_fp"),
+        F.sum(v_term).cast("long").alias("v_fp"),
+    )
+    z = F.col("u_fp").cast("double") / F.sqrt(
+        F.col("v_fp").cast("double") * float(scale)
+    )
+    return folded.select(
+        "n_times", "u_fp", "v_fp", F.round(z, 6).alias("z_fp")
+    )

@@ -654,3 +654,35 @@ def test_partial_corr_removes_common_driver(spark):
     r = partial_corr(df, "x", "y", "z").collect()[0]
     assert r.r_xy > 0.99
     assert abs(r.r_xy_given_z) < 0.35  # confounder explained the link
+
+
+def test_logrank_identical_groups_zero(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        logrank_test,
+    )
+
+    # same durations/events in both groups -> U = 0 exactly
+    rows = [(g, d, e) for g in (0, 1)
+            for d, e in [(5, 1), (10, 1), (10, 0), (20, 1), (30, 0)]]
+    df = spark.createDataFrame(rows, "g int, dur long, ev int")
+    r = logrank_test(df, "dur", "ev", "g").collect()[0]
+    assert r.u_fp == 0 and abs(r.z_fp) < 1e-9
+
+
+def test_logrank_detects_separated_hazards(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        logrank_test,
+    )
+
+    # group 1 dies early (durations 1..20), group 0 late (41..60):
+    # strong negative U for group-1-observed > expected at early times
+    rows = ([(1, d, 1) for d in range(1, 21)]
+            + [(0, d, 1) for d in range(41, 61)])
+    df = spark.createDataFrame(rows, "g int, dur long, ev int")
+    r = logrank_test(df, "dur", "ev", "g").collect()[0]
+    assert abs(r.z_fp) > 3.0
+    # dense-grid at-risk correctness: group 0 has no rows at early
+    # times, yet its subjects ARE at risk there (a sparse cumsum
+    # drops them). 40 distinct times, minus the final one where only
+    # 1 subject remains (variance undefined, filtered) -> 39.
+    assert r.n_times == 39
