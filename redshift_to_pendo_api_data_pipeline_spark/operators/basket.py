@@ -90,11 +90,25 @@ def frequent_item_pairs(
             .select("basket")
         )
         pairs_base = pairs_base.join(sizes, "basket", "left_semi")
-    freq = frequent_items(df, basket_col, item_col, min_item)
+    # item supports derive from the SAME deduplicated (basket, item)
+    # relation the self-join consumes — recomputing them from `df` (the
+    # old frequent_items call) paid a second scan + distinct of the
+    # fact table for identical numbers (round 7: pair mining was the
+    # registry's slowest stage; one scan now feeds everything).
+    pairs_base = pairs_base.localCheckpoint(eager=True)
+    freq = (
+        pairs_base.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_support"))
+        .where(F.col("item_support") >= min_item)
+    )
     # a-priori prune: only frequent items enter the self-join. The
     # frequent set is support-bounded but NOT forced-broadcast (same
-    # rule as curation stages) — AQE picks the strategy.
-    pruned = pairs_base.join(freq.select("item"), "item", "left_semi")
+    # rule as curation stages) — AQE picks the strategy. The pruned
+    # relation is pinned so BOTH self-join sides read one
+    # materialization (dual-consumption rule, SCALE.md item 0).
+    pruned = pairs_base.join(
+        freq.select("item"), "item", "left_semi"
+    ).localCheckpoint(eager=True)
     left = pruned.select("basket", F.col("item").alias("item_a"))
     right = pruned.select("basket", F.col("item").alias("item_b"))
     pair_support = (
@@ -296,9 +310,12 @@ def frequent_item_triples(
         min_pair_support if min_pair_support is not None
         else min_triple_support
     )
+    # the pair lattice feeds THREE candidate branches (ab, ac, bc) and
+    # the candidate relation feeds three more — pin both so the mining
+    # pipeline runs once, not once per consumer (dual-consumption rule)
     pairs = frequent_item_pairs(
         df, basket_col, item_col, min_pair, min_pair
-    ).select("item_a", "item_b")
+    ).select("item_a", "item_b").localCheckpoint(eager=True)
     # candidate triples: (a,b) + (a,c) with b<c, third edge (b,c) present
     ab = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     ac = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("c"))
@@ -307,7 +324,7 @@ def frequent_item_triples(
         ab.join(ac.hint("shuffle_hash"), "a")
         .where(F.col("b") < F.col("c"))
         .join(bc.hint("shuffle_hash"), ["b", "c"], "left_semi")
-    )
+    ).localCheckpoint(eager=True)
     bi = (
         df.select(F.col(basket_col).alias("basket"),
                   F.col(item_col).alias("item"))
@@ -324,9 +341,17 @@ def frequent_item_triples(
     t1 = pruned.select("basket", F.col("item").alias("a"))
     t2 = pruned.select("basket", F.col("item").alias("b"))
     t3 = pruned.select("basket", F.col("item").alias("c"))
+    # prune the widest intermediate at the PAIR level: of all item
+    # pairs co-present in a basket, only those that are an (a,b) edge
+    # of SOME candidate triple can extend to a counted triple — the
+    # semi-join before t3 keeps the 3-way join's left side
+    # candidate-edge-bounded instead of co-presence-bounded (round 7:
+    # the biggest intermediate in the registry's slowest query).
+    ab_edges = cand.select("a", "b").distinct()
     counted = (
         t1.join(t2.hint("shuffle_hash"), "basket")
         .where(F.col("a") < F.col("b"))
+        .join(ab_edges.hint("shuffle_hash"), ["a", "b"], "left_semi")
         .join(t3.hint("shuffle_hash"), "basket")
         .where(F.col("b") < F.col("c"))
         .join(cand.hint("shuffle_hash"), ["a", "b", "c"], "left_semi")
