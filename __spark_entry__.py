@@ -6336,6 +6336,40 @@ def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(du, "dur", "ev", "grp")
 
 
+def q_pvm_bridge_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge (analytics.price_volume_mix):
+    1995 -> 1996 lineitem revenue change per nation decomposed into
+    volume, price and mix effects — cross-multiplied fixed point, mix
+    defined as the residual so the bridge identity holds exactly."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        price_volume_mix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    base = (
+        li.select(
+            "l_orderkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").alias("rev_fp"),
+        )
+        .join(o.hint("shuffle_hash"), "l_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .where(F.col("yr").isin(1995, 1996))
+    )
+    return price_volume_mix(
+        base, "nation", "yr", "qty", "rev_fp", 1995, 1996
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6346,6 +6380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "pvm_bridge_nations": q_pvm_bridge_nations,
         "logrank_segments": q_logrank_segments,
         "cramers_v_orders": q_cramers_v_orders,
         "partial_corr_lineitem": q_partial_corr_lineitem,
@@ -6762,6 +6797,42 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pvm_bridge_nations": """
+            WITH base AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+                     CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                     CAST(l.l_quantity AS BIGINT) AS qty,
+                     CAST(cast(l.l_extendedprice as decimal(18,2)) * 100
+                          AS BIGINT) AS rev
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE year(o.o_orderdate) IN (1995, 1996)),
+            cells AS (
+              SELECT g,
+                     sum(CASE WHEN yr = 1995 THEN qty END) AS q0,
+                     sum(CASE WHEN yr = 1995 THEN rev END) AS r0,
+                     sum(CASE WHEN yr = 1996 THEN qty END) AS q1,
+                     sum(CASE WHEN yr = 1996 THEN rev END) AS r1
+              FROM base GROUP BY g
+              HAVING q0 IS NOT NULL AND q1 IS NOT NULL
+                 AND q0 > 0 AND q1 > 0),
+            eff AS (
+              SELECT g, r0, r1,
+                     CAST(r1 - r0 AS HUGEINT) * 1000000 AS delta,
+                     CAST(CAST(q1 - q0 AS HUGEINT) * r0 * 1000000
+                          // q0 AS HUGEINT) AS volume,
+                     CAST(q0 AS HUGEINT) * r1 * 1000000 // q1
+                       - CAST(r0 AS HUGEINT) * 1000000 AS price
+              FROM cells)
+            SELECT g, CAST(r0 AS BIGINT) AS rev_a_fp,
+                   CAST(r1 AS BIGINT) AS rev_b_fp,
+                   CAST(delta AS BIGINT) AS delta_fp,
+                   CAST(volume AS BIGINT) AS volume_fp,
+                   CAST(price AS BIGINT) AS price_fp,
+                   CAST(delta - volume - price AS BIGINT) AS mix_fp
+            FROM eff
+        """,
         "logrank_segments": """
             WITH per AS (
               SELECT o_custkey,

@@ -3430,3 +3430,67 @@ def pettitt_changepoint(
             F.col("__u").cast("long").alias("u_at_k"),
         )
     )
+
+
+def price_volume_mix(
+    df: DataFrame, group_col: str, period_col: str, qty_col: str,
+    rev_col: str, period_a, period_b, scale: int = 10**6,
+) -> DataFrame:
+    """Price-volume-mix revenue bridge per group — the FP&A
+    decomposition of 'revenue moved by X: how much was selling MORE
+    (volume), how much was selling DEARER (price), how much the
+    interaction (mix)':
+
+        volume = dQ * p0,   price = Q0 * dp,   mix = dQ * dp
+        (p = R/Q unit price; dQ = Q1-Q0, dp = p1-p0)
+
+    Fixed-point contract: volume and price effects are quantized at
+    ``scale`` with integer cross-multiplied division (dQ*R0*scale div
+    Q0 — unit prices never materialize as floats), and MIX IS DEFINED
+    AS THE RESIDUAL delta_fp - volume_fp - price_fp, so the bridge
+    identity volume+price+mix == delta holds EXACTLY by construction
+    (textbook mix absorbs the quantization remainder — the accounting
+    convention, made deterministic).
+
+    One (group, period) combiner aggregate; periods pivot via
+    conditional sums; groups present in only one period are dropped
+    (no bridge without both endpoints — count them upstream). Returns
+    (group, rev_a_fp, rev_b_fp, delta_fp, volume_fp, price_fp,
+    mix_fp).
+    """
+    cells = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.when(F.col(period_col) == period_a,
+                     F.col(qty_col).cast("long"))).alias("q0"),
+        F.sum(F.when(F.col(period_col) == period_a,
+                     F.col(rev_col).cast("long"))).alias("r0"),
+        F.sum(F.when(F.col(period_col) == period_b,
+                     F.col(qty_col).cast("long"))).alias("q1"),
+        F.sum(F.when(F.col(period_col) == period_b,
+                     F.col(rev_col).cast("long"))).alias("r1"),
+    ).where(
+        F.col("q0").isNotNull() & F.col("q1").isNotNull()
+        & (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    # volume = (q1-q0) * r0/q0 ; price = q0 * (r1/q1 - r0/q0)
+    #        = q0*r1/q1 - r0 — both one cross-multiplied div
+    volume = F.expr(
+        f"CAST(CAST(q1 - q0 AS DECIMAL(38,0)) * r0 * {int(scale)}"
+        " AS DECIMAL(38,0)) div q0"
+    )
+    price = (
+        F.expr(
+            f"CAST(CAST(q0 AS DECIMAL(38,0)) * r1 * {int(scale)}"
+            " AS DECIMAL(38,0)) div q1"
+        )
+        - F.col("r0").cast("decimal(38,0)") * int(scale)
+    )
+    delta = (F.col("r1") - F.col("r0")).cast("decimal(38,0)") * int(scale)
+    return cells.select(
+        "g",
+        F.col("r0").cast("long").alias("rev_a_fp"),
+        F.col("r1").cast("long").alias("rev_b_fp"),
+        delta.cast("long").alias("delta_fp"),
+        volume.cast("long").alias("volume_fp"),
+        price.cast("long").alias("price_fp"),
+        (delta - volume - price).cast("long").alias("mix_fp"),
+    )

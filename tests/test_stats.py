@@ -686,3 +686,29 @@ def test_logrank_detects_separated_hazards(spark):
     # drops them). 40 distinct times, minus the final one where only
     # 1 subject remains (variance undefined, filtered) -> 39.
     assert r.n_times == 39
+
+
+def test_pvm_bridge_identity_and_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        price_volume_mix,
+    )
+
+    # g "a": period 1: Q=10, R=100 (p=10); period 2: Q=20, R=300 (p=15)
+    # volume = dQ*p0 = 10*10 = 100; price = Q0*dp = 10*5 = 50
+    # mix = dQ*dp = 10*5 = 50; delta = 200 = 100+50+50
+    rows = [("a", 1, 10, 100), ("a", 2, 20, 300),
+            ("b", 1, 5, 50), ("b", 2, 5, 50),   # unchanged -> all zero
+            ("c", 1, 3, 30)]                     # one period -> dropped
+    df = spark.createDataFrame(rows, "g string, p long, q long, r long")
+    out = {r.g: r for r in
+           price_volume_mix(df, "g", "p", "q", "r", 1, 2).collect()}
+    a = out["a"]
+    s = 10**6
+    assert (a.delta_fp, a.volume_fp, a.price_fp, a.mix_fp) == (
+        200 * s, 100 * s, 50 * s, 50 * s)
+    b = out["b"]
+    assert (b.delta_fp, b.volume_fp, b.price_fp, b.mix_fp) == (0, 0, 0, 0)
+    assert "c" not in out
+    # bridge identity holds exactly for every group
+    for r in out.values():
+        assert r.delta_fp == r.volume_fp + r.price_fp + r.mix_fp
