@@ -5913,14 +5913,13 @@ def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    base = li.select(
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
-        .cast("long").alias("line_id"),
+    base = _lineitem_uid(li).select(
+        F.col("line_uid"),
         "l_partkey",
         (F.col("l_returnflag") == "R").cast("long").alias("returned"),
     ).join(F.broadcast(part), "l_partkey")
     return target_encode_loo(
-        base, "p_brand", "returned", ["line_id"]
+        base, "p_brand", "returned", ["line_uid"]
     )
 
 
@@ -6025,6 +6024,12 @@ def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_quantiles_exact,
     )
 
+    # NOTE: line_id here is NOT unique (the generator repeats
+    # (orderkey, linenumber) — see _lineitem_uid), but the quantile is
+    # still deterministic: v enters the hit set iff its TOTAL
+    # cumulative weight C+W_v >= target, which is independent of the
+    # internal order of tied (v, id) rows. Rank-sensitive consumers
+    # (lift/Qini deciles) must use _lineitem_uid instead.
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").alias("price_fp"),
@@ -6070,14 +6075,13 @@ def q_lift_table_brand_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    base = li.select(
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
-        .cast("long").alias("line_id"),
+    base = _lineitem_uid(li).select(
+        "line_uid",
         "l_partkey",
         (F.col("l_returnflag") == "R").cast("long").alias("returned"),
     ).join(F.broadcast(part), "l_partkey")
-    scored = target_encode_loo(base, "p_brand", "returned", ["line_id"])
-    return lift_table(scored, "enc_fp", "y", "line_id", n_buckets=10)
+    scored = target_encode_loo(base, "p_brand", "returned", ["line_uid"])
+    return lift_table(scored, "enc_fp", "y", "line_uid", n_buckets=10)
 
 
 def q_overdispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6370,6 +6374,120 @@ def q_pvm_bridge_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust price-quantity slope per brand (stats.
+    theil_sen_slope) over MONTHLY aggregates (the boundedness
+    contract: months, not rows, enter the quadratic pair expansion) —
+    the outlier-proof twin of the per-brand OLS elasticity."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    monthly = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long").alias("yyyymm"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long")
+            .alias("qty"),
+            F.expr(
+                "CAST(sum(CAST(cast(l_extendedprice as decimal(18,2))"
+                " * 100 AS DECIMAL(38,0))) div count(*) AS BIGINT)"
+            ).alias("avg_price_fp"),
+        )
+    )
+    return theil_sen_slope(monthly, "p_brand", "avg_price_fp", "qty")
+
+
+def q_qini_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (stats.qini_curve): treated = deep discount,
+    outcome = return flag, score = the LOO brand encoding — at each
+    cumulative decile, treated responders minus volume-scaled control
+    responders; exact fixed point, windows over the 10-row bucket
+    relation."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
+        target_encode_loo,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        qini_curve,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = _lineitem_uid(li).select(
+        "line_uid",
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") >= 0.05)
+        .cast("long").alias("treated"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    scored = target_encode_loo(
+        base.select("line_uid", "p_brand", "returned"),
+        "p_brand", "returned", ["line_uid"],
+    ).join(
+        base.select("line_uid", "treated").hint("shuffle_hash"),
+        "line_uid",
+    )
+    return qini_curve(
+        scored, "enc_fp", "treated", "y", "line_uid", n_buckets=10
+    )
+
+
+def _lineitem_uid(li: DataFrame) -> DataFrame:
+    """Append `line_uid` — a deterministic, cross-engine-identical,
+    GENUINELY unique row key for lineitem. The synthetic generator does
+    NOT keep (l_orderkey, l_linenumber) unique (sf0.01: 45,832 distinct
+    of 60,000 — even adding l_partkey leaves 7 collisions), and a
+    non-unique tiebreak under a rank/ntile makes bucket membership of
+    tied rows NONDETERMINISTIC (caught round 7: the Qini deciles
+    flapped). Full rows ARE distinct at every SF, so the uid is the
+    pipe-joined string of every column — floats fixed-point-cast first
+    (raw double formatting differs across engines), dates as epoch
+    days."""
+    epoch = F.lit("1970-01-01").cast("date")
+    return li.withColumn(
+        "line_uid",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").cast("string"),
+            (F.col("l_discount").cast("decimal(18,4)") * 10000)
+            .cast("long").cast("string"),
+            (F.col("l_tax").cast("decimal(18,4)") * 10000)
+            .cast("long").cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.datediff(F.col("l_shipdate").cast("date"), epoch)
+            .cast("string"),
+        ),
+    )
+
+
+_LINE_UID_SQL = (
+    "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "CAST(l_quantity AS BIGINT), "
+    "CAST(cast(l_extendedprice as decimal(18,2)) * 100 AS BIGINT), "
+    "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT), "
+    "CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT), "
+    "l_returnflag, l_linestatus, "
+    "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6380,6 +6498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "theil_sen_brands": q_theil_sen_brands,
+        "qini_discount_uplift": q_qini_discount_uplift,
         "pvm_bridge_nations": q_pvm_bridge_nations,
         "logrank_segments": q_logrank_segments,
         "cramers_v_orders": q_cramers_v_orders,
@@ -6797,6 +6917,114 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theil_sen_brands": """
+            WITH monthly AS (
+              SELECT p.p_brand AS g,
+                     CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                          AS BIGINT) AS m,
+                     CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                         AS y,
+                     CAST(sum(CAST(cast(l.l_extendedprice as
+                                        decimal(18,2)) * 100
+                                   AS HUGEINT)) // count(*) AS BIGINT)
+                         AS x
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.g,
+                     CAST(CAST(b.y - a.y AS HUGEINT) * 1000000
+                          // (b.x - a.x) AS BIGINT) AS s
+              FROM monthly a JOIN monthly b
+                ON b.g = a.g AND a.x < b.x),
+            ranked AS (
+              SELECT g, s,
+                     row_number() OVER (PARTITION BY g ORDER BY s)
+                         AS rn
+              FROM pairs),
+            cnt AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pairs GROUP BY g),
+            npts AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n_points
+              FROM monthly GROUP BY g)
+            SELECT npts.g AS p_brand, npts.n_points, cnt.n_pairs,
+                   r.s AS slope_fp
+            FROM ranked r
+            JOIN cnt ON cnt.g = r.g
+            JOIN npts ON npts.g = r.g
+            WHERE r.rn = (cnt.n_pairs + 1) // 2
+        """,
+        "qini_discount_uplift": """
+            WITH base AS (
+              SELECT concat_ws('|', l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT), CAST(cast(l.l_extendedprice as decimal(18,2)) * 100 AS BIGINT), CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT), CAST(CAST(l.l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT), l.l_returnflag, l.l_linestatus, date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS line_uid,
+                     p.p_brand AS c,
+                     CASE WHEN CAST(l.l_discount AS DECIMAL(18,4))
+                               >= 0.05 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            sums AS (
+              SELECT c, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(count(*) AS BIGINT) AS nc
+              FROM base GROUP BY c),
+            tot AS (
+              SELECT CAST(sum(y) AS BIGINT) AS st,
+                     CAST(count(*) AS BIGINT) AS nt
+              FROM base),
+            scored AS (
+              SELECT b.line_uid, b.t, b.y,
+                     CAST(CASE WHEN s.nc > 1
+                               THEN CAST(s.sy - b.y AS HUGEINT) * 1000000
+                                    // (s.nc - 1)
+                               ELSE CAST(tt.st - b.y AS HUGEINT)
+                                    * 1000000 // (tt.nt - 1) END
+                          AS BIGINT) AS enc_fp
+              FROM base b JOIN sums s ON s.c = b.c, tot tt),
+            ranked AS (
+              SELECT t, y,
+                     CAST(row_number() OVER (ORDER BY enc_fp DESC,
+                                             line_uid) AS BIGINT) AS r,
+                     CAST(count(*) OVER () AS BIGINT) AS m
+              FROM scored),
+            bucketed AS (
+              SELECT t, y,
+                     CASE WHEN r <= (m % 10) * ((m // 10) + 1)
+                          THEN (r - 1) // ((m // 10) + 1) + 1
+                          ELSE (m % 10)
+                               + (r - 1 - (m % 10) * ((m // 10) + 1))
+                                 // (m // 10) + 1 END AS bucket
+              FROM ranked),
+            per AS (
+              SELECT CAST(bucket AS BIGINT) AS bucket,
+                     CAST(sum(t) AS BIGINT) AS n_treated,
+                     CAST(sum(1 - t) AS BIGINT) AS n_control,
+                     CAST(sum(t * y) AS BIGINT) AS y_treated,
+                     CAST(sum((1 - t) * y) AS BIGINT) AS y_control
+              FROM bucketed GROUP BY bucket)
+            SELECT bucket, n_treated, n_control, y_treated, y_control,
+                   CAST(CASE WHEN n_treated > 0 AND n_control > 0 THEN
+                        CAST(y_treated AS HUGEINT) * 1000000
+                        // n_treated
+                        - CAST(y_control AS HUGEINT) * 1000000
+                          // n_control END AS BIGINT) AS uplift_fp,
+                   CAST(sum(y_treated) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                        * CAST(1000000 AS HUGEINT)
+                        - CAST(sum(y_control) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS HUGEINT)
+                          * sum(n_treated) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                          * 1000000
+                          // greatest(sum(n_control) OVER (
+                               ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW), 1)
+                        AS BIGINT) AS qini_fp
+            FROM per
+        """,
         "pvm_bridge_nations": """
             WITH base AS (
               SELECT CAST(c.c_nationkey AS BIGINT) AS g,
@@ -7249,8 +7477,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lift_table_brand_score": """
             WITH base AS (
-              SELECT CAST(l.l_orderkey * 100 + l.l_linenumber AS BIGINT)
-                         AS line_id,
+              SELECT concat_ws('|', l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT), CAST(cast(l.l_extendedprice as decimal(18,2)) * 100 AS BIGINT), CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT), CAST(CAST(l.l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT), l.l_returnflag, l.l_linestatus, date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS line_uid,
                      p.p_brand AS c,
                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
                          AS y
@@ -7264,7 +7491,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS nt
               FROM base),
             scored AS (
-              SELECT b.line_id, b.y,
+              SELECT b.line_uid, b.y,
                      CAST(CASE WHEN s.nc > 1
                                THEN CAST(s.sy - b.y AS HUGEINT) * 1000000
                                     // (s.nc - 1)
@@ -7275,7 +7502,7 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT y,
                      CAST(row_number() OVER (ORDER BY enc_fp DESC,
-                                             line_id) AS BIGINT) AS r,
+                                             line_uid) AS BIGINT) AS r,
                      CAST(count(*) OVER () AS BIGINT) AS tt
               FROM scored),
             bucketed AS (
@@ -7532,8 +7759,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "target_encode_brand_returns": """
             WITH base AS (
-              SELECT CAST(l.l_orderkey * 100 + l.l_linenumber AS BIGINT)
-                         AS line_id,
+              SELECT concat_ws('|', l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT), CAST(cast(l.l_extendedprice as decimal(18,2)) * 100 AS BIGINT), CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT), CAST(CAST(l.l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT), l.l_returnflag, l.l_linestatus, date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS line_uid,
                      p.p_brand AS c,
                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
                          AS y
@@ -7546,7 +7772,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(y) AS BIGINT) AS st,
                      CAST(count(*) AS BIGINT) AS nt
               FROM base)
-            SELECT b.line_id, b.c AS category, CAST(b.y AS BIGINT) AS y,
+            SELECT b.line_uid, b.c AS category, CAST(b.y AS BIGINT) AS y,
                    CAST(CASE WHEN s.nc > 1
                              THEN CAST(s.sy - b.y AS HUGEINT) * 1000000
                                   // (s.nc - 1)

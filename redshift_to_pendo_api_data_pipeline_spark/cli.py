@@ -325,6 +325,49 @@ def cmd_profile(cfg: dict) -> int:
     return 0
 
 
+def cmd_drift(cfg: dict) -> int:
+    """Two-cohort drift report: Kolmogorov-Smirnov + Mann-Whitney (with
+    Cliff's delta) over one numeric column split into two cohorts — the
+    'did this source/批 change under me' check as one CLI call. Config:
+
+        {"input": "/root/testdata/sf0.001", "table": "documents",
+         "value": "n_chars",
+         "split": {"column": "source",
+                   "a_values": ["src0", "src1"]}}   # b = the rest
+
+    Prints one JSON line with both statistics; exit code 1 when the KS
+    distance exceeds ``threshold_fp`` (default 100000 = 0.1) — the
+    scriptable gate."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    spark = get_spark(app_name="drift")
+    table = cfg.get("table", "documents")
+    df = load_table(spark, cfg["input"], table)
+    split = cfg["split"]
+    a_vals = split["a_values"]
+    base = df.select(
+        F.col(split["column"]).isin(a_vals).cast("long").alias("grp"),
+        F.col(cfg["value"]).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    ks = ks_two_sample(base, "grp", "v").collect()[0]
+    mw = mann_whitney_u(base, "grp", "v").collect()[0]
+    threshold_fp = int(cfg.get("threshold_fp", 100000))
+    drifted = int(ks["d_fp"] >= threshold_fp)
+    print(json.dumps({
+        "table": table, "value": cfg["value"],
+        "n_a": ks["n1"], "n_b": ks["n2"],
+        "ks_d_fp": ks["d_fp"],
+        "mw_z": mw["z_fp"], "cliffs_delta_fp": mw["cliffs_delta_fp"],
+        "threshold_fp": threshold_fp, "drifted": drifted,
+    }))
+    return 1 if drifted else 0
+
+
 def cmd_compact(cfg: dict) -> int:
     """Lake maintenance on a versioned table: compact the active version
     into `target_files` files (atomic pointer flip), optionally vacuum
@@ -480,6 +523,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("-c", "--config", required=True)
     p = sub.add_parser("profile", help="one-pass column profiling report")
+    dr = sub.add_parser(
+        "drift", help="two-cohort KS/MW drift report (exit 1 on drift)"
+    )
+    dr.add_argument("-c", "--config", required=True)
     p.add_argument("-c", "--config", required=True)
     cl = sub.add_parser(
         "classify", help="train the learned quality filter, publish weights"
@@ -519,6 +566,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_reconcile(cfg)
     if args.cmd == "mine":
         return cmd_mine(cfg)
+    if args.cmd == "drift":
+        return cmd_drift(cfg)
     return cmd_sync(cfg, args.state)
 
 

@@ -617,3 +617,143 @@ def group_sequential_monitor(
         "look", "n1", "x1", "n0", "x0", "z_fp", "boundary_fp",
         "crossed", "stopped",
     )
+
+
+def theil_sen_slope(
+    df: DataFrame, group_col: str, x_col: str, y_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Theil-Sen robust slope per group — the median of all pairwise
+    slopes, the outlier-proof regression line (up to ~29% contaminated
+    points cannot move it; the OLS twin `grouped_ols_slope` moves with
+    one bad row). Equal-x pairs are skipped (slope undefined), the
+    standard convention.
+
+    BOUNDEDNESS CONTRACT: the input must be pre-aggregated to a
+    per-group series of BOUNDED length (e.g. monthly aggregates —
+    months, not rows; the same contract as every per-entity window in
+    the repo), because the pair expansion is quadratic in the series
+    length by definition. Slopes are fixed-point integers
+    ((dy*scale) div dx — truncation identical cross-engine, negatives
+    included); the per-group median is the LOWER median (rank
+    (m+1) div 2 of the sorted slope multiset — a deterministic VALUE
+    even though tied row order is not).
+
+    Returns (group, n_points, n_pairs, slope_fp).
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    a = base.select("__g", F.col("__x").alias("__xa"),
+                    F.col("__y").alias("__ya"))
+    b = base.select("__g", F.col("__x").alias("__xb"),
+                    F.col("__y").alias("__yb"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__g")
+        # xa < xb both orders each unordered pair once AND excludes
+        # equal-x pairs (undefined slope) in one predicate
+        .where(F.col("__xa") < F.col("__xb"))
+        .select(
+            "__g",
+            F.expr(
+                f"CAST(CAST(__yb - __ya AS DECIMAL(38,0)) * {int(scale)}"
+                " AS DECIMAL(38,0)) div (__xb - __xa)"
+            ).cast("long").alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__s").asc())
+    ranked = pairs.withColumn("__rn", F.row_number().over(w))
+    counts = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    npts = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    med = (
+        ranked.join(counts.hint("shuffle_hash"), "__g")
+        .where(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("__g", "n_pairs", F.col("__s").alias("slope_fp"))
+    )
+    return (
+        npts.join(med.hint("shuffle_hash"), "__g")
+        .select(F.col("__g").alias(group_col), "n_points", "n_pairs",
+                "slope_fp")
+    )
+
+
+def qini_curve(
+    df: DataFrame, score_col: str, treated_col: str, outcome_col: str,
+    tiebreak: str, n_buckets: int = 10, scale: int = 10**6,
+) -> DataFrame:
+    """Qini / uplift curve by score decile — the acceptance report for
+    an UPLIFT model (where `lift_table` grades pure propensity): rank
+    by predicted uplift descending, and at each cumulative decile
+    compare treated responders against control responders scaled to
+    the treated volume:
+
+        qini(k) = cumYt(k) - cumYc(k) * cumNt(k)/cumNc(k)
+
+    A useful uplift score front-loads incremental responders; a random
+    score walks the diagonal. Exact fixed point: the control term is
+    one cross-multiplied div; per-bucket uplift (rate difference) is
+    reported alongside.
+
+    Same shape as `lift_table`: `global_ranks` deciles (no
+    single-reducer ntile), per-bucket combiner aggregates, cumulative
+    windows over the N_BUCKETS-bounded relation. Returns
+    (bucket, n_treated, n_control, y_treated, y_control, uplift_fp,
+    qini_fp).
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+
+    n = int(n_buckets)
+    ranked = global_ranks(
+        df.select(
+            F.col(score_col), F.col(tiebreak),
+            F.col(treated_col).cast("long").alias("__t"),
+            F.col(outcome_col).cast("long").alias("__y"),
+        ),
+        [F.col(score_col).desc(), F.col(tiebreak).asc()],
+        keep_total=True,
+    )
+    bucket = F.expr(
+        f"CASE WHEN __rank <= (__total % {n}) * ((__total div {n}) + 1) "
+        f"THEN (__rank - 1) div ((__total div {n}) + 1) + 1 "
+        f"ELSE (__total % {n}) "
+        f"  + (__rank - 1 - (__total % {n}) * ((__total div {n}) + 1)) "
+        f"    div (__total div {n}) + 1 END"
+    )
+    per = (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__t").cast("long").alias("n_treated"),
+            F.sum(F.lit(1) - F.col("__t")).cast("long").alias("n_control"),
+            F.sum(F.col("__t") * F.col("__y")).cast("long")
+            .alias("y_treated"),
+            F.sum((F.lit(1) - F.col("__t")) * F.col("__y")).cast("long")
+            .alias("y_control"),
+        )
+    )
+    cum = "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return per.select(
+        "bucket", "n_treated", "n_control", "y_treated", "y_control",
+        F.expr(
+            f"CAST(CASE WHEN n_treated > 0 AND n_control > 0 THEN"
+            f" CAST(y_treated AS DECIMAL(38,0)) * {int(scale)}"
+            f" div n_treated"
+            f" - CAST(y_control AS DECIMAL(38,0)) * {int(scale)}"
+            f" div n_control END AS BIGINT)"
+        ).alias("uplift_fp"),
+        F.expr(
+            f"CAST(sum(y_treated) OVER ({cum}) * CAST({int(scale)}"
+            f" AS DECIMAL(38,0))"
+            f" - CAST(sum(y_control) OVER ({cum}) AS DECIMAL(38,0))"
+            f" * sum(n_treated) OVER ({cum}) * {int(scale)}"
+            f" div greatest(sum(n_control) OVER ({cum}), 1) AS BIGINT)"
+        ).alias("qini_fp"),
+    )

@@ -712,3 +712,93 @@ def test_pvm_bridge_identity_and_hand_case(spark):
     # bridge identity holds exactly for every group
     for r in out.values():
         assert r.delta_fp == r.volume_fp + r.price_fp + r.mix_fp
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    # clean line y = 3x: slope exactly 3.0; one wild outlier cannot
+    # move the pairwise-slope median (OLS would swing hard)
+    rows = [("g", x, 3 * x) for x in range(1, 10)] + [("g", 10, 1000)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = theil_sen_slope(df, "g", "x", "y").collect()[0]
+    assert r.n_points == 10 and r.n_pairs == 45
+    assert r.slope_fp == 3_000_000
+
+
+def test_theil_sen_skips_equal_x(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    # duplicate x values contribute no pair; 3 points, 2 usable pairs
+    # wait: points (1,10),(1,20),(2,30): pairs with distinct x:
+    # (1,10)-(2,30): 20 ; (1,20)-(2,30): 10 -> lower median = 10
+    rows = [("g", 1, 10), ("g", 1, 20), ("g", 2, 30)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = theil_sen_slope(df, "g", "x", "y").collect()[0]
+    assert r.n_pairs == 2
+    assert r.slope_fp == 10_000_000
+
+
+def test_qini_perfect_uplift_model(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        qini_curve,
+    )
+
+    # 200 rows, 2 deciles of 100. High-score decile: treatment lifts
+    # response (treated 40/50 vs control 10/50); low-score decile: no
+    # effect (20/50 both arms).
+    rows = []
+    rid = 0
+    for i in range(50):
+        rows.append((rid, 100, 1, 1 if i < 40 else 0)); rid += 1
+    for i in range(50):
+        rows.append((rid, 100, 0, 1 if i < 10 else 0)); rid += 1
+    for i in range(50):
+        rows.append((rid, 50, 1, 1 if i < 20 else 0)); rid += 1
+    for i in range(50):
+        rows.append((rid, 50, 0, 1 if i < 20 else 0)); rid += 1
+    df = spark.createDataFrame(rows, "rid long, s long, t long, y long")
+    out = {r.bucket: r for r in
+           qini_curve(df, "s", "t", "y", "rid", n_buckets=2).collect()}
+    b1, b2 = out[1], out[2]
+    assert (b1.n_treated, b1.n_control) == (50, 50)
+    assert b1.uplift_fp == (40 * 10**6 // 50) - (10 * 10**6 // 50)
+    # cumulative qini at decile 1: 40 - 10*(50/50) = 30
+    assert b1.qini_fp == 30 * 10**6
+    # decile 2 adds no incremental: qini stays 30
+    assert b2.qini_fp == 30 * 10**6
+    assert b2.uplift_fp == 0
+
+
+def test_cli_drift_report_and_gate(spark, tmp_path):
+    import json as _json
+
+    from redshift_to_pendo_api_data_pipeline_spark import cli
+
+    cfgp = tmp_path / "drift.json"
+    cfgp.write_text(_json.dumps({
+        "input": "/root/testdata/sf0.001",
+        "table": "documents",
+        "value": "n_chars",
+        "split": {"column": "source",
+                  "a_values": [f"src{i}" for i in range(10)]},
+        "threshold_fp": 1,      # any nonzero KS distance trips the gate
+    }))
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["drift", "-c", str(cfgp)])
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["n_a"] > 0 and rep["n_b"] > 0
+    assert "ks_d_fp" in rep and "mw_z" in rep and "cliffs_delta_fp" in rep
+    assert rc == rep["drifted"]
+    # permissive threshold -> exit 0
+    cfg2 = _json.loads(cfgp.read_text()); cfg2["threshold_fp"] = 10**6 + 1
+    cfgp.write_text(_json.dumps(cfg2))
+    with redirect_stdout(io.StringIO()):
+        assert cli.main(["drift", "-c", str(cfgp)]) == 0
