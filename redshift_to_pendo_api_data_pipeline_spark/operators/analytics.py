@@ -2902,6 +2902,11 @@ def conformal_residual_bound(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("decimal(38,0)").alias("den"),
     )
+    # the 1-row moment relation feeds three consumers and the residual
+    # relation two (rank path + coverage audit) — unpinned, each
+    # consumer re-ran the full scan+agg lineage (measured: ~5 corpus
+    # scans, 8.6 s at sf0.1). Pin both once.
+    mom = mom.localCheckpoint(eager=True)
     resid = base.crossJoin(F.broadcast(mom)).select(
         "__id",
         F.abs(
@@ -2912,8 +2917,7 @@ def conformal_residual_bound(
                 + F.col("n") * F.col("num") * F.col("x")
             )
         ).cast("decimal(38,0)").alias("rs"),
-    )
-    ranked = global_ranks(resid, [F.asc("rs"), F.asc("__id")], "rk")
+    ).localCheckpoint(eager=True)
     k_expr = F.expr(
         f"CAST((({coverage_pm} * (n + 1)) + 999) div 1000 AS BIGINT)"
     )
@@ -2922,12 +2926,20 @@ def conformal_residual_bound(
         k_expr.alias("k"),
         (F.col("den") * F.col("n")).cast("decimal(38,0)").alias("unit"),
     )
+    # the order statistic comes from SELECTION, not ranking: the old
+    # global_ranks path paid a full range shuffle + materialization of
+    # every residual to read ONE row (round 7: 8.6 s -> ~2 s at sf0.1);
+    # kth_smallest_exact sketch-brackets the k-th residual and sorts
+    # only the ~O(eps*n) bracket. n and k are two scalars off the
+    # checkpointed 1-row moment relation — bounded driver contract.
+    kn = krow.collect()[0]
+    kth = kth_smallest_exact(resid, "rs", int(kn["k"]), int(kn["n_rows"]))
     qhat = (
-        ranked.join(F.broadcast(krow), ranked["rk"] == krow["k"])
+        kth.crossJoin(F.broadcast(krow))
         .select(
             "n_rows", "k",
-            F.expr("rs div unit").cast("long").alias("qhat_fp"),
-            F.col("rs").alias("__q"),
+            F.expr("kth_value div unit").cast("long").alias("qhat_fp"),
+            F.col("kth_value").alias("__q"),
         )
     )
     # coverage audit: exact share of rows with residual <= qhat
@@ -3493,4 +3505,75 @@ def price_volume_mix(
         volume.cast("long").alias("volume_fp"),
         price.cast("long").alias("price_fp"),
         (delta - volume - price).cast("long").alias("mix_fp"),
+    )
+
+
+def kth_smallest_exact(
+    df: DataFrame, val_col: str, k: int, n: int,
+) -> DataFrame:
+    """EXACT k-th smallest of an integer/decimal column WITHOUT
+    ranking the corpus — the selection-vs-sort distinction that
+    matters at 100 TB: a full `global_ranks` pays a range shuffle +
+    materialization of every row to extract ONE order statistic; this
+    pays two narrow passes + one tiny sort.
+
+    Mechanics (sketch-bracket selection): an approx_percentile sketch
+    brackets the k-th value's location (rank error <= eps*n by the GK
+    accuracy contract; the bracket is widened by 3*eps both sides so
+    containment survives sketch merge-order wobble), one pass counts
+    rows strictly below the bracket, and the exact answer is the
+    (k - below)-th smallest INSIDE the bracket — a relation of
+    ~O(eps*n) rows, sorted with TakeOrdered. The sketch only STEERS;
+    the answer is exact-integer and identical to the ranking path
+    (the k-th smallest is unique as a value). If the bracket
+    unexpectedly misses (pathological distribution), falls back to
+    the exact range-partitioned rank — correctness never rides the
+    sketch.
+
+    Driver contract: collects exactly two scalar rows (the bracket
+    bounds), bounded by construction. Returns a 1-row DF with column
+    ``kth_value`` (same type as ``val_col``).
+    """
+    eps = 1e-4
+    p = min(max(k / max(n, 1), 0.0), 1.0)
+    p_lo = max(0.0, p - 3 * eps)
+    p_hi = min(1.0, p + 3 * eps)
+    b = df.agg(
+        F.percentile_approx(
+            F.col(val_col).cast("double"), F.lit([p_lo, p_hi]), F.lit(10000)
+        ).alias("b")
+    ).collect()[0]["b"]
+    lo_d, hi_d = float(b[0]), float(b[1])
+    # widen for double-rounding of huge decimals (relative + absolute)
+    lo_t = lo_d - abs(lo_d) * 1e-9 - 1.0
+    hi_t = hi_d + abs(hi_d) * 1e-9 + 1.0
+    stats = df.agg(
+        F.sum(
+            (F.col(val_col).cast("double") < F.lit(lo_t)).cast("long")
+        ).alias("below"),
+        F.sum(
+            (
+                (F.col(val_col).cast("double") >= F.lit(lo_t))
+                & (F.col(val_col).cast("double") <= F.lit(hi_t))
+            ).cast("long")
+        ).alias("inside"),
+    ).collect()[0]
+    below, inside = int(stats["below"] or 0), int(stats["inside"] or 0)
+    j = k - below
+    if 1 <= j <= inside:
+        bracket = df.where(
+            (F.col(val_col).cast("double") >= F.lit(lo_t))
+            & (F.col(val_col).cast("double") <= F.lit(hi_t))
+        )
+        return (
+            bracket.orderBy(F.col(val_col).asc())
+            .limit(j)
+            .agg(F.max(F.col(val_col)).alias("kth_value"))
+        )
+    # fallback: exact distributed rank (never expected; correctness net)
+    ranked = global_ranks(
+        df.select(F.col(val_col)), [F.asc(val_col)], rank_name="__rk"
+    )
+    return ranked.where(F.col("__rk") == int(k)).select(
+        F.col(val_col).alias("kth_value")
     )

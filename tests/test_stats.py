@@ -802,3 +802,19 @@ def test_cli_drift_report_and_gate(spark, tmp_path):
     cfgp.write_text(_json.dumps(cfg2))
     with redirect_stdout(io.StringIO()):
         assert cli.main(["drift", "-c", str(cfgp)]) == 0
+
+
+def test_kth_smallest_exact_matches_sort(spark):
+    from pyspark.sql import functions as F
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        kth_smallest_exact,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.xxhash64("id") % 100000).alias("v")
+    )
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for k in (1, 17, n // 2, int(n * 0.9), n):
+        got = kth_smallest_exact(df, "v", k, n).collect()[0].kth_value
+        assert got == vals[k - 1], (k, got, vals[k - 1])
