@@ -6488,6 +6488,22 @@ _LINE_UID_SQL = (
 )
 
 
+def q_kruskal_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL 20 sources' document-length
+    distributions (stats.kruskal_wallis) — the k-group screen run
+    BEFORE pairwise tests + BH; doubled midranks keep rank sums
+    integral, per-group terms floor-quantized before the fold so no
+    float sum crosses the hash."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("len_v")
+    )
+    return kruskal_wallis(docs, "source", "len_v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6498,6 +6514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "kruskal_doclen_sources": q_kruskal_doclen_sources,
         "theil_sen_brands": q_theil_sen_brands,
         "qini_discount_uplift": q_qini_discount_uplift,
         "pvm_bridge_nations": q_pvm_bridge_nations,
@@ -6917,6 +6934,52 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kruskal_doclen_sources": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents),
+            cells AS (
+              SELECT v, g, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY v, g),
+            pv AS (
+              SELECT v, CAST(sum(cnt) AS BIGINT) AS vt
+              FROM cells GROUP BY v),
+            cum AS (
+              SELECT v, vt, sum(vt) OVER (ORDER BY v) AS c FROM pv),
+            dr AS (
+              SELECT v,
+                     CAST(2 * (c - vt) + vt + 1 AS BIGINT) AS dr,
+                     CAST(CAST(vt AS HUGEINT) * vt * vt - vt
+                          AS HUGEINT) AS tie
+              FROM cum),
+            pg AS (
+              SELECT cells.g,
+                     CAST(sum(cnt) AS BIGINT) AS ng,
+                     CAST(sum(CAST(cnt AS HUGEINT) * dr.dr) AS HUGEINT)
+                         AS r2g
+              FROM cells JOIN dr ON dr.v = cells.v
+              GROUP BY cells.g),
+            tt AS (SELECT CAST(sum(tie) AS HUGEINT) AS tc FROM dr),
+            fold AS (
+              SELECT CAST(sum(ng) AS BIGINT) AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(max(tt.tc) AS HUGEINT) AS tie_cubes,
+                     CAST(sum(r2g * r2g // ng) AS HUGEINT) AS s2
+              FROM pg, tt)
+            SELECT n_total, n_groups,
+                   CAST(tie_cubes AS BIGINT) AS tie_cubes,
+                   round((12.0 / (CAST(n_total AS DOUBLE)
+                                  * (CAST(n_total AS DOUBLE) + 1.0))
+                          * (CAST(s2 AS DOUBLE) / 4.0)
+                          - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                         / (1.0 - CAST(tie_cubes AS DOUBLE)
+                            / (CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE)
+                               - CAST(n_total AS DOUBLE))), 6)
+                       AS h_fp
+            FROM fold
+        """,
         "theil_sen_brands": """
             WITH monthly AS (
               SELECT p.p_brand AS g,

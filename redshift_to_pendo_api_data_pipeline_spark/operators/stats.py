@@ -757,3 +757,83 @@ def qini_curve(
             f" div greatest(sum(n_control) OVER ({cum}), 1) AS BIGINT)"
         ).alias("qini_fp"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of
+    `mann_whitney_u` ('do ANY of these sources draw from a different
+    distribution'), the screen run before k pairwise tests + BH. With
+    midrank sums R_g per group:
+
+        H = 12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1),
+        tie-corrected: H' = H / (1 - sum(t^3-t)/(n^3-n))
+
+    DOUBLED midranks keep every rank sum integral (2R_g exact);
+    the per-group fold then assembles H in doubles from exact sums
+    (one division chain, deterministic, round 1e-6). Per-group rank
+    sums come from the distinct-value relation + the pinned prefix
+    pass — the same shape as the two-sample test, with a (value,
+    group) cell relation instead of a 0/1 indicator.
+
+    Returns one row: (n_total, n_groups, tie_cubes, h_fp) — compare
+    h_fp against chi-square(k-1) quantiles offline.
+    """
+    cells = df.groupBy(
+        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    per_value = cells.groupBy("__v").agg(
+        F.sum("__cnt").cast("long").alias("__vt")
+    )
+    with_cum = global_prefix_sum(per_value, ["__v"], "__vt",
+                                 prefix_name="__cum")
+    # doubled midrank of value v: 2*cnt_less + cnt_eq + 1
+    dr = with_cum.select(
+        "__v",
+        (2 * (F.col("__cum") - F.col("__vt")) + F.col("__vt") + 1)
+        .cast("long").alias("__dr"),
+        (F.col("__vt").cast("decimal(38,0)") * F.col("__vt")
+         * F.col("__vt") - F.col("__vt")).alias("__tie"),
+    )
+    # hydrate each (value, group) cell with its value's doubled rank;
+    # cell relation is distinct-(value,group)-bounded
+    per_group = (
+        cells.join(dr.hint("shuffle_hash"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cnt").cast("long").alias("__ng"),
+            F.sum(F.col("__cnt").cast("decimal(38,0)") * F.col("__dr"))
+            .alias("__2rg"),
+        )
+    )
+    ties = dr.agg(F.sum("__tie").cast("decimal(38,0)").alias("__tt"))
+    folded = per_group.crossJoin(F.broadcast(ties)).agg(
+        F.sum("__ng").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("__tt").cast("decimal(38,0)").alias("__tie_cubes"),
+        # sum over groups of (2R_g)^2 / n_g — each term floor-divided
+        # as an exact DECIMAL(38,0) BEFORE the sum (a float term sum
+        # is partition-order dependent and can't hash; the floor loses
+        # < 1 per group against terms of order n^3, invisible at
+        # 1e-6 rounding and applied identically by both engines)
+        F.sum(
+            F.expr("CAST(__2rg * __2rg AS DECIMAL(38,0)) div __ng")
+        ).cast("decimal(38,0)").alias("__s2"),
+    )
+    n = F.col("n_total").cast("double")
+    # H with doubled ranks: R_g = 2R_g/2 so R_g^2 = (2R_g)^2/4
+    h = (
+        F.lit(12.0) / (n * (n + 1.0))
+        * (F.col("__s2").cast("double") / 4.0)
+        - 3.0 * (n + 1.0)
+    )
+    h_corr = h / (
+        F.lit(1.0)
+        - F.col("__tie_cubes").cast("double") / (n * n * n - n)
+    )
+    return folded.select(
+        "n_total", "n_groups",
+        F.col("__tie_cubes").cast("long").alias("tie_cubes"),
+        F.round(h_corr, 6).alias("h_fp"),
+    )

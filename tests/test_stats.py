@@ -818,3 +818,35 @@ def test_kth_smallest_exact_matches_sort(spark):
     for k in (1, 17, n // 2, int(n * 0.9), n):
         got = kth_smallest_exact(df, "v", k, n).collect()[0].kth_value
         assert got == vals[k - 1], (k, got, vals[k - 1])
+
+
+def test_kruskal_wallis_identical_groups_zero(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    # three identical samples -> H ~ 0 (within quantization)
+    rows = [(g, v) for g in ("a", "b", "c") for v in (1, 5, 9, 13)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.n_total == 12 and r.n_groups == 3
+    assert abs(r.h_fp) < 0.01
+
+
+def test_kruskal_wallis_separated_groups_large(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    # three fully separated samples: H approaches its maximum
+    # (k-1 groups clearly distinct -> H ~ n-1 scale); for 3 groups of
+    # 10 fully ordered, textbook H = 12/(30*31)*(sum Rg^2/10) - 3*31
+    rows = ([("a", v) for v in range(0, 10)]
+            + [("b", v) for v in range(100, 110)]
+            + [("c", v) for v in range(200, 210)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    # Rg sums: 55, 155, 255 -> H = 12/(30*31)*(55^2+155^2+255^2)/10 - 93
+    expect = 12.0 / (30 * 31) * ((55**2 + 155**2 + 255**2) / 10.0) - 93.0
+    assert abs(r.h_fp - expect) < 0.01
+    assert r.tie_cubes == 0
