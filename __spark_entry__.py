@@ -6504,6 +6504,63 @@ def q_kruskal_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(docs, "source", "len_v")
 
 
+def q_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (stats.mantel_haenszel_or):
+    deep discount vs return flag adjusted for brand strata — the OR
+    companion to the stratified-IPW risk difference; per-stratum a*d/n
+    terms quantized then integer-summed, one cross-division."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    base = li.select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") >= 0.05)
+        .cast("long").alias("exposed"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    ).join(F.broadcast(part), "l_partkey")
+    return mantel_haenszel_or(base, "p_brand", "exposed", "returned")
+
+
+def q_mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired flip test (stats.mcnemar_test): per user,
+    purchased in the FIRST half of the event window vs the SECOND —
+    did the same users change behavior; discordant-pair chi2 exact
+    fixed point, net flip direction alongside."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = ev.select(
+        "user_id", "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("d"),
+    )
+    mid = days.agg(
+        F.expr("CAST((min(d) + max(d)) div 2 AS BIGINT)").alias("mid")
+    )
+    per_user = (
+        days.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                ((F.col("event_type") == "purchase")
+                 & (F.col("d") <= F.col("mid"))).cast("long")
+            ).alias("before"),
+            F.max(
+                ((F.col("event_type") == "purchase")
+                 & (F.col("d") > F.col("mid"))).cast("long")
+            ).alias("after"),
+        )
+    )
+    return mcnemar_test(per_user, "user_id", "before", "after")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6514,6 +6571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "mh_odds_ratio_brands": q_mh_odds_ratio,
+        "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
         "kruskal_doclen_sources": q_kruskal_doclen_sources,
         "theil_sen_brands": q_theil_sen_brands,
         "qini_discount_uplift": q_qini_discount_uplift,
@@ -6934,6 +6993,69 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mh_odds_ratio_brands": """
+            WITH base AS (
+              SELECT p.p_brand AS s,
+                     CASE WHEN CAST(l.l_discount AS DECIMAL(18,4))
+                               >= 0.05 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            cells AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(e * y) AS BIGINT) AS a,
+                     CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+                     CAST(sum((1 - e) * y) AS BIGINT) AS c,
+                     CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d
+              FROM base GROUP BY s),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(a AS HUGEINT) * d * 1000000 // n)
+                          AS HUGEINT) AS num,
+                     CAST(sum(CAST(b AS HUGEINT) * c * 1000000 // n)
+                          AS HUGEINT) AS den
+              FROM cells)
+            SELECT n_strata, n_rows,
+                   CAST(CASE WHEN den > 0
+                             THEN num * 1000000 // den END AS BIGINT)
+                       AS or_mh_fp
+            FROM fold
+        """,
+        "mcnemar_purchase_halves": """
+            WITH days AS (
+              SELECT user_id, event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS d
+              FROM events),
+            mid AS (
+              SELECT CAST((min(d) + max(d)) // 2 AS BIGINT) AS mid
+              FROM days),
+            per_user AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              AND d <= mid THEN 1 ELSE 0 END) AS b0,
+                     max(CASE WHEN event_type = 'purchase'
+                              AND d > mid THEN 1 ELSE 0 END) AS a0
+              FROM days, mid GROUP BY user_id),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                     CAST(sum(CASE WHEN b0 = 1 AND a0 = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_yes_no,
+                     CAST(sum(CASE WHEN b0 = 0 AND a0 = 1
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_no_yes
+              FROM per_user)
+            SELECT n_subjects, n_yes_no, n_no_yes,
+                   CAST(n_no_yes - n_yes_no AS BIGINT) AS net_flips,
+                   CAST(CASE WHEN n_yes_no + n_no_yes > 0
+                             THEN CAST(n_yes_no - n_no_yes AS HUGEINT)
+                                  * (n_yes_no - n_no_yes) * 1000000
+                                  // (n_yes_no + n_no_yes) END
+                        AS BIGINT) AS chi2_fp
+            FROM fold
+        """,
         "kruskal_doclen_sources": """
             WITH base AS (
               SELECT source AS g, CAST(n_chars AS BIGINT) AS v

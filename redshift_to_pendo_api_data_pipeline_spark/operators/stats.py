@@ -837,3 +837,108 @@ def kruskal_wallis(
         F.col("__tie_cubes").cast("long").alias("tie_cubes"),
         F.round(h_corr, 6).alias("h_fp"),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame, stratum_col: str, exposed_col: str, outcome_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the classic
+    confounder-adjusted 2x2 effect measure (the epidemiology companion
+    to `ipw_effect_stratified`'s risk difference): with per-stratum
+    cells (a=exposed+, b=exposed-, c=unexposed+, d=unexposed-),
+
+        OR_MH = sum_i(a_i*d_i/n_i) / sum_i(b_i*c_i/n_i)
+
+    Per-stratum terms are quantized (a*d*scale div n) then summed as
+    integers — the repo's no-float-term-sums rule; the final ratio is
+    one more integer cross-division. Single-cell-zero strata
+    contribute zero to the affected sum (the MH estimator's own
+    convention — it downweights them naturally, no dropping needed).
+
+    One stratum groupBy + one bounded fold. Returns
+    (n_strata, n_rows, or_mh_fp) — or_mh_fp NULL when the denominator
+    sum is zero (no discordant evidence).
+    """
+    cells = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col(exposed_col).cast("long")
+               * F.col(outcome_col).cast("long"))).cast("long").alias("a"),
+        F.sum((F.col(exposed_col).cast("long")
+               * (1 - F.col(outcome_col).cast("long"))))
+        .cast("long").alias("b"),
+        F.sum(((1 - F.col(exposed_col).cast("long"))
+               * F.col(outcome_col).cast("long")))
+        .cast("long").alias("c"),
+        F.sum(((1 - F.col(exposed_col).cast("long"))
+               * (1 - F.col(outcome_col).cast("long"))))
+        .cast("long").alias("d"),
+    )
+    folded = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.expr(
+            f"CAST(CAST(a AS DECIMAL(38,0)) * d * {int(scale)}"
+            " AS DECIMAL(38,0)) div n"
+        )).cast("decimal(38,0)").alias("__num"),
+        F.sum(F.expr(
+            f"CAST(CAST(b AS DECIMAL(38,0)) * c * {int(scale)}"
+            " AS DECIMAL(38,0)) div n"
+        )).cast("decimal(38,0)").alias("__den"),
+    )
+    return folded.select(
+        "n_strata", "n_rows",
+        F.when(
+            F.col("__den") > 0,
+            F.expr(
+                f"CAST(__num * {int(scale)} AS DECIMAL(38,0)) div __den"
+            ),
+        ).cast("long").alias("or_mh_fp"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, id_col: str, before_col: str, after_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — 'did the same
+    subjects flip' (before/after a launch, first half vs second half):
+    only the DISCORDANT pairs carry information,
+
+        chi2 = (b - c)^2 / (b + c)
+        (b = yes->no flips, c = no->yes flips)
+
+    surfaced exact fixed point ((b-c)^2 * scale div (b+c), NULL when
+    no discordance). The marginal-change direction rides along as
+    net_flips = c - b. One subject-level aggregate (the pairing) +
+    one scalar fold. ``before_col``/``after_col`` must be 0/1 per
+    subject row.
+
+    Returns one row: (n_subjects, n_yes_no, n_no_yes, net_flips,
+    chi2_fp).
+    """
+    per = df.select(
+        F.col(id_col),
+        F.col(before_col).cast("long").alias("__b0"),
+        F.col(after_col).cast("long").alias("__a0"),
+    )
+    folded = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.expr("CAST(__b0 = 1 AND __a0 = 0 AS LONG)"))
+        .cast("long").alias("n_yes_no"),
+        F.sum(F.expr("CAST(__b0 = 0 AND __a0 = 1 AS LONG)"))
+        .cast("long").alias("n_no_yes"),
+    )
+    return folded.select(
+        "n_subjects", "n_yes_no", "n_no_yes",
+        (F.col("n_no_yes") - F.col("n_yes_no")).cast("long")
+        .alias("net_flips"),
+        F.when(
+            (F.col("n_yes_no") + F.col("n_no_yes")) > 0,
+            F.expr(
+                f"CAST(CAST(n_yes_no - n_no_yes AS DECIMAL(38,0))"
+                f" * (n_yes_no - n_no_yes) * {int(scale)}"
+                " AS DECIMAL(38,0)) div (n_yes_no + n_no_yes)"
+            ),
+        ).cast("long").alias("chi2_fp"),
+    )

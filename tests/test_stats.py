@@ -850,3 +850,51 @@ def test_kruskal_wallis_separated_groups_large(spark):
     expect = 12.0 / (30 * 31) * ((55**2 + 155**2 + 255**2) / 10.0) - 93.0
     assert abs(r.h_fp - expect) < 0.01
     assert r.tie_cubes == 0
+
+
+def test_mantel_haenszel_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    # stratum A: a=4 b=1 c=1 d=4 (n=10): ad/n = 1.6, bc/n = 0.1
+    # stratum B: a=2 b=2 c=2 d=2 (n=8):  ad/n = 0.5, bc/n = 0.5
+    # OR_MH = (1.6+0.5)/(0.1+0.5) = 3.5
+    rows = ([("A", 1, 1)] * 4 + [("A", 1, 0)] * 1
+            + [("A", 0, 1)] * 1 + [("A", 0, 0)] * 4
+            + [("B", 1, 1)] * 2 + [("B", 1, 0)] * 2
+            + [("B", 0, 1)] * 2 + [("B", 0, 0)] * 2)
+    df = spark.createDataFrame(rows, "s string, e long, y long")
+    r = mantel_haenszel_or(df, "s", "e", "y").collect()[0]
+    assert (r.n_strata, r.n_rows) == (2, 18)
+    assert r.or_mh_fp == 3_500_000
+
+
+def test_mantel_haenszel_null_when_no_discordance(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    # b*c = 0 everywhere -> denominator 0 -> NULL
+    rows = [("A", 1, 1), ("A", 0, 0), ("A", 1, 1)]
+    df = spark.createDataFrame(rows, "s string, e long, y long")
+    assert mantel_haenszel_or(df, "s", "e", "y").collect()[0].or_mh_fp is None
+
+
+def test_mcnemar_hand_case(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    # 10 subjects: 3 yes->no, 7 no->yes, others concordant
+    rows = ([(i, 1, 0) for i in range(3)]
+            + [(i, 0, 1) for i in range(3, 10)]
+            + [(i, 1, 1) for i in range(10, 15)]
+            + [(i, 0, 0) for i in range(15, 20)])
+    df = spark.createDataFrame(rows, "rid long, b long, a long")
+    r = mcnemar_test(df, "rid", "b", "a").collect()[0]
+    assert (r.n_yes_no, r.n_no_yes, r.net_flips) == (3, 7, 4)
+    assert r.chi2_fp == (3 - 7) ** 2 * 10**6 // 10
+    # all-concordant -> NULL chi2
+    df2 = spark.createDataFrame([(1, 1, 1), (2, 0, 0)], "rid long, b long, a long")
+    assert mcnemar_test(df2, "rid", "b", "a").collect()[0].chi2_fp is None
