@@ -6561,6 +6561,41 @@ def q_mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(per_user, "user_id", "before", "after")
 
 
+def q_kappa_order_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (stats.cohens_kappa) between two binary order
+    signals — urgency (priority 1-2) vs fulfillment (status F):
+    chance-corrected agreement as one exact rational, no float
+    probability anywhere."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("long").alias("ra"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("rb"),
+    )
+    return cohens_kappa(o, "ra", "rb")
+
+
+def q_cohens_d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (stats.cohens_d) for URGENT-vs-LOW order prices — the
+    effect SIZE beside the Mann-Whitney significance on the same
+    cohorts; exact per-group sufficient statistics, one sqrt."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cohens_d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("price_fp"),
+    )
+    return cohens_d(o, "grp", "price_fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order: the 19 queries with no driver-green CORRECTNESS row
     # through r3 lead (the driver certifies a prefix of the registry each
@@ -6571,6 +6606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest certification first priority), then the 50
         # r6-window queries. The driver certifies a 50-query prefix per
         # round; this ordering keeps the r1-r7 union current.
+        "kappa_order_signals": q_kappa_order_signals,
+        "cohens_d_price": q_cohens_d_price,
         "mh_odds_ratio_brands": q_mh_odds_ratio,
         "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
         "kruskal_doclen_sources": q_kruskal_doclen_sources,
@@ -6993,6 +7030,71 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kappa_order_signals": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END AS ra,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS rb
+              FROM orders),
+            fold AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_agree,
+                     CAST(sum(ra) AS BIGINT) AS ma,
+                     CAST(sum(rb) AS BIGINT) AS mb
+              FROM base)
+            SELECT n, n_agree,
+                   CAST(CASE WHEN CAST(n AS HUGEINT) * n
+                             - (CAST(ma AS HUGEINT) * mb
+                                + CAST(n - ma AS HUGEINT) * (n - mb))
+                             <> 0
+                        THEN (CAST(n AS HUGEINT) * n_agree
+                              - (CAST(ma AS HUGEINT) * mb
+                                 + CAST(n - ma AS HUGEINT) * (n - mb)))
+                             * 1000000
+                             // (CAST(n AS HUGEINT) * n
+                                 - (CAST(ma AS HUGEINT) * mb
+                                    + CAST(n - ma AS HUGEINT)
+                                      * (n - mb))) END AS BIGINT)
+                       AS kappa_fp
+            FROM fold
+        """,
+        "cohens_d_price": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS g,
+                     CAST(cast(o_totalprice as decimal(18,2)) * 100
+                          AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            cells AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS HUGEINT) AS s,
+                     CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+              FROM base GROUP BY g),
+            j AS (
+              SELECT a.n AS n1, a.s AS s1, a.q AS q1,
+                     b.n AS n0, b.s AS s0, b.q AS q0
+              FROM cells a, cells b WHERE a.g = 1 AND b.g = 0)
+            SELECT n1, n0,
+                   CAST(s1 * 1000000 // n1 AS BIGINT) AS mean1_fp,
+                   CAST(s0 * 1000000 // n0 AS BIGINT) AS mean0_fp,
+                   CASE WHEN n1 > 1 AND n0 > 1 THEN
+                     round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                            - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                           / sqrt(((CAST(q1 AS DOUBLE)
+                                    - CAST(s1 AS DOUBLE)
+                                      * CAST(s1 AS DOUBLE)
+                                      / CAST(n1 AS DOUBLE))
+                                   + (CAST(q0 AS DOUBLE)
+                                      - CAST(s0 AS DOUBLE)
+                                        * CAST(s0 AS DOUBLE)
+                                        / CAST(n0 AS DOUBLE)))
+                                  / CAST(n1 + n0 - 2 AS DOUBLE)), 6)
+                   END AS d_fp
+            FROM j
+        """,
         "mh_odds_ratio_brands": """
             WITH base AS (
               SELECT p.p_brand AS s,

@@ -942,3 +942,109 @@ def mcnemar_test(
             ),
         ).cast("long").alias("chi2_fp"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cohen's kappa for two binary raters — chance-corrected
+    agreement ('do these two labeling heuristics actually agree, or
+    just both say yes a lot'): with observed agreement A and marginal
+    chance agreement E = (ma*mb + (n-ma)*(n-mb))/n^2,
+
+        kappa = (A/n - E) / (1 - E)
+              = (n*A - ma*mb - (n-ma)*(n-mb))
+                / (n^2 - ma*mb - (n-ma)*(n-mb))     [exact rational]
+
+    — one cross-multiplied integer division, no float probability
+    anywhere. One scalar aggregate. Returns
+    (n, n_agree, kappa_fp); NULL kappa when the denominator is 0
+    (both raters constant — agreement is undefined, not perfect).
+    """
+    folded = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col(rater_a_col).cast("long")
+             == F.col(rater_b_col).cast("long")).cast("long")
+        ).cast("long").alias("n_agree"),
+        F.sum(F.col(rater_a_col).cast("long")).cast("long").alias("__ma"),
+        F.sum(F.col(rater_b_col).cast("long")).cast("long").alias("__mb"),
+    )
+    chance = F.expr(
+        "CAST(__ma AS DECIMAL(38,0)) * __mb"
+        " + CAST(n - __ma AS DECIMAL(38,0)) * (n - __mb)"
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("n") - chance
+    return folded.select(
+        "n", "n_agree",
+        F.when(
+            den != 0,
+            F.expr(
+                f"CAST((CAST(n AS DECIMAL(38,0)) * n_agree"
+                f" - (CAST(__ma AS DECIMAL(38,0)) * __mb"
+                f" + CAST(n - __ma AS DECIMAL(38,0)) * (n - __mb)))"
+                f" * {int(scale)} AS DECIMAL(38,0))"
+                " div (CAST(n AS DECIMAL(38,0)) * n"
+                " - (CAST(__ma AS DECIMAL(38,0)) * __mb"
+                " + CAST(n - __ma AS DECIMAL(38,0)) * (n - __mb)))"
+            ),
+        ).cast("long").alias("kappa_fp"),
+    )
+
+
+def cohens_d(
+    df: DataFrame, group_col: str, value_col: str,
+) -> DataFrame:
+    """Cohen's d standardized mean difference — the effect SIZE beside
+    the rank tests' significance (a tiny p with d = 0.02 is a launch
+    nobody notices): d = (mean1 - mean0) / s_pooled with the pooled
+    sample SD. Exact integer sufficient statistics per group (one
+    combiner aggregate), the single subtraction/division/sqrt chain in
+    doubles at the end (deterministic, round 1e-6). ``group_col``
+    must be 0/1; ``value_col`` integer. Returns
+    (n1, n0, mean1_fp, mean0_fp, d_fp); NULL d when either group has
+    < 2 rows or pooled variance is 0.
+    """
+    g = df.groupBy(F.col(group_col).cast("int").alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col(value_col).cast("decimal(38,0)") * F.col(value_col)
+        ).alias("__q"),
+    )
+    a = g.where(F.col("__g") == 1).select(
+        F.col("__n").alias("n1"), F.col("__s").alias("s1"),
+        F.col("__q").alias("q1"),
+    )
+    b = g.where(F.col("__g") == 0).select(
+        F.col("__n").alias("n0"), F.col("__s").alias("s0"),
+        F.col("__q").alias("q0"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    # per-group sum of squared deviations: q - s^2/n, exact-from-ints
+    # evaluated in doubles (products < 2^53 is NOT guaranteed for the
+    # decimals, but decimal->double conversion is nearest-even and
+    # identical cross-engine on identical exact inputs)
+    ss1 = (F.col("q1").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double")
+           / F.col("n1").cast("double"))
+    ss0 = (F.col("q0").cast("double")
+           - F.col("s0").cast("double") * F.col("s0").cast("double")
+           / F.col("n0").cast("double"))
+    sp = F.sqrt(
+        (ss1 + ss0)
+        / (F.col("n1") + F.col("n0") - 2).cast("double")
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    return j.select(
+        "n1", "n0",
+        F.expr("CAST(s1 * 1000000 AS DECIMAL(38,0)) div n1")
+        .cast("long").alias("mean1_fp"),
+        F.expr("CAST(s0 * 1000000 AS DECIMAL(38,0)) div n0")
+        .cast("long").alias("mean0_fp"),
+        F.when(ok & (sp > 0.0), F.round((m1 - m0) / sp, 6))
+        .alias("d_fp"),
+    )

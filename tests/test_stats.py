@@ -898,3 +898,41 @@ def test_mcnemar_hand_case(spark):
     # all-concordant -> NULL chi2
     df2 = spark.createDataFrame([(1, 1, 1), (2, 0, 0)], "rid long, b long, a long")
     assert mcnemar_test(df2, "rid", "b", "a").collect()[0].chi2_fp is None
+
+
+def test_cohens_kappa_hand_cases(spark):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    # perfect agreement (mixed marginals) -> kappa = 1
+    rows = [(1, 1)] * 5 + [(0, 0)] * 5
+    df = spark.createDataFrame(rows, "ra long, rb long")
+    assert cohens_kappa(df, "ra", "rb").collect()[0].kappa_fp == 10**6
+    # independent raters at 50/50: A=(1,1,0,0), B=(1,0,1,0) -> kappa 0
+    df2 = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0)], "ra long, rb long"
+    )
+    assert cohens_kappa(df2, "ra", "rb").collect()[0].kappa_fp == 0
+    # both raters constant -> denominator 0 -> NULL
+    df3 = spark.createDataFrame([(1, 1), (1, 1)], "ra long, rb long")
+    assert cohens_kappa(df3, "ra", "rb").collect()[0].kappa_fp is None
+
+
+def test_cohens_d_hand_case(spark):
+    import math
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        cohens_d,
+    )
+
+    # group1 = (10, 14), group0 = (4, 8): means 12, 6; each SS = 8;
+    # s_pooled = sqrt(16/2) = 2.828...; d = 6/2.8284 = 2.1213
+    rows = [(1, 10), (1, 14), (0, 4), (0, 8)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    r = cohens_d(df, "g", "v").collect()[0]
+    assert (r.mean1_fp, r.mean0_fp) == (12_000_000, 6_000_000)
+    assert abs(r.d_fp - 6.0 / math.sqrt(8.0)) < 1e-6
+    # singleton group -> NULL d
+    df2 = spark.createDataFrame([(1, 5), (0, 1), (0, 2)], "g int, v long")
+    assert cohens_d(df2, "g", "v").collect()[0].d_fp is None
