@@ -6601,61 +6601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # through r3 lead (the driver certifies a prefix of the registry each
     # round), then round-4 additions, then everything already certified.
     return {
-        # Registry order = driver-certification rotation (r7): the
-        # round-7 queries lead, then the 76 queries NOT in the r6 driver
-        # window (stalest certification first priority), then the 50
-        # r6-window queries. The driver certifies a 50-query prefix per
-        # round; this ordering keeps the r1-r7 union current.
-        "kappa_order_signals": q_kappa_order_signals,
-        "cohens_d_price": q_cohens_d_price,
-        "mh_odds_ratio_brands": q_mh_odds_ratio,
-        "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
-        "kruskal_doclen_sources": q_kruskal_doclen_sources,
-        "theil_sen_brands": q_theil_sen_brands,
-        "qini_discount_uplift": q_qini_discount_uplift,
-        "pvm_bridge_nations": q_pvm_bridge_nations,
-        "logrank_segments": q_logrank_segments,
-        "cramers_v_orders": q_cramers_v_orders,
-        "partial_corr_lineitem": q_partial_corr_lineitem,
-        "group_sequential_orders": q_group_sequential_orders,
-        "spearman_price_qty": q_spearman_price_qty,
-        "oph_minhash_neardup": q_oph_minhash_neardup,
-        "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
-        "trend_test_discount": q_trend_test_discount,
-        "file_row_skew_lineitem": q_file_row_skew,
-        "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
-        "overdispersion_events": q_overdispersion_events,
-        "degree_assortativity_parts": q_degree_assortativity,
-        "embedding_mmd_cohorts": q_embedding_mmd_sources,
-        "lift_table_brand_score": q_lift_table_brand_score,
-        "pps_sample_docs": q_pps_sample_docs,
-        "weighted_price_quantiles": q_weighted_quantiles_price,
-        "blocking_quality_orders": q_blocking_quality_orders,
-        "rake_keywords_corpus": q_rake_keywords,
-        "isotonic_return_by_discount": q_isotonic_return_by_discount,
-        "pettitt_event_changepoints": q_pettitt_event_types,
-        "target_encode_brand_returns": q_target_encode_brand,
-        "embedding_ann_bq": q_embedding_ann_bq,
-        "ipw_return_effect": q_ipw_return_effect,
-        "revenue_drawdown_nation": q_revenue_drawdown_nation,
-        "engagement_curve_monthly": q_engagement_curve,
-        "feature_hash_collisions": q_feature_hash_collisions,
-        "event_lateness_histogram": q_event_lateness_histogram,
-        "quantile_normalized_doclen": q_quantile_normalized_doclen,
-        "ra_links_parts": q_ra_links_parts,
-        "clustering_coeff_parts": q_clustering_coeff_parts,
-        "mannwhitney_price_priority": q_mannwhitney_price,
-        "ks_doclen_sources": q_ks_doclen_sources,
-        "bh_fdr_nations": q_bh_fdr_nations,
-        "bootstrap_doclen_ci": q_bootstrap_doclen_ci,
-        "hll_union_types": q_hll_union_types,
-        "join_view_refresh": q_join_view_refresh,
-        "cusum_event_drift": q_cusum_events,
-        "corr_matrix_lineitem": q_corr_lineitem,
-        "neyman_allocation_sources": q_neyman_sources,
-        "ppr_copurchase_seeds": q_ppr_copurchase,
-        "t_closeness_segments": q_t_closeness,
-        "minmax_clustering_depth": q_minmax_depth,
+    # Registry order = driver-certification rotation (r8): the 124 queries
+    # that have never appeared in any driver CORRECTNESS_r0*.json window
+    # lead (the driver certifies a 50-query prefix per round), then the
+    # 176 already-certified queries ordered stalest-certification-first.
+    # New r8 queries are inserted after the never-certified block so the
+    # r8 window is drawn entirely from the pre-existing debt.
         "recsys_hitrate_at3": q_recsys_hitrate,
         "next_event_accuracy": q_next_event_accuracy,
         "did_revenue_estimate": q_did_revenue,
@@ -6780,35 +6731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_histogram": q_conversion_latency_histogram,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
-        # --- not in the r6 driver window (last certified r1-r5) ---
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_share": q14_promo_share,
-        "q18_large_orders": q18_large_orders,
-        "q22_dormant_customers": q22_dormant_customers,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "moving_avg_user_spend": q_moving_avg_user_spend,
-        "ntile_price_deciles": q_ntile_price_deciles,
-        "nation_segments_concat": q_nation_segments_concat,
-        "median_mode_order_value": q_median_mode_order_value,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q12_priority_by_returnflag": q12_priority_by_returnflag,
-        "q13_order_count_histogram": q13_order_count_histogram,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "debounced_events": q_debounced_events,
-        "duplicate_shingle_rate": q_duplicate_shingle_rate,
-        "top_docs_per_source": q_top_docs_per_source,
-        "cms_user_counts": q_cms_user_counts,
-        "incremental_neardup": q_incremental_neardup,
-        "q8_market_share": q8_market_share,
-        "q11_important_parts": q11_important_parts,
-        "q15_top_supplier": q15_top_supplier,
-        "q20_excess_shippers": q20_excess_shippers,
-        "cluster_representatives": q_cluster_representatives,
-        "minhash_recall": q_minhash_recall,
-        "zorder_locality": q_zorder_locality,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -6857,7 +6779,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "train_eval_split_counts": q_train_eval_split_counts,
         "source_mix_sample": q_source_mix_sample,
-        # --- certified by the r6 driver window ---
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "moving_avg_user_spend": q_moving_avg_user_spend,
+        "ntile_price_deciles": q_ntile_price_deciles,
+        "nation_segments_concat": q_nation_segments_concat,
+        "median_mode_order_value": q_median_mode_order_value,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q13_order_count_histogram": q13_order_count_histogram,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "debounced_events": q_debounced_events,
+        "duplicate_shingle_rate": q_duplicate_shingle_rate,
+        "top_docs_per_source": q_top_docs_per_source,
+        "cms_user_counts": q_cms_user_counts,
+        "incremental_neardup": q_incremental_neardup,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_excess_shippers": q20_excess_shippers,
+        "cluster_representatives": q_cluster_representatives,
+        "minhash_recall": q_minhash_recall,
+        "zorder_locality": q_zorder_locality,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_customers": q22_dormant_customers,
         "grouping_sets_orders": q_grouping_sets_orders,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -6908,6 +6857,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_counts": q_media_frame_counts,
         "q7_nation_trade": q7_nation_trade,
         "q9_product_profit": q9_product_profit,
+        "kappa_order_signals": q_kappa_order_signals,
+        "cohens_d_price": q_cohens_d_price,
+        "mh_odds_ratio_brands": q_mh_odds_ratio,
+        "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
+        "kruskal_doclen_sources": q_kruskal_doclen_sources,
+        "theil_sen_brands": q_theil_sen_brands,
+        "qini_discount_uplift": q_qini_discount_uplift,
+        "pvm_bridge_nations": q_pvm_bridge_nations,
+        "logrank_segments": q_logrank_segments,
+        "cramers_v_orders": q_cramers_v_orders,
+        "partial_corr_lineitem": q_partial_corr_lineitem,
+        "group_sequential_orders": q_group_sequential_orders,
+        "spearman_price_qty": q_spearman_price_qty,
+        "oph_minhash_neardup": q_oph_minhash_neardup,
+        "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
+        "trend_test_discount": q_trend_test_discount,
+        "file_row_skew_lineitem": q_file_row_skew,
+        "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
+        "overdispersion_events": q_overdispersion_events,
+        "degree_assortativity_parts": q_degree_assortativity,
+        "embedding_mmd_cohorts": q_embedding_mmd_sources,
+        "lift_table_brand_score": q_lift_table_brand_score,
+        "pps_sample_docs": q_pps_sample_docs,
+        "weighted_price_quantiles": q_weighted_quantiles_price,
+        "blocking_quality_orders": q_blocking_quality_orders,
+        "rake_keywords_corpus": q_rake_keywords,
+        "isotonic_return_by_discount": q_isotonic_return_by_discount,
+        "pettitt_event_changepoints": q_pettitt_event_types,
+        "target_encode_brand_returns": q_target_encode_brand,
+        "embedding_ann_bq": q_embedding_ann_bq,
+        "ipw_return_effect": q_ipw_return_effect,
+        "revenue_drawdown_nation": q_revenue_drawdown_nation,
+        "engagement_curve_monthly": q_engagement_curve,
+        "feature_hash_collisions": q_feature_hash_collisions,
+        "event_lateness_histogram": q_event_lateness_histogram,
+        "quantile_normalized_doclen": q_quantile_normalized_doclen,
+        "ra_links_parts": q_ra_links_parts,
+        "clustering_coeff_parts": q_clustering_coeff_parts,
+        "mannwhitney_price_priority": q_mannwhitney_price,
+        "ks_doclen_sources": q_ks_doclen_sources,
+        "bh_fdr_nations": q_bh_fdr_nations,
+        "bootstrap_doclen_ci": q_bootstrap_doclen_ci,
+        "hll_union_types": q_hll_union_types,
+        "join_view_refresh": q_join_view_refresh,
+        "cusum_event_drift": q_cusum_events,
+        "corr_matrix_lineitem": q_corr_lineitem,
+        "neyman_allocation_sources": q_neyman_sources,
+        "ppr_copurchase_seeds": q_ppr_copurchase,
+        "t_closeness_segments": q_t_closeness,
+        "minmax_clustering_depth": q_minmax_depth,
+
     }
 
 
@@ -7234,12 +7234,14 @@ def oracle_sql() -> dict[str, str]:
             npts AS (
               SELECT g, CAST(count(*) AS BIGINT) AS n_points
               FROM monthly GROUP BY g)
-            SELECT npts.g AS p_brand, npts.n_points, cnt.n_pairs,
-                   r.s AS slope_fp
-            FROM ranked r
-            JOIN cnt ON cnt.g = r.g
-            JOIN npts ON npts.g = r.g
-            WHERE r.rn = (cnt.n_pairs + 1) // 2
+            , med AS (
+              SELECT r.g, cnt.n_pairs, r.s
+              FROM ranked r JOIN cnt ON cnt.g = r.g
+              WHERE r.rn = (cnt.n_pairs + 1) // 2)
+            SELECT npts.g AS p_brand, npts.n_points,
+                   COALESCE(med.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+                   med.s AS slope_fp
+            FROM npts LEFT JOIN med ON med.g = npts.g
         """,
         "qini_discount_uplift": """
             WITH base AS (
@@ -7542,7 +7544,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CASE k WHEN 1 THEN 5291502 WHEN 2 THEN 3741657 WHEN 3 THEN 3055050 WHEN 4 THEN 2645751 WHEN 5 THEN 2366431 WHEN 6 THEN 2160246 WHEN 7 THEN 2000000 END AS BIGINT) AS boundary_fp
               FROM idx),
             wc AS (
-              SELECT *, CASE WHEN abs(z_fp) * 1000000 >= boundary_fp
+              SELECT *, CASE WHEN CAST(round(abs(z_fp) * 1000000)
+                                       AS BIGINT) >= boundary_fp
                              THEN 1 ELSE 0 END AS crossed
               FROM wz)
             SELECT look, n1, x1, n0, x0, z_fp, boundary_fp,

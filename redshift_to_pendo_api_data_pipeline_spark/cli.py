@@ -328,7 +328,7 @@ def cmd_profile(cfg: dict) -> int:
 def cmd_drift(cfg: dict) -> int:
     """Two-cohort drift report: Kolmogorov-Smirnov + Mann-Whitney (with
     Cliff's delta) over one numeric column split into two cohorts — the
-    'did this source/批 change under me' check as one CLI call. Config:
+    'did this source/batch change under me' check as one CLI call. Config:
 
         {"input": "/root/testdata/sf0.001", "table": "documents",
          "value": "n_chars",
@@ -354,6 +354,27 @@ def cmd_drift(cfg: dict) -> int:
         F.col(split["column"]).isin(a_vals).cast("long").alias("grp"),
         F.col(cfg["value"]).cast("long").alias("v"),
     ).where(F.col("v").isNotNull())
+    # guard the degenerate split BEFORE the statistics: if a_values
+    # match nothing (or everything), ks_two_sample's d_fp divides by
+    # n1*n2 = 0 — under Spark 4's ANSI mode that THROWS
+    # DIVIDE_BY_ZERO instead of printing a report, and
+    # mann_whitney_u's z likewise degenerates (r8 ADVICE).
+    sizes = {
+        r["grp"]: r["n"]
+        for r in base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_a, n_b = sizes.get(1, 0), sizes.get(0, 0)
+    if n_a == 0 or n_b == 0:
+        print(json.dumps({
+            "error": "empty_cohort",
+            "detail": (
+                f"split {split['column']} isin {a_vals} produced"
+                f" n_a={n_a}, n_b={n_b}; both cohorts must be"
+                " non-empty for KS / Mann-Whitney"
+            ),
+        }))
+        return 2
     ks = ks_two_sample(base, "grp", "v").collect()[0]
     mw = mann_whitney_u(base, "grp", "v").collect()[0]
     threshold_fp = int(cfg.get("threshold_fp", 100000))

@@ -74,13 +74,31 @@ def frequent_item_pairs(
     ``max_basket_size`` drops baskets above the cap BEFORE the
     self-join (quadratic guard); dropped-basket count is the caller's
     to report (see ``curation`` stage pattern) — here we keep the
-    operator pure.
+    operator pure. The cap affects PAIR counting only: item supports
+    (``support_a``/``support_b`` and the a-priori prune) are always
+    computed over the UNCAPPED basket universe, so an item's own
+    support is its true global support regardless of the cap, and the
+    prune stays a valid superset filter (pre-cap support >= capped
+    support >= capped pair support).
     """
     min_item = min_item_support if min_item_support is not None else min_pair_support
     pairs_base = (
         df.select(F.col(basket_col).alias("basket"),
                   F.col(item_col).alias("item"))
         .distinct()
+    )
+    # item supports derive from the SAME deduplicated (basket, item)
+    # relation — recomputing them from `df` (the old frequent_items
+    # call) paid a second scan + distinct of the fact table for
+    # identical numbers. Supports are taken BEFORE any basket-size
+    # cap (see docstring); the pin makes the uncapped relation a
+    # single materialization feeding supports + sizes + the capped
+    # relation (dual-consumption rule, SCALE.md item 0).
+    pairs_base = pairs_base.localCheckpoint(eager=True)
+    freq = (
+        pairs_base.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_support"))
+        .where(F.col("item_support") >= min_item)
     )
     if max_basket_size is not None:
         sizes = (
@@ -90,17 +108,6 @@ def frequent_item_pairs(
             .select("basket")
         )
         pairs_base = pairs_base.join(sizes, "basket", "left_semi")
-    # item supports derive from the SAME deduplicated (basket, item)
-    # relation the self-join consumes — recomputing them from `df` (the
-    # old frequent_items call) paid a second scan + distinct of the
-    # fact table for identical numbers (round 7: pair mining was the
-    # registry's slowest stage; one scan now feeds everything).
-    pairs_base = pairs_base.localCheckpoint(eager=True)
-    freq = (
-        pairs_base.groupBy("item")
-        .agg(F.count(F.lit(1)).cast("long").alias("item_support"))
-        .where(F.col("item_support") >= min_item)
-    )
     # a-priori prune: only frequent items enter the self-join. The
     # frequent set is support-bounded but NOT forced-broadcast (same
     # rule as curation stages) — AQE picks the strategy. The pruned

@@ -289,8 +289,13 @@ def file_row_skew(df: DataFrame) -> DataFrame:
         F.max("__rows").cast("long").alias("max_file_rows"),
     ).select(
         "n_files", "total_rows", "min_file_rows", "max_file_rows",
+        # the floored mean is guarded to >= 1: an empty input (or any
+        # degenerate total_rows < n_files) would otherwise hit ANSI
+        # DIVIDE_BY_ZERO instead of reporting (r8 ADVICE); with zero
+        # files skew_fp surfaces as NULL, not a throw.
         F.expr(
             "CAST(CAST(max_file_rows AS DECIMAL(38,0)) * 1000000"
-            " AS DECIMAL(38,0)) div (total_rows div n_files)"
+            " AS DECIMAL(38,0))"
+            " div GREATEST(total_rows div GREATEST(n_files, 1), 1)"
         ).cast("long").alias("skew_fp"),
     )

@@ -264,7 +264,12 @@ def bootstrap_mean_ci(
     is the exact integer ``scale * sum(w*x) div sum(w)``; the CI is
     the nearest-rank [lo_ppm, hi_ppm] percentile pair over the
     B-bounded replicate-mean relation (B rows — the ranking window is
-    bounded by the replicate count, never by data).
+    bounded by the replicate count, never by data). Rank positions
+    come from the ACTUAL replicate count, not the ``n_reps``
+    parameter, so a missing replicate (all-zero Poisson weights, or
+    staged weights that don't match ``values``) shifts the ranks
+    correctly and shows up as ``n_reps < parameter`` in the output
+    instead of silently emitting NULL bounds.
 
     One hash-join of weights to values (both sides big: shuffle on
     id), one B-bounded aggregate keyed by rep with map-side combine,
@@ -283,11 +288,29 @@ def bootstrap_mean_ci(
             % int(scale)
         ).alias("__mean_fp")
     )
-    b = int(n_reps)
-    lo_rank = max(1, -(-b * int(lo_ppm) // 10**6))   # ceil nearest-rank
-    hi_rank = max(1, -(-b * int(hi_ppm) // 10**6))
+    # nearest-rank positions derive from the ACTUAL replicate count
+    # (a B-bounded window over rep_means), not the n_reps parameter:
+    # a replicate whose Poisson weights are all zero (or staged
+    # weights not matching values) leaves rep_means short, and ranks
+    # computed from the parameter would then silently return NULL or
+    # percentile-shifted bounds (r8 ADVICE). n_reps in the output is
+    # the actual count, so a short run is visible to the caller.
     w_rank = Window.orderBy(F.col("__mean_fp").asc(), F.col("rep").asc())
-    ranked = rep_means.withColumn("__r", F.row_number().over(w_rank))
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        rep_means.withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    lo_rank = F.expr(
+        "GREATEST(CAST(1 AS BIGINT),"
+        f" (__n * {int(lo_ppm)} + 999999) DIV 1000000)"
+    )
+    hi_rank = F.expr(
+        "GREATEST(CAST(1 AS BIGINT),"
+        f" (__n * {int(hi_ppm)} + 999999) DIV 1000000)"
+    )
     ci = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_reps"),
         F.max(F.when(F.col("__r") == lo_rank, F.col("__mean_fp")))
@@ -600,9 +623,15 @@ def group_sequential_monitor(
         * (F.lit(1.0) / F.col("n1").cast("double")
            + F.lit(1.0) / F.col("n0").cast("double"))
     )
+    # boundary crossing compared in INTEGER space: z_fp carries 6
+    # decimals, so round(|z_fp|*1e6) is its exact fixed-point long —
+    # the raw double product can land 1 ulp below the boundary (e.g.
+    # 2.123456*1e6 -> 2123455.9999...) and flip crossed/stopped when
+    # z sits exactly on the spending boundary (r8 ADVICE).
     with_z = idxed.withColumn("z_fp", F.round(z, 6)).withColumn(
         "crossed",
-        (F.abs(F.col("z_fp")) * 1000000 >= F.col("boundary_fp"))
+        (F.round(F.abs(F.col("z_fp")) * 1000000).cast("long")
+         >= F.col("boundary_fp"))
         .cast("int"),
     )
     w_first = Window.orderBy("look").rowsBetween(
@@ -676,9 +705,14 @@ def theil_sen_slope(
         .where(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
         .select("__g", "n_pairs", F.col("__s").alias("slope_fp"))
     )
+    # LEFT join: a group whose pairs are all equal-x (n_pairs = 0,
+    # slope undefined) must surface with NULL slope_fp, not vanish
+    # from the report (r8 ADVICE — the inner join silently dropped it)
     return (
-        npts.join(med.hint("shuffle_hash"), "__g")
-        .select(F.col("__g").alias(group_col), "n_points", "n_pairs",
+        npts.join(med.hint("shuffle_hash"), "__g", "left")
+        .select(F.col("__g").alias(group_col), "n_points",
+                F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
+                .alias("n_pairs"),
                 "slope_fp")
     )
 

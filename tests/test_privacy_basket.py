@@ -151,6 +151,44 @@ def test_frequent_item_pairs_max_basket_size_guard(spark, sf_dir):
     assert got == dict(pair_sup)
 
 
+def test_frequent_item_pairs_supports_uncapped_under_cap(spark, sf_dir):
+    """support_a/support_b report the item's TRUE (uncapped) basket
+    support even when max_basket_size drops oversized baskets from
+    pair counting (r8 ADVICE: the capped-universe supports silently
+    pruned items whose support only cleared min_item_support via
+    oversized baskets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cap = 3
+    rows = B.frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", 1, 1, max_basket_size=cap
+    ).collect()
+    all_baskets = _baskets(li.collect())
+    item_sup = Counter(i for items in all_baskets.values() for i in items)
+    capped = {k: v for k, v in all_baskets.items() if len(v) <= cap}
+    pair_sup = Counter(
+        p
+        for items in capped.values()
+        for p in itertools.combinations(sorted(items), 2)
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_support"], r["support_a"], r["support_b"]
+        )
+        for r in rows
+    }
+    want = {
+        p: (n, item_sup[p[0]], item_sup[p[1]]) for p, n in pair_sup.items()
+    }
+    assert got == want and len(got) > 0
+    # at least one reported support must exceed its capped-universe
+    # value, i.e. the cap genuinely dropped a basket containing it
+    capped_sup = Counter(i for items in capped.values() for i in items)
+    assert any(
+        item_sup[a] > capped_sup[a] or item_sup[b] > capped_sup[b]
+        for (a, b) in got
+    )
+
+
 def test_triangle_count_matches_bruteforce(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     edges_df = B.frequent_item_pairs(li, "l_orderkey", "l_partkey", 3, 2)

@@ -120,6 +120,40 @@ def test_bootstrap_ci_brackets_full_mean(spark):
     assert row.ci_lo_fp <= row.mean_fp <= row.ci_hi_fp
 
 
+def test_bootstrap_ci_ranks_follow_actual_replicate_count(spark):
+    """r8 ADVICE: ranks must derive from the ACTUAL replicate count —
+    a replicate missing from the weights relation (e.g. all Poisson
+    draws zero) must shift the nearest-rank positions, not silently
+    emit NULL/misplaced bounds computed from the n_reps parameter."""
+    vals = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 53 + 5).cast("long").alias("x"),
+    )
+    w = poisson_bootstrap_weights(vals, "doc_id", n_reps=20, seed=7)
+    # drop two whole replicates: 18 actually present vs n_reps=20
+    w_short = w.where(~F.col("rep").isin(3, 11))
+    row = bootstrap_mean_ci(
+        vals, w_short, "doc_id", "x", n_reps=20
+    ).collect()[0]
+    assert row.n_reps == 18
+    # nearest-rank at 18 reps: lo = ceil(18*0.025) = 1, hi = ceil(18*0.975) = 18
+    means = sorted(
+        r.m for r in w_short.join(vals, "doc_id")
+        .groupBy("rep")
+        .agg(
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CAST(w AS DECIMAL(38,0)) * x)"
+                " div sum(CAST(w AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("m")
+        )
+        .collect()
+    )
+    assert row.ci_lo_fp == means[0]
+    assert row.ci_hi_fp == means[17]
+    assert row.ci_lo_fp is not None and row.ci_hi_fp is not None
+
+
 @pytest.mark.parametrize("op", ["sum", "rank", "max"])
 def test_prefix_ops_deterministic_across_runs(spark, op):
     """Round-7 regression: the range exchange feeding two
@@ -743,6 +777,27 @@ def test_theil_sen_skips_equal_x(spark):
     assert r.slope_fp == 10_000_000
 
 
+def test_theil_sen_degenerate_group_surfaces_null(spark):
+    """r8 ADVICE: a group whose pairs are ALL equal-x (slope
+    undefined) must appear in the output with n_pairs=0 and NULL
+    slope_fp — the old inner join on the median row dropped it."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    rows = [
+        ("ok", 1, 10), ("ok", 2, 20),
+        ("flat", 5, 1), ("flat", 5, 2), ("flat", 5, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in theil_sen_slope(df, "g", "x", "y").collect()}
+    assert set(got) == {"ok", "flat"}
+    assert got["ok"].slope_fp == 10_000_000
+    assert got["flat"].n_points == 3
+    assert got["flat"].n_pairs == 0
+    assert got["flat"].slope_fp is None
+
+
 def test_qini_perfect_uplift_model(spark):
     from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
         qini_curve,
@@ -802,6 +857,33 @@ def test_cli_drift_report_and_gate(spark, tmp_path):
     cfgp.write_text(_json.dumps(cfg2))
     with redirect_stdout(io.StringIO()):
         assert cli.main(["drift", "-c", str(cfgp)]) == 0
+
+
+def test_cli_drift_empty_cohort_is_config_error(spark, tmp_path):
+    """r8 ADVICE: a split matching nothing (or everything) must exit
+    with a clear config error instead of ANSI DIVIDE_BY_ZERO from
+    n1*n2 = 0 inside ks_two_sample."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from redshift_to_pendo_api_data_pipeline_spark import cli
+
+    for a_values in (["no_such_source"],
+                     [f"src{i}" for i in range(64)]):   # none / all
+        cfgp = tmp_path / "drift.json"
+        cfgp.write_text(_json.dumps({
+            "input": "/root/testdata/sf0.001",
+            "table": "documents",
+            "value": "n_chars",
+            "split": {"column": "source", "a_values": a_values},
+        }))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli.main(["drift", "-c", str(cfgp)])
+        rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rc == 2
+        assert rep["error"] == "empty_cohort"
 
 
 def test_kth_smallest_exact_matches_sort(spark):
