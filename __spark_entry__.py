@@ -4532,12 +4532,15 @@ def q_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_candidate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-key mining over orders (operators/linkage.
-    candidate_keys): every single column and column pair scored by
-    distinct-tuple count in ONE scan (a single agg — Catalyst Expand —
-    not a scan per combo), uniqueness in ppm, is_key flag. The
-    discovery-side complement of the reference's declared-PK catalog
-    scan (tap-redshift/src/discover.py) — a warehouse with no declared
-    constraints gets its keys mined."""
+    candidate_keys): every single column and column pair scored by an
+    EXACT distinct-tuple count, uniqueness in ppm, is_key flag.
+    r8 plan: singles pass first, key-propagation makes every pair
+    containing a proven key free (its n_distinct is n_rows by
+    definition), and only the surviving sub-key pairs pay an exact
+    distinct pass — vs the old single Expand x21 agg that shuffled up
+    to 21 corpora. The discovery-side complement of the reference's
+    declared-PK catalog scan (tap-redshift/src/discover.py) — a
+    warehouse with no declared constraints gets its keys mined."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
         candidate_keys,
     )

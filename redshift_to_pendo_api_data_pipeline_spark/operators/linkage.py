@@ -212,13 +212,40 @@ def candidate_keys(
     :func:`inclusion_dependencies`): for every single column and (with
     ``max_width=2``) column pair, the distinct-tuple count and
     uniqueness ratio; ``uniqueness_ppm == 1_000_000`` is a candidate
-    key.
+    key. Every reported count is EXACT.
 
-    ONE corpus pass: all combos evaluate as count-distinct aggregates
-    in a single ``agg`` (Catalyst plans one scan with an Expand — cost
-    scales with combo count per row, not scans per combo), then the
-    one wide row melts to a row per combo via ``stack``. Combo count
-    is schema-bounded (C(w,1)+C(w,2)), never data-bounded.
+    Plan (r8 rewrite — the one-agg version planned a single Expand
+    that multiplied every input row by the combo count (21 for 6
+    columns) before the distinct shuffles; shuffle volume was up to
+    21 corpora and the whole map side ran inside the scan stage):
+
+    1. Pin the column projection ONCE (``localCheckpoint``), spread to
+       full parallelism first when the scan arrives under-partitioned
+       (a small-file local fixture scans as ONE task; the Expand then
+       ran single-threaded — the measured 6x cost was this, not the
+       agg). At warehouse scale the scan keeps its natural
+       partitioning and the pin costs one projection write, paid back
+       by the second pass.
+    2. SINGLES pass: one (gid, md5-digest) explode + two-level
+       dedup-count — no multi-countDistinct agg, so no Catalyst
+       distinct-rewrite (measured at ~0.2s of DRIVER PLANNING per
+       distinct expression; the old plan's 4.7s planning dwarfed its
+       0.1s of execution) and the shuffle carries 16-byte digests,
+       never values.
+    3. Key propagation (the apriori step of key mining): any pair
+       containing a proven single-column key has n_distinct == n_rows
+       BY DEFINITION — emitted as literals, no scan, no shuffle. On a
+       table with k key columns this deletes k*(w-1) corpus-sized
+       distinct shuffles, the dominant ones (near-unique combos get
+       no map-side dedup, so each would shuffle ~a full corpus).
+    4. REMAINING-pairs pass: same explode shape over the pinned base,
+       sized to the surviving pairs only (sub-key combos dedup
+       map-side by definition of being sub-key, so this shuffle is
+       the cheap one).
+
+    The per-pass counts collected driver-side are <= C(w,2)+w longs —
+    a bounded sidecar (repo .collect() convention). Combo count is
+    schema-bounded (C(w,1)+C(w,2)), never data-bounded.
 
     Null caveat: single-column counts ignore NULLs (SQL COUNT DISTINCT
     semantics in both engines); pair counts use struct tuples, which
@@ -229,28 +256,81 @@ def candidate_keys(
     if max_width not in (1, 2):
         raise ValueError(f"max_width must be 1 or 2, got {max_width}")
     ordered = sorted(cols)
-    combos: list[tuple[str, ...]] = [(c,) for c in ordered]
-    if max_width == 2:
-        combos += [
-            (a, b) for i, a in enumerate(ordered) for b in ordered[i + 1:]
-        ]
-    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for i, combo in enumerate(combos):
-        expr = (
-            F.countDistinct(F.col(combo[0]))
-            if len(combo) == 1
-            else F.countDistinct(F.struct(*[F.col(c) for c in combo]))
+    spark = df.sparkSession
+    base = df.select(*[F.col(c) for c in ordered])
+    target_par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target_par:
+        base = base.repartition(target_par)
+    base = base.localCheckpoint(eager=True)
+
+    def _enc(c: str):
+        # length-prefixed injective string encoding, null-distinguished
+        # ("N" can never collide with "V<len>:<value>")
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"),
+                     F.lit(":"), s)
         )
-        aggs.append(expr.cast("long").alias(f"__c{i}"))
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{'+'.join(combo)}', __c{i}" for i, combo in enumerate(combos)
-    )
-    melted = wide.select(
-        F.col("__n").alias("n_rows"),
-        F.expr(
-            f"stack({len(combos)}, {stack_args}) AS (candidate, n_distinct)"
-        ),
+
+    def _distinct_counts(entry_structs) -> dict[int, int]:
+        # (gid, md5-digest) explode -> two-level dedup-count. Chosen
+        # over a multi-countDistinct agg DELIBERATELY: Catalyst's
+        # distinct-aggregate rewrite costs ~0.2s of driver planning
+        # PER distinct expression (4.7s for 21 on this plan shape —
+        # the measured bulk of the old 5.95s), while this shape plans
+        # in one pass and shuffles 16-byte digests, never values
+        # (md5-as-exact is the repo dedup convention).
+        ex = base.select(
+            F.explode(F.array(*entry_structs)).alias("e")
+        ).where(F.col("e").isNotNull())
+        rows = (
+            ex.select("e.gid", "e.k")
+            .groupBy("gid", "k").agg(F.lit(1))
+            .groupBy("gid")
+            .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+            .collect()
+        )
+        return {r["gid"]: r["nd"] for r in rows}
+
+    n_rows = base.count()
+    singles_nd = _distinct_counts([
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.lit(i).alias("gid"), F.md5(_enc(c)).alias("k")),
+        )
+        for i, c in enumerate(ordered)
+    ])
+    single_nd = {c: singles_nd.get(i, 0) for i, c in enumerate(ordered)}
+    keys = {c for c, nd in single_nd.items() if nd == n_rows}
+
+    results: list[tuple[str, int]] = [
+        (c, single_nd[c]) for c in ordered
+    ]
+    rem_pairs: list[tuple[str, str]] = []
+    if max_width == 2:
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                if a in keys or b in keys:
+                    # superset of a key is a key: exact, free
+                    results.append((f"{a}+{b}", n_rows))
+                else:
+                    rem_pairs.append((a, b))
+    if rem_pairs:
+        pairs_nd = _distinct_counts([
+            F.struct(
+                F.lit(i).alias("gid"),
+                F.md5(F.concat(_enc(a), F.lit("|"), _enc(b))).alias("k"),
+            )
+            for i, (a, b) in enumerate(rem_pairs)
+        ])
+        results += [
+            (f"{a}+{b}", pairs_nd.get(i, 0))
+            for i, (a, b) in enumerate(rem_pairs)
+        ]
+
+    melted = spark.createDataFrame(
+        [(cand, int(n_rows), int(nd)) for cand, nd in results],
+        "candidate string, n_rows long, n_distinct long",
     )
     return melted.select(
         "candidate", "n_rows", "n_distinct",

@@ -163,6 +163,41 @@ def test_candidate_keys_singles_and_pairs(spark):
     assert rows["grp+pk"]["is_key"]  # pk alone unique -> any pair with it
 
 
+def test_candidate_keys_null_semantics_and_injective_encoding(spark):
+    """r8 explode rewrite: single-column counts must IGNORE nulls
+    (SQL COUNT DISTINCT), pair counts must COUNT a tuple containing a
+    null, and the length-prefixed string encoding must not collide
+    values whose raw concatenation would ('a'+'b|c' vs 'a|b'+'c')."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "x", "a"), (3, "x", None), (4, None, "a")],
+        ["pk", "u", "v"],
+    )
+    rows = {r["candidate"]: r for r in candidate_keys(
+        df, ["pk", "u", "v"]).collect()}
+    assert rows["u"]["n_distinct"] == 1          # nulls ignored
+    assert rows["v"]["n_distinct"] == 1
+    # tuples WITH nulls count: (null,a),(x,a),(x,null) -> 3
+    assert rows["u+v"]["n_distinct"] == 3
+    assert rows["pk"]["is_key"]
+    assert rows["pk+u"]["n_distinct"] == 4       # key propagation
+
+    # adversarial separator strings: raw '|'-concat would collide
+    # ('a'|'b|c' == 'a|b'|'c'); neither single column is a key, so
+    # the pair genuinely goes through the encoded-digest path
+    df2 = spark.createDataFrame(
+        [(1, "a", "b|c"), (2, "a|b", "c"), (3, "a", "b|c")],
+        ["pk", "s", "t"],
+    )
+    r2 = {r["candidate"]: r for r in candidate_keys(
+        df2, ["s", "t"]).collect()}
+    assert not r2["s"]["is_key"] and not r2["t"]["is_key"]
+    assert r2["s+t"]["n_distinct"] == 2
+
+
 def test_candidate_keys_validation(spark):
     from redshift_to_pendo_api_data_pipeline_spark.operators.linkage import (
         candidate_keys,
