@@ -170,6 +170,34 @@ def main() -> None:
         except Exception:
             pass  # a query that only works at the bench SF warms in-loop
 
+    # Contention gate (r8, r7 verdict #3): the r7 closeout artifact
+    # shipped from a ~1.5x contended host and every per-query median in
+    # it was garbage. The pinned probe runs BEFORE the timed loop; when
+    # its median exceeds the bound, the artifact is stamped
+    # `contended: true` with the measured inflation factor (vs the
+    # pinned idle reference 0.1034s), and under
+    # SPARK_GRAFT_BENCH_STRICT=1 the run REFUSES to write anything at
+    # all — no future round ships silently-inflated medians.
+    PINNED_IDLE_PROBE_SEC = 0.1034   # r7 idle-host committed reference
+    CONTENTION_BOUND_SEC = 0.13      # r7 verdict #3 suggested bound
+    pre_cal = _calibration(spark, data_dir)
+    contended = pre_cal["median_of_5_sec"] > CONTENTION_BOUND_SEC
+    inflation = round(pre_cal["median_of_5_sec"] / PINNED_IDLE_PROBE_SEC, 3)
+    if contended:
+        sys.stderr.write(
+            f"bench: HOST CONTENDED — probe {pre_cal['median_of_5_sec']}s"
+            f" > bound {CONTENTION_BOUND_SEC}s"
+            f" ({inflation}x the pinned idle reference); medians below"
+            " are inflated by roughly that factor\n"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            sys.stderr.write(
+                "bench: SPARK_GRAFT_BENCH_STRICT=1 — refusing to write"
+                " a contaminated closeout artifact; re-run on an idle"
+                " host\n"
+            )
+            sys.exit(3)
+
     # Each query is timed as the MEDIAN of three consecutive end-to-end
     # runs (r4 methodology; r1-r2 used one-shot timings, r3 min-of-2 —
     # cross-round totals are comparable only within one methodology): a
@@ -263,6 +291,12 @@ def main() -> None:
         # rounds by contract — divide per-query deltas by the
         # calibration ratio before reading them as regressions
         "calibration": calibration,
+        # pre-loop probe + contention verdict (r8): when `contended`
+        # is true every median in this artifact is inflated ~by
+        # `contention_inflation` and must not be read as a regression
+        "calibration_preloop": pre_cal,
+        "contended": contended,
+        "contention_inflation": inflation,
         # steady-state: sum of per-query median-of-3 after warm-up,
         # over ALL registry queries
         "value": total,
