@@ -76,6 +76,41 @@ def windowed_event_counts(
     )
 
 
+def size_watermark_delay(
+    lateness_hist: DataFrame, admit_ppm: int = 990_000
+) -> str:
+    """Close the sizing loop from measurement to configuration (r8,
+    r7 verdict #8): `operators/temporal.lateness_histogram` exists
+    precisely to size `withWatermark` delays — this helper reads the
+    histogram and returns the SMALLEST delay string that admits at
+    least ``admit_ppm`` of the observed event mass (default 99%).
+
+    A `withWatermark(delay)` drops exactly the records whose lateness
+    exceeds delay, so: walk buckets in lateness order accumulating
+    mass until the admit target is met, and return the max OBSERVED
+    lateness among admitted buckets (exact, from the histogram's
+    per-bucket max), ceiled to whole seconds. Using the observed max
+    rather than the bucket edge means the planted stragglers that
+    motivated the bucket are admitted, not grazed.
+
+    The histogram is <= max_buckets+1 rows by construction — the
+    collect is bounded (repo sidecar convention).
+    """
+    rows = sorted(lateness_hist.collect(), key=lambda r: r["bucket"])
+    total = sum(r["n_events"] for r in rows)
+    if total == 0:
+        return "0 seconds"
+    need = -(-total * int(admit_ppm) // 1_000_000)   # ceil
+    cum = 0
+    delay_us = 0
+    for r in rows:
+        cum += r["n_events"]
+        delay_us = max(delay_us, r["max_lateness_us"])
+        if cum >= need:
+            break
+    return f"{-(-delay_us // 1_000_000)} seconds"
+
+
 def run_incremental_sync(
     sdf_shaped: DataFrame,
     checkpoint_dir: str,

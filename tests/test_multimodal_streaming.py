@@ -294,6 +294,95 @@ def test_streaming_windowed_counts_with_watermark(spark, sf_dir):
         assert types <= {"click", "view", "purchase", "signup", "error"}
 
 
+def test_watermark_sized_from_lateness_histogram_admits_stragglers(spark):
+    """r8 (r7 verdict #8): the lateness histogram exists to SIZE
+    withWatermark delays — size_watermark_delay derives the delay from
+    the measured p99 lateness, and the derived delay admits the
+    planted late rows that a fixed 60-second delay provably drops."""
+    import os
+    from datetime import datetime as dt
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.streaming.incremental import (
+        size_watermark_delay,
+    )
+
+    def t(m, s=0):
+        return dt(2024, 1, 1, 10, m, s)
+
+    # arrival log: 56 on-time events (minutes 0..55), then 4 stragglers
+    # arriving AFTER the minute-59 head with event times ~9 min old
+    batch1 = [(i, t(i), 1) for i in range(56)]           # on time
+    head = [(100 + j, t(59, j), 1) for j in range(2)]    # advance max
+    stragglers = [(200 + j, t(50, j), 1) for j in range(4)]
+
+    arrival = batch1 + head + stragglers                 # arrival order
+    log = spark.createDataFrame(
+        [(k, e[0], e[1], e[2]) for k, e in enumerate(arrival)],
+        "arr long, event_id long, ts timestamp, value long",
+    ).select(
+        "arr", "event_id", "value",
+        F.unix_micros("ts").alias("ts_us"), "ts",
+    )
+    hist = lateness_histogram(
+        log, ["arr", "event_id"], "ts_us",
+        bucket_us=60_000_000, max_buckets=12,
+    )
+    derived = size_watermark_delay(hist, admit_ppm=990_000)
+    # stragglers are ~9 min late (event 10:50 vs max 10:59) and are
+    # >1% of mass, so the 99% admit target must reach their bucket
+    derived_secs = int(derived.split()[0])
+    assert 9 * 60 <= derived_secs <= 10 * 60
+
+    # end-to-end: two micro-batches; the second carries the stragglers
+    # after batch 1 advanced the watermark to (10:59 - delay)
+    def run(delay: str) -> int:
+        out = []
+        with tempfile.TemporaryDirectory() as d:
+            src, ckpt = f"{d}/src", f"{d}/ckpt"
+            spark.createDataFrame(
+                [(e[0], e[1], e[2]) for e in batch1 + head],
+                "event_id long, ts timestamp, value long",
+            ).coalesce(1).write.parquet(src)
+            schema = spark.read.parquet(src).schema
+
+            def writer(batch_df, batch_id):
+                out.extend(batch_df.collect())
+
+            def one_pass():
+                sdf = read_stream(spark, src, schema)
+                agg = windowed_event_counts(
+                    sdf, "ts", window="5 minutes", watermark_delay=delay
+                )
+                q = (agg.writeStream.outputMode("update")
+                     .option("checkpointLocation", ckpt)
+                     .foreachBatch(writer)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+
+            one_pass()
+            spark.createDataFrame(
+                [(e[0], e[1], e[2]) for e in stragglers],
+                "event_id long, ts timestamp, value long",
+            ).coalesce(1).write.mode("append").parquet(src)
+            one_pass()
+        # update mode RE-emits a window when late rows join it: the
+        # final count per window is the LAST emission (out preserves
+        # micro-batch order)
+        final = {}
+        for r in out:
+            final[r["window"]["start"]] = r["n"]
+        return sum(final.values())
+
+    n_fixed = run("60 seconds")
+    n_derived = run(derived)
+    # fixed 60s: watermark after batch 1 sits at ~10:58, the 10:50
+    # stragglers are behind it and dropped; derived ~9-10 min admits them
+    assert n_derived == n_fixed + 4
+
+
 def test_streaming_debounce_kept_event_semantics(spark):
     """Kept-event debounce: each EMITTED event resets the clock (a long
     burst emits only its head), and the clock survives micro-batch
