@@ -47,6 +47,75 @@ def route_endpoint(stream_name: str, base_url: str, group: str = "custom") -> st
     return f"{base_url}/api/v1/metadata/{kind}/{group}/value"
 
 
+# B8 (r8, granular): the reference keeps a full application-error-code
+# taxonomy — target-pendo/src/exceptions.py:74-97 maps `error.list`
+# codes to exception classes and request.py:77-109 raises them from the
+# parsed body. The Spark sink carries the same taxonomy as a CLASS
+# STRING on each quarantine row (exception classes don't survive an
+# executor boundary; a labeled row does), so a user debugging a
+# specific Pendo rejection sees the same bucket the reference would
+# have raised.
+ERROR_CODE_CLASSES: dict[str, str] = {
+    "unauthorized": "authentication",
+    "forbidden": "authentication",
+    "bad_request": "bad_request",
+    "action_forbidden": "bad_request",
+    "missing_parameter": "bad_request",
+    "parameter_invalid": "bad_request",
+    "parameter_not_found": "bad_request",
+    "client_error": "bad_request",
+    "type_mismatch": "bad_request",
+    "not_found": "resource_not_found",
+    "admin_not_found": "resource_not_found",
+    "not_restorable": "not_restorable",
+    "rate_limit_exceeded": "rate_limit",
+    "service_unavailable": "service_unavailable",
+    "server_error": "service_unavailable",
+    "conflict": "multiple_matching_users",
+    "unique_user_constraint": "multiple_matching_users",
+    "token_unauthorized": "token_unauthorized",
+    "token_not_found": "token_not_found",
+    "token_revoked": "token_not_found",
+    "token_blocked": "token_not_found",
+    "token_expired": "token_not_found",
+}
+
+# HTTP-status fallback when no application code is present
+# (request.py:77-91's raise_errors_on_failure table)
+_HTTP_STATUS_CLASSES: dict[int, str] = {
+    401: "authentication",
+    403: "authentication",
+    404: "resource_not_found",
+    500: "server_error",
+    502: "bad_gateway",
+    503: "service_unavailable",
+}
+
+# classes the reference retries (RateLimitExceeded/ServiceUnavailable/
+# ServerError are transient; everything else is a caller bug or a
+# permanent state)
+RETRYABLE_ERROR_CLASSES = {
+    "rate_limit", "service_unavailable", "server_error", "bad_gateway",
+    "http_5xx",
+}
+
+
+def classify_error(code: str | None, http_status: int | None = None) -> str:
+    """Application `error.list` code -> taxonomy class; HTTP status as
+    the fallback; `unexpected` when the code is unknown (the reference's
+    UnexpectedError arm, request.py:98-105)."""
+    if code:
+        return ERROR_CODE_CLASSES.get(code, "unexpected")
+    if http_status is not None:
+        if http_status in _HTTP_STATUS_CLASSES:
+            return _HTTP_STATUS_CLASSES[http_status]
+        if 400 <= http_status < 500:
+            return "http_4xx"
+        if 500 <= http_status < 600:
+            return "http_5xx"
+    return "unexpected"
+
+
 @dataclass
 class SinkConfig:
     base_url: str
@@ -80,6 +149,10 @@ class BatchResult:
     updated: int = 0
     failed: int = 0
     failed_payloads: list[bytes] = field(default_factory=list)
+    # aligned with failed_payloads: the application error code (or "")
+    # and its taxonomy class (ERROR_CODE_CLASSES / classify_error)
+    failed_codes: list[str] = field(default_factory=list)
+    failed_classes: list[str] = field(default_factory=list)
 
 
 # One bucket per (calls, period) per executor process — all partition tasks
@@ -141,10 +214,30 @@ def post_batch(cfg: SinkConfig, batch: list[bytes]) -> BatchResult:
             with urllib.request.urlopen(req, timeout=cfg.timeout) as resp:
                 return json.loads(resp.read() or b"{}")
         except urllib.error.HTTPError as e:
-            # B8: 4xx = caller bug, never retried; 5xx/timeouts retried
-            if 400 <= e.code < 500:
-                raise GiveUpError(f"HTTP {e.code} at {cfg.endpoint}") from e
-            raise
+            # B8 (granular, r8): an error body of type `error.list`
+            # carries the application code the reference's
+            # raise_application_errors_on_failure maps
+            # (request.py:92-109). Codes in a retryable class keep
+            # retrying with backoff; the rest give up with the class
+            # named, not just the bare status.
+            err_code = None
+            try:
+                body_ = json.loads(e.read() or b"{}")
+                if body_.get("type") == "error.list" and body_.get("errors"):
+                    d = body_["errors"][0]
+                    # reference reads .type then .code
+                    # (request.py:94-96); code wins when both present
+                    err_code = d.get("code") or d.get("type")
+            except (ValueError, AttributeError):
+                pass
+            klass = classify_error(err_code, e.code)
+            if klass in RETRYABLE_ERROR_CLASSES:
+                raise  # B6 path: backoff + retry
+            raise GiveUpError(
+                f"HTTP {e.code} [{klass}"
+                + (f"/{err_code}" if err_code else "")
+                + f"] at {cfg.endpoint}"
+            ) from e
 
     payload = retry_with_backoff(_do, max_tries=cfg.max_tries)
     res = BatchResult(
@@ -153,19 +246,29 @@ def post_batch(cfg: SinkConfig, batch: list[bytes]) -> BatchResult:
         failed=int(payload.get("failed", 0)),
     )
     if res.failed:
-        # J4: join error ids back to the records of this batch
-        error_ids = {e.get("id") for e in payload.get("errors", [])}
+        # J4: join error ids back to the records of this batch; carry
+        # each error's application code + taxonomy class alongside so
+        # the quarantine relation is debuggable per Pendo rejection
+        errors_by_id = {
+            e.get("id"): (e.get("code") or e.get("type") or "")
+            for e in payload.get("errors", [])
+        }
         for raw in batch:
             rec_id = json.loads(raw).get("id")
-            if rec_id in error_ids:
+            if rec_id in errors_by_id:
+                code = errors_by_id[rec_id]
                 res.failed_payloads.append(raw)
+                res.failed_codes.append(code)
+                res.failed_classes.append(classify_error(code or None))
     return res
 
 
 def write_partition(cfg: SinkConfig, payloads: Iterable[bytes]) -> Iterator[tuple]:
     """The foreachPartition body. Yields one row per batch:
-    (total, updated, failed, failed_json_array) so failures land in a
-    quarantine DataFrame instead of killing the job."""
+    (total, updated, failed, failed_json_array, failed_codes,
+    failed_classes) so failures land in a quarantine DataFrame —
+    labeled with the application error code and its taxonomy class —
+    instead of killing the job."""
     for batch in batch_records(payloads, cfg.max_records, cfg.max_bytes):
         r = post_batch(cfg, batch)
         yield (
@@ -173,6 +276,8 @@ def write_partition(cfg: SinkConfig, payloads: Iterable[bytes]) -> Iterator[tupl
             r.updated,
             r.failed,
             [p.decode() for p in r.failed_payloads],
+            list(r.failed_codes),
+            list(r.failed_classes),
         )
 
 
@@ -202,5 +307,7 @@ def sink_dataframe(df: DataFrame, cfg: SinkConfig) -> DataFrame:
         )
 
     return json_df.rdd.mapPartitions(_run).toDF(
-        "total long, updated long, failed long, failed_payloads array<string>"
+        "total long, updated long, failed long,"
+        " failed_payloads array<string>, failed_codes array<string>,"
+        " failed_classes array<string>"
     )

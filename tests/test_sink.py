@@ -92,7 +92,11 @@ class _MockAPI(BaseHTTPRequestHandler):
 
     store: list[list[dict]] = []
     fail_ids: set = set()
+    fail_codes: dict = {}        # id -> application error code
     flaky_500s: int = 0
+    # (status, code, n): answer the first n requests with an HTTP
+    # `status` whose body is a Pendo error.list carrying `code`
+    error_list_replies: tuple = ()
     lock = threading.Lock()
 
     def do_POST(self):  # noqa: N802
@@ -102,6 +106,20 @@ class _MockAPI(BaseHTTPRequestHandler):
             self.end_headers()
             return
         with _MockAPI.lock:
+            if _MockAPI.error_list_replies:
+                status, code, n = _MockAPI.error_list_replies
+                if n > 0:
+                    _MockAPI.error_list_replies = (status, code, n - 1)
+                    data = json.dumps({
+                        "type": "error.list",
+                        "errors": [{"code": code, "message": "mock"}],
+                    }).encode()
+                    self.send_response(status)
+                    self.send_header("content-type", "application/json")
+                    self.send_header("content-length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
             if _MockAPI.flaky_500s > 0:
                 _MockAPI.flaky_500s -= 1
                 self.send_response(500)
@@ -109,7 +127,13 @@ class _MockAPI(BaseHTTPRequestHandler):
                 return
             recs = json.loads(body)
             _MockAPI.store.append(recs)
-        errors = [{"id": r["id"]} for r in recs if r["id"] in _MockAPI.fail_ids]
+        errors = [
+            {"id": r["id"], **(
+                {"code": _MockAPI.fail_codes[r["id"]]}
+                if r["id"] in _MockAPI.fail_codes else {}
+            )}
+            for r in recs if r["id"] in _MockAPI.fail_ids
+        ]
         out = {
             "total": len(recs),
             "updated": len(recs) - len(errors),
@@ -131,7 +155,9 @@ class _MockAPI(BaseHTTPRequestHandler):
 def mock_api():
     _MockAPI.store = []
     _MockAPI.fail_ids = set()
+    _MockAPI.fail_codes = {}
     _MockAPI.flaky_500s = 0
+    _MockAPI.error_list_replies = ()
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _MockAPI)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -207,6 +233,75 @@ def test_sink_gives_up_on_4xx(spark, sf_dir, mock_api):
     shaped = cust.select(F.col("c_custkey").alias("id")).coalesce(1)
     with pytest.raises(Exception, match="HTTP 404"):
         sink_dataframe(shaped, cfg).count()
+
+
+def test_quarantine_rows_carry_error_code_taxonomy(spark, sf_dir, mock_api):
+    """B8 granular (r8, r7 verdict #9): per-record rejections carry
+    the application error code AND its taxonomy class (the bucket the
+    reference's exceptions.py:74-97 would have raised) on the
+    quarantine row, aligned with failed_payloads."""
+    base_url, api = mock_api
+    api.fail_ids = {1, 5, 7}
+    api.fail_codes = {
+        1: "parameter_invalid",      # -> bad_request
+        5: "unique_user_constraint", # -> multiple_matching_users
+        # id 7 rejected WITHOUT a code -> "" / unexpected
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(20)
+    shaped = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    cfg = SinkConfig(base_url=base_url, stream_name="visitors", max_records=10)
+    rows = sink_dataframe(shaped, cfg).collect()
+    got = {}
+    for r in rows:
+        for p, c, k in zip(
+            r["failed_payloads"], r["failed_codes"], r["failed_classes"]
+        ):
+            got[json.loads(p)["id"]] = (c, k)
+    assert got == {
+        1: ("parameter_invalid", "bad_request"),
+        5: ("unique_user_constraint", "multiple_matching_users"),
+        7: ("", "unexpected"),
+    }
+
+
+def test_error_list_code_controls_retry_vs_giveup(spark, sf_dir, mock_api):
+    """A whole-request error.list body drives the retry decision by
+    CODE class, not bare status: rate_limit_exceeded on 429 retries
+    through (reference RateLimitExceeded is transient), while
+    parameter_invalid on 400 gives up naming the class."""
+    base_url, api = mock_api
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(3)
+    shaped = cust.select(F.col("c_custkey").alias("id")).coalesce(1)
+    cfg = SinkConfig(base_url=base_url, stream_name="v", max_records=100)
+
+    api.error_list_replies = (429, "rate_limit_exceeded", 2)
+    agg = sink_dataframe(shaped, cfg).agg(F.sum("updated").alias("u")).first()
+    assert agg["u"] == 3    # two rate-limited replies absorbed by retry
+
+    api.error_list_replies = (400, "parameter_invalid", 10**6)
+    with pytest.raises(Exception, match="bad_request/parameter_invalid"):
+        sink_dataframe(shaped, cfg).count()
+
+
+def test_classify_error_mapping():
+    from redshift_to_pendo_api_data_pipeline_spark.sink.http_sink import (
+        classify_error,
+    )
+
+    # application codes (exceptions.py:74-97 parity)
+    assert classify_error("unauthorized") == "authentication"
+    assert classify_error("token_expired") == "token_not_found"
+    assert classify_error("server_error") == "service_unavailable"
+    assert classify_error("no_such_code") == "unexpected"
+    # HTTP fallbacks (request.py:77-91 parity)
+    assert classify_error(None, 404) == "resource_not_found"
+    assert classify_error(None, 403) == "authentication"
+    assert classify_error(None, 502) == "bad_gateway"
+    assert classify_error(None, 418) == "http_4xx"
+    assert classify_error(None, 599) == "http_5xx"
+    assert classify_error(None, None) == "unexpected"
 
 
 def test_rate_budget_split_across_executors():
