@@ -794,6 +794,36 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (operators/spans.maximal_duplicated_substrings
+    — Lee et al. 2022's suffix-array tier, re-expressed as relational
+    suffix-grouping): every length-maximal duplicated substring of
+    >= 8 words, found by pairing staged 4-gram seed occurrences under
+    an occurrence cap and merging consecutive aligned seeds with the
+    islands trick. Rolled up per document (n_matches, max_len_tokens,
+    n_partner_docs). The seed relation is STAGED so the DuckDB twin
+    re-derives pairing + run-merge from the identical parquet; only
+    the gram hashing is engine-specific. The fixed-k cover twin
+    (ngram_span_coverage) measures coverage; this reports TRUE maximal
+    match lengths (cover over-merges different-partner runs and misses
+    sub-k phrases and same-doc tandem repeats)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        maximal_duplicated_substrings,
+        staged_substr_seeds,
+        substr_dedup_doc_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = staged_substr_seeds(
+        docs, "text", "doc_id", 4,
+        f"{_stage_dir(sf_dir)}/substr_seeds_k4.parquet",
+    )
+    matches = maximal_duplicated_substrings(
+        seeds, k=4, min_len=8, max_occurrences=16
+    )
+    return substr_dedup_doc_stats(matches)
+
+
 def _stage_dir(sf_dir: str) -> str:
     """Lake staging area for signature/candidate relations, keyed by the
     scale-factor directory so concurrent runs at different SF never
@@ -6734,6 +6764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_histogram": q_conversion_latency_histogram,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
+        # --- r8 additions: after the never-certified block (the r8
+        # driver window must draw from the pre-existing debt), before
+        # the already-certified queries
+        "exact_substr_dedup": q_exact_substr_dedup,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -7033,6 +7067,45 @@ _POS_GRAMS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "exact_substr_dedup": f"""
+            WITH seeds AS (
+              SELECT doc, pos, g FROM read_parquet(
+                '{_STAGE}/substr_seeds_k4.parquet/*.parquet')),
+            occ_ok AS (
+              SELECT g FROM seeds GROUP BY g
+              HAVING count(*) >= 2 AND count(*) <= 16),
+            s AS (SELECT seeds.* FROM seeds JOIN occ_ok USING (g)),
+            pairs AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b,
+                     b.pos - a.pos AS shift
+              FROM s a JOIN s b ON a.g = b.g
+               AND (a.doc < b.doc
+                    OR (a.doc = b.doc AND a.pos < b.pos))),
+            runs AS (
+              SELECT doc_a, doc_b, shift, pos_a, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, shift
+                       ORDER BY pos_a) AS isl
+              FROM pairs),
+            matches AS (
+              SELECT doc_a, doc_b,
+                     CAST(count(*) - 1 + 4 AS BIGINT) AS len_tokens
+              FROM runs GROUP BY doc_a, doc_b, shift, isl
+              HAVING count(*) - 1 + 4 >= 8),
+            endpoints AS (
+              SELECT doc_a AS doc_id, doc_b AS partner, len_tokens
+              FROM matches
+              UNION ALL
+              SELECT doc_b AS doc_id, doc_a AS partner, len_tokens
+              FROM matches WHERE doc_a <> doc_b)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(max(len_tokens) AS BIGINT) AS max_len_tokens,
+                   CAST(count(DISTINCT partner) AS BIGINT)
+                       AS n_partner_docs
+            FROM endpoints GROUP BY doc_id
+        """,
         "kappa_order_signals": """
             WITH base AS (
               SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

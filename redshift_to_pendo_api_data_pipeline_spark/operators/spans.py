@@ -219,6 +219,144 @@ def _rebuild_without_positions(
     )
 
 
+def substr_seed_grams(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, g) FULL-length positional k-grams — the seed relation
+    for ExactSubstr. Unlike :func:`positional_kgrams` this EXCLUDES the
+    truncated tail gram a short document emits (a 2-word truncated
+    digest must never equal-match a full k-gram's digest by accident of
+    text, and a match length derived from a truncated seed would
+    overstate the duplicate); documents shorter than k words produce no
+    seeds, which is correct — they cannot contain a >= min_len >= k
+    match."""
+    return (
+        positional_kgrams(df, text_col, id_col, k)
+        .where(F.col("pos") <= F.col("n_tokens") - k + 1)
+        .select("doc", "pos", "g")
+    )
+
+
+def staged_substr_seeds(
+    df: DataFrame, text_col: str, id_col: str, k: int, stage_path: str
+) -> DataFrame:
+    """Stage the ExactSubstr seed relation to the lake (stage-once /
+    probe-many, staging.py contract) and return the staged copy — the
+    oracle re-derives pairing + run-merge from the SAME parquet, so
+    only the gram hashing itself is engine-specific (the simhash
+    staging argument)."""
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
+
+    seeds = substr_seed_grams(df, text_col, id_col, k)
+    stage_parquet(seeds, stage_path)
+    return df.sparkSession.read.parquet(stage_path)
+
+
+def maximal_duplicated_substrings(
+    seeds: DataFrame,
+    k: int,
+    min_len: int = 8,
+    max_occurrences: int = 16,
+) -> DataFrame:
+    """ExactSubstr (Lee et al. 2022 §4.1, the suffix-array dedup tier)
+    at word granularity: every LENGTH-MAXIMAL duplicated substring of
+    >= ``min_len`` words, reported per occurrence pair as
+    (doc_a, doc_b, pos_a, pos_b, len_tokens).
+
+    Fixed-k span COVER (duplicated_span_coverage) answers "how many of
+    my tokens sit under some duplicated window" but cannot report true
+    match lengths: consecutive covered positions may be covered by
+    DIFFERENT partners (run-merging them overstates the duplicate), and
+    any shared phrase shorter than its k is invisible (understates).
+    This operator reports exact maximal matches instead.
+
+    Relational suffix-grouping, no suffix array needed:
+
+    1. seeds = full-length k-gram starts (doc, pos, g-digest);
+    2. occurrence cap: only grams with 2..max_occurrences total
+       occurrences pair up — Sum C(occ,2) <= (cap-1)/2 x corpus
+       positions bounds the pair relation LINEARLY in corpus size
+       (the hot boilerplate grams a cap excludes are span-cover's
+       territory; within the cap the report is EXACT, and a hot window
+       inside a long match only ever SPLITS the reported run — the
+       error is one-sided, never an overstated length);
+    3. pair occurrences of the same digest ((doc_a,pos_a) < (doc_b,
+       pos_b) canonically — same-doc repeats included, the tandem-
+       repeat case cover's min_docs=2 misses entirely);
+    4. merge consecutive pos_a runs per (doc_a, doc_b, shift =
+       pos_b - pos_a) with the islands trick (pos_a - row_number):
+       a run of r consecutive aligned seed matches IS a duplicated
+       substring of exactly r-1+k words — every window inside a true
+       match seeds at the same shift, so lengths are exact, and the
+       run cannot extend by even one word (the extending window would
+       have seeded too). The islands window partitions by (doc pair,
+       shift) — bounded by document length, the repo per-entity window
+       contract.
+
+    Returns matches with len_tokens >= min_len (min_len >= k
+    required — shorter matches produce no full seed)."""
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    occ_ok = (
+        seeds.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where((F.col("__occ") >= 2) & (F.col("__occ") <= max_occurrences))
+        .select("g")
+    )
+    s = seeds.join(occ_ok.hint("shuffle_hash"), "g")
+    a = s.select("g", F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = s.select("g", F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            | ((F.col("doc_a") == F.col("doc_b"))
+               & (F.col("pos_a") < F.col("pos_b")))
+        )
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_b") - F.col("pos_a")).alias("shift"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "shift").orderBy("pos_a")
+    return (
+        pairs.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "shift", "__isl")
+        .agg(
+            F.min("pos_a").cast("long").alias("pos_a"),
+            F.min("pos_b").cast("long").alias("pos_b"),
+            (F.count(F.lit(1)) - 1 + k).cast("long").alias("len_tokens"),
+        )
+        .where(F.col("len_tokens") >= min_len)
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "len_tokens")
+    )
+
+
+def substr_dedup_doc_stats(matches: DataFrame) -> DataFrame:
+    """Per-document rollup of ExactSubstr matches — each match counts
+    for BOTH endpoints: (doc_id, n_matches, max_len_tokens,
+    n_partner_docs). The triage report: which documents carry long
+    verbatim duplicates, how long, against how many partners."""
+    both = matches.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "len_tokens",
+    ).unionByName(
+        # same-doc (tandem-repeat) matches already counted by the first
+        # leg — don't double-count them
+        matches.where(F.col("doc_a") != F.col("doc_b")).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "len_tokens",
+        )
+    )
+    return both.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("len_tokens").cast("long").alias("max_len_tokens"),
+        F.count_distinct("partner").cast("long").alias("n_partner_docs"),
+    )
+
+
 def strip_contaminated_spans(
     corpus: DataFrame,
     eval_set: DataFrame,

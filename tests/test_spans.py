@@ -73,6 +73,129 @@ def test_coverage_never_exceeds_doc(spark):
     assert bad == 0
 
 
+def _substr_matches(spark, rows, k=4, min_len=8, max_occurrences=16):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = SP.substr_seed_grams(df, "text", "doc_id", k)
+    return SP.maximal_duplicated_substrings(
+        seeds, k=k, min_len=min_len, max_occurrences=max_occurrences
+    ).collect()
+
+
+def test_exact_substr_reports_exact_maximal_length(spark):
+    """r8 (r7 verdict #5, Lee et al. 2022 ExactSubstr): a planted
+    40-word verbatim duplicate is reported at exactly 40 tokens with
+    exact positions in both documents."""
+    shared = " ".join(f"s{i}" for i in range(40))
+    rows = [
+        (1, "p1 p2 p3 " + shared + " q1 q2"),
+        (2, "r1 " + shared + " t1 t2 t3 t4"),
+        (3, " ".join(f"m{i}" for i in range(30))),
+    ]
+    got = _substr_matches(spark, rows, k=4, min_len=8)
+    assert len(got) == 1
+    m = got[0]
+    assert (m["doc_a"], m["doc_b"]) == (1, 2)
+    assert m["len_tokens"] == 40
+    assert m["pos_a"] == 4 and m["pos_b"] == 2
+
+
+def test_exact_substr_catches_what_cover_undermeasures(spark):
+    """A 6-word shared phrase is INVISIBLE to 8-gram cover (no full
+    8-gram fits inside it) but ExactSubstr with a 4-gram seed reports
+    it at its exact length."""
+    rows = [
+        (1, "x1 x2 x3 x4 a b c d e f y1 y2 y3 y4"),
+        (2, "z1 z2 z3 a b c d e f w1 w2 w3 w4 w5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cover = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in SP.duplicated_span_coverage(
+            df, "text", "doc_id", k=8, min_docs=2
+        ).collect()
+    }
+    assert cover == {1: 0, 2: 0}          # 8-gram cover misses it
+    got = _substr_matches(spark, rows, k=4, min_len=6)
+    assert len(got) == 1 and got[0]["len_tokens"] == 6
+
+
+def test_exact_substr_does_not_overmerge_different_partners(spark):
+    """Consecutive covered positions from DIFFERENT partners must not
+    merge: doc 1's words 1..10 match doc 2 on 1..6 and doc 3 on 5..10,
+    but no 10-word duplicate exists anywhere — cover would mark all 10
+    positions as one run; ExactSubstr reports two 6-word matches."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "u1 u2 a b c d e f u3 u4"),
+        (3, "v1 v2 e f g h i j v3 v4"),
+    ]
+    got = sorted(
+        _substr_matches(spark, rows, k=4, min_len=5),
+        key=lambda r: (r["doc_a"], r["doc_b"]),
+    )
+    assert [(m["doc_a"], m["doc_b"], m["len_tokens"]) for m in got] == [
+        (1, 2, 6), (1, 3, 6),
+    ]
+    # and the 10 positions of doc 1 ARE all cover-marked as one block
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cover = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in SP.duplicated_span_coverage(
+            df, "text", "doc_id", k=4, min_docs=2
+        ).collect()
+    }
+    assert cover[1] == 10                 # cover cannot tell them apart
+
+
+def test_exact_substr_same_doc_tandem_repeat(spark):
+    """Within-document repeats (min_docs=2 cover misses these) pair
+    through the same-doc branch; the rollup counts them once."""
+    phrase = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, phrase + " mid1 mid2 " + phrase),
+        (2, " ".join(f"n{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = SP.substr_seed_grams(df, "text", "doc_id", 4)
+    matches = SP.maximal_duplicated_substrings(seeds, k=4, min_len=8)
+    got = matches.collect()
+    assert len(got) == 1
+    m = got[0]
+    assert m["doc_a"] == 1 and m["doc_b"] == 1
+    assert m["len_tokens"] == 8 and (m["pos_a"], m["pos_b"]) == (1, 11)
+    stats = SP.substr_dedup_doc_stats(matches).collect()
+    assert len(stats) == 1
+    assert stats[0]["doc_id"] == 1 and stats[0]["n_matches"] == 1
+
+
+def test_exact_substr_occurrence_cap_splits_never_overstates(spark):
+    """A hot gram above max_occurrences is excluded from seeding; a
+    match containing it splits into shorter (or no) reported runs —
+    lengths are never overstated."""
+    shared = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10"
+    rows = [(1, "a1 " + shared), (2, "b1 b2 " + shared)] + [
+        # 20 more docs all containing the middle window h4..h7, pushing
+        # that gram's occurrence count over the cap
+        (10 + i, f"c{i} h4 h5 h6 h7 d{i}") for i in range(20)
+    ]
+    got = _substr_matches(spark, rows, k=4, min_len=4, max_occurrences=8)
+    # the (1,2) 10-word match must appear only as sub-runs around the
+    # capped h4..h7 seed, every reported length < 10
+    pair12 = [m for m in got if (m["doc_a"], m["doc_b"]) == (1, 2)]
+    assert pair12 and all(m["len_tokens"] < 10 for m in pair12)
+    assert all(m["len_tokens"] >= 4 for m in got)
+
+
+def test_exact_substr_min_len_validation(spark):
+    import pytest
+
+    rows = [(1, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = SP.substr_seed_grams(df, "text", "doc_id", 4)
+    with pytest.raises(ValueError, match="min_len"):
+        SP.maximal_duplicated_substrings(seeds, k=4, min_len=3)
+
+
 def test_strip_contaminated_spans_excises_eval_grams(spark):
     corpus = spark.createDataFrame(
         [
