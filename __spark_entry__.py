@@ -794,6 +794,41 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer corpus histogram (operators/text.
+    unigram_train + unigram_segment_words — Kudo 2018's SentencePiece
+    unigram model, Viterbi-EM flavor, the production tokenizer family
+    beside BPE): train over the distinct-word dictionary, segment the
+    dictionary under the learned (piece, cost) table, stage the
+    (word, token, k) mapping, and histogram the corpus's pieces by
+    broadcast join (bpe_encode_counts — the mapping contract is shared
+    with the BPE tokenizer deliberately). The oracle re-splits the
+    text in SQL and joins the SAME staged mapping, so the segmentation
+    artifact is what's certified; training+segmentation skip under
+    stage reuse, like bpe_token_counts."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        bpe_encode_counts,
+        unigram_segment_words,
+        unigram_train,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path = f"{_stage_dir(sf_dir)}/unigram_word_tokens.parquet"
+    if not (
+        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and fs_exists(spark, f"{map_path}/_SUCCESS")
+    ):
+        pieces = unigram_train(docs, "text", vocab_size=200, n_em=2)
+        stage_parquet(
+            unigram_segment_words(docs, "text", pieces), map_path
+        )
+    mapping = spark.read.parquet(map_path)
+    return bpe_encode_counts(docs, "text", mapping, top_k=50)
+
+
 def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup (operators/spans.maximal_duplicated_substrings
     — Lee et al. 2022's suffix-array tier, re-expressed as relational
@@ -6768,6 +6803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window must draw from the pre-existing debt), before
         # the already-certified queries
         "exact_substr_dedup": q_exact_substr_dedup,
+        "unigram_token_counts": q_unigram_token_counts,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13597,6 +13633,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-tokenizer token histogram: corpus words re-split in SQL,
         # joined to the STAGED (word, token, k) segmentation mapping
+        "unigram_token_counts": f"""
+            WITH wds AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            m AS (SELECT word, token, k
+                  FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet'))
+            SELECT m.token, CAST(SUM(m.k) AS BIGINT) AS n
+            FROM wds JOIN m USING (word)
+            WHERE wds.word <> ''
+            GROUP BY m.token
+            ORDER BY n DESC, m.token ASC
+            LIMIT 50
+        """,
         "bpe_token_counts": f"""
             WITH wds AS (
               SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),

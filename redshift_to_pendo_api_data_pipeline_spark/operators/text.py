@@ -603,6 +603,260 @@ def _bpe_train_local(
     return merges
 
 
+_VITERBI_INF = 1 << 60
+
+
+def _unigram_costs(counts: dict[str, int]) -> dict[str, int]:
+    """Integer Viterbi costs from integer piece counts:
+    cost(p) = round(1e6 * ln(total/count_p)) — the fixed-point negative
+    log-probability. Counts are integers everywhere (Viterbi-EM), so
+    the cost table is a pure function of them and both training paths
+    (driver-local / distributed) derive bit-identical tables."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(round(1e6 * (math.log(total) - math.log(c))))
+        for p, c in counts.items()
+        if c > 0
+    }
+
+
+def _viterbi_segment(
+    word: str, costs: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """Min-cost segmentation of ``word`` under the piece cost table.
+    DP over end positions; candidate start positions scan ASCENDING
+    (longest piece first) and only a STRICT improvement moves the
+    argmin, so ties deterministically keep the longest last piece.
+    A word containing a character outside the vocabulary falls back to
+    its raw character split (the unknown-char convention — never
+    crash, never drop text)."""
+    n = len(word)
+    best = [_VITERBI_INF] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i] >= _VITERBI_INF:
+                continue
+            c = costs.get(word[i:j])
+            if c is None:
+                continue
+            cand = best[i] + c
+            if cand < best[j]:
+                best[j] = cand
+                back[j] = i
+    if best[n] >= _VITERBI_INF:
+        return list(word)
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(word[i:j])
+        j = i
+    return pieces[::-1]
+
+
+def _unigram_em(
+    seed_counts: dict[str, int],
+    estep,
+    vocab_size: int,
+    n_em: int,
+) -> list[tuple[str, int]]:
+    """Engine-generic Viterbi-EM control flow — the SAME function runs
+    the driver-local and the distributed training (only ``estep``
+    differs), so path parity holds by construction, the way
+    bpe_train's weighted-count identity does for BPE.
+
+    Each round: fixed-point costs from integer counts, E-step
+    (Viterbi-segment every distinct word, sum piece counts weighted by
+    word count — integers end to end, so no float-summation order can
+    diverge between paths), then prune to ``vocab_size`` keeping every
+    single character alive (chars floor at count 1 — the SentencePiece
+    invariant that keeps all text segmentable)."""
+    chars = {p for p in seed_counts if len(p) == 1}
+    counts = dict(seed_counts)
+    for _ in range(n_em):
+        costs = _unigram_costs(counts)
+        new_counts = estep(costs)
+        counts = {p: c for p, c in new_counts.items() if c > 0}
+        for ch in chars:
+            counts[ch] = max(counts.get(ch, 0), 1)
+        if len(counts) > vocab_size:
+            multi = sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+            keep = max(vocab_size - len(chars), 0)
+            counts = dict(multi[:keep])
+            for ch in chars:
+                counts[ch] = max(new_counts.get(ch, 0), 1)
+    final_costs = _unigram_costs(counts)
+    return sorted(final_costs.items())
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 300,
+    max_piece_len: int = 6,
+    n_em: int = 3,
+    seed_multiplier: int = 8,
+    local_vocab_rows: int = 200_000,
+    _stats: dict | None = None,
+) -> list[tuple[str, int]]:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    unigram model — the OTHER production tokenizer family beside BPE),
+    Viterbi-EM flavor: seed with the highest-count substrings, then
+    alternate (segment every word under current piece costs, re-count
+    pieces, prune) until ``n_em`` rounds, keeping single characters
+    alive throughout. Returns the sorted (piece, cost_fp) table —
+    cost_fp = round(1e6 * -ln p), the artifact the segmenter ships.
+
+    Same structural insight and the same driver-bounded/distributed
+    split as :func:`bpe_train` (reference has no tokenizer at all —
+    widened LLM-pipeline surface): every statistic is a function of
+    the (distinct word, count) dictionary, not the token stream, so
+    the corpus is scanned once; the dictionary either fits the driver
+    (train in-process, zero jobs per round) or stays distributed, with
+    the E-step as one Arrow pandas-UDF segmentation pass over the
+    dictionary + one map-side-combined piece-count groupBy per round
+    (shuffle = piece vocabulary, not words). Both paths run the SAME
+    `_unigram_em` control flow over integer counts, so they produce
+    bit-identical piece tables (pinned by test).
+
+    Viterbi-EM (hard EM) rather than full forward-backward EM is a
+    deliberate determinism trade documented here: expected counts
+    under the full posterior are floats whose distributed summation
+    order varies; Viterbi counts are integers. The result is the
+    standard hard-EM variant of the unigram model."""
+    from pyspark.sql import types as T
+
+    wc = (
+        df.select(F.explode(words(F.col(text_col))).alias("wd"))
+        .where(F.col("wd") != "")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("w"))
+    ).persist()
+    try:
+        n_vocab = wc.count()
+        if _stats is not None:
+            _stats["n_vocab"] = n_vocab
+        seed_size = vocab_size * seed_multiplier
+
+        if n_vocab <= local_vocab_rows:
+            if _stats is not None:
+                _stats["mode"] = "local"
+            vocab = [(r["wd"], int(r["w"])) for r in wc.collect()]
+            seed: dict[str, int] = {}
+            for wd, w in vocab:
+                for i in range(len(wd)):
+                    for ln in range(1, min(max_piece_len, len(wd) - i) + 1):
+                        p = wd[i:i + ln]
+                        seed[p] = seed.get(p, 0) + w
+            chars = {p: c for p, c in seed.items() if len(p) == 1}
+            multi = sorted(
+                ((p, c) for p, c in seed.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:seed_size]
+            seed_counts = dict(multi) | chars
+
+            def estep(costs: dict[str, int]) -> dict[str, int]:
+                out: dict[str, int] = {}
+                for wd, w in vocab:
+                    for p in _viterbi_segment(wd, costs, max_piece_len):
+                        out[p] = out.get(p, 0) + w
+                return out
+
+            return _unigram_em(seed_counts, estep, vocab_size, n_em)
+
+        if _stats is not None:
+            _stats["mode"] = "distributed"
+        # seed substring counts: JVM expression over the dictionary
+        # (each word emits O(len x max_piece_len) substrings — still
+        # dictionary-bounded), one groupBy, driver keeps only the
+        # seed-sized top + the charset (both bounded sidecars)
+        subs = wc.select(
+            "w",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("wd")),
+                        lambda i: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("wd") - i + 1,
+                                ),
+                            ),
+                            lambda ln: F.col("wd").substr(i, ln),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        ).groupBy("p").agg(F.sum("w").alias("c"))
+        chars_rows = subs.where(F.length("p") == 1).collect()
+        multi_rows = (
+            subs.where(F.length("p") > 1)
+            .orderBy(F.col("c").desc(), F.col("p").asc())
+            .limit(seed_size)
+            .collect()
+        )
+        seed_counts = {r["p"]: int(r["c"]) for r in multi_rows}
+        seed_counts |= {r["p"]: int(r["c"]) for r in chars_rows}
+
+        def estep(costs: dict[str, int]) -> dict[str, int]:
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def _seg(col: pd.Series) -> pd.Series:
+                return col.map(
+                    lambda wd: _viterbi_segment(wd, costs, max_piece_len)
+                )
+
+            rows = (
+                wc.select(F.explode(_seg("wd")).alias("p"), "w")
+                .groupBy("p")
+                .agg(F.sum("w").alias("c"))
+                .collect()
+            )
+            return {r["p"]: int(r["c"]) for r in rows}
+
+        return _unigram_em(seed_counts, estep, vocab_size, n_em)
+    finally:
+        wc.unpersist()
+
+
+def unigram_segment_words(
+    df: DataFrame, text_col: str, pieces: list[tuple[str, int]],
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Segment the corpus's DISTINCT-word dictionary under a trained
+    unigram piece table: (word, token, k) — token appears k times in
+    word's min-cost segmentation. The same dictionary-sized Arrow pass
+    and output contract as bpe_segment_words, so bpe_encode_counts
+    histograms either tokenizer's corpus tokens unchanged."""
+    from pyspark.sql import types as T
+
+    costs = dict(pieces)
+    max_len = max_piece_len
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(col: pd.Series) -> pd.Series:
+        return col.map(lambda wd: _viterbi_segment(wd, costs, max_len))
+
+    wd = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        wd.select("word", F.explode(_seg("word")).alias("token"))
+        .groupBy("word", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
 def pii_rate(
     df: DataFrame, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:
