@@ -18,7 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -792,6 +792,146 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content digest (hash-groupBy)."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import exact_dedup
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_strip_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's cleaning transform (operators/spans.
+    strip_maximal_duplicate_spans, Lee et al. 2022 keep-one
+    semantics): every length-maximal duplicated span's LATER
+    occurrence is excised, the earlier copy survives, untouched docs
+    pass through. Reuses the staged seed relation (stage-once,
+    two consumers with exact_substr_dedup). Output is the full
+    per-doc rewrite (clean_text hash-checked cross-engine — both
+    engines rebuild from the same normalization + the same staged
+    seeds)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        maximal_duplicated_substrings,
+        staged_substr_seeds,
+        strip_maximal_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = staged_substr_seeds(
+        docs, "text", "doc_id", 4,
+        f"{_stage_dir(sf_dir)}/substr_seeds_k4.parquet",
+    )
+    matches = maximal_duplicated_substrings(
+        seeds, k=4, min_len=8, max_occurrences=16
+    )
+    return strip_maximal_duplicate_spans(docs, "text", "doc_id", matches)
+
+
+def q_watermark_sizing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay SIZING (streaming.size_watermark_delay's exact
+    arithmetic as a certifiable relation — r7 verdict #8's loop, closed
+    and oracle-checked): from the lateness histogram of the simulated
+    arrival log (same deterministic transport delay as
+    event_lateness_histogram), walk buckets in lateness order until
+    99% of event mass is admitted and report the derived
+    withWatermark delay = ceil(max observed lateness among admitted
+    buckets). One row: (total_events, admit_ppm, delay_seconds)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.temporal import (
+        lateness_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).select(
+        (F.col("ts_us")
+         + (F.col("event_id") % 601) * 1_000_000).alias("arr_us"),
+        "event_id", "ts_us",
+    )
+    hist = lateness_histogram(
+        ev, ["arr_us", "event_id"], "ts_us",
+        bucket_us=60_000_000, max_buckets=12,
+    )
+    w = Window.orderBy("bucket")                     # <= 13 rows
+    w_all = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    admit_ppm = 990_000
+    cum = (
+        hist.withColumn("__cum", F.sum("n_events").over(w))
+        .withColumn("__run_max",
+                    F.max("max_lateness_us").over(w))
+        .withColumn("__total", F.sum("n_events").over(w_all))
+    )
+    need = F.expr(f"(__total * {admit_ppm} + 999999) DIV 1000000")
+    first_ok = (
+        cum.where(F.col("__cum") >= need)
+        .orderBy("bucket").limit(1)
+    )
+    return first_ok.select(
+        F.col("__total").cast("long").alias("total_events"),
+        F.lit(admit_ppm).cast("long").alias("admit_ppm"),
+        F.expr("(__run_max + 999999) DIV 1000000")
+        .cast("long").alias("delay_seconds"),
+    )
+
+
+def q_tokenizer_compression_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE vs unigram-LM corpus compression head-to-head — the
+    acceptance report a tokenizer choice is made from: per tokenizer,
+    total corpus words, total subword tokens under the trained
+    segmentation, and tokens per 100 words (fixed-point). Both staged
+    (word, token, k) mappings are re-used (trained in-query when cold,
+    like bpe_token_counts/unigram_token_counts); the corpus side is
+    one word explode + two broadcast mapping joins."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        bpe_segment_words,
+        bpe_train,
+        unigram_segment_words,
+        unigram_train,
+        words,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    reuse = _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+    bpe_path = f"{_stage_dir(sf_dir)}/bpe_word_tokens.parquet"
+    uni_path = f"{_stage_dir(sf_dir)}/unigram_word_tokens.parquet"
+    if not (reuse and fs_exists(spark, f"{bpe_path}/_SUCCESS")):
+        stage_parquet(
+            bpe_segment_words(docs, "text",
+                              bpe_train(docs, "text", n_merges=20)),
+            bpe_path,
+        )
+    if not (reuse and fs_exists(spark, f"{uni_path}/_SUCCESS")):
+        stage_parquet(
+            unigram_segment_words(
+                docs, "text",
+                unigram_train(docs, "text", vocab_size=200, n_em=2),
+            ),
+            uni_path,
+        )
+    corpus_words = docs.select(
+        F.explode(words(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    out = None
+    for name, path in (("bpe", bpe_path), ("unigram", uni_path)):
+        mapping = spark.read.parquet(path)
+        per_word = mapping.groupBy("word").agg(
+            F.sum("k").alias("__toks")
+        )
+        row = (
+            corpus_words.join(F.broadcast(per_word), "word")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("__toks").cast("long").alias("n_tokens"),
+            )
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "n_words", "n_tokens",
+                F.expr("n_tokens * 100000000 div n_words")
+                .cast("long").alias("tokens_per_100_words_fp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6804,6 +6944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the already-certified queries
         "exact_substr_dedup": q_exact_substr_dedup,
         "unigram_token_counts": q_unigram_token_counts,
+        "watermark_sizing_events": q_watermark_sizing_events,
+        "tokenizer_compression_compare": q_tokenizer_compression_compare,
+        "strip_exact_duplicates": q_strip_exact_duplicates,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13633,6 +13776,122 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-tokenizer token histogram: corpus words re-split in SQL,
         # joined to the STAGED (word, token, k) segmentation mapping
+        "strip_exact_duplicates": f"""
+            WITH seeds AS (
+              SELECT doc, pos, g FROM read_parquet(
+                '{_STAGE}/substr_seeds_k4.parquet/*.parquet')),
+            occ_ok AS (
+              SELECT g FROM seeds GROUP BY g
+              HAVING count(*) >= 2 AND count(*) <= 16),
+            s AS (SELECT seeds.* FROM seeds JOIN occ_ok USING (g)),
+            pairs AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b,
+                     b.pos - a.pos AS shift
+              FROM s a JOIN s b ON a.g = b.g
+               AND (a.doc < b.doc
+                    OR (a.doc = b.doc AND a.pos < b.pos))),
+            runs AS (
+              SELECT doc_a, doc_b, shift, pos_a, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, shift
+                       ORDER BY pos_a) AS isl
+              FROM pairs),
+            matches AS (
+              SELECT doc_b, min(pos_b) AS pos_b,
+                     CAST(count(*) - 1 + 4 AS BIGINT) AS len_tokens
+              FROM runs GROUP BY doc_a, doc_b, shift, isl
+              HAVING count(*) - 1 + 4 >= 8),
+            cov AS (
+              SELECT DISTINCT doc_b AS doc,
+                     unnest(range(pos_b, pos_b + len_tokens)) AS p
+              FROM matches),
+            dropped AS (
+              SELECT doc, list_sort(list(p)) AS ps FROM cov GROUP BY doc),
+            t AS (
+              SELECT doc_id AS doc,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w0
+              FROM documents)
+            SELECT t.doc AS doc_id,
+                   coalesce(array_to_string(
+                     list_transform(
+                       list_filter(range(1, len(t.w0) + 1),
+                                   i -> d.doc IS NULL
+                                        OR NOT list_contains(d.ps, i)),
+                       i -> t.w0[i]),
+                     ' '), '') AS clean_text,
+                   CAST(len(t.w0) AS INT) AS n_tokens,
+                   CAST(len(t.w0) - coalesce(len(d.ps), 0) AS INT)
+                       AS kept_tokens
+            FROM t LEFT JOIN dropped d USING (doc)
+        """,
+        "watermark_sizing_events": """
+            WITH base AS (
+              SELECT event_id, epoch_us(ts) AS ts_us,
+                     epoch_us(ts) + (event_id % 601) * 1000000 AS arr_us
+              FROM events),
+            late AS (
+              SELECT greatest(
+                       0,
+                       coalesce(
+                         max(ts_us) OVER (
+                           ORDER BY arr_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) - ts_us,
+                         0)) AS late_us
+              FROM base),
+            hist AS (
+              SELECT least(12, late_us // 60000000) AS bucket,
+                     count(*) AS n_events,
+                     max(late_us) AS max_lateness_us
+              FROM late GROUP BY 1),
+            walked AS (
+              SELECT bucket,
+                     sum(n_events) OVER (ORDER BY bucket) AS cum,
+                     max(max_lateness_us) OVER (ORDER BY bucket)
+                         AS run_max,
+                     sum(n_events) OVER () AS total
+              FROM hist),
+            first_ok AS (
+              SELECT * FROM walked
+              WHERE cum >= (total * 990000 + 999999) // 1000000
+              ORDER BY bucket LIMIT 1)
+            SELECT CAST(total AS BIGINT) AS total_events,
+                   CAST(990000 AS BIGINT) AS admit_ppm,
+                   CAST((run_max + 999999) // 1000000 AS BIGINT)
+                       AS delay_seconds
+            FROM first_ok
+        """,
+        "tokenizer_compression_compare": f"""
+            WITH wds AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            cw AS (SELECT word FROM wds WHERE word <> ''),
+            bpe_pw AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS toks
+              FROM read_parquet('{_STAGE}/bpe_word_tokens.parquet/*.parquet')
+              GROUP BY word),
+            uni_pw AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS toks
+              FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet')
+              GROUP BY word),
+            b AS (
+              SELECT 'bpe' AS tokenizer,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens
+              FROM cw JOIN bpe_pw USING (word)),
+            u AS (
+              SELECT 'unigram' AS tokenizer,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens
+              FROM cw JOIN uni_pw USING (word))
+            SELECT tokenizer, n_words, n_tokens,
+                   CAST(n_tokens * 100000000 // n_words AS BIGINT)
+                       AS tokens_per_100_words_fp
+            FROM (SELECT * FROM b UNION ALL SELECT * FROM u)
+        """,
         "unigram_token_counts": f"""
             WITH wds AS (
               SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),

@@ -357,6 +357,32 @@ def substr_dedup_doc_stats(matches: DataFrame) -> DataFrame:
     )
 
 
+def strip_maximal_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    matches: DataFrame,
+) -> DataFrame:
+    """ExactSubstr's CLEANING transform (Lee et al. 2022 keep-one
+    semantics): for every maximal duplicated match, the LATER
+    occurrence — the ``(doc_b, pos_b)`` side of the canonical pair
+    ordering, i.e. the higher doc id, or the later position within a
+    doc — is excised; the earlier copy survives. Overlapping matches
+    union their dropped positions. Documents without matches pass
+    through untouched. Output: (id, clean_text, n_tokens,
+    kept_tokens), same contract as strip_duplicated_spans."""
+    dropped = matches.select(
+        F.col("doc_b").alias("doc"),
+        F.explode(
+            F.sequence(
+                F.col("pos_b"),
+                F.col("pos_b") + F.col("len_tokens") - 1,
+            )
+        ).alias("p"),
+    ).distinct()
+    return _rebuild_without_positions(df, dropped, text_col, id_col)
+
+
 def strip_contaminated_spans(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -186,6 +186,35 @@ def test_exact_substr_occurrence_cap_splits_never_overstates(spark):
     assert all(m["len_tokens"] >= 4 for m in got)
 
 
+def test_strip_maximal_duplicate_spans_keeps_first_occurrence(spark):
+    """Keep-one semantics: the LATER occurrence of each maximal match
+    (higher doc id, or later position within a doc) is excised; the
+    earlier copy and all untouched docs survive verbatim."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 " + shared),
+        (2, "b1 " + shared + " b2"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),
+        (4, shared + " mid " + shared),          # tandem: later copy goes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = SP.substr_seed_grams(df, "text", "doc_id", 4)
+    matches = SP.maximal_duplicated_substrings(seeds, k=4, min_len=8)
+    out = {
+        r["doc_id"]: r
+        for r in SP.strip_maximal_duplicate_spans(
+            df, "text", "doc_id", matches
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "a1 a2 " + shared     # earliest: kept
+    assert out[2]["clean_text"] == "b1 b2"               # later copy cut
+    assert out[3]["clean_text"] == "c1 c2 c3 c4 c5 c6 c7 c8"
+    # doc 4 is the doc_b side of every cross-doc pair, so BOTH its
+    # copies are excised — global keep-one leaves only doc 1's copy
+    assert out[4]["clean_text"] == "mid"
+    assert out[2]["kept_tokens"] == 2 and out[2]["n_tokens"] == 12
+
+
 def test_exact_substr_min_len_validation(spark):
     import pytest
 

@@ -11,6 +11,16 @@ shipped, so sf1 is synthesized from the observed sf0.1 distributions:
   per-key-family offsets (offset = replica * (max_key+1) of the
   family), so FK consistency holds within each replica and every
   non-key distribution is preserved exactly.
+- entity NAMES (c_name/s_name/p_name) get a replica salt token
+  inserted BEFORE the last token on replicas 1..9: verbatim-copied
+  names would make every distinct name resolve to 10 entities
+  (hydration fans out x100 in the linkage family — measured 187s on
+  part_golden_records), while real TPC-H scaling grows the NAME
+  DICTIONARY. The mid-token salt keeps the trailing-token blocking
+  key distribution (blocks grow x10 in cardinality — faithful to
+  TPC-H name-collision growth) and puts cross-replica names beyond
+  any edit-distance threshold (different entities, as they should
+  be).
 - documents: replica 0 verbatim; replicas 1..9 salt every other word
   with the replica id. Cross-replica Jaccard lands ~0.33 — BELOW the
   0.5/0.8 set-similarity thresholds — so near-dup FAMILY SIZES stay
@@ -78,17 +88,35 @@ def main() -> None:
             f" TO '{DST}/{t}.parquet/part-0.parquet' (FORMAT PARQUET)"
         )
 
+    def salt_name(col: str, r: int) -> str:
+        # replica salt token inserted BEFORE the last token: trailing
+        # blocking key preserved, cross-replica edit distance > any
+        # linkage threshold (see module docstring)
+        if r == 0:
+            return col
+        return (
+            f"array_to_string(list_append(list_append("
+            f"  list_slice(string_split({col}, ' '), 1,"
+            f"             len(string_split({col}, ' ')) - 1),"
+            f"  'rep{r}'),"
+            f"  string_split({col}, ' ')[len(string_split({col}, ' '))]"
+            f"), ' ')"
+        )
+
     fact_sql = {
         "customer": lambda r: f"""
-            SELECT c_custkey + {r * k_cust} AS c_custkey, c_name,
+            SELECT c_custkey + {r * k_cust} AS c_custkey,
+                   {salt_name('c_name', r)} AS c_name,
                    c_nationkey, c_acctbal, c_mktsegment
             FROM read_parquet('{SRC}/customer.parquet')""",
         "supplier": lambda r: f"""
-            SELECT s_suppkey + {r * k_supp} AS s_suppkey, s_name,
+            SELECT s_suppkey + {r * k_supp} AS s_suppkey,
+                   {salt_name('s_name', r)} AS s_name,
                    s_nationkey, s_acctbal
             FROM read_parquet('{SRC}/supplier.parquet')""",
         "part": lambda r: f"""
-            SELECT p_partkey + {r * k_part} AS p_partkey, p_name,
+            SELECT p_partkey + {r * k_part} AS p_partkey,
+                   {salt_name('p_name', r)} AS p_name,
                    p_brand, p_type, p_size, p_retailprice
             FROM read_parquet('{SRC}/part.parquet')""",
         "orders": lambda r: f"""
