@@ -884,8 +884,6 @@ def q_tokenizer_compression_compare(
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         bpe_segment_words,
         bpe_train,
-        unigram_segment_words,
-        unigram_train,
         words,
     )
     from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
@@ -893,21 +891,13 @@ def q_tokenizer_compression_compare(
     docs = load_table(spark, sf_dir, "documents")
     reuse = _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
     bpe_path = f"{_stage_dir(sf_dir)}/bpe_word_tokens.parquet"
-    uni_path = f"{_stage_dir(sf_dir)}/unigram_word_tokens.parquet"
     if not (reuse and fs_exists(spark, f"{bpe_path}/_SUCCESS")):
         stage_parquet(
             bpe_segment_words(docs, "text",
                               bpe_train(docs, "text", n_merges=20)),
             bpe_path,
         )
-    if not (reuse and fs_exists(spark, f"{uni_path}/_SUCCESS")):
-        stage_parquet(
-            unigram_segment_words(
-                docs, "text",
-                unigram_train(docs, "text", vocab_size=200, n_em=2),
-            ),
-            uni_path,
-        )
+    uni_path, _ = _ensure_unigram_stage(spark, sf_dir)
     corpus_words = docs.select(
         F.explode(words(F.col("text"))).alias("word")
     ).where(F.col("word") != "")
@@ -934,6 +924,43 @@ def q_tokenizer_compression_compare(
     return out
 
 
+def _ensure_unigram_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Train the unigram tokenizer ONCE and stage BOTH artifacts — the
+    (word, token, k) segmentation mapping and the (piece, cost_fp)
+    table — so every consumer (token histogram, compression compare,
+    cross-entropy scoring) certifies against the same trained model.
+    Skipped under stage reuse."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        unigram_segment_words,
+        unigram_train,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path = f"{_stage_dir(sf_dir)}/unigram_word_tokens.parquet"
+    pieces_path = f"{_stage_dir(sf_dir)}/unigram_pieces.parquet"
+    reuse = _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+    if not (
+        reuse
+        and fs_exists(spark, f"{map_path}/_SUCCESS")
+        and fs_exists(spark, f"{pieces_path}/_SUCCESS")
+    ):
+        pieces = unigram_train(docs, "text", vocab_size=200, n_em=2)
+        stage_parquet(
+            unigram_segment_words(docs, "text", pieces), map_path
+        )
+        stage_parquet(
+            spark.createDataFrame(
+                [(p, int(c)) for p, c in pieces],
+                "piece string, cost_fp long",
+            ),
+            pieces_path,
+        )
+    return map_path, pieces_path
+
+
 def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer corpus histogram (operators/text.
     unigram_train + unigram_segment_words — Kudo 2018's SentencePiece
@@ -946,27 +973,37 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in SQL and joins the SAME staged mapping, so the segmentation
     artifact is what's certified; training+segmentation skip under
     stage reuse, like bpe_token_counts."""
-    import os as _os
-
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         bpe_encode_counts,
-        unigram_segment_words,
-        unigram_train,
     )
-    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
 
     docs = load_table(spark, sf_dir, "documents")
-    map_path = f"{_stage_dir(sf_dir)}/unigram_word_tokens.parquet"
-    if not (
-        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
-        and fs_exists(spark, f"{map_path}/_SUCCESS")
-    ):
-        pieces = unigram_train(docs, "text", vocab_size=200, n_em=2)
-        stage_parquet(
-            unigram_segment_words(docs, "text", pieces), map_path
-        )
+    map_path, _ = _ensure_unigram_stage(spark, sf_dir)
     mapping = spark.read.parquet(map_path)
     return bpe_encode_counts(docs, "text", mapping, top_k=50)
+
+
+def q_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (operators/text.
+    unigram_doc_cross_entropy): every document scored by the mean
+    fixed-point -ln p of its subword tokens under the trained unigram
+    model — the perplexity filter tier of corpus curation (Wenzek et
+    al. 2020), complementing the hashed-BoW classifier. Both staged
+    artifacts (segmentation mapping + piece cost table) come from ONE
+    training run (_ensure_unigram_stage); the oracle re-derives every
+    doc's score from the same two parquets, so the integer join+agg
+    arithmetic is what's certified."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        unigram_doc_cross_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path, pieces_path = _ensure_unigram_stage(spark, sf_dir)
+    return unigram_doc_cross_entropy(
+        docs, "text", "doc_id",
+        spark.read.parquet(map_path),
+        spark.read.parquet(pieces_path),
+    )
 
 
 def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6947,6 +6984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_sizing_events": q_watermark_sizing_events,
         "tokenizer_compression_compare": q_tokenizer_compression_compare,
         "strip_exact_duplicates": q_strip_exact_duplicates,
+        "unigram_doc_scores": q_unigram_doc_scores,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13891,6 +13929,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens * 100000000 // n_words AS BIGINT)
                        AS tokens_per_100_words_fp
             FROM (SELECT * FROM b UNION ALL SELECT * FROM u)
+        """,
+        "unigram_doc_scores": f"""
+            WITH wds AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            m AS (SELECT word, token, k
+                  FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet')),
+            p AS (SELECT piece AS token, cost_fp
+                  FROM read_parquet('{_STAGE}/unigram_pieces.parquet/*.parquet')),
+            per_word AS (
+              SELECT m.word,
+                     CAST(sum(m.k) AS BIGINT) AS toks,
+                     CAST(sum(m.k * p.cost_fp) AS BIGINT) AS cost
+              FROM m JOIN p USING (token)
+              GROUP BY m.word)
+            SELECT doc AS doc_id,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(cost) // sum(toks) AS BIGINT) AS xent_fp
+            FROM wds JOIN per_word USING (word)
+            WHERE word <> ''
+            GROUP BY doc
         """,
         "unigram_token_counts": f"""
             WITH wds AS (

@@ -857,6 +857,61 @@ def unigram_segment_words(
     )
 
 
+def unigram_doc_cross_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mapping: DataFrame,
+    pieces: DataFrame,
+) -> DataFrame:
+    """Per-document unigram-LM cross-entropy — the CCNet-style
+    perplexity quality filter (Wenzek et al. 2020): score every doc by
+    the mean -log p of its subword tokens under the trained unigram
+    model; boilerplate and in-domain text scores LOW (predictable),
+    gibberish and OOD text scores HIGH. The LM-based quality signal
+    the hashed-BoW classifier family doesn't cover.
+
+    ``mapping`` is the staged (word, token, k) segmentation and
+    ``pieces`` the staged (piece, cost_fp) table (cost_fp =
+    round(1e6 * -ln p), from unigram_train) — both vocabulary-sized,
+    both broadcast. Corpus side: one word explode + two broadcast
+    joins + one doc-keyed groupBy. All integer: per-doc
+    xent_fp = sum(k * cost_fp) div sum(k), exact cross-engine.
+    Words whose segmentation fell back to out-of-vocabulary chars
+    (no cost row) are EXCLUDED from both numerator and denominator —
+    the filter scores the model's domain, and the exclusion is
+    identical in the oracle."""
+    per_word = (
+        mapping.join(
+            pieces.withColumnRenamed("piece", "token"), "token"
+        )
+        .groupBy("word")
+        .agg(
+            F.sum("k").cast("long").alias("__toks"),
+            F.sum(F.col("k") * F.col("cost_fp")).cast("long")
+            .alias("__cost"),
+        )
+    )
+    corpus = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        corpus.join(F.broadcast(per_word), "word")
+        .groupBy("doc")
+        .agg(
+            F.sum("__toks").cast("long").alias("n_tokens"),
+            F.sum("__cost").cast("long").alias("__total_cost"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.expr("__total_cost div n_tokens").cast("long")
+            .alias("xent_fp"),
+        )
+    )
+
+
 def pii_rate(
     df: DataFrame, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:

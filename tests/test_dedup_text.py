@@ -738,6 +738,34 @@ def test_unigram_learns_dominant_word_as_piece(spark):
     assert ("zq", "z") in mapping and ("zq", "q") in mapping
 
 
+def test_unigram_cross_entropy_orders_common_below_rare(spark):
+    """CCNet-style LM scoring: a doc made of the corpus-dominant word
+    scores strictly lower cross-entropy than a doc of rare character
+    sequences; integer identity checked against a hand fold."""
+    rows = [(i, "hello world " * 10) for i in range(20)] + [
+        (100, "hello world hello world"),
+        (101, "zq xv qk vz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = TX.unigram_train(df, "text", vocab_size=30, n_em=2)
+    mapping = TX.unigram_segment_words(df, "text", pieces)
+    pieces_df = spark.createDataFrame(
+        [(p, int(c)) for p, c in pieces], "piece string, cost_fp long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.unigram_doc_cross_entropy(
+            df, "text", "doc_id", mapping, pieces_df
+        ).collect()
+    }
+    assert out[100]["xent_fp"] < out[101]["xent_fp"]
+    # hand identity on the common doc: 4 words, each one piece
+    costs = dict(pieces)
+    if "hello" in costs and "world" in costs:
+        expect = (2 * costs["hello"] + 2 * costs["world"]) // 4
+        assert out[100]["xent_fp"] == expect and out[100]["n_tokens"] == 4
+
+
 def test_bpe_train_256_merges_one_corpus_pass(spark, sf_dir):
     """Real merge counts (SCALE §9.11 closure): 256 merges over the
     documents corpus must touch the corpus ONCE (the word-count pass)
