@@ -961,6 +961,43 @@ def _ensure_unigram_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return map_path, pieces_path
 
 
+def q_tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source tokenizer FERTILITY (subword tokens per word) under
+    the trained unigram model — the signal that reprices a mixture
+    when token budgets, not document counts, are the currency: a
+    source whose text fragments into many pieces (OOV-heavy, noisy)
+    costs more tokens per word than its document share suggests.
+    One word explode with the source carried, one broadcast join to
+    the staged per-word token counts, one 20-row groupBy."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path, _ = _ensure_unigram_stage(spark, sf_dir)
+    per_word = (
+        spark.read.parquet(map_path)
+        .groupBy("word")
+        .agg(F.sum("k").cast("long").alias("__toks"))
+    )
+    corpus = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        corpus.join(F.broadcast(per_word), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source", "n_words", "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").cast("long")
+            .alias("fertility_fp"),
+        )
+    )
+
+
 def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer corpus histogram (operators/text.
     unigram_train + unigram_segment_words — Kudo 2018's SentencePiece
@@ -6985,6 +7022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_compression_compare": q_tokenizer_compression_compare,
         "strip_exact_duplicates": q_strip_exact_duplicates,
         "unigram_doc_scores": q_unigram_doc_scores,
+        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13929,6 +13967,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens * 100000000 // n_words AS BIGINT)
                        AS tokens_per_100_words_fp
             FROM (SELECT * FROM b UNION ALL SELECT * FROM u)
+        """,
+        "tokenizer_fertility_by_source": f"""
+            WITH wds AS (
+              SELECT source,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            pw AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS toks
+              FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet')
+              GROUP BY word)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(toks) * 1000000 // count(*) AS BIGINT)
+                       AS fertility_fp
+            FROM wds JOIN pw USING (word)
+            WHERE word <> ''
+            GROUP BY source
         """,
         "unigram_doc_scores": f"""
             WITH wds AS (
