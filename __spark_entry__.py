@@ -821,6 +821,42 @@ def q_strip_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_maximal_duplicate_spans(docs, "text", "doc_id", matches)
 
 
+def q_incremental_substr_matches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr (operators/spans.
+    incremental_substr_matches): the src12 documents play the arriving
+    batch (the source with the most cross-source verbatim spans in the
+    fixture), every other source the existing corpus — maximal verbatim
+    spans between batch and corpus found WITHOUT self-joining the
+    corpus, the ingest-time twin of exact_substr_dedup (the same shape
+    incremental_neardup gives MinHash). Both seed relations staged;
+    the oracle re-derives pairing + islands from the identical
+    parquets. Rolled to per-new-doc stats for a stable output."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.spans import (
+        incremental_substr_matches,
+        staged_substr_seeds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_seeds = staged_substr_seeds(
+        docs.where(F.col("source") == "src12"), "text", "doc_id", 4,
+        f"{_stage_dir(sf_dir)}/substr_seeds_new_k4.parquet",
+    )
+    corpus_seeds = staged_substr_seeds(
+        docs.where(F.col("source") != "src12"), "text", "doc_id", 4,
+        f"{_stage_dir(sf_dir)}/substr_seeds_corpus_k4.parquet",
+    )
+    m = incremental_substr_matches(
+        new_seeds, corpus_seeds, k=4, min_len=8, max_occurrences=16
+    )
+    return m.groupBy("doc_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("len_tokens").cast("long").alias("max_len_tokens"),
+        F.count_distinct("doc_corpus").cast("long").alias("n_corpus_docs"),
+    ).withColumnRenamed("doc_new", "doc_id")
+
+
 def q_watermark_sizing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-delay SIZING (streaming.size_watermark_delay's exact
     arithmetic as a certifiable relation — r7 verdict #8's loop, closed
@@ -7023,6 +7059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_exact_duplicates": q_strip_exact_duplicates,
         "unigram_doc_scores": q_unigram_doc_scores,
         "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
+        "incremental_substr_matches": q_incremental_substr_matches,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13852,6 +13889,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-tokenizer token histogram: corpus words re-split in SQL,
         # joined to the STAGED (word, token, k) segmentation mapping
+        "incremental_substr_matches": f"""
+            WITH n AS (
+              SELECT doc AS doc_new, pos AS pos_new, g
+              FROM read_parquet(
+                '{_STAGE}/substr_seeds_new_k4.parquet/*.parquet')),
+            craw AS (
+              SELECT doc AS doc_corpus, pos AS pos_corpus, g
+              FROM read_parquet(
+                '{_STAGE}/substr_seeds_corpus_k4.parquet/*.parquet')),
+            occ_ok AS (
+              SELECT g FROM craw GROUP BY g HAVING count(*) <= 16),
+            c AS (SELECT craw.* FROM craw JOIN occ_ok USING (g)),
+            pairs AS (
+              SELECT doc_new, doc_corpus, pos_new, pos_corpus,
+                     pos_corpus - pos_new AS shift
+              FROM n JOIN c USING (g)),
+            runs AS (
+              SELECT doc_new, doc_corpus, shift, pos_new,
+                     pos_new - row_number() OVER (
+                       PARTITION BY doc_new, doc_corpus, shift
+                       ORDER BY pos_new) AS isl
+              FROM pairs),
+            matches AS (
+              SELECT doc_new, doc_corpus,
+                     CAST(count(*) - 1 + 4 AS BIGINT) AS len_tokens
+              FROM runs GROUP BY doc_new, doc_corpus, shift, isl
+              HAVING count(*) - 1 + 4 >= 8)
+            SELECT doc_new AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(max(len_tokens) AS BIGINT) AS max_len_tokens,
+                   CAST(count(DISTINCT doc_corpus) AS BIGINT)
+                       AS n_corpus_docs
+            FROM matches GROUP BY doc_new
+        """,
         "strip_exact_duplicates": f"""
             WITH seeds AS (
               SELECT doc, pos, g FROM read_parquet(

@@ -332,6 +332,59 @@ def maximal_duplicated_substrings(
     )
 
 
+def incremental_substr_matches(
+    new_seeds: DataFrame,
+    corpus_seeds: DataFrame,
+    k: int,
+    min_len: int = 8,
+    max_occurrences: int = 16,
+) -> DataFrame:
+    """ExactSubstr at INGEST time — the incremental_neardup shape for
+    verbatim spans: maximal duplicated substrings between a NEW batch
+    and the existing corpus, without ever self-joining the corpus.
+    The corpus seed relation is staged once (stage-once / probe-many);
+    each arriving batch joins its own (tiny) seed relation against it
+    on the gram digest, then the same per-(new doc, corpus doc, shift)
+    islands merge as the batch operator. The occurrence cap applies to
+    the CORPUS side only (a hot corpus gram would fan every new doc
+    out; the new batch is small by definition).
+
+    Returns (doc_new, doc_corpus, pos_new, pos_corpus, len_tokens)
+    with len_tokens >= min_len."""
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    occ_ok = (
+        corpus_seeds.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where(F.col("__occ") <= max_occurrences)
+        .select("g")
+    )
+    c = corpus_seeds.join(occ_ok.hint("shuffle_hash"), "g").select(
+        "g", F.col("doc").alias("doc_corpus"),
+        F.col("pos").alias("pos_corpus"),
+    )
+    n = new_seeds.select(
+        "g", F.col("doc").alias("doc_new"), F.col("pos").alias("pos_new")
+    )
+    pairs = n.join(c.hint("shuffle_hash"), "g").select(
+        "doc_new", "doc_corpus", "pos_new", "pos_corpus",
+        (F.col("pos_corpus") - F.col("pos_new")).alias("shift"),
+    )
+    w = Window.partitionBy("doc_new", "doc_corpus", "shift").orderBy("pos_new")
+    return (
+        pairs.withColumn("__isl", F.col("pos_new") - F.row_number().over(w))
+        .groupBy("doc_new", "doc_corpus", "shift", "__isl")
+        .agg(
+            F.min("pos_new").cast("long").alias("pos_new"),
+            F.min("pos_corpus").cast("long").alias("pos_corpus"),
+            (F.count(F.lit(1)) - 1 + k).cast("long").alias("len_tokens"),
+        )
+        .where(F.col("len_tokens") >= min_len)
+        .select("doc_new", "doc_corpus", "pos_new", "pos_corpus",
+                "len_tokens")
+    )
+
+
 def substr_dedup_doc_stats(matches: DataFrame) -> DataFrame:
     """Per-document rollup of ExactSubstr matches — each match counts
     for BOTH endpoints: (doc_id, n_matches, max_len_tokens,

@@ -215,6 +215,31 @@ def test_strip_maximal_duplicate_spans_keeps_first_occurrence(spark):
     assert out[2]["kept_tokens"] == 2 and out[2]["n_tokens"] == 12
 
 
+def test_incremental_substr_matches_batch_vs_corpus_only(spark):
+    """Ingest-time ExactSubstr: matches are found between the NEW
+    batch and the corpus, corpus-internal duplicates are NOT re-paired
+    (the corpus never self-joins), and the reported lengths equal the
+    batch operator's for the same pair."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    corpus_rows = [
+        (1, "c1 " + shared + " c2"),
+        (2, "d1 d2 " + shared),              # corpus-internal duplicate
+        (3, " ".join(f"m{i}" for i in range(20))),
+    ]
+    new_rows = [(100, "x1 x2 x3 " + shared)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    cs = SP.substr_seed_grams(corpus, "text", "doc_id", 4)
+    ns = SP.substr_seed_grams(new, "text", "doc_id", 4)
+    got = SP.incremental_substr_matches(ns, cs, k=4, min_len=8).collect()
+    pairs = {(r["doc_new"], r["doc_corpus"]): r["len_tokens"] for r in got}
+    # the new doc matches BOTH corpus copies at exact length 12;
+    # the corpus-internal (1,2) pair is absent by construction
+    assert pairs == {(100, 1): 12, (100, 2): 12}
+    for r in got:
+        assert r["pos_new"] == 4
+
+
 def test_exact_substr_min_len_validation(spark):
     import pytest
 
