@@ -191,8 +191,11 @@ def _rebuild_without_positions(
         F.split(normalize_text(F.col(text_col)), " ").alias("w"),
     )
     empty = F.array().cast("array<int>")
+    # dropped is corpus-cardinality in the worst case (every doc hit):
+    # shuffle-hash, never SMJ (repo-wide join discipline; the r8
+    # ExactSubstr strip planned an SMJ here without the hint)
     return (
-        tok.join(dropped, "doc", "left")
+        tok.join(dropped.hint("shuffle_hash"), "doc", "left")
         .select(
             "doc",
             "w",
