@@ -204,7 +204,11 @@ def t_closeness_emd(
     )
     grid = (
         groups.crossJoin(F.broadcast(svals))
-        .join(cells.drop("__o"), [*group_cols, "__s"], "left")
+        # grid x cells is big-big when the quasi-identifier has many
+        # combos: shuffle-hash, never SMJ (r8 — this was the one
+        # remaining SortMergeJoin in all 308 sf0.01 plans)
+        .join(cells.drop("__o").hint("shuffle_hash"),
+              [*group_cols, "__s"], "left")
         .join(F.broadcast(sglob), "__s")
         .crossJoin(F.broadcast(tot))
         .select(
