@@ -2144,6 +2144,30 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition-rule signal set (text.gopher_repetition):
+    top-{2,3,4}-gram char coverage and dup-{5..10}-gram char coverage in
+    exact integer ppm plus the Table A1 pass flag — the published
+    char-fraction family repetition_stats only sampled. One (doc, n,
+    digest) explode covers all nine gram sizes; shuffle rows carry
+    digests and longs, never text."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        gopher_repetition,
+    )
+    return gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (text.gopher_quality_rules): word
+    count, mean word length, symbol ratio, alphabetic-word fraction and
+    stopword hits, each surfaced as its own rule flag plus the combined
+    keep — zero-shuffle column algebra."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        gopher_quality_rules,
+    )
+    return gopher_quality_rules(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation funnel: length -> language -> exact dedup ->
     decontamination, with per-stage survivor counts (the attrition report
@@ -7060,6 +7084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_doc_scores": q_unigram_doc_scores,
         "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
         "incremental_substr_matches": q_incremental_substr_matches,
+        "gopher_repetition_docs": q_gopher_repetition,
+        "gopher_quality_rules_docs": q_gopher_quality_rules,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13526,6 +13552,100 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "gopher_repetition_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w,
+                     length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                         AS tot
+              FROM documents),
+            g AS (
+              SELECT doc_id, tot, n,
+                     array_to_string(list_slice(w, i, i + n - 1), ' ') AS g
+              FROM t,
+                   (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS ns(n),
+                   UNNEST(range(1, greatest(len(w) - (n - 1), 1) + 1)) AS u(i)),
+            c AS (
+              SELECT doc_id, n, g, count(*) AS cnt, max(tot) AS tot
+              FROM g GROUP BY doc_id, n, g),
+            p AS (
+              SELECT doc_id, n,
+                     max({'c': cnt, 'l': length(g)}) AS top,
+                     sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
+                         AS dup_chars,
+                     max(tot) AS tot
+              FROM c GROUP BY doc_id, n),
+            q AS (
+              SELECT doc_id, n,
+                     (1000000 * top.c * top.l) // greatest(tot, 1) AS top_ppm,
+                     (1000000 * dup_chars) // greatest(tot, 1) AS dup_ppm
+              FROM p),
+            piv AS (
+              SELECT doc_id,
+                     CAST(max(CASE WHEN n = 2 THEN top_ppm END) AS BIGINT) AS top2_char_ppm,
+                     CAST(max(CASE WHEN n = 3 THEN top_ppm END) AS BIGINT) AS top3_char_ppm,
+                     CAST(max(CASE WHEN n = 4 THEN top_ppm END) AS BIGINT) AS top4_char_ppm,
+                     CAST(max(CASE WHEN n = 5 THEN dup_ppm END) AS BIGINT) AS dup5_char_ppm,
+                     CAST(max(CASE WHEN n = 6 THEN dup_ppm END) AS BIGINT) AS dup6_char_ppm,
+                     CAST(max(CASE WHEN n = 7 THEN dup_ppm END) AS BIGINT) AS dup7_char_ppm,
+                     CAST(max(CASE WHEN n = 8 THEN dup_ppm END) AS BIGINT) AS dup8_char_ppm,
+                     CAST(max(CASE WHEN n = 9 THEN dup_ppm END) AS BIGINT) AS dup9_char_ppm,
+                     CAST(max(CASE WHEN n = 10 THEN dup_ppm END) AS BIGINT) AS dup10_char_ppm
+              FROM q GROUP BY doc_id)
+            SELECT *,
+                   CAST(top2_char_ppm < 200000 AND top3_char_ppm < 180000
+                        AND top4_char_ppm < 160000 AND dup5_char_ppm < 150000
+                        AND dup6_char_ppm < 140000 AND dup7_char_ppm < 130000
+                        AND dup8_char_ppm < 120000 AND dup9_char_ppm < 110000
+                        AND dup10_char_ppm < 100000 AS INT)
+                       AS passes_repetition
+            FROM piv
+        """,
+        "gopher_quality_rules_docs": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     (100 * list_sum(list_transform(w, x -> length(x))))
+                         // greatest(len(w), 1) AS mean_word_chars_x100,
+                     CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+                         AS n_symbols,
+                     CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS n_alpha_words,
+                     CAST(len(list_intersect(list_distinct(w),
+                          ['the','be','to','of','and','that','have','with']))
+                          AS BIGINT) AS stopword_hits
+              FROM t),
+            e AS (
+              SELECT doc_id, n_words,
+                     CAST(mean_word_chars_x100 AS BIGINT) AS mean_word_chars_x100,
+                     stopword_hits,
+                     CAST((1000000 * n_symbols) // greatest(n_words, 1) AS BIGINT)
+                         AS symbol_word_ppm,
+                     CAST((1000000 * n_alpha_words) // greatest(n_words, 1) AS BIGINT)
+                         AS alpha_word_ppm
+              FROM d)
+            SELECT doc_id, n_words, mean_word_chars_x100, symbol_word_ppm,
+                   alpha_word_ppm, stopword_hits,
+                   CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+                   CAST(mean_word_chars_x100 >= 300
+                        AND mean_word_chars_x100 <= 1000 AS INT) AS r_mean_word_len,
+                   CAST(symbol_word_ppm <= 100000 AS INT) AS r_symbol_ratio,
+                   CAST(alpha_word_ppm >= 800000 AS INT) AS r_alpha_words,
+                   CAST(stopword_hits >= 2 AS INT) AS r_stopwords,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_chars_x100 >= 300
+                        AND mean_word_chars_x100 <= 1000
+                        AND symbol_word_ppm <= 100000
+                        AND alpha_word_ppm >= 800000
+                        AND stopword_hits >= 2 AS INT) AS keep
+            FROM e
         """,
         "quality_funnel": """
             WITH corpus AS (SELECT * FROM documents WHERE source != 'src19'),

@@ -1627,3 +1627,204 @@ def rake_keywords(
         .orderBy(F.desc("score_fp"), F.asc("phrase"))
         .limit(int(top_k))
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full Gopher repetition-rule signal set per document (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", Table A1) — the
+    boilerplate/spam detectors a pretraining curation funnel runs before
+    anything model-based. Extends :func:`repetition_stats` (which covers
+    only dup-word and top-bigram share) to the published char-fraction
+    family:
+
+    - ``top{2,3,4}_char_ppm``: characters covered by the single most
+      frequent n-gram, ``count * char_len(gram)`` over total normalized
+      chars, in ppm. "Most frequent" ties broken toward the longer gram
+      (max by (count, char_len) — gram identity never shuffles, only
+      its md5 digest and length).
+    - ``dup{5..10}_char_ppm``: characters covered by ALL n-grams that
+      occur more than once, ``sum(count * char_len)`` over total chars.
+      Overlapping occurrences are counted per occurrence (the standard
+      published approximation), so values can exceed 1e6 on degenerate
+      spam — documented, deterministic, identical in the SQL mirror.
+    - ``passes_repetition``: Gopher Table A1 thresholds
+      (top2<20%, top3<18%, top4<16%; dup5<15% .. dup10<10%).
+
+    Scale shape: ONE explode of (doc, n, md5(gram), char_len) for the 9
+    gram sizes — shuffle rows are 9x the corpus word count but carry
+    16-byte digests + 3 longs, never text; both aggregations
+    partial-combine (count on (doc,n,digest), then max-struct/sum on
+    (doc,n)), and the final per-doc pivot is a conditional-agg over at
+    most 9 rows per doc. All fractions are exact integer ppm (BIGINT
+    ``div``), per the repo cross-engine hashing rule.
+
+    Short-doc convention: a doc with fewer than n words yields one
+    truncated gram (repo-wide ``_grams_from_words`` semantics), which
+    then has count 1 and never enters a dup fraction.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        _grams_from_words,
+        normalize_text,
+    )
+
+    TOP_NS = (2, 3, 4)
+    DUP_NS = (5, 6, 7, 8, 9, 10)
+    # Gopher Table A1 thresholds in ppm
+    TOP_MAX = {2: 200000, 3: 180000, 4: 160000}
+    DUP_MAX = {5: 150000, 6: 140000, 7: 130000, 8: 120000,
+               9: 110000, 10: 100000}
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+        F.length(normalize_text(F.col(text_col)))
+        .cast("long").alias("tot_chars"),
+    )
+    # one row per (doc, n, gram): explode a flattened array of structs.
+    # NB: the lambda must be single-argument — a second parameter makes
+    # F.transform pass the ELEMENT INDEX into it, silently shadowing a
+    # `n=n` default (caught by the oracle in r8).
+    def _tagged(n: int):
+        return F.transform(
+            _grams_from_words(F.col("w"), n),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                F.md5(g).alias("gd"),
+                F.length(g).cast("long").alias("glen"),
+            ),
+        )
+
+    grams = base.select(
+        "doc", "tot_chars",
+        F.explode(
+            F.flatten(F.array(*[_tagged(n) for n in (*TOP_NS, *DUP_NS)]))
+        ).alias("e"),
+    ).select("doc", "tot_chars", "e.n", "e.gd", "e.glen")
+    counted = grams.groupBy("doc", "n", "gd").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.first("glen").alias("glen"),
+        F.first("tot_chars").alias("tot_chars"),
+    )
+    per_n = counted.groupBy("doc", "n").agg(
+        F.max(F.struct("cnt", "glen")).alias("top"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen"))
+              .otherwise(F.lit(0))).cast("long").alias("dup_chars"),
+        F.first("tot_chars").alias("tot_chars"),
+    ).select(
+        "doc", "n",
+        F.expr("CAST(1000000 * top.cnt * top.glen AS BIGINT)"
+               " div greatest(tot_chars, 1)").alias("top_ppm"),
+        F.expr("CAST(1000000 * dup_chars AS BIGINT)"
+               " div greatest(tot_chars, 1)").alias("dup_ppm"),
+    )
+    agg_cols = []
+    for n in TOP_NS:
+        agg_cols.append(
+            F.max(F.when(F.col("n") == n, F.col("top_ppm")))
+            .cast("long").alias(f"top{n}_char_ppm")
+        )
+    for n in DUP_NS:
+        agg_cols.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_ppm")))
+            .cast("long").alias(f"dup{n}_char_ppm")
+        )
+    out = per_n.groupBy("doc").agg(*agg_cols)
+    passes = F.lit(True)
+    for n in TOP_NS:
+        passes = passes & (F.col(f"top{n}_char_ppm") < TOP_MAX[n])
+    for n in DUP_NS:
+        passes = passes & (F.col(f"dup{n}_char_ppm") < DUP_MAX[n])
+    return out.select(
+        F.col("doc").alias(id_col),
+        *[f"top{n}_char_ppm" for n in TOP_NS],
+        *[f"dup{n}_char_ppm" for n in DUP_NS],
+        passes.cast("int").alias("passes_repetition"),
+    )
+
+
+# Gopher quality-rule stopword list (Rae et al. 2021 Table A1: "contains
+# at least 2 of ..."); distinct from the lang-ID STOPWORDS on purpose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_x100: int = 300,
+    max_mean_word_x100: int = 1000,
+    max_symbol_word_ppm: int = 100_000,
+    min_alpha_word_ppm: int = 800_000,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rule set per document (Rae et al. 2021
+    Table A1), each rule surfaced as its own flag so the funnel can
+    report WHICH rule dropped a doc (the all-or-nothing keep flag alone
+    makes threshold tuning blind):
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] chars (fixed-point x100)
+    - symbol-to-word ratio (``#`` or ``...``) <= 10%
+    - >= 80% of words contain at least one alphabetic char (Gopher uses
+      90%; the default here is 80% — parameterized either way)
+    - >= 2 hits from the published stopword list
+
+    Pure column algebra end to end (one projection, zero shuffles,
+    whole-stage codegen); every ratio is exact integer ppm / x100
+    fixed-point per the cross-engine hashing rule.
+    """
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    doc = df.select(
+        F.col(id_col).alias(id_col),
+        w.alias("w"),
+        F.col(text_col).alias("__raw"),
+    ).select(
+        id_col,
+        F.size("w").cast("long").alias("n_words"),
+        # mean word chars x100: sum of word lengths over count, exact
+        F.expr(
+            "CAST(100 * aggregate(w, 0L, (a, x) -> a + length(x)) AS BIGINT)"
+            " div greatest(size(w), 1)"
+        ).alias("mean_word_chars_x100"),
+        (F.size(F.regexp_extract_all(F.col("__raw"), F.lit(r"#|\.\.\."), 0))
+         .cast("long")).alias("n_symbols"),
+        F.size(F.filter("w", lambda x: x.rlike("[a-z]")))
+        .cast("long").alias("n_alpha_words"),
+        F.size(F.array_intersect(
+            F.array_distinct("w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )).cast("long").alias("stopword_hits"),
+    )
+    out = doc.select(
+        id_col, "n_words", "mean_word_chars_x100", "stopword_hits",
+        F.expr("CAST(1000000 * n_symbols AS BIGINT)"
+               " div greatest(n_words, 1)").alias("symbol_word_ppm"),
+        F.expr("CAST(1000000 * n_alpha_words AS BIGINT)"
+               " div greatest(n_words, 1)").alias("alpha_word_ppm"),
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_chars_x100") >= min_mean_word_x100)
+        & (F.col("mean_word_chars_x100") <= max_mean_word_x100),
+        "r_symbol_ratio": F.col("symbol_word_ppm") <= max_symbol_word_ppm,
+        "r_alpha_words": F.col("alpha_word_ppm") >= min_alpha_word_ppm,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return out.select(
+        id_col, "n_words", "mean_word_chars_x100", "symbol_word_ppm",
+        "alpha_word_ppm", "stopword_hits",
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        keep.cast("int").alias("keep"),
+    )
