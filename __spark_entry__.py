@@ -3506,6 +3506,37 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "text", mapping, top_k=50)
 
 
+def q_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram under a trained WORDPIECE tokenizer
+    (text.wordpiece_train / wordpiece_segment_words) — the third
+    production tokenizer family beside BPE (frequency-greedy) and
+    Unigram-LM (EM), trained with the likelihood-gain pair score and
+    segmented by vocab-driven greedy longest-match. Same certification
+    shape as bpe_token_counts: the staged (word, token, k) mapping is
+    the artifact; the oracle re-splits the text in SQL and joins the
+    SAME mapping, so segmentation is what's certified. Training (20
+    merges) + segmentation are skipped under stage reuse."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        bpe_encode_counts,
+        wordpiece_segment_words,
+        wordpiece_train,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path = f"{_stage_dir(sf_dir)}/wordpiece_word_tokens.parquet"
+    if not (
+        _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+        and fs_exists(spark, f"{map_path}/_SUCCESS")
+    ):
+        vocab = wordpiece_train(docs, "text", n_merges=20)
+        stage_parquet(wordpiece_segment_words(docs, "text", vocab), map_path)
+    mapping = spark.read.parquet(map_path)
+    return bpe_encode_counts(docs, "text", mapping, top_k=50)
+
+
 def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite sequence patterns (analytics.
     sequence_pattern_counts): per user, the chronological event-type
@@ -7086,6 +7117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_substr_matches": q_incremental_substr_matches,
         "gopher_repetition_docs": q_gopher_repetition,
         "gopher_quality_rules_docs": q_gopher_quality_rules,
+        "wordpiece_token_counts": q_wordpiece_token_counts,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -14222,6 +14254,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             m AS (SELECT word, token, k
                   FROM read_parquet('{_STAGE}/bpe_word_tokens.parquet/*.parquet'))
+            SELECT m.token, CAST(SUM(m.k) AS BIGINT) AS n
+            FROM wds JOIN m USING (word)
+            WHERE wds.word <> ''
+            GROUP BY m.token
+            ORDER BY n DESC, m.token ASC
+            LIMIT 50
+        """,
+        "wordpiece_token_counts": f"""
+            WITH wds AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            m AS (SELECT word, token, k
+                  FROM read_parquet('{_STAGE}/wordpiece_word_tokens.parquet/*.parquet'))
             SELECT m.token, CAST(SUM(m.k) AS BIGINT) AS n
             FROM wds JOIN m USING (word)
             WHERE wds.word <> ''

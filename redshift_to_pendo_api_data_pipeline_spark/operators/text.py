@@ -1828,3 +1828,161 @@ def gopher_quality_rules(
         *[v.cast("int").alias(k) for k, v in rules.items()],
         keep.cast("int").alias("keep"),
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    local_vocab_rows: int = 200_000,
+    _stats: dict | None = None,
+) -> list[str]:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; the
+    BERT/HuggingFace trainer): the third production tokenizer family
+    beside :func:`bpe_train` (frequency-greedy) and
+    :func:`unigram_train` (likelihood EM). Identical merge LOOP to BPE
+    but a likelihood-gain SCORE — each round merges the adjacent pair
+    maximizing ``count(ab) / (count(a) * count(b))``, i.e. the pair
+    whose fusion most increases corpus likelihood under a unigram piece
+    model. Returns the learned VOCAB (initial symbols + merged pieces,
+    creation order) — WordPiece segmentation is vocab-driven greedy
+    longest-match, not merge-replay, so the vocab is the shipped
+    artifact.
+
+    Continuation pieces carry the BERT ``##`` prefix: a word splits
+    into ``[w0, ##w1, ##w2, ...]``; merging ``(a, ##b)`` yields
+    ``a+b`` with ``a``'s prefix preserved.
+
+    Scale shape: same distinct-word reduction as bpe_train — pair and
+    symbol counts are functions of the (distinct word, count)
+    dictionary, so the corpus is scanned ONCE (map-side-combined word
+    count) regardless of corpus bytes, and training runs over the
+    dictionary. The dictionary must fit the driver's documented bound
+    (``local_vocab_rows``, the bpe_train bounded-collect contract); a
+    larger vocabulary raises rather than silently collecting — the
+    distributed extension is the bpe_train skeleton with the argmax
+    replaced by the exact cross-multiplied score comparison, noted
+    here and deliberately not duplicated until a fixture needs it.
+
+    Determinism: scores are compared by exact integer
+    cross-multiplication (``n1*na2*nb2`` vs ``n2*na1*nb1``), never
+    floats; ties break toward the lexicographically smaller pair. Stop
+    early when the best pair's count < 2 (a pair seen once cannot help
+    compression).
+    """
+    from collections import Counter
+
+    wc = (
+        df.select(F.explode(words(F.col(text_col))).alias("wd"))
+        .where(F.col("wd") != "")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    n_vocab = wc.count()
+    if _stats is not None:
+        _stats["n_vocab"] = n_vocab
+    if n_vocab > local_vocab_rows:
+        raise ValueError(
+            f"wordpiece_train dictionary ({n_vocab} rows) exceeds the "
+            f"driver bound ({local_vocab_rows}); raise the bound or use "
+            "the distributed bpe_train skeleton with the WordPiece score"
+        )
+    vocab_rows: list[tuple[list[str], int]] = []
+    for r in wc.collect():
+        wd = r["wd"]
+        syms = [wd[0]] + ["##" + c for c in wd[1:]]
+        vocab_rows.append((syms, r["w"]))
+
+    init_syms = sorted({s for syms, _ in vocab_rows for s in syms})
+    pieces: list[str] = list(init_syms)
+    for _ in range(n_merges):
+        sym_n: Counter = Counter()
+        pair_n: Counter = Counter()
+        for syms, w in vocab_rows:
+            for s in syms:
+                sym_n[s] += w
+            for i in range(len(syms) - 1):
+                pair_n[(syms[i], syms[i + 1])] += w
+        best = None  # (pair, n, na, nb)
+        for pair, n in pair_n.items():
+            if n < 2:
+                continue
+            na, nb = sym_n[pair[0]], sym_n[pair[1]]
+            if best is None:
+                best = (pair, n, na, nb)
+                continue
+            bp, bn, bna, bnb = best
+            lhs = n * bna * bnb
+            rhs = bn * na * nb
+            if lhs > rhs or (lhs == rhs and pair < bp):
+                best = (pair, n, na, nb)
+        if best is None:
+            break
+        (a, b), _, _, _ = best
+        ab = a + (b[2:] if b.startswith("##") else b)
+        pieces.append(ab)
+        for syms, _w in vocab_rows:
+            if a not in syms:
+                continue
+            out, i, size = [], 0, len(syms)
+            while i < size:
+                if i + 1 < size and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms[:] = out
+    return pieces
+
+
+def wordpiece_segment_greedy(word: str, vocab: set[str]) -> list[str]:
+    """Reference greedy longest-match-first WordPiece segmentation
+    (BERT's WordpieceTokenizer): longest vocab prefix, then longest
+    ``##``-continuation, ``[UNK]`` when stuck. Pure function — shared
+    by the pandas UDF and the pinned pure-Python test."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        end, cur = n, None
+        while end > i:
+            piece = word[i:end]
+            if i > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                cur = piece
+                break
+            end -= 1
+        if cur is None:
+            return ["[UNK]"]
+        out.append(cur)
+        i = end
+    return out
+
+
+def wordpiece_segment_words(
+    df: DataFrame, text_col: str, vocab: list[str]
+) -> DataFrame:
+    """Apply a trained WordPiece vocab to the corpus vocabulary:
+    (word, token, k) mapping via greedy longest-match — one
+    Arrow-batched pandas UDF over the DISTINCT-word dictionary (the
+    bpe_segment_words shape: dictionary-sized Python, corpus applies
+    the mapping by broadcast join in bpe_encode_counts)."""
+    vset = set(vocab)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _segment(ws: pd.Series) -> pd.Series:
+        return pd.Series([wordpiece_segment_greedy(w, vset) for w in ws])
+
+    dict_words = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        dict_words.select(
+            "word", F.explode(_segment(F.col("word"))).alias("token")
+        )
+        .groupBy("word", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
