@@ -2144,6 +2144,21 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_dp_nation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private customers-per-nation release
+    (privacy.dp_histogram): discrete-Laplace (geometric-mechanism)
+    noise on each count, derived integer-only from md5 bit-lengths so
+    the DuckDB oracle re-derives the identical noise — the aggregate
+    release gate that complements the k-anonymity / l-diversity /
+    t-closeness audits."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
+        dp_histogram,
+    )
+    return dp_histogram(
+        load_table(spark, sf_dir, "customer"), "c_nationkey"
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition-rule signal set (text.gopher_repetition):
     top-{2,3,4}-gram char coverage and dup-{5..10}-gram char coverage in
@@ -7118,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_docs": q_gopher_repetition,
         "gopher_quality_rules_docs": q_gopher_quality_rules,
         "wordpiece_token_counts": q_wordpiece_token_counts,
+        "dp_nation_histogram": q_dp_nation_histogram,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13584,6 +13600,23 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "dp_nation_histogram": """
+            WITH c AS (
+              SELECT c_nationkey, count(*) AS n
+              FROM customer GROUP BY c_nationkey),
+            g AS (
+              SELECT c_nationkey, n,
+                     52 - length(bin(('0x' || substr(
+                         md5('dp1|a|' || CAST(c_nationkey AS VARCHAR)),
+                         1, 13))::UBIGINT)) AS g1,
+                     52 - length(bin(('0x' || substr(
+                         md5('dp1|b|' || CAST(c_nationkey AS VARCHAR)),
+                         1, 13))::UBIGINT)) AS g2
+              FROM c)
+            SELECT c_nationkey,
+                   CAST(greatest(n + g1 - g2, 0) AS BIGINT) AS dp_count
+            FROM g
         """,
         "gopher_repetition_docs": """
             WITH t AS (

@@ -234,3 +234,61 @@ def t_closeness_emd(
             " * first(n_g) * first(n))"
         ).cast("long").alias("emd_ppm"),
     )
+
+
+def _geometric_half(key: Column) -> Column:
+    """Geometric(1/2) sample (P(j) = 2^-(j+1), j >= 0) derived
+    DETERMINISTICALLY from a key, integer-only: take 13 hex chars of
+    md5 (a 52-bit uniform u), then j = 52 - bit_length(u). bit_length
+    is computed as the length of the base-2 string (F.conv — the
+    repo's lm.py integer-log idiom), so no floating log is involved
+    and the DuckDB mirror (length(bin(u::UBIGINT))) is exact.
+    u = 0 (probability 2^-52) maps to bit_length 1 like u = 1."""
+    u_dec = F.conv(F.substring(F.md5(key), 1, 13), 16, 10)
+    return (F.lit(52) - F.length(F.conv(u_dec, 10, 2))).cast("long")
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_col: str,
+    salt: str = "dp1",
+) -> DataFrame:
+    """Differentially-private release histogram: per-group counts with
+    DISCRETE LAPLACE noise (Ghosh-Roughgarden-Sundararajan's geometric
+    mechanism), the release gate a user-derived extract passes before
+    leaving the warehouse (the reference ships per-visitor event rows
+    to an external API; an aggregate release is the privacy-preserving
+    alternative this engine adds).
+
+    Noise = g1 - g2 with g1, g2 iid Geometric(1/2) — their difference
+    is the two-sided geometric / discrete Laplace with alpha = 1/2,
+    i.e. epsilon = ln 2 per unit sensitivity (one row changes one
+    count by 1). The mechanism is real; the RANDOMNESS is a
+    deterministic hash of (salt, group key) — the md5-derived-uniform
+    convention every sampling operator in this repo uses — which makes
+    the release reproducible run-to-run and lets the DuckDB oracle
+    re-derive the identical noise (a seeded PRNG would certify
+    nothing). A production deployment swaps the salt for a secret
+    drawn per release; everything else is unchanged.
+
+    Integer-only end to end: the geometric magnitude comes from the
+    bit-length of a 52-bit md5 uniform (no float log, no float
+    inverse-CDF), so the noisy counts hash-check cross-engine. One
+    map-side-combined groupBy; noise is a per-GROUP expression, so the
+    shuffle carries raw partial counts and the noise never touches
+    row-level data. Released counts are clamped at 0 (post-processing
+    preserves DP). Only the noisy count is released — surfacing the
+    true count or the noise beside it would void the guarantee."""
+    key = F.col(group_col).cast("string")
+    g1 = _geometric_half(F.concat(F.lit(salt + "|a|"), key))
+    g2 = _geometric_half(F.concat(F.lit(salt + "|b|"), key))
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("__true"))
+        .select(
+            group_col,
+            F.greatest(
+                F.col("__true") + (g1 - g2), F.lit(0).cast("long")
+            ).alias("dp_count"),
+        )
+    )
