@@ -2144,6 +2144,30 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join (skew.bloom_semijoin): lineitem reduced
+    map-side by an m-bit Bloom bitmap of the high-value-order key set
+    (o_totalprice > 250000) before the exact shuffle_hash semi-join —
+    the fact is never shuffled at full width. Exact output (no false
+    negatives; false positives die in the final join): the oracle is
+    the plain semi-join, aggregated per returnflag."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.skew import (
+        bloom_semijoin,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 250000
+    )
+    reduced = bloom_semijoin(li, "l_orderkey", hot, "o_orderkey")
+    return reduced.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        TR.fixed_point(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2
+        ).alias("sum_qty_fp2"),
+    ).orderBy("l_returnflag")
+
+
 def q_dp_nation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private customers-per-nation release
     (privacy.dp_histogram): discrete-Laplace (geometric-mechanism)
@@ -7134,6 +7158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_rules_docs": q_gopher_quality_rules,
         "wordpiece_token_counts": q_wordpiece_token_counts,
         "dp_nation_histogram": q_dp_nation_histogram,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13600,6 +13625,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "bloom_semijoin_lineitem": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(cast(l_quantity AS decimal(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sum_qty_fp2
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "dp_nation_histogram": """
             WITH c AS (

@@ -137,3 +137,80 @@ def join_size_profile(
             .cast("long").alias("skew_ppm"),
         )
     )
+
+def bloom_semijoin(
+    fact: DataFrame,
+    key_col: str,
+    keys: DataFrame,
+    keys_col: str | None = None,
+    m: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Runtime-filter (Bloom) semi-join: reduce a corpus-sized fact
+    relation MAP-SIDE by a key set that is itself too large to
+    broadcast raw, then finish with the exact semi-join on the
+    survivors — the manual form of the runtime filters engines inject
+    for selective joins, and the join-side twin of
+    ``dedup.bloom_gram_positions``.
+
+    extract.semijoin_ids covers the broadcastable case. When the key
+    side is ~10^9 ids, a plain left_semi shuffles the FULL fact on the
+    key. Here the fact is never shuffled at full width:
+
+      1. the key relation collapses to an m-bit Bloom bitmap built
+         relationally — distinct (pos div 64) words with bit_or'd
+         bits, <= m/64 rows (16k longs = 128 KB at the defaults)
+         REGARDLESS of key count, gathered into one map<long,long>
+         row;
+      2. the bitmap row broadcast-joins the fact (scalar
+         BroadcastNestedLoopJoin — the repo's accepted 1-row join
+         shape) and a pure column predicate keeps a row iff all k
+         seeded positions have their bit set (Bloom mightContain,
+         zero Python, zero shuffle);
+      3. survivors — true matches plus ~(1 - e^{-kn/m})^k false
+         positives — do the exact left_semi with a shuffle_hash hint,
+         so the one real shuffle carries the reduced fact only.
+
+    No false negatives, exact output (the oracle is a plain
+    semi-join); returns the filtered fact with its original columns."""
+    key_rel = keys.select(
+        F.col(keys_col or key_col).cast("long").alias("__k")
+    ).where(F.col("__k").isNotNull()).distinct()
+    seeds = list(range(k))
+    positions = (
+        key_rel.select(
+            F.explode(F.array(*[F.lit(i) for i in seeds])).alias("seed"),
+            "__k",
+        )
+        .select(F.pmod(F.xxhash64("__k", "seed"), F.lit(m)).alias("pos"))
+        .distinct()
+    )
+    bitmap = (
+        positions.groupBy(
+            F.expr("pos div 64").alias("word")
+        )
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))")
+            .alias("bits")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("__bloom")
+        )
+    )
+    probed = fact.join(F.broadcast(bitmap))
+    pred = F.lit(True)
+    for i in seeds:
+        pos_sql = f"pmod(xxhash64(CAST({key_col} AS BIGINT), {i}), {m})"
+        hit = F.expr(
+            f"coalesce(try_element_at(__bloom, {pos_sql} div 64), 0L)"
+            f" & shiftleft(1L, CAST({pos_sql} % 64 AS INT)) != 0"
+        )
+        pred = pred & hit
+    survivors = probed.where(pred).drop("__bloom")
+    return survivors.join(
+        key_rel.hint("shuffle_hash"),
+        survivors[key_col].cast("long") == F.col("__k"),
+        "left_semi",
+    )
