@@ -130,3 +130,45 @@ def run_incremental_sync(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with TTL-bounded state: first occurrence of
+    each normalized-content digest passes, replays within the watermark
+    horizon are dropped, and state self-evicts past the horizon —
+    Spark's native ``dropDuplicatesWithinWatermark``, so the state
+    store, eviction, and exactly-once replay semantics are all engine
+    code rather than a hand-rolled applyInPandasWithState loop (the
+    batch twin is ``dedup.exact_dedup``; the streaming near-dup twin is
+    ``dedup_bridge.streaming_neardup_against_corpus``).
+
+    The dedup key is the md5 digest of the normalized text (the repo
+    dedup convention): state holds 16-byte digests, never documents, so
+    the per-key footprint is constant no matter the doc size, and the
+    watermark bounds HOW MANY keys live at once — at 100 TB/day the
+    state is (unique docs per TTL window) x 16 bytes per partition,
+    the same bound the batch digest-groupBy enjoys per shuffle
+    partition.
+
+    Why WithinWatermark (Spark 3.5+) and not plain
+    ``dropDuplicates``: the plain form keeps every key forever (state
+    grows unboundedly on an infinite stream) unless the watermark
+    column itself is part of the key, which then treats the same doc
+    at two timestamps as distinct. WithinWatermark keys on the digest
+    alone and uses the event-time watermark purely for eviction —
+    exactly the "duplicates arrive within a bounded delay" contract
+    ingestion pipelines actually have."""
+    return (
+        sdf.withColumn(
+            "__digest",
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))),
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
