@@ -2144,6 +2144,27 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: confusion matrix of the stopword-overlap
+    heuristic (text.lang_id) against the labeled lang column — the
+    quality gate a curation funnel needs before trusting lang filters
+    (zh has no stopword list, so it lands in 'und' by design: the
+    audit SHOWS the blind spot instead of hiding it). One scan, one
+    count aggregation on a 5x5-bounded key space."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter semi-join (skew.bloom_semijoin): lineitem reduced
     map-side by an m-bit Bloom bitmap of the high-value-order key set
@@ -7159,6 +7180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_token_counts": q_wordpiece_token_counts,
         "dp_nation_histogram": q_dp_nation_histogram,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "langid_confusion": q_langid_confusion,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13625,6 +13647,35 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "langid_confusion": """
+            WITH t AS (
+              SELECT lang AS true_lang,
+                     list_distinct(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS dw
+              FROM documents),
+            h AS (
+              SELECT true_lang,
+                     len(list_intersect(dw, ['der','die','das','und','ist',
+                         'von','mit','ein','zu','auf'])) AS h_de,
+                     len(list_intersect(dw, ['the','and','of','to','a','in',
+                         'is','it','for','on'])) AS h_en,
+                     len(list_intersect(dw, ['el','la','de','que','y','en',
+                         'un','es','por','con'])) AS h_es,
+                     len(list_intersect(dw, ['le','la','de','et','est','un',
+                         'une','dans','pour','que'])) AS h_fr
+              FROM t),
+            p AS (
+              SELECT true_lang,
+                     CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                          WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                          WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                          WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                          ELSE 'fr' END AS pred_lang
+              FROM h)
+            SELECT true_lang, pred_lang, count(*) AS n_docs
+            FROM p GROUP BY true_lang, pred_lang
+            ORDER BY true_lang, pred_lang
         """,
         "bloom_semijoin_lineitem": """
             SELECT l_returnflag,
