@@ -908,18 +908,23 @@ def q_watermark_sizing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tokenizer_compression_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """BPE vs unigram-LM corpus compression head-to-head — the
-    acceptance report a tokenizer choice is made from: per tokenizer,
-    total corpus words, total subword tokens under the trained
-    segmentation, and tokens per 100 words (fixed-point). Both staged
+    """The full production-tokenizer triad head-to-head — BPE
+    (frequency-greedy) vs unigram-LM (EM) vs WordPiece
+    (likelihood-gain merges, greedy longest-match) — the acceptance
+    report a tokenizer choice is made from: per tokenizer, total
+    corpus words, total subword tokens under the trained segmentation,
+    and tokens per 100 words (fixed-point). All three staged
     (word, token, k) mappings are re-used (trained in-query when cold,
-    like bpe_token_counts/unigram_token_counts); the corpus side is
-    one word explode + two broadcast mapping joins."""
+    like bpe_token_counts/unigram_token_counts/wordpiece_token_counts);
+    the corpus side is one word explode + three broadcast mapping
+    joins."""
     import os as _os
 
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
         bpe_segment_words,
         bpe_train,
+        wordpiece_segment_words,
+        wordpiece_train,
         words,
     )
     from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
@@ -933,12 +938,22 @@ def q_tokenizer_compression_compare(
                               bpe_train(docs, "text", n_merges=20)),
             bpe_path,
         )
+    wp_path = f"{_stage_dir(sf_dir)}/wordpiece_word_tokens.parquet"
+    if not (reuse and fs_exists(spark, f"{wp_path}/_SUCCESS")):
+        stage_parquet(
+            wordpiece_segment_words(
+                docs, "text", wordpiece_train(docs, "text", n_merges=20)
+            ),
+            wp_path,
+        )
     uni_path, _ = _ensure_unigram_stage(spark, sf_dir)
     corpus_words = docs.select(
         F.explode(words(F.col("text"))).alias("word")
     ).where(F.col("word") != "")
     out = None
-    for name, path in (("bpe", bpe_path), ("unigram", uni_path)):
+    for name, path in (
+        ("bpe", bpe_path), ("unigram", uni_path), ("wordpiece", wp_path)
+    ):
         mapping = spark.read.parquet(path)
         per_word = mapping.groupBy("word").agg(
             F.sum("k").alias("__toks")
@@ -2142,6 +2157,57 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/spam detector of the curation funnel."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import repetition_stats
     return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    documents ranked by unigram-LM cross-entropy (the staged perplexity
+    scores of unigram_doc_scores), cut into ntile(3) buckets over the
+    total order (xent_fp, doc_id) — head = most-predictable third —
+    and counted per source: the per-source quality mix that decides
+    which crawl dumps feed the next training run. The rank comes from
+    global_ranks (range shuffle + broadcast offsets), never a
+    single-reducer ntile window."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        unigram_doc_cross_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    map_path, pieces_path = _ensure_unigram_stage(spark, sf_dir)
+    scores = unigram_doc_cross_entropy(
+        docs, "text", "doc_id",
+        spark.read.parquet(map_path),
+        spark.read.parquet(pieces_path),
+    )
+    ranked = global_ranks(
+        scores.select("doc_id", "xent_fp"),
+        [F.col("xent_fp").asc(), F.col("doc_id").asc()],
+        keep_total=True,
+    )
+    bucket = F.expr(
+        "CASE WHEN __rank <= (__total % 3) * ((__total div 3) + 1) "
+        "THEN (__rank - 1) div ((__total div 3) + 1) + 1 "
+        "ELSE (__total % 3) "
+        "  + (__rank - 1 - (__total % 3) * ((__total div 3) + 1)) "
+        "    div (__total div 3) + 1 END"
+    )
+    named = ranked.select(
+        "doc_id",
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+    return (
+        named.join(
+            docs.select("doc_id", "source").hint("shuffle_hash"), "doc_id"
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
 
 
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7181,6 +7247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_nation_histogram": q_dp_nation_histogram,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "langid_confusion": q_langid_confusion,
+        "ccnet_perplexity_buckets": q_ccnet_buckets,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13648,6 +13715,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
         """,
+        "ccnet_perplexity_buckets": f"""
+            WITH wds AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                         ' ')) AS word
+              FROM documents),
+            m AS (SELECT word, token, k
+                  FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet')),
+            p AS (SELECT piece AS token, cost_fp
+                  FROM read_parquet('{_STAGE}/unigram_pieces.parquet/*.parquet')),
+            per_word AS (
+              SELECT m.word,
+                     CAST(sum(m.k) AS BIGINT) AS toks,
+                     CAST(sum(m.k * p.cost_fp) AS BIGINT) AS cost
+              FROM m JOIN p USING (token)
+              GROUP BY m.word),
+            scores AS (
+              SELECT doc AS doc_id,
+                     CAST(sum(cost) // sum(toks) AS BIGINT) AS xent_fp
+              FROM wds JOIN per_word USING (word)
+              WHERE word <> ''
+              GROUP BY doc),
+            bk AS (
+              SELECT doc_id,
+                     CASE ntile(3) OVER (ORDER BY xent_fp, doc_id)
+                          WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM scores)
+            SELECT d.source, bk.bucket, count(*) AS n_docs
+            FROM bk JOIN documents d USING (doc_id)
+            GROUP BY d.source, bk.bucket
+            ORDER BY d.source, bk.bucket
+        """,
         "langid_confusion": """
             WITH t AS (
               SELECT lang AS true_lang,
@@ -14296,6 +14396,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT word, CAST(sum(k) AS BIGINT) AS toks
               FROM read_parquet('{_STAGE}/unigram_word_tokens.parquet/*.parquet')
               GROUP BY word),
+            wp_pw AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS toks
+              FROM read_parquet('{_STAGE}/wordpiece_word_tokens.parquet/*.parquet')
+              GROUP BY word),
             b AS (
               SELECT 'bpe' AS tokenizer,
                      CAST(count(*) AS BIGINT) AS n_words,
@@ -14305,11 +14409,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'unigram' AS tokenizer,
                      CAST(count(*) AS BIGINT) AS n_words,
                      CAST(sum(toks) AS BIGINT) AS n_tokens
-              FROM cw JOIN uni_pw USING (word))
+              FROM cw JOIN uni_pw USING (word)),
+            w AS (
+              SELECT 'wordpiece' AS tokenizer,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens
+              FROM cw JOIN wp_pw USING (word))
             SELECT tokenizer, n_words, n_tokens,
                    CAST(n_tokens * 100000000 // n_words AS BIGINT)
                        AS tokens_per_100_words_fp
-            FROM (SELECT * FROM b UNION ALL SELECT * FROM u)
+            FROM (SELECT * FROM b UNION ALL SELECT * FROM u
+                  UNION ALL SELECT * FROM w)
         """,
         "tokenizer_fertility_by_source": f"""
             WITH wds AS (
