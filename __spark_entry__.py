@@ -2159,6 +2159,64 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual dHash over REAL PNG bytes
+    (multimodal.dhash_from_png / dhash_neardup_pairs): per doc a 16x16
+    grayscale image is synthesized from a SQL-expressible formula —
+    a (mid-density multiplier, offset) ramp shared by groups of 8 docs
+    (g = doc_id div 8), one per-doc pixel perturbed — ENCODED to a
+    genuine PNG and DECODED
+    back through the stdlib codec before hashing, so the codec
+    boundary is real (the media_png_roundtrip certification pattern).
+    Same-group images differ in one pixel -> <= 4 dHash bits, all in
+    band 0, so banding finds every pair; cross-group hashes verify
+    out. The oracle re-derives hash, banding, and Hamming verify from
+    the pixel formula directly — one flipped bit anywhere in encode,
+    inflate, unfilter, or the hash breaks it."""
+    import numpy as np
+    import pandas as pd
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        dhash_from_png,
+        dhash_neardup_pairs,
+        png_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        idx = np.arange(256, dtype=np.int64) + 1
+        for pdf in batches:
+            out = {"doc_id": [], "png": []}
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // 8
+                # mid-density multiplier (wrap rate 25-75%) + per-group
+                # offset: distinct (m, o) combos keep cross-group
+                # hashes far apart, so output stays ~linear in groups
+                m = 64 + (g * 73 + 37) % 124
+                o = (g * 131 + 17) % 251
+                px = (m * idx + o) % 251
+                p = int(doc_id) % 8
+                px[p] = (px[p] + 100) % 251
+                out["doc_id"].append(doc_id)
+                out["png"].append(
+                    png_encode(px.astype(np.uint8).reshape(16, 16))
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(_synth, schema="doc_id long, png binary")
+    hashes = dhash_from_png(payloads, "png", "doc_id")
+    return (
+        dhash_neardup_pairs(hashes, "doc_id", max_hamming=6)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
     documents ranked by unigram-LM cross-entropy (the staged perplexity
@@ -7248,6 +7306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "langid_confusion": q_langid_confusion,
         "ccnet_perplexity_buckets": q_ccnet_buckets,
+        "image_dhash_neardup": q_image_dhash_neardup,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13714,6 +13773,37 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "image_dhash_neardup": """
+            WITH px AS (
+              SELECT d.doc_id, t.i,
+                     (((64 + ((d.doc_id // 8) * 73 + 37) % 124) * (t.i + 1)
+                       + ((d.doc_id // 8) * 131 + 17) % 251) % 251
+                      + CASE WHEN t.i = d.doc_id % 8 THEN 100 ELSE 0 END)
+                     % 251 AS v
+              FROM documents d, range(256) t(i)),
+            bits AS (
+              SELECT a.doc_id,
+                     bit_or(CASE WHEN a.v > b.v
+                            THEN 1::BIGINT << ((a.i // 16) * 9 + (a.i % 16))
+                            ELSE 0::BIGINT END) AS h
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.i % 16 <= 8 AND a.i // 16 <= 6
+              GROUP BY a.doc_id),
+            bands AS (
+              SELECT doc_id, h, t.b, (h >> (16 * t.b)) & 65535 AS bv
+              FROM bits, range(4) t(b)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                              x.h AS ha, y.h AS hb
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 6
+            ORDER BY doc_a, doc_b
         """,
         "ccnet_perplexity_buckets": f"""
             WITH wds AS (

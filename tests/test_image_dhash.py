@@ -1,0 +1,63 @@
+"""Perceptual image dHash near-dup (multimodal.dhash_from_png /
+dhash_neardup_pairs): planted near-identical PNGs (one perturbed pixel)
+must pair within a small Hamming radius through the REAL encode->decode
+boundary; structurally different images must not; the hash keeps bit 63
+clear so it stays in signed-64 range cross-engine."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+    dhash_from_png,
+    dhash_neardup_pairs,
+    png_encode,
+)
+
+
+def _img(mult: int, off: int, flip: int | None = None) -> bytes:
+    idx = np.arange(256, dtype=np.int64) + 1
+    px = (mult * idx + off) % 251
+    if flip is not None:
+        px[flip] = (px[flip] + 100) % 251
+    return png_encode(px.astype(np.uint8).reshape(16, 16))
+
+
+def test_dhash_neardup_pairs(spark):
+    rows = [
+        (1, _img(97, 5)),
+        (2, _img(97, 5, flip=3)),      # near-dup of 1 (one pixel)
+        (3, _img(97, 5, flip=6)),      # near-dup of 1 and 2
+        (4, _img(151, 88)),            # different image
+        (5, _img(151, 88, flip=2)),    # near-dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, png binary")
+    hashes = dhash_from_png(df, "png", "doc_id")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(hashes, "doc_id", max_hamming=6).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= set(pairs)
+    assert all(h <= 4 for h in pairs.values())
+    # the two families never cross-pair
+    assert not any(a <= 3 < b for (a, b) in pairs)
+
+
+def test_dhash_is_63_bit_nonnegative(spark):
+    df = spark.createDataFrame(
+        [(i, _img(64 + 7 * i, 3 * i)) for i in range(10)],
+        "doc_id long, png binary",
+    )
+    vals = [r["dhash"] for r in dhash_from_png(df, "png", "doc_id").collect()]
+    assert all(0 <= v < (1 << 63) for v in vals)
+    assert len(set(vals)) == 10  # distinct ramps hash apart
+
+
+def test_dhash_identical_images_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, _img(101, 9)), (2, _img(101, 9))], "doc_id long, png binary"
+    )
+    out = dhash_neardup_pairs(
+        dhash_from_png(df, "png", "doc_id"), "doc_id"
+    ).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
