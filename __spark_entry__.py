@@ -2217,6 +2217,57 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via acoustic fingerprint over REAL WAV bytes
+    (multimodal.audio_fingerprint_from_wav + the shared
+    dhash_neardup_pairs banding): per doc, 1024 16-bit PCM samples are
+    synthesized from a SQL-expressible sawtooth — (multiplier, offset)
+    shared by groups of 8 docs, one per-doc sample clipped to 32000 —
+    ENCODED to a genuine RIFF/WAVE container and DECODED back before
+    windowed-energy hashing (the media_wav_roundtrip certification
+    pattern). Same-group clips differ in one sample -> <= 4 fingerprint
+    bits, all in band 0; the oracle re-derives window energies, the
+    63-bit hash, banding, and the Hamming verify from the sample
+    formula."""
+    import numpy as np
+    import pandas as pd
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_from_wav,
+        dhash_neardup_pairs,
+        wav_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        j = np.arange(1024, dtype=np.int64) + 1
+        for pdf in batches:
+            out = {"doc_id": [], "wav": []}
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // 8
+                m = 64 + (g * 209 + 11) % 124
+                o = (g * 59 + 29) % 2003
+                v = ((m * j + o) % 2003) - 1001
+                p = (int(doc_id) % 8) * 16 + 3
+                v[p] = 32000
+                out["doc_id"].append(doc_id)
+                out["wav"].append(wav_encode(v.astype("<i2")))
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(_synth, schema="doc_id long, wav binary")
+    prints = audio_fingerprint_from_wav(payloads, "wav", "doc_id")
+    return (
+        dhash_neardup_pairs(prints, "doc_id", max_hamming=6)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
     documents ranked by unigram-LM cross-entropy (the staged perplexity
@@ -7307,6 +7358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "ccnet_perplexity_buckets": q_ccnet_buckets,
         "image_dhash_neardup": q_image_dhash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13773,6 +13825,41 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "audio_fingerprint_neardup": """
+            WITH s AS (
+              SELECT d.doc_id, t.j,
+                     CASE WHEN t.j = (d.doc_id % 8) * 16 + 3 THEN 32000
+                          ELSE (((64 + ((d.doc_id // 8) * 209 + 11) % 124)
+                                 * (t.j + 1)
+                                 + ((d.doc_id // 8) * 59 + 29) % 2003)
+                                % 2003) - 1001 END AS v
+              FROM documents d, range(1024) t(j)),
+            e AS (
+              SELECT doc_id, j // 16 AS w, sum(abs(v)) AS energy
+              FROM s GROUP BY doc_id, j // 16),
+            bits AS (
+              SELECT a.doc_id,
+                     bit_or(CASE WHEN a.energy > b.energy
+                            THEN 1::BIGINT << CAST(a.w AS INT)
+                            ELSE 0::BIGINT END) AS h
+              FROM e a JOIN e b
+                ON a.doc_id = b.doc_id AND b.w = a.w + 1
+              WHERE a.w <= 62
+              GROUP BY a.doc_id),
+            bands AS (
+              SELECT doc_id, h, t.b, (h >> (16 * t.b)) & 65535 AS bv
+              FROM bits, range(4) t(b)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                              x.h AS ha, y.h AS hb
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 6
+            ORDER BY doc_a, doc_b
         """,
         "image_dhash_neardup": """
             WITH px AS (

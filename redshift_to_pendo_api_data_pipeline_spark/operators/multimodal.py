@@ -617,3 +617,51 @@ def dhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_fingerprint_from_wav(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Acoustic fingerprint of genuine RIFF/WAVE payloads — the audio
+    twin of :func:`dhash_from_png`: PCM is DECODED with the stdlib
+    wave reader (the real container boundary, same as WavCodec), cut
+    into fixed windows, and hashed by adjacent-window energy
+    comparisons: bit(w) = energy(w) > energy(w+1), energy = sum of
+    |sample| (integer-exact on 16-bit PCM — no FFT, so an independent
+    engine can re-derive every bit from the sample formula). 64
+    windows give a 63-bit hash, bit 63 clear (signed-64-safe
+    cross-engine). A few corrupted samples move a couple of window
+    energies -> a small Hamming distance, exactly the near-dup
+    contract banding needs; downstream banding/verify REUSES
+    :func:`dhash_neardup_pairs` (the hash column is the interface).
+
+    One mapInPandas stage (codec = declared Arrow edge); emits
+    (id, dhash long)."""
+    import io
+    import wave
+
+    def _run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n_win = len(samples) // window
+                energy = np.abs(samples[: n_win * window]).reshape(
+                    n_win, window
+                ).sum(axis=1)
+                h = 0
+                for b in range(min(n_win - 1, 63)):
+                    if energy[b] > energy[b + 1]:
+                        h |= 1 << b
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=f"{id_col} long, dhash long"
+    )

@@ -61,3 +61,33 @@ def test_dhash_identical_images_hamming_zero(spark):
         dhash_from_png(df, "png", "doc_id"), "doc_id"
     ).collect()
     assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_audio_fingerprint_neardup(spark):
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_from_wav,
+        wav_encode,
+    )
+
+    def clip(mult, off, spike=None):
+        j = np.arange(1024, dtype=np.int64) + 1
+        v = ((mult * j + off) % 2003) - 1001
+        if spike is not None:
+            v[spike] = 32000
+        return wav_encode(v.astype("<i2"))
+
+    rows = [
+        (1, clip(97, 5)),
+        (2, clip(97, 5, spike=19)),    # one corrupted sample
+        (3, clip(151, 88)),            # different clip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    prints = audio_fingerprint_from_wav(df, "wav", "doc_id")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(prints, "doc_id", max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
