@@ -2217,6 +2217,37 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching payoff, certified (sampling.
+    batch_padding_report): padding waste of arrival-order vs
+    length-sorted fixed-size-32 batches — like-length batching is the
+    serving-stack trick this quantifies. Two global_ranks passes, one
+    (strategy, batch)-keyed agg, integers end-to-end."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        batch_padding_report,
+    )
+    return batch_padding_report(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        batch_size=32,
+    )
+
+
+def q_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation (sampling.waterfill_allocation):
+    spend 50% of the corpus token supply as uniformly across sources as
+    availability allows — small sources give everything, large ones cap
+    at the common water level; max-min-fair mixture planning beside the
+    fixed-ratio and temperature plans. One corpus pass + source-bounded
+    rank/prefix arithmetic."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+    return waterfill_allocation(
+        load_table(spark, sf_dir, "documents"), "text", "source",
+        budget_ppm_of_total=500_000,
+    )
+
+
 def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup via acoustic fingerprint over REAL WAV bytes
     (multimodal.audio_fingerprint_from_wav + the shared
@@ -7359,6 +7390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": q_ccnet_buckets,
         "image_dhash_neardup": q_image_dhash_neardup,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "token_waterfill_sources": q_token_waterfill,
+        "batch_padding_report": q_batch_padding_report,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13825,6 +13858,68 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "batch_padding_report": """
+            WITH lens AS (
+              SELECT doc_id AS id,
+                     CAST(len(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS len
+              FROM documents),
+            ranked AS (
+              SELECT 'arrival' AS strategy,
+                     (row_number() OVER (ORDER BY id) - 1) // 32 AS batch,
+                     len
+              FROM lens
+              UNION ALL
+              SELECT 'length_sorted',
+                     (row_number() OVER (ORDER BY len DESC, id) - 1) // 32,
+                     len
+              FROM lens),
+            per_batch AS (
+              SELECT strategy, batch, count(*) AS n, max(len) AS mx,
+                     sum(len) AS s
+              FROM ranked GROUP BY strategy, batch),
+            agg AS (
+              SELECT strategy,
+                     count(*) AS n_batches,
+                     CAST(sum(s) AS BIGINT) AS real_tokens,
+                     CAST(sum(n * mx) AS BIGINT) AS padded_slots
+              FROM per_batch GROUP BY strategy)
+            SELECT strategy, n_batches, real_tokens, padded_slots,
+                   CAST((padded_slots - real_tokens) * 1000000
+                        // padded_slots AS BIGINT) AS waste_ppm
+            FROM agg ORDER BY strategy
+        """,
+        "token_waterfill_sources": """
+            WITH caps AS (
+              SELECT source,
+                     CAST(sum(len(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS cap
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT count(*) AS nsrc,
+                     CAST(sum(cap) * 500000 // 1000000 AS BIGINT) AS budget
+              FROM caps),
+            r AS (
+              SELECT source, cap,
+                     row_number() OVER (ORDER BY cap, source) AS rk,
+                     CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS below
+              FROM caps),
+            s AS (SELECT r.*, t.nsrc - r.rk + 1 AS nabove, t.budget
+                  FROM r, tot t),
+            lvl AS (
+              SELECT CAST((budget - below) // nabove AS BIGINT) AS level
+              FROM s WHERE below + cap * nabove >= budget
+              ORDER BY rk LIMIT 1)
+            SELECT source, cap,
+                   CAST(least(cap, coalesce(level, cap)) AS BIGINT)
+                       AS allocated,
+                   CAST(least(cap, coalesce(level, cap)) * 1000000 // cap
+                        AS BIGINT) AS take_rate_ppm
+            FROM s, lvl
+            ORDER BY source
         """,
         "audio_fingerprint_neardup": """
             WITH s AS (

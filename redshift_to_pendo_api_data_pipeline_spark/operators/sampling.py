@@ -843,3 +843,173 @@ def weighted_quantiles_exact(
     return hit.groupBy("q_ppm").agg(
         F.min("__v").cast("long").alias("value")
     )
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_ppm_of_total: int = 500_000,
+) -> DataFrame:
+    """Water-filling token allocation: spend a total token budget B as
+    UNIFORMLY across sources as their availability allows — small
+    sources contribute everything they have, large sources are capped
+    at a common water level L with sum(min(cap_s, L)) = B. The
+    max-min-fair mixture plan (uniform-as-possible sampling under
+    per-source availability), complementing mixture_plan (fixed target
+    ratios) and mixture_plan_temperature (power-law reweighting).
+
+    The level solves a piecewise-linear equation; relationally: sort
+    sources by cap ascending (global_ranks — distributed, source count
+    is small but the shape stays general), prefix-sum the caps, and for
+    the first source where
+        prefix_below + cap_s * remaining_sources >= B
+    the level is L = (B - prefix_below) div remaining_sources over the
+    sources at or above it. Integer floor everywhere; the leftover
+    B - sum(alloc) from flooring stays unspent (deterministic,
+    auditable) rather than being redistributed.
+
+    Scale: one map-side-combined groupBy(source) token count (the only
+    corpus pass), then source-count-bounded rank/prefix arithmetic and
+    a broadcast scalar join — the Q11 scalar-threshold shape."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    caps = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split(normalize_text(F.col(text_col)), " "))
+            .cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("cap"))
+    )
+    total = caps.agg(
+        F.sum("cap").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nsrc"),
+    ).select(
+        "__total", "__nsrc",
+        F.expr(f"CAST(__total * {int(budget_ppm_of_total)} AS BIGINT)"
+               " div 1000000").alias("__budget"),
+    )
+    ranked = global_ranks(
+        caps, [F.col("cap").asc(), F.col("source").asc()],
+        rank_name="__rk", keep_total=True,
+    )
+    w = Window.orderBy("__rk").rowsBetween(Window.unboundedPreceding, -1)
+    # sources are a bounded dictionary (the only partitionBy-less window
+    # in this operator runs over <= |sources| rows — the global_ranks
+    # offsets convention)
+    pre = ranked.withColumn(
+        "__below", F.coalesce(F.sum("cap").over(w), F.lit(0).cast("long"))
+    )
+    sol = (
+        pre.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__nabove", F.col("__nsrc") - F.col("__rk") + 1
+        )
+        .withColumn(
+            "__binds",
+            (F.col("__below") + F.col("cap") * F.col("__nabove"))
+            >= F.col("__budget"),
+        )
+    )
+    # the first binding row determines the level; if none binds the
+    # budget exceeds supply and every source gives everything
+    lvl = (
+        sol.where("__binds")
+        .orderBy("__rk")
+        .limit(1)
+        .select(
+            F.expr("CAST(__budget - __below AS BIGINT) div __nabove")
+            .alias("__level")
+        )
+    )
+    out = (
+        sol.crossJoin(F.broadcast(lvl))
+        .select(
+            "source", "cap",
+            F.least(F.col("cap"), F.coalesce("__level", F.col("cap")))
+            .cast("long").alias("allocated"),
+            F.expr(
+                "CAST(least(cap, coalesce(__level, cap)) * 1000000 AS BIGINT)"
+                " div cap"
+            ).alias("take_rate_ppm"),
+        )
+    )
+    return out.orderBy("source")
+
+
+def batch_padding_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Padding-waste report for fixed-size inference/training batches:
+    every batch pads its members to the batch max length, so waste =
+    sum(max_len - len) over members. Compares ARRIVAL-order batching
+    (rank by id) against LENGTH-SORTED batching (rank by length desc,
+    id tiebreak — the dynamic-batching trick every serving stack uses:
+    like-length docs batch together, so the max is barely above the
+    mean). One row per strategy: batches, real tokens, padded slots,
+    waste ppm.
+
+    Both rankings ride `global_ranks` (range shuffle + broadcast
+    offsets — no single-reducer window); the per-batch aggregation
+    keys on (strategy, batch) and partial-combines; everything integer
+    (waste_ppm = floor), so the comparison hash-checks cross-engine."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        global_ranks,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long").alias("len"),
+    )
+    plans = []
+    for name, order in (
+        ("arrival", [F.col("__id").asc()]),
+        ("length_sorted", [F.col("len").desc(), F.col("__id").asc()]),
+    ):
+        ranked = global_ranks(base, order, rank_name="__rk")
+        plans.append(
+            ranked.select(
+                F.lit(name).alias("strategy"),
+                F.expr(f"CAST(__rk - 1 AS BIGINT) div {int(batch_size)}")
+                .alias("__batch"),
+                "len",
+            )
+            .groupBy("strategy", "__batch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.max("len").alias("__mx"),
+                F.sum("len").cast("long").alias("__sum"),
+            )
+        )
+    per_batch = plans[0].unionByName(plans[1])
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("__sum").cast("long").alias("real_tokens"),
+            F.sum(F.col("__n") * F.col("__mx")).cast("long")
+            .alias("padded_slots"),
+        )
+        .select(
+            "strategy", "n_batches", "real_tokens", "padded_slots",
+            F.expr(
+                "CAST((padded_slots - real_tokens) * 1000000 AS BIGINT)"
+                " div padded_slots"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("strategy")
+    )
