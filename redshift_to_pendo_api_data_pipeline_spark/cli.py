@@ -531,6 +531,38 @@ def cmd_mine(cfg: dict) -> int:
     return 0
 
 
+def cmd_sql(cfg: dict) -> int:
+    """Ad-hoc SQL over the configured parquet tables — the interactive
+    surface a warehouse user reaches for first: every configured table
+    registers as a temp view, the statement runs through spark.sql
+    (full Catalyst: pushdown, pruning, AQE), and rows stream out as
+    JSON lines. SELECT-shaped statements only — this is a query
+    surface, not a mutation path.
+
+    Config: {"tables": {name: parquet_path, ...},
+             "sql": "SELECT ...",
+             "max_rows": 1000}   # optional driver-side cap, default 1000
+
+    Exit 0; rows beyond max_rows are truncated with a trailing
+    {"truncated": true} marker so a capped report never silently poses
+    as a complete one."""
+    stmt = cfg["sql"]
+    if not stmt.lstrip().lower().startswith(("select", "with")):
+        print(json.dumps({"error": "only SELECT/WITH statements"}))
+        return 2
+    max_rows = int(cfg.get("max_rows", 1000))
+    spark = get_spark(app_name="sql")
+    for name, path in cfg["tables"].items():
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    out = spark.sql(stmt)
+    rows = out.limit(max_rows + 1).collect()
+    for r in rows[:max_rows]:
+        print(json.dumps(r.asDict(), sort_keys=True, default=str))
+    if len(rows) > max_rows:
+        print(json.dumps({"truncated": True, "max_rows": max_rows}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="redshift_to_pendo_api_data_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -569,6 +601,10 @@ def main(argv: list[str] | None = None) -> int:
         "mine", help="mine candidate keys + inclusion deps (FKs)"
     )
     mn.add_argument("-c", "--config", required=True)
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc SQL over configured tables (JSON lines)"
+    )
+    sq.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -587,6 +623,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_reconcile(cfg)
     if args.cmd == "mine":
         return cmd_mine(cfg)
+    if args.cmd == "sql":
+        return cmd_sql(cfg)
     if args.cmd == "drift":
         return cmd_drift(cfg)
     return cmd_sync(cfg, args.state)

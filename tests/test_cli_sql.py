@@ -1,0 +1,59 @@
+"""CLI `sql` command (cli.cmd_sql): ad-hoc SELECT over configured
+parquet tables as JSON lines, with a truncation marker and a
+SELECT-only guard."""
+
+from __future__ import annotations
+
+import json
+
+from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_sql_select(spark, capsys):
+    rc = cmd_sql({
+        "tables": {"region": f"{SF}/region.parquet"},
+        "sql": "SELECT r_name, r_regionkey FROM region ORDER BY r_regionkey",
+    })
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["r_regionkey"] == 0 and "r_name" in lines[0]
+
+
+def test_cli_sql_truncates_with_marker(spark, capsys):
+    rc = cmd_sql({
+        "tables": {"orders": f"{SF}/orders.parquet"},
+        "sql": "SELECT o_orderkey FROM orders",
+        "max_rows": 3,
+    })
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4 and lines[-1] == {"truncated": True, "max_rows": 3}
+
+
+def test_cli_sql_rejects_mutation(spark, capsys):
+    rc = cmd_sql({
+        "tables": {"region": f"{SF}/region.parquet"},
+        "sql": "DROP TABLE region",
+    })
+    assert rc == 2
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_cli_sql_with_cte_join(spark, capsys):
+    rc = cmd_sql({
+        "tables": {
+            "nation": f"{SF}/nation.parquet",
+            "region": f"{SF}/region.parquet",
+        },
+        "sql": (
+            "WITH r AS (SELECT * FROM region WHERE r_regionkey = 0) "
+            "SELECT count(*) AS n FROM nation JOIN r "
+            "ON nation.n_regionkey = r.r_regionkey"
+        ),
+    })
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n"] == 5
