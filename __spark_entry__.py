@@ -4906,18 +4906,34 @@ def _linkage_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{_stage_dir(sf_dir)}/linkage_pairs.parquet"
     parts = load_table(spark, sf_dir, "part")
+    # r8 s2 candidate tightening (the SCALE.md §10 watch item made
+    # concrete): the published threshold (>= 20) is REACHABLE ONLY when
+    # the name rule (+18/−10) and the type rule (+12/−8) both agree
+    # (18+12−4 = 26 >= 20, but 18−8+6 = 16 < 20), so TYPE EQUALITY and
+    # the name length-band (levenshtein <= 3 ⇒ |len diff| <= 3 ⇒ same
+    # or adjacent len-div-3 band) can join the block key without
+    # changing the surviving pair set — the blocked quadratic drops
+    # from |brand block|² (~8.6k² per brand at sf1, measured 266 s) to
+    # (brand, type, band)-local products (~2 s). Result-identical:
+    # every excluded candidate scores < 20 by construction, and the
+    # oracle still recomputes pairs from the brand-only definition.
+    band = F.expr("CAST(length(p_name) AS BIGINT) div 3")
     a = parts.select(
         F.col("p_partkey").alias("k_a"), F.col("p_name").alias("name_a"),
         F.col("p_type").alias("type_a"), F.col("p_size").alias("size_a"),
-        F.col("p_brand").alias("__blk"),
+        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("__band"),
     )
     b = parts.select(
         F.col("p_partkey").alias("k_b"), F.col("p_name").alias("name_b"),
         F.col("p_type").alias("type_b"), F.col("p_size").alias("size_b"),
-        F.col("p_brand").alias("__blk"),
+        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
+        band.alias("__band"),
     )
-    cand = a.join(b.hint("shuffle_hash"), "__blk").where(
-        F.col("k_a") < F.col("k_b")
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["__blk", "__type", "__band"])
+        .where(F.col("k_a") < F.col("k_b"))
+        .drop("__type", "__band")
     )
     scored = linkage_scores(
         cand,

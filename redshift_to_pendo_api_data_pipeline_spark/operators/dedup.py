@@ -1019,16 +1019,33 @@ def editdist_pairs_from_dict(dic: DataFrame, max_dist: int = 2) -> DataFrame:
     exists on the Spark side (e.g. `F.soundex`, absent from DuckDB) can
     STAGE the keyed dictionary to the lake and the oracle certifies
     everything downstream of the key from the identical staged relation
-    (the HLL staged-hash trust model). Same per-block self-join, length
-    prefilter, and JVM levenshtein as the parent."""
+    (the HLL staged-hash trust model). Same length prefilter and JVM
+    levenshtein as always.
+
+    r8 s2 — LENGTH-BAND SUB-BLOCKING (the SCALE.md §10 watch item on
+    part_golden_records: block-local dictionaries grow with the corpus,
+    and the per-block self-join is quadratic in them): a pair within
+    edit distance d satisfies |len_a - len_b| <= d, so with band =
+    length div d the two names sit in the SAME or ADJACENT bands. The
+    join therefore keys on (__blk, band) with the LEFT side offering
+    bands {b-1, b, b+1} and the right side staying at {b}: every
+    qualifying pair matches EXACTLY once (the right occurrence is
+    unique per band, and only one of the left's three offers can equal
+    it), no distinct needed, and the quadratic term drops from
+    |block|^2 to ~3 * sum(|band|^2) — result-identical to the full
+    per-block self-join (equivalence pinned by test)."""
+    width = max(int(max_dist), 1)
+    band = F.expr(f"CAST(length(name) AS BIGINT) div {width}")
     a = dic.select(
-        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "__blk"
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "__blk",
+        F.explode(F.array(band - 1, band, band + 1)).alias("__band"),
     )
     b = dic.select(
-        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "__blk"
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "__blk",
+        band.alias("__band"),
     )
     return (
-        a.join(b, "__blk")
+        a.join(b, ["__blk", "__band"])
         .where(F.col("name_a") < F.col("name_b"))
         # length prefilter: a necessary condition costing O(1), before
         # the O(n*m) distance — standard edit-distance join prune

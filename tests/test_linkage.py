@@ -309,3 +309,43 @@ def test_streaming_linkage_bridge_matches_batch(spark, tmp_path):
     }
     assert set(got) == batch
     assert ("red bolt", "red bolt", 0, 2) in batch
+
+
+def test_editdist_banded_equals_naive_full_block(spark):
+    """r8 s2 length-band sub-blocking must be RESULT-IDENTICAL to the
+    full per-block self-join — including pairs whose lengths straddle a
+    band boundary, and with no duplicated pairs from the 3-band offer."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
+        editdist_pairs_from_dict,
+    )
+
+    # one block, lengths 2..12: 'ab', 'abc', ..., plus typo families
+    names = ["ab", "abc", "abcd", "abcde", "abcdef",
+             "zzzzz", "zzzzx", "zzzzxy", "qqqqqqqqqqqq"]
+    dic = spark.createDataFrame(
+        [(n, i + 1, "blk") for i, n in enumerate(names)],
+        "name string, n long, __blk string",
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in editdist_pairs_from_dict(dic, max_dist=2).collect()
+    }
+    # naive reference: full self-join, no banding
+    a = dic.selectExpr("name AS name_a")
+    b = dic.selectExpr("name AS name_b")
+    naive = (
+        a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+    )
+    want = {(r["name_a"], r["name_b"]): r["dist"] for r in naive.collect()}
+    assert got == want
+    # cross-band pair really present: 'abcd'(4, band 2) vs 'abcde'(5, band 2)?
+    # bands = len div 2: 'abc'(1) vs 'abcd'(2) straddles — must be found
+    assert ("abc", "abcd") in got
+    # duplicates would show as a dict-size mismatch vs a list count
+    rows = editdist_pairs_from_dict(dic, max_dist=2).collect()
+    assert len(rows) == len(got)
