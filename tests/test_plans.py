@@ -246,6 +246,8 @@ def test_global_plan_audit_no_smj_python_only_at_declared_edges(spark):
         "media_frame_counts",    # mapInPandas codec
         "media_png_roundtrip_stats",  # mapInPandas real PNG encode+decode
         "media_wav_roundtrip_stats",  # mapInPandas real WAV encode+decode
+        "image_dhash_neardup",    # mapInPandas PNG synth + codec dHash
+        "audio_fingerprint_neardup",  # mapInPandas WAV synth + fingerprint
         "embedding_moments",     # int64-matmul BLAS partials (exact)
         "embedding_neardup",     # block-packed BLAS cosine
         "bucketed_neardup_recall",  # exact ground-truth side = same BLAS edge
