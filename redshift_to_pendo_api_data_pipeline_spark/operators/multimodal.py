@@ -538,6 +538,20 @@ def wav_encode(samples: "np.ndarray", rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def dhash63(luma: "np.ndarray") -> int:
+    """63-bit difference hash of a grayscale pixel grid: bit(r, c) =
+    px[r, c] > px[r, c+1] over 7 rows x 9 comparisons (bit 63 clear so
+    the value is signed-64-safe cross-engine). Pure function — shared
+    by the mapInPandas stage and the perturbation property test."""
+    g = np.asarray(luma).astype(int)
+    h = 0
+    for r in range(7):
+        for c in range(9):
+            if g[r, c] > g[r, c + 1]:
+                h |= 1 << (r * 9 + c)
+    return h
+
+
 def dhash_from_png(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """Perceptual difference-hash (dHash) of genuine PNG payloads: each
     image is DECODED with the stdlib PngCodec (chunk walk, inflate,
@@ -559,14 +573,8 @@ def dhash_from_png(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             ids, hashes = [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 px = png_decode(bytes(payload))
-                luma = px[:, :, 0].astype(int)
-                h = 0
-                for r in range(7):
-                    for c in range(9):
-                        if luma[r, c] > luma[r, c + 1]:
-                            h |= 1 << (r * 9 + c)
                 ids.append(i)
-                hashes.append(h)
+                hashes.append(dhash63(px[:, :, 0]))
             yield pd.DataFrame({id_col: ids, "dhash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(

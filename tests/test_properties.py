@@ -241,3 +241,77 @@ def test_png_decode_never_accepts_garbage(blob):
         pass
     with pytest.raises(Exception):
         png_decode(b"\x89PNG\r\n\x1a\n" + blob)
+
+
+@given(
+    st.integers(0, 250), st.integers(0, 250),
+    st.lists(st.tuples(st.integers(0, 255), st.integers(0, 250)),
+             min_size=0, max_size=3, unique_by=lambda t: t[0]),
+)
+@settings(max_examples=120, deadline=None)
+def test_dhash_perturbation_bounded_through_real_codec(mult, off, flips):
+    """k perturbed pixels flip at most 2k dHash bits, and the hash
+    survives the REAL PNG encode->decode roundtrip bit-identically
+    (dhash63 of the decoded pixels == dhash63 of the source grid)."""
+    import numpy as np
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.multimodal import (
+        dhash63,
+        png_decode,
+        png_encode,
+    )
+
+    idx = np.arange(256, dtype=np.int64) + 1
+    base = ((mult * idx + off) % 251).astype(np.uint8).reshape(16, 16)
+    pert = base.copy()
+    for pos, val in flips:
+        pert[pos // 16, pos % 16] = val
+    h_base = dhash63(png_decode(png_encode(base))[:, :, 0])
+    h_pert = dhash63(png_decode(png_encode(pert))[:, :, 0])
+    assert h_base == dhash63(base)         # codec adds/loses nothing
+    assert h_pert == dhash63(pert)
+    assert 0 <= h_base < (1 << 63)
+    # each flipped pixel touches at most 2 adjacent comparisons
+    assert bin(h_base ^ h_pert).count("1") <= 2 * len(flips)
+
+
+def test_waterfill_matches_pure_python_reference(spark):
+    """Seeded random cap vectors: the relational water-fill equals the
+    obvious sequential reference (sort caps, fill to the level), and
+    never overspends the budget."""
+    import random
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    rng = random.Random(41)
+    for trial in range(12):
+        caps = {f"s{i}": rng.randint(1, 60) for i in range(rng.randint(2, 8))}
+        ppm = rng.choice([250_000, 500_000, 800_000, 1_000_000])
+        rows, did = [], 0
+        for src, cap in caps.items():
+            rows.append((did, " ".join(["w"] * cap), src))
+            did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {r["source"]: r["allocated"] for r in
+               waterfill_allocation(df, "text", "source",
+                                    budget_ppm_of_total=ppm).collect()}
+
+        total = sum(caps.values())
+        budget = total * ppm // 1_000_000
+        # reference: ascending fill
+        items = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+        want, below = {}, 0
+        level = None
+        for j, (src, cap) in enumerate(items):
+            nabove = len(items) - j
+            if level is None and below + cap * nabove >= budget:
+                level = (budget - below) // nabove
+            below += cap
+        for src, cap in caps.items():
+            want[src] = min(cap, level if level is not None else cap)
+        assert got == want, (trial, caps, ppm, got, want)
+        assert sum(got.values()) <= budget
