@@ -531,6 +531,116 @@ def cmd_mine(cfg: dict) -> int:
     return 0
 
 
+def cmd_export(cfg: dict) -> int:
+    """End-to-end TRAINING-DATA EXPORT — the capstone composition of the
+    curation, mixing, and packing families: documents go through (1)
+    Gopher repetition + quality rule gates, (2) exact dedup, (3)
+    water-filling per-source token allocation realized as nested
+    deterministic hash samples, (4) concatenate-then-chop sequence
+    packing, and land as curated parquet + a JSON manifest (per-stage
+    attrition, per-source allocation, packing stats) a training run can
+    audit. Every stage is an operator certified elsewhere in the
+    registry; this command is pure composition.
+
+    Config: {"input": dir, "table": "documents", "output": dir,
+             "text_col": "text", "id_col": "doc_id",
+             "source_col": "source",
+             "budget_ppm": 500000,      # share of post-filter tokens
+             "seq_budget": 2048,        # tokens per packed sequence
+             "min_words": 50,           # gopher word-count floor
+             "min_stopwords": 2}        # gopher stopword-hits floor
+    """
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import normalize_text
+    from redshift_to_pendo_api_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        pack_sequences,
+        rate_to_hex_threshold,
+        waterfill_allocation,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        gopher_quality_rules,
+        gopher_repetition,
+    )
+
+    spark = get_spark(app_name="export")
+    text_col = cfg.get("text_col", "text")
+    id_col = cfg.get("id_col", "doc_id")
+    source_col = cfg.get("source_col", "source")
+    seq_budget = int(cfg.get("seq_budget", 2048))
+    budget_ppm = int(cfg.get("budget_ppm", 500_000))
+    df = load_table(spark, cfg["input"], cfg.get("table", "documents"))
+    manifest: dict = {"input_docs": df.count()}
+
+    # 1. rule gates (zero-shuffle flags + the 9-gram repetition pass)
+    rep_pass = gopher_repetition(df, text_col, id_col).where(
+        F.col("passes_repetition") == 1
+    ).select(id_col)
+    qual_pass = gopher_quality_rules(
+        df, text_col, id_col,
+        min_words=int(cfg.get("min_words", 50)),
+        min_stopword_hits=int(cfg.get("min_stopwords", 2)),
+    ).where(F.col("keep") == 1).select(id_col)
+    gated = (
+        df.join(rep_pass.hint("shuffle_hash"), id_col)
+        .join(qual_pass.hint("shuffle_hash"), id_col)
+    )
+    manifest["after_rules"] = gated.count()
+
+    # 2. exact dedup (keep min id per normalized digest)
+    keep = (
+        gated.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("__d"),
+        )
+        .groupBy("__d").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    deduped = gated.join(keep.hint("shuffle_hash"), id_col)
+    manifest["after_dedup"] = deduped.count()
+
+    # 3. water-filling allocation -> per-source nested hash samples
+    alloc_rows = waterfill_allocation(
+        deduped, text_col, source_col, budget_ppm_of_total=budget_ppm
+    ).collect()  # source-bounded sidecar
+    manifest["allocation"] = {
+        r["source"]: {"cap": r["cap"], "allocated": r["allocated"],
+                      "take_rate_ppm": r["take_rate_ppm"]}
+        for r in alloc_rows
+    }
+    rate_expr = None
+    for r in alloc_rows:
+        th = rate_to_hex_threshold(r["take_rate_ppm"] / 1_000_000)
+        cond = (F.col(source_col) == r["source"]) & (
+            hash_bucket(F.col(id_col).cast("string"), "export-v1")
+            < F.lit(th)
+        )
+        rate_expr = cond if rate_expr is None else rate_expr | cond
+    sampled = deduped.where(rate_expr) if rate_expr is not None else deduped
+    manifest["after_sampling"] = sampled.count()
+
+    # 4. pack into fixed-budget sequences (per-source strata)
+    with_tokens = sampled.withColumn(
+        "__n_tokens",
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long"),
+    )
+    packed = pack_sequences(
+        with_tokens, id_col, "__n_tokens", source_col, seq_budget
+    )
+    packed.write.mode("overwrite").parquet(cfg["output"])
+    out = spark.read.parquet(cfg["output"])
+    manifest["packed_docs"] = out.count()
+    manifest["n_sequences"] = out.select(source_col, "seq_id").distinct().count()
+    manifest["total_tokens"] = out.agg(
+        F.sum("__n_tokens").cast("long")
+    ).collect()[0][0]
+    manifest["seq_budget"] = seq_budget
+    manifest["output"] = cfg["output"]
+    print(json.dumps(manifest, sort_keys=True))
+    return 0
+
+
 def cmd_sql(cfg: dict) -> int:
     """Ad-hoc SQL over the configured parquet tables — the interactive
     surface a warehouse user reaches for first: every configured table
@@ -605,6 +715,10 @@ def main(argv: list[str] | None = None) -> int:
         "sql", help="run ad-hoc SQL over configured tables (JSON lines)"
     )
     sq.add_argument("-c", "--config", required=True)
+    ex = sub.add_parser(
+        "export", help="rules -> dedup -> waterfill -> pack training export"
+    )
+    ex.add_argument("-c", "--config", required=True)
     args = ap.parse_args(argv)
     cfg = json.loads(open(args.config).read())
     if args.cmd == "discover":
@@ -625,6 +739,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_mine(cfg)
     if args.cmd == "sql":
         return cmd_sql(cfg)
+    if args.cmd == "export":
+        return cmd_export(cfg)
     if args.cmd == "drift":
         return cmd_drift(cfg)
     return cmd_sync(cfg, args.state)

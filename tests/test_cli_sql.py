@@ -57,3 +57,30 @@ def test_cli_sql_with_cte_join(spark, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["n"] == 5
+
+
+def test_cli_export_end_to_end(spark, capsys, tmp_path):
+    from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_export
+
+    out = str(tmp_path / "export")
+    rc = cmd_export({
+        "input": SF, "table": "documents", "output": out,
+        "budget_ppm": 600_000, "seq_budget": 256, "min_words": 5,
+        "min_stopwords": 1,
+    })
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # monotone attrition through the funnel
+    assert (manifest["input_docs"] >= manifest["after_rules"]
+            >= manifest["after_dedup"] >= manifest["after_sampling"]
+            >= 1)
+    assert manifest["packed_docs"] == manifest["after_sampling"]
+    # water-fill never allocates above a source's capacity
+    for a in manifest["allocation"].values():
+        assert a["allocated"] <= a["cap"]
+        assert 0 <= a["take_rate_ppm"] <= 1_000_000
+    # the packed output is readable and carries the packing columns
+    packed = spark.read.parquet(out)
+    assert {"seq_id", "seq_offset", "__n_tokens"} <= set(packed.columns)
+    assert manifest["n_sequences"] >= 1
+    assert manifest["total_tokens"] > 0
