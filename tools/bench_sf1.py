@@ -1,0 +1,94 @@
+"""Reproducible sf0.1 -> sf1 scale validation (SCALE.md §10).
+
+Round 8's first cut of this measurement was an ad-hoc script; this tool
+pins the methodology so the growth table can be regenerated after any
+optimization:
+
+- sf1 fixture from ``tools/gen_sf1.py`` (deterministic, regenerated if
+  absent);
+- per query and per SF: ONE untimed cold run (pays staging + fresh-plan
+  codegen) with ``SPARK_GRAFT_STAGE_REUSE=1`` against a run-unique
+  stage root, then a timed median-of-3 probe loop — the same
+  stage-once/probe-many split bench.py reports under its ``staged``
+  key;
+- both SFs measured in ONE session so host conditions cancel in the
+  growth ratio;
+- writes BENCH_sf1.json: per-SF medians, growth ratios, and the COLD
+  first-run times (the number the first cut did not record — a cold
+  path hiding a quadratic, like the r8 s2 linkage find, shows up here).
+
+    python tools/bench_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "candidate_keys_orders", "conformal_price_interval",
+    "qini_discount_uplift", "frequent_triples_parts",
+    "ann_ranking_quality", "word_jaccard_pairs", "part_golden_records",
+    "part_record_linkage", "embedding_dim_recall",
+    "range_join_price_bands", "bucketed_neardup_recall",
+    "gopher_repetition_docs",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from redshift_to_pendo_api_data_pipeline_spark.session import get_spark
+
+    if not os.path.exists(f"{SF1}/part.parquet"):
+        import tools.gen_sf1 as gen
+        gen.main()
+
+    os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
+    os.environ["SPARK_GRAFT_STAGE_ROOT"] = f"/tmp/sf1_bench_stage_{os.getpid()}"
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    out: dict = {"per_query_stat": "median_of_3_after_cold",
+                 "queries": QUERIES}
+    for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
+        med, cold = {}, {}
+        for name in QUERIES:
+            t = time.time()
+            qs[name](spark, sf).count()
+            cold[name] = round(time.time() - t, 3)
+            ts = []
+            for _ in range(3):
+                t = time.time()
+                qs[name](spark, sf).count()
+                ts.append(time.time() - t)
+            med[name] = round(sorted(ts)[1], 3)
+            print(f"{label} {name}: cold {cold[name]} median {med[name]}",
+                  flush=True)
+        out[label] = {"queries": med, "cold": cold}
+    out["growth"] = {
+        n: round(out["sf1"]["queries"][n] / max(out["sf0.1"]["queries"][n], 1e-9), 2)
+        for n in QUERIES
+    }
+    out["growth_cold"] = {
+        n: round(out["sf1"]["cold"][n] / max(out["sf0.1"]["cold"][n], 1e-9), 2)
+        for n in QUERIES
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_sf1.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
