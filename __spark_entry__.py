@@ -2217,6 +2217,24 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k sequence-similar users per seed (analytics.
+    path_topk_similarity): event streams become chronological symbol
+    strings, similarity = Jaccard over distinct char 4-grams, the 3
+    smallest user ids probe the corpus — the trajectory-similarity
+    search family in its scale-honest seed-probe form (all-pairs over
+    a 5-symbol alphabet is degenerate AND quadratic; the probe form is
+    one broadcast join, linear in corpus gram rows)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        path_topk_similarity,
+    )
+    return path_topk_similarity(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        n_seeds=3, gram=4, top_k=10,
+    )
+
+
 def q_batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-batching payoff, certified (sampling.
     batch_padding_report): padding waste of arrival-order vs
@@ -7408,6 +7426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "token_waterfill_sources": q_token_waterfill,
         "batch_padding_report": q_batch_padding_report,
+        "user_path_similarity": q_user_path_similarity,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -13874,6 +13893,41 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT dup.doc_id AS doc_id, dup_word_frac, top_bigram_frac
             FROM dup JOIN top USING (doc_id)
+        """,
+        "user_path_similarity": """
+            WITH seq AS (
+              SELECT user_id AS k,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id),
+            g AS (
+              SELECT DISTINCT k, substr(seq, i, 4) AS g
+              FROM seq,
+                   UNNEST(range(1, greatest(length(seq) - 3, 1) + 1)) t(i)),
+            sizes AS (SELECT k, count(*) AS sz FROM g GROUP BY k),
+            seeds AS (SELECT k AS seed, sz AS seed_sz FROM sizes
+                      ORDER BY k LIMIT 3),
+            inter AS (
+              SELECT s.seed, g2.k, count(*) AS n_shared
+              FROM g g1
+              JOIN seeds s ON g1.k = s.seed
+              JOIN g g2 ON g2.g = g1.g AND g2.k <> s.seed
+              GROUP BY s.seed, g2.k),
+            scored AS (
+              SELECT seed, k,
+                     CAST(n_shared AS BIGINT) AS n_shared,
+                     CAST((n_shared * 1000000)
+                          // (seed_sz + sz - n_shared) AS BIGINT)
+                         AS score_ppm
+              FROM inter JOIN seeds USING (seed) JOIN sizes USING (k))
+            SELECT seed, k AS user_id, CAST(rank AS INT) AS rank,
+                   n_shared, score_ppm
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY seed
+                      ORDER BY score_ppm DESC, k) AS rank
+                  FROM scored)
+            WHERE rank <= 10
+            ORDER BY seed, rank
         """,
         "batch_padding_report": """
             WITH lens AS (

@@ -3577,3 +3577,112 @@ def kth_smallest_exact(
     return ranked.where(F.col("__rk") == int(k)).select(
         F.col(val_col).alias("kth_value")
     )
+
+
+def path_topk_similarity(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    n_seeds: int = 3,
+    gram: int = 4,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k sequence-similar entities per seed — "find sessions that
+    look like THIS one" (the trajectory/sequence similarity-search
+    family, cf. REPOSE's top-k trajectory search): each key's events
+    become a chronological symbol string (the sequence_pattern_counts
+    idiom), similarity = Jaccard over the string's distinct character
+    ``gram``-grams, and the ``n_seeds`` smallest keys each rank every
+    other key by score, keeping ``top_k``.
+
+    Scale shape: the whole-corpus side is ONE (key, gram) distinct
+    relation (shuffle keyed by entity, per-key state bounded by that
+    entity's activity); the seed side is n_seeds rows of gram SETS,
+    BROADCAST — so scoring is a map-side join + one (seed, key) count
+    aggregation, linear in corpus gram rows and bounded fan-out
+    n_seeds. The only window partitions by seed (n_seeds partitions,
+    top_k rows kept: TakeOrdered shape per seed). No all-pairs
+    anywhere — all-pairs similarity over a 5-symbol alphabet is
+    degenerate by construction; the seed-probe form is the one that
+    scales AND means something.
+
+    Exact integer surfaces: score_ppm = 1e6 * |A∩B| div |A∪B|; ties
+    broken by key ascending."""
+    sym = F.substring(F.col(type_col), 1, 1)
+    seq = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("tb"),
+                sym.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    grams = seq.select(
+        "k",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.length("seq") - (gram - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.col("seq").substr(i, F.lit(gram)),
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    seeds = sizes.orderBy("k").limit(int(n_seeds)).select(
+        F.col("k").alias("seed"), F.col("sz").alias("seed_sz")
+    )
+    seed_grams = grams.join(
+        F.broadcast(seeds.select(F.col("seed").alias("k"))), "k"
+    ).select(F.col("k").alias("seed"), "g")
+    inter = (
+        grams.join(F.broadcast(seed_grams), "g")
+        .where(F.col("k") != F.col("seed"))
+        .groupBy("seed", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    scored = (
+        inter.join(F.broadcast(seeds), "seed")
+        .join(sizes.hint("shuffle_hash"), "k")
+        .select(
+            "seed", "k", "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000000 AS BIGINT)"
+                " div (seed_sz + sz - n_shared)"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("score_ppm"), F.asc("k")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .select(
+            F.col("seed").cast("long").alias("seed"),
+            F.col("k").cast("long").alias(key_col),
+            F.col("rank").cast("int").alias("rank"),
+            "n_shared", "score_ppm",
+        )
+        .orderBy("seed", "rank")
+    )

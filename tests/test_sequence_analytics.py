@@ -442,3 +442,34 @@ def test_hard_negative_topk_excludes_same_label_and_ranks(spark):
     got = [(r.vec_id, r.label) for r in sorted(out, key=lambda r: -r.cosine)]
     assert got == [(2, "b"), (4, "c")]
     assert all(r.qid == 0 and r.qlabel == "a" for r in out)
+
+
+def test_path_topk_similarity_hand_case(spark):
+    """Three users: A and B share most of their event-shape; C is
+    different. Seeded on A (smallest key), B must outrank C, scores are
+    exact integer ppm, self excluded."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.analytics import (
+        path_topk_similarity,
+    )
+
+    rows = []
+    # user 1 and 2: same path 'svcpsvcp...'; user 3: 'eeee...'
+    for u, types in ((1, "svcp" * 4), (2, "svcp" * 4), (3, "e" * 16)):
+        for i, ch in enumerate(types):
+            name = {"s": "signup", "v": "view", "c": "click",
+                    "p": "purchase", "e": "error"}[ch]
+            rows.append((u * 1000 + i, f"2024-01-01 0{i % 10}:0{i // 10}:00",
+                         u, name))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+                 "event_type")
+    out = path_topk_similarity(
+        df, "user_id", "ts", "event_id", "event_type",
+        n_seeds=1, gram=4, top_k=5,
+    ).collect()
+    by_rank = {r["rank"]: r for r in out if r["seed"] == 1}
+    assert by_rank[1]["user_id"] == 2
+    assert by_rank[1]["score_ppm"] == 1_000_000  # identical gram sets
+    assert all(r["user_id"] != 1 for r in out)   # self excluded
+    assert 3 not in {r["user_id"] for r in out}  # disjoint grams: no row
