@@ -7270,73 +7270,51 @@ def q_cohens_d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order: the 19 queries with no driver-green CORRECTNESS row
-    # through r3 lead (the driver certifies a prefix of the registry each
-    # round), then round-4 additions, then everything already certified.
+    # Registry order = driver-certification rotation (r9): the 94 queries
+    # never yet in any driver CORRECTNESS window lead (the driver certifies
+    # a 50-query prefix per round; VERDICT r8 priority: r8 additions, then
+    # the r7 leftovers + attribution/SCD2/growth family, then the remaining
+    # never-certified in prior registry order). After them the 226
+    # already-certified queries, stalest certification round first.
+    # New r9 queries insert AFTER the never-certified block so the r9
+    # window is drawn entirely from pre-existing debt.
     return {
-    # Registry order = driver-certification rotation (r8): the 124 queries
-    # that have never appeared in any driver CORRECTNESS_r0*.json window
-    # lead (the driver certifies a 50-query prefix per round), then the
-    # 176 already-certified queries ordered stalest-certification-first.
-    # New r8 queries are inserted after the never-certified block so the
-    # r8 window is drawn entirely from the pre-existing debt.
-        "recsys_hitrate_at3": q_recsys_hitrate,
-        "next_event_accuracy": q_next_event_accuracy,
-        "did_revenue_estimate": q_did_revenue,
-        "mi_price_priority": q_mutual_information,
-        "conformal_price_interval": q_conformal_price,
-        "wilson_conversion_ci": q_wilson_conversion,
-        "embedding_mahalanobis": q_embedding_mahalanobis,
-        "orphan_integrity_audit": q_orphan_audit,
-        "markov_removal_attribution": q_markov_attribution,
-        "seasonal_mase_events": q_seasonal_mase,
-        "gini_price_stump": q_gini_price_stump,
-        "loo_brand_influence": q_loo_brand_influence,
-        "shapley_channel_credits": q_shapley_credits,
-        "lpa_copurchase_communities": q_lpa_copurchase,
-        "customer_survival_km": q_customer_survival,
-        "deletion_cascade_audit": q_deletion_cascade,
-        "bm25_ranking": q_bm25_ranking,
-        "woe_iv_price_deciles": q_woe_iv_price,
-        "cuped_adjusted_spend": q_cuped_spend,
-        "nb_source_classify": q_nb_source_classify,
-        "embedding_dim_recall": q_embedding_dim_recall,
-        "kcenter_coreset": q_kcenter_coreset,
-        "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
-        "part_record_linkage": q_part_record_linkage,
-        "fk_discovery": q_fk_discovery,
-        "part_golden_records": q_part_golden_records,
-        "negative_samples_parts": q_negative_samples,
-        "classifier_auc": q_classifier_auc,
-        "join_size_lineitem_partkey": q_join_size_profile,
-        "ann_ranking_quality": q_ann_ranking_quality,
-        "candidate_keys_orders": q_candidate_keys_orders,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "vocab_growth_docs": q_vocab_growth,
-        "zipf_token_ranks": q_zipf_token_ranks,
-        "embedding_pca_projection": q_embedding_pca_projection,
-        "compression_quality_sources": q_compression_quality,
-        "part_mutual_best_match": q_part_mutual_best_match,
-        "event_run_lengths": q_event_run_lengths,
-        "weak_labels_docs": q_weak_labels,
-        "price_qty_slope_brand": q_price_qty_slope,
-        "incremental_name_linkage": q_incremental_name_linkage,
-        "copurchase_blast_radius": q_copurchase_blast_radius,
-        "related_items_parts": q_related_items,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "part_skyline": q_part_skyline,
-        "u_shaped_credits": q_u_shaped_attribution,
-        "rolling_active_users": q_rolling_active_users,
-        "funnel_clean_conversions": q_funnel_with_exclusion,
-        "order_concurrency_peak": q_order_concurrency,
-        "revenue_recognition_monthly": q_revenue_recognition,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "strip_exact_duplicates": q_strip_exact_duplicates,
+        "incremental_substr_matches": q_incremental_substr_matches,
+        "unigram_token_counts": q_unigram_token_counts,
+        "unigram_doc_scores": q_unigram_doc_scores,
+        "wordpiece_token_counts": q_wordpiece_token_counts,
+        "gopher_repetition_docs": q_gopher_repetition,
+        "gopher_quality_rules_docs": q_gopher_quality_rules,
+        "image_dhash_neardup": q_image_dhash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "dp_nation_histogram": q_dp_nation_histogram,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "token_waterfill_sources": q_token_waterfill,
+        "batch_padding_report": q_batch_padding_report,
+        "ccnet_perplexity_buckets": q_ccnet_buckets,
+        "langid_confusion": q_langid_confusion,
+        "user_path_similarity": q_user_path_similarity,
+        "watermark_sizing_events": q_watermark_sizing_events,
+        "tokenizer_compression_compare": q_tokenizer_compression_compare,
+        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
+        "entity_name_clusters": q_entity_name_clusters,
+        "version_diff_customers": q_version_diff_customers,
+        "rollup_refresh_orders": q_rollup_refresh_orders,
+        "purchase_attribution": q_purchase_attribution,
+        "time_decay_credits": q_time_decay_attribution,
+        "linear_attribution_credits": q_linear_attribution,
+        "status_history_scd2": q_status_history_scd2,
+        "growth_accounting_orders": q_growth_accounting,
+        "mom_revenue_growth": q_mom_revenue_growth,
+        "cohort_ltv_curve": q_cohort_ltv,
         "token_cooccurrence_lift": q_token_cooccurrence_lift,
         "consistent_sharding_moves": q_consistent_sharding,
         "arrival_burstiness_events": q_arrival_burstiness,
         "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
         "label_margins": q_label_margins,
         "event_autocorrelation": q_event_autocorrelation,
-        "growth_accounting_orders": q_growth_accounting,
         "revenue_gini": q_revenue_gini,
         "seasonal_residuals_events": q_seasonal_residuals,
         "session_entry_exit_matrix": q_session_entry_exit,
@@ -7350,10 +7328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_degree_dist": q_copurchase_degree_dist,
         "dedup_keep_best_parts": q_dedup_keep_best,
         "token_drift_sources": q_token_drift_sources,
-        "time_decay_credits": q_time_decay_attribution,
         "label_outliers": q_label_outliers,
-        "status_history_scd2": q_status_history_scd2,
-        "mom_revenue_growth": q_mom_revenue_growth,
         "supplier_concentration": q_supplier_concentration,
         "stratified_quota_docs": q_stratified_quota_sample,
         "activity_streaks_users": q_activity_streaks,
@@ -7364,8 +7339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "event_changepoints": q_event_changepoints,
         "churn_hazard_purchases": q_churn_hazard,
-        "cohort_ltv_curve": q_cohort_ltv,
-        "linear_attribution_credits": q_linear_attribution,
         "curriculum_phases_docs": q_curriculum_phases,
         "k_anonymity_customers": q_k_anonymity_customers,
         "l_diversity_orders": q_l_diversity_orders,
@@ -7386,17 +7359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_match": q_event_pattern_match,
         "event_path_counts": q_event_path_counts,
         "time_weighted_value": q_time_weighted_value,
-        "entity_name_clusters": q_entity_name_clusters,
         "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
         "hll_user_registers": q_hll_user_registers,
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "word_containment_pairs": q_word_containment_pairs,
-        "version_diff_customers": q_version_diff_customers,
         "event_funnel_windowed": q_event_funnel_windowed,
-        "purchase_attribution": q_purchase_attribution,
         "key_skew_events": q_key_skew_events,
         "event_funnel_any_chain": q_event_funnel_any_chain,
-        "rollup_refresh_orders": q_rollup_refresh_orders,
         "mixture_plan_temperature": q_mixture_plan_temperature,
         "embedding_moments": q_embedding_moments,
         "classifier_calibration": q_classifier_calibration,
@@ -7404,29 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_histogram": q_conversion_latency_histogram,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
-        # --- r8 additions: after the never-certified block (the r8
-        # driver window must draw from the pre-existing debt), before
-        # the already-certified queries
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "unigram_token_counts": q_unigram_token_counts,
-        "watermark_sizing_events": q_watermark_sizing_events,
-        "tokenizer_compression_compare": q_tokenizer_compression_compare,
-        "strip_exact_duplicates": q_strip_exact_duplicates,
-        "unigram_doc_scores": q_unigram_doc_scores,
-        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
-        "incremental_substr_matches": q_incremental_substr_matches,
-        "gopher_repetition_docs": q_gopher_repetition,
-        "gopher_quality_rules_docs": q_gopher_quality_rules,
-        "wordpiece_token_counts": q_wordpiece_token_counts,
-        "dp_nation_histogram": q_dp_nation_histogram,
-        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
-        "langid_confusion": q_langid_confusion,
-        "ccnet_perplexity_buckets": q_ccnet_buckets,
-        "image_dhash_neardup": q_image_dhash_neardup,
-        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-        "token_waterfill_sources": q_token_waterfill,
-        "batch_padding_report": q_batch_padding_report,
-        "user_path_similarity": q_user_path_similarity,
+        # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -7603,7 +7550,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase_seeds": q_ppr_copurchase,
         "t_closeness_segments": q_t_closeness,
         "minmax_clustering_depth": q_minmax_depth,
-
+        "recsys_hitrate_at3": q_recsys_hitrate,
+        "next_event_accuracy": q_next_event_accuracy,
+        "did_revenue_estimate": q_did_revenue,
+        "mi_price_priority": q_mutual_information,
+        "conformal_price_interval": q_conformal_price,
+        "wilson_conversion_ci": q_wilson_conversion,
+        "embedding_mahalanobis": q_embedding_mahalanobis,
+        "orphan_integrity_audit": q_orphan_audit,
+        "markov_removal_attribution": q_markov_attribution,
+        "seasonal_mase_events": q_seasonal_mase,
+        "gini_price_stump": q_gini_price_stump,
+        "loo_brand_influence": q_loo_brand_influence,
+        "shapley_channel_credits": q_shapley_credits,
+        "lpa_copurchase_communities": q_lpa_copurchase,
+        "customer_survival_km": q_customer_survival,
+        "deletion_cascade_audit": q_deletion_cascade,
+        "bm25_ranking": q_bm25_ranking,
+        "woe_iv_price_deciles": q_woe_iv_price,
+        "cuped_adjusted_spend": q_cuped_spend,
+        "nb_source_classify": q_nb_source_classify,
+        "embedding_dim_recall": q_embedding_dim_recall,
+        "kcenter_coreset": q_kcenter_coreset,
+        "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
+        "part_record_linkage": q_part_record_linkage,
+        "fk_discovery": q_fk_discovery,
+        "part_golden_records": q_part_golden_records,
+        "negative_samples_parts": q_negative_samples,
+        "classifier_auc": q_classifier_auc,
+        "join_size_lineitem_partkey": q_join_size_profile,
+        "ann_ranking_quality": q_ann_ranking_quality,
+        "candidate_keys_orders": q_candidate_keys_orders,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "vocab_growth_docs": q_vocab_growth,
+        "zipf_token_ranks": q_zipf_token_ranks,
+        "embedding_pca_projection": q_embedding_pca_projection,
+        "compression_quality_sources": q_compression_quality,
+        "part_mutual_best_match": q_part_mutual_best_match,
+        "event_run_lengths": q_event_run_lengths,
+        "weak_labels_docs": q_weak_labels,
+        "price_qty_slope_brand": q_price_qty_slope,
+        "incremental_name_linkage": q_incremental_name_linkage,
+        "copurchase_blast_radius": q_copurchase_blast_radius,
+        "related_items_parts": q_related_items,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "part_skyline": q_part_skyline,
+        "u_shaped_credits": q_u_shaped_attribution,
+        "rolling_active_users": q_rolling_active_users,
+        "funnel_clean_conversions": q_funnel_with_exclusion,
+        "order_concurrency_peak": q_order_concurrency,
+        "revenue_recognition_monthly": q_revenue_recognition,
     }
 
 
