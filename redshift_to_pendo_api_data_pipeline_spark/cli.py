@@ -604,15 +604,20 @@ def cmd_export(cfg: dict) -> int:
     alloc_rows = waterfill_allocation(
         deduped, text_col, source_col, budget_ppm_of_total=budget_ppm
     ).collect()  # source-bounded sidecar
+    # NULL source forms its own allocation group; surface it under an
+    # explicit manifest key and match it with eqNullSafe below so the
+    # realized sample agrees with the allocation (a plain == predicate
+    # is never true for NULL and would silently drop those docs).
     manifest["allocation"] = {
-        r["source"]: {"cap": r["cap"], "allocated": r["allocated"],
-                      "take_rate_ppm": r["take_rate_ppm"]}
+        (r["source"] if r["source"] is not None else "__null_source__"):
+        {"cap": r["cap"], "allocated": r["allocated"],
+         "take_rate_ppm": r["take_rate_ppm"]}
         for r in alloc_rows
     }
     rate_expr = None
     for r in alloc_rows:
         th = rate_to_hex_threshold(r["take_rate_ppm"] / 1_000_000)
-        cond = (F.col(source_col) == r["source"]) & (
+        cond = F.col(source_col).eqNullSafe(F.lit(r["source"])) & (
             hash_bucket(F.col(id_col).cast("string"), "export-v1")
             < F.lit(th)
         )
@@ -641,6 +646,40 @@ def cmd_export(cfg: dict) -> int:
     return 0
 
 
+def _parsed_plan_is_query(spark, stmt: str) -> bool:
+    """True iff the statement parses to a pure query plan: no node in
+    the parsed logical tree is a Catalyst Command or an insert/write
+    statement. Walking the parsed tree (not the statement text) is
+    what closes the CTE-prologue hole — 'WITH t AS (SELECT 1)
+    INSERT OVERWRITE DIRECTORY ...' text-starts with WITH but parses
+    to an InsertInto* node under the CTE wrapper."""
+    try:
+        plan = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+        )
+    except Exception:
+        return False  # unparseable: let spark.sql surface nothing
+    jvm = spark.sparkContext._jvm
+    command_iface = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if (
+            command_iface.isInstance(node)
+            or "Insert" in name
+            or "Command" in name
+            or "Write" in name
+        ):
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
+
+
 def cmd_sql(cfg: dict) -> int:
     """Ad-hoc SQL over the configured parquet tables — the interactive
     surface a warehouse user reaches for first: every configured table
@@ -662,6 +701,13 @@ def cmd_sql(cfg: dict) -> int:
         return 2
     max_rows = int(cfg.get("max_rows", 1000))
     spark = get_spark(app_name="sql")
+    # the prefix check above is only a cheap pre-filter: Spark SQL
+    # accepts a CTE prologue before DML ('WITH t AS (...) INSERT ...'),
+    # so the real gate walks the PARSED plan and rejects any
+    # command/write node anywhere in the tree
+    if not _parsed_plan_is_query(spark, stmt):
+        print(json.dumps({"error": "only read-only query statements"}))
+        return 2
     for name, path in cfg["tables"].items():
         spark.read.parquet(path).createOrReplaceTempView(name)
     out = spark.sql(stmt)

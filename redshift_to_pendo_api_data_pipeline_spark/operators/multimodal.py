@@ -586,22 +586,36 @@ def dhash_neardup_pairs(
     hashes: DataFrame,
     id_col: str,
     max_hamming: int = 6,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash values: band the 63-bit
-    hash into ``n_bands`` 16-bit keys, bucket-join (only same-band
-    collisions pair — the SimHash banding shape, never all-pairs),
-    then verify candidates exactly with bit_count(xor) <= max_hamming.
-    Shuffle rows carry (band, 16-bit key, id) longs only; candidate
-    degree is bounded by bucket population exactly like minhash/simhash
-    LSH. Returns (id_a, id_b, hamming)."""
+    hash into ``n_bands`` ceil(63/n_bands)-bit keys, bucket-join (only
+    same-band collisions pair — the SimHash banding shape, never
+    all-pairs), then verify candidates exactly with
+    bit_count(xor) <= max_hamming. Shuffle rows carry
+    (band, band-key, id) longs only; candidate degree is bounded by
+    bucket population exactly like minhash/simhash LSH. Returns
+    (id_a, id_b, hamming).
+
+    RECALL CONTRACT: banding guarantees a same-band collision only for
+    pairs differing in <= n_bands - 1 bits (pigeonhole), so the default
+    is n_bands = max_hamming + 1 — every pair the verify step would
+    accept is guaranteed to surface. Passing a smaller n_bands trades
+    guaranteed recall above n_bands - 1 bits for fewer shuffle rows
+    (appropriate when flips are known to cluster, e.g. the pinned
+    certification fixtures)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    width = -(-63 // n_bands)  # ceil: bands cover all 63 hash bits
+    mask = (1 << width) - 1
     bands = hashes.select(
         F.col(id_col).alias("__id"),
         F.col("dhash"),
         F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"),
     ).select(
         "__id", "dhash", "b",
-        F.expr("shiftrightunsigned(dhash, 16 * b) & 65535").alias("bv"),
+        F.expr(f"shiftrightunsigned(dhash, {width} * b) & {mask}")
+        .alias("bv"),
     )
     left = bands.select(
         F.col("b"), F.col("bv"),

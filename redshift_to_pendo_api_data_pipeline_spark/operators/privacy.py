@@ -251,7 +251,7 @@ def _geometric_half(key: Column) -> Column:
 def dp_histogram(
     df: DataFrame,
     group_col: str,
-    salt: str = "dp1",
+    salt: str,
 ) -> DataFrame:
     """Differentially-private release histogram: per-group counts with
     DISCRETE LAPLACE noise (Ghosh-Roughgarden-Sundararajan's geometric
@@ -268,8 +268,11 @@ def dp_histogram(
     convention every sampling operator in this repo uses — which makes
     the release reproducible run-to-run and lets the DuckDB oracle
     re-derive the identical noise (a seeded PRNG would certify
-    nothing). A production deployment swaps the salt for a secret
-    drawn per release; everything else is unchanged.
+    nothing). The salt is REQUIRED — a public/default salt makes the
+    noise recomputable by anyone and voids the epsilon = ln 2
+    guarantee, so the API refuses to pick one for you: a production
+    deployment passes a secret drawn per release; certification
+    fixtures pass their pinned public salt knowingly.
 
     Integer-only end to end: the geometric magnitude comes from the
     bit-length of a 52-bit md5 uniform (no float log, no float

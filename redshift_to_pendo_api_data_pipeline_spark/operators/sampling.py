@@ -919,7 +919,11 @@ def waterfill_allocation(
         )
     )
     # the first binding row determines the level; if none binds the
-    # budget exceeds supply and every source gives everything
+    # budget exceeds supply and every source gives everything. The
+    # trailing global agg makes that fallback REAL: an empty binding
+    # set still yields exactly one row (__level NULL), so the
+    # coalesce(__level, cap) below fires instead of the crossJoin
+    # annihilating the output.
     lvl = (
         sol.where("__binds")
         .orderBy("__rk")
@@ -928,6 +932,7 @@ def waterfill_allocation(
             F.expr("CAST(__budget - __below AS BIGINT) div __nabove")
             .alias("__level")
         )
+        .agg(F.min("__level").alias("__level"))
     )
     out = (
         sol.crossJoin(F.broadcast(lvl))

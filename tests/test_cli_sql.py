@@ -84,3 +84,46 @@ def test_cli_export_end_to_end(spark, capsys, tmp_path):
     assert {"seq_id", "seq_offset", "__n_tokens"} <= set(packed.columns)
     assert manifest["n_sequences"] >= 1
     assert manifest["total_tokens"] > 0
+
+
+def test_cli_sql_rejects_cte_wrapped_dml(spark, capsys, tmp_path):
+    # 'WITH ... INSERT OVERWRITE DIRECTORY' text-starts with WITH but
+    # parses to an insert node — the plan walk must reject it before
+    # anything touches the filesystem
+    target = tmp_path / "evil"
+    rc = cmd_sql({
+        "tables": {"region": f"{SF}/region.parquet"},
+        "sql": (
+            "WITH t AS (SELECT 1 AS x) "
+            f"INSERT OVERWRITE DIRECTORY '{target}' USING parquet "
+            "SELECT * FROM t"
+        ),
+    })
+    assert rc == 2
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+    assert not target.exists()
+
+
+def test_cli_sql_null_source_docs_survive_export(spark, capsys, tmp_path):
+    # docs whose source is NULL form their own allocation group and
+    # must flow through sampling (eqNullSafe) instead of vanishing
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "in")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.col("source")),
+    )
+    docs.write.mode("overwrite").parquet(f"{src}/documents.parquet")
+    out = str(tmp_path / "export")
+    from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_export
+    rc = cmd_export({
+        "input": src, "table": "documents", "output": out,
+        "budget_ppm": 1_000_000, "seq_budget": 256, "min_words": 5,
+        "min_stopwords": 1,
+    })
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "__null_source__" in manifest["allocation"]
+    # full budget -> nothing sampled away, NULL-source docs included
+    assert manifest["after_sampling"] == manifest["after_dedup"]

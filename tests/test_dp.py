@@ -5,6 +5,7 @@ never release a negative count."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from redshift_to_pendo_api_data_pipeline_spark.operators.privacy import (
@@ -31,8 +32,8 @@ def test_dp_histogram_reproducible_and_clamped(spark):
     df = spark.createDataFrame(
         [(i, "g%d" % (i % 50)) for i in range(500)], "id long, grp string"
     )
-    a = {r["grp"]: r["dp_count"] for r in dp_histogram(df, "grp").collect()}
-    b = {r["grp"]: r["dp_count"] for r in dp_histogram(df, "grp").collect()}
+    a = {r["grp"]: r["dp_count"] for r in dp_histogram(df, "grp", salt="dp1").collect()}
+    b = {r["grp"]: r["dp_count"] for r in dp_histogram(df, "grp", salt="dp1").collect()}
     assert a == b  # same salt + keys -> identical release
     c = {r["grp"]: r["dp_count"]
          for r in dp_histogram(df, "grp", salt="other").collect()}
@@ -45,5 +46,13 @@ def test_dp_histogram_reproducible_and_clamped(spark):
 
 def test_dp_histogram_releases_only_noisy_count(spark):
     df = spark.createDataFrame([(1, "a")], "id long, grp string")
-    out = dp_histogram(df, "grp")
+    out = dp_histogram(df, "grp", salt="dp1")
     assert set(out.columns) == {"grp", "dp_count"}
+
+
+def test_dp_histogram_salt_is_required(spark):
+    # a defaulted (public) salt would let anyone recompute the exact
+    # noise and void the DP guarantee — the API refuses to pick one
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    with pytest.raises(TypeError):
+        dp_histogram(df, "grp")

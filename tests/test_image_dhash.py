@@ -91,3 +91,17 @@ def test_audio_fingerprint_neardup(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_default_bands_guarantee_recall_at_max_hamming(spark):
+    # pair differing in exactly 6 bits spread across the hash: every
+    # 16-bit band differs (a 4-band config would miss it), but the
+    # default n_bands = max_hamming + 1 pigeonholes one clean band
+    h2 = sum(1 << b for b in (0, 10, 20, 30, 40, 50))
+    df = spark.createDataFrame([(1, 0), (2, h2)], "doc_id long, dhash long")
+    found = dhash_neardup_pairs(df, "doc_id", max_hamming=6).collect()
+    assert len(found) == 1 and found[0]["hamming"] == 6
+    missed = dhash_neardup_pairs(
+        df, "doc_id", max_hamming=6, n_bands=4
+    ).collect()
+    assert missed == []  # the documented recall trade-off of small n_bands

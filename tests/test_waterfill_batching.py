@@ -53,3 +53,15 @@ def test_batch_padding_length_sorted_dominates(spark):
     assert out["length_sorted"]["waste_ppm"] == 0
     assert out["arrival"]["n_batches"] == out["length_sorted"]["n_batches"]
     assert out["arrival"]["real_tokens"] == out["length_sorted"]["real_tokens"]
+
+
+def test_waterfill_budget_exceeds_supply_gives_everything(spark):
+    # budget > total supply: no row binds, __level is NULL, and the
+    # coalesce(__level, cap) fallback must fire — every source gives
+    # everything instead of the allocation silently going empty
+    df = _docs(spark, {"a": [4], "b": [8]})
+    out = {r["source"]: r for r in
+           waterfill_allocation(df, "text", "source",
+                                budget_ppm_of_total=1_500_000).collect()}
+    assert {s: r["allocated"] for s, r in out.items()} == {"a": 4, "b": 8}
+    assert all(r["take_rate_ppm"] == 1_000_000 for r in out.values())
