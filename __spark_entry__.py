@@ -2392,6 +2392,81 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-capable language ID via Cavnar-Trenkle char-n-gram rank
+    profiles (text.charngram_profiles / charngram_lang_id) — closes the
+    zh blind spot langid_confusion documents (the stopword heuristic
+    reports zh as 'und'; a char-n-gram profile needs no spaces). The
+    synthetic documents table carries no per-lang textual signal (one
+    shared token pool for every label), so the corpus is made
+    language-distinct DETERMINISTICALLY: per doc, words are reshaped by
+    the label's morphology — es/de/fr suffixes ('acion'/'ung'/'eur'),
+    zh words mapped through an md5-indexed 160-char CJK alphabet and
+    joined WITHOUT spaces (a genuinely non-space-delimited script).
+    Profiles (langs x 200, bounded) train on the corpus, stage to
+    parquet, and classification (out-of-place distance over each doc's
+    top-20 grams) runs against the staged copy; the oracle re-derives
+    the corpus, grams, ranks, and argmin in SQL from the same staged
+    profile relation. The confusion matrix is expected diagonal-heavy
+    WITH zh on-diagonal — the capability the stopword form lacks."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import (
+        charngram_lang_id,
+        charngram_profiles,
+        words,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    cjk = "".join(chr(0x4E00 + i) for i in range(160))
+    w = words(F.col("text"))
+    zh_text = F.array_join(
+        F.transform(
+            w,
+            lambda x: F.substring(
+                F.lit(cjk),
+                (F.conv(F.substring(F.md5(x), 1, 4), 16, 10)
+                 .cast("int") % 160) + 1,
+                1,
+            ),
+        ),
+        "",
+    )
+
+    def _suffixed(suffix: str):
+        return F.array_join(
+            F.transform(w, lambda x: F.concat(x, F.lit(suffix))), " "
+        )
+
+    corpus = docs.select(
+        "doc_id", "lang",
+        F.when(F.col("lang") == "zh", zh_text)
+        .when(F.col("lang") == "es", _suffixed("acion"))
+        .when(F.col("lang") == "de", _suffixed("ung"))
+        .when(F.col("lang") == "fr", _suffixed("eur"))
+        .otherwise(F.array_join(w, " ")).alias("mtext"),
+    )
+    path = f"{_stage_dir(sf_dir)}/charngram_profiles.parquet"
+    reuse = _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+    if not (reuse and fs_exists(spark, f"{path}/_SUCCESS")):
+        stage_parquet(
+            charngram_profiles(corpus, "mtext", "lang", n=3, top_k=200),
+            path,
+        )
+    prof = spark.read.parquet(path)
+    pred = charngram_lang_id(
+        corpus, prof, "mtext", "doc_id", n=3, doc_top=20, top_k=200
+    )
+    return (
+        corpus.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter semi-join (skew.bloom_semijoin): lineitem reduced
     map-side by an m-bit Bloom bitmap of the high-value-order key set
@@ -7378,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_histogram": q_conversion_latency_histogram,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
+        "langid_chargram_confusion": q_langid_chargram_confusion,
         # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
@@ -7612,6 +7688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the correctness gate runs at (other SFs stage under their own basename,
 # so a bench run never clobbers the oracle's inputs).
 _STAGE = "/tmp/spark_graft_stage/sf0.01"
+_CJK160 = "".join(chr(0x4E00 + i) for i in range(160))
 _NDCG_VALUES = ", ".join(
     f"({r}, {w})" for r, w in enumerate(_ndcg_weights(20), start=1)
 )
@@ -14090,6 +14167,60 @@ def oracle_sql() -> dict[str, str]:
             FROM bk JOIN documents d USING (doc_id)
             GROUP BY d.source, bk.bucket
             ORDER BY d.source, bk.bucket
+        """,
+        "langid_chargram_confusion": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, lang,
+                CASE lang
+                  WHEN 'zh' THEN array_to_string(list_transform(
+                    string_split(norm, ' '),
+                    x -> substr('{_CJK160}',
+                        CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) % 160 + 1,
+                        1)), '')
+                  WHEN 'es' THEN array_to_string(list_transform(
+                    string_split(norm, ' '), x -> x || 'acion'), ' ')
+                  WHEN 'de' THEN array_to_string(list_transform(
+                    string_split(norm, ' '), x -> x || 'ung'), ' ')
+                  WHEN 'fr' THEN array_to_string(list_transform(
+                    string_split(norm, ' '), x -> x || 'eur'), ' ')
+                  ELSE norm END AS mtext
+              FROM base),
+            s AS (SELECT doc_id, lang,
+                         '_' || replace(mtext, ' ', '_') || '_' AS s
+                  FROM corpus),
+            dg AS (
+              SELECT doc_id, lang, substr(s, i, 3) AS gram
+              FROM s, UNNEST(range(1, greatest(length(s) - 2, 1) + 1)) AS t(i)),
+            dc AS (SELECT doc_id, lang, gram, count(*) AS cnt
+                   FROM dg GROUP BY doc_id, lang, gram),
+            dr AS (SELECT doc_id, lang, gram,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram) AS drk
+                   FROM dc QUALIFY drk <= 20),
+            prof AS (SELECT lang AS plang, gram, rk FROM read_parquet(
+                '{_STAGE}/charngram_profiles.parquet/*.parquet')),
+            langs AS (SELECT DISTINCT plang FROM prof),
+            sc AS (
+              SELECT d.doc_id, d.lang AS true_lang, l.plang,
+                     sum(coalesce(abs(d.drk - p.rk), 200)) AS dist,
+                     count(p.rk) AS n_hits
+              FROM dr d CROSS JOIN langs l
+              LEFT JOIN prof p ON p.plang = l.plang AND p.gram = d.gram
+              GROUP BY d.doc_id, d.lang, l.plang),
+            b AS (SELECT doc_id, true_lang, plang AS pred0,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY dist, plang) AS rn,
+                         max(n_hits) OVER (PARTITION BY doc_id) AS mh
+                  FROM sc QUALIFY rn = 1)
+            SELECT true_lang,
+                   CASE WHEN mh > 0 THEN pred0 ELSE 'und' END AS pred_lang,
+                   count(*) AS n_docs
+            FROM b GROUP BY true_lang, pred_lang
+            ORDER BY true_lang, pred_lang
         """,
         "langid_confusion": """
             WITH t AS (

@@ -66,6 +66,125 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Boundary-marked character n-grams of normalized text: spaces
+    become '_' and the string is '_'-padded at both ends, so grams
+    carry word-boundary information (Cavnar-Trenkle 1994 convention).
+    Character-indexed (Spark substring is code-point based), so
+    non-space-delimited scripts (CJK) gram correctly — the capability
+    the whitespace/stopword ``lang_id`` lacks. Docs shorter than n
+    yield one truncated gram (repo convention)."""
+    s = F.concat(
+        F.lit("_"), F.translate(normalize_text(col), " ", "_"), F.lit("_")
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n),
+    )
+
+
+def charngram_profiles(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    n: int = 3,
+    top_k: int = 200,
+) -> DataFrame:
+    """Cavnar-Trenkle language profiles: per language, the ``top_k``
+    most frequent boundary-marked char n-grams with their rank
+    (1 = most frequent; ties broken gram-ascending so the profile is a
+    deterministic total order). Returns (lang, gram, rk) — a
+    langs x top_k BOUNDED relation, the staged artifact an oracle can
+    re-derive classification from.
+
+    Scale: one explode of char grams (linear in corpus chars) with the
+    pinned-width repartition in front of it (the gopher_repetition
+    lesson: AQE sizes the exchange by shuffle bytes and serializes the
+    explode amplification behind it), one partial-combined
+    groupBy(lang, gram), then a per-lang row_number window whose
+    partitions are bounded by the char-n-gram dictionary (~alphabet^n),
+    not the corpus."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("__t"))
+        .repartition(nparts)
+        .select("lang", F.explode(char_ngrams(F.col("__t"), n)).alias("gram"))
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= int(top_k))
+        .select("lang", "gram", "rk")
+    )
+
+
+def charngram_lang_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    doc_top: int = 20,
+    top_k: int = 200,
+) -> DataFrame:
+    """Classify documents against staged Cavnar-Trenkle profiles with
+    the out-of-place measure: rank the doc's own top ``doc_top`` char
+    n-grams, and for each candidate language sum |doc rank - profile
+    rank| over them, charging ``top_k`` for a gram absent from the
+    profile. Prediction = argmin distance (tiebreak lang ascending);
+    'und' when NO doc gram appears in any profile. Returns
+    (id_col, pred_lang).
+
+    Scale: docs repartition to pinned width by id, and because
+    hashpartitioning(id) satisfies every later (id, ...) grouping and
+    the per-doc ranking window, the whole classify pass — gram explode,
+    doc-rank window, the bounded langs x doc_top fan-out, profile
+    lookup, argmin — is ONE stage; profiles and the lang dimension are
+    broadcast (langs x top_k bounded)."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition(nparts, "__id")
+        .select("__id", F.explode(char_ngrams(F.col("__t"), n)).alias("gram"))
+    )
+    counts = grams.groupBy("__id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("cnt"), F.asc("gram"))
+    doc_ranked = (
+        counts.withColumn("drk", F.row_number().over(w).cast("long"))
+        .where(F.col("drk") <= int(doc_top))
+        .select("__id", "gram", "drk")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_ranked.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy("__id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drk") - F.col("rk")),
+                    F.lit(int(top_k)).cast("long"),
+                )
+            ).cast("long").alias("dist"),
+            F.count("rk").cast("long").alias("n_hits"),
+        )
+    )
+    best = scored.groupBy("__id").agg(
+        F.min(F.struct("dist", "lang")).alias("best"),
+        F.max("n_hits").alias("max_hits"),
+    )
+    return best.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("max_hits") > 0, F.col("best.lang"))
+        .otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
 def quality_score(col: Column) -> Column:
     """[0,1] doc-quality heuristic: longer docs, low punctuation density,
     healthy English-stopword ratio. Feature weights are arbitrary but
