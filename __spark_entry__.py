@@ -2467,6 +2467,102 @@ def q_langid_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL sidecar for the URL-curation family
+    (documents carry no URL column): presentation noise — scheme/host
+    case, default :443 port, trailing slash, utm/fbclid tracking
+    params, fragment — varies per doc via md5 bits, while the CANONICAL
+    identity is (source, doc_id mod 7), so normalization provably
+    collapses the noise and URL-keyed dedup has real collision
+    clusters. Four sources sit on a blockable domain. Mirrored 1:1 in
+    the oracle SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    k = F.col("doc_id") % 7
+    dom = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        F.lit(".badsite.net"),
+    ).otherwise(F.lit(".example.com"))
+    url = F.concat(
+        F.when(h % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(h % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"), dom,
+        F.when(h % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), k.cast("string"),
+        F.when(h % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            h % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&item="), k.cast("string"),
+                     F.lit("&fbclid=x")),
+        ).otherwise(F.concat(F.lit("?item="), k.cast("string"))),
+        F.when(h % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", "n_chars", url.alias("url"))
+
+
+def q_url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb URL normalization (url.url_normalize /
+    registrable_domain) over the deterministic messy-URL sidecar:
+    scheme+host case, default port, trailing slash, tracking params and
+    fragment all collapse; the oracle re-derives the same
+    normalization with DuckDB's regexp/list algebra, so every branch
+    of the normalizer is cross-checked per doc. Zero shuffles — one
+    scan, pure column algebra."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+        registrable_domain,
+        url_normalize,
+    )
+
+    urls = _synthetic_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        registrable_domain(F.col("url")).alias("domain"),
+    ).orderBy("doc_id")
+
+
+def q_url_blocklist_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (url.filter_blocked_domains): docs on
+    the blocked registrable domain drop before any text processing —
+    config-bounded broadcast anti-join, fact side never shuffles (the
+    weak_label legitimate-broadcast contract). Per-source survivor
+    counts; the four badsite sources must vanish."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+        filter_blocked_domains,
+    )
+
+    urls = _synthetic_urls(spark, sf_dir)
+    kept = filter_blocked_domains(urls, "url", ["badsite.net"])
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def q_url_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed keep-best dedup (url.url_dedup_keep_best): docs
+    sharing a normalized URL collapse to the highest-n_chars row (ties
+    to smallest doc_id) — the crawl-dedup every web pipeline runs
+    before touching text. Digest-only shuffle; survivors returned with
+    their canonical URL."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+        url_dedup_keep_best,
+        url_normalize,
+    )
+
+    urls = _synthetic_urls(spark, sf_dir)
+    kept = url_dedup_keep_best(urls, "url", "doc_id", "n_chars")
+    return kept.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter semi-join (skew.bloom_semijoin): lineitem reduced
     map-side by an m-bit Bloom bitmap of the high-value-order key set
@@ -7454,6 +7550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
         "langid_chargram_confusion": q_langid_chargram_confusion,
+        "url_normalize_docs": q_url_normalize_docs,
+        "url_blocklist_sources": q_url_blocklist_sources,
+        "url_keyed_dedup": q_url_keyed_dedup,
         # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
@@ -14167,6 +14266,213 @@ def oracle_sql() -> dict[str, str]:
             FROM bk JOIN documents d USING (doc_id)
             GROUP BY d.source, bk.bucket
             ORDER BY d.source, bk.bucket
+        """,
+        "url_normalize_docs": """
+            WITH
+            u AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) AS h,
+                     doc_id % 7 AS k
+              FROM documents),
+            raw AS (
+              SELECT doc_id, source, n_chars,
+                (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+                || source
+                || (CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN '.badsite.net' ELSE '.example.com' END)
+                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || '/page/' || CAST(k AS VARCHAR)
+                || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN h % 2 = 0
+                         THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
+                              || '&fbclid=x'
+                         ELSE '?item=' || CAST(k AS VARCHAR) END)
+                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM u),
+            n1 AS (
+              SELECT *,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                    '/+$', '') AS path0,
+                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+              FROM raw),
+            n2 AS (
+              SELECT *,
+                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                array_to_string(list_filter(string_split(qraw, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z]+|gclid|fbclid|ref)(=|$)')), '&') AS qj
+              FROM n1),
+            n3 AS (
+              SELECT *,
+                CASE WHEN scheme = '' OR host = '' THEN NULL
+                     ELSE scheme || '://' || host
+                          || (CASE WHEN port = ''
+                                    OR (scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443')
+                                   THEN '' ELSE ':' || port END)
+                          || path
+                          || (CASE WHEN qj = '' THEN '' ELSE '?' || qj END)
+                END AS url_norm
+              FROM n2),
+            n4 AS (
+              SELECT *,
+                regexp_extract(
+                    regexp_extract(url_norm,
+                        '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^.:]+\.[^.:]+)(:[0-9]+)?$', 1) AS domain
+              FROM n3)
+            SELECT doc_id, url_norm, domain
+            FROM n4 ORDER BY doc_id
+        """,
+        "url_blocklist_sources": """
+            WITH
+            u AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) AS h,
+                     doc_id % 7 AS k
+              FROM documents),
+            raw AS (
+              SELECT doc_id, source, n_chars,
+                (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+                || source
+                || (CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN '.badsite.net' ELSE '.example.com' END)
+                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || '/page/' || CAST(k AS VARCHAR)
+                || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN h % 2 = 0
+                         THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
+                              || '&fbclid=x'
+                         ELSE '?item=' || CAST(k AS VARCHAR) END)
+                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM u),
+            n1 AS (
+              SELECT *,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                    '/+$', '') AS path0,
+                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+              FROM raw),
+            n2 AS (
+              SELECT *,
+                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                array_to_string(list_filter(string_split(qraw, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z]+|gclid|fbclid|ref)(=|$)')), '&') AS qj
+              FROM n1),
+            n3 AS (
+              SELECT *,
+                CASE WHEN scheme = '' OR host = '' THEN NULL
+                     ELSE scheme || '://' || host
+                          || (CASE WHEN port = ''
+                                    OR (scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443')
+                                   THEN '' ELSE ':' || port END)
+                          || path
+                          || (CASE WHEN qj = '' THEN '' ELSE '?' || qj END)
+                END AS url_norm
+              FROM n2),
+            n4 AS (
+              SELECT *,
+                regexp_extract(
+                    regexp_extract(url_norm,
+                        '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^.:]+\.[^.:]+)(:[0-9]+)?$', 1) AS domain
+              FROM n3)
+            SELECT source, count(*) AS n_kept
+            FROM n4
+            WHERE domain IS NULL OR domain <> 'badsite.net'
+            GROUP BY source ORDER BY source
+        """,
+        "url_keyed_dedup": """
+            WITH
+            u AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) AS h,
+                     doc_id % 7 AS k
+              FROM documents),
+            raw AS (
+              SELECT doc_id, source, n_chars,
+                (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+                || source
+                || (CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN '.badsite.net' ELSE '.example.com' END)
+                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || '/page/' || CAST(k AS VARCHAR)
+                || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN h % 2 = 0
+                         THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
+                              || '&fbclid=x'
+                         ELSE '?item=' || CAST(k AS VARCHAR) END)
+                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM u),
+            n1 AS (
+              SELECT *,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                    '/+$', '') AS path0,
+                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+              FROM raw),
+            n2 AS (
+              SELECT *,
+                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                array_to_string(list_filter(string_split(qraw, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z]+|gclid|fbclid|ref)(=|$)')), '&') AS qj
+              FROM n1),
+            n3 AS (
+              SELECT *,
+                CASE WHEN scheme = '' OR host = '' THEN NULL
+                     ELSE scheme || '://' || host
+                          || (CASE WHEN port = ''
+                                    OR (scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443')
+                                   THEN '' ELSE ':' || port END)
+                          || path
+                          || (CASE WHEN qj = '' THEN '' ELSE '?' || qj END)
+                END AS url_norm
+              FROM n2),
+            n4 AS (
+              SELECT *,
+                regexp_extract(
+                    regexp_extract(url_norm,
+                        '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^.:]+\.[^.:]+)(:[0-9]+)?$', 1) AS domain
+              FROM n3)
+            , ranked AS (
+              SELECT doc_id, url_norm, n_chars,
+                     row_number() OVER (
+                         PARTITION BY coalesce(url_norm,
+                             '__id__' || CAST(doc_id AS VARCHAR))
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM n4)
+            SELECT doc_id, url_norm, CAST(n_chars AS BIGINT) AS n_chars
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "langid_chargram_confusion": f"""
             WITH base AS (

@@ -224,6 +224,18 @@ def cmd_curate(cfg: dict) -> int:
                     dim=int(st.get("dim", 2**15)),
                 ))
             )
+        elif kind == "url":
+            from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+                url_stage,
+            )
+
+            stages.append(
+                (kind, url_stage(
+                    st.get("url_col", "url"), id_col,
+                    score_col=st.get("score_col", "n_chars"),
+                    blocked_domains=tuple(st.get("blocked_domains", ())),
+                ))
+            )
         else:
             raise SystemExit(f"unknown curation stage {kind!r}")
 

@@ -1,0 +1,139 @@
+"""URL curation family (operators/url.py): normalization branch
+coverage, naive eTLD+1 extraction, blocklist anti-join, URL-keyed
+keep-best dedup with the malformed-URL own-cluster rule, and the CLI
+curate `url` stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+    filter_blocked_domains,
+    registrable_domain,
+    url_dedup_keep_best,
+    url_normalize,
+    url_stage,
+)
+
+
+def _norm(spark, url):
+    return spark.range(1).select(
+        url_normalize(F.lit(url)).alias("u")
+    ).collect()[0]["u"]
+
+
+def test_url_normalize_branches(spark):
+    cases = {
+        # case + default port + trailing slash + fragment
+        "HTTPS://WWW.Example.COM:443/a/b/#x": "https://www.example.com/a/b",
+        # tracking params stripped wherever they sit; order preserved
+        "https://e.com/p?utm_source=x&id=1&fbclid=z&q=2":
+            "https://e.com/p?id=1&q=2",
+        # ref= stripped, referrer= kept (anchored param-name match)
+        "http://e.com/?ref=spam&referrer=ok": "http://e.com/?referrer=ok",
+        # non-default port KEPT — including :80 on https
+        "https://e.com:80/p": "https://e.com:80/p",
+        "http://e.com:80/p": "http://e.com/p",
+        "http://e.com:8080/p": "http://e.com:8080/p",
+        # empty path becomes '/', all-tracking query vanishes
+        "https://E.com?utm_campaign=x": "https://e.com/",
+    }
+    for raw, want in cases.items():
+        assert _norm(spark, raw) == want, raw
+    # unparseable -> NULL
+    assert _norm(spark, "not a url") is None
+    assert _norm(spark, "://missing.scheme/x") is None
+
+
+def test_registrable_domain(spark):
+    out = spark.range(1).select(
+        registrable_domain(F.lit("HTTP://a.b.Example.COM:8080/x")).alias("d")
+    ).collect()[0]["d"]
+    assert out == "example.com"
+
+
+def test_filter_blocked_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.spam.badsite.net/x"),
+            (2, "https://ok.example.com/y"),
+            (3, "garbage"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"]
+            for r in filter_blocked_domains(df, "url", ["BADSITE.net"]).collect()}
+    assert kept == {2, 3}  # malformed URL is not a blocklist match
+
+
+def test_url_dedup_keep_best(spark):
+    df = spark.createDataFrame(
+        [
+            # one cluster after normalization; id 2 has the best score
+            (1, "https://E.com/a/?utm_source=x", 10),
+            (2, "HTTPS://e.com:443/a", 50),
+            (3, "https://e.com/a", 50),      # tie with 2 -> smaller id wins
+            (4, "https://e.com/b", 5),       # own cluster
+            (5, "not a url", 1),             # malformed: own cluster, kept
+            (6, "not a url", 1),             # malformed: ALSO kept
+        ],
+        "doc_id long, url string, score long",
+    )
+    kept = {r["doc_id"]
+            for r in url_dedup_keep_best(df, "url", "doc_id", "score").collect()}
+    assert kept == {2, 4, 5, 6}
+
+
+def test_url_stage_composition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.blocked.org/x", 5),
+            (2, "https://ok.example.com/p", 9),
+            (3, "https://OK.example.com/p/", 7),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    out = url_stage("url", "doc_id", "n_chars",
+                    blocked_domains=("blocked.org",))(df)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_cli_curate_url_stage_attrition(spark, capsys, tmp_path):
+    import json
+
+    from redshift_to_pendo_api_data_pipeline_spark.cli import cmd_curate
+
+    src = str(tmp_path / "in")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("blocked.org"))
+            .otherwise(F.lit("example.com")),
+            F.lit("/p/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("?utm_source=x"),
+        ),
+    )
+    docs.write.mode("overwrite").parquet(f"{src}/documents.parquet")
+    out = str(tmp_path / "curated")
+    rc = cmd_curate({
+        "input": src, "table": "documents", "output": out,
+        "text_col": "text", "id_col": "doc_id",
+        "stages": [
+            {"kind": "url", "url_col": "url", "score_col": "n_chars",
+             "blocked_domains": ["blocked.org"]},
+        ],
+    })
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    att = report["attrition"]
+    assert att["input"] > att["url"]
+    curated = spark.read.parquet(out)
+    n = curated.count()
+    assert n == att["url"]
+    # all blocked-domain docs gone; at most 5 distinct normalized URLs
+    assert curated.where(F.col("url").contains("blocked.org")).count() == 0
+    assert n <= 5
