@@ -1437,6 +1437,62 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, lut, "vec_id", k=20)
 
 
+def q_embedding_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated product quantization ADC top-k (Ge et al. 2013 —
+    similarity.train_opq_rotation_fp / rotate_vectors_fp): the PQ tier
+    with its standard accuracy upgrade. The rotation trains driver-side
+    from the exact integer moment sidecar (eigh + eigenvalue-balanced
+    allocation — no extra corpus pass beyond the one-pass moments),
+    vectors rotate in exact int64 arithmetic (bit-reproducible, zero
+    shuffles), codebooks/codes train and stage in the ROTATED space,
+    and the probe vector passes through the identical integer pipeline.
+    Serving is byte-for-byte the PQ ADC path — posexplode + broadcast
+    LUT + integer sum over the staged rotated codes, which is exactly
+    what the oracle re-derives in SQL."""
+    import os as _os
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        rotate_query_fp,
+        rotate_vectors_fp,
+        train_opq_rotation_fp,
+        train_pq_codebooks,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import fs_exists
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stage = _stage_dir(sf_dir)
+    codes_path = f"{stage}/opq_codes.parquet"
+    lut_path = f"{stage}/opq_lut.parquet"
+    reuse = _os.environ.get("SPARK_GRAFT_STAGE_REUSE") == "1"
+    if not (
+        reuse
+        and fs_exists(spark, f"{codes_path}/_SUCCESS")
+        and fs_exists(spark, f"{lut_path}/_SUCCESS")
+    ):
+        rot, mean = train_opq_rotation_fp(emb, "embedding", m_sub=4)
+        rotated = rotate_vectors_fp(emb, "embedding", "vec_id", rot, mean)
+        books = train_pq_codebooks(
+            rotated, "rvec", "vec_id", m_sub=4, k_codes=16, n_iter=2
+        )
+        stage_parquet(
+            pq_encode(rotated, "rvec", "vec_id", books), codes_path
+        )
+        rq = rotate_query_fp(_query_vec(spark, sf_dir), rot, mean)
+        stage_parquet(
+            spark.createDataFrame(pq_adc_lut(books, rq),
+                                  "sub int, code int, score_fp long"),
+            lut_path,
+        )
+    codes = spark.read.parquet(codes_path)
+    lut = spark.read.parquet(lut_path)
+    return pq_adc_topk(codes, lut, "vec_id", k=20)
+
+
 def _ivfpq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """The IVF-PQ serving pipeline (residual encoding) shared by the
     certified query and the recall audit: stage quantizer + codebooks +
@@ -7553,6 +7609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_docs": q_url_normalize_docs,
         "url_blocklist_sources": q_url_blocklist_sources,
         "url_keyed_dedup": q_url_keyed_dedup,
+        "embedding_ann_opq": q_embedding_ann_opq,
         # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
@@ -13769,6 +13826,22 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC: pure integer arithmetic over the staged codes + LUT —
         # generate_subscripts/unnest zip positionally in DuckDB, giving
         # the same (sub, code) pairs Spark's posexplode produces
+        "embedding_ann_opq": f"""
+            WITH expl AS (
+              SELECT vec_id,
+                     generate_subscripts(codes, 1) - 1 AS sub,
+                     unnest(codes) AS code
+              FROM read_parquet('{_STAGE}/opq_codes.parquet/*.parquet')
+            )
+            SELECT e.vec_id,
+                   CAST(SUM(l.score_fp) AS BIGINT) AS adc_score
+            FROM expl e
+            JOIN read_parquet('{_STAGE}/opq_lut.parquet/*.parquet') l
+              USING (sub, code)
+            GROUP BY e.vec_id
+            ORDER BY adc_score DESC, e.vec_id ASC
+            LIMIT 20
+        """,
         "embedding_ann_pq": f"""
             WITH expl AS (
               SELECT vec_id,

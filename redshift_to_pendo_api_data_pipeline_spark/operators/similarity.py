@@ -1705,6 +1705,125 @@ def train_pca_fp(
     return comps, mean_fp
 
 
+def train_opq_rotation_fp(
+    df: DataFrame,
+    vec_col: str,
+    m_sub: int,
+    scale: int = 10**6,
+) -> tuple[list[list[int]], list[int]]:
+    """Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    Quantization", the OPQ_P eigenvalue-allocation variant): under a
+    Gaussian model the PQ-optimal rotation is the PCA basis with the
+    eigenvalues BALANCED across the m_sub subspaces — each subspace
+    should carry (near-)equal variance product, so no codebook wastes
+    its k codes on a near-constant slice while another underfits.
+    Training needs only the exact integer moment sidecar
+    (`embedding_moments_fp` → covariance → eigh — the same one-pass
+    statistic PCA trains from); allocation is the published greedy:
+    eigenvalues descending, each assigned to the subspace with the
+    smallest current log-variance-product that still has free slots.
+
+    Returns (rotation_fp dim x dim — row r is the basis vector whose
+    projection becomes rotated coordinate r, rows grouped by subspace —
+    and mean_fp), both fixed-pointed with the repo's
+    round-half-away-from-zero contract: dim²-bounded driver state, the
+    k-means/PQ-codebook sidecar contract."""
+    rows0 = df.select(vec_col).limit(1).collect()
+    if not rows0:
+        raise ValueError("empty input")
+    dim = len(rows0[0][0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    cap = dim // m_sub
+    moments = embedding_moments_fp(df, vec_col, scale=scale).collect()
+    n = int(moments[0]["n"]) if moments else 0
+    if n == 0:
+        raise ValueError("empty input")
+    cov = covariance_from_moments(moments, dim, scale=scale)
+    sums = {int(r["i"]): int(r["sum_i"]) for r in moments}
+    mean_fp = [sums[d] // n for d in range(dim)]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    # greedy eigenvalue allocation: balance sum(log lambda) per bucket
+    logs = [0.0] * m_sub
+    fill: list[list[int]] = [[] for _ in range(m_sub)]
+    for idx in order:
+        open_b = [b for b in range(m_sub) if len(fill[b]) < cap]
+        b = min(open_b, key=lambda x: (logs[x], x))
+        fill[b].append(int(idx))
+        logs[b] += float(np.log(max(vals[idx], 1e-12)))
+    rot = []
+    for b in range(m_sub):
+        for idx in fill[b]:
+            v = vecs[:, idx]
+            if v[int(np.argmax(np.abs(v)))] < 0:
+                v = -v  # eigh sign canonicalization (train_pca_fp rule)
+            rot.append(
+                [int(np.sign(x) * np.floor(abs(x) * scale + 0.5)) for x in v]
+            )
+    return rot, mean_fp
+
+
+def rotate_vectors_fp(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    rotation_fp: list[list[int]],
+    mean_fp: list[int],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Serve a trained rotation: (id, rvec array<double>) with
+    rvec = R(v - mean). The hot path is EXACT integer arithmetic — the
+    vector fixed-points with the moments rounding contract, centering
+    and the R matmul run in int64 (|centered| <= 2·scale, |R row| <=
+    scale, dot over dim: dim·2·scale² — dim <= ~2000 stays in BIGINT)
+    — then ONE float division by scale² at the end, so two runs (or
+    two engines) produce bit-identical rvecs and everything staged
+    downstream (codebooks, codes) is reproducible. One mapInPandas
+    Arrow/BLAS edge (the embedding_moments_fp precedent — a dim x dim
+    integer matmul per batch is not column algebra), ZERO shuffles:
+    the 100 TB rotation job is a narrow scan."""
+    rot = np.array(rotation_fp, dtype=np.int64)
+    mean = np.array(mean_fp, dtype=np.int64)
+    denom = float(scale) * float(scale)
+
+    def _run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            m_fp = (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(
+                np.int64
+            )
+            proj = (m_fp - mean[None, :]) @ rot.T  # exact int64
+            out = proj.astype(np.float64) / denom
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "rvec": [list(r) for r in out],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _run, schema=f"{id_col} long, rvec array<double>"
+    )
+
+
+def rotate_query_fp(
+    query: list[float],
+    rotation_fp: list[list[int]],
+    mean_fp: list[int],
+    scale: int = 10**6,
+) -> list[float]:
+    """Driver-side twin of `rotate_vectors_fp` for the probe vector —
+    the SAME integer pipeline, so query and corpus land in the same
+    rotated space bit-for-bit."""
+    rot = np.array(rotation_fp, dtype=np.int64)
+    mean = np.array(mean_fp, dtype=np.int64)
+    q = np.asarray(query, dtype=np.float64)
+    q_fp = (np.sign(q) * np.floor(np.abs(q) * scale + 0.5)).astype(np.int64)
+    proj = (q_fp - mean) @ rot.T
+    return [float(x) / (float(scale) * float(scale)) for x in proj]
+
+
 def dim_truncation_recall(
     df: DataFrame,
     queries: DataFrame,

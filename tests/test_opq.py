@@ -1,0 +1,105 @@
+"""OPQ rotation (similarity.train_opq_rotation_fp / rotate_vectors_fp):
+the rotation is orthonormal and eigenvalue-balanced, rotation serving is
+bit-reproducible integer arithmetic, and on variance-concentrated data
+the rotated PQ's recall@20 beats plain PQ — the reason OPQ exists."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+    pq_adc_lut,
+    pq_adc_topk,
+    pq_encode,
+    rotate_query_fp,
+    rotate_vectors_fp,
+    train_opq_rotation_fp,
+    train_pq_codebooks,
+)
+
+DIM, M_SUB, N = 16, 4, 400
+
+
+def _vectors():
+    # variance concentrated in the FIRST subspace (dims 0-3 heavy):
+    # plain PQ spends one 16-code codebook on the whole 4-D signal
+    # while three codebooks quantize noise; the balanced rotation
+    # spreads one heavy direction into each subspace.
+    rng = np.random.RandomState(0)
+    x = rng.randn(N, DIM) * 0.05
+    x[:, :4] = rng.randn(N, 4) * 5.0
+    return x
+
+
+def _df(spark, x):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _recall_at_20(spark, codes_df, books, query, truth):
+    lut = spark.createDataFrame(
+        pq_adc_lut(books, query), "sub int, code int, score_fp long"
+    )
+    got = {r["vec_id"]
+           for r in pq_adc_topk(codes_df, lut, "vec_id", k=20).collect()}
+    return len(got & truth) / 20.0
+
+
+def test_opq_rotation_orthonormal_and_balanced(spark):
+    df = _df(spark, _vectors())
+    rot, mean = train_opq_rotation_fp(df, "embedding", m_sub=M_SUB)
+    r = np.array(rot, dtype=np.float64) / 1e6
+    # orthonormal within fixed-point rounding
+    assert np.abs(r @ r.T - np.eye(DIM)).max() < 1e-4
+    # the four heavy directions (dominant loading on dims 0-3) landed
+    # one per subspace, not all in subspace 0
+    heavy_sub = {np.argmax(np.abs(row)) for row in r.reshape(M_SUB, 4, DIM)[:, 0, :]}
+    assert heavy_sub <= {0, 1, 2, 3}
+    per_sub = [sum(1 for row in r[s * 4:(s + 1) * 4]
+                   if np.argmax(np.abs(row)) < 4) for s in range(M_SUB)]
+    assert per_sub == [1, 1, 1, 1]
+
+
+def test_rotate_vectors_bit_reproducible(spark):
+    df = _df(spark, _vectors()[:50])
+    rot, mean = train_opq_rotation_fp(df, "embedding", m_sub=M_SUB)
+    a = {r["vec_id"]: tuple(r["rvec"])
+         for r in rotate_vectors_fp(df, "embedding", "vec_id", rot, mean)
+         .collect()}
+    b = {r["vec_id"]: tuple(r["rvec"])
+         for r in rotate_vectors_fp(df, "embedding", "vec_id", rot, mean)
+         .collect()}
+    assert a == b  # exact int64 pipeline: identical bits run-to-run
+    # driver twin agrees with the distributed path
+    q = [float(v) for v in _vectors()[0]]
+    assert tuple(rotate_query_fp(q, rot, mean)) == a[0]
+
+
+def test_opq_recall_beats_plain_pq(spark):
+    x = _vectors()
+    df = _df(spark, x)
+    query = [float(v) for v in x[0]]
+    truth = set(np.argsort(-(x @ np.asarray(query)))[:20].tolist())
+
+    pq_books = train_pq_codebooks(
+        df, "embedding", "vec_id", m_sub=M_SUB, k_codes=16, n_iter=3
+    )
+    pq_codes = pq_encode(df, "embedding", "vec_id", pq_books)
+    pq_rec = _recall_at_20(spark, pq_codes, pq_books, query, truth)
+
+    rot, mean = train_opq_rotation_fp(df, "embedding", m_sub=M_SUB)
+    rotated = rotate_vectors_fp(df, "embedding", "vec_id", rot, mean)
+    opq_books = train_pq_codebooks(
+        rotated, "rvec", "vec_id", m_sub=M_SUB, k_codes=16, n_iter=3
+    )
+    opq_codes = pq_encode(rotated, "rvec", "vec_id", opq_books)
+    opq_rec = _recall_at_20(
+        spark, opq_codes, opq_books, rotate_query_fp(query, rot, mean), truth
+    )
+    # the published OPQ claim, pinned: balanced rotation must improve
+    # recall on variance-concentrated data (deterministic seed)
+    assert opq_rec > pq_rec
+    assert opq_rec >= 0.5
