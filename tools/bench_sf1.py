@@ -29,6 +29,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# r9: extended from the original 12 to the union of (r8's list, the
+# top-30 by sf0.1 median in BENCH_full r8, the r8-verdict-named heavy
+# queries that postdated the first cut) — 40 queries.
 QUERIES = [
     "candidate_keys_orders", "conformal_price_interval",
     "qini_discount_uplift", "frequent_triples_parts",
@@ -36,6 +39,18 @@ QUERIES = [
     "part_record_linkage", "embedding_dim_recall",
     "range_join_price_bands", "bucketed_neardup_recall",
     "gopher_repetition_docs",
+    "lift_table_brand_score", "weighted_price_quantiles",
+    "word_containment_pairs", "bloom_semijoin_lineitem",
+    "target_encode_brand_returns", "kcenter_coreset",
+    "spearman_price_qty", "minhash_recall", "bloom_corpus_membership",
+    "negative_samples_parts", "cluster_representatives",
+    "embedding_ann_recall", "dedup_clusters_star",
+    "order_concurrency_peak", "blocking_quality_orders", "rfm_segments",
+    "ppr_copurchase_seeds", "ngram_span_coverage", "recsys_hitrate_at3",
+    "char_entropy_quality", "exact_substr_dedup",
+    "incremental_substr_matches", "unigram_token_counts",
+    "embedding_ann_pq", "quality_funnel", "semantic_dedup",
+    "oph_minhash_neardup", "tokenizer_compression_compare",
 ]
 
 SF01 = "/root/testdata/sf0.1"
