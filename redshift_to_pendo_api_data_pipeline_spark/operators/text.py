@@ -66,21 +66,38 @@ def lang_id(col: Column) -> Column:
     return out
 
 
-def char_ngrams(col: Column, n: int = 3) -> Column:
-    """Boundary-marked character n-grams of normalized text: spaces
-    become '_' and the string is '_'-padded at both ends, so grams
-    carry word-boundary information (Cavnar-Trenkle 1994 convention).
-    Character-indexed (Spark substring is code-point based), so
-    non-space-delimited scripts (CJK) gram correctly — the capability
-    the whitespace/stopword ``lang_id`` lacks. Docs shorter than n
-    yield one truncated gram (repo convention)."""
-    s = F.concat(
+def boundary_mark(col: Column) -> Column:
+    """Normalized text with spaces mapped to '_' and '_' padding at both
+    ends — the Cavnar-Trenkle gram-boundary convention. Materialize
+    this as its OWN column before gramming: a higher-order-function
+    lambda re-evaluates any non-attribute expression it references PER
+    ELEMENT, so gramming over the raw expression re-runs the
+    normalization regexp once per character (measured: 80 s of CPU at
+    sf0.1 vs ~0 for the attribute form)."""
+    return F.concat(
         F.lit("_"), F.translate(normalize_text(col), " ", "_"), F.lit("_")
     )
+
+
+def char_ngrams_from_marked(col: Column, n: int = 3) -> Column:
+    """Character n-grams of an ALREADY boundary-marked string column
+    (pass an attribute, not an expression — see :func:`boundary_mark`).
+    Character-indexed (Spark substring is code-point based), so
+    non-space-delimited scripts (CJK) gram correctly. Strings shorter
+    than n yield one truncated gram (repo convention)."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
-        lambda i: F.substring(s, i, n),
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+        lambda i: F.substring(col, i, n),
     )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Boundary-marked character n-grams of normalized text — the
+    convenience composition of :func:`boundary_mark` +
+    :func:`char_ngrams_from_marked` for literals/tests. In operator
+    hot paths materialize the marked string first (see
+    :func:`boundary_mark`'s per-element re-evaluation warning)."""
+    return char_ngrams_from_marked(boundary_mark(col), n)
 
 
 def charngram_profiles(
@@ -108,7 +125,11 @@ def charngram_profiles(
     grams = (
         df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("__t"))
         .repartition(nparts)
-        .select("lang", F.explode(char_ngrams(F.col("__t"), n)).alias("gram"))
+        .select("lang", boundary_mark(F.col("__t")).alias("__s"))
+        .select(
+            "lang",
+            F.explode(char_ngrams_from_marked(F.col("__s"), n)).alias("gram"),
+        )
     )
     counts = grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -148,7 +169,11 @@ def charngram_lang_id(
     grams = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(nparts, "__id")
-        .select("__id", F.explode(char_ngrams(F.col("__t"), n)).alias("gram"))
+        .select("__id", boundary_mark(F.col("__t")).alias("__s"))
+        .select(
+            "__id",
+            F.explode(char_ngrams_from_marked(F.col("__s"), n)).alias("gram"),
+        )
     )
     counts = grams.groupBy("__id", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
