@@ -2619,6 +2619,87 @@ def q_url_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level gates (curation.c4_line_filters; Raffel et al.
+    2020 SS2.2): terminal-punctuation rule, min-words-per-line rule,
+    line poison ('javascript'), doc poison ('lorem ipsum' / '{'),
+    min-surviving-lines doc gate. Documents are single-line synthetic
+    text, so a deterministic multi-LINE corpus is derived per doc:
+    words chunk into 6-word lines; line (doc_id*31+i) %% 4 == 0 loses
+    its terminal '.', %% 7 == 0 gains a 'javascript ' prefix, and doc_id
+    %% 29 == 0 docs carry 'lorem ipsum' in line 0 — every rule has real
+    attrition. Zero shuffles (pure array algebra); the oracle
+    re-derives lines and every gate in SQL."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        c4_line_filters,
+    )
+    from redshift_to_pendo_api_data_pipeline_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words(F.col("text")).alias("__w")
+    )
+
+    def _line(i):
+        base = F.array_join(F.slice(F.col("__w"), i * 6 + 1, 6), " ")
+        h = F.col("doc_id") * 31 + i
+        base = F.concat(
+            F.when(h % 7 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+            base,
+            F.when(h % 4 != 0, F.lit(".")).otherwise(F.lit("")),
+        )
+        return F.when(
+            (F.col("doc_id") % 29 == 0) & (i == F.lit(0)),
+            F.concat(base, F.lit(" lorem ipsum.")),
+        ).otherwise(base)
+
+    mdocs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("__w") - 1) / 6).cast("int"),
+                ),
+                _line,
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_line_filters(mdocs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-wide exact line dedup (curation.corpus_line_dedup):
+    every duplicated line keeps ONE occurrence (earliest by (doc,
+    pos)), other occurrences excise, emptied docs drop. Lines are
+    synthesized onto a 40-value dictionary ('line K alpha beta.' with
+    K = (doc_id*7 + pos*13) mod 40) so dedup pressure is extreme and
+    deterministic: at most 40 line instances survive the whole corpus.
+    Winner selection is a partial-combining min-struct agg on the line
+    digest (never a corpus window sort); the oracle re-derives winners
+    and the per-doc rebuild in SQL."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+        corpus_line_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mdocs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int")),
+                lambda i: F.concat(
+                    F.lit("line "),
+                    ((F.col("doc_id") * 7 + i * 13) % 40).cast("string"),
+                    F.lit(" alpha beta."),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return corpus_line_dedup(mdocs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter semi-join (skew.bloom_semijoin): lineitem reduced
     map-side by an m-bit Bloom bitmap of the high-value-order key set
@@ -7610,6 +7691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_sources": q_url_blocklist_sources,
         "url_keyed_dedup": q_url_keyed_dedup,
         "embedding_ann_opq": q_embedding_ann_opq,
+        "c4_line_filters_docs": q_c4_line_filters,
+        "corpus_line_dedup_docs": q_corpus_line_dedup,
         # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
@@ -14339,6 +14422,62 @@ def oracle_sql() -> dict[str, str]:
             FROM bk JOIN documents d USING (doc_id)
             GROUP BY d.source, bk.bucket
             ORDER BY d.source, bk.bucket
+        """,
+        "c4_line_filters_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+',
+                         ' ', 'g')), ' ') AS w
+              FROM documents),
+            ml AS (
+              SELECT doc_id,
+                list_transform(range(0, (len(w) - 1) // 6 + 1),
+                  i ->
+                    (CASE WHEN (doc_id * 31 + i) % 7 = 0
+                          THEN 'javascript ' ELSE '' END)
+                    || array_to_string(list_slice(w, i * 6 + 1, i * 6 + 6), ' ')
+                    || (CASE WHEN (doc_id * 31 + i) % 4 <> 0
+                             THEN '.' ELSE '' END)
+                    || (CASE WHEN doc_id % 29 = 0 AND i = 0
+                             THEN ' lorem ipsum.' ELSE '' END)
+                ) AS lines
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines_in,
+                     list_filter(lines, l ->
+                         regexp_matches(l, '[.!?"]\\s*$')
+                         AND len(string_split(trim(l), ' ')) >= 5
+                         AND NOT contains(lower(l), 'javascript')) AS kept,
+                     (contains(lower(array_to_string(lines, chr(10))),
+                               'lorem ipsum')
+                      OR contains(array_to_string(lines, chr(10)), '{'))
+                         AS poisoned
+              FROM ml)
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text,
+                   CAST(n_lines_in AS BIGINT) AS n_lines_in,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept
+            FROM f
+            WHERE NOT poisoned AND len(kept) >= 3
+            ORDER BY doc_id
+        """,
+        "corpus_line_dedup_docs": """
+            WITH l AS (
+              SELECT doc_id, i AS pos,
+                     'line ' || CAST((doc_id * 7 + i * 13) % 40 AS VARCHAR)
+                     || ' alpha beta.' AS line
+              FROM documents,
+                   UNNEST(range(0, CAST(doc_id % 5 AS INT) + 1)) AS t(i)),
+            w AS (
+              SELECT *, row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+              FROM l)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_lines_kept
+            FROM w WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "url_normalize_docs": """
             WITH

@@ -224,6 +224,39 @@ def cmd_curate(cfg: dict) -> int:
                     dim=int(st.get("dim", 2**15)),
                 ))
             )
+        elif kind == "c4_lines":
+            from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+                c4_line_filters,
+            )
+
+            def _c4_stage(st=st):
+                # rewrite stage: survivors get their filtered text back,
+                # every other column passes through (the strip_spans
+                # join-back pattern)
+                def fn(df):
+                    kept = c4_line_filters(
+                        df, text_col, id_col,
+                        min_line_words=int(st.get("min_line_words", 5)),
+                        min_lines=int(st.get("min_lines", 3)),
+                    ).select(id_col, text_col)
+                    return df.drop(text_col).join(kept, id_col)
+                return fn
+
+            stages.append((kind, _c4_stage()))
+        elif kind == "line_dedup":
+            from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
+                corpus_line_dedup,
+            )
+
+            def _ld_stage():
+                def fn(df):
+                    kept = corpus_line_dedup(df, text_col, id_col).select(
+                        id_col, text_col
+                    )
+                    return df.drop(text_col).join(kept, id_col)
+                return fn
+
+            stages.append((kind, _ld_stage()))
         elif kind == "url":
             from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
                 url_stage,

@@ -277,3 +277,126 @@ def quality_funnel_flags(
             )
         ).alias("r")
     ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level curation (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", SS2.2) — the rules C4 applies BELOW document
+# granularity: per-line gates, whole-document poison tokens, and exact
+# line dedup across the corpus. No reference analogue (DB->API scope);
+# extension work in the Gopher-rules tier.
+# ---------------------------------------------------------------------------
+
+C4_DOC_POISON = ("lorem ipsum", "{")
+C4_LINE_POISON = ("javascript",)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_sep: str = "\n",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's published line/document rules in one pass:
+
+    - a LINE survives iff it ends in terminal punctuation (. ! ? "),
+      has at least ``min_line_words`` whitespace words, and contains no
+      line-poison token (C4 dropped any line with 'javascript');
+    - a DOCUMENT survives iff it contains no doc-poison token
+      ('lorem ipsum' boilerplate, '{' = code) and keeps at least
+      ``min_lines`` surviving lines.
+
+    Returns (id, text rebuilt from surviving lines joined by
+    ``line_sep``, n_lines_in, n_lines_kept). Pure array/string column
+    algebra — split once, one F.filter over the materialized lines
+    array (every per-line predicate references only the lambda
+    variable, so nothing re-evaluates per element), zero shuffles,
+    zero UDFs: at 100 TB this is a narrow scan."""
+    lw = F.lower(F.col(text_col))
+    doc_poisoned = None
+    for tok in C4_DOC_POISON:
+        c = lw.contains(tok)
+        doc_poisoned = c if doc_poisoned is None else (doc_poisoned | c)
+
+    def _line_ok(line):
+        ok = line.rlike(r'[.!?"]\s*$')
+        ok = ok & (F.size(F.split(F.trim(line), r"\s+")) >= min_line_words)
+        for tok in C4_LINE_POISON:
+            ok = ok & ~F.lower(line).contains(tok)
+        return ok
+
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), line_sep).alias("__lines"),
+        doc_poisoned.alias("__poisoned"),
+    ).select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines_in"),
+        F.filter("__lines", _line_ok).alias("__kept"),
+        "__poisoned",
+    )
+    return (
+        base.where(
+            (~F.col("__poisoned")) & (F.size("__kept") >= int(min_lines))
+        )
+        .select(
+            F.col(id_col),
+            F.array_join("__kept", line_sep).alias(text_col),
+            "n_lines_in",
+            F.size("__kept").cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4's corpus-level exact LINE dedup: every duplicated line keeps
+    exactly ONE occurrence corpus-wide — the earliest by
+    (document id, line position) — and every other occurrence is
+    excised from its document; documents that lose all lines drop.
+    Returns (id, text rebuilt in original line order, n_lines_kept).
+
+    Scale shape: posexplode lines once; the winner per line digest
+    comes from a partial-combining groupBy(digest).agg(min(struct(doc,
+    pos))) — never a corpus-wide window sort — and instances survive
+    via a digest-keyed join against that winner relation (both sides
+    hash-partition on the 16-byte digest; the join carries line text
+    exactly once). Rebuild is one groupBy(doc) of (pos, line) structs
+    sorted per doc. Skew contract: a pathological line duplicated
+    across the whole corpus lands in one digest partition as a COUNT
+    (the agg partial-combines map-side); only the join fan-back is
+    bounded by surviving instances, which is 1 per digest by
+    construction."""
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__d", F.md5("__line"))
+    winners = lines.groupBy("__d").agg(
+        F.min(F.struct("__doc", "__pos")).alias("__w")
+    )
+    kept = lines.join(winners.hint("shuffle_hash"), "__d").where(
+        (F.col("__doc") == F.col("__w.__doc"))
+        & (F.col("__pos") == F.col("__w.__pos"))
+    )
+    return (
+        kept.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        )
+        .select(F.col("__doc").alias(id_col), text_col, "n_lines_kept")
+    )
