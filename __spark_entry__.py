@@ -2635,9 +2635,13 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from redshift_to_pendo_api_data_pipeline_spark.operators.text import words
 
+    # width pin (SCALE.md AQE compute-amplification trap): the whole
+    # query is otherwise one single-task scan stage — and orderBy's
+    # range sampler evaluates that stage TWICE (measured 2 x 1.7 s
+    # single-threaded at sf0.1)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", words(F.col("text")).alias("__w")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def _line(i):
         base = F.array_join(F.slice(F.col("__w"), i * 6 + 1, 6), " ")
