@@ -172,3 +172,48 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+def streaming_url_dedup(
+    sdf: DataFrame,
+    url_col: str,
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming URL-keyed dedup — the INGEST-TIME twin of
+    ``url.url_dedup_keep_best`` and the first gate a crawl stream
+    passes (two fetches of one page dedup on the URL before any
+    document byte is inspected): first occurrence of each NORMALIZED
+    URL passes, re-fetches within the watermark horizon drop, state
+    self-evicts past it (``dropDuplicatesWithinWatermark``, the
+    ``streaming_exact_dedup`` machinery with the URL digest as the
+    key).
+
+    Rows whose URL fails to parse (normalize -> NULL) key on their own
+    raw URL string prefixed distinctly — a malformed URL never merges
+    with another malformed URL of different text, and is never
+    silently dropped. State holds 16-byte digests; the watermark
+    bounds live keys exactly as in the content-dedup twin.
+
+    Streaming-vs-batch semantic difference, stated: the batch
+    keep-best picks the HIGHEST-SCORE duplicate; a stream must decide
+    on arrival, so this keeps the FIRST — the standard ingest
+    trade-off (re-rank later in batch if scores matter)."""
+    from redshift_to_pendo_api_data_pipeline_spark.operators.url import (
+        url_normalize,
+    )
+
+    return (
+        sdf.withColumn(
+            "__digest",
+            F.md5(
+                F.coalesce(
+                    url_normalize(F.col(url_col)),
+                    F.concat(F.lit("__unparseable__"), F.col(url_col)),
+                )
+            ),
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
