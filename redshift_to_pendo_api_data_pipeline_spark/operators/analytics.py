@@ -2884,10 +2884,16 @@ def conformal_residual_bound(
     single-reducer sort — and qhat surfaces back in y units via
     truncating div. One corpus pass for moments, one range shuffle
     for the rank, one broadcast-scalar pass for the coverage audit."""
+    # width pin (SCALE.md AQE compute-amplification trap): the
+    # DECIMAL(38) residual pass is ~10x long arithmetic per row and
+    # otherwise inherits the scan's 1-3 task partitioning (single-file
+    # input, byte-small relation) — the heavy exact math serializes
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("decimal(38,0)").alias("x"),
         F.col(y_col).cast("decimal(38,0)").alias("y"),
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("__id")
     )
     mom = base.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
