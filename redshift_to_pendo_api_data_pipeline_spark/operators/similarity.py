@@ -1848,8 +1848,14 @@ def dim_truncation_recall(
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
+    # width pin (SCALE.md AQE compute-amplification trap): the
+    # corpus x probes pair scan multiplies per-row work |q|-fold but
+    # otherwise inherits the single-file scan's 1-task partitioning
     pairs = (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "cid"
+        )
         .crossJoin(F.broadcast(q))
         .where(F.col("cid") != F.col("qid"))
         .select(
