@@ -2526,12 +2526,14 @@ def q_langid_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic messy-URL sidecar for the URL-curation family
     (documents carry no URL column): presentation noise — scheme/host
-    case, default :443 port, trailing slash, utm/fbclid tracking
-    params, fragment — varies per doc via md5 bits, while the CANONICAL
-    identity is (source, doc_id mod 7), so normalization provably
-    collapses the noise and URL-keyed dedup has real collision
-    clusters. Four sources sit on a blockable domain. Mirrored 1:1 in
-    the oracle SQL."""
+    case, userinfo ('u:pw@', h%%11), default :443 port, trailing
+    slash, utm/fbclid tracking params, fragment (with an embedded '?',
+    h%%7) — varies per doc via md5 bits, while the CANONICAL identity
+    is (source, doc_id mod 7), so normalization provably collapses the
+    noise and URL-keyed dedup has real collision clusters; h%%13 docs
+    carry a NON-NUMERIC port (':bad') and must normalize to NULL. Four
+    sources sit on a blockable domain. Mirrored 1:1 in the oracle
+    SQL."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
@@ -2544,9 +2546,12 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.when(h % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
         F.lit("://"),
+        F.when(h % 11 == 0, F.lit("u:pw@")).otherwise(F.lit("")),
         F.when(h % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
         F.col("source"), dom,
-        F.when(h % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(h % 13 == 0, F.lit(":bad"))
+        .when(h % 4 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
         F.lit("/page/"), k.cast("string"),
         F.when(h % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(
@@ -2554,7 +2559,7 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("?utm_source=feed&item="), k.cast("string"),
                      F.lit("&fbclid=x")),
         ).otherwise(F.concat(F.lit("?item="), k.cast("string"))),
-        F.when(h % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        F.when(h % 7 == 0, F.lit("#sec?x=1")).otherwise(F.lit("")),
     )
     return docs.select("doc_id", "source", "n_chars", url.alias("url"))
 
@@ -2678,10 +2683,13 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos)), other occurrences excise, emptied docs drop. Lines are
     synthesized onto a 40-value dictionary ('line K alpha beta.' with
     K = (doc_id*7 + pos*13) mod 40) so dedup pressure is extreme and
-    deterministic: at most 40 line instances survive the whole corpus.
-    Winner selection is a partial-combining min-struct agg on the line
-    digest (never a corpus window sort); the oracle re-derives winners
-    and the per-doc rebuild in SQL."""
+    deterministic: at most 40 line instances survive the whole corpus
+    — PLUS planted EMPTY lines ((doc_id + pos) %% 6 == 0) that must
+    pass through unconditionally (blank lines are paragraph
+    separators, exempt from dedup). Winner selection is a
+    partial-combining min-struct agg on the line digest (never a
+    corpus window sort); the oracle re-derives winners, the blank
+    exemption, and the per-doc rebuild in SQL."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.curation import (
         corpus_line_dedup,
     )
@@ -2692,10 +2700,14 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int")),
-                lambda i: F.concat(
-                    F.lit("line "),
-                    ((F.col("doc_id") * 7 + i * 13) % 40).cast("string"),
-                    F.lit(" alpha beta."),
+                lambda i: F.when(
+                    (F.col("doc_id") + i) % 6 == 0, F.lit("")
+                ).otherwise(
+                    F.concat(
+                        F.lit("line "),
+                        ((F.col("doc_id") * 7 + i * 13) % 40).cast("string"),
+                        F.lit(" alpha beta."),
+                    )
                 ),
             ),
             "\n",
@@ -7587,65 +7599,17 @@ def q_cohens_d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = driver-certification rotation (r9): the 94 queries
+    # Registry order = driver-certification rotation (r10): the 51 queries
     # never yet in any driver CORRECTNESS window lead (the driver certifies
-    # a 50-query prefix per round; VERDICT r8 priority: r8 additions, then
-    # the r7 leftovers + attribution/SCD2/growth family, then the remaining
-    # never-certified in prior registry order). After them the 226
-    # already-certified queries, stalest certification round first.
-    # New r9 queries insert AFTER the never-certified block so the r9
-    # window is drawn entirely from pre-existing debt.
+    # a 50-query prefix per round), with rfm_segments — independently
+    # re-verified green by the r9 judge — holding position 51 as the one
+    # query the 50-wide window can leave out. After the debt block, the 276
+    # already-certified queries run STALEST-CERTIFICATION-FIRST (driver
+    # round of last green hash, ascending; COVERAGE.md carries the per-query
+    # last-certified table) so rewritten operators whose certification
+    # predates the rewrite re-certify before anything fresh.
     return {
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "strip_exact_duplicates": q_strip_exact_duplicates,
-        "incremental_substr_matches": q_incremental_substr_matches,
-        "unigram_token_counts": q_unigram_token_counts,
-        "unigram_doc_scores": q_unigram_doc_scores,
-        "wordpiece_token_counts": q_wordpiece_token_counts,
-        "gopher_repetition_docs": q_gopher_repetition,
-        "gopher_quality_rules_docs": q_gopher_quality_rules,
-        "image_dhash_neardup": q_image_dhash_neardup,
-        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-        "dp_nation_histogram": q_dp_nation_histogram,
-        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
-        "token_waterfill_sources": q_token_waterfill,
-        "batch_padding_report": q_batch_padding_report,
-        "ccnet_perplexity_buckets": q_ccnet_buckets,
-        "langid_confusion": q_langid_confusion,
-        "user_path_similarity": q_user_path_similarity,
-        "watermark_sizing_events": q_watermark_sizing_events,
-        "tokenizer_compression_compare": q_tokenizer_compression_compare,
-        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
-        "entity_name_clusters": q_entity_name_clusters,
-        "version_diff_customers": q_version_diff_customers,
-        "rollup_refresh_orders": q_rollup_refresh_orders,
-        "purchase_attribution": q_purchase_attribution,
-        "time_decay_credits": q_time_decay_attribution,
-        "linear_attribution_credits": q_linear_attribution,
-        "status_history_scd2": q_status_history_scd2,
-        "growth_accounting_orders": q_growth_accounting,
-        "mom_revenue_growth": q_mom_revenue_growth,
-        "cohort_ltv_curve": q_cohort_ltv,
-        "token_cooccurrence_lift": q_token_cooccurrence_lift,
-        "consistent_sharding_moves": q_consistent_sharding,
-        "arrival_burstiness_events": q_arrival_burstiness,
-        "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
-        "label_margins": q_label_margins,
-        "event_autocorrelation": q_event_autocorrelation,
-        "revenue_gini": q_revenue_gini,
-        "seasonal_residuals_events": q_seasonal_residuals,
-        "session_entry_exit_matrix": q_session_entry_exit,
-        "ngram_novelty_docs": q_ngram_novelty,
-        "frequent_triples_parts": q_frequent_triples,
-        "table_fingerprint_customer": q_table_fingerprint,
-        "conversion_chi2": q_conversion_chi2,
-        "abc_parts": q_abc_parts,
-        "trimmed_mean_prices": q_trimmed_mean_prices,
-        "association_rules_parts": q_association_rules,
-        "copurchase_degree_dist": q_copurchase_degree_dist,
-        "dedup_keep_best_parts": q_dedup_keep_best,
-        "token_drift_sources": q_token_drift_sources,
-        "label_outliers": q_label_outliers,
+        # --- never driver-certified (debt block, r10 window target) ---
         "supplier_concentration": q_supplier_concentration,
         "stratified_quota_docs": q_stratified_quota_sample,
         "activity_streaks_users": q_activity_streaks,
@@ -7671,7 +7635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_similarity": q_label_centroid_similarity,
         "overlapping_order_windows": q_overlapping_order_windows,
         "chunk_documents": q_chunk_documents,
-        "rfm_segments": q_rfm_segments,
         "dup_size_histogram": q_dup_size_histogram,
         "event_pattern_match": q_event_pattern_match,
         "event_path_counts": q_event_path_counts,
@@ -7697,6 +7660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_opq": q_embedding_ann_opq,
         "c4_line_filters_docs": q_c4_line_filters,
         "corpus_line_dedup_docs": q_corpus_line_dedup,
+        "rfm_segments": q_rfm_segments,
         # --- already driver-certified (stalest first) ---
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
@@ -7924,6 +7888,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_clean_conversions": q_funnel_with_exclusion,
         "order_concurrency_peak": q_order_concurrency,
         "revenue_recognition_monthly": q_revenue_recognition,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "strip_exact_duplicates": q_strip_exact_duplicates,
+        "incremental_substr_matches": q_incremental_substr_matches,
+        "unigram_token_counts": q_unigram_token_counts,
+        "unigram_doc_scores": q_unigram_doc_scores,
+        "wordpiece_token_counts": q_wordpiece_token_counts,
+        "gopher_repetition_docs": q_gopher_repetition,
+        "gopher_quality_rules_docs": q_gopher_quality_rules,
+        "image_dhash_neardup": q_image_dhash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "dp_nation_histogram": q_dp_nation_histogram,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "token_waterfill_sources": q_token_waterfill,
+        "batch_padding_report": q_batch_padding_report,
+        "ccnet_perplexity_buckets": q_ccnet_buckets,
+        "langid_confusion": q_langid_confusion,
+        "user_path_similarity": q_user_path_similarity,
+        "watermark_sizing_events": q_watermark_sizing_events,
+        "tokenizer_compression_compare": q_tokenizer_compression_compare,
+        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
+        "entity_name_clusters": q_entity_name_clusters,
+        "version_diff_customers": q_version_diff_customers,
+        "rollup_refresh_orders": q_rollup_refresh_orders,
+        "purchase_attribution": q_purchase_attribution,
+        "time_decay_credits": q_time_decay_attribution,
+        "linear_attribution_credits": q_linear_attribution,
+        "status_history_scd2": q_status_history_scd2,
+        "growth_accounting_orders": q_growth_accounting,
+        "mom_revenue_growth": q_mom_revenue_growth,
+        "cohort_ltv_curve": q_cohort_ltv,
+        "token_cooccurrence_lift": q_token_cooccurrence_lift,
+        "consistent_sharding_moves": q_consistent_sharding,
+        "arrival_burstiness_events": q_arrival_burstiness,
+        "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
+        "label_margins": q_label_margins,
+        "event_autocorrelation": q_event_autocorrelation,
+        "revenue_gini": q_revenue_gini,
+        "seasonal_residuals_events": q_seasonal_residuals,
+        "session_entry_exit_matrix": q_session_entry_exit,
+        "ngram_novelty_docs": q_ngram_novelty,
+        "frequent_triples_parts": q_frequent_triples,
+        "table_fingerprint_customer": q_table_fingerprint,
+        "conversion_chi2": q_conversion_chi2,
+        "abc_parts": q_abc_parts,
+        "trimmed_mean_prices": q_trimmed_mean_prices,
+        "association_rules_parts": q_association_rules,
+        "copurchase_degree_dist": q_copurchase_degree_dist,
+        "dedup_keep_best_parts": q_dedup_keep_best,
+        "token_drift_sources": q_token_drift_sources,
+        "label_outliers": q_label_outliers,
     }
 
 
@@ -14469,8 +14483,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_line_dedup_docs": """
             WITH l AS (
               SELECT doc_id, i AS pos,
-                     'line ' || CAST((doc_id * 7 + i * 13) % 40 AS VARCHAR)
-                     || ' alpha beta.' AS line
+                     CASE WHEN (doc_id + i) % 6 = 0 THEN ''
+                          ELSE 'line '
+                               || CAST((doc_id * 7 + i * 13) % 40 AS VARCHAR)
+                               || ' alpha beta.' END AS line
               FROM documents,
                    UNNEST(range(0, CAST(doc_id % 5 AS INT) + 1)) AS t(i)),
             w AS (
@@ -14480,7 +14496,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    string_agg(line, chr(10) ORDER BY pos) AS text,
                    count(*) AS n_lines_kept
-            FROM w WHERE rn = 1
+            FROM w WHERE trim(line) = '' OR rn = 1
             GROUP BY doc_id ORDER BY doc_id
         """,
         "url_normalize_docs": """
@@ -14494,34 +14510,40 @@ def oracle_sql() -> dict[str, str]:
             raw AS (
               SELECT doc_id, source, n_chars,
                 (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 11 = 0 THEN 'u:pw@' ELSE '' END)
                 || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
                 || source
                 || (CASE WHEN source IN ('src0','src1','src2','src3')
                          THEN '.badsite.net' ELSE '.example.com' END)
-                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || (CASE WHEN h % 13 = 0 THEN ':bad'
+                         WHEN h % 4 = 0 THEN ':443' ELSE '' END)
                 || '/page/' || CAST(k AS VARCHAR)
                 || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
                 || (CASE WHEN h % 2 = 0
                          THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
                               || '&fbclid=x'
                          ELSE '?item=' || CAST(k AS VARCHAR) END)
-                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+                || (CASE WHEN h % 7 = 0 THEN '#sec?x=1' ELSE '' END) AS url
               FROM u),
             n1 AS (
               SELECT *,
                 lower(regexp_extract(url,
                     '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-                regexp_extract(url,
-                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^@]*)$', 1) AS hostport,
                 regexp_replace(regexp_extract(url,
                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
                     '/+$', '') AS path0,
-                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+                regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                    '\?(.*)$', 1) AS qraw
               FROM raw),
             n2 AS (
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                (contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14529,7 +14551,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')
@@ -14560,34 +14582,40 @@ def oracle_sql() -> dict[str, str]:
             raw AS (
               SELECT doc_id, source, n_chars,
                 (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 11 = 0 THEN 'u:pw@' ELSE '' END)
                 || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
                 || source
                 || (CASE WHEN source IN ('src0','src1','src2','src3')
                          THEN '.badsite.net' ELSE '.example.com' END)
-                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || (CASE WHEN h % 13 = 0 THEN ':bad'
+                         WHEN h % 4 = 0 THEN ':443' ELSE '' END)
                 || '/page/' || CAST(k AS VARCHAR)
                 || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
                 || (CASE WHEN h % 2 = 0
                          THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
                               || '&fbclid=x'
                          ELSE '?item=' || CAST(k AS VARCHAR) END)
-                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+                || (CASE WHEN h % 7 = 0 THEN '#sec?x=1' ELSE '' END) AS url
               FROM u),
             n1 AS (
               SELECT *,
                 lower(regexp_extract(url,
                     '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-                regexp_extract(url,
-                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^@]*)$', 1) AS hostport,
                 regexp_replace(regexp_extract(url,
                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
                     '/+$', '') AS path0,
-                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+                regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                    '\?(.*)$', 1) AS qraw
               FROM raw),
             n2 AS (
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                (contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14595,7 +14623,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')
@@ -14628,34 +14656,40 @@ def oracle_sql() -> dict[str, str]:
             raw AS (
               SELECT doc_id, source, n_chars,
                 (CASE WHEN h % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+                || (CASE WHEN h % 11 = 0 THEN 'u:pw@' ELSE '' END)
                 || (CASE WHEN h % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
                 || source
                 || (CASE WHEN source IN ('src0','src1','src2','src3')
                          THEN '.badsite.net' ELSE '.example.com' END)
-                || (CASE WHEN h % 4 = 0 THEN ':443' ELSE '' END)
+                || (CASE WHEN h % 13 = 0 THEN ':bad'
+                         WHEN h % 4 = 0 THEN ':443' ELSE '' END)
                 || '/page/' || CAST(k AS VARCHAR)
                 || (CASE WHEN h % 5 = 0 THEN '/' ELSE '' END)
                 || (CASE WHEN h % 2 = 0
                          THEN '?utm_source=feed&item=' || CAST(k AS VARCHAR)
                               || '&fbclid=x'
                          ELSE '?item=' || CAST(k AS VARCHAR) END)
-                || (CASE WHEN h % 7 = 0 THEN '#sec' ELSE '' END) AS url
+                || (CASE WHEN h % 7 = 0 THEN '#sec?x=1' ELSE '' END) AS url
               FROM u),
             n1 AS (
               SELECT *,
                 lower(regexp_extract(url,
                     '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-                regexp_extract(url,
-                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                    '([^@]*)$', 1) AS hostport,
                 regexp_replace(regexp_extract(url,
                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
                     '/+$', '') AS path0,
-                regexp_extract(url, '\?([^#]*)', 1) AS qraw
+                regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                    '\?(.*)$', 1) AS qraw
               FROM raw),
             n2 AS (
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                (contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14663,7 +14697,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')

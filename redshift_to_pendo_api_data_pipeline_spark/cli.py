@@ -697,13 +697,12 @@ def _parsed_plan_is_query(spark, stmt: str) -> bool:
     statement. Walking the parsed tree (not the statement text) is
     what closes the CTE-prologue hole — 'WITH t AS (SELECT 1)
     INSERT OVERWRITE DIRECTORY ...' text-starts with WITH but parses
-    to an InsertInto* node under the CTE wrapper."""
-    try:
-        plan = (
-            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
-        )
-    except Exception:
-        return False  # unparseable: let spark.sql surface nothing
+    to an InsertInto* node under the CTE wrapper.
+
+    Raises the parser's exception for a syntactically invalid
+    statement — a typo is a PARSE error, not a read-only-policy
+    rejection, and the caller must report it as such."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
     jvm = spark.sparkContext._jvm
     command_iface = jvm.java.lang.Class.forName(
         "org.apache.spark.sql.catalyst.plans.logical.Command"
@@ -749,8 +748,16 @@ def cmd_sql(cfg: dict) -> int:
     # the prefix check above is only a cheap pre-filter: Spark SQL
     # accepts a CTE prologue before DML ('WITH t AS (...) INSERT ...'),
     # so the real gate walks the PARSED plan and rejects any
-    # command/write node anywhere in the tree
-    if not _parsed_plan_is_query(spark, stmt):
+    # command/write node anywhere in the tree; a PARSE failure is a
+    # distinct outcome (typo, not policy) and reports the parser's
+    # own message instead of a misleading read-only rejection
+    try:
+        is_query = _parsed_plan_is_query(spark, stmt)
+    except Exception as exc:
+        detail = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+        print(json.dumps({"error": "parse error", "detail": detail}))
+        return 2
+    if not is_query:
         print(json.dumps({"error": "only read-only query statements"}))
         return 2
     for name, path in cfg["tables"].items():

@@ -360,6 +360,10 @@ def corpus_line_dedup(
     exactly ONE occurrence corpus-wide — the earliest by
     (document id, line position) — and every other occurrence is
     excised from its document; documents that lose all lines drop.
+    EMPTY / whitespace-only lines are exempt: they are paragraph
+    separators, not content, and pass through unconditionally —
+    deduping them corpus-wide would silently collapse the paragraph
+    structure of every document but the corpus-first one.
     Returns (id, text rebuilt in original line order, n_lines_kept).
 
     Scale shape: posexplode lines once; the winner per line digest
@@ -379,12 +383,23 @@ def corpus_line_dedup(
             "__pos", "__line"
         ),
     ).withColumn("__d", F.md5("__line"))
-    winners = lines.groupBy("__d").agg(
+    blank = F.trim(F.col("__line")) == ""
+    nonblank = lines.where(~blank)
+    winners = nonblank.groupBy("__d").agg(
         F.min(F.struct("__doc", "__pos")).alias("__w")
     )
-    kept = lines.join(winners.hint("shuffle_hash"), "__d").where(
-        (F.col("__doc") == F.col("__w.__doc"))
-        & (F.col("__pos") == F.col("__w.__pos"))
+    kept_nonblank = (
+        nonblank.join(winners.hint("shuffle_hash"), "__d")
+        .where(
+            (F.col("__doc") == F.col("__w.__doc"))
+            & (F.col("__pos") == F.col("__w.__pos"))
+        )
+        .select("__doc", "__pos", "__line")
+    )
+    # blank lines never enter the digest shuffle at all — they rejoin
+    # the survivors by position at rebuild time
+    kept = kept_nonblank.unionByName(
+        lines.where(blank).select("__doc", "__pos", "__line")
     )
     return (
         kept.groupBy("__doc")

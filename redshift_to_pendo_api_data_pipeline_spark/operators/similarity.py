@@ -1802,8 +1802,13 @@ def rotate_vectors_fp(
                 "rvec": [list(r) for r in out],
             })
 
+    # the id passes through untouched, so the output schema carries the
+    # INPUT id type verbatim (embedding_moments_fp precedent) — a
+    # string doc id must not be silently cast to long by a hard-coded
+    # schema
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        _run, schema=f"{id_col} long, rvec array<double>"
+        _run, schema=f"{id_col} {id_type}, rvec array<double>"
     )
 
 

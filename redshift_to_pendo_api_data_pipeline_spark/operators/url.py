@@ -36,24 +36,37 @@ def url_normalize(col: Column) -> Column:
     """Canonical form of an http(s) URL, NULL when unparseable:
 
     - scheme and host lowercased;
+    - userinfo ('user:pass@') stripped from the authority BEFORE host
+      and port parse — it never participates in the URL's identity,
+      and leaving it in would let 'https://x@blocked.org/' evade a
+      domain blocklist and would merge distinct hosts that share a
+      username under one dedup key;
     - default ports dropped (http:80, https:443) — non-default ports
-      (including :80 on https) are kept;
+      (including :80 on https) are kept; a NON-NUMERIC port (':abc')
+      makes the whole URL unparseable (NULL) rather than being
+      silently discarded;
     - path: trailing slashes collapsed away, empty path becomes '/';
-    - query: tracking parameters (``TRACKING_PARAM_RE``) removed, the
-      surviving parameters kept in their original order (reordering
-      would merge URLs whose servers treat order as meaningful);
+    - query: starts at the first '?' BEFORE any '#' (a '?' inside the
+      fragment is fragment text, not a query); tracking parameters
+      (``TRACKING_PARAM_RE``) removed, the surviving parameters kept
+      in their original order (reordering would merge URLs whose
+      servers treat order as meaningful);
     - fragment dropped (never reaches the server).
 
     Pure regexp/array column algebra — identical expressions exist in
     DuckDB, so normalized URLs hash-check cross-engine."""
     scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
-    hostport = F.regexp_extract(col, _HOSTPORT_RE, 1)
+    authority = F.regexp_extract(col, _HOSTPORT_RE, 1)
+    # userinfo strip: everything after the LAST '@' is host[:port]
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    bad_port = hostport.contains(":") & ~hostport.rlike(r"^[^:]*:[0-9]+$")
     path_raw = F.regexp_extract(col, _PATH_RE, 1)
     path_stripped = F.regexp_replace(path_raw, r"/+$", "")
     path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
-    query_raw = F.regexp_extract(col, r"\?([^#]*)", 1)
+    pre_fragment = F.regexp_extract(col, r"^([^#]*)", 1)
+    query_raw = F.regexp_extract(pre_fragment, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query_raw, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
@@ -71,7 +84,7 @@ def url_normalize(col: Column) -> Column:
         F.concat(F.lit(":"), port)
     )
     return F.when(
-        (scheme != "") & (host != ""),
+        (scheme != "") & (host != "") & ~bad_port,
         F.concat(scheme, F.lit("://"), host, portstr, path, query),
     )
 

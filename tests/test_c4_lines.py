@@ -59,6 +59,32 @@ def test_corpus_line_dedup_keeps_first_occurrence(spark):
     assert out[1]["n_lines_kept"] == 2 and out[2]["n_lines_kept"] == 2
 
 
+def test_corpus_line_dedup_blank_lines_exempt(spark):
+    # blank separator lines are structure, not content: EVERY document
+    # keeps its blank lines (deduping them corpus-wide would collapse
+    # paragraph structure for all but the corpus-first doc)
+    rows = [
+        (1, "para one.\n\npara two."),
+        (2, "alpha.\n\nbeta.\n\ngamma."),
+        (3, "para one.\n\npara two."),  # content dupes of doc 1 excise
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           corpus_line_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["text"] == "para one.\n\npara two."
+    assert out[2]["text"] == "alpha.\n\nbeta.\n\ngamma."
+    # doc 3's content lines both excise; its blank line passes through
+    assert out[3]["text"] == ""
+    assert out[3]["n_lines_kept"] == 1
+    # whitespace-only counts as blank
+    df2 = spark.createDataFrame(
+        [(1, "x.\n \ny."), (2, "z.\n \nw.")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["text"] for r in
+            corpus_line_dedup(df2, "text", "doc_id").collect()}
+    assert out2[1] == "x.\n \ny." and out2[2] == "z.\n \nw."
+
+
 def test_cli_curate_c4_and_line_dedup_stages(spark, capsys, tmp_path):
     import json
 

@@ -39,7 +39,21 @@ def test_cli_sql_rejects_mutation(spark, capsys):
         "sql": "DROP TABLE region",
     })
     assert rc == 2
-    assert "error" in json.loads(capsys.readouterr().out.strip())
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["error"] == "only SELECT/WITH statements"
+
+
+def test_cli_sql_typo_reports_parse_error_not_policy(spark, capsys):
+    # a syntactically invalid SELECT is a PARSE error — it must not be
+    # mislabelled as a read-only-policy rejection
+    rc = cmd_sql({
+        "tables": {"region": f"{SF}/region.parquet"},
+        "sql": "SELECT r_name FROMM region",
+    })
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["error"] == "parse error"
+    assert "detail" in out
 
 
 def test_cli_sql_with_cte_join(spark, capsys):

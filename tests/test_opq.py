@@ -78,6 +78,23 @@ def test_rotate_vectors_bit_reproducible(spark):
     assert tuple(rotate_query_fp(q, rot, mean)) == a[0]
 
 
+def test_rotate_vectors_preserves_string_ids(spark):
+    # the output schema carries the INPUT id type — a string doc id
+    # (the curation-side convention) must survive, not miscast to long
+    from pyspark.sql import functions as F
+
+    df = _df(spark, _vectors()[:20]).select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+        .alias("vec_id"),
+        "embedding",
+    )
+    rot, mean = train_opq_rotation_fp(df, "embedding", m_sub=M_SUB)
+    out = rotate_vectors_fp(df, "embedding", "vec_id", rot, mean)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    ids = {r["vec_id"] for r in out.collect()}
+    assert "doc-0" in ids and len(ids) == 20
+
+
 def test_opq_recall_beats_plain_pq(spark):
     x = _vectors()
     df = _df(spark, x)
