@@ -102,6 +102,19 @@ def _sink_throughput(spark, data_dir: str) -> dict:
         srv.shutdown()
 
 
+def _probe_df(spark, data_dir: str):
+    """The pinned calibration probe's plan (see _calibration — DO NOT
+    EDIT the shape): one lineitem scan (2 pruned columns), one group
+    key, integer sum."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{data_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_fp"),
+    )
+
+
 def _calibration(spark, data_dir: str) -> dict:
     """Fixed host-speed probe (round 7, r6 verdict #5): per-query medians
     drift up to ~40% between machine sessions (documented in README 3b),
@@ -112,13 +125,7 @@ def _calibration(spark, data_dir: str) -> dict:
     query_r7 / query_r6 is only signal beyond (cal_r7 / cal_r6).
     Shape: one lineitem scan (2 pruned columns), one group key, integer
     sum — pure scan+shuffle+agg, no Python, no joins, no staging."""
-    from pyspark.sql import functions as F
-
-    li = spark.read.parquet(f"{data_dir}/lineitem.parquet")
-    probe = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_fp"),
-    )
+    probe = _probe_df(spark, data_dir)
     samples = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -241,7 +248,31 @@ def main() -> None:
     os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
     first_runs: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name, fn in qs.items():
+    # In-loop host probes (r10, r9 verdict #2): the driver-run artifact
+    # came in ~12% hotter than the local run with BOTH runs' pre/post
+    # probes idle-green — contention (and Python-worker churn: the
+    # driver tail showed pyspark daemon BrokenPipeError reforks) built
+    # up DURING the ~5-minute loop where the boundary probes can't see
+    # it. Every 25 queries the loop times one pinned JVM probe (scan+agg,
+    # no Python — tracks CPU/page-cache pressure) and one Python-edge
+    # probe (trivial pandas_udf sum — additionally tracks Arrow
+    # round-trip + worker fork health). `value_normalized_sec` divides
+    # the headline total by the in-loop JVM inflation so driver-vs-local
+    # artifacts reconcile on one number.
+    probe_df = _probe_df(spark, data_dir)
+    py_probe_df = spark.range(200_000, numPartitions=32).select(
+        F.sum(_warm("id"))
+    )
+    inloop_jvm: list[float] = []
+    inloop_py: list[float] = []
+    for qi, (name, fn) in enumerate(qs.items()):
+        if qi % 25 == 0:
+            t0 = time.perf_counter()
+            probe_df.write.format("noop").mode("overwrite").save()
+            inloop_jvm.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            py_probe_df.write.format("noop").mode("overwrite").save()
+            inloop_py.append(time.perf_counter() - t0)
         samples = []
         n_runs = 4 if name in staged_names else 3
         for i in range(n_runs):
@@ -307,6 +338,23 @@ def main() -> None:
         "calibration_preloop": pre_cal,
         "contended": contended,
         "contention_inflation": inflation,
+        # in-loop probes (r10): host state DURING the timed loop —
+        # the pre/post boundary probes missed mid-loop contention twice
+        "calibration_inloop": {
+            "n_probes": len(inloop_jvm),
+            "jvm_median_sec": round(sorted(inloop_jvm)[len(inloop_jvm) // 2], 4),
+            "jvm_max_sec": round(max(inloop_jvm), 4),
+            "py_median_sec": round(sorted(inloop_py)[len(inloop_py) // 2], 4),
+            "py_max_sec": round(max(inloop_py), 4),
+        },
+        # headline total divided by in-loop JVM inflation vs the pinned
+        # idle reference — the number to compare across harnesses/hosts
+        "value_normalized_sec": round(
+            total
+            * PINNED_IDLE_PROBE_SEC
+            / max(sorted(inloop_jvm)[len(inloop_jvm) // 2], 1e-9),
+            2,
+        ),
         # steady-state: sum of per-query median-of-3 after warm-up,
         # over ALL registry queries
         "value": total,

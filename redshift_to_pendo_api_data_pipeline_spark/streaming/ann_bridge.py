@@ -62,12 +62,28 @@ def batch_ivf_topk(
     qvec_col: str = "qvec",
     k: int = 10,
     n_probe: int = 4,
+    max_driver_queries: int = 10_000,
 ) -> DataFrame:
     """Answer MANY queries against a persisted IVF index in one job:
     (query_id, vec_id, cosine), top-k rows per query. Also usable in
-    batch for bulk re-ranking jobs."""
+    batch for bulk re-ranking jobs.
+
+    The driver matmul requires collecting the query vectors, so the
+    collect is GUARDED: query sets above ``max_driver_queries`` rows
+    auto-route to :func:`batch_ivf_topk_distributed` (row-identical
+    results, vectors never touch the driver). The probe costs
+    ``limit(cap+1).count()`` — O(cap) rows, never a full count of an
+    unexpectedly large query relation."""
     from pyspark.sql import types as T
 
+    if (
+        queries_df.limit(max_driver_queries + 1).count()
+        > max_driver_queries
+    ):
+        return batch_ivf_topk_distributed(
+            spark, queries_df, index_path, centroids, vec_col, id_col,
+            qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
+        )
     qrows = queries_df.select(qid_col, qvec_col).collect()
     if not qrows:
         return spark.createDataFrame(
@@ -225,21 +241,17 @@ def streaming_ann_topk(
     spark = stream_df.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch re-evaluates the source per action; persist so the
-        # crossover probe + the chosen path read the batch once, and bound
-        # the probe with limit(cap+1) so deciding "small or big?" costs
-        # O(cap) rows, never a full count of a backlogged batch.
+        # foreachBatch re-evaluates the source per action; persist so
+        # batch_ivf_topk's bounded crossover probe + the chosen path
+        # read the batch once. Routing lives in batch_ivf_topk itself:
+        # micro-batches over max_driver_queries rows take the join-based
+        # distributed path instead of collecting to the driver.
         batch_df.persist()
         try:
-            n = batch_df.limit(max_driver_queries + 1).count()
-            fn = (
-                batch_ivf_topk
-                if n <= max_driver_queries
-                else batch_ivf_topk_distributed
-            )
-            out = fn(
+            out = batch_ivf_topk(
                 spark, batch_df, index_path, centroids, vec_col, id_col,
                 qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
+                max_driver_queries=max_driver_queries,
             )
             # on_results must consume `out` eagerly (write/collect) — the
             # batch is unpersisted when it returns.

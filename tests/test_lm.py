@@ -292,6 +292,33 @@ def test_streaming_ann_distributed_path_matches_collect(spark, sf_dir, tmp_path)
     q.awaitTermination(180)
     assert sorted(rows) == want
 
+    # DIRECT batch calls are guarded too: a query set above
+    # max_driver_queries auto-routes to the distributed path (the
+    # unconditional driver collect is gone), results identical
+    from redshift_to_pendo_api_data_pipeline_spark.streaming import (
+        ann_bridge,
+    )
+
+    routed = []
+    real_distributed = ann_bridge.batch_ivf_topk_distributed
+
+    def spy(*args, **kwargs):
+        routed.append(True)
+        return real_distributed(*args, **kwargs)
+
+    ann_bridge.batch_ivf_topk_distributed = spy
+    try:
+        got_guard = sorted(
+            (r["query_id"], r["vec_id"], r["cosine"])
+            for r in batch_ivf_topk(
+                spark, queries, index_path, centroids, "embedding",
+                "vec_id", k=5, n_probe=3, max_driver_queries=4,
+            ).collect()
+        )
+    finally:
+        ann_bridge.batch_ivf_topk_distributed = real_distributed
+    assert routed and got_guard == want
+
 
 def test_batch_ivf_topk_preserves_string_query_ids(spark, sf_dir, tmp_path):
     """Both batch flavors must pass non-long query ids through unchanged

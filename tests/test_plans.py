@@ -286,3 +286,21 @@ def test_ivfpq_probe_partition_pruned_and_jvm(spark):
     assert "BroadcastHashJoin" in p
     for node in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in p
+
+
+def test_explains_md_covers_every_registry_query():
+    """EXPLAINS.md (tools/dump_plans.py output) must carry exactly one
+    plan section AND one plan-stat table row per registry query — a
+    stale artifact silently under-documents new queries."""
+    import re
+
+    with open("/root/repo/EXPLAINS.md") as fh:
+        text = fh.read()
+    sections = set(re.findall(r"^## (.+)$", text, re.M))
+    sections.discard(
+        "Plan-statistics summary (mechanical counts over the plans below)"
+    )
+    table_rows = set(re.findall(r"^\| ([a-z0-9_]+) \| \d", text, re.M))
+    registry = set(entry.queries())
+    assert sections == registry
+    assert table_rows == registry
