@@ -5277,6 +5277,14 @@ def _linkage_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
         band.alias("__band"),
     )
+    # width pin (SCALE.md AQE compute-amplification trap): the
+    # (brand, type, band) exchanges are byte-small, so AQE coalesces
+    # the levenshtein-amplified join stage to ~2 tasks (profiled 2 x
+    # 1.0 s serial at sf0.1); a user-pinned repartition on the join
+    # keys is AQE-exempt and keeps both sides at full width
+    a = a.repartition(
+        spark.sparkContext.defaultParallelism, "__blk", "__type", "__band"
+    )
     cand = (
         a.join(b.hint("shuffle_hash"), ["__blk", "__type", "__band"])
         .where(F.col("k_a") < F.col("k_b"))

@@ -458,19 +458,24 @@ def connected_components(
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
+        newl = F.least(F.col("label"), F.coalesce("nlabel", "label"))
+        # the change flag rides the SAME plan as the new labels, so the
+        # convergence check is a narrow scan of the checkpointed blocks
+        # — a per-iteration join of new-vs-old labels (one extra
+        # shuffle job per round) profiled as half the serial stage
+        # chain on small graphs
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                newl.alias("__newl"),
+                (newl != F.col("label")).alias("__chg"),
             )
+            .withColumnRenamed("__newl", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label")).count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -829,7 +829,13 @@ def weighted_quantiles_exact(
     cum = global_prefix_sum(base, ["__v", "__id"], "__w",
                             prefix_name="__c", keep_total=True)
     qs = F.array(*[F.lit(int(q)) for q in qs_ppm])
-    exploded = cum.select(
+    # width pin (SCALE.md AQE compute-amplification trap): the explode
+    # multiplies len(qs) DECIMAL(38,0) target computations per row
+    # behind a byte-small relation AQE coalesces to ~7 tasks (profiled
+    # 5.1 s runtime serialized); hash-pin on the value key before the
+    # amplifying stage
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = cum.repartition(par, "__v").select(
         "__v", "__c", "__total", F.explode(qs).alias("q_ppm")
     )
     # target = ceil(q * W / 1e6), integer form (q*W + 1e6 - 1) div 1e6

@@ -528,9 +528,17 @@ def spearman_rho(
 
     rx = doubled_ranks(x_col, "__rx")
     ry = doubled_ranks(y_col, "__ry")
+    # width pins (SCALE.md AQE compute-amplification trap): both
+    # rank-hydration exchanges are byte-small (two long columns), so
+    # AQE coalesces the join+DECIMAL(38,0)-fold stages to 3-4 tasks;
+    # user-pinned repartitions on the join keys are AQE-exempt and add
+    # no exchange (each IS the exchange the shuffle_hash join needs)
+    par = df.sparkSession.sparkContext.defaultParallelism
     ranked = (
         df.select(x_col, y_col)
+        .repartition(par, x_col)
         .join(rx.hint("shuffle_hash"), x_col)
+        .repartition(par, y_col)
         .join(ry.hint("shuffle_hash"), y_col)
     )
     folded = ranked.agg(

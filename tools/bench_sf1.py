@@ -57,7 +57,13 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
 
 
-def main() -> int:
+def main(all_queries: bool = False) -> int:
+    """Default: the 40-query deep cut (cold + median-of-3). With
+    ``--all`` (r10, r9 verdict #4): EVERY registry query at both SFs,
+    cold + ONE probe each — 2 runs/query/SF bounds the full-registry
+    sweep to a few hours while still separating staging/codegen (cold)
+    from steady state (probe); writes BENCH_sf1_all.json so the
+    deep-cut artifact keeps its median-of-3 methodology."""
     import __spark_entry__ as entry
     from redshift_to_pendo_api_data_pipeline_spark.session import get_spark
 
@@ -72,33 +78,38 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    out: dict = {"per_query_stat": "median_of_3_after_cold",
-                 "queries": QUERIES}
+    names = list(qs) if all_queries else QUERIES
+    n_probe = 1 if all_queries else 3
+    out: dict = {
+        "per_query_stat": f"median_of_{n_probe}_after_cold",
+        "queries": names,
+    }
     for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
         med, cold = {}, {}
-        for name in QUERIES:
+        for name in names:
             t = time.time()
             qs[name](spark, sf).count()
             cold[name] = round(time.time() - t, 3)
             ts = []
-            for _ in range(3):
+            for _ in range(n_probe):
                 t = time.time()
                 qs[name](spark, sf).count()
                 ts.append(time.time() - t)
-            med[name] = round(sorted(ts)[1], 3)
+            med[name] = round(sorted(ts)[len(ts) // 2], 3)
             print(f"{label} {name}: cold {cold[name]} median {med[name]}",
                   flush=True)
         out[label] = {"queries": med, "cold": cold}
     out["growth"] = {
         n: round(out["sf1"]["queries"][n] / max(out["sf0.1"]["queries"][n], 1e-9), 2)
-        for n in QUERIES
+        for n in names
     }
     out["growth_cold"] = {
         n: round(out["sf1"]["cold"][n] / max(out["sf0.1"]["cold"][n], 1e-9), 2)
-        for n in QUERIES
+        for n in names
     }
+    fname = "BENCH_sf1_all.json" if all_queries else "BENCH_sf1.json"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_sf1.json")
+        os.path.abspath(__file__))), fname)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path}")
@@ -106,4 +117,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(all_queries="--all" in sys.argv[1:]))
