@@ -562,12 +562,19 @@ def target_encode_loo(
         F.sum(F.col(target_col).cast("long")).cast("long").alias("__st"),
         F.count(F.lit(1)).cast("long").alias("__nt"),
     )
+    # width pin (SCALE.md AQE compute-amplification trap): the category
+    # exchange is byte-small (category + one long), so AQE coalesces
+    # the hydration join to ~3 tasks while the fact side is corpus-
+    # sized; the pinned repartition IS the join's exchange (no shuffle
+    # added) and keeps the stage at full width
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(
             *[F.col(c) for c in id_cols],
             F.col(cat_col).alias("__c"),
             F.col(target_col).cast("long").alias("y"),
         )
+        .repartition(par, "__c")
         .join(sums.hint("shuffle_hash"), "__c")
         .crossJoin(F.broadcast(tot))
     )
