@@ -7440,12 +7440,13 @@ def q_qini_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("treated"),
         (F.col("l_returnflag") == "R").cast("long").alias("returned"),
     ).join(F.broadcast(part), "l_partkey")
+    # `treated` rides through target_encode_loo as an id column — the
+    # previous shape re-attached it with a line_uid-keyed self-join,
+    # paying two shuffles of 70-byte uid strings for a column the
+    # encoder never touches
     scored = target_encode_loo(
-        base.select("line_uid", "p_brand", "returned"),
-        "p_brand", "returned", ["line_uid"],
-    ).join(
-        base.select("line_uid", "treated").hint("shuffle_hash"),
-        "line_uid",
+        base.select("line_uid", "treated", "p_brand", "returned"),
+        "p_brand", "returned", ["line_uid", "treated"],
     )
     return qini_curve(
         scored, "enc_fp", "treated", "y", "line_uid", n_buckets=10

@@ -79,6 +79,15 @@ def get_spark(
         # per-query standalone times unchanged). Size it to the surface,
         # and give HotSpot room so JIT never disables itself mid-session.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Scan width on SMALL files: the default openCostInBytes (4 MB)
+        # FLOORS the file-split size, so a 10 MB parquet fixture scans
+        # at ceil(10/4)=3 tasks while decompressing ~9x that and
+        # feeding compute-heavy projections (profiled: the lineitem
+        # scan+uid-concat stage ran 2.1 s on 3 of 32 cores). 256 KB
+        # lets bytes-per-core set the split on small files; on real
+        # cluster-sized files maxPartitionBytes (128 MB) still caps the
+        # split, so the knob is inert there.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
