@@ -12473,16 +12473,19 @@ def oracle_sql() -> dict[str, str]:
               FROM items),
             cl AS (
               SELECT CASE
-                       WHEN (cum_fp - rev_fp) * 1000000 // tot < 800000
+                       WHEN CAST(cum_fp - rev_fp AS HUGEINT) * 1000000
+                            // tot < 800000
                          THEN 'A'
-                       WHEN (cum_fp - rev_fp) * 1000000 // tot < 950000
+                       WHEN CAST(cum_fp - rev_fp AS HUGEINT) * 1000000
+                            // tot < 950000
                          THEN 'B'
                        ELSE 'C' END AS abc_class,
                      rev_fp, tot
               FROM c)
             SELECT abc_class, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(rev_fp) AS BIGINT) AS revenue_fp,
-                   CAST(sum(rev_fp) * 1000000 // max(tot) AS BIGINT)
+                   CAST(CAST(sum(rev_fp) AS HUGEINT) * 1000000
+                        // max(tot) AS BIGINT)
                        AS revenue_share_ppm
             FROM cl GROUP BY abc_class
         """,

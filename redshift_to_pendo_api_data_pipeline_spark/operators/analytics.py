@@ -1304,9 +1304,14 @@ def mean_shift_changepoint(
         )
         .withColumn(
             "score_ppm",
+            # DECIMAL(38,0): pre_sum x post_n is (per-key event mass) x
+            # (day count) — the extra x1e6 pushes past BIGINT on hot
+            # keys at corpus scale (same class as the abc_analysis
+            # overflow the sf1 sweep caught)
             F.expr(
-                "abs(pre_sum * post_n - post_sum * pre_n) * 1000000L"
-                " div (pre_n * post_n)"
+                "CAST(abs(CAST(pre_sum AS DECIMAL(38,0)) * post_n"
+                " - CAST(post_sum AS DECIMAL(38,0)) * pre_n) * 1000000"
+                " div (pre_n * post_n) AS DECIMAL(38,0))"
             ),
         )
     )
@@ -1445,9 +1450,11 @@ def mom_growth(
             F.col("m").cast("string").alias("month"),
             "revenue_fp",
             "prev_fp",
+            # DECIMAL(38,0): monthly revenue_fp is an unbounded money
+            # sum; x1e6 in BIGINT overflows at corpus scale
             F.expr(
-                "CAST((revenue_fp - prev_fp) * 1000000L"
-                " div nullif(prev_fp, 0L) AS BIGINT)"
+                "CAST(CAST(revenue_fp - prev_fp AS DECIMAL(38,0))"
+                " * 1000000 div nullif(prev_fp, 0L) AS BIGINT)"
             ).alias("growth_ppm"),
         )
     )
@@ -1585,12 +1592,18 @@ def abc_analysis(
     )
     classed = cum.withColumn(
         "abc_class",
+        # DECIMAL(38,0) for the ppm cross-multiply: cum_fp is the
+        # CUMULATIVE revenue in cents — ~2e13 at sf1, so *1e6 overflows
+        # BIGINT (caught by the full-registry sf1 sweep, r10); DECIMAL
+        # div truncates identically, so the class cut is unchanged
         F.when(
-            F.expr("(cum_fp - rev_fp) * 1000000L div nullif(__total, 0L)") < a_ppm,
+            F.expr("CAST(cum_fp - rev_fp AS DECIMAL(38,0)) * 1000000"
+                   " div nullif(__total, 0L)") < a_ppm,
             F.lit("A"),
         )
         .when(
-            F.expr("(cum_fp - rev_fp) * 1000000L div nullif(__total, 0L)") < b_ppm,
+            F.expr("CAST(cum_fp - rev_fp AS DECIMAL(38,0)) * 1000000"
+                   " div nullif(__total, 0L)") < b_ppm,
             F.lit("B"),
         )
         .otherwise(F.lit("C")),
@@ -1606,7 +1619,8 @@ def abc_analysis(
             "abc_class",
             "n_items",
             "revenue_fp",
-            F.expr("revenue_fp * 1000000L div nullif(__t, 0L)").cast("long").alias(
+            F.expr("CAST(revenue_fp AS DECIMAL(38,0)) * 1000000"
+                   " div nullif(__t, 0L)").cast("long").alias(
                 "revenue_share_ppm"
             ),
         )
@@ -2017,7 +2031,9 @@ def grouped_ols_slope(
     return agg.select(
         *group_cols, "n", "sxy", "sxx",
         F.when(F.col("sxx") == 0, F.lit(None))
-        .otherwise(F.expr("sxy * 1000000L div sxx"))
+        # DECIMAL(38,0): sxy is a corpus-sized sum of centered cross
+        # products; x1e6 in BIGINT overflows at scale
+        .otherwise(F.expr("CAST(sxy AS DECIMAL(38,0)) * 1000000 div sxx"))
         .cast("long").alias("slope_ppm"),
     )
 
