@@ -257,8 +257,12 @@ def association_rules(
             "pair_support",
             F.expr("pair_support * 1000000L div sup_ante").cast("long")
             .alias("confidence_ppm"),
+            # DECIMAL(38,0): support x n_baskets x 1e6 is ~1e26 at
+            # corpus scale — far past BIGINT (abc_analysis class)
             F.expr(
-                f"pair_support * {n}L * 1000000L div (sup_ante * sup_cons)"
+                f"CAST(pair_support AS DECIMAL(38,0)) * {n}"
+                " * 1000000 div (CAST(sup_ante AS DECIMAL(38,0))"
+                " * sup_cons)"
             ).cast("long").alias("lift_ppm"),
         )
         .orderBy(
@@ -603,8 +607,11 @@ def related_items(
         "antecedent", "consequent", "pair_support",
         F.expr("pair_support * 1000000L div sup_ante").cast("long")
         .alias("confidence_ppm"),
+        # DECIMAL(38,0): same overflow class as association_rules' lift
         F.expr(
-            f"pair_support * {n}L * 1000000L div (sup_ante * sup_cons)"
+            f"CAST(pair_support AS DECIMAL(38,0)) * {n}"
+            " * 1000000 div (CAST(sup_ante AS DECIMAL(38,0))"
+            " * sup_cons)"
         ).cast("long").alias("lift_ppm"),
     )
     w = Window.partitionBy("antecedent").orderBy(

@@ -201,8 +201,11 @@ def exact_auc(
         (F.lit(2) * (F.col("__cum") - F.col("__c"))
          + F.col("__c") + F.lit(1)).alias("__avg2"),
     )
+    # DECIMAL(38,0): the doubled rank sum is O(n_pos x 2n) — past
+    # BIGINT at corpus scale (the abc_analysis overflow class)
     agg = terms.agg(
-        F.sum(F.col("__cp") * F.col("__avg2")).cast("long").alias("__r2"),
+        F.sum(F.col("__cp").cast("decimal(38,0)") * F.col("__avg2"))
+        .cast("decimal(38,0)").alias("__r2"),
         F.sum("__cp").cast("long").alias("n_pos"),
         (F.sum("__c") - F.sum("__cp")).cast("long").alias("n_neg"),
     )
@@ -215,8 +218,9 @@ def exact_auc(
         )
         .otherwise(
             F.expr(
-                "(__r2 - n_pos * (n_pos + 1)) * 1000000L"
-                " div (2 * n_pos * n_neg)"
+                "(__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+                " * 1000000"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
             )
         )
         .cast("long")

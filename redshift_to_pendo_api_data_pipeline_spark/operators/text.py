@@ -1348,9 +1348,11 @@ def token_drift_tv(
             F.col("t").alias("token"),
             "n_a",
             "n_b",
+            # DECIMAL(38,0): n_a/n_b are corpus token counts (~2e13
+            # at 100 TB) — x1e6 is past BIGINT
             F.abs(
-                F.expr("n_a * 1000000L div __ta")
-                - F.expr("n_b * 1000000L div __tb")
+                F.expr("CAST(n_a AS DECIMAL(38,0)) * 1000000 div __ta")
+                - F.expr("CAST(n_b AS DECIMAL(38,0)) * 1000000 div __tb")
             ).cast("long").alias("contrib_ppm"),
         )
         .orderBy(F.desc("contrib_ppm"), F.asc("token"))
@@ -1580,9 +1582,11 @@ def compression_quality(
         F.sum("n_comp").cast("long").alias("comp_bytes"),
         # a group of only-empty docs has no ratio: NULL, not an ANSI
         # div-by-zero crash
+        # DECIMAL(38,0): group byte totals x1e6 pass BIGINT at scale
         F.expr(
             "CASE WHEN sum(n_raw) = 0 THEN NULL"
-            " ELSE sum(n_comp) * 1000000L div sum(n_raw) END"
+            " ELSE CAST(sum(n_comp) AS DECIMAL(38,0)) * 1000000"
+            " div sum(n_raw) END"
         ).cast("long").alias("mean_ratio_ppm"),
         F.sum(
             F.when(F.col("__r") < repetitive_below_ppm, 1).otherwise(0)
