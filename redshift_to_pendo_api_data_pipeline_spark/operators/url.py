@@ -44,7 +44,10 @@ def url_normalize(col: Column) -> Column:
     - default ports dropped (http:80, https:443) — non-default ports
       (including :80 on https) are kept; a NON-NUMERIC port (':abc')
       makes the whole URL unparseable (NULL) rather than being
-      silently discarded;
+      silently discarded. IPv6 bracket literals fall outside this
+      naive host[:port] grammar and also normalize to NULL — safe by
+      the same contract (NULL-normalized rows are never dropped:
+      dedup keys them by their own id, the blocklist keeps them);
     - path: trailing slashes collapsed away, empty path becomes '/';
     - query: starts at the first '?' BEFORE any '#' (a '?' inside the
       fragment is fragment text, not a query); tracking parameters

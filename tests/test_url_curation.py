@@ -73,6 +73,18 @@ def test_url_normalize_fragment_and_port_edges(spark):
     assert _norm(spark, "https://e.com:abc/x") is None
     assert _norm(spark, "https://e.com:80x/x") is None
     assert _norm(spark, "https://e.com:12:34/x") is None
+    # IPv6 literals fall outside the naive host[:port] grammar and
+    # normalize to NULL — and NULL-normalized rows are NEVER dropped:
+    # dedup treats them as own-id clusters, the blocklist keeps them
+    assert _norm(spark, "https://[::1]:8080/x") is None
+    df = spark.createDataFrame(
+        [(1, "https://[2001:db8::1]/a"), (2, "https://[2001:db8::1]/a")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"]
+            for r in url_dedup_keep_best(df, "url", "doc_id", "doc_id")
+            .collect()}
+    assert kept == {1, 2}  # own clusters: neither silently dropped
 
 
 def test_filter_blocked_domains_userinfo_not_evadable(spark):
