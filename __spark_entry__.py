@@ -2643,10 +2643,15 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width pin (SCALE.md AQE compute-amplification trap): the whole
     # query is otherwise one single-task scan stage — and orderBy's
     # range sampler evaluates that stage TWICE (measured 2 x 1.7 s
-    # single-threaded at sf0.1)
+    # single-threaded at sf0.1). The pin comes BEFORE the words()
+    # split: an expression placed in the same select as the scan runs
+    # IN the 1-task scan stage, upstream of the exchange (r10 profile:
+    # 1.5 s single-task) — repartition the raw columns, transform wide.
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words(F.col("text")).alias("__w")
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        "doc_id", "text"
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", words(F.col("text")).alias("__w"))
 
     def _line(i):
         base = F.array_join(F.slice(F.col("__w"), i * 6 + 1, 6), " ")

@@ -160,16 +160,22 @@ def bloom_semijoin(
       1. the key relation collapses to an m-bit Bloom bitmap built
          relationally — distinct (pos div 64) words with bit_or'd
          bits, <= m/64 rows (16k longs = 128 KB at the defaults)
-         REGARDLESS of key count, gathered into one map<long,long>
-         row;
+         REGARDLESS of key count — then densified to ONE
+         array<long> row through a bounded driver sidecar (the IVF-
+         centroids contract; the dense array makes each probe an O(1)
+         element_at where a map value scans linearly);
       2. the bitmap row broadcast-joins the fact (scalar
          BroadcastNestedLoopJoin — the repo's accepted 1-row join
          shape) and a pure column predicate keeps a row iff all k
          seeded positions have their bit set (Bloom mightContain,
          zero Python, zero shuffle);
       3. survivors — true matches plus ~(1 - e^{-kn/m})^k false
-         positives — do the exact left_semi with a shuffle_hash hint,
-         so the one real shuffle carries the reduced fact only.
+         positives — do the exact finish as an INNER join against the
+         distinct key relation (row-identical to a left_semi, but
+         immune to PushDownLeftSemiAntiJoin, which was observed
+         hoisting the Bloom filter ABOVE a left_semi and shuffling
+         the FULL fact), width-pinned, so the one real shuffle
+         carries the reduced fact only.
 
     No false negatives, exact output (the oracle is a plain
     semi-join); returns the filtered fact with its original columns."""
@@ -185,32 +191,53 @@ def bloom_semijoin(
         .select(F.pmod(F.xxhash64("__k", "seed"), F.lit(m)).alias("pos"))
         .distinct()
     )
-    bitmap = (
-        positions.groupBy(
-            F.expr("pos div 64").alias("word")
-        )
-        .agg(
-            F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))")
-            .alias("bits")
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("__bloom")
-        )
+    n_words = m // 64
+    words = positions.groupBy(
+        F.expr("pos div 64").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))")
+        .alias("bits")
+    )
+    # DENSE array<long> bitmap via a bounded driver sidecar (the IVF-
+    # centroids contract: <= m/64 rows = 128 KB at the defaults,
+    # REGARDLESS of key count). Two rejected alternatives, measured:
+    # probing a broadcast MAP value per row is a LINEAR scan per
+    # element_at (4 probes/row x 16k entries x 600k rows ~= 4e10
+    # comparisons, 9.3 s); densifying relationally with
+    # try_element_at-per-index runs interpreted (14.6 s for 16k
+    # lookups). The driver fill is microseconds and the dense array
+    # probes O(1) per lookup.
+    sparse = {int(r["word"]): int(r["bits"]) for r in words.collect()}
+    dense = [sparse.get(w, 0) for w in range(int(n_words))]
+    bitmap = fact.sparkSession.createDataFrame(
+        [(dense,)], "__bloom array<bigint>"
     )
     probed = fact.join(F.broadcast(bitmap))
     pred = F.lit(True)
     for i in seeds:
         pos_sql = f"pmod(xxhash64(CAST({key_col} AS BIGINT), {i}), {m})"
         hit = F.expr(
-            f"coalesce(try_element_at(__bloom, {pos_sql} div 64), 0L)"
+            f"element_at(__bloom, CAST({pos_sql} div 64 AS INT) + 1)"
             f" & shiftleft(1L, CAST({pos_sql} % 64 AS INT)) != 0"
         )
         pred = pred & hit
     survivors = probed.where(pred).drop("__bloom")
-    return survivors.join(
-        key_rel.hint("shuffle_hash"),
-        survivors[key_col].cast("long") == F.col("__k"),
-        "left_semi",
+    # exact finish as an INNER join against the DISTINCT key relation —
+    # row-identical to a left_semi (the build side is distinct by
+    # construction) but immune to PushDownLeftSemiAntiJoin, which was
+    # observed hoisting the Bloom BNLJ ABOVE a left_semi and thereby
+    # shuffling the FULL fact before the bitmap ever filtered a row
+    # (the executed plan is pinned by test). The pinned repartition on
+    # the precomputed key IS the join's one real shuffle, at full
+    # width (AQE byte-based coalesce would serialize it).
+    par = fact.sparkSession.sparkContext.defaultParallelism
+    return (
+        survivors.withColumn("__fk", F.col(key_col).cast("long"))
+        .repartition(par, "__fk")
+        .join(
+            key_rel.hint("shuffle_hash"),
+            F.col("__fk") == F.col("__k"),
+            "inner",
+        )
+        .drop("__fk", "__k")
     )

@@ -44,7 +44,15 @@ def test_bloom_semijoin_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     # scalar bitmap attaches by broadcast (1-row join), and the exact
-    # finish is the hinted shuffle-hash semi join
+    # finish is the hinted shuffle-hash join
     assert "BroadcastNestedLoopJoin" in plan
-    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # THE load-bearing shape (r10): the Bloom prefilter must run on the
+    # SCAN side, below the exact join — with a left_semi finish,
+    # PushDownLeftSemiAntiJoin hoisted the BNLJ above the join and the
+    # FULL fact crossed the shuffle unfiltered (the inner-join finish
+    # against the distinct key relation is immune)
+    assert plan.index("BroadcastNestedLoopJoin") > plan.index(
+        "ShuffledHashJoin"
+    )
