@@ -426,6 +426,7 @@ def simhash_dedup_pairs(
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 20,
+    max_driver_edges: int = 5_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in `pairs`, where cluster_id is
     the minimum node id of its connected component — turns near-dup PAIRS
@@ -438,7 +439,19 @@ def connected_components(
     hash-partitioned, map-side-combined min; `localCheckpoint` truncates
     the lineage so round N's plan doesn't replay rounds 1..N-1 (the
     classic iterative-algorithm trap). Terminates early when a round
-    changes nothing."""
+    changes nothing.
+
+    Small-graph crossover (the ``batch_ivf_topk`` routing pattern):
+    a graph of <= ``max_driver_edges`` distinct undirected edges
+    (~80 MB of longs at the default — the pair graph a VERIFIED
+    near-dup stage emits is pairs-that-passed-a-threshold, orders of
+    magnitude below the corpus) resolves with union-find on the
+    driver in one collect — the iterative loop's per-round job
+    latency (profiled: ~6 s of pure scheduling for an 84k-edge graph)
+    is the wrong tool below the crossover. Both paths return
+    identical (node, min-member cluster_id) rows — pinned by test —
+    and the probe costs ``limit(cap+1).count()`` on the materialized
+    edge relation, never a full count."""
     # materialize the directed pairs BEFORE mirroring: union(e, reverse(e))
     # evaluates both branches, which would run the (expensive) upstream
     # pair-generation twice
@@ -448,32 +461,85 @@ def connected_components(
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
+
+    small = (
+        edges.limit(int(max_driver_edges) + 1).count()
+        <= int(max_driver_edges)
+    )
+    if small:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        rows = [
+            (node, min(members))
+            for members in comp.values()
+            for node in members
+        ]
+        from pyspark.sql import types as T
+
+        node_t = edges.schema["src"].dataType
+        return pairs.sparkSession.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("node", node_t, False),
+                T.StructField("cluster_id", node_t, False),
+            ]),
+        )
+
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def _prop(lbl: DataFrame) -> DataFrame:
+        """One min-label step; extra columns on `lbl` ride through."""
         neigh = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(
+                lbl.select("node", "label"),
+                edges["dst"] == F.col("node"),
+            )
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        newl = F.least(F.col("label"), F.coalesce("nlabel", "label"))
-        # the change flag rides the SAME plan as the new labels, so the
-        # convergence check is a narrow scan of the checkpointed blocks
-        # — a per-iteration join of new-vs-old labels (one extra
-        # shuffle job per round) profiled as half the serial stage
-        # chain on small graphs
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
-            .select(
-                "node",
-                newl.alias("__newl"),
-                (newl != F.col("label")).alias("__chg"),
-            )
-            .withColumnRenamed("__newl", "label")
-            .localCheckpoint()
+        carried = [c for c in lbl.columns if c not in ("label",)]
+        return lbl.join(neigh, lbl["node"] == neigh["src"], "left").select(
+            *carried,
+            F.least(F.col("label"), F.coalesce("nlabel", "label"))
+            .alias("label"),
         )
+
+    # TWO propagation steps per checkpointed round: the loop's wall
+    # cost on small graphs is per-JOB scheduling (plan + stage launch),
+    # not compute — fusing two monotone steps into one materialization
+    # halves the job count and reaches the same unique fixpoint (min
+    # label per component). The change flag rides the same plan
+    # (computed against the label BEFORE the double step), so the
+    # convergence check is a narrow count over checkpointed blocks.
+    for _ in range(max_iter):
+        two = _prop(_prop(labels.withColumn("__old", F.col("label"))))
+        new_labels = two.select(
+            "node",
+            "label",
+            (F.col("label") != F.col("__old")).alias("__chg"),
+        ).localCheckpoint()
         changed = new_labels.where(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:

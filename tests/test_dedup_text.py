@@ -199,6 +199,13 @@ def test_connected_components_clusters_pairs(spark):
     out = {r["node"]: r["cluster_id"]
            for r in D.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+    # crossover contract: the driver union-find (small graphs) and the
+    # distributed min-label loop (max_driver_edges=0 forces it) return
+    # identical rows — same schema, same min-member cluster ids
+    dist = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(
+                pairs, max_driver_edges=0).collect()}
+    assert dist == out
 
 
 def test_benchmark_contamination_flags_overlap(spark):
