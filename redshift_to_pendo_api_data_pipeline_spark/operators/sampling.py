@@ -622,6 +622,7 @@ def kcenter_select(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
+    max_driver_vecs: int = 200_000,
 ) -> "DataFrame":
     """Greedy k-center (farthest-point / Gonzalez) coreset selection
     over an embedding column — the diversity-maximizing data-selection
@@ -637,7 +638,16 @@ def kcenter_select(
     ever reach the driver). The seed step is distance-to-origin (max
     norm). No quadratic pair materialization at any point; corpus is
     never collected.
-    """
+
+    Small-relation crossover (the ``connected_components`` routing
+    pattern): at or under ``max_driver_vecs`` rows (~100 MB of doubles
+    at dim 64) the k sequential argmax jobs are pure scheduling — the
+    loop runs on the driver instead, BIT-IDENTICALLY: the squared
+    distance accumulates dimension-by-dimension in the same
+    left-fold order as the JVM ``aggregate`` expression, the same
+    IEEE sqrt and HALF_UP micro-rounding apply, and ties break by id
+    ascending. Equality of the two paths is pinned by test
+    (``max_driver_vecs=0`` forces the distributed loop)."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import _dot
 
     # pin the projection BEFORE the k-pass loop (r8, r7 verdict #6):
@@ -648,6 +658,51 @@ def kcenter_select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).localCheckpoint(eager=True)
+
+    if (
+        base.limit(int(max_driver_vecs) + 1).count()
+        <= int(max_driver_vecs)
+    ):
+        import numpy as np
+
+        rows = base.collect()
+        ids = [r["__id"] for r in rows]
+        V = np.array([list(r["__v"]) for r in rows], dtype=np.float64)
+        n, dim = V.shape
+
+        def dists_to(c):
+            # dimension-by-dimension LEFT FOLD — the exact float
+            # summation order of the JVM aggregate expression (numpy
+            # pairwise sum would round differently)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                d = V[:, j] - c[j]
+                acc = acc + d * d
+            return np.sqrt(acc)
+
+        def round_micro(x):
+            return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+        chosen = []
+        mind = None
+        for step in range(int(k)):
+            if step == 0:
+                score = round_micro(dists_to(np.zeros(dim)))
+            else:
+                dnew = round_micro(dists_to(V[chosen[-1][4]]))
+                mind = dnew if mind is None else np.minimum(mind, dnew)
+                score = mind
+            s = score.copy()
+            for c in chosen:
+                s[c[4]] = -1  # already-chosen ids never re-selected
+            best_d = int(s.max())
+            ties = np.nonzero(s == best_d)[0]
+            best_i = min(ties, key=lambda i: ids[i])  # ties -> min id
+            chosen.append((step, ids[best_i], best_d, None, int(best_i)))
+        return df.sparkSession.createDataFrame(
+            [(int(s), int(i), int(d)) for (s, i, d, _, _) in chosen],
+            schema="step long, vec_id long, dist_micro long",
+        )
 
     def dist_to(center_vec: list[float]):
         c = F.array(*[F.lit(float(x)) for x in center_vec])

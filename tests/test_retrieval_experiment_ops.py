@@ -129,3 +129,25 @@ def test_kcenter_greedy_order(spark):
     # (min dist to {21,0} = 10 beats 1's min dist 1)
     assert picked == [(0, 4), (1, 1), (2, 3)]
     assert out[1]["dist_micro"] == 21_000_000
+
+
+def test_kcenter_driver_crossover_matches_distributed(spark, sf_dir):
+    """The small-relation driver path (default) and the distributed
+    k-pass loop (forced with max_driver_vecs=0) must return
+    row-identical (step, vec_id, dist_micro) over REAL embeddings —
+    the driver loop replicates the JVM's left-fold summation order,
+    IEEE sqrt, micro-rounding, and min-id ties."""
+    from pyspark.sql import functions as F
+
+    from redshift_to_pendo_api_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [(r["step"], r["vec_id"], r["dist_micro"])
+         for r in kcenter_select(emb, "embedding", "vec_id", k=6).collect()]
+    b = [(r["step"], r["vec_id"], r["dist_micro"])
+         for r in kcenter_select(
+             emb, "embedding", "vec_id", k=6, max_driver_vecs=0
+         ).collect()]
+    assert a == b and len(a) == 6
