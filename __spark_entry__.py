@@ -7613,17 +7613,309 @@ def q_cohens_d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order = driver-certification rotation (r10): the 51 queries
-    # never yet in any driver CORRECTNESS window lead (the driver certifies
-    # a 50-query prefix per round), with rfm_segments — independently
-    # re-verified green by the r9 judge — holding position 51 as the one
-    # query the 50-wide window can leave out. After the debt block, the 276
-    # already-certified queries run STALEST-CERTIFICATION-FIRST (driver
-    # round of last green hash, ascending; COVERAGE.md carries the per-query
-    # last-certified table) so rewritten operators whose certification
-    # predates the rewrite re-certify before anything fresh.
+    # Registry order = driver-certification rotation (r11): position 1 is
+    # rfm_segments — the single query never yet in any driver CORRECTNESS
+    # window (it held position 51 behind the 50-wide r10 window) — followed
+    # by every query whose operator was rewritten or touched in r10/r11
+    # AFTER its last driver-green row (the local sweep and judge spot-checks
+    # are green, but the driver row is the hard signal), then
+    # stalest-certified fill. After the window, the remaining queries run
+    # STALEST-CERTIFICATION-FIRST (driver round of last green hash,
+    # ascending; COVERAGE.md carries the per-query last-certified table).
     return {
-        # --- never driver-certified (debt block, r10 window target) ---
+        # --- r11 window (positions 1-50): rfm_segments (the one query
+        # never yet driver-certified) + every query whose operator was
+        # rewritten/touched in r10-r11 after its last driver-green row,
+        # then stalest-certified fill (last green: r2) ---
+        "rfm_segments": q_rfm_segments,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "kcenter_coreset": q_kcenter_coreset,
+        "dedup_clusters": q_dedup_clusters,
+        "cluster_representatives": q_cluster_representatives,
+        "cluster_split": q_cluster_split,
+        "entity_name_clusters": q_entity_name_clusters,
+        "part_golden_records": q_part_golden_records,
+        "target_encode_brand_returns": q_target_encode_brand,
+        "abc_parts": q_abc_parts,
+        "event_changepoints": q_event_changepoints,
+        "mom_revenue_growth": q_mom_revenue_growth,
+        "lift_table_brand_score": q_lift_table_brand_score,
+        "qini_discount_uplift": q_qini_discount_uplift,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "sync_incremental_semijoin": q_sync_incremental_semijoin,
+        "full_table_projection": q_full_table_projection,
+        "ordered_limit_topk": q_ordered_limit_topk,
+        "volume_count": q_volume_count,
+        "bookmark_max": q_bookmark_max,
+        "uuid_validation": q_uuid_validation,
+        "payload_reshape": q_payload_reshape,
+        "q1_pricing_summary": q1_pricing_summary,
+        "grouped_stream_stats": q_grouped_stream_stats,
+        "pairwise_deltas": q_pairwise_deltas,
+        "latest_event_per_user": q_latest_event_per_user,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_order_stats": q_cube_order_stats,
+        "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "setops_user_segments": q_setops_user_segments,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q4_priority_exists": q4_priority_exists,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "range_join_price_bands": q_range_join_price_bands,
+        "range_join_event_windows": q_range_join_event_windows,
+        "failed_record_routing": q_failed_record_routing,
+        "salted_grouped_stats": q_salted_grouped_stats,
+        "percentile_order_value": q_percentile_order_value,
+        "hourly_event_buckets": q_hourly_event_buckets,
+        "rank_orders": q_rank_orders,
+        "running_user_spend": q_running_user_spend,
+        "flatten_nested_props": q_flatten_nested_props,
+        "asof_join_latest_order": q_asof_join_latest_order,
+        "session_stats": q_session_stats,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        # --- already certified, stalest-certification-first (last
+        # driver-green round ascending; COVERAGE.md carries the ledger) ---
+        # last certified r2
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_recall": q_embedding_ann_recall,
+        "label_centroids": q_label_centroids,
+        "event_funnel": q_event_funnel,
+        "repetition_stats": q_repetition_stats,
+        "quality_funnel": q_quality_funnel,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sampled_docs": q_sampled_docs,
+        "train_eval_split_counts": q_train_eval_split_counts,
+        "source_mix_sample": q_source_mix_sample,
+        # last certified r3
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "moving_avg_user_spend": q_moving_avg_user_spend,
+        "ntile_price_deciles": q_ntile_price_deciles,
+        "nation_segments_concat": q_nation_segments_concat,
+        "median_mode_order_value": q_median_mode_order_value,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q13_order_count_histogram": q13_order_count_histogram,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "debounced_events": q_debounced_events,
+        "duplicate_shingle_rate": q_duplicate_shingle_rate,
+        "top_docs_per_source": q_top_docs_per_source,
+        "cms_user_counts": q_cms_user_counts,
+        "incremental_neardup": q_incremental_neardup,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_excess_shippers": q20_excess_shippers,
+        "minhash_recall": q_minhash_recall,
+        "zorder_locality": q_zorder_locality,
+        # last certified r4
+        "heavy_hitter_users": q_heavy_hitter_users,
+        # last certified r5
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_customers": q22_dormant_customers,
+        # last certified r6
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
+        "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
+        "bloom_corpus_membership": q_bloom_corpus_membership,
+        "retention_cohorts": q_retention_cohorts,
+        "windowed_anomalies": q_windowed_anomalies,
+        "distinctive_terms": q_distinctive_terms,
+        "column_profile_orders": q_column_profile_orders,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "bpe_token_counts": q_bpe_token_counts,
+        "topic_clusters": q_topic_clusters,
+        "ewm_user_spend": q_ewm_user_spend,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "bigram_surprisal": q_bigram_surprisal,
+        "vocab_coverage": q_vocab_coverage,
+        "source_vocab_profile": q_source_vocab_profile,
+        "data_quality_report": q_data_quality_report,
+        "bucketed_neardup_recall": q_bucketed_neardup_recall,
+        "name_editdist_pairs": q_name_editdist_pairs,
+        "pii_rate_by_source": q_pii_rate_by_source,
+        "doc_length_histogram": q_doc_length_histogram,
+        "ngram_span_coverage": q_ngram_span_coverage,
+        "strip_duplicated_spans": q_strip_duplicated_spans,
+        "strip_contaminated_spans": q_strip_contaminated_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_doc_scores": q_dsir_doc_scores,
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "mixture_plan": q_mixture_plan,
+        "token_budget_head": q_token_budget_head,
+        "pack_sequences": q_pack_sequences,
+        "shuffled_head": q_shuffled_head,
+        "token_rarity": q_token_rarity,
+        "hourly_gapfill_locf": q_hourly_gapfill_locf,
+        "approx_percentile_check": q_approx_percentile_check,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "unpivot_order_facts": q_unpivot_order_facts,
+        "cdc_merge_customers": q_cdc_merge_customers,
+        "scd2_user_state": q_scd2_user_state,
+        "text_analysis": q_text_analysis,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "media_decode_stats": q_media_decode_stats,
+        "media_frame_counts": q_media_frame_counts,
+        "q7_nation_trade": q7_nation_trade,
+        "q9_product_profit": q9_product_profit,
+        # last certified r7
+        "kappa_order_signals": q_kappa_order_signals,
+        "cohens_d_price": q_cohens_d_price,
+        "mh_odds_ratio_brands": q_mh_odds_ratio,
+        "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
+        "kruskal_doclen_sources": q_kruskal_doclen_sources,
+        "theil_sen_brands": q_theil_sen_brands,
+        "pvm_bridge_nations": q_pvm_bridge_nations,
+        "logrank_segments": q_logrank_segments,
+        "cramers_v_orders": q_cramers_v_orders,
+        "partial_corr_lineitem": q_partial_corr_lineitem,
+        "group_sequential_orders": q_group_sequential_orders,
+        "spearman_price_qty": q_spearman_price_qty,
+        "oph_minhash_neardup": q_oph_minhash_neardup,
+        "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
+        "trend_test_discount": q_trend_test_discount,
+        "file_row_skew_lineitem": q_file_row_skew,
+        "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
+        "overdispersion_events": q_overdispersion_events,
+        "degree_assortativity_parts": q_degree_assortativity,
+        "embedding_mmd_cohorts": q_embedding_mmd_sources,
+        "pps_sample_docs": q_pps_sample_docs,
+        "weighted_price_quantiles": q_weighted_quantiles_price,
+        "blocking_quality_orders": q_blocking_quality_orders,
+        "rake_keywords_corpus": q_rake_keywords,
+        "isotonic_return_by_discount": q_isotonic_return_by_discount,
+        "pettitt_event_changepoints": q_pettitt_event_types,
+        "embedding_ann_bq": q_embedding_ann_bq,
+        "ipw_return_effect": q_ipw_return_effect,
+        "revenue_drawdown_nation": q_revenue_drawdown_nation,
+        "engagement_curve_monthly": q_engagement_curve,
+        "feature_hash_collisions": q_feature_hash_collisions,
+        "event_lateness_histogram": q_event_lateness_histogram,
+        "quantile_normalized_doclen": q_quantile_normalized_doclen,
+        "ra_links_parts": q_ra_links_parts,
+        "clustering_coeff_parts": q_clustering_coeff_parts,
+        "mannwhitney_price_priority": q_mannwhitney_price,
+        "ks_doclen_sources": q_ks_doclen_sources,
+        "bh_fdr_nations": q_bh_fdr_nations,
+        "bootstrap_doclen_ci": q_bootstrap_doclen_ci,
+        "hll_union_types": q_hll_union_types,
+        "join_view_refresh": q_join_view_refresh,
+        "cusum_event_drift": q_cusum_events,
+        "corr_matrix_lineitem": q_corr_lineitem,
+        "neyman_allocation_sources": q_neyman_sources,
+        "ppr_copurchase_seeds": q_ppr_copurchase,
+        "t_closeness_segments": q_t_closeness,
+        "minmax_clustering_depth": q_minmax_depth,
+        # last certified r8
+        "recsys_hitrate_at3": q_recsys_hitrate,
+        "next_event_accuracy": q_next_event_accuracy,
+        "did_revenue_estimate": q_did_revenue,
+        "mi_price_priority": q_mutual_information,
+        "conformal_price_interval": q_conformal_price,
+        "wilson_conversion_ci": q_wilson_conversion,
+        "embedding_mahalanobis": q_embedding_mahalanobis,
+        "orphan_integrity_audit": q_orphan_audit,
+        "markov_removal_attribution": q_markov_attribution,
+        "seasonal_mase_events": q_seasonal_mase,
+        "gini_price_stump": q_gini_price_stump,
+        "loo_brand_influence": q_loo_brand_influence,
+        "shapley_channel_credits": q_shapley_credits,
+        "lpa_copurchase_communities": q_lpa_copurchase,
+        "customer_survival_km": q_customer_survival,
+        "deletion_cascade_audit": q_deletion_cascade,
+        "bm25_ranking": q_bm25_ranking,
+        "woe_iv_price_deciles": q_woe_iv_price,
+        "cuped_adjusted_spend": q_cuped_spend,
+        "nb_source_classify": q_nb_source_classify,
+        "embedding_dim_recall": q_embedding_dim_recall,
+        "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
+        "part_record_linkage": q_part_record_linkage,
+        "fk_discovery": q_fk_discovery,
+        "negative_samples_parts": q_negative_samples,
+        "classifier_auc": q_classifier_auc,
+        "join_size_lineitem_partkey": q_join_size_profile,
+        "ann_ranking_quality": q_ann_ranking_quality,
+        "candidate_keys_orders": q_candidate_keys_orders,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "vocab_growth_docs": q_vocab_growth,
+        "zipf_token_ranks": q_zipf_token_ranks,
+        "embedding_pca_projection": q_embedding_pca_projection,
+        "compression_quality_sources": q_compression_quality,
+        "part_mutual_best_match": q_part_mutual_best_match,
+        "event_run_lengths": q_event_run_lengths,
+        "weak_labels_docs": q_weak_labels,
+        "price_qty_slope_brand": q_price_qty_slope,
+        "incremental_name_linkage": q_incremental_name_linkage,
+        "copurchase_blast_radius": q_copurchase_blast_radius,
+        "related_items_parts": q_related_items,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "part_skyline": q_part_skyline,
+        "u_shaped_credits": q_u_shaped_attribution,
+        "rolling_active_users": q_rolling_active_users,
+        "funnel_clean_conversions": q_funnel_with_exclusion,
+        "order_concurrency_peak": q_order_concurrency,
+        "revenue_recognition_monthly": q_revenue_recognition,
+        # last certified r9
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "strip_exact_duplicates": q_strip_exact_duplicates,
+        "incremental_substr_matches": q_incremental_substr_matches,
+        "unigram_token_counts": q_unigram_token_counts,
+        "unigram_doc_scores": q_unigram_doc_scores,
+        "wordpiece_token_counts": q_wordpiece_token_counts,
+        "gopher_repetition_docs": q_gopher_repetition,
+        "gopher_quality_rules_docs": q_gopher_quality_rules,
+        "image_dhash_neardup": q_image_dhash_neardup,
+        "dp_nation_histogram": q_dp_nation_histogram,
+        "token_waterfill_sources": q_token_waterfill,
+        "batch_padding_report": q_batch_padding_report,
+        "ccnet_perplexity_buckets": q_ccnet_buckets,
+        "langid_confusion": q_langid_confusion,
+        "user_path_similarity": q_user_path_similarity,
+        "watermark_sizing_events": q_watermark_sizing_events,
+        "tokenizer_compression_compare": q_tokenizer_compression_compare,
+        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
+        "version_diff_customers": q_version_diff_customers,
+        "rollup_refresh_orders": q_rollup_refresh_orders,
+        "purchase_attribution": q_purchase_attribution,
+        "time_decay_credits": q_time_decay_attribution,
+        "linear_attribution_credits": q_linear_attribution,
+        "status_history_scd2": q_status_history_scd2,
+        "growth_accounting_orders": q_growth_accounting,
+        "cohort_ltv_curve": q_cohort_ltv,
+        "token_cooccurrence_lift": q_token_cooccurrence_lift,
+        "consistent_sharding_moves": q_consistent_sharding,
+        "arrival_burstiness_events": q_arrival_burstiness,
+        "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
+        "label_margins": q_label_margins,
+        "event_autocorrelation": q_event_autocorrelation,
+        "revenue_gini": q_revenue_gini,
+        "seasonal_residuals_events": q_seasonal_residuals,
+        "session_entry_exit_matrix": q_session_entry_exit,
+        "ngram_novelty_docs": q_ngram_novelty,
+        "frequent_triples_parts": q_frequent_triples,
+        "table_fingerprint_customer": q_table_fingerprint,
+        "conversion_chi2": q_conversion_chi2,
+        "trimmed_mean_prices": q_trimmed_mean_prices,
+        "association_rules_parts": q_association_rules,
+        "copurchase_degree_dist": q_copurchase_degree_dist,
+        "dedup_keep_best_parts": q_dedup_keep_best,
+        "token_drift_sources": q_token_drift_sources,
+        "label_outliers": q_label_outliers,
+        # last certified r10
         "supplier_concentration": q_supplier_concentration,
         "stratified_quota_docs": q_stratified_quota_sample,
         "activity_streaks_users": q_activity_streaks,
@@ -7632,7 +7924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_seasonality_events": q_weekday_seasonality,
         "ann_rank_fusion": q_ann_rank_fusion,
         "price_histogram": q_price_histogram,
-        "event_changepoints": q_event_changepoints,
         "churn_hazard_purchases": q_churn_hazard,
         "curriculum_phases_docs": q_curriculum_phases,
         "k_anonymity_customers": q_k_anonymity_customers,
@@ -7674,284 +7965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_opq": q_embedding_ann_opq,
         "c4_line_filters_docs": q_c4_line_filters,
         "corpus_line_dedup_docs": q_corpus_line_dedup,
-        "rfm_segments": q_rfm_segments,
-        # --- already driver-certified (stalest first) ---
-        "sync_incremental_semijoin": q_sync_incremental_semijoin,
-        "full_table_projection": q_full_table_projection,
-        "ordered_limit_topk": q_ordered_limit_topk,
-        "volume_count": q_volume_count,
-        "bookmark_max": q_bookmark_max,
-        "uuid_validation": q_uuid_validation,
-        "payload_reshape": q_payload_reshape,
-        "q1_pricing_summary": q1_pricing_summary,
-        "grouped_stream_stats": q_grouped_stream_stats,
-        "pairwise_deltas": q_pairwise_deltas,
-        "latest_event_per_user": q_latest_event_per_user,
-        "rollup_pricing": q_rollup_pricing,
-        "cube_order_stats": q_cube_order_stats,
-        "distinct_users": q_distinct_users,
-        "approx_distinct_users": q_approx_distinct_users,
-        "setops_user_segments": q_setops_user_segments,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q4_priority_exists": q4_priority_exists,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "range_join_price_bands": q_range_join_price_bands,
-        "range_join_event_windows": q_range_join_event_windows,
-        "failed_record_routing": q_failed_record_routing,
-        "salted_grouped_stats": q_salted_grouped_stats,
-        "percentile_order_value": q_percentile_order_value,
-        "hourly_event_buckets": q_hourly_event_buckets,
-        "rank_orders": q_rank_orders,
-        "running_user_spend": q_running_user_spend,
-        "flatten_nested_props": q_flatten_nested_props,
-        "asof_join_latest_order": q_asof_join_latest_order,
-        "session_stats": q_session_stats,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "word_jaccard_pairs": q_word_jaccard_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ann_recall": q_embedding_ann_recall,
-        "dedup_clusters": q_dedup_clusters,
-        "label_centroids": q_label_centroids,
-        "event_funnel": q_event_funnel,
-        "repetition_stats": q_repetition_stats,
-        "quality_funnel": q_quality_funnel,
-        "benchmark_contamination": q_benchmark_contamination,
-        "sampled_docs": q_sampled_docs,
-        "train_eval_split_counts": q_train_eval_split_counts,
-        "source_mix_sample": q_source_mix_sample,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "moving_avg_user_spend": q_moving_avg_user_spend,
-        "ntile_price_deciles": q_ntile_price_deciles,
-        "nation_segments_concat": q_nation_segments_concat,
-        "median_mode_order_value": q_median_mode_order_value,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q12_priority_by_returnflag": q12_priority_by_returnflag,
-        "q13_order_count_histogram": q13_order_count_histogram,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "debounced_events": q_debounced_events,
-        "duplicate_shingle_rate": q_duplicate_shingle_rate,
-        "top_docs_per_source": q_top_docs_per_source,
-        "cms_user_counts": q_cms_user_counts,
-        "incremental_neardup": q_incremental_neardup,
-        "q8_market_share": q8_market_share,
-        "q11_important_parts": q11_important_parts,
-        "q15_top_supplier": q15_top_supplier,
-        "q20_excess_shippers": q20_excess_shippers,
-        "cluster_representatives": q_cluster_representatives,
-        "minhash_recall": q_minhash_recall,
-        "zorder_locality": q_zorder_locality,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_share": q14_promo_share,
-        "q18_large_orders": q18_large_orders,
-        "q22_dormant_customers": q22_dormant_customers,
-        "grouping_sets_orders": q_grouping_sets_orders,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_ivf_persisted": q_embedding_ann_ivf_persisted,
-        "embedding_ann_ivf_appended": q_embedding_ann_ivf_appended,
-        "embedding_ann_pq": q_embedding_ann_pq,
-        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
-        "bloom_corpus_membership": q_bloom_corpus_membership,
-        "retention_cohorts": q_retention_cohorts,
-        "windowed_anomalies": q_windowed_anomalies,
-        "distinctive_terms": q_distinctive_terms,
-        "column_profile_orders": q_column_profile_orders,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "bpe_token_counts": q_bpe_token_counts,
-        "topic_clusters": q_topic_clusters,
-        "ewm_user_spend": q_ewm_user_spend,
-        "cluster_split": q_cluster_split,
-        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "bigram_surprisal": q_bigram_surprisal,
-        "vocab_coverage": q_vocab_coverage,
-        "source_vocab_profile": q_source_vocab_profile,
-        "data_quality_report": q_data_quality_report,
-        "bucketed_neardup_recall": q_bucketed_neardup_recall,
-        "name_editdist_pairs": q_name_editdist_pairs,
-        "pii_rate_by_source": q_pii_rate_by_source,
-        "doc_length_histogram": q_doc_length_histogram,
-        "ngram_span_coverage": q_ngram_span_coverage,
-        "strip_duplicated_spans": q_strip_duplicated_spans,
-        "strip_contaminated_spans": q_strip_contaminated_spans,
-        "semantic_dedup": q_semantic_dedup,
-        "dsir_doc_scores": q_dsir_doc_scores,
-        "quality_classifier_scores": q_quality_classifier_scores,
-        "mixture_plan": q_mixture_plan,
-        "token_budget_head": q_token_budget_head,
-        "pack_sequences": q_pack_sequences,
-        "shuffled_head": q_shuffled_head,
-        "token_rarity": q_token_rarity,
-        "hourly_gapfill_locf": q_hourly_gapfill_locf,
-        "approx_percentile_check": q_approx_percentile_check,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "unpivot_order_facts": q_unpivot_order_facts,
-        "cdc_merge_customers": q_cdc_merge_customers,
-        "scd2_user_state": q_scd2_user_state,
-        "text_analysis": q_text_analysis,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "media_decode_stats": q_media_decode_stats,
-        "media_frame_counts": q_media_frame_counts,
-        "q7_nation_trade": q7_nation_trade,
-        "q9_product_profit": q9_product_profit,
-        "kappa_order_signals": q_kappa_order_signals,
-        "cohens_d_price": q_cohens_d_price,
-        "mh_odds_ratio_brands": q_mh_odds_ratio,
-        "mcnemar_purchase_halves": q_mcnemar_purchase_halves,
-        "kruskal_doclen_sources": q_kruskal_doclen_sources,
-        "theil_sen_brands": q_theil_sen_brands,
-        "qini_discount_uplift": q_qini_discount_uplift,
-        "pvm_bridge_nations": q_pvm_bridge_nations,
-        "logrank_segments": q_logrank_segments,
-        "cramers_v_orders": q_cramers_v_orders,
-        "partial_corr_lineitem": q_partial_corr_lineitem,
-        "group_sequential_orders": q_group_sequential_orders,
-        "spearman_price_qty": q_spearman_price_qty,
-        "oph_minhash_neardup": q_oph_minhash_neardup,
-        "eb_shrunk_brand_rates": q_eb_shrunk_brand_rates,
-        "trend_test_discount": q_trend_test_discount,
-        "file_row_skew_lineitem": q_file_row_skew,
-        "phonetic_linkage_pairs": q_phonetic_linkage_pairs,
-        "overdispersion_events": q_overdispersion_events,
-        "degree_assortativity_parts": q_degree_assortativity,
-        "embedding_mmd_cohorts": q_embedding_mmd_sources,
-        "lift_table_brand_score": q_lift_table_brand_score,
-        "pps_sample_docs": q_pps_sample_docs,
-        "weighted_price_quantiles": q_weighted_quantiles_price,
-        "blocking_quality_orders": q_blocking_quality_orders,
-        "rake_keywords_corpus": q_rake_keywords,
-        "isotonic_return_by_discount": q_isotonic_return_by_discount,
-        "pettitt_event_changepoints": q_pettitt_event_types,
-        "target_encode_brand_returns": q_target_encode_brand,
-        "embedding_ann_bq": q_embedding_ann_bq,
-        "ipw_return_effect": q_ipw_return_effect,
-        "revenue_drawdown_nation": q_revenue_drawdown_nation,
-        "engagement_curve_monthly": q_engagement_curve,
-        "feature_hash_collisions": q_feature_hash_collisions,
-        "event_lateness_histogram": q_event_lateness_histogram,
-        "quantile_normalized_doclen": q_quantile_normalized_doclen,
-        "ra_links_parts": q_ra_links_parts,
-        "clustering_coeff_parts": q_clustering_coeff_parts,
-        "mannwhitney_price_priority": q_mannwhitney_price,
-        "ks_doclen_sources": q_ks_doclen_sources,
-        "bh_fdr_nations": q_bh_fdr_nations,
-        "bootstrap_doclen_ci": q_bootstrap_doclen_ci,
-        "hll_union_types": q_hll_union_types,
-        "join_view_refresh": q_join_view_refresh,
-        "cusum_event_drift": q_cusum_events,
-        "corr_matrix_lineitem": q_corr_lineitem,
-        "neyman_allocation_sources": q_neyman_sources,
-        "ppr_copurchase_seeds": q_ppr_copurchase,
-        "t_closeness_segments": q_t_closeness,
-        "minmax_clustering_depth": q_minmax_depth,
-        "recsys_hitrate_at3": q_recsys_hitrate,
-        "next_event_accuracy": q_next_event_accuracy,
-        "did_revenue_estimate": q_did_revenue,
-        "mi_price_priority": q_mutual_information,
-        "conformal_price_interval": q_conformal_price,
-        "wilson_conversion_ci": q_wilson_conversion,
-        "embedding_mahalanobis": q_embedding_mahalanobis,
-        "orphan_integrity_audit": q_orphan_audit,
-        "markov_removal_attribution": q_markov_attribution,
-        "seasonal_mase_events": q_seasonal_mase,
-        "gini_price_stump": q_gini_price_stump,
-        "loo_brand_influence": q_loo_brand_influence,
-        "shapley_channel_credits": q_shapley_credits,
-        "lpa_copurchase_communities": q_lpa_copurchase,
-        "customer_survival_km": q_customer_survival,
-        "deletion_cascade_audit": q_deletion_cascade,
-        "bm25_ranking": q_bm25_ranking,
-        "woe_iv_price_deciles": q_woe_iv_price,
-        "cuped_adjusted_spend": q_cuped_spend,
-        "nb_source_classify": q_nb_source_classify,
-        "embedding_dim_recall": q_embedding_dim_recall,
-        "kcenter_coreset": q_kcenter_coreset,
-        "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
-        "part_record_linkage": q_part_record_linkage,
-        "fk_discovery": q_fk_discovery,
-        "part_golden_records": q_part_golden_records,
-        "negative_samples_parts": q_negative_samples,
-        "classifier_auc": q_classifier_auc,
-        "join_size_lineitem_partkey": q_join_size_profile,
-        "ann_ranking_quality": q_ann_ranking_quality,
-        "candidate_keys_orders": q_candidate_keys_orders,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "vocab_growth_docs": q_vocab_growth,
-        "zipf_token_ranks": q_zipf_token_ranks,
-        "embedding_pca_projection": q_embedding_pca_projection,
-        "compression_quality_sources": q_compression_quality,
-        "part_mutual_best_match": q_part_mutual_best_match,
-        "event_run_lengths": q_event_run_lengths,
-        "weak_labels_docs": q_weak_labels,
-        "price_qty_slope_brand": q_price_qty_slope,
-        "incremental_name_linkage": q_incremental_name_linkage,
-        "copurchase_blast_radius": q_copurchase_blast_radius,
-        "related_items_parts": q_related_items,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "part_skyline": q_part_skyline,
-        "u_shaped_credits": q_u_shaped_attribution,
-        "rolling_active_users": q_rolling_active_users,
-        "funnel_clean_conversions": q_funnel_with_exclusion,
-        "order_concurrency_peak": q_order_concurrency,
-        "revenue_recognition_monthly": q_revenue_recognition,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "strip_exact_duplicates": q_strip_exact_duplicates,
-        "incremental_substr_matches": q_incremental_substr_matches,
-        "unigram_token_counts": q_unigram_token_counts,
-        "unigram_doc_scores": q_unigram_doc_scores,
-        "wordpiece_token_counts": q_wordpiece_token_counts,
-        "gopher_repetition_docs": q_gopher_repetition,
-        "gopher_quality_rules_docs": q_gopher_quality_rules,
-        "image_dhash_neardup": q_image_dhash_neardup,
-        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-        "dp_nation_histogram": q_dp_nation_histogram,
-        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
-        "token_waterfill_sources": q_token_waterfill,
-        "batch_padding_report": q_batch_padding_report,
-        "ccnet_perplexity_buckets": q_ccnet_buckets,
-        "langid_confusion": q_langid_confusion,
-        "user_path_similarity": q_user_path_similarity,
-        "watermark_sizing_events": q_watermark_sizing_events,
-        "tokenizer_compression_compare": q_tokenizer_compression_compare,
-        "tokenizer_fertility_by_source": q_tokenizer_fertility_by_source,
-        "entity_name_clusters": q_entity_name_clusters,
-        "version_diff_customers": q_version_diff_customers,
-        "rollup_refresh_orders": q_rollup_refresh_orders,
-        "purchase_attribution": q_purchase_attribution,
-        "time_decay_credits": q_time_decay_attribution,
-        "linear_attribution_credits": q_linear_attribution,
-        "status_history_scd2": q_status_history_scd2,
-        "growth_accounting_orders": q_growth_accounting,
-        "mom_revenue_growth": q_mom_revenue_growth,
-        "cohort_ltv_curve": q_cohort_ltv,
-        "token_cooccurrence_lift": q_token_cooccurrence_lift,
-        "consistent_sharding_moves": q_consistent_sharding,
-        "arrival_burstiness_events": q_arrival_burstiness,
-        "media_wav_roundtrip_stats": q_media_wav_roundtrip_stats,
-        "label_margins": q_label_margins,
-        "event_autocorrelation": q_event_autocorrelation,
-        "revenue_gini": q_revenue_gini,
-        "seasonal_residuals_events": q_seasonal_residuals,
-        "session_entry_exit_matrix": q_session_entry_exit,
-        "ngram_novelty_docs": q_ngram_novelty,
-        "frequent_triples_parts": q_frequent_triples,
-        "table_fingerprint_customer": q_table_fingerprint,
-        "conversion_chi2": q_conversion_chi2,
-        "abc_parts": q_abc_parts,
-        "trimmed_mean_prices": q_trimmed_mean_prices,
-        "association_rules_parts": q_association_rules,
-        "copurchase_degree_dist": q_copurchase_degree_dist,
-        "dedup_keep_best_parts": q_dedup_keep_best,
-        "token_drift_sources": q_token_drift_sources,
-        "label_outliers": q_label_outliers,
     }
 
 

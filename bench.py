@@ -115,6 +115,14 @@ def _probe_df(spark, data_dir: str):
     )
 
 
+def _inloop_median(samples: list) -> float:
+    """Median of the in-loop probe samples, discarding the first: it
+    fires at loop start where residual warm-up / Python-worker fork
+    churn can still be draining (ADVICE r10 #5)."""
+    tail = sorted(samples[1:]) if len(samples) > 1 else sorted(samples)
+    return round(tail[len(tail) // 2], 4)
+
+
 def _calibration(spark, data_dir: str) -> dict:
     """Fixed host-speed probe (round 7, r6 verdict #5): per-query medians
     drift up to ~40% between machine sessions (documented in README 3b),
@@ -185,7 +193,13 @@ def main() -> None:
     # pinned idle reference 0.1034s), and under
     # SPARK_GRAFT_BENCH_STRICT=1 the run REFUSES to write anything at
     # all — no future round ships silently-inflated medians.
-    PINNED_IDLE_PROBE_SEC = 0.1034   # r7 idle-host committed reference
+    # r7 idle-host committed reference, measured with EXACTLY the same
+    # plan AND action as every probe in this file: _probe_df's scan+agg
+    # written through the noop sink (_calibration has used the noop
+    # write since its introduction in r7 — git ac47cd7 — so the pinned
+    # value, the pre/post boundary probes, and the in-loop probes all
+    # time one identical job; no cross-action bias)
+    PINNED_IDLE_PROBE_SEC = 0.1034
     CONTENTION_BOUND_SEC = 0.13      # r7 verdict #3 suggested bound
     pre_cal = _calibration(spark, data_dir)
     contended = pre_cal["median_of_5_sec"] > CONTENTION_BOUND_SEC
@@ -342,17 +356,21 @@ def main() -> None:
         # the pre/post boundary probes missed mid-loop contention twice
         "calibration_inloop": {
             "n_probes": len(inloop_jvm),
-            "jvm_median_sec": round(sorted(inloop_jvm)[len(inloop_jvm) // 2], 4),
+            "jvm_median_sec": _inloop_median(inloop_jvm),
             "jvm_max_sec": round(max(inloop_jvm), 4),
-            "py_median_sec": round(sorted(inloop_py)[len(inloop_py) // 2], 4),
+            "py_median_sec": _inloop_median(inloop_py),
             "py_max_sec": round(max(inloop_py), 4),
         },
         # headline total divided by in-loop JVM inflation vs the pinned
-        # idle reference — the number to compare across harnesses/hosts
+        # idle reference — same plan, same noop-write action on both
+        # sides (see PINNED_IDLE_PROBE_SEC) — the number to compare
+        # across harnesses/hosts; the FIRST in-loop sample is discarded
+        # (it fires at loop start where residual warm-up/fork churn can
+        # still be draining, and 13 samples median as well as 14)
         "value_normalized_sec": round(
             total
             * PINNED_IDLE_PROBE_SEC
-            / max(sorted(inloop_jvm)[len(inloop_jvm) // 2], 1e-9),
+            / max(_inloop_median(inloop_jvm), 1e-9),
             2,
         ),
         # steady-state: sum of per-query median-of-3 after warm-up,

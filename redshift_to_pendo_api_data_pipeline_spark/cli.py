@@ -691,6 +691,11 @@ def cmd_export(cfg: dict) -> int:
     return 0
 
 
+class SqlParseError(Exception):
+    """The user's SQL failed to PARSE (typo), as distinguished from an
+    internal JVM/bridge failure during the read-only plan walk."""
+
+
 def _parsed_plan_is_query(spark, stmt: str) -> bool:
     """True iff the statement parses to a pure query plan: no node in
     the parsed logical tree is a Catalyst Command or an insert/write
@@ -699,10 +704,30 @@ def _parsed_plan_is_query(spark, stmt: str) -> bool:
     INSERT OVERWRITE DIRECTORY ...' text-starts with WITH but parses
     to an InsertInto* node under the CTE wrapper.
 
-    Raises the parser's exception for a syntactically invalid
-    statement — a typo is a PARSE error, not a read-only-policy
-    rejection, and the caller must report it as such."""
-    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+    Raises SqlParseError for a syntactically invalid statement — a
+    typo is a PARSE error, not a read-only-policy rejection, and the
+    caller must report it as such. Failures in the reflection / plan
+    walk AFTER a successful parse (JVM bridge trouble, not the user's
+    SQL) propagate unchanged so they are never mislabeled as the
+    user's mistake."""
+    try:
+        plan = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+        )
+    except Exception as exc:  # narrow to the PARSER's own failure
+        jexc = getattr(exc, "java_exception", None)
+        is_parse = jexc is not None and "ParseException" in (
+            jexc.getClass().getName()
+        )
+        try:
+            from pyspark.errors import ParseException as _PyParseExc
+
+            is_parse = is_parse or isinstance(exc, _PyParseExc)
+        except ImportError:
+            pass
+        if is_parse:
+            raise SqlParseError(str(exc)) from exc
+        raise
     jvm = spark.sparkContext._jvm
     command_iface = jvm.java.lang.Class.forName(
         "org.apache.spark.sql.catalyst.plans.logical.Command"
@@ -753,8 +778,8 @@ def cmd_sql(cfg: dict) -> int:
     # own message instead of a misleading read-only rejection
     try:
         is_query = _parsed_plan_is_query(spark, stmt)
-    except Exception as exc:
-        detail = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+    except SqlParseError as exc:
+        detail = str(exc).splitlines()[0] if str(exc) else "parse error"
         print(json.dumps({"error": "parse error", "detail": detail}))
         return 2
     if not is_query:

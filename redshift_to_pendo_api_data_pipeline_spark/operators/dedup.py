@@ -442,28 +442,35 @@ def connected_components(
     changes nothing.
 
     Small-graph crossover (the ``batch_ivf_topk`` routing pattern):
-    a graph of <= ``max_driver_edges`` distinct undirected edges
-    (~80 MB of longs at the default — the pair graph a VERIFIED
-    near-dup stage emits is pairs-that-passed-a-threshold, orders of
-    magnitude below the corpus) resolves with union-find on the
-    driver in one collect — the iterative loop's per-round job
-    latency (profiled: ~6 s of pure scheduling for an 84k-edge graph)
-    is the wrong tool below the crossover. Both paths return
-    identical (node, min-member cluster_id) rows — pinned by test —
-    and the probe costs ``limit(cap+1).count()`` on the materialized
-    edge relation, never a full count."""
-    # materialize the directed pairs BEFORE mirroring: union(e, reverse(e))
-    # evaluates both branches, which would run the (expensive) upstream
-    # pair-generation twice
+    a graph of <= ``max_driver_edges`` distinct UNDIRECTED edges —
+    probed and transferred in canonical (least, greatest) form, each
+    edge once, via Arrow as two flat columns (~80 MB of longs at the
+    default; the pair graph a VERIFIED near-dup stage emits is
+    pairs-that-passed-a-threshold, orders of magnitude below the
+    corpus) — resolves with union-find on the driver: the iterative
+    loop's per-round job latency (profiled: ~6 s of pure scheduling
+    for an 84k-edge graph) is the wrong tool below the crossover.
+    Both paths return identical (node, min-member cluster_id) rows —
+    pinned by test — and the probe costs ``limit(cap+1).count()`` on
+    the materialized canonical relation, never a full count."""
+    # materialize the directed pairs BEFORE any reuse: both the
+    # canonicalization and (in the large case) the mirror re-consume
+    # the relation, which would run the (expensive) upstream
+    # pair-generation twice otherwise
     directed = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
-    edges = directed.union(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # canonical UNDIRECTED edges (least, greatest) — each undirected
+    # edge exactly once, so the crossover cap counts what the docstring
+    # says it counts (the pre-fix probe counted the MIRRORED directed
+    # relation, silently halving the effective capacity)
+    undirected = directed.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
     ).distinct().localCheckpoint()
 
     small = (
-        edges.limit(int(max_driver_edges) + 1).count()
+        undirected.limit(int(max_driver_edges) + 1).count()
         <= int(max_driver_edges)
     )
     if small:
@@ -477,8 +484,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
-            a, b = r["src"], r["dst"]
+        # Arrow transfer (two flat columns), not collect(): 5M Row
+        # objects would cost ~an order of magnitude more driver memory
+        # than the two plain-value lists
+        pdf = undirected.toPandas()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             if a not in parent:
                 parent[a] = a
             if b not in parent:
@@ -496,7 +506,7 @@ def connected_components(
         ]
         from pyspark.sql import types as T
 
-        node_t = edges.schema["src"].dataType
+        node_t = undirected.schema["src"].dataType
         return pairs.sparkSession.createDataFrame(
             rows,
             T.StructType([
@@ -504,6 +514,12 @@ def connected_components(
                 T.StructField("cluster_id", node_t, False),
             ]),
         )
+
+    edges = undirected.union(
+        undirected.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct().localCheckpoint()
 
     labels = (
         edges.select(F.col("src").alias("node")).distinct()

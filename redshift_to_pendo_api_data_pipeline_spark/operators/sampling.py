@@ -666,6 +666,10 @@ def kcenter_select(
         import numpy as np
 
         rows = base.collect()
+        if not rows:
+            return df.sparkSession.createDataFrame(
+                [], schema="step long, vec_id long, dist_micro long"
+            )
         ids = [r["__id"] for r in rows]
         V = np.array([list(r["__v"]) for r in rows], dtype=np.float64)
         n, dim = V.shape
@@ -685,7 +689,10 @@ def kcenter_select(
 
         chosen = []
         mind = None
-        for step in range(int(k)):
+        # clamp to n: with k > n every vector is eventually chosen and
+        # the masked score would be all -1, silently re-selecting
+        # already-chosen ids — both paths return min(k, n) rows instead
+        for step in range(min(int(k), n)):
             if step == 0:
                 score = round_micro(dists_to(np.zeros(dim)))
             else:
@@ -711,7 +718,12 @@ def kcenter_select(
             F.aggregate(sq, F.lit(0.0).cast("double"), lambda a, v: a + v)
         )
 
-    dim = len(base.select("__v").first()["__v"])
+    first = base.select("__v").first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], schema="step long, vec_id long, dist_micro long"
+        )
+    dim = len(first["__v"])
     chosen: list[tuple] = []  # (step, id, dist_micro, vector)
     for step in range(k):
         if step == 0:
@@ -720,7 +732,7 @@ def kcenter_select(
             score = dist_to(chosen[0][3])
         else:
             score = F.least(*[dist_to(vec) for (_, _, _, vec) in chosen])
-        cand = (
+        top = (
             base.where(
                 ~F.col("__id").isin([cid for (_, cid, _, _) in chosen])
                 if chosen
@@ -733,8 +745,11 @@ def kcenter_select(
             )
             .orderBy(F.desc("__d"), F.asc("__id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # k > n: every vector already chosen — stop, as
+            break    # the driver path does (both return min(k, n) rows)
+        cand = top[0]
         chosen.append((step, cand["__id"], cand["__d"], cand["__v"]))
     spark = df.sparkSession
     return spark.createDataFrame(

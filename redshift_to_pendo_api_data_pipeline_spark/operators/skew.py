@@ -191,7 +191,12 @@ def bloom_semijoin(
         .select(F.pmod(F.xxhash64("__k", "seed"), F.lit(m)).alias("pos"))
         .distinct()
     )
-    n_words = m // 64
+    # ceil division: positions run 0..m-1, so the highest word index is
+    # (m-1) div 64 — floor division would drop the final partial word
+    # when m % 64 != 0, silently losing set bits (Bloom FALSE NEGATIVES,
+    # violating the exactness contract) and probing element_at past the
+    # array end for positions in that word.
+    n_words = (m + 63) // 64
     words = positions.groupBy(
         F.expr("pos div 64").alias("word")
     ).agg(

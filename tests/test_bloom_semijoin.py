@@ -36,6 +36,22 @@ def test_bloom_prefilter_actually_reduces(spark):
     assert n == 100
 
 
+def test_bloom_semijoin_non_multiple_of_64_m(spark):
+    # m not a multiple of 64: positions land in the final PARTIAL word
+    # ((m-1) div 64). Floor division sized the dense array one word
+    # short, losing those set bits (Bloom false negatives => rows
+    # silently dropped). Exactness over such an m pins the ceil fix.
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload")
+    )
+    keys = spark.range(0, 200).select((F.col("id") * 5).alias("kk"))
+    for m in (1000, 127, 65):  # 1000%64=40, 127%64=63, 65%64=1
+        got = bloom_semijoin(fact, "k", keys, "kk", m=m, k=3)
+        want = fact.join(keys, fact["k"] == F.col("kk"), "left_semi")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
 def test_bloom_semijoin_plan_shape(spark):
     fact = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
     keys = spark.range(0, 10).select(F.col("id").alias("k"))

@@ -56,6 +56,28 @@ def test_cli_sql_typo_reports_parse_error_not_policy(spark, capsys):
     assert "detail" in out
 
 
+def test_cli_sql_internal_error_not_labeled_parse_error(spark):
+    # a JVM/bridge failure AFTER a successful parse (here: the plan
+    # walk blowing up) must propagate, not masquerade as the user's
+    # SQL typo
+    import pytest
+
+    from redshift_to_pendo_api_data_pipeline_spark import cli
+
+    class _Boom:
+        def _fail(self, *a, **k):
+            raise RuntimeError("bridge down")
+
+        def __getattr__(self, name):
+            return self._fail
+
+    fake = type(
+        "S", (), {"_jsparkSession": _Boom(), "sparkContext": None}
+    )()
+    with pytest.raises(RuntimeError, match="bridge down"):
+        cli._parsed_plan_is_query(fake, "SELECT 1")
+
+
 def test_cli_sql_with_cte_join(spark, capsys):
     rc = cmd_sql({
         "tables": {

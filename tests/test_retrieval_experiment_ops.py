@@ -151,3 +151,28 @@ def test_kcenter_driver_crossover_matches_distributed(spark, sf_dir):
              emb, "embedding", "vec_id", k=6, max_driver_vecs=0
          ).collect()]
     assert a == b and len(a) == 6
+
+
+def test_kcenter_k_exceeds_n_and_empty(spark):
+    """k > n must return exactly n rows with no duplicate ids on BOTH
+    paths (the driver loop previously re-selected chosen ids with
+    dist_micro=-1; the distributed loop crashed); empty input returns
+    an empty frame with the stable schema on both paths."""
+    rows = [(1, [0.0, 1.0]), (2, [3.0, 4.0]), (3, [6.0, 8.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for mdv in (200_000, 0):  # driver path, distributed path
+        out = kcenter_select(
+            df, "embedding", "vec_id", k=10, max_driver_vecs=mdv
+        ).collect()
+        ids = [r["vec_id"] for r in out]
+        assert len(ids) == 3 and len(set(ids)) == 3
+        assert all(r["dist_micro"] >= 0 for r in out)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    for mdv in (200_000, 0):
+        out = kcenter_select(
+            empty, "embedding", "vec_id", k=4, max_driver_vecs=mdv
+        )
+        assert out.count() == 0
+        assert out.columns == ["step", "vec_id", "dist_micro"]
