@@ -7625,8 +7625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r11 window (positions 1-50): rfm_segments (the one query
         # never yet driver-certified) + every query whose operator was
-        # rewritten/touched in r10-r11 after its last driver-green row,
-        # then stalest-certified fill (last green: r2) ---
+        # rewritten/touched in r10-r11 after its last driver-green row
+        # (incl. the r11 url_normalize fuzz hardening), then
+        # stalest-certified fill (last green: r2) ---
         "rfm_segments": q_rfm_segments,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "kcenter_coreset": q_kcenter_coreset,
@@ -7642,6 +7643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table_brand_score": q_lift_table_brand_score,
         "qini_discount_uplift": q_qini_discount_uplift,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "url_normalize_docs": q_url_normalize_docs,
+        "url_blocklist_sources": q_url_blocklist_sources,
+        "url_keyed_dedup": q_url_keyed_dedup,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -7674,12 +7678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_nested_props": q_flatten_nested_props,
         "asof_join_latest_order": q_asof_join_latest_order,
         "session_stats": q_session_stats,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
         # --- already certified, stalest-certification-first (last
         # driver-green round ascending; COVERAGE.md carries the ledger) ---
         # last certified r2
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_topk": q_embedding_topk,
@@ -7959,9 +7963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "neardup_threshold_sensitivity": q_neardup_threshold_sensitivity,
         "langid_chargram_confusion": q_langid_chargram_confusion,
-        "url_normalize_docs": q_url_normalize_docs,
-        "url_blocklist_sources": q_url_blocklist_sources,
-        "url_keyed_dedup": q_url_keyed_dedup,
         "embedding_ann_opq": q_embedding_ann_opq,
         "c4_line_filters_docs": q_c4_line_filters,
         "corpus_line_dedup_docs": q_corpus_line_dedup,
@@ -14572,8 +14573,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-                (contains(hostport, ':') AND NOT regexp_matches(
-                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
+                ((contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$'))
+                 OR (regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                     AND COALESCE(TRY_CAST(regexp_extract(hostport,
+                         ':([0-9]+)$', 1) AS INTEGER), 1073741824) > 65535)
+                ) AS bad_port,
+                (regexp_matches(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                     '[\[\]]')
+                 OR regexp_matches(url, '[\t\r\n]')) AS bad_host,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14581,7 +14590,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port OR bad_host THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')
@@ -14644,8 +14653,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-                (contains(hostport, ':') AND NOT regexp_matches(
-                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
+                ((contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$'))
+                 OR (regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                     AND COALESCE(TRY_CAST(regexp_extract(hostport,
+                         ':([0-9]+)$', 1) AS INTEGER), 1073741824) > 65535)
+                ) AS bad_port,
+                (regexp_matches(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                     '[\[\]]')
+                 OR regexp_matches(url, '[\t\r\n]')) AS bad_host,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14653,7 +14670,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port OR bad_host THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')
@@ -14718,8 +14735,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-                (contains(hostport, ':') AND NOT regexp_matches(
-                    hostport, '^[^:]*:[0-9]+$')) AS bad_port,
+                ((contains(hostport, ':') AND NOT regexp_matches(
+                    hostport, '^[^:]*:[0-9]+$'))
+                 OR (regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                     AND COALESCE(TRY_CAST(regexp_extract(hostport,
+                         ':([0-9]+)$', 1) AS INTEGER), 1073741824) > 65535)
+                ) AS bad_port,
+                (regexp_matches(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                     '[\[\]]')
+                 OR regexp_matches(url, '[\t\r\n]')) AS bad_host,
                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                 array_to_string(list_filter(string_split(qraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
@@ -14727,7 +14752,7 @@ def oracle_sql() -> dict[str, str]:
               FROM n1),
             n3 AS (
               SELECT *,
-                CASE WHEN scheme = '' OR host = '' OR bad_port THEN NULL
+                CASE WHEN scheme = '' OR host = '' OR bad_port OR bad_host THEN NULL
                      ELSE scheme || '://' || host
                           || (CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')

@@ -42,12 +42,18 @@ def url_normalize(col: Column) -> Column:
       domain blocklist and would merge distinct hosts that share a
       username under one dedup key;
     - default ports dropped (http:80, https:443) — non-default ports
-      (including :80 on https) are kept; a NON-NUMERIC port (':abc')
-      makes the whole URL unparseable (NULL) rather than being
-      silently discarded. IPv6 bracket literals fall outside this
-      naive host[:port] grammar and also normalize to NULL — safe by
-      the same contract (NULL-normalized rows are never dropped:
-      dedup keys them by their own id, the blocklist keeps them);
+      (including :80 on https) are kept; a NON-NUMERIC port (':abc'),
+      a port beyond 65535 (urllib rejects it — emitting a key would
+      disagree with every standards-following parser), any '[' or ']'
+      anywhere in the authority incl. userinfo (IPv6 literals, and the bracket soup Python's
+      urlsplit raises on — fuzz-found: 'http://]0[x.com' previously
+      produced host ']0[x.com' where urllib errors), or a TAB/CR/LF
+      anywhere in the URL (urllib strips them per WHATWG, so keeping
+      them yields a host/path no other parser agrees with) all make
+      the whole URL unparseable (NULL) rather than being silently
+      repaired — safe by contract (NULL-normalized rows are never
+      dropped: dedup keys them by their own id, the blocklist keeps
+      them; a NULL is never a WRONG merge key);
     - path: trailing slashes collapsed away, empty path becomes '/';
     - query: starts at the first '?' BEFORE any '#' (a '?' inside the
       fragment is fragment text, not a query); tracking parameters
@@ -65,6 +71,19 @@ def url_normalize(col: Column) -> Column:
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     bad_port = hostport.contains(":") & ~hostport.rlike(r"^[^:]*:[0-9]+$")
+    # fuzz-hardened NULL classes (r11, vs urllib.parse ground truth):
+    # out-of-range port (urlsplit raises past 65535; try_cast absorbs
+    # absurd digit runs that would overflow an ANSI cast), brackets
+    # anywhere in the authority (userinfo included — urlsplit raises on
+    # 'http://]@0' though the host parse would discard the bracket —
+    # IPv6 literals and urlsplit's Invalid-IPv6 soup both land here),
+    # and TAB/CR/LF anywhere (WHATWG parsers strip them; keeping them
+    # builds a key no other parser would derive)
+    bad_port = bad_port | (
+        (port != "")
+        & (F.coalesce(port.try_cast("int"), F.lit(1 << 30)) > 65535)
+    )
+    bad_host = authority.rlike(r"[\[\]]") | col.rlike("[\\t\\r\\n]")
     path_raw = F.regexp_extract(col, _PATH_RE, 1)
     path_stripped = F.regexp_replace(path_raw, r"/+$", "")
     path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
@@ -87,7 +106,7 @@ def url_normalize(col: Column) -> Column:
         F.concat(F.lit(":"), port)
     )
     return F.when(
-        (scheme != "") & (host != "") & ~bad_port,
+        (scheme != "") & (host != "") & ~bad_port & ~bad_host,
         F.concat(scheme, F.lit("://"), host, portstr, path, query),
     )
 
