@@ -2260,7 +2260,13 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(_synth, schema="doc_id long, png binary")
+    # same width pin as q_audio_fingerprint_neardup: the tiny doc_id
+    # scan is one split, serializing the PNG encode+decode Arrow stage;
+    # par//4 balances Python-edge setup vs per-doc codec cost
+    par = max(2, spark.sparkContext.defaultParallelism // 4)
+    payloads = docs.repartition(par).mapInPandas(
+        _synth, schema="doc_id long, png binary"
+    )
     hashes = dhash_from_png(payloads, "png", "doc_id")
     return (
         # n_bands pinned at 4 (16-bit bands — what the oracle mirrors):
@@ -2362,7 +2368,20 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["wav"].append(wav_encode(v.astype("<i2")))
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(_synth, schema="doc_id long, wav binary")
+    # width pin (r11, the r9 AQE compute-amplification pattern): the
+    # doc_id-only scan is byte-small (one parquet split), so the heavy
+    # Arrow stage behind it — WAV synth + RIFF decode + windowed-energy
+    # hashing — serialized on ONE task. par//4 measured best at this
+    # relation size: each mapInPandas task pays two Python-edge
+    # setups (~30 ms) against ~0.4 ms/doc of codec work, so full-width
+    # fan-out spends more on edges than it saves (w32 1.41s / w8 0.84s
+    # / w1 ~2s serialized); on a real cluster the same ratio holds per
+    # executor. Shuffles only bare doc_ids; row-deterministic, hash
+    # unchanged.
+    par = max(2, spark.sparkContext.defaultParallelism // 4)
+    payloads = docs.repartition(par).mapInPandas(
+        _synth, schema="doc_id long, wav binary"
+    )
     prints = audio_fingerprint_from_wav(payloads, "wav", "doc_id")
     return (
         # n_bands pinned at 4 (16-bit bands — the oracle's banding)
@@ -7626,8 +7645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 window (positions 1-50): rfm_segments (the one query
         # never yet driver-certified) + every query whose operator was
         # rewritten/touched in r10-r11 after its last driver-green row
-        # (incl. the r11 url_normalize fuzz hardening), then
-        # stalest-certified fill (last green: r2) ---
+        # (advice fixes, url_normalize fuzz hardening, dhash_neardup_pairs
+        # materialize-once), then stalest-certified fill (last green: r2) ---
         "rfm_segments": q_rfm_segments,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "kcenter_coreset": q_kcenter_coreset,
@@ -7643,6 +7662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table_brand_score": q_lift_table_brand_score,
         "qini_discount_uplift": q_qini_discount_uplift,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "image_dhash_neardup": q_image_dhash_neardup,
         "url_normalize_docs": q_url_normalize_docs,
         "url_blocklist_sources": q_url_blocklist_sources,
         "url_keyed_dedup": q_url_keyed_dedup,
@@ -7677,10 +7697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_spend": q_running_user_spend,
         "flatten_nested_props": q_flatten_nested_props,
         "asof_join_latest_order": q_asof_join_latest_order,
-        "session_stats": q_session_stats,
         # --- already certified, stalest-certification-first (last
         # driver-green round ascending; COVERAGE.md carries the ledger) ---
         # last certified r2
+        "session_stats": q_session_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -7882,7 +7902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_token_counts": q_wordpiece_token_counts,
         "gopher_repetition_docs": q_gopher_repetition,
         "gopher_quality_rules_docs": q_gopher_quality_rules,
-        "image_dhash_neardup": q_image_dhash_neardup,
         "dp_nation_histogram": q_dp_nation_histogram,
         "token_waterfill_sources": q_token_waterfill,
         "batch_padding_report": q_batch_padding_report,
