@@ -6933,27 +6933,58 @@ def q_pettitt_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt_changepoint(daily, "event_type", "day_n", "n_ev")
 
 
-def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out target encoding (classifier.target_encode_loo) of
-    part brand against the return flag — the leak-free categorical
-    feature transform: each lineitem's brand becomes the return rate
-    of OTHER lines of that brand, exact integer arithmetic, singleton
-    categories falling back to the LOO global mean."""
+def _ensure_loo_brand_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the LOO brand-encoding scored relation ONCE for its three
+    consumers (target_encode_brand_returns, lift_table_brand_score,
+    qini_discount_uplift): (line_uid, treated, category, y, enc_fp).
+    The encode's expensive prefix — full-width lineitem scan, the
+    16-column uid concat, brand broadcast join, category hydration
+    shuffle — was paid three times for byte-identical rows (r10
+    verdict: both ranking queries bottlenecked on exactly this
+    materialization); the rankers now range-shuffle a narrow staged
+    projection instead. The DuckDB oracles still re-derive the
+    encoding independently from the RAW tables, so cross-engine
+    certification strength is unchanged — staging here is purely a
+    stage-once/probe-many performance artifact (the ANN/minhash
+    contract). Skipped under stage reuse."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
         target_encode_loo,
     )
+    from redshift_to_pendo_api_data_pipeline_spark.staging import stage_parquet
 
+    path = f"{_stage_dir(sf_dir)}/loo_brand_scored.parquet"
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     base = _lineitem_uid(li).select(
-        F.col("line_uid"),
+        "line_uid",
         "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") >= 0.05)
+        .cast("long").alias("treated"),
         (F.col("l_returnflag") == "R").cast("long").alias("returned"),
     ).join(F.broadcast(part), "l_partkey")
-    return target_encode_loo(
-        base, "p_brand", "returned", ["line_uid"]
+    stage_parquet(
+        target_encode_loo(
+            base.select("line_uid", "treated", "p_brand", "returned"),
+            "p_brand", "returned", ["line_uid", "treated"],
+        ),
+        path,
+    )
+    return path
+
+
+def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (classifier.target_encode_loo) of
+    part brand against the return flag — the leak-free categorical
+    feature transform: each lineitem's brand becomes the return rate
+    of OTHER lines of that brand, exact integer arithmetic, singleton
+    categories falling back to the LOO global mean. Reads the shared
+    staged encode (_ensure_loo_brand_stage); the oracle re-derives it
+    from the raw tables."""
+    path = _ensure_loo_brand_stage(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        "line_uid", "category", "y", "enc_fp"
     )
 
 
@@ -7099,22 +7130,16 @@ def q_lift_table_brand_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-encoding score against actual returns — the acceptance
     report for any propensity score: per-decile response rate +
     cumulative lift over base rate, distributed ntile (no
-    single-reducer window), exact integers."""
+    single-reducer window), exact integers. Ranks the shared staged
+    encode (_ensure_loo_brand_stage) — the r10 bottleneck was paying
+    the full encode materialization per ranking query; the oracle
+    still re-derives encode + ranking from the raw tables."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
         lift_table,
-        target_encode_loo,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand"
-    )
-    base = _lineitem_uid(li).select(
-        "line_uid",
-        "l_partkey",
-        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
-    ).join(F.broadcast(part), "l_partkey")
-    scored = target_encode_loo(base, "p_brand", "returned", ["line_uid"])
+    path = _ensure_loo_brand_stage(spark, sf_dir)
+    scored = spark.read.parquet(path)
     return lift_table(scored, "enc_fp", "y", "line_uid", n_buckets=10)
 
 
@@ -7445,33 +7470,15 @@ def q_qini_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome = return flag, score = the LOO brand encoding — at each
     cumulative decile, treated responders minus volume-scaled control
     responders; exact fixed point, windows over the 10-row bucket
-    relation."""
-    from redshift_to_pendo_api_data_pipeline_spark.operators.classifier import (
-        target_encode_loo,
-    )
+    relation. Ranks the shared staged encode (_ensure_loo_brand_stage,
+    where `treated` rides through as an id column); the oracle still
+    re-derives encode + curve from the raw tables."""
     from redshift_to_pendo_api_data_pipeline_spark.operators.stats import (
         qini_curve,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand"
-    )
-    base = _lineitem_uid(li).select(
-        "line_uid",
-        "l_partkey",
-        (F.col("l_discount").cast("decimal(18,4)") >= 0.05)
-        .cast("long").alias("treated"),
-        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
-    ).join(F.broadcast(part), "l_partkey")
-    # `treated` rides through target_encode_loo as an id column — the
-    # previous shape re-attached it with a line_uid-keyed self-join,
-    # paying two shuffles of 70-byte uid strings for a column the
-    # encoder never touches
-    scored = target_encode_loo(
-        base.select("line_uid", "treated", "p_brand", "returned"),
-        "p_brand", "returned", ["line_uid", "treated"],
-    )
+    path = _ensure_loo_brand_stage(spark, sf_dir)
+    scored = spark.read.parquet(path)
     return qini_curve(
         scored, "enc_fp", "treated", "y", "line_uid", n_buckets=10
     )

@@ -93,7 +93,14 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
-        .config("spark.ui.enabled", "false")
+        # SPARK_GRAFT_UI=1 turns the UI (and its REST stage API at
+        # localhost:4040) on for profiling sessions; off by default —
+        # the listener bus + HTTP server cost real time in a
+        # 327-query bench loop
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
