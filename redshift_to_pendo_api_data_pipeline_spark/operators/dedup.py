@@ -469,11 +469,11 @@ def connected_components(
         F.greatest("src", "dst").alias("dst"),
     ).distinct().localCheckpoint()
 
-    small = (
-        undirected.limit(int(max_driver_edges) + 1).count()
-        <= int(max_driver_edges)
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        within_driver_bound,
     )
-    if small:
+
+    if within_driver_bound(undirected, int(max_driver_edges)):
         parent: dict = {}
 
         def find(x):

@@ -659,10 +659,11 @@ def kcenter_select(
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).localCheckpoint(eager=True)
 
-    if (
-        base.limit(int(max_driver_vecs) + 1).count()
-        <= int(max_driver_vecs)
-    ):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        within_driver_bound,
+    )
+
+    if within_driver_bound(base, int(max_driver_vecs)):
         import numpy as np
 
         rows = base.collect()

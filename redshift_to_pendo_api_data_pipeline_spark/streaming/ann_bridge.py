@@ -76,10 +76,11 @@ def batch_ivf_topk(
     unexpectedly large query relation."""
     from pyspark.sql import types as T
 
-    if (
-        queries_df.limit(max_driver_queries + 1).count()
-        > max_driver_queries
-    ):
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        within_driver_bound,
+    )
+
+    if not within_driver_bound(queries_df, max_driver_queries):
         return batch_ivf_topk_distributed(
             spark, queries_df, index_path, centroids, vec_col, id_col,
             qid_col=qid_col, qvec_col=qvec_col, k=k, n_probe=n_probe,
