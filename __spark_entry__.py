@@ -3021,7 +3021,12 @@ def q_media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["possum_px"].append(int((flat * idx).sum()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    # same width pin as q_audio_fingerprint_neardup: the 2-column scan
+    # is one byte-small split, serializing the zlib-heavy PNG
+    # encode+decode on a single task; par//4 balances the two
+    # Python-edge setups per task against per-doc codec cost
+    par = max(2, spark.sparkContext.defaultParallelism // 4)
+    return docs.repartition(par).mapInPandas(
         _roundtrip,
         schema="doc_id long, width int, height int, sum_px long, possum_px long",
     )

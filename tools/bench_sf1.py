@@ -55,21 +55,37 @@ QUERIES = [
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
+SF3 = "/tmp/spark_graft_sf3"
+
+# r11 (r10 verdict #4): the sf0.1->sf1 sweep's steepest still-sublinear
+# growers — close enough to linear that fixed costs could mask a
+# superlinear term; a second empirical point (sf1->sf3, expected <= 3x
+# for linear) separates the two.
+SF3_QUERIES = [
+    "ann_hard_negatives", "part_golden_records", "embedding_moments",
+    "word_containment_pairs", "q4_priority_exists", "word_jaccard_pairs",
+]
 
 
-def main(all_queries: bool = False) -> int:
+def main(all_queries: bool = False, sf3: bool = False) -> int:
     """Default: the 40-query deep cut (cold + median-of-3). With
     ``--all`` (r10, r9 verdict #4): EVERY registry query at both SFs,
     cold + ONE probe each — 2 runs/query/SF bounds the full-registry
     sweep to a few hours while still separating staging/codegen (cold)
     from steady state (probe); writes BENCH_sf1_all.json so the
-    deep-cut artifact keeps its median-of-3 methodology."""
+    deep-cut artifact keeps its median-of-3 methodology. With
+    ``--sf3`` (r11, r10 verdict #4): the SF3_QUERIES list measured at
+    sf1 AND sf3 (30-replica synthesis), writes BENCH_sf3.json with
+    sf1->sf3 growth (linear = 3.0)."""
     import __spark_entry__ as entry
     from redshift_to_pendo_api_data_pipeline_spark.session import get_spark
 
     if not os.path.exists(f"{SF1}/part.parquet"):
         import tools.gen_sf1 as gen
         gen.main()
+    if sf3 and not os.path.exists(f"{SF3}/part.parquet"):
+        import tools.gen_sf1 as gen
+        gen.main(dst=SF3, n_replicas=30)
 
     os.environ["SPARK_GRAFT_STAGE_REUSE"] = "1"
     os.environ["SPARK_GRAFT_STAGE_ROOT"] = f"/tmp/sf1_bench_stage_{os.getpid()}"
@@ -78,13 +94,22 @@ def main(all_queries: bool = False) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    names = list(qs) if all_queries else QUERIES
+    if sf3:
+        names = SF3_QUERIES
+    elif all_queries:
+        names = list(qs)
+    else:
+        names = QUERIES
     n_probe = 1 if all_queries else 3
     out: dict = {
         "per_query_stat": f"median_of_{n_probe}_after_cold",
         "queries": names,
     }
-    for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
+    sf_pairs = (
+        (("sf1", SF1), ("sf3", SF3)) if sf3
+        else (("sf0.1", SF01), ("sf1", SF1))
+    )
+    for label, sf in sf_pairs:
         med, cold = {}, {}
         for name in names:
             t = time.time()
@@ -99,15 +124,21 @@ def main(all_queries: bool = False) -> int:
             print(f"{label} {name}: cold {cold[name]} median {med[name]}",
                   flush=True)
         out[label] = {"queries": med, "cold": cold}
+    lo, hi = sf_pairs[0][0], sf_pairs[1][0]
     out["growth"] = {
-        n: round(out["sf1"]["queries"][n] / max(out["sf0.1"]["queries"][n], 1e-9), 2)
+        n: round(out[hi]["queries"][n] / max(out[lo]["queries"][n], 1e-9), 2)
         for n in names
     }
     out["growth_cold"] = {
-        n: round(out["sf1"]["cold"][n] / max(out["sf0.1"]["cold"][n], 1e-9), 2)
+        n: round(out[hi]["cold"][n] / max(out[lo]["cold"][n], 1e-9), 2)
         for n in names
     }
-    fname = "BENCH_sf1_all.json" if all_queries else "BENCH_sf1.json"
+    if sf3:
+        fname = "BENCH_sf3.json"
+    elif all_queries:
+        fname = "BENCH_sf1_all.json"
+    else:
+        fname = "BENCH_sf1.json"
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), fname)
     with open(path, "w") as fh:
@@ -117,4 +148,7 @@ def main(all_queries: bool = False) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(all_queries="--all" in sys.argv[1:]))
+    raise SystemExit(main(
+        all_queries="--all" in sys.argv[1:],
+        sf3="--sf3" in sys.argv[1:],
+    ))

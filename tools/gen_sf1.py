@@ -52,7 +52,10 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-N_REPLICAS = 10
+# replica count scales the output: 10 -> ~sf1 (the default artifact),
+# 30 -> ~sf3 (the r11 second scale point for steep linear-band
+# queries; same construction, shifts/salts stay valid to r=63)
+N_REPLICAS = int(os.environ.get("SPARK_GRAFT_SF_REPLICAS", "10"))
 
 
 def _max_plus_one(con, table: str, col: str) -> int:
@@ -61,7 +64,12 @@ def _max_plus_one(con, table: str, col: str) -> int:
     ).fetchone()[0]
 
 
-def main() -> None:
+def main(dst: str | None = None, n_replicas: int | None = None) -> None:
+    global DST, N_REPLICAS
+    if dst is not None:
+        DST = dst
+    if n_replicas is not None:
+        N_REPLICAS = int(n_replicas)
     con = duckdb.connect()
     shutil.rmtree(DST, ignore_errors=True)
 
