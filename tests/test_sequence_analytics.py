@@ -444,6 +444,51 @@ def test_hard_negative_topk_excludes_same_label_and_ranks(spark):
     assert all(r.qid == 0 and r.qlabel == "a" for r in out)
 
 
+def test_hard_negative_topk_bucketed_route_recall(spark):
+    """Above the batch bound the operator auto-routes to the banded-LSH
+    path (the sf1->sf3 superlinear fix). On CLUSTERED vectors — tight
+    same-direction clusters with distinct labels — the true top-k
+    negatives share the query's hyperplane buckets, so the routed path
+    must (a) produce the same schema, (b) never emit a same-label row,
+    and (c) recover >= 80% of the exact path's (qid, vec_id) picks."""
+    import math
+
+    from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = []
+    # 8 tight clusters of 12 vectors on distinct directions in R^8;
+    # labels alternate within each cluster so close different-label
+    # negatives exist inside every bucket
+    for c in range(8):
+        base = [0.0] * 8
+        base[c] = 1.0
+        for j in range(12):
+            v = [x + 0.01 * ((c * 12 + j) % 5) * (i % 3 == 0)
+                 for i, x in enumerate(base)]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 12 + j, c * 2 + (j % 2), [x / n for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    q = df.where(F.col("vec_id") % 4 == 0)
+    exact = hard_negative_topk(
+        q, df, "embedding", "vec_id", "label", k=3,
+        max_broadcast_queries=10_000,
+    )
+    routed = hard_negative_topk(
+        q, df, "embedding", "vec_id", "label", k=3,
+        max_broadcast_queries=0,   # force the banded route
+    )
+    assert routed.columns == exact.columns
+    r_rows = routed.collect()
+    assert all(r.qlabel != r.label for r in r_rows)
+    e_pairs = {(r.qid, r.vec_id) for r in exact.collect()}
+    r_pairs = {(r.qid, r.vec_id) for r in r_rows}
+    assert len(e_pairs & r_pairs) >= 0.8 * len(e_pairs)
+
+
 def test_path_topk_similarity_hand_case(spark):
     """Three users: A and B share most of their event-shape; C is
     different. Seeded on A (smallest key), B must outrank C, scores are

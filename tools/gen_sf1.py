@@ -12,15 +12,18 @@ shipped, so sf1 is synthesized from the observed sf0.1 distributions:
   family), so FK consistency holds within each replica and every
   non-key distribution is preserved exactly.
 - entity NAMES (c_name/s_name/p_name) get a replica salt token
-  inserted BEFORE the last token on replicas 1..9: verbatim-copied
-  names would make every distinct name resolve to 10 entities
-  (hydration fans out x100 in the linkage family — measured 187s on
-  part_golden_records), while real TPC-H scaling grows the NAME
-  DICTIONARY. The mid-token salt keeps the trailing-token blocking
-  key distribution (blocks grow x10 in cardinality — faithful to
-  TPC-H name-collision growth) and puts cross-replica names beyond
-  any edit-distance threshold (different entities, as they should
-  be).
+  inserted BEFORE the last token on salted replicas: verbatim-copied
+  names would make every distinct name resolve to N entities
+  (hydration fans out quadratically in the linkage family — measured
+  187s on part_golden_records), while real TPC-H scaling grows the
+  NAME DICTIONARY. The mid-token salt keeps the trailing-token
+  blocking key distribution (blocks grow in cardinality — faithful
+  to TPC-H name-collision growth) and puts cross-replica names
+  beyond any edit-distance threshold (different entities, as they
+  should be). r11: tokens are sha1-derived with ASSERTED pairwise
+  edit distance >= 4 — the original 'rep{r}' tokens were lev-1
+  apart, quietly making every cross-replica pair a true match and
+  the linkage output quadratic in replicas.
 - documents: replica 0 verbatim; replicas 1..9 salt every other word
   with the replica id. Cross-replica Jaccard lands ~0.33 — BELOW the
   0.5/0.8 set-similarity thresholds — so near-dup FAMILY SIZES stay
@@ -96,17 +99,49 @@ def main(dst: str | None = None, n_replicas: int | None = None) -> None:
             f" TO '{DST}/{t}.parquet/part-0.parquet' (FORMAT PARQUET)"
         )
 
+    # Per-replica salt tokens with GUARANTEED pairwise edit distance
+    # >= 4 (r11 fix): the original 'rep{r}' tokens were lev-1 apart
+    # ('rep1' -> 'rep2'), so every cross-replica name pair was a TRUE
+    # lev<=3 linkage match — output grew QUADRATICALLY in replicas, a
+    # fixture artifact that contradicted this module's own invariant
+    # and inflated the linkage family's measured sf growth (the sf3
+    # probe caught it: part_golden_records 8.4x on 3x data). sha1-hex
+    # tokens, nonce-bumped until every pair is >= 4 edits apart; the
+    # unsalted replica 0 differs from every salted name by the whole
+    # token (+space), >= 9 edits.
+    import hashlib
+
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    nonce = 0
+    while True:
+        toks = [hashlib.sha1(f"salt{r}:{nonce}".encode()).hexdigest()[:8]
+                for r in range(1, N_REPLICAS)]
+        if all(_lev(a, b) >= 4
+               for i, a in enumerate(toks) for b in toks[i + 1:]):
+            break
+        nonce += 1
+    rep_tok = [""] + toks  # index by replica id
+
     def salt_name(col: str, r: int) -> str:
         # replica salt token inserted BEFORE the last token: trailing
         # blocking key preserved, cross-replica edit distance > any
-        # linkage threshold (see module docstring)
+        # linkage threshold (asserted above, see rep_tok)
         if r == 0:
             return col
         return (
             f"array_to_string(list_append(list_append("
             f"  list_slice(string_split({col}, ' '), 1,"
             f"             len(string_split({col}, ' ')) - 1),"
-            f"  'rep{r}'),"
+            f"  '{rep_tok[r]}'),"
             f"  string_split({col}, ' ')[len(string_split({col}, ' '))]"
             f"), ' ')"
         )
