@@ -5293,18 +5293,40 @@ def _linkage_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (brand, type, band)-local products (~2 s). Result-identical:
     # every excluded candidate scores < 20 by construction, and the
     # oracle still recomputes pairs from the brand-only definition.
+    # r11 dictionary collapse (the `name_editdist_pairs` design applied
+    # to the linkage arc; measured on the sf3 fixture census): the
+    # levenshtein candidate join now runs over DISTINCT
+    # (brand, type, name) dictionary entries — 5.8x fewer candidate
+    # pairs at every SF (sf3: 1.26B row-level vs 218M dictionary-level
+    # same-band products) — and row pairs hydrate from the SURVIVING
+    # dictionary pairs only (two name-keyed joins, linear in rows +
+    # output). Result-identical: every row pair's name rule depends
+    # only on the name pair, and the dictionary join keeps exactly the
+    # lev <= 3 name pairs, which is implied by every surviving score
+    # (>= 20 is reachable only with name AND type agreement — the r8
+    # tightening). The remaining quadratic is the dictionary blocked
+    # product itself, Σ|dict block|² — the documented blocked-linkage
+    # bound (SCALE.md §10e); at 100 TB the lever is a more
+    # discriminative blocking config, not a bigger cluster.
     band = F.expr("CAST(length(p_name) AS BIGINT) div 3")
-    a = parts.select(
-        F.col("p_partkey").alias("k_a"), F.col("p_name").alias("name_a"),
-        F.col("p_type").alias("type_a"), F.col("p_size").alias("size_a"),
-        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
-        F.explode(F.array(band - 1, band, band + 1)).alias("__band"),
+    dic = parts.select(
+        F.col("p_brand").alias("__blk"),
+        F.col("p_type").alias("__type"),
+        F.col("p_name").alias("__name"),
+    ).distinct()
+    a = dic.select(
+        F.col("__name").alias("name_a"), "__blk", "__type",
+        F.explode(
+            F.array(
+                F.expr("CAST(length(__name) AS BIGINT) div 3") - 1,
+                F.expr("CAST(length(__name) AS BIGINT) div 3"),
+                F.expr("CAST(length(__name) AS BIGINT) div 3") + 1,
+            )
+        ).alias("__band"),
     )
-    b = parts.select(
-        F.col("p_partkey").alias("k_b"), F.col("p_name").alias("name_b"),
-        F.col("p_type").alias("type_b"), F.col("p_size").alias("size_b"),
-        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
-        band.alias("__band"),
+    b = dic.select(
+        F.col("__name").alias("name_b"), "__blk", "__type",
+        F.expr("CAST(length(__name) AS BIGINT) div 3").alias("__band"),
     )
     # width pin (SCALE.md AQE compute-amplification trap): the
     # (brand, type, band) exchanges are byte-small, so AQE coalesces
@@ -5314,10 +5336,30 @@ def _linkage_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = a.repartition(
         spark.sparkContext.defaultParallelism, "__blk", "__type", "__band"
     )
-    cand = (
+    # ALL ordered dictionary name pairs (diagonal included — exact-dup
+    # rows share one dictionary entry) surviving the name rule
+    dict_pairs = (
         a.join(b.hint("shuffle_hash"), ["__blk", "__type", "__band"])
+        .where(F.levenshtein("name_a", "name_b") <= 3)
+        .drop("__band")
+    )
+    rows_a = parts.select(
+        F.col("p_partkey").alias("k_a"), F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"), F.col("p_size").alias("size_a"),
+        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
+    )
+    rows_b = parts.select(
+        F.col("p_partkey").alias("k_b"), F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"), F.col("p_size").alias("size_b"),
+        F.col("p_brand").alias("__blk"), F.col("p_type").alias("__type"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        dict_pairs.repartition(par, "__blk", "__type", "name_a")
+        .join(rows_a.hint("shuffle_hash"), ["__blk", "__type", "name_a"])
+        .join(rows_b.hint("shuffle_hash"), ["__blk", "__type", "name_b"])
         .where(F.col("k_a") < F.col("k_b"))
-        .drop("__type", "__band")
+        .drop("__blk", "__type")
     )
     scored = linkage_scores(
         cand,
