@@ -7699,8 +7699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 window (positions 1-50): rfm_segments (the one query
         # never yet driver-certified) + every query whose operator was
         # rewritten/touched in r10-r11 after its last driver-green row
-        # (advice fixes, url_normalize fuzz hardening, dhash_neardup_pairs
-        # materialize-once), then stalest-certified fill (last green: r2) ---
+        # (advice fixes, url fuzz hardening, dhash materialize-once +
+        # width pins, hard-negative auto-routing, linkage dictionary
+        # collapse, shared LOO-encode stage), then stalest-certified
+        # fill (last green: r2) ---
         "rfm_segments": q_rfm_segments,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "kcenter_coreset": q_kcenter_coreset,
@@ -7720,6 +7722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_docs": q_url_normalize_docs,
         "url_blocklist_sources": q_url_blocklist_sources,
         "url_keyed_dedup": q_url_keyed_dedup,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "part_record_linkage": q_part_record_linkage,
+        "part_mutual_best_match": q_part_mutual_best_match,
+        "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
         "sync_incremental_semijoin": q_sync_incremental_semijoin,
         "full_table_projection": q_full_table_projection,
         "ordered_limit_topk": q_ordered_limit_topk,
@@ -7747,13 +7753,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_grouped_stats": q_salted_grouped_stats,
         "percentile_order_value": q_percentile_order_value,
         "hourly_event_buckets": q_hourly_event_buckets,
+        # --- already certified, stalest-certification-first (last
+        # driver-green round ascending; COVERAGE.md carries the ledger) ---
+        # last certified r2
         "rank_orders": q_rank_orders,
         "running_user_spend": q_running_user_spend,
         "flatten_nested_props": q_flatten_nested_props,
         "asof_join_latest_order": q_asof_join_latest_order,
-        # --- already certified, stalest-certification-first (last
-        # driver-green round ascending; COVERAGE.md carries the ledger) ---
-        # last certified r2
         "session_stats": q_session_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_neardup": q_minhash_neardup,
@@ -7921,7 +7927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_source_classify": q_nb_source_classify,
         "embedding_dim_recall": q_embedding_dim_recall,
         "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
-        "part_record_linkage": q_part_record_linkage,
         "fk_discovery": q_fk_discovery,
         "negative_samples_parts": q_negative_samples,
         "classifier_auc": q_classifier_auc,
@@ -7933,7 +7938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_token_ranks": q_zipf_token_ranks,
         "embedding_pca_projection": q_embedding_pca_projection,
         "compression_quality_sources": q_compression_quality,
-        "part_mutual_best_match": q_part_mutual_best_match,
         "event_run_lengths": q_event_run_lengths,
         "weak_labels_docs": q_weak_labels,
         "price_qty_slope_brand": q_price_qty_slope,
@@ -8011,7 +8015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_disc": q_price_quantiles_disc,
         "group_kfold_orders": q_group_kfold_orders,
         "char_entropy_quality": q_char_entropy_quality,
-        "ann_hard_negatives": q_ann_hard_negatives,
         "backfill_plan": q_backfill_plan,
         "robust_outliers": q_robust_outliers,
         "label_centroid_similarity": q_label_centroid_similarity,
@@ -8021,7 +8024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_match": q_event_pattern_match,
         "event_path_counts": q_event_path_counts,
         "time_weighted_value": q_time_weighted_value,
-        "media_png_roundtrip_stats": q_media_png_roundtrip_stats,
         "hll_user_registers": q_hll_user_registers,
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "word_containment_pairs": q_word_containment_pairs,
