@@ -147,11 +147,16 @@ def global_ranks(df: DataFrame, sort_cols: list, rank_name: str = "__rank",
     turn those into cumulative start offsets, and broadcast-join the
     offsets back:  ``rank = offset[partition] + local_position + 1``.
 
-    The ranged relation is pinned with an EAGER ``localCheckpoint``
-    before fan-out: the counts branch and the output branch both key on
+    The ranged relation is pinned with a ``localCheckpoint`` before
+    fan-out: the counts branch and the output branch both key on
     ``spark_partition_id``, and without the pin each branch can
     materialize the range Exchange independently (exchange reuse is an
-    optimization, not a contract). Each materialization re-SAMPLES the
+    optimization, not a contract). NON-EAGER since r11: the pin's
+    value is the single shared RDD (one exchange instance -> one
+    boundary sample -> branches always agree), which lazy checkpointing
+    provides identically; eager=True only added a synchronous
+    materialize job before every consumer, ~one extra scheduling wave
+    per query using this helper. Each materialization re-SAMPLES the
     range boundaries, and the sample depends on upstream shuffle-fetch
     order — nondeterministic at runtime — so the two branches can
     disagree about which rows partition p holds, silently corrupting
@@ -176,7 +181,7 @@ def global_ranks(df: DataFrame, sort_cols: list, rank_name: str = "__rank",
             "__local",
             F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__pid").rowsBetween(
@@ -1523,17 +1528,18 @@ def global_prefix_sum(
     """
     spark = df.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    # Eager localCheckpoint: both the window branch and the totals
-    # branch key on spark_partition_id; without the pin each branch can
+    # localCheckpoint pin (NON-EAGER since r11 — see global_ranks):
+    # both the window branch and the totals branch key on
+    # spark_partition_id; without the pin each branch can
     # re-materialize the range Exchange with independently re-SAMPLED
     # boundaries (sampling reads upstream shuffle output whose fetch
     # order is nondeterministic), making the two branches disagree
-    # about partition membership — see global_ranks for the full
-    # account (caught round 7 via mann_whitney_u flapping).
+    # about partition membership. The shared checkpoint RDD is the
+    # pin; eager materialization is not required for it.
     ranged = (
         df.repartitionByRange(nparts, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)
@@ -2053,17 +2059,18 @@ def global_prefix_max_excl(
     predecessor). ``sort_cols`` must be a total order."""
     spark = df.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    # Eager localCheckpoint: both the window branch and the totals
-    # branch key on spark_partition_id; without the pin each branch can
+    # localCheckpoint pin (NON-EAGER since r11 — see global_ranks):
+    # both the window branch and the totals branch key on
+    # spark_partition_id; without the pin each branch can
     # re-materialize the range Exchange with independently re-SAMPLED
     # boundaries (sampling reads upstream shuffle output whose fetch
     # order is nondeterministic), making the two branches disagree
-    # about partition membership — see global_ranks for the full
-    # account (caught round 7 via mann_whitney_u flapping).
+    # about partition membership. The shared checkpoint RDD is the
+    # pin; eager materialization is not required for it.
     ranged = (
         df.repartitionByRange(nparts, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)
@@ -2267,11 +2274,16 @@ def interval_concurrency_peak(
     Intervals with end <= start are dropped as degenerate (a data bug
     surfaced in n_dropped, not silently counted). Output one row:
     n_intervals, n_dropped, peak_concurrency, first_peak_t."""
+    # r11: base feeds the n_intervals count AND (filtered) both union
+    # legs of the endpoint stream — unpinned, the caller's upstream
+    # join/groupBy lineage re-ran per consumer (profiled: the lineitem
+    # per-order groupBy map stage executed twice per run). One narrow
+    # (id, start, end) materialization serves all three.
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(start_col).cast("long").alias("__s"),
         F.col(end_col).cast("long").alias("__e"),
-    )
+    ).localCheckpoint(eager=False)
     valid = base.where(F.col("__e") > F.col("__s"))
     n_all = base.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
     n_ok = valid.agg(F.count(F.lit(1)).cast("long").alias("__n_ok"))
@@ -2611,7 +2623,11 @@ def shapley_channel_credits(
 
     fact = [math.factorial(i) for i in range(n + 1)]
     chan_rows = [(c, b) for c, b in bit.items()]
-    chans = spark.createDataFrame(chan_rows, schema="channel string, bit int")
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    chans = local_df(spark, chan_rows, "channel string, bit int")
     # S ranges over masks NOT containing the channel bit; weight w(|S|)
     pairs = (
         chans.crossJoin(v.withColumnRenamed("mask", "s_mask")
@@ -2773,10 +2789,15 @@ def markov_removal_attribution(
         )
         for ch in channels
     ]
-    return spark.createDataFrame(
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    return local_df(
+        spark,
         out_rows,
-        schema="channel string, base_reach_ppm long, "
-               "removal_effect_ppm long, credit_ppm long",
+        "channel string, base_reach_ppm long, "
+        "removal_effect_ppm long, credit_ppm long",
     )
 
 
@@ -2910,7 +2931,12 @@ def conformal_residual_bound(
         F.col(y_col).cast("decimal(38,0)").alias("y"),
     ).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col("__id")
-    )
+    ).localCheckpoint(eager=False)  # r11: both the moment agg and the
+    # residual pass consume base — unpinned, each re-ran the
+    # scan+repartition+DECIMAL-cast lineage (profiled: the 12 MB
+    # repartition map stage executed twice per run). Non-eager: the
+    # upstream is deterministic (no range sampling), so the pin only
+    # needs block-level reuse, not a synchronous materialize job.
     mom = base.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").alias("sx"),

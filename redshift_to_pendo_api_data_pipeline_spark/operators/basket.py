@@ -348,7 +348,13 @@ def frequent_item_triples(
         .unionAll(cand.select(F.col("c").alias("item")))
         .distinct()
     )
-    pruned = bi.join(items_in_cand.hint("shuffle_hash"), "item", "left_semi")
+    # r11: pruned feeds all three join legs (t1, t2, t3) — exchange
+    # reuse only deduplicated two of the three basket-keyed shuffles
+    # (profiled: the 6.2 MB basket-item distinct map stage still ran
+    # twice per run); one narrow materialization serves every leg
+    pruned = bi.join(
+        items_in_cand.hint("shuffle_hash"), "item", "left_semi"
+    ).localCheckpoint(eager=False)
     t1 = pruned.select("basket", F.col("item").alias("a"))
     t2 = pruned.select("basket", F.col("item").alias("b"))
     t3 = pruned.select("basket", F.col("item").alias("c"))
@@ -704,9 +710,14 @@ def hitrate_at_k(
     recs = related_items(edges, n_train, per_item_k=per_item_k).select(
         "antecedent", "consequent"
     )
+    # the distinct test relation feeds FOUR plan branches (sizes,
+    # prediction join, hit semi-join, eligibility semi-join) —
+    # materialize it once instead of re-running the scan+distinct per
+    # branch (r11 profile: the same 1.2 MB-shuffle distinct stage ran
+    # 3x per execution)
     ti = test_baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = ti.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
     eligible = sizes.where(F.col("sz") >= 2).select("b")
     preds = ti.join(recs, ti["i"] == recs["antecedent"]).select(
@@ -719,16 +730,19 @@ def hitrate_at_k(
         .select("b").distinct()
         .join(eligible, "b", "left_semi")
     )
-    n_elig = eligible.count()
+    # single-action form (r11): the old eligible.count() driver scalar
+    # re-executed the whole test subtree in its own job; both counts
+    # now land in one plan via a 1-row cross join, same values
     return hits.agg(
-        F.lit(n_elig).cast("long").alias("n_test_baskets"),
         F.count(F.lit(1)).cast("long").alias("n_hits"),
+    ).crossJoin(
+        eligible.agg(F.count(F.lit(1)).cast("long").alias("n_test_baskets"))
     ).select(
         "n_test_baskets", "n_hits",
         # truncating div (never float-then-cast: Spark casts truncate,
         # DuckDB casts ROUND — they disagree on x.5)
-        F.expr(f"n_hits * 1000L div {max(n_elig, 1)}").cast("long")
-        .alias("hitrate_pm"),
+        F.expr("n_hits * 1000L div greatest(n_test_baskets, 1L)")
+        .cast("long").alias("hitrate_pm"),
     )
 
 

@@ -75,7 +75,11 @@ def train_logreg(
     n_docs = labels.count()
     spark = features.sparkSession
     lab = labels.select(F.col("doc"), F.col("y").cast("double").alias("y"))
-    weights = spark.createDataFrame([(BIAS_FEAT, 0.0)], "feat int, w double")
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    weights = local_df(spark, [(BIAS_FEAT, 0.0)], "feat int, w double")
 
     for _ in range(n_epochs):
         w_b = F.broadcast(weights)
@@ -266,7 +270,11 @@ def weak_label(
     ]
     if not kw_rows:
         raise ValueError("rules contain no keywords")
-    keywords = spark.createDataFrame(kw_rows, "label string, t string")
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    keywords = local_df(spark, kw_rows, "label string, t string")
     toks = (
         df.select(
             F.col(id_col).alias("__doc"),

@@ -505,9 +505,13 @@ def connected_components(
             for node in members
         ]
         from pyspark.sql import types as T
+        from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+            local_df,
+        )
 
         node_t = undirected.schema["src"].dataType
-        return pairs.sparkSession.createDataFrame(
+        return local_df(
+            pairs.sparkSession,
             rows,
             T.StructType([
                 T.StructField("node", node_t, False),
@@ -731,7 +735,12 @@ def embedding_neardup_pairs(
         # are not guaranteed element-aligned
         .agg(F.collect_list(F.struct("id", "v")).alias("pack"))
     )
-    pair_keys = spark.createDataFrame(
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    pair_keys = local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "b1 int, b2 int",
     )

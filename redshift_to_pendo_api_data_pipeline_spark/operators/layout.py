@@ -223,8 +223,12 @@ def shard_assignment(
             intervals.append((prev + 1, pos, s))
         prev = max(prev, pos)
     intervals.append((prev + 1, (1 << 32) - 1, ring[0][1]))
-    ring_df = spark.createDataFrame(
-        intervals, schema="lo long, hi long, s string"
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    ring_df = local_df(
+        spark, intervals, "lo long, hi long, s string"
     )
     joined = df.withColumn("__h", h).join(
         F.broadcast(ring_df),

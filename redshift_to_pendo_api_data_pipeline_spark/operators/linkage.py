@@ -328,7 +328,12 @@ def candidate_keys(
             for i, (a, b) in enumerate(rem_pairs)
         ]
 
-    melted = spark.createDataFrame(
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    melted = local_df(
+        spark,
         [(cand, int(n_rows), int(nd)) for cand, nd in results],
         "candidate string, n_rows long, n_distinct long",
     )

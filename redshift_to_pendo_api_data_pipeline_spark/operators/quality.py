@@ -122,8 +122,13 @@ def run_suite(df: DataFrame, suite: Suite) -> DataFrame:
             .count()
         )
         out.append((f"references({col})", int(orphans), int(n_rows)))
-    return spark.createDataFrame(
-        sorted(out), "constraint string, n_violations long, n_checked long"
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    return local_df(
+        spark, sorted(out),
+        "constraint string, n_violations long, n_checked long",
     )
 
 

@@ -660,6 +660,7 @@ def kcenter_select(
     ).localCheckpoint(eager=True)
 
     from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
         within_driver_bound,
     )
 
@@ -668,8 +669,9 @@ def kcenter_select(
 
         rows = base.collect()
         if not rows:
-            return df.sparkSession.createDataFrame(
-                [], schema="step long, vec_id long, dist_micro long"
+            return local_df(
+                df.sparkSession, [],
+                "step long, vec_id long, dist_micro long",
             )
         ids = [r["__id"] for r in rows]
         V = np.array([list(r["__v"]) for r in rows], dtype=np.float64)
@@ -707,9 +709,10 @@ def kcenter_select(
             ties = np.nonzero(s == best_d)[0]
             best_i = min(ties, key=lambda i: ids[i])  # ties -> min id
             chosen.append((step, ids[best_i], best_d, None, int(best_i)))
-        return df.sparkSession.createDataFrame(
+        return local_df(
+            df.sparkSession,
             [(int(s), int(i), int(d)) for (s, i, d, _, _) in chosen],
-            schema="step long, vec_id long, dist_micro long",
+            "step long, vec_id long, dist_micro long",
         )
 
     def dist_to(center_vec: list[float]):
@@ -721,8 +724,9 @@ def kcenter_select(
 
     first = base.select("__v").first()
     if first is None:
-        return df.sparkSession.createDataFrame(
-            [], schema="step long, vec_id long, dist_micro long"
+        return local_df(
+            df.sparkSession, [],
+            "step long, vec_id long, dist_micro long",
         )
     dim = len(first["__v"])
     chosen: list[tuple] = []  # (step, id, dist_micro, vector)
@@ -753,9 +757,10 @@ def kcenter_select(
         cand = top[0]
         chosen.append((step, cand["__id"], cand["__d"], cand["__v"]))
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(s), int(i), int(d)) for (s, i, d, _) in chosen],
-        schema="step long, vec_id long, dist_micro long",
+        "step long, vec_id long, dist_micro long",
     )
 
 
@@ -900,22 +905,26 @@ def weighted_quantiles_exact(
     cum = global_prefix_sum(base, ["__v", "__id"], "__w",
                             prefix_name="__c", keep_total=True)
     qs = F.array(*[F.lit(int(q)) for q in qs_ppm])
-    # width pin (SCALE.md AQE compute-amplification trap): the explode
-    # multiplies len(qs) DECIMAL(38,0) target computations per row
-    # behind a byte-small relation AQE coalesces to ~7 tasks (profiled
-    # 5.1 s runtime serialized); hash-pin on the value key before the
-    # amplifying stage
-    par = df.sparkSession.sparkContext.defaultParallelism
-    exploded = cum.repartition(par, "__v").select(
-        "__v", "__c", "__total", F.explode(qs).alias("q_ppm")
-    )
-    # target = ceil(q * W / 1e6), integer form (q*W + 1e6 - 1) div 1e6
-    hit = exploded.where(
-        F.col("__c")
-        >= F.expr(
+    # target = ceil(q * W / 1e6), integer form (q*W + 1e6 - 1) div 1e6.
+    # Computed ONCE PER QUANTILE on a len(qs)-row relation: q*W needs
+    # DECIMAL(38,0) (q_ppm<=1e6 times a BIGINT weight total overflows
+    # BIGINT), and BigDecimal per corpus row was the query's entire
+    # cost — the r11 profile caught the old explode-then-filter form
+    # (len(qs) DECIMAL multiplies per row) at 9.7-284 s of task time
+    # for a 6 MB stage, JIT-unstable. The quotient is <= W so it lands
+    # back in a plain BIGINT, and the corpus side now pays one long
+    # comparison per (row, quantile) in a broadcast join instead.
+    targets = base.agg(F.sum("__w").cast("long").alias("__total")).select(
+        F.explode(qs).alias("q_ppm"), "__total"
+    ).select(
+        "q_ppm",
+        F.expr(
             "CAST(CAST(q_ppm AS DECIMAL(38,0)) * __total + 999999"
             " AS DECIMAL(38,0)) div 1000000"
-        )
+        ).cast("long").alias("__target"),
+    )
+    hit = cum.join(
+        F.broadcast(targets), F.col("__c") >= F.col("__target")
     )
     return hit.groupBy("q_ppm").agg(
         F.min("__v").cast("long").alias("value")

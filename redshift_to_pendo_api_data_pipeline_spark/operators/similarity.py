@@ -24,6 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+    local_df as _local_df,
+)
+
 
 def _dot(x, y):
     return F.aggregate(
@@ -490,7 +494,8 @@ def build_ivf_index(
         partition_by="__cluster",
     )
     stage_parquet(
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
         ),
@@ -765,7 +770,8 @@ def staged_ivf_centroids(
         fs_delete(spark, path)  # geometry changed: stale sidecar, rebuild
     cents = train_ivf_centroids(df, vec_col, id_col, n_list=n_list, n_iter=n_iter)
     stage_parquet(
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cluster int, centroid array<double>",
         ),
@@ -816,7 +822,8 @@ def staged_pq_codebooks(
     books = train_pq_codebooks(df, vec_col, id_col, m_sub=m_sub,
                                k_codes=k_codes, n_iter=n_iter)
     stage_parquet(
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [
                 (s, c, [float(x) for x in books[s, c]])
                 for s in range(books.shape[0])

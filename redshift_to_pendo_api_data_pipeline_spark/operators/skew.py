@@ -214,8 +214,12 @@ def bloom_semijoin(
     # probes O(1) per lookup.
     sparse = {int(r["word"]): int(r["bits"]) for r in words.collect()}
     dense = [sparse.get(w, 0) for w in range(int(n_words))]
-    bitmap = fact.sparkSession.createDataFrame(
-        [(dense,)], "__bloom array<bigint>"
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    bitmap = local_df(
+        fact.sparkSession, [(dense,)], "__bloom array<bigint>"
     )
     probed = fact.join(F.broadcast(bitmap))
     pred = F.lit(True)

@@ -127,7 +127,12 @@ def filter_blocked_domains(
     blocklist is config-bounded (same legitimate-broadcast contract as
     weak_label's rule table): broadcast left_anti join, fact side never
     shuffles."""
-    bl = df.sparkSession.createDataFrame(
+    from redshift_to_pendo_api_data_pipeline_spark.operators.routing import (
+        local_df,
+    )
+
+    bl = local_df(
+        df.sparkSession,
         [(d.lower(),) for d in blocked_domains], "__bdom string"
     )
     keyed = df.withColumn(

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from redshift_to_pendo_api_data_pipeline_spark.operators.routing import local_df
+
 from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
     _dot,
     _norm,
@@ -87,8 +89,9 @@ def batch_ivf_topk(
         )
     qrows = queries_df.select(qid_col, qvec_col).collect()
     if not qrows:
-        return spark.createDataFrame(
-            [], _result_schema(spark, queries_df, index_path, qid_col, id_col)
+        return local_df(
+            spark, [],
+            _result_schema(spark, queries_df, index_path, qid_col, id_col),
         )
     qm = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
     d = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -98,7 +101,8 @@ def batch_ivf_topk(
         for i, r in enumerate(qrows)
     ]
     qf = queries_df.schema[qid_col]
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         probe_rows,
         T.StructType([
             T.StructField(qid_col, qf.dataType, qf.nullable),
@@ -187,8 +191,9 @@ def batch_ivf_topk_distributed(
         for r in exploded.select("__cluster").distinct().collect()
     ]
     if not probed:
-        return spark.createDataFrame(
-            [], _result_schema(spark, queries_df, index_path, qid_col, id_col)
+        return local_df(
+            spark, [],
+            _result_schema(spark, queries_df, index_path, qid_col, id_col),
         )
     idx = (
         spark.read.parquet(index_path)
