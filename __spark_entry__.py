@@ -1747,7 +1747,6 @@ def q_bucketed_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from redshift_to_pendo_api_data_pipeline_spark.operators.similarity import (
         bucketed_neardup_pairs,
-        bucketed_pairs_from_staged,
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1763,20 +1762,26 @@ def q_bucketed_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = spark.read.parquet(exact_path)
     # stage ONCE at the widest table count; table 0 IS the single-table
-    # run (seed + 1000*t convention), so the narrower variant derives by
-    # filter from the same artifact — one signature pass, one staging
+    # run (seed + 1000*t convention). r11: ONE table-tagged verification
+    # pass serves BOTH variants — n_single is the table-0 verified rows
+    # (a pair occupies exactly one bucket per table, so table-0 rows are
+    # already pair-unique) and n_multi the distinct verified pair count;
+    # the old form ran the BLAS verify twice (once per variant) and took
+    # three separate count aggregations over it.
     stage = f"{_stage_dir(sf_dir)}/bucket_recall_t4.parquet"
-    multi = bucketed_neardup_pairs(
+    tagged = bucketed_neardup_pairs(
         emb, "embedding", "vec_id",
-        stage_path=stage, threshold=0.45, n_tables=4,
+        stage_path=stage, threshold=0.45, n_tables=4, keep_table=True,
     )
-    single = bucketed_pairs_from_staged(
-        spark, emb, "embedding", "vec_id", stage, threshold=0.45, tables=[0],
+    counts = tagged.agg(
+        F.count(F.when(F.col("tbl") == 0, F.lit(1)))
+        .cast("long").alias("n_single"),
+        F.count_distinct(F.struct("id_a", "id_b"))
+        .cast("long").alias("n_multi"),
     )
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(single.agg(F.count(F.lit(1)).alias("n_single")))
-        .crossJoin(multi.agg(F.count(F.lit(1)).alias("n_multi")))
+        .crossJoin(counts)
         .select(
             "n_exact", "n_single", "n_multi",
             F.expr("(10000 * n_single) div n_exact").alias("recall_single_bp"),

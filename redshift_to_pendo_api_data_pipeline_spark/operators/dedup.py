@@ -1342,15 +1342,27 @@ def connected_components_star(
         attach_self = ms.select(
             F.col("m").alias("a"), F.col("u").alias("b")
         )
+        # lazy checkpoint: the convergence probe right below is the
+        # round's first action and materializes the blocks; an eager
+        # pin only added a third job per round (r11)
         nxt = (
             attach_leaves.unionByName(attach_self)
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # ONE symmetric-difference probe instead of two one-sided
+        # anti-join jobs (r11): full-outer on the canonical edge key,
+        # any row with either side missing means the edge sets differ.
+        # Same exactness as the anti-join pair (count equality alone
+        # would still miss a same-size rewiring).
         changed = (
-            nxt.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
-            or e.join(nxt, ["a", "b"], "left_anti").limit(1).count() > 0
+            nxt.withColumn("__r", F.lit(1))
+            .join(
+                e.withColumn("__l", F.lit(1)), ["a", "b"], "full_outer"
+            )
+            .where(F.col("__l").isNull() | F.col("__r").isNull())
+            .limit(1).count() > 0
         )
         e = nxt
         if not changed:

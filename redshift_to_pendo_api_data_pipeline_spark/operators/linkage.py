@@ -263,13 +263,25 @@ def candidate_keys(
         base = base.repartition(target_par)
     base = base.localCheckpoint(eager=True)
 
-    def _enc(c: str):
-        # length-prefixed injective string encoding, null-distinguished
-        # ("N" can never collide with "V<len>:<value>")
-        s = F.col(c).cast("string")
-        return F.when(s.isNull(), F.lit("N")).otherwise(
-            F.concat(F.lit("V"), F.length(s).cast("string"),
-                     F.lit(":"), s)
+    def _digest(cs: list[str]):
+        # 128-bit tuple digest as a struct of two independently seeded
+        # xxhash64 longs (r11 — replaces md5 over a length-prefixed
+        # string encode: building and hex-encoding a string per
+        # (row, combo) was this operator's entire CPU, and the digest
+        # shuffle carried 32-char strings instead of 16 bytes). The
+        # isnull flag precedes every column because Spark hash
+        # functions SKIP null inputs (hash(null, x) == hash(x)) —
+        # the boolean restores null-distinguishing injectivity.
+        # Collision odds per combo at 128 bits are ~k^2/2^129 —
+        # the same exact-by-construction convention as the repo's
+        # md5 digests (16 bytes either way).
+        parts = []
+        for c in cs:
+            parts.append(F.col(c).isNull())
+            parts.append(F.col(c))
+        return F.struct(
+            F.xxhash64(F.lit(1), *parts).alias("h1"),
+            F.xxhash64(F.lit(2), *parts).alias("h2"),
         )
 
     def _distinct_counts(entry_structs) -> dict[int, int]:
@@ -296,7 +308,7 @@ def candidate_keys(
     singles_nd = _distinct_counts([
         F.when(
             F.col(c).isNotNull(),
-            F.struct(F.lit(i).alias("gid"), F.md5(_enc(c)).alias("k")),
+            F.struct(F.lit(i).alias("gid"), _digest([c]).alias("k")),
         )
         for i, c in enumerate(ordered)
     ])
@@ -319,7 +331,7 @@ def candidate_keys(
         pairs_nd = _distinct_counts([
             F.struct(
                 F.lit(i).alias("gid"),
-                F.md5(F.concat(_enc(a), F.lit("|"), _enc(b))).alias("k"),
+                _digest([a, b]).alias("k"),
             )
             for i, (a, b) in enumerate(rem_pairs)
         ])

@@ -1070,7 +1070,9 @@ def semantic_dedup(
     )
 
 
-def _within_bucket_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+def _within_bucket_pairs(
+    assigned: DataFrame, threshold: float, keep_table: bool = False
+) -> DataFrame:
     """Exact-cosine verify WITHIN (tbl, bucket) groups as one BLAS gram
     matrix per group (``m @ m.T`` over row-normalized float64, round 6dp
     — the same arithmetic embedding_neardup hash-matches against DuckDB
@@ -1093,16 +1095,27 @@ def _within_bucket_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
     this runs, and the fix is raising n_planes, exactly as the
     bucketed_neardup_pairs docstring prescribes."""
     id_f = assigned.schema["id"]
-    out_schema = T.StructType([
+    fields = [
         T.StructField("id_a", id_f.dataType, False),
         T.StructField("id_b", id_f.dataType, False),
         T.StructField("cosine", T.DoubleType(), False),
-    ])
+    ]
+    if keep_table:
+        # ``keep_table`` (r11): tag each verified pair with the table it
+        # came from and skip nothing else — a recall audit can then take
+        # single-table (tbl == 0 rows) and multi-table (distinct pair)
+        # counts from ONE verification pass instead of running the BLAS
+        # verify once per variant.
+        fields.append(T.StructField("tbl", T.IntegerType(), False))
+    out_schema = T.StructType(fields)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        empty = {"id_a": [], "id_b": [], "cosine": []}
+        if keep_table:
+            empty["tbl"] = []
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(empty)
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -1112,11 +1125,15 @@ def _within_bucket_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
         sims = np.round(m @ m.T, 6)
         ia, ib = np.triu_indices(n, k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({
+        out = {
             "id_a": ids[ia[keep]],
             "id_b": ids[ib[keep]],
             "cosine": sims[ia[keep], ib[keep]],
-        })
+        }
+        if keep_table:
+            out["tbl"] = np.full(int(keep.sum()), int(pdf["tbl"].iloc[0]),
+                                 dtype=np.int32)
+        return pd.DataFrame(out)
 
     return assigned.groupBy("tbl", "bucket").applyInPandas(_pairs, out_schema)
 
@@ -1130,6 +1147,7 @@ def bucketed_neardup_pairs(
     n_planes: int = 6,
     seed: int = 7,
     n_tables: int = 1,
+    keep_table: bool = False,
 ) -> DataFrame:
     """The 100 TB all-pairs near-dup shape the exact operator's docstring
     defers to (dedup.embedding_neardup_pairs: "per-bucket verify stage
@@ -1190,9 +1208,10 @@ def bucketed_neardup_pairs(
     # group (_within_bucket_pairs): one shuffle on the bucket key, no
     # self-join, no interpreted per-pair fold
     pairs = _within_bucket_pairs(
-        assigned.select("tbl", "bucket", "id", "v"), threshold
+        assigned.select("tbl", "bucket", "id", "v"), threshold,
+        keep_table=keep_table,
     )
-    if n_tables > 1:
+    if n_tables > 1 and not keep_table:
         pairs = pairs.distinct()
     return pairs
 

@@ -1940,15 +1940,37 @@ def gopher_repetition(
         F.first("glen").alias("glen"),
         F.first("tot_chars").alias("tot_chars"),
     )
+    # top gram by (cnt, glen), found via an ORDER-ISOMORPHIC DECIMAL
+    # encode cnt*(tot_chars+1)+glen instead of max(struct(cnt, glen)):
+    # a struct-typed max buffer is not hash-aggregatable, so the old
+    # form planned Sort + SortAggregate — a full per-partition sort of
+    # the ~9x-corpus gram-count relation (the r11 profile's biggest
+    # stage in this query). glen <= tot_chars for every gram (a gram's
+    # reconstructed span never exceeds the normalized doc), so the
+    # encode preserves the (cnt, glen) lexicographic order exactly;
+    # DECIMAL(38,0) keeps it exact to 1e19-char documents, and the
+    # decode (div / mod by tot_chars+1) returns the same BIGINTs the
+    # struct field reads produced.
+    scale_ = (F.col("tot_chars") + F.lit(1)).cast("decimal(38,0)")
+    enc = (
+        F.col("cnt").cast("decimal(38,0)") * scale_
+        + F.col("glen").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
     per_n = counted.groupBy("doc", "n").agg(
-        F.max(F.struct("cnt", "glen")).alias("top"),
+        F.max(enc).alias("top_enc"),
         F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen"))
               .otherwise(F.lit(0))).cast("long").alias("dup_chars"),
         F.first("tot_chars").alias("tot_chars"),
     ).select(
         "doc", "n",
-        F.expr("CAST(1000000 * top.cnt * top.glen AS BIGINT)"
-               " div greatest(tot_chars, 1)").alias("top_ppm"),
+        F.expr(
+            "CAST(1000000"
+            " * CAST(top_enc div CAST(tot_chars + 1 AS DECIMAL(38,0))"
+            "        AS BIGINT)"
+            " * CAST(top_enc % CAST(tot_chars + 1 AS DECIMAL(38,0))"
+            "        AS BIGINT)"
+            " AS BIGINT) div greatest(tot_chars, 1)"
+        ).alias("top_ppm"),
         F.expr("CAST(1000000 * dup_chars AS BIGINT)"
                " div greatest(tot_chars, 1)").alias("dup_ppm"),
     )
