@@ -9,8 +9,6 @@ free — see SURVEY.md §4).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -43,48 +41,6 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def _widen_narrow_scan(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan-width pin (r11, guide §2.5 'input skew').
-
-    A table smaller than ONE scan split (``spark.sql.files.maxPartitionBytes``)
-    is, at best, a one-task scan — parquet cannot split below a row group,
-    and the bench fixtures are single-row-group files, so EVERY query's
-    map-side work (casts, tokenize, explode, json) was serializing on one
-    core of 32 (measured: 600k lineitem rows land in 1 of 32 reported
-    split-partitions). Round-robin the rows across the cluster first: the
-    exchange is bounded by one split's bytes (~128 MB worst case) and
-    Catalyst still pushes column pruning and predicate pushdown BELOW a
-    Repartition, so the scan stays pruned/filtered. On a production-sized
-    table (> one split) this is a NO-OP — the condition, not the constant,
-    is what makes it scale-correct. Round-robin start positions are seeded
-    by partition id (deterministic), and sortBeforeRepartition (default on)
-    keeps row->partition assignment stable under task retry."""
-    from redshift_to_pendo_api_data_pipeline_spark.staging import _hadoop_fs
-
-    # Opt-out: tables whose heavy consumers cross the Python boundary.
-    # The embeddings operators (IVF/PQ training loops, matmul edges) do
-    # their math in numpy over Arrow batches — there, FEW LARGE batches
-    # beat many tiny ones (guide §4.2), and the operators pin their own
-    # width. Widening the scan multiplied every per-iteration Arrow
-    # stage into 32 sixty-row Python round-trips (measured: the ANN
-    # recall staging pass went 3s -> 39s).
-    if os.path.basename(path).split(".")[0] in ("embeddings",):
-        return df
-
-    try:
-        fs, hpath = _hadoop_fs(spark, path)
-        size = fs.getContentSummary(hpath).getLength()
-    except Exception:
-        return df  # unreadable size (e.g. exotic scheme): leave the scan alone
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .lower().removesuffix("b")
-    )
-    if size >= max_split:
-        return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table. Equivalent of the reference's per-stream
     SELECT (``tap-redshift/src/sync.py:107,143-155``) minus the hand-built
@@ -92,7 +48,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst pushes them down."""
     _ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    df = _widen_narrow_scan(spark, path, spark.read.parquet(path))
+    df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div: ns values (~1.7e18) overflow double mantissa
@@ -111,11 +67,9 @@ def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan WITHOUT the nanos->timestamp conversion. Use when a filter must
     push down to the parquet scan on a nanos column: compare against the
     bookmark as a long (ns since epoch), then convert after — the converted
-    column defeats parquet predicate pushdown, the raw long doesn't.
-    (The narrow-scan widen keeps pushdown intact: Catalyst moves filters
-    below a Repartition, pinned by test_extract's pushdown plan test.)"""
+    column defeats parquet predicate pushdown, the raw long doesn't."""
     path = f"{sf_dir}/{name}.parquet"
-    return _widen_narrow_scan(spark, path, spark.read.parquet(path))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
